@@ -1,0 +1,57 @@
+"""Testdata loaders (SURVEY Phase 0).
+
+The driver generates a TPC-H-ish star schema plus ``events`` (the
+stream-shaped table standing in for the reference's datapoint stream),
+``documents`` and ``embeddings`` (LLM-pipeline fixtures) as parquet
+under /root/testdata/sf{0.001,0.01,0.1}/.
+
+Loads are plain ``spark.read.parquet`` — column pruning and predicate
+pushdown reach the scan automatically when queries select/filter on the
+returned DataFrames (verify with ``df.explain``: ``ReadSchema`` /
+``PushedFilters``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
+        # read as a timestamp. Read it as raw nanos (runtime-settable
+        # legacy conf, works on any session the driver hands us) and
+        # truncate to microseconds — exactly what DuckDB does internally
+        # (its TIMESTAMP is us-precision), so oracle comparisons agree.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(table_path(sf_dir, name))
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}

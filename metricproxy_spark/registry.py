@@ -1,0 +1,70 @@
+"""Query registry — the single source of truth behind __spark_entry__.
+
+Every implemented operator from SURVEY.md §3 registers here as a named
+query: a callable ``(spark, sf_dir) -> DataFrame`` plus (when the
+semantics are SQL-expressible) a DuckDB oracle SQL string the driver
+runs side-by-side. The driver compares row-count + schema +
+order-insensitive value hash, with columns sorted by name — so every
+computed column is aliased identically in both forms.
+
+Determinism contract (hash-stability across engines):
+
+- Sums/avgs of DOUBLE columns are order-dependent in floating point;
+  Spark and DuckDB will not reliably produce bit-identical doubles.
+  Money-ish aggregates therefore go through exact DECIMAL arithmetic in
+  BOTH engines and are cast back to DOUBLE at the end
+  (:func:`metricproxy_spark.functions.aggregates.dsum`).
+- Queries with genuinely approximate results (approx_count_distinct,
+  MinHash) register without an oracle -> driver records rows-only.
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+_QUERY_MODULES = (
+    "metricproxy_spark.queries.events",
+    "metricproxy_spark.queries.ingest",
+    "metricproxy_spark.queries.analytic",
+    "metricproxy_spark.queries.joins",
+    "metricproxy_spark.queries.windows",
+    "metricproxy_spark.queries.functions_surface",
+    "metricproxy_spark.queries.dedup",
+    "metricproxy_spark.queries.similarity",
+    "metricproxy_spark.queries.text",
+    "metricproxy_spark.queries.streaming_surface",
+)
+
+_loaded = False
+
+
+def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Register a named query; ``oracle`` is DuckDB SQL or None (rows-only)."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name {name!r}")
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def load_all() -> None:
+    """Import every query module exactly once, populating the registry."""
+    global _loaded
+    if _loaded:
+        return
+    for mod in _QUERY_MODULES:
+        importlib.import_module(mod)
+    _loaded = True
