@@ -1,1 +1,428 @@
-"""Placeholder — populated in a later phase."""
+"""Ingestion/normalization queries (SURVEY Phase 2, §3.1/§3.3).
+
+Each query synthesizes a wire-format column from the ``events`` table
+(the driver's stream-shaped fixture) with deterministic expressions,
+runs the real protocol transform from :mod:`metricproxy_spark.sources`,
+and projects scalar outputs. The DuckDB oracle derives the expected
+outputs directly from the source columns — an independent computation,
+not a re-implementation of the parser.
+
+Cross-engine determinism notes:
+- numeric wire text goes through DECIMAL casts (identical string form
+  in both engines, incl. trailing zeros),
+- epoch arithmetic sticks to BIGINT seconds/millis/micros (DuckDB
+  timestamps are µs-precision; events.ts is loaded truncated to µs),
+- every computed column is aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from metricproxy_spark.io import load_table
+from metricproxy_spark.registry import register
+from metricproxy_spark.sources.carbon import (
+    commakeys_deconstruct,
+    delimiter_deconstruct,
+    parse_carbon_lines,
+    to_carbon_lines,
+)
+from metricproxy_spark.sources.collectd import parse_collectd_json
+from metricproxy_spark.sources.signalfx import (
+    parse_sfx_v1_json,
+    parse_sfx_v2_json,
+    sanitize_dimension_keys,
+    sanitize_name,
+)
+
+
+def _carbon_line(valid_only: bool = False):
+    """Synthetic carbon wire line; ~1/17 rows get a string value,
+    ~1/23 an unparseable timestamp (invalid → dropped + counted)."""
+    value_text = F.col("value").cast("decimal(27,4)").cast("string")
+    if not valid_only:
+        value_text = F.when(F.col("event_id") % 17 == 0, F.lit("fast!")).otherwise(
+            value_text
+        )
+    ts_text = F.unix_timestamp(F.col("ts")).cast("string")
+    if not valid_only:
+        ts_text = F.when(F.col("event_id") % 23 == 0, F.lit("notatime")).otherwise(
+            ts_text
+        )
+    return F.concat_ws(" ", F.col("event_type"), value_text, ts_text)
+
+
+_CARBON_LINE_SQL = """
+        concat_ws(' ', event_type,
+            CASE WHEN event_id % 17 = 0 THEN 'fast!'
+                 ELSE CAST(CAST(value AS DECIMAL(27,4)) AS VARCHAR) END,
+            CASE WHEN event_id % 23 = 0 THEN 'notatime'
+                 ELSE CAST(CAST(floor(epoch(ts)) AS BIGINT) AS VARCHAR) END)
+"""
+
+
+@register(
+    "ingest_carbon_parse",
+    oracle=f"""
+    WITH src AS (
+        SELECT {_CARBON_LINE_SQL} AS line FROM events
+    ), parts AS (
+        SELECT line, string_split(line, ' ') AS p FROM src
+    )
+    SELECT p[1] AS metric,
+           TRY_CAST(p[2] AS DOUBLE) AS value,
+           CASE WHEN TRY_CAST(p[2] AS DOUBLE) IS NULL THEN p[2] END AS value_str,
+           TRY_CAST(p[3] AS BIGINT) AS epoch_s,
+           'gauge' AS metric_type
+    FROM parts
+    WHERE len(p) = 3 AND p[1] <> '' AND TRY_CAST(p[3] AS BIGINT) IS NOT NULL
+    """,
+)
+def ingest_carbon_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1: carbon line parse incl. int→float→string value fallback and
+    count-and-drop of invalid lines."""
+    ev = load_table(spark, sf_dir, "events")
+    lines = ev.select(_carbon_line().alias("line"))
+    return parse_carbon_lines(lines).select(
+        "metric", "value", "value_str", "epoch_s", "metric_type"
+    )
+
+
+@register(
+    "ingest_carbon_commakeys",
+    oracle="""
+    SELECT event_type AS metric,
+           CASE WHEN user_id % 3 = 0 THEN NULL
+                ELSE 'u' || CAST(user_id AS VARCHAR) END AS dim_user,
+           CASE WHEN user_id % 3 = 0 THEN NULL
+                ELSE 's' || CAST(user_id % 7 AS VARCHAR) END AS dim_seg
+    FROM events
+    """,
+)
+def ingest_carbon_commakeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5: ``name[k1=v1,k2=v2]`` deconstructor with identity fallback."""
+    ev = load_table(spark, sf_dir, "events")
+    name = F.when(F.col("user_id") % 3 == 0, F.col("event_type")).otherwise(
+        F.concat(
+            F.col("event_type"),
+            F.lit("[user=u"),
+            F.col("user_id").cast("string"),
+            F.lit(",seg=s"),
+            (F.col("user_id") % 7).cast("string"),
+            F.lit("]"),
+        )
+    )
+    parsed = commakeys_deconstruct(ev.select(name.alias("metric")))
+    return parsed.select(
+        "metric",
+        F.try_element_at("dimensions", F.lit("user")).alias("dim_user"),
+        F.try_element_at("dimensions", F.lit("seg")).alias("dim_seg"),
+    )
+
+
+@register(
+    "ingest_carbon_roundtrip",
+    oracle=f"""
+    WITH src AS (
+        SELECT concat_ws(' ', event_type,
+                   CAST(CAST(value AS DECIMAL(27,4)) AS VARCHAR),
+                   CAST(CAST(floor(epoch(ts)) AS BIGINT) AS VARCHAR)) AS line,
+               event_type, value, ts
+        FROM events
+    )
+    SELECT line AS wire_line,
+           concat_ws(' ', event_type,
+               CAST(CAST(CAST(CAST(value AS DECIMAL(27,4)) AS DOUBLE)
+                    AS DECIMAL(27,6)) AS VARCHAR),
+               CAST(CAST(floor(epoch(ts)) AS BIGINT) AS VARCHAR)) AS rebuilt_line
+    FROM src
+    """,
+)
+def ingest_carbon_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7/K2: carbon→carbon raw-line passthrough (byte-identical via
+    meta) vs. re-serialization from parsed fields."""
+    ev = load_table(spark, sf_dir, "events")
+    lines = ev.select(_carbon_line(valid_only=True).alias("line"))
+    parsed = parse_carbon_lines(lines)
+    return parsed.select(
+        to_carbon_lines(parsed).alias("wire_line"),
+        to_carbon_lines(parsed, meta_col=None).alias("rebuilt_line"),
+    )
+
+
+@register(
+    "ingest_collectd_explode",
+    oracle="""
+    WITH expanded AS (
+        SELECT event_id, user_id, event_type, ts, value,
+               UNNEST(['shortterm', 'midterm', 'value']) AS dsname,
+               UNNEST(['gauge', 'derive', 'absolute']) AS dstype,
+               UNNEST([value, value * 2, value + user_id]) AS v
+        FROM events
+    )
+    SELECT concat('load',
+               CASE WHEN event_id % 2 = 0 THEN '.avg' ELSE '' END,
+               CASE WHEN dsname <> 'value' THEN '.' || dsname ELSE '' END
+           ) AS metric,
+           v AS value,
+           CASE dstype WHEN 'gauge' THEN 'gauge'
+                       WHEN 'derive' THEN 'cumulative_counter'
+                       WHEN 'absolute' THEN 'count' END AS metric_type,
+           epoch_us(ts) AS epoch_us,
+           'h' || CAST(user_id % 5 AS VARCHAR) AS host,
+           event_type AS plugin,
+           dsname
+    FROM expanded
+    """,
+)
+def ingest_collectd_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6+C2: collectd write_http JSON → one datapoint per values[i],
+    with type[.type_instance][.dsname] naming and dstype mapping."""
+    ev = load_table(spark, sf_dir, "events")
+    body = F.to_json(
+        F.array(
+            F.struct(
+                F.array(F.lit("shortterm"), F.lit("midterm"), F.lit("value")).alias(
+                    "dsnames"
+                ),
+                F.array(F.lit("gauge"), F.lit("derive"), F.lit("absolute")).alias(
+                    "dstypes"
+                ),
+                F.array(
+                    F.col("value"),
+                    F.col("value") * 2,
+                    F.col("value") + F.col("user_id"),
+                ).alias("values"),
+                (F.unix_micros("ts") / F.lit(1_000_000.0)).alias("time"),
+                F.lit(10.0).alias("interval"),
+                F.concat(F.lit("h"), (F.col("user_id") % 5).cast("string")).alias(
+                    "host"
+                ),
+                F.col("event_type").alias("plugin"),
+                F.lit("").alias("plugin_instance"),
+                F.lit("load").alias("type"),
+                F.when(F.col("event_id") % 2 == 0, F.lit("avg"))
+                .otherwise(F.lit(""))
+                .alias("type_instance"),
+            )
+        )
+    )
+    parsed = parse_collectd_json(ev.select(body.alias("body")))
+    return parsed.select(
+        "metric",
+        "value",
+        "metric_type",
+        "epoch_us",
+        F.try_element_at("dimensions", F.lit("host")).alias("host"),
+        F.try_element_at("dimensions", F.lit("plugin")).alias("plugin"),
+        F.try_element_at("dimensions", F.lit("dsname")).alias("dsname"),
+    )
+
+
+@register(
+    "ingest_sfx_v2_unpivot",
+    oracle="""
+    SELECT event_type || '.rate' AS metric,
+           value,
+           CASE WHEN event_type = 'error' THEN 'counter'
+                WHEN event_type = 'purchase' THEN 'cumulative_counter'
+                ELSE 'gauge' END AS metric_type,
+           epoch_ms(ts) AS ts_ms,
+           'u' || CAST(user_id AS VARCHAR) AS dim_user
+    FROM events
+    """,
+)
+def ingest_sfx_v2_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2+C3: SignalFx v2 JSON body keyed by metric type → flat tagged
+    datapoint stream (per-key explode + unionByName)."""
+    ev = load_table(spark, sf_dir, "events")
+    point = F.struct(
+        F.concat(F.col("event_type"), F.lit(".rate")).alias("metric"),
+        F.col("value").alias("value"),
+        F.create_map(
+            F.lit("user"), F.concat(F.lit("u"), F.col("user_id").cast("string"))
+        ).alias("dimensions"),
+        F.unix_millis(F.col("ts")).alias("timestamp"),
+    )
+    mt = (
+        F.when(F.col("event_type") == "error", F.lit("counter"))
+        .when(F.col("event_type") == "purchase", F.lit("cumulative_counter"))
+        .otherwise(F.lit("gauge"))
+    )
+    body = F.to_json(
+        F.struct(
+            F.when(mt == "gauge", F.array(point)).alias("gauge"),
+            F.when(mt == "counter", F.array(point)).alias("counter"),
+            F.when(mt == "cumulative_counter", F.array(point)).alias(
+                "cumulative_counter"
+            ),
+        )
+    )
+    parsed = parse_sfx_v2_json(ev.select(body.alias("body")))
+    return parsed.select(
+        "metric",
+        "value",
+        "metric_type",
+        "ts_ms",
+        F.try_element_at("dimensions", F.lit("user")).alias("dim_user"),
+    )
+
+
+@register(
+    "ingest_sfx_v1_registry",
+    oracle="""
+    SELECT e.event_type AS metric,
+           e.value AS value,
+           'src' || CAST(e.user_id % 3 AS VARCHAR) AS source,
+           coalesce(r.mt, 'gauge') AS metric_type
+    FROM events e
+    LEFT JOIN (VALUES ('error', 'counter'), ('purchase', 'cumulative_counter'))
+         r(et, mt) ON e.event_type = r.et
+    """,
+)
+def ingest_sfx_v1_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4+S5: v1 newline-JSON points enriched with the metric-type
+    registry via broadcast join (T7 stream-static join shape)."""
+    ev = load_table(spark, sf_dir, "events")
+    line = F.to_json(
+        F.struct(
+            F.col("event_type").alias("metric"),
+            F.col("value").alias("value"),
+            F.concat(F.lit("src"), (F.col("user_id") % 3).cast("string")).alias(
+                "source"
+            ),
+        )
+    )
+    registry = spark.createDataFrame(
+        [("error", "counter"), ("purchase", "cumulative_counter")],
+        "sf_metric string, metric_type string",
+    )
+    parsed = parse_sfx_v1_json(ev.select(line.alias("line")), registry)
+    return parsed.select("metric", "value", "source", "metric_type")
+
+
+@register(
+    "ingest_sanitize",
+    oracle="""
+    SELECT regexp_replace(event_type || '/host:' || CAST(user_id % 5 AS VARCHAR),
+                          '[^a-zA-Z0-9_.\\-]', '_', 'g') AS metric_sanitized,
+           'bad_key_' || ',' || 'ok-key' AS dim_keys
+    FROM events
+    """,
+)
+def ingest_sanitize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6: wire-charset sanitization of metric names and dimension keys
+    (transform_keys over the dimensions map)."""
+    ev = load_table(spark, sf_dir, "events")
+    raw_metric = F.concat(
+        F.col("event_type"), F.lit("/host:"), (F.col("user_id") % 5).cast("string")
+    )
+    dims = F.create_map(
+        F.lit("bad key!"), F.lit("v"), F.lit("ok-key"), F.lit("w")
+    )
+    return ev.select(
+        sanitize_name(raw_metric).alias("metric_sanitized"),
+        F.array_join(
+            F.sort_array(F.map_keys(sanitize_dimension_keys(dims))), ","
+        ).alias("dim_keys"),
+    )
+
+
+_DELIMITER_RULES = [
+    {
+        "pattern": ["svc", "%", "%", "kpi"],
+        "metric_part": 1,
+        "dim_parts": {"host": 2},
+        "extra_dims": {"family": "svc"},
+        "metric_type": "gauge",
+    },
+    {
+        "pattern": ["db", "%", "latency"],
+        "metric_part": 1,
+        "dim_parts": {},
+        "extra_dims": {"family": "db"},
+        "metric_type": "cumulative_counter",
+    },
+]
+
+
+@register(
+    "ingest_delimiter_rules",
+    oracle="""
+    SELECT CASE WHEN event_id % 11 = 0 THEN 'other.' || event_type
+                ELSE event_type END AS metric,
+           CASE WHEN event_id % 11 <> 0 AND event_id % 2 = 0
+                THEN 'h' || CAST(user_id % 5 AS VARCHAR) END AS dim_host,
+           CASE WHEN event_id % 11 = 0 THEN NULL
+                WHEN event_id % 2 = 0 THEN 'svc'
+                ELSE 'db' END AS family,
+           CASE WHEN event_id % 11 = 0 THEN 'gauge'
+                WHEN event_id % 2 = 0 THEN 'gauge'
+                ELSE 'cumulative_counter' END AS metric_type
+    FROM events
+    """,
+)
+def ingest_delimiter_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8: glob-rule delimiter deconstructor (MetricPath → dimensions,
+    metric component selection, per-rule type, identity fallback)."""
+    ev = load_table(spark, sf_dir, "events")
+    name = (
+        F.when(
+            F.col("event_id") % 11 == 0,
+            F.concat(F.lit("other."), F.col("event_type")),
+        )
+        .when(
+            F.col("event_id") % 2 == 0,
+            F.concat(
+                F.lit("svc."),
+                F.col("event_type"),
+                F.lit(".h"),
+                (F.col("user_id") % 5).cast("string"),
+                F.lit(".kpi"),
+            ),
+        )
+        .otherwise(F.concat(F.lit("db."), F.col("event_type"), F.lit(".latency")))
+    )
+    parsed = delimiter_deconstruct(ev.select(name.alias("metric")), _DELIMITER_RULES)
+    return parsed.select(
+        "metric",
+        F.try_element_at("dimensions", F.lit("host")).alias("dim_host"),
+        F.try_element_at("dimensions", F.lit("family")).alias("family"),
+        "metric_type",
+    )
+
+
+@register(
+    "ingest_ts_normalize",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN event_id % 19 = 0 THEN 1706745600000
+                ELSE CAST(floor(epoch(ts)) AS BIGINT) * 1000 END AS ms_from_s,
+           CASE WHEN event_id % 19 = 0 THEN 1706745600000
+                ELSE epoch_ms(ts) END AS ms_from_ms,
+           CASE WHEN event_id % 19 = 0 THEN 1706745600000
+                ELSE CAST(round(epoch(ts) * 1000) AS BIGINT) END AS ms_from_fs
+    FROM events
+    """,
+)
+def ingest_ts_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C9: normalize the three wire timestamp encodings (carbon integer
+    seconds, sfx millis, collectd float seconds) to epoch millis;
+    zero/absent timestamp ⇒ receive time (fixed here for determinism)."""
+    recv_ms = F.lit(1706745600000)  # 2024-02-01T00:00:00Z
+    ev = load_table(spark, sf_dir, "events")
+    zero = F.col("event_id") % 19 == 0
+    sec = F.when(zero, F.lit(0)).otherwise(F.unix_timestamp("ts"))
+    ms = F.when(zero, F.lit(0)).otherwise(F.unix_millis("ts"))
+    fs = F.when(zero, F.lit(0.0)).otherwise(
+        F.unix_micros("ts") / F.lit(1_000_000.0)
+    )
+    return ev.select(
+        "event_id",
+        F.when(sec == 0, recv_ms).otherwise(sec * 1000).alias("ms_from_s"),
+        F.when(ms == 0, recv_ms).otherwise(ms).alias("ms_from_ms"),
+        F.when(fs == 0.0, recv_ms)
+        .otherwise(F.round(fs * 1000).cast("bigint"))
+        .alias("ms_from_fs"),
+    )
