@@ -26,7 +26,16 @@ _PREC = 27
 
 
 def dsum(col: Column | str, scale: int = 4) -> Column:
-    """Order-independent SUM of a double expression, returned as DOUBLE."""
+    """Order-independent SUM of a double expression, returned as DOUBLE.
+
+    Pick ``scale`` ≥ the true decimal places of the expression (e.g. a
+    product of two 2-decimal money columns needs 4, of three needs 6):
+    then the rounding in the decimal cast is boundary-free and both
+    engines land on the identical decimal. A scale SMALLER than the
+    true decimals puts values exactly on rounding boundaries, where
+    Spark (rounds the shortest decimal repr) and DuckDB (rounds the
+    binary value) disagree.
+    """
     c = F.col(col) if isinstance(col, str) else col
     return F.sum(c.cast(f"decimal({_PREC},{scale})")).cast("double")
 

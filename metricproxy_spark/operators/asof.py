@@ -1,0 +1,73 @@
+"""As-of join (X9): for each left row, the most recent right row at or
+before its timestamp, per key.
+
+The reference has no joins at all; this is the time-series alignment
+primitive its domain implies (e.g. enriching a datapoint with the
+latest prior registry/event state).
+
+Scale design: the naive formulations — per-row correlated subquery, or
+an inequality join + row_number — are respectively driver-bound and
+shuffle-explosive (the inequality join materializes every candidate
+pair before ranking). Instead we union both sides and run ONE window
+pass partitioned by key:
+
+    sort (key, ts, side) → last(right_payload, ignorenulls) over
+    rows unbounded preceding → keep left rows
+
+One shuffle on key, state bounded by partition sort — the classic
+distributed as-of pattern (same shape Flink/KDB piecewise joins use).
+Right rows sort before left rows at equal ts, giving `>=` (inclusive)
+as-of semantics, matching DuckDB's ASOF JOIN.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts_col: str = "ts",
+    right_payload: list[str] | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Left as-of join: left rows enriched with the latest right payload
+    where ``right.ts <= left.ts``, per ``on`` key (null when none).
+
+    ``right_payload``: right columns to carry (default: all but key/ts).
+    If multiple right rows share (key, ts), pre-aggregate first — the
+    survivor is otherwise unspecified (same caveat as DuckDB ASOF).
+    """
+    if right_payload is None:
+        right_payload = [c for c in right.columns if c not in (on, ts_col)]
+
+    lhs = left.withColumn("_side", F.lit(1))
+    for c in right_payload:
+        out_c = f"{c}{suffix}"
+        lhs = lhs.withColumn(
+            out_c, F.lit(None).cast(dict(right.dtypes)[c])
+        )
+    rhs = right.select(
+        F.col(on),
+        F.col(ts_col),
+        F.lit(0).alias("_side"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in right_payload],
+    )
+    # Align schemas: right side gets nulls for left-only columns.
+    left_only = [c for c in lhs.columns if c not in rhs.columns]
+    for c in left_only:
+        rhs = rhs.withColumn(c, F.lit(None).cast(dict(lhs.dtypes)[c]))
+
+    unioned = lhs.unionByName(rhs)
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col(ts_col).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for c in right_payload:
+        out_c = f"{c}{suffix}"
+        unioned = unioned.withColumn(out_c, F.last(out_c, ignorenulls=True).over(w))
+    return unioned.filter(F.col("_side") == 1).drop("_side")

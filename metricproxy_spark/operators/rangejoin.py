@@ -1,0 +1,53 @@
+"""Time-band (range) join (X8): pair left rows with right rows whose
+timestamp falls in [left.ts, left.ts + band].
+
+Scale design: a raw theta join is a broadcast-nested-loop — O(|L|·|R|)
+comparisons, catastrophic at fact-table scale. Bucketing turns it into
+an equi-join: assign each left row to its time bucket, replicate each
+right row into the (at most two) buckets a band-window starting up to
+``band`` earlier could live in, join on the bucket key, then apply the
+exact band predicate as a residual filter. Shuffles both sides once on
+the bucket key; bucket width = band keeps replication ≤ 2x. This is
+the standard interval-join decomposition (Flink's interval join /
+Spark's recommended range-join pattern).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def time_band_join(
+    left: DataFrame,
+    right: DataFrame,
+    band_seconds: int,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    extra_on: Column | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Join where ``right.ts ∈ [left.ts, left.ts + band_seconds]``.
+
+    ``left_ts`` and ``right_ts`` must be distinct names (rename before
+    calling); other column collisions must also be resolved by the
+    caller. ``extra_on``: additional predicate applied with the band
+    residual.
+    """
+    if left_ts == right_ts:
+        raise ValueError("rename ts columns to distinct names before joining")
+    bucket = lambda c: F.floor(F.unix_timestamp(F.col(c)) / F.lit(band_seconds))  # noqa: E731
+
+    l_b = left.withColumn("_lbucket", bucket(left_ts))
+    # A right row at time t can match left rows bucketed at floor(t/band)
+    # or the bucket before (left.ts ≤ t ≤ left.ts + band).
+    r_b = right.withColumn(
+        "_rbucket", F.explode(F.array(bucket(right_ts), bucket(right_ts) - 1))
+    )
+    band_pred = (F.col(right_ts) >= F.col(left_ts)) & (
+        F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {band_seconds} SECONDS")
+    )
+    cond = (F.col("_lbucket") == F.col("_rbucket")) & band_pred
+    if extra_on is not None:
+        cond = cond & extra_on
+    return l_b.join(r_b, cond, how).drop("_lbucket", "_rbucket")

@@ -1,1 +1,218 @@
-"""Placeholder — populated in a later phase."""
+"""Aggregation, multi-level grouping, set-op and subquery queries
+(SURVEY §3.6 X10-X12, X16-X17, X24).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from metricproxy_spark.functions.aggregates import davg, davg_sql, dsum, dsum_sql
+from metricproxy_spark.io import load_table
+from metricproxy_spark.registry import register
+
+
+@register(
+    "analytic_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {dsum_sql('l_quantity')} AS sum_qty,
+           {dsum_sql('l_extendedprice')} AS sum_base_price,
+           {dsum_sql('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {dsum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6)} AS sum_charge,
+           {davg_sql('l_quantity')} AS avg_qty,
+           {davg_sql('l_extendedprice')} AS avg_price,
+           {davg_sql('l_discount')} AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def analytic_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2+X3+X10: TPC-H Q1 shape — filter → computed columns → hash agg.
+    Map-side partial aggregation collapses everything before the (tiny,
+    ~6-key) shuffle; the shipdate predicate pushes to the parquet scan."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity").alias("sum_qty"),
+        dsum("l_extendedprice").alias("sum_base_price"),
+        dsum(disc_price).alias("sum_disc_price"),
+        dsum(charge, 6).alias("sum_charge"),
+        davg("l_quantity").alias("avg_qty"),
+        davg("l_extendedprice").alias("avg_price"),
+        davg("l_discount").alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@register(
+    "analytic_rollup",
+    oracle=f"""
+    SELECT r.r_name AS region, n.n_name AS nation,
+           GROUPING(r.r_name, n.n_name) AS gid,
+           count(*) AS n_customers,
+           {dsum_sql('c.c_acctbal')} AS sum_acctbal
+    FROM customer c
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+)
+def analytic_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X11: rollup — per-nation, per-region and grand totals in one agg
+    (Expand + single shuffle), with grouping_id disambiguating NULL keys."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    joined = customer.join(
+        F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"]
+    ).join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+    return joined.rollup(
+        F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+    ).agg(
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).alias("n_customers"),
+        dsum("c_acctbal").alias("sum_acctbal"),
+    )
+
+
+@register(
+    "analytic_cube",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n_orders,
+           {dsum_sql('o_totalprice')} AS sum_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def analytic_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X11: cube over order status x priority."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("sum_price"),
+    )
+
+
+@register(
+    "analytic_grouping_sets",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n_items,
+           {dsum_sql('l_quantity')} AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def analytic_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X11+X24: explicit grouping sets via the SQL surface (spark.sql)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("mp_lineitem")
+    return spark.sql(
+        f"""
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n_items,
+               {dsum_sql('l_quantity')} AS sum_qty
+        FROM mp_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+@register(
+    "analytic_setops",
+    oracle="""
+    SELECT 'intersect' AS op, nk FROM (
+        SELECT DISTINCT c_nationkey AS nk FROM customer
+        INTERSECT
+        SELECT DISTINCT s_nationkey AS nk FROM supplier)
+    UNION ALL
+    SELECT 'except' AS op, nk FROM (
+        SELECT DISTINCT c_nationkey AS nk FROM customer
+        EXCEPT
+        SELECT DISTINCT s_nationkey AS nk FROM supplier)
+    UNION ALL
+    SELECT 'union' AS op, nk FROM (
+        SELECT c_nationkey AS nk FROM customer
+        UNION
+        SELECT s_nationkey AS nk FROM supplier)
+    """,
+)
+def analytic_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X17: INTERSECT / EXCEPT / UNION over customer vs supplier nations."""
+    cust_nk = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_nationkey").alias("nk"))
+        .distinct()
+    )
+    supp_nk = (
+        load_table(spark, sf_dir, "supplier")
+        .select(F.col("s_nationkey").alias("nk"))
+        .distinct()
+    )
+    tag = lambda df, op: df.select(F.lit(op).alias("op"), "nk")  # noqa: E731
+    return (
+        tag(cust_nk.intersect(supp_nk), "intersect")
+        .unionByName(tag(cust_nk.subtract(supp_nk), "except"))
+        .unionByName(tag(cust_nk.union(supp_nk).distinct(), "union"))
+    )
+
+
+_SCALAR_SUBQUERY_SQL_TEMPLATE = f"""
+    SELECT p_brand,
+           count(*) AS n_premium,
+           {dsum_sql('p_retailprice')} AS premium_value
+    FROM {{part}}
+    WHERE p_retailprice > (SELECT {davg_sql('p_retailprice')} FROM {{part}})
+    GROUP BY p_brand
+"""
+
+
+@register(
+    "analytic_scalar_subquery",
+    oracle=_SCALAR_SUBQUERY_SQL_TEMPLATE.format(part="part"),
+)
+def analytic_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X24: scalar subquery — parts priced above the global average.
+    The same ANSI text runs on both engines; Spark plans the scalar
+    subquery as a broadcast, not a per-row lookup."""
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("mp_part")
+    return spark.sql(_SCALAR_SUBQUERY_SQL_TEMPLATE.format(part="mp_part"))
+
+
+@register(
+    "analytic_orderby_limit",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def analytic_orderby_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X16: global sort + limit (planned as TakeOrderedAndProject — a
+    per-partition top-k then a driver merge of k·P rows, never a full
+    global sort). Unique tie-break keeps the row set deterministic."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+# X12: approximate distinct — non-deterministic across engines by
+# design, so registered WITHOUT an oracle (driver records rows-only).
+@register("analytic_approx_distinct")
+def analytic_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X12: HLL++ approximate user count per event type."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

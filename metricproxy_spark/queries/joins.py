@@ -1,1 +1,225 @@
-"""Placeholder — populated in a later phase."""
+"""Join-family queries (SURVEY §3.6 X4-X9).
+
+Scale notes inline per query; the common rules: small dimensions are
+broadcast explicitly (bounded size by construction), fact-fact joins
+shuffle once on the join key, inequality joins never run as raw
+nested loops (bucketed time-band decomposition), and as-of alignment
+is one window pass instead of a pair-explosion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from metricproxy_spark.functions.aggregates import dsum, dsum_sql
+from metricproxy_spark.io import load_table
+from metricproxy_spark.operators.asof import asof_join
+from metricproxy_spark.operators.rangejoin import time_band_join
+from metricproxy_spark.registry import register
+
+
+@register(
+    "analytic_regional_revenue",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           EXTRACT(year FROM o.o_orderdate) AS order_year,
+           count(*) AS n_items,
+           {dsum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE r.r_name IN ('ASIA', 'EUROPE')
+    GROUP BY n.n_name, EXTRACT(year FROM o.o_orderdate)
+    """,
+)
+def analytic_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4+X5: five-way star join (TPC-H Q5 shape). region/nation are
+    broadcast (bounded: 5/25 rows at any scale); customer⋈orders⋈lineitem
+    shuffle on their keys — the one unavoidable fact-side shuffle chain.
+    The region filter reaches the region scan (predicate pushdown) and
+    prunes the whole join tree."""
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name").isin("ASIA", "EUROPE")
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
+        .join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .join(
+            F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"]
+        )
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("order_year"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+@register(
+    "analytic_left_join_coverage",
+    oracle=f"""
+    SELECT c.c_mktsegment AS mktsegment,
+           count(*) AS n_customers,
+           CAST(sum(CASE WHEN o.o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_without_orders,
+           {dsum_sql("coalesce(o.n_orders, 0)")} AS total_orders
+    FROM customer c
+    LEFT JOIN (
+        SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey
+    ) o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def analytic_left_join_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6: left outer join preserving customers with no orders.
+    Aggregate-before-join: orders collapse to one row per customer
+    first (map-side combinable), so the join input — and any skew — is
+    bounded by customer cardinality, not order volume."""
+    customer = load_table(spark, sf_dir, "customer")
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    joined = customer.join(
+        per_cust, customer["c_custkey"] == per_cust["o_custkey"], "left"
+    )
+    return joined.groupBy(F.col("c_mktsegment").alias("mktsegment")).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(
+            F.when(F.col("o_custkey").isNull(), 1).otherwise(0)
+        ).alias("n_without_orders"),
+        dsum(F.coalesce(F.col("n_orders"), F.lit(0))).alias("total_orders"),
+    )
+
+
+@register(
+    "analytic_semi_join",
+    oracle="""
+    SELECT c_mktsegment AS mktsegment, count(*) AS n_active
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderstatus = 'F')
+    GROUP BY c_mktsegment
+    """,
+)
+def analytic_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7: left-semi join — customers having at least one 'F' order.
+    Semi join never duplicates left rows, so no post-join distinct (and
+    the filter pushes to the orders scan)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    return (
+        customer.join(
+            orders, customer["c_custkey"] == orders["o_custkey"], "left_semi"
+        )
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+
+
+@register(
+    "analytic_anti_join",
+    oracle="""
+    SELECT c_mktsegment AS mktsegment, count(*) AS n_inactive
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderstatus = 'P')
+    GROUP BY c_mktsegment
+    """,
+)
+def analytic_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7: left-anti join — customers with no pending ('P') orders."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "P"
+    )
+    return (
+        customer.join(
+            orders, customer["c_custkey"] == orders["o_custkey"], "left_anti"
+        )
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(F.count(F.lit(1)).alias("n_inactive"))
+    )
+
+
+@register(
+    "analytic_range_join",
+    oracle=f"""
+    SELECT e1.event_id AS error_id,
+           count(*) AS n_purchases,
+           {dsum_sql('e2.value')} AS purchase_value
+    FROM events e1
+    JOIN events e2
+      ON e2.ts >= e1.ts AND e2.ts <= e1.ts + INTERVAL 60 SECOND
+     AND e2.event_type = 'purchase'
+    WHERE e1.event_type = 'error'
+    GROUP BY e1.event_id
+    """,
+)
+def analytic_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X8: time-band join — purchases within 60s after each error.
+    Decomposed to a bucketed equi-join (operators.rangejoin): both
+    sides shuffle once on floor(ts/band); the raw theta form would be a
+    O(L*R) nested loop. Residual band predicate applied post-join."""
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), F.col("ts").alias("l_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("value").alias("p_value"), F.col("ts").alias("r_ts")
+    )
+    joined = time_band_join(
+        errors, purchases, band_seconds=60, left_ts="l_ts", right_ts="r_ts"
+    )
+    return joined.groupBy("error_id").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        dsum("p_value").alias("purchase_value"),
+    )
+
+
+@register(
+    "analytic_asof_join",
+    oracle="""
+    WITH p AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ), e AS (
+        SELECT user_id, ts, max(value) AS err_value
+        FROM events WHERE event_type = 'error' GROUP BY user_id, ts
+    )
+    SELECT p.event_id, p.user_id, e.err_value AS err_value_asof
+    FROM p ASOF LEFT JOIN e ON p.user_id = e.user_id AND p.ts >= e.ts
+    """,
+)
+def analytic_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9: as-of join — each purchase enriched with the latest prior
+    error value for the same user. One union + one window pass
+    (operators.asof), vs. DuckDB's native ASOF JOIN as oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("err_value"))
+    )
+    joined = asof_join(purchases, errors, on="user_id", ts_col="ts")
+    return joined.select("event_id", "user_id", "err_value_asof")
