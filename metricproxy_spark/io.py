@@ -14,9 +14,40 @@ returned DataFrames (verify with ``df.explain``: ``ReadSchema`` /
 from __future__ import annotations
 
 import os
+import shutil
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+_SHIPPED_SESSIONS: set[int] = set()
+
+
+def ensure_package_on_workers(spark: SparkSession) -> None:
+    """Ship this package to executor Python workers via ``addPyFile``.
+
+    Cloudpickled UDFs/closures reference module-level symbols by import
+    path, so workers must be able to ``import metricproxy_spark`` — which
+    isn't guaranteed when the driver process found the repo via a
+    ``sys.path`` hack (driver sys.path does not propagate to workers).
+    Zipping the package once per session and registering it with
+    ``addPyFile`` makes every query self-contained on any cluster.
+    """
+    key = id(spark.sparkContext)
+    if key in _SHIPPED_SESSIONS:
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    base = os.path.join(
+        tempfile.gettempdir(), f"metricproxy_spark_pkg_{os.getpid()}"
+    )
+    zip_path = base + ".zip"
+    if not os.path.exists(zip_path):
+        staging = tempfile.mkdtemp(prefix="mps_pkg_")
+        shutil.copytree(pkg_dir, os.path.join(staging, "metricproxy_spark"))
+        shutil.make_archive(base, "zip", staging)
+        shutil.rmtree(staging, ignore_errors=True)
+    spark.sparkContext.addPyFile(zip_path)
+    _SHIPPED_SESSIONS.add(key)
 
 TABLES = (
     "region",
@@ -39,6 +70,7 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_package_on_workers(spark)
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":

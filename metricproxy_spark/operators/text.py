@@ -1,0 +1,102 @@
+"""Text-analysis operators (SURVEY §3.8 L4): language scoring, quality
+features, token counting, document fingerprinting.
+
+All pure Catalyst expressions over the tokenized text — linear scans,
+no shuffle, no Python. Heuristics are deliberately simple/deterministic
+(lexicon overlap, ratio features, polynomial rolling hash) so they are
+oracle-checkable; swapping in a real model later only changes the
+expression (or a pandas UDF), not the pipeline shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny marker lexicons for the n-gram/stopword language heuristic.
+# Deterministic toy stand-ins (the fixture vocabulary is synthetic);
+# a real system would learn these.
+LANG_LEXICONS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "query", "table"),
+    "es": ("el", "la", "de", "consulta", "tabla"),
+    "de": ("der", "die", "und", "abfrage", "tabelle"),
+    "fr": ("le", "la", "et", "requete", "table"),
+    "zh": ("de", "shi", "he", "chaxun", "biao"),
+}
+
+_MOD = 1_000_000_000_000_037  # keeps the fold inside int64 under ANSI
+
+
+def words_of(text_col: Column | str) -> Column:
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.split(F.lower(F.trim(c)), " ")
+
+
+def lang_score(words: Column, lexicon: tuple[str, ...]) -> Column:
+    """Fraction of distinct words that hit the lexicon."""
+    distinct = F.array_distinct(words)
+    hits = F.size(F.array_intersect(distinct, F.array(*[F.lit(w) for w in lexicon])))
+    return F.round(hits.cast("double") / F.size(distinct).cast("double"), 9)
+
+
+def quality_features(text_col: Column | str) -> dict[str, Column]:
+    """Classic quality-score features: length, mean word length,
+    stopword ratio, alpha ratio, repetition ratio."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    words = words_of(c)
+    n_words = F.size(words)
+    n_chars = F.length(c)
+    stop = F.array(*[F.lit(w) for w in LANG_LEXICONS["en"]])
+    return {
+        "n_chars": n_chars.cast("bigint"),
+        "n_words": n_words.cast("bigint"),
+        "mean_word_len": F.round(
+            (n_chars - (n_words - 1)).cast("double") / n_words.cast("double"), 9
+        ),
+        "stopword_ratio": F.round(
+            F.size(F.filter(words, lambda w: F.array_contains(stop, w))).cast(
+                "double"
+            )
+            / n_words.cast("double"),
+            9,
+        ),
+        "alpha_ratio": F.round(
+            F.length(F.regexp_replace(c, "[^a-z]", "")).cast("double")
+            / n_chars.cast("double"),
+            9,
+        ),
+        "repetition_ratio": F.round(
+            1
+            - F.size(F.array_distinct(words)).cast("double")
+            / n_words.cast("double"),
+            9,
+        ),
+    }
+
+
+def token_counts(text_col: Column | str) -> dict[str, Column]:
+    """Token counting: whitespace tokens, BPE-ish regex tokens
+    (letter-runs / digit-runs / single other chars), and the ~4 chars
+    per subword heuristic."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return {
+        "ws_tokens": F.size(F.split(F.trim(c), "\\s+")).cast("bigint"),
+        "regex_tokens": F.size(
+            F.regexp_extract_all(c, F.lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), 0)
+        ).cast("bigint"),
+        "est_subwords": F.ceil(F.length(c) / F.lit(4.0)).cast("bigint"),
+    }
+
+
+def fingerprint(text_col: Column | str) -> Column:
+    """Polynomial rolling hash over the word sequence (order-sensitive
+    document fingerprint): fold of acc*131 + wordvalue (mod ~1e15).
+    Word value = first-char code * 1024 + length — cheap, deterministic,
+    and expressible identically in the DuckDB oracle (list_reduce)."""
+    words = words_of(text_col)
+    wv = lambda w: (F.ascii(w) * 1024 + F.length(w)).cast("long")  # noqa: E731
+    return F.aggregate(
+        words,
+        F.lit(0).cast("long"),
+        lambda acc, w: (acc * 131 + wv(w)) % F.lit(_MOD),
+    )

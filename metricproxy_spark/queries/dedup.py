@@ -1,1 +1,114 @@
-"""Placeholder — populated in a later phase."""
+"""Deduplication queries over ``documents`` (SURVEY §3.8 L1/L2).
+
+MinHash and SimHash pipelines hash with xxhash64 (no DuckDB
+equivalent) → registered rows-only; their semantics are covered by
+planted-duplicate unit tests in tests/test_llm_ops.py. Exact dedup and
+n-gram Jaccard have full value oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from metricproxy_spark.io import load_table
+from metricproxy_spark.operators.dedup import (
+    exact_dedup,
+    jaccard,
+    minhash_near_dup_pairs,
+    simhash_near_dup_pairs,
+)
+from metricproxy_spark.registry import register
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0
+    )
+    SELECT min(doc_id) AS kept_doc_id, count(*) AS n_copies
+    FROM corpus
+    GROUP BY lower(trim(text))
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1: exact dedup on the sha2-256 of normalized text. Duplicates
+    planted by re-unioning every 7th document under shifted ids; the
+    oracle groups by the raw normalized text (digest-free) — agreement
+    also demonstrates collision-free hashing on this corpus."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    return exact_dedup(corpus, "doc_id", "text")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH ws AS (
+        SELECT doc_id, lang,
+               list_distinct(string_split(lower(trim(text)), ' ')) AS words
+        FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+                 / CAST(len(list_distinct(list_concat(a.words, b.words)))
+                        AS DOUBLE), 6) AS jaccard
+    FROM ws a JOIN ws b
+      ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+          / CAST(len(list_distinct(list_concat(a.words, b.words))) AS DOUBLE)
+          >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 (exact flavor): word-set Jaccard ≥ 0.5 within language blocks.
+    Blocking on lang bounds the pair space (the quadratic term is per
+    block, not global) — same structure a real system gets from LSH
+    buckets, here kept SQL-expressible for the oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = docs.select(
+        "doc_id",
+        "lang",
+        F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), " ")).alias(
+            "words"
+        ),
+    )
+    a, b = ws.alias("a"), ws.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("id_a"),
+        F.col("b.doc_id").alias("id_b"),
+        jaccard(F.col("a.words"), F.col("b.words")).alias("_j"),
+    )
+    return pairs.filter(F.col("_j") >= 0.5).select(
+        "id_a", "id_b", F.round("_j", 6).alias("jaccard")
+    )
+
+
+@register("dedup_minhash_lsh")
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2: MinHash(16) → 4-band LSH → exact-Jaccard verification.
+    Rows-only check (xxhash64 signatures have no DuckDB twin); planted
+    near-duplicates are asserted in tests/test_llm_ops.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_near_dup_pairs(
+        docs, "doc_id", "text", k_shingle=3, num_hashes=16, bands=4, threshold=0.5
+    )
+
+
+@register("dedup_simhash")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2: 64-bit SimHash with 16-bit band blocking, hamming ≤ 8.
+    Rows-only check; semantics unit-tested with planted duplicates."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=8)

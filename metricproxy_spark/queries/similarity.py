@@ -1,1 +1,55 @@
-"""Placeholder — populated in a later phase."""
+"""Similarity-search queries over ``embeddings`` (SURVEY §3.8 L3)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from metricproxy_spark.io import load_table
+from metricproxy_spark.operators.similarity import cosine_topk, ivf_topk
+from metricproxy_spark.registry import register
+
+
+@register(
+    "sim_cosine_topk",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id < 10
+    ), c AS (
+        SELECT vec_id AS match_id, CAST(embedding AS DOUBLE[]) AS cv
+        FROM embeddings
+    ), scored AS (
+        SELECT query_id, match_id,
+               round(list_dot_product(qv, cv), 6) AS score
+        FROM q, c WHERE query_id <> match_id
+    ), ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, match_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, match_id, score, rank FROM ranked WHERE rank <= 3
+    """,
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 baseline: brute-force cosine top-3 for 10 query vectors.
+    Unit-norm embeddings ⇒ dot = cosine; the JVM-side zip_with/aggregate
+    fold matches DuckDB's list_dot_product order, and 6dp rounding
+    before ranking removes any last-ulp ordering hazard."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return cosine_topk(queries, emb, k=3)
+
+
+@register("sim_ivf_topk")
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 scale path: IVF-partitioned approximate top-3 (every 50th
+    vector serves as a centroid, nprobe=2). Rows-only check; recall vs.
+    the brute-force baseline asserted in tests/test_llm_ops.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    centroids = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    return ivf_topk(queries, emb, centroids, k=3, nprobe=2)

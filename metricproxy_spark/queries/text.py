@@ -1,1 +1,224 @@
-"""Placeholder — populated in a later phase."""
+"""Text-analysis + multimodal queries over ``documents``
+(SURVEY §3.8 L4/L5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from metricproxy_spark.io import load_table
+from metricproxy_spark.operators.multimodal import extract_features
+from metricproxy_spark.operators.text import (
+    LANG_LEXICONS,
+    lang_score,
+    quality_features,
+    token_counts,
+    words_of,
+    fingerprint,
+)
+from metricproxy_spark.registry import register
+
+_STOP_SQL = "['the','and','of','query','table']"
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               lower(trim(text)) AS c,
+               string_split(lower(trim(text)), ' ') AS words
+        FROM documents
+    )
+    SELECT doc_id,
+           length(c) AS n_chars,
+           len(words) AS n_words,
+           round(CAST(length(c) - (len(words) - 1) AS DOUBLE)
+                 / CAST(len(words) AS DOUBLE), 9) AS mean_word_len,
+           round(CAST(len(list_filter(words,
+                     w -> list_contains({_STOP_SQL}, w))) AS DOUBLE)
+                 / CAST(len(words) AS DOUBLE), 9) AS stopword_ratio,
+           round(CAST(length(regexp_replace(c, '[^a-z]', '', 'g')) AS DOUBLE)
+                 / CAST(length(c) AS DOUBLE), 9) AS alpha_ratio,
+           round(1 - CAST(len(list_distinct(words)) AS DOUBLE)
+                     / CAST(len(words) AS DOUBLE), 9) AS repetition_ratio
+    FROM t
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: quality-scoring features (length/word stats, stopword,
+    alpha, repetition ratios) — single narrow projection."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "text", F.lower(F.trim("text"))
+    )
+    feats = quality_features("text")
+    return docs.select(
+        "doc_id", *[expr.alias(name) for name, expr in feats.items()]
+    )
+
+
+_LANGS = sorted(LANG_LEXICONS)  # alphabetical = tie precedence
+
+
+def _lang_case_sql() -> str:
+    whens = []
+    for lang in _LANGS:
+        others = [o for o in _LANGS if o != lang]
+        cond = " AND ".join(f"s_{lang} >= s_{o}" for o in others)
+        whens.append(f"WHEN {cond} THEN '{lang}'")
+    return "CASE " + " ".join(whens) + " END"
+
+
+def _lexicon_sql(lang: str) -> str:
+    return "[" + ",".join(f"'{w}'" for w in LANG_LEXICONS[lang]) + "]"
+
+
+@register(
+    "text_lang_scores",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_distinct(string_split(lower(trim(text)), ' ')) AS dw
+        FROM documents
+    ), scored AS (
+        SELECT doc_id,
+               {", ".join(
+                   f"round(CAST(len(list_intersect(dw, {_lexicon_sql(lang)})) AS DOUBLE)"
+                   f" / CAST(len(dw) AS DOUBLE), 9) AS s_{lang}"
+                   for lang in _LANGS
+               )}
+        FROM t
+    )
+    SELECT doc_id, {", ".join(f"s_{lang}" for lang in _LANGS)},
+           {_lang_case_sql()} AS predicted_lang
+    FROM scored
+    """,
+)
+def text_lang_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: lexicon-overlap language scoring + argmax prediction
+    (alphabetical tie precedence, mirrored in the oracle CASE chain)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = words_of("text")
+    scored = docs.select(
+        "doc_id",
+        *[
+            lang_score(words, LANG_LEXICONS[lang]).alias(f"s_{lang}")
+            for lang in _LANGS
+        ],
+    )
+    pred = None
+    for lang in _LANGS:
+        cond = None
+        for o in _LANGS:
+            if o == lang:
+                continue
+            c = F.col(f"s_{lang}") >= F.col(f"s_{o}")
+            cond = c if cond is None else (cond & c)
+        pred = (
+            F.when(cond, F.lit(lang)) if pred is None else pred.when(cond, F.lit(lang))
+        )
+    return scored.withColumn("predicted_lang", pred)
+
+
+@register(
+    "text_token_counts",
+    oracle="""
+    SELECT doc_id,
+           len(string_split_regex(trim(text), '\\s+')) AS ws_tokens,
+           len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS regex_tokens,
+           CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_subwords
+    FROM documents
+    """,
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: whitespace + BPE-ish regex token counting and the chars/4
+    subword estimate."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = token_counts("text")
+    return docs.select(
+        "doc_id", *[expr.alias(name) for name, expr in counts.items()]
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split(lower(trim(text)), ' '),
+                       w -> CAST(ascii(w) * 1024 + length(w) AS BIGINT))),
+               (acc, v) -> (acc * 131 + v) % 1000000000000037
+           ) AS fp
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: order-sensitive polynomial rolling-hash fingerprint (same
+    fold expressed with list_reduce in the oracle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint("text").alias("fp"))
+
+
+@register(
+    "text_top_terms",
+    oracle="""
+    WITH tokens AS (
+        SELECT lang, UNNEST(string_split(lower(trim(text)), ' ')) AS word
+        FROM documents
+    ), counted AS (
+        SELECT lang, word, count(*) AS n
+        FROM tokens GROUP BY lang, word
+    ), ranked AS (
+        SELECT lang, word, n,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY n DESC, word) AS rn
+        FROM counted
+    )
+    SELECT lang, word, n, rn FROM ranked WHERE rn <= 5
+    """,
+)
+def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: term frequency + top-5 terms per language (explode → agg →
+    rank window; the agg's map-side combine keeps the exploded token
+    stream from ever shuffling raw)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = docs.select("lang", F.explode(words_of("text")).alias("word"))
+    counted = tokens.groupBy("lang", "word").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("word").asc())
+    return counted.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= 5
+    )
+
+
+@register(
+    "multimodal_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5: binary media column → mapInPandas feature extraction.
+    Payloads are synthesized by utf8-encoding document text (codec libs
+    absent — decode is stubbed per SURVEY; the Arrow batching, schema
+    and partition plumbing are real). Oracle checks the byte-length
+    surface; the deterministic fake features are covered rows-only here
+    and value-tested in tests/test_llm_ops.py."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("content")
+    )
+    feats = extract_features(docs, content_col="content", id_col="doc_id")
+    return feats.select("doc_id", "n_bytes")
+
+
+@register("multimodal_feature_vectors")
+def multimodal_feature_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5 rows-only twin: full feature vectors (array<double>) from the
+    mapInPandas extractor, exercising the Arrow array return path."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("content")
+    )
+    return extract_features(docs, content_col="content", id_col="doc_id")

@@ -1,0 +1,172 @@
+"""Semantic tests for the LLM-pipeline operators whose queries are
+rows-only (no SQL oracle): MinHash/SimHash near-dup, IVF recall,
+multimodal feature plumbing (SURVEY §3.8).
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import functions as F
+
+from metricproxy_spark.operators.dedup import (
+    minhash_near_dup_pairs,
+    simhash_near_dup_pairs,
+)
+from metricproxy_spark.operators.multimodal import (
+    N_FAKE_FEATURES,
+    extract_features,
+    fake_features,
+)
+from metricproxy_spark.operators.similarity import cosine_topk, ivf_topk
+
+
+BASE = (
+    "spark query engine shuffles data between stages for joins and "
+    "aggregations while the optimizer prunes columns and pushes filters"
+)
+NEAR_DUP = BASE.replace("prunes", "trims")  # one word differs
+UNRELATED = (
+    "completely different words about cooking pasta with tomatoes basil "
+    "garlic olive oil and a pinch of salt simmered slowly until thick"
+)
+
+
+def corpus(spark):
+    rows = [(1, BASE), (2, NEAR_DUP), (3, UNRELATED), (4, BASE)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestMinHashLSH:
+    def test_planted_near_dups_found(self, spark):
+        # 8 bands x 2 rows: ~0.99 detection probability at shingle
+        # jaccard ~0.7 (a one-word edit); the default 4x4 banding is
+        # tuned for higher-similarity dups and may legitimately miss it.
+        pairs = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in minhash_near_dup_pairs(
+                corpus(spark), "doc_id", "text", bands=8, threshold=0.5
+            ).collect()
+        }
+        assert (1, 4) in pairs and pairs[(1, 4)] == 1.0  # exact copy
+        assert (1, 2) in pairs and pairs[(1, 2)] > 0.8  # one-word edit
+        assert all(3 not in p for p in pairs)  # unrelated never pairs
+
+    def test_threshold_filters(self, spark):
+        pairs = minhash_near_dup_pairs(
+            corpus(spark), "doc_id", "text", threshold=0.99
+        ).collect()
+        assert {(r.id_a, r.id_b) for r in pairs} == {(1, 4)}
+
+
+class TestSimHash:
+    def test_guaranteed_properties(self, spark):
+        """One-word edits on SHORT unweighted docs flip ~n/5 bits —
+        legitimately outside a tight hamming bound — so we assert the
+        properties simhash does guarantee: identical text and reordered
+        text (bag-of-words invariance) collide at distance 0; unrelated
+        text never pairs."""
+        reordered = " ".join(reversed(BASE.split()))
+        rows = [(1, BASE), (2, reordered), (3, UNRELATED), (4, BASE)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        pairs = {
+            (r.id_a, r.id_b): r.hamming
+            for r in simhash_near_dup_pairs(
+                df, "doc_id", "text", max_hamming=8
+            ).collect()
+        }
+        assert pairs.get((1, 4)) == 0  # identical text
+        assert pairs.get((1, 2)) == 0  # word order irrelevant
+        assert pairs.get((2, 4)) == 0
+        assert all(3 not in p for p in pairs)
+
+
+class TestIVF:
+    def test_recall_vs_brute_force_on_clustered_data(self, spark):
+        """The parquet fixture's embeddings are isotropic random unit
+        vectors (no cluster structure — measured within/across-label
+        cosine ≈ 0), where ANY partitioning scheme degrades to
+        recall ≈ nprobe/ncentroids. So recall is asserted on planted
+        clusters, where IVF must shine."""
+        rng = random.Random(7)
+        dim, n_clusters, per = 16, 8, 25
+
+        def unit(v):
+            n = math.sqrt(sum(x * x for x in v))
+            return [x / n for x in v]
+
+        centers = [unit([rng.gauss(0, 1) for _ in range(dim)]) for _ in range(n_clusters)]
+        rows = []
+        for i in range(n_clusters * per):
+            c = centers[i % n_clusters]
+            noisy = unit([x + rng.gauss(0, 0.15) for x in c])
+            rows.append((i, noisy))
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        centroids = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(centers)],
+            "centroid_id long, centroid_vec array<float>",
+        )
+        queries = emb.filter(F.col("vec_id") < 10)
+        exact = {
+            (r.query_id, r.match_id)
+            for r in cosine_topk(queries, emb, k=3).collect()
+        }
+        approx = {
+            (r.query_id, r.match_id)
+            for r in ivf_topk(queries, emb, centroids, k=3, nprobe=2).collect()
+        }
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.9, f"IVF recall {recall:.2f} on clustered data"
+
+    def test_brute_force_self_similarity_excluded(self, spark, sf_dir):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        queries = emb.filter(F.col("vec_id") < 10)
+        res = cosine_topk(queries, emb, k=3).collect()
+        assert all(r.query_id != r.match_id for r in res)
+        assert all(-1.000001 <= r.score <= 1.000001 for r in res)
+
+
+class TestMultimodal:
+    def test_feature_plumbing(self, spark):
+        payloads = [(1, b"hello world"), (2, b""), (3, bytes(range(256)))]
+        df = spark.createDataFrame(payloads, "doc_id long, content binary")
+        rows = {r.doc_id: r for r in extract_features(df).collect()}
+        assert rows[1].n_bytes == 11
+        assert rows[2].n_bytes == 0
+        assert rows[2].features == [0.0] * N_FAKE_FEATURES
+        # Spark-side output equals the local function: plumbing is pure.
+        assert rows[3].features == fake_features(bytes(range(256)))
+        assert all(len(r.features) == N_FAKE_FEATURES for r in rows.values())
+
+    def test_decode_stub_contract(self):
+        from metricproxy_spark.operators.multimodal import decode_media
+        import pytest
+
+        with pytest.raises(NotImplementedError):
+            decode_media(b"\x89PNG", "image")
+
+
+class TestMinHashAccuracy:
+    def test_signature_similarity_tracks_jaccard(self, spark):
+        """MinHash collision rate ≈ shingle Jaccard (sanity on the
+        hash family): generate random word docs, compare."""
+        rng = random.Random(42)
+        vocab = [f"w{i}" for i in range(50)]
+        docs = []
+        for i in range(20):
+            words = rng.sample(vocab, 30)
+            docs.append((i, " ".join(words)))
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        pairs = minhash_near_dup_pairs(
+            df, "doc_id", "text", k_shingle=1, num_hashes=16, bands=8,
+            threshold=0.0,
+        ).collect()
+        # With k=1 shingles == words; banding with 8 bands of 2 rows
+        # surfaces pairs down to modest similarity. Every reported
+        # jaccard must be the true word-set jaccard.
+        texts = dict(docs)
+        for r in pairs:
+            wa, wb = set(texts[r.id_a].split()), set(texts[r.id_b].split())
+            true_j = len(wa & wb) / len(wa | wb)
+            assert math.isclose(r.jaccard, round(true_j, 6), abs_tol=1e-9)
