@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Benchmark harness — runs every registered query at a scale-factor dir.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Env:
+    SPARK_GRAFT_SF_DIR   parquet dir (default /root/testdata/sf0.1)
+    SPARK_GRAFT_CPUS     local[] parallelism (default 32)
+    BENCH_QUERIES        comma-separated subset to run (default: all)
+
+Each query is materialized with a ``noop`` write so the full plan executes
+on the executors without driver-side collect overhead — this measures the
+distributed work, which is what matters at cluster scale.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from metricproxy_spark.session import get_spark
+
+    spark = get_spark(master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+
+    queries = entrymod.queries()
+    subset = os.environ.get("BENCH_QUERIES")
+    if subset:
+        names = [n.strip() for n in subset.split(",") if n.strip()]
+    else:
+        names = sorted(queries)
+
+    # Derive the sf number from the dir name (sf0.1 -> 0.1).
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        sf = float(base.replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = queries[name]
+        # Warm the plan (analysis/optimization) outside the timed region?
+        # No — include planning: the driver measures end-to-end too.
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": f"total_query_seconds_sf{sf}",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
