@@ -122,17 +122,38 @@ def minhash_near_dup_pairs(
     buckets, verify only candidates.
     """
     rows_per_band = num_hashes // bands
-    words = F.array_distinct(F.split(normalized_text(text_col), " "))
-    sig = minhash_signature(word_shingles(text_col, k_shingle), num_hashes)
-    tagged = df.select(
+    # Staged projections, NOT one inline expression tree: Catalyst's
+    # CollapseProject refuses to merge projections when it would
+    # duplicate a non-cheap expression, so each stage below is computed
+    # exactly once per row. Built inline, the band keys would re-embed
+    # the signature 16x and the signature re-embeds the shingle array
+    # 16x — a ~256x per-row blowup we measured at 59s for 5k docs.
+    words_df = df.select(
         F.col(id_col).alias("_id"),
-        words.alias("_words"),
-        F.explode(lsh_band_keys(sig, bands, rows_per_band)).alias("_bk"),
-    ).select("_id", "_words", "_bk.band", "_bk.band_hash")
+        F.array_distinct(F.split(normalized_text(text_col), " ")).alias(
+            "_words"
+        ),
+        word_shingles(text_col, k_shingle).alias("_sh"),
+    )
+    sig_df = words_df.select(
+        "_id",
+        "_words",
+        minhash_signature(F.col("_sh"), num_hashes).alias("_sig"),
+    )
+    # The band-bucket join only needs (id, band, band_hash): keep the
+    # shuffle narrow; word arrays rejoin after candidate dedup. At scale
+    # the heavy arrays thus cross the wire once per *candidate*, not
+    # once per (row x band).
+    banded = sig_df.select(
+        "_id",
+        F.explode(
+            lsh_band_keys(F.col("_sig"), bands, rows_per_band)
+        ).alias("_bk"),
+    ).select("_id", "_bk.band", "_bk.band_hash")
 
-    a = tagged.alias("a")
-    b = tagged.alias("b")
-    pairs = (
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -142,25 +163,130 @@ def minhash_near_dup_pairs(
         .select(
             F.col("a._id").alias("id_a"),
             F.col("b._id").alias("id_b"),
-            F.col("a._words").alias("_wa"),
-            F.col("b._words").alias("_wb"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+    wa = sig_df.select(F.col("_id").alias("id_a"), F.col("_words").alias("_wa"))
+    wb = sig_df.select(F.col("_id").alias("id_b"), F.col("_words").alias("_wb"))
     return (
-        pairs.withColumn("jaccard", jaccard(F.col("_wa"), F.col("_wb")))
+        cand.join(wa, "id_a")
+        .join(wb, "id_b")
+        .withColumn("jaccard", jaccard(F.col("_wa"), F.col("_wb")))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
 
 
-def simhash(text_col: Column | str, num_bits: int = 64) -> Column:
-    """SimHash: bit b set iff more than half the word hashes have bit b
-    set. One int64 per document, pure higher-order functions."""
-    hashes = F.transform(
+def word_hashes(text_col: Column | str) -> Column:
+    """xxhash64 of each distinct word — stage this as its own projection
+    before feeding :func:`simhash_from_hashes` (see CollapseProject note
+    in :func:`minhash_near_dup_pairs`)."""
+    return F.transform(
         F.array_distinct(F.split(normalized_text(text_col), " ")),
         lambda w: F.xxhash64(w),
     )
+
+
+def prefix_similarity_join(
+    ws: DataFrame,
+    id_col: str,
+    words_col: str,
+    threshold: float,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Exact set-similarity self-join via prefix filtering (AllPairs /
+    PPJoin): returns (id_a, id_b, jaccard) for every pair with
+    Jaccard >= threshold, WITHOUT enumerating the quadratic pair space.
+
+    Guarantee: order tokens by ascending global frequency; a document
+    with n tokens keeps a prefix of n - ceil(t*n) + 1 tokens. If two
+    documents share no prefix token, their Jaccard is < t — so an
+    equi-join on prefix tokens yields a candidate superset, verified
+    exactly afterward. Rare-first ordering makes prefix buckets small,
+    which is what bounds the join fan-out at scale.
+
+    ``ws`` must have distinct-element arrays in ``words_col``. When
+    ``block_col`` is given, pairs are additionally required to match on
+    it (both the candidate join and the semantics).
+    """
+    from pyspark.sql import Window
+
+    t = float(threshold)
+    blocks = [block_col] if block_col else []
+    tok = ws.select(
+        F.col(id_col).alias("_id"),
+        *[F.col(c) for c in blocks],
+        F.explode(words_col).alias("_w"),
+    )
+    # Global total order on tokens: (frequency asc, token asc) → dense
+    # integer rank. Vocabulary-sized aggregate + one shuffle join; the
+    # single-partition window over the vocab is fine up to ~1e8 distinct
+    # tokens, past that swap row_number for zipWithIndex-style ranking.
+    vocab = (
+        tok.groupBy("_w")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .withColumn(
+            "_r",
+            F.row_number().over(Window.orderBy(F.col("_df"), F.col("_w"))),
+        )
+        .select("_w", "_r")
+    )
+    docr = (
+        tok.join(vocab, "_w")
+        .groupBy("_id", *blocks)
+        .agg(F.sort_array(F.collect_list("_r")).alias("_ranks"))
+        .withColumn("_n", F.size("_ranks"))
+    )
+    prefix_len = (F.col("_n") - F.ceil(F.lit(t) * F.col("_n")) + 1).cast("int")
+    pref = docr.select(
+        "_id",
+        *blocks,
+        F.explode(F.slice("_ranks", 1, prefix_len)).alias("_pr"),
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    cond = (F.col("a._pr") == F.col("b._pr")) & (
+        F.col("a._id") < F.col("b._id")
+    )
+    for c in blocks:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    cand = (
+        a.join(b, cond)
+        .select(
+            F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b")
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ra = docr.select(
+        F.col("_id").alias("id_a"),
+        F.col("_ranks").alias("_ra"),
+        F.col("_n").alias("_na"),
+    )
+    rb = docr.select(
+        F.col("_id").alias("id_b"),
+        F.col("_ranks").alias("_rb"),
+        F.col("_n").alias("_nb"),
+    )
+    inter = F.size(F.array_intersect("_ra", "_rb"))
+    j = inter.cast("double") / (F.col("_na") + F.col("_nb") - inter).cast(
+        "double"
+    )
+    return (
+        cand.join(ra, "id_a")
+        .join(rb, "id_b")
+        .withColumn("jaccard", j)
+        .filter(F.col("jaccard") >= t)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(text_col: Column | str, num_bits: int = 64) -> Column:
+    """SimHash: bit b set iff more than half the word hashes have bit b
+    set. One int64 per document, pure higher-order functions. Prefer
+    staging :func:`word_hashes` first on hot paths."""
+    return simhash_from_hashes(word_hashes(text_col), num_bits)
+
+
+def simhash_from_hashes(hashes: Column, num_bits: int = 64) -> Column:
     n = F.size(hashes)
 
     def bit_set(b: int):
@@ -188,8 +314,8 @@ def simhash_near_dup_pairs(
     wider distances trade recall for the same bounded cost), verified
     with exact popcount of the XOR."""
     sh = df.select(
-        F.col(id_col).alias("_id"), simhash(text_col).alias("_sim")
-    )
+        F.col(id_col).alias("_id"), word_hashes(text_col).alias("_h")
+    ).select("_id", simhash_from_hashes(F.col("_h")).alias("_sim"))
     banded = sh.select(
         "_id",
         "_sim",
