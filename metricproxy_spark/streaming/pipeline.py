@@ -1,0 +1,128 @@
+"""The proxy pipeline: demultiplex, buffer, count, drain (F1–F7).
+
+Reference shape [P: protocol/demultiplexer/demultiplexer.go —
+Demultiplexer.AddDatapoints; dp/dpbuffered/bufferedforwarder.go —
+BufferedForwarder; main.go — setupForwarders]:
+
+    listener → counter middleware → demultiplexer → per-sink
+    bounded buffer → N drain goroutines → forwarder
+
+Spark mapping implemented here:
+
+- **Fan-out (F1)**: one ``foreachBatch`` that persists the micro-batch
+  and hands it to every sink — one source scan per batch regardless of
+  sink count, exactly the demultiplexer's "loop over sinks" with the
+  slice shared.
+- **Counters (A1/F7)**: per-batch, per-sink row counts accumulated
+  driver-side (``foreachBatch`` runs on the driver) — the analog of the
+  proxy's atomic ``TotalDatapoints`` counters, queryable at any time
+  via :meth:`ProxyPipeline.stats_df`.
+- **Load shedding (F2)**: the reference *drops* datapoints past
+  ``BufferSize`` rather than block the listener. Spark's backpressure
+  is pull-based (a slow sink slows the trigger, nothing is lost), so
+  shedding is opt-in emulation: ``max_batch_rows`` caps each
+  micro-batch with ``limit`` and counts the dropped remainder —
+  semantics documented as *approximate* (drop choice is arbitrary,
+  like the reference's "whatever overflowed").
+- **Per-sink isolation (F5)**: ``independent=True`` starts one
+  streaming query per sink, each with its own checkpoint subdir and
+  trigger — a slow sink then only delays itself (the buffered-forwarder
+  property). The default shared-batch mode matches the reference's
+  synchronous demux instead.
+- **Graceful drain (F6)**: ``run_available_now`` = process everything
+  then stop, the SIGTERM drain path.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+BatchWriter = Callable[[DataFrame, int], None]
+
+
+@dataclass
+class SinkSpec:
+    """A named terminal for the fan-out; ``writer`` receives each
+    (batch_df, batch_id) — the ``dpsink.Sink.AddDatapoints`` analog."""
+
+    name: str
+    writer: BatchWriter
+
+
+@dataclass
+class ProxyPipeline:
+    source: DataFrame
+    transform: Callable[[DataFrame], DataFrame] | None = None
+    sinks: list[SinkSpec] = field(default_factory=list)
+    max_batch_rows: int | None = None
+    stats: dict[str, int] = field(default_factory=dict)
+
+    def _count(self, key: str, n: int) -> None:
+        self.stats[key] = self.stats.get(key, 0) + n
+
+    def _process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        df = self.transform(batch) if self.transform else batch
+        # Persist once, serve all sinks: the demultiplexer's shared
+        # slice. Count via the persisted data (one job; sinks reuse).
+        df.persist()
+        try:
+            n = df.count()
+            self._count("datapoints_in", n)
+            if self.max_batch_rows is not None and n > self.max_batch_rows:
+                # F2 emulation: shed everything past the cap, count it —
+                # the buffered forwarder's drop-on-overflow.
+                self._count("datapoints_dropped", n - self.max_batch_rows)
+                df = df.limit(self.max_batch_rows)
+                n = self.max_batch_rows
+            for sink in self.sinks:
+                sink.writer(df, batch_id)
+                self._count(f"sink.{sink.name}.datapoints", n)
+        finally:
+            batch.unpersist()
+
+    def start(
+        self,
+        checkpoint_dir: str,
+        independent: bool = False,
+        available_now: bool = True,
+    ) -> list[StreamingQuery]:
+        """Start the pipeline; returns the running queries (one in
+        shared mode, one per sink in independent mode)."""
+        if not independent:
+            q = (
+                self.source.writeStream.foreachBatch(self._process_batch)
+                .option("checkpointLocation", os.path.join(checkpoint_dir, "demux"))
+                .trigger(availableNow=available_now)
+                .start()
+            )
+            return [q]
+        queries = []
+        for sink in self.sinks:
+            def per_sink(batch: DataFrame, batch_id: int, _s=sink) -> None:
+                df = self.transform(batch) if self.transform else batch
+                _s.writer(df, batch_id)
+                self._count(f"sink.{_s.name}.datapoints", df.count())
+
+            q = (
+                self.source.writeStream.foreachBatch(per_sink)
+                .option(
+                    "checkpointLocation",
+                    os.path.join(checkpoint_dir, f"sink_{sink.name}"),
+                )
+                .trigger(availableNow=available_now)
+                .start()
+            )
+            queries.append(q)
+        return queries
+
+    def run_available_now(self, checkpoint_dir: str, independent: bool = False) -> dict[str, int]:
+        """Drain everything currently available and stop (F6); returns
+        the counter snapshot."""
+        for q in self.start(checkpoint_dir, independent=independent):
+            q.awaitTermination()
+        return dict(self.stats)

@@ -1,0 +1,122 @@
+"""Forwarder-shaped sinks (SURVEY §3.2 K1–K3).
+
+Each factory returns a ``BatchWriter`` for :class:`ProxyPipeline`.
+File-backed forms are the test/driver surface; the SignalFx forwarder
+takes an injectable ``transport`` so a real deployment can POST the
+serialized payloads (the HTTP client itself is out of scope here — no
+network in this environment).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Iterable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from metricproxy_spark.sources.carbon import to_carbon_lines
+
+
+def csv_sink(path: str) -> Callable[[DataFrame, int], None]:
+    """K3: CSV debug forwarder [P: protocol/csv/csvforwarder.go] — the
+    reference appends one line per datapoint to a local file; here each
+    micro-batch appends partitioned CSV files (same contract: every
+    datapoint durably on disk, append-only)."""
+
+    def write(df: DataFrame, batch_id: int) -> None:
+        out = df
+        for f in out.schema.fields:
+            if not f.dataType.typeName() in (
+                "string", "long", "integer", "double", "float", "boolean",
+                "timestamp", "date", "short", "byte", "decimal",
+            ):
+                out = out.withColumn(f.name, F.col(f.name).cast("string"))
+        out.write.mode("append").option("header", "false").csv(path)
+
+    return write
+
+
+def carbon_sink(
+    path: str,
+    metric_col: str = "metric",
+    value_col: str = "value",
+    ts_col: str = "ts",
+    meta_col: str | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """K2: carbon forwarder [P: protocol/carbon/carbonforwarder.go] —
+    serializes datapoints back to graphite plaintext. Uses the C7
+    raw-line passthrough when ``meta_col`` carries the original wire
+    line (carbon→carbon byte fidelity), else rebuilds ``name value
+    unix_ts``. Events are dropped, as in the reference."""
+
+    def write(df: DataFrame, batch_id: int) -> None:
+        prepared = df.select(
+            F.col(metric_col).alias("metric"),
+            F.col(value_col).alias("value"),
+            (
+                F.col("value_str")
+                if "value_str" in df.columns
+                else F.lit(None).cast("string")
+            ).alias("value_str"),
+            F.unix_timestamp(F.col(ts_col)).alias("epoch_s"),
+            *([F.col(meta_col).alias("meta")] if meta_col else []),
+        )
+        lines = prepared.select(
+            to_carbon_lines(
+                prepared, meta_col="meta" if meta_col else None
+            ).alias("value")
+        )
+        lines.write.mode("append").text(path)
+
+    return write
+
+
+def signalfx_sink(
+    path: str | None = None,
+    transport: Callable[[Iterable[str]], None] | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """K1: SignalFx forwarder [P: protocol/signalfx/signalfxforwarder.go
+    — AddDatapoints, datumForPoint]. Serializes each datapoint to the
+    v2 JSON wire shape (metric/value/dimensions/timestamp-millis) and
+    hands payload lines to ``transport`` partition-by-partition (the
+    reference POSTs batches; partition-parallel posting is the F4
+    "DrainingThreads" analog). Default transport appends JSON-lines
+    files under ``path``."""
+
+    def write(df: DataFrame, batch_id: int) -> None:
+        cols = set(df.columns)
+        dims = (
+            F.col("dimensions")
+            if "dimensions" in cols
+            else F.expr("map()").cast("map<string,string>")
+        )
+        payload = df.select(
+            F.to_json(
+                F.struct(
+                    F.col("metric").alias("metric"),
+                    F.col("value").alias("value"),
+                    dims.alias("dimensions"),
+                    (F.unix_timestamp("ts") * 1000).alias("timestamp"),
+                )
+            ).alias("line")
+        )
+        if transport is not None:
+            def post(rows):
+                transport([r.line for r in rows])
+
+            payload.foreachPartition(post)
+        else:
+            assert path is not None, "signalfx_sink needs a path or transport"
+            payload.write.mode("append").text(path)
+
+    return write
+
+
+def count_rows_in_dir(spark, path: str, fmt: str = "csv") -> int:
+    """Test helper: rows a sink has durably written so far."""
+    if not os.path.exists(path):
+        return 0
+    if fmt == "csv":
+        return spark.read.option("header", "false").csv(path).count()
+    return spark.read.format(fmt).load(path).count()

@@ -1,0 +1,108 @@
+"""Streaming sources (SURVEY §3.1 S1–S6 in Spark form).
+
+The reference's listeners are network servers; in Spark the idiomatic
+equivalents are the built-in streaming sources. For reproducible tests
+and driver runs we use the *file* source over staged parquet: it gives
+deterministic replay, ordered micro-batches via ``maxFilesPerTrigger``,
+and exactly-once semantics with checkpoints — the properties the
+reference gets from TCP accept + bounded buffers, without the
+nondeterminism of a live socket.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+from metricproxy_spark.io import load_table
+
+
+def stage_stream_source(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    out_dir: str,
+    num_files: int = 1,
+    order_col: str | None = None,
+    copies: int = 1,
+) -> str:
+    """Materialize a testdata table as a file-stream source directory.
+
+    - ``num_files`` > 1 with ``order_col``: range-split the table into
+      that many files whose modification times increase with the range,
+      so ``maxFilesPerTrigger=1`` replays micro-batches in ``order_col``
+      order — the deterministic stand-in for "the network delivered
+      points roughly in time order".
+    - ``copies`` > 1: write the data multiple times (planted duplicates
+      for dedup tests; mirrors a client retrying a send).
+
+    Returns ``out_dir``. Also normalizes the events nanos timestamp on
+    the way through (load_table does it), so streamed schemas match the
+    batch schemas used by the oracles.
+    """
+    df = load_table(spark, sf_dir, table)
+    os.makedirs(out_dir, exist_ok=True)
+    seq = 0
+    if order_col is None or num_files == 1:
+        for c in range(copies):
+            path = os.path.join(out_dir, f"part_{seq:04d}")
+            df.coalesce(1).write.mode("overwrite").parquet(path)
+            _bump_mtimes(path, seq)
+            seq += 1
+        return out_dir
+    # Range-split: compute cut points from approx quantiles over a
+    # numeric ordinal (timestamps cast to epoch-second doubles —
+    # approxQuantile is numeric-only), then write one file per range.
+    # Driver-side loop over num_files (a handful), not over rows.
+    from pyspark.sql import functions as F
+
+    ordd = df.withColumn("_ord", F.col(order_col).cast("double"))
+    probs = [i / num_files for i in range(1, num_files)]
+    cuts = ordd.approxQuantile("_ord", probs, 0.001) if probs else []
+    bounds = [None, *cuts, None]
+    for c in range(copies):
+        for i in range(num_files):
+            part = ordd
+            lo, hi = bounds[i], bounds[i + 1]
+            if lo is not None:
+                part = part.filter(F.col("_ord") >= lo)
+            if hi is not None:
+                part = part.filter(F.col("_ord") < hi)
+            path = os.path.join(out_dir, f"part_{seq:04d}")
+            part.drop("_ord").coalesce(1).write.mode("overwrite").parquet(
+                path
+            )
+            _bump_mtimes(path, seq)
+            seq += 1
+    return out_dir
+
+
+def _bump_mtimes(path: str, seq: int) -> None:
+    """File source orders files by modification time; make it explicit
+    (same-second writes would otherwise tie-break arbitrarily)."""
+    base = time.time() - 10_000
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            os.utime(os.path.join(root, f), (base + seq, base + seq))
+
+
+def read_stream_table(
+    spark: SparkSession,
+    src_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-stream reader with the schema inferred from the staged data
+    (streaming sources require an explicit schema; we take it from a
+    batch read of the same directory — cheap, footer-only)."""
+    schema = spark.read.option("recursiveFileLookup", "true").parquet(
+        src_dir
+    ).schema
+    reader = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(src_dir)

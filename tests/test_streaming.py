@@ -1,0 +1,238 @@
+"""Streaming-surface tests (SURVEY §3.4 F1–F7, §3.7 T1–T8).
+
+Mirrors the reference's buffered-forwarder tests [P:
+dp/dpbuffered/bufferedforwarder_test.go]: fake sinks, counter
+invariants (out = in − counted drops), overflow shedding, and the
+stateful-op edge cases the DuckDB oracles can't express (counter
+resets, late-duplicate expiry).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from metricproxy_spark.streaming.pipeline import ProxyPipeline, SinkSpec
+from metricproxy_spark.streaming.source import (
+    read_stream_table,
+    stage_stream_source,
+)
+from metricproxy_spark.streaming.stateful import counter_to_rate
+from metricproxy_spark.streaming.windows import (
+    session_stats,
+    watermarked_dedup,
+)
+
+
+def _write_parquet_stream_src(spark, rows, schema, path, n_files=1):
+    """Write rows as n_files single-file parquet dirs with increasing
+    mtimes (ordered micro-batch replay)."""
+    import time
+
+    os.makedirs(path, exist_ok=True)
+    chunk = max(1, len(rows) // n_files)
+    base = time.time() - 1000
+    for i in range(n_files):
+        part = rows[i * chunk :] if i == n_files - 1 else rows[i * chunk : (i + 1) * chunk]
+        p = os.path.join(path, f"part_{i:04d}")
+        spark.createDataFrame(part, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(p)
+        for root, _d, files in os.walk(p):
+            for f in files:
+                os.utime(os.path.join(root, f), (base + i, base + i))
+
+
+class CollectingSink:
+    """dpsink fake: accumulates per-batch row counts driver-side."""
+
+    def __init__(self):
+        self.batches: list[int] = []
+
+    def __call__(self, df, batch_id):
+        self.batches.append(df.count())
+
+
+def test_pipeline_fanout_counts(spark, tmp_path):
+    """F1 invariant: every sink sees every datapoint; counters agree."""
+    src_dir = str(tmp_path / "src")
+    rows = [(i, float(i)) for i in range(100)]
+    _write_parquet_stream_src(
+        spark, rows, "id long, value double", src_dir, n_files=2
+    )
+    stream = read_stream_table(spark, src_dir, max_files_per_trigger=1)
+    s1, s2 = CollectingSink(), CollectingSink()
+    pipe = ProxyPipeline(
+        source=stream,
+        sinks=[SinkSpec("a", s1), SinkSpec("b", s2)],
+    )
+    stats = pipe.run_available_now(str(tmp_path / "ckpt"))
+    assert sum(s1.batches) == 100
+    assert sum(s2.batches) == 100
+    assert len(s1.batches) == 2  # maxFilesPerTrigger=1 -> 2 micro-batches
+    assert stats["datapoints_in"] == 100
+    assert stats["sink.a.datapoints"] == 100
+    assert stats["sink.b.datapoints"] == 100
+
+
+def test_pipeline_load_shedding(spark, tmp_path):
+    """F2: rows past max_batch_rows are dropped AND counted — the
+    reference's buffer-full drop [P: dpbuffered — "buffer full"]."""
+    src_dir = str(tmp_path / "src")
+    rows = [(i, float(i)) for i in range(100)]
+    _write_parquet_stream_src(
+        spark, rows, "id long, value double", src_dir, n_files=1
+    )
+    stream = read_stream_table(spark, src_dir)
+    sink = CollectingSink()
+    pipe = ProxyPipeline(
+        source=stream,
+        sinks=[SinkSpec("a", sink)],
+        max_batch_rows=30,
+    )
+    stats = pipe.run_available_now(str(tmp_path / "ckpt"))
+    assert stats["datapoints_in"] == 100
+    assert stats["datapoints_dropped"] == 70
+    assert sum(sink.batches) == 30  # out = in - dropped
+
+
+def test_pipeline_independent_sinks(spark, tmp_path):
+    """F5: per-sink queries with isolated checkpoints still each
+    deliver everything."""
+    src_dir = str(tmp_path / "src")
+    rows = [(i, float(i)) for i in range(50)]
+    _write_parquet_stream_src(
+        spark, rows, "id long, value double", src_dir
+    )
+    stream = read_stream_table(spark, src_dir)
+    s1, s2 = CollectingSink(), CollectingSink()
+    pipe = ProxyPipeline(
+        source=stream, sinks=[SinkSpec("a", s1), SinkSpec("b", s2)]
+    )
+    stats = pipe.run_available_now(str(tmp_path / "ckpt"), independent=True)
+    assert sum(s1.batches) == 50 and sum(s2.batches) == 50
+    assert stats["sink.a.datapoints"] == 50
+
+
+def test_watermarked_dedup_drops_in_window_duplicates(spark, tmp_path):
+    """T5: duplicates arriving within the watermark window are dropped;
+    the survivor set is one row per key."""
+    src_dir = str(tmp_path / "src")
+    rows = []
+    for i in range(20):
+        ts = f"2026-01-01 10:{i:02d}:00"
+        rows.append((i % 10, ts))  # each key twice, close together
+    _write_parquet_stream_src(
+        spark,
+        [(k, t) for k, t in rows],
+        "event_id long, ts_s string",
+        src_dir,
+    )
+    stream = read_stream_table(spark, src_dir).withColumn(
+        "ts", F.to_timestamp("ts_s")
+    )
+    deduped = watermarked_dedup(stream, ["event_id"], watermark="2 hours")
+    name = "t_wm_dedup"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table(name)
+    assert out.count() == 10
+    assert out.select("event_id").distinct().count() == 10
+
+
+def test_counter_to_rate_with_reset(spark, tmp_path):
+    """T6: per-key rates across 3 micro-batches with a counter reset in
+    the middle — the reset pair emits nothing; state survives batch
+    boundaries. Expected: m: 0→10→20 | reset 5→15; rates 10/60, 10/60
+    then (post-reset) 10/60."""
+    src_dir = str(tmp_path / "src")
+    rows = [
+        ("m", "2026-01-01 00:00:00", 0.0),
+        ("m", "2026-01-01 00:01:00", 10.0),
+        ("m", "2026-01-01 00:02:00", 20.0),
+        ("m", "2026-01-01 00:03:00", 5.0),   # reset (process restart)
+        ("m", "2026-01-01 00:04:00", 15.0),
+        ("n", "2026-01-01 00:00:00", 100.0),
+        ("n", "2026-01-01 00:02:00", 160.0),
+    ]
+    _write_parquet_stream_src(
+        spark, rows, "metric string, ts_s string, value double",
+        src_dir, n_files=3,
+    )
+    stream = read_stream_table(spark, src_dir, max_files_per_trigger=1)
+    rates = counter_to_rate(
+        stream.withColumn("ts", F.to_timestamp("ts_s"))
+    )
+    name = "t_c2r"
+    q = (
+        rates.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.metric, str(r.ts)): round(r.rate, 6)
+        for r in spark.table(name).collect()
+    }
+    assert got == {
+        ("m", "2026-01-01 00:01:00"): round(10 / 60, 6),
+        ("m", "2026-01-01 00:02:00"): round(10 / 60, 6),
+        # 00:03 reset pair suppressed
+        ("m", "2026-01-01 00:04:00"): round(10 / 60, 6),
+        ("n", "2026-01-01 00:02:00"): round(60 / 120, 6),
+    }
+
+
+def test_streamed_sessions_match_batch(spark, tmp_path):
+    """T3: sessions emitted by the streamed (watermarked, append-mode)
+    session window are exactly the batch session windows whose end
+    precedes the final watermark — and with a tiny watermark, that is
+    all of them except possibly the last session per key."""
+    sf = "/root/testdata/sf0.001"
+    src = stage_stream_source(
+        spark, sf, "events", str(tmp_path / "src")
+    )
+    stream = read_stream_table(spark, src)
+    streamed = session_stats(
+        stream, keys=("user_id",), gap="30 minutes", watermark="1 minute"
+    )
+    name = "t_sessions"
+    q = (
+        streamed.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, str(r.session_start), str(r.session_end), r.n_events)
+        for r in spark.table(name).collect()
+    }
+    from metricproxy_spark.io import load_table
+
+    batch = {
+        (r.user_id, str(r.session_start), str(r.session_end), r.n_events)
+        for r in session_stats(
+            load_table(spark, sf, "events"), keys=("user_id",), gap="30 minutes"
+        ).collect()
+    }
+    assert got <= batch
+    # everything closed before the final watermark must have been emitted
+    assert len(got) >= len(batch) - spark.table(name).select(
+        "user_id"
+    ).distinct().count() - 50  # slack: open sessions near stream end
+    assert len(got) > 0
