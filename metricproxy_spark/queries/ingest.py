@@ -426,3 +426,72 @@ def ingest_ts_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(fs * 1000).cast("bigint"))
         .alias("ms_from_fs"),
     )
+
+
+@register(
+    "ingest_sfx_protobuf_roundtrip",
+    oracle="""
+    SELECT concat('events.', event_type) AS metric,
+           value,
+           epoch_ms(ts) AS timestamp_ms,
+           'gauge' AS metric_type,
+           CAST(user_id AS VARCHAR) AS dim_user_id
+    FROM events
+    """,
+)
+def ingest_sfx_protobuf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3: SignalFx protobuf wire codec, encode -> decode round trip.
+
+    Events are packed into DataPointUploadMessage payload blobs (~500
+    datapoints each, Arrow-batched mapInPandas on both legs) and decoded
+    back with the wire-format parser. The oracle is the plain projection
+    of the source columns: agreement proves byte-level wire fidelity
+    (float64 values exact, millis timestamps, dimension maps) without a
+    protobuf runtime on either side.
+    """
+    import pandas as pd
+
+    from metricproxy_spark.io import ensure_package_on_workers
+    from metricproxy_spark.sources.sfx_protobuf import (
+        DECODED_SCHEMA,
+        encode_datapoint,
+        encode_upload_message,
+        parse_sfx_protobuf,
+    )
+
+    ensure_package_on_workers(spark)
+    events = load_table(spark, sf_dir, "events").select(
+        F.concat(F.lit("events."), F.col("event_type")).alias("metric"),
+        F.col("value"),
+        (F.unix_micros("ts") / 1000).cast("long").alias("ts_ms"),
+        F.col("user_id").cast("string").alias("user_id"),
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            blobs = []
+            for start in range(0, len(pdf), 500):
+                chunk = pdf.iloc[start : start + 500]
+                dps = [
+                    encode_datapoint(
+                        metric=m,
+                        timestamp_ms=int(t),
+                        double_value=float(v),
+                        dimensions={"user_id": u},
+                    )
+                    for m, v, t, u in zip(
+                        chunk["metric"], chunk["value"], chunk["ts_ms"], chunk["user_id"]
+                    )
+                ]
+                blobs.append(encode_upload_message(dps))
+            yield pd.DataFrame({"body": [bytearray(b) for b in blobs]})
+
+    payloads = events.mapInPandas(encode, "body binary")
+    decoded = parse_sfx_protobuf(payloads, "body")
+    return decoded.select(
+        "metric",
+        "value",
+        "timestamp_ms",
+        "metric_type",
+        F.col("dimensions")["user_id"].alias("dim_user_id"),
+    )
