@@ -91,6 +91,68 @@ def extract_features(
     return df.select(id_col, content_col).mapInPandas(run, out_schema)
 
 
+def sample_frame_offsets(
+    df: DataFrame,
+    duration_col: str = "duration_ms",
+    frame_interval_ms: int = 1000,
+) -> DataFrame:
+    """Video frame-sampling plumbing, Catalyst side: one row per sampled
+    frame offset (0, interval, 2·interval … ≤ duration). The expensive
+    per-frame decode stays downstream in mapInPandas; this explode is
+    pure JVM and scales with input splits."""
+    return df.withColumn(
+        "frame_ms",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                F.col(duration_col).cast("long"),
+                F.lit(frame_interval_ms).cast("long"),
+            )
+        ),
+    )
+
+
+def extract_frame_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    frame_col: str = "frame_ms",
+    content_col: str = "content",
+) -> DataFrame:
+    """Per-frame feature extraction stub over (payload, frame offset).
+
+    Real shape: seek to ``frame_ms`` in the container, decode one frame,
+    run the vision model — all inside this mapInPandas. Stub emits a
+    deterministic arithmetic feature ((id·1000003 + frame) % 10007 /
+    10007) so the full plumbing (explode → Arrow batch → per-frame
+    Python → columnar out) is exercised and ORACLE-CHECKABLE in plain
+    SQL, which a hash-based fake would not be.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField(frame_col, T.LongType(), False),
+            T.StructField("frame_feature", T.DoubleType(), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feat = (
+                (pdf[id_col] * 1000003 + pdf[frame_col]) % 10007
+            ) / 10007.0
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    frame_col: pdf[frame_col],
+                    "frame_feature": feat.round(9),
+                }
+            )
+
+    return df.select(id_col, frame_col, content_col).mapInPandas(
+        run, out_schema
+    )
+
+
 def attach_media_meta(
     df: DataFrame,
     content_col: str = "content",

@@ -334,3 +334,34 @@ def _write_range_split(
         for root, _dirs, files in os.walk(path):
             for f in files:
                 os.utime(os.path.join(root, f), (base + i, base + i))
+
+
+@register(
+    "stream_static_enrich",
+    oracle="""
+    SELECT e.event_id, e.event_type, c.c_name, c.c_mktsegment
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7: stream-static broadcast join — the v1 metric-type registry
+    pattern (S5): every streamed datapoint enriched against a small
+    static dimension table at ingest [P: signalfxlistener.go —
+    MetricTypeGetter]. The static side (customer) is broadcast, so the
+    stream never shuffles; the oracle is the plain batch join."""
+    from pyspark.sql.functions import broadcast
+
+    from metricproxy_spark.io import load_table
+
+    wd = _workdir()
+    src = stage_stream_source(
+        spark, sf_dir, "events", os.path.join(wd, "src")
+    )
+    stream = read_stream_table(spark, src)
+    customers = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    enriched = stream.join(
+        broadcast(customers), stream.user_id == customers.c_custkey
+    ).select("event_id", "event_type", "c_name", "c_mktsegment")
+    return _run_to_memory(enriched, os.path.join(wd, "ckpt"), mode="append")

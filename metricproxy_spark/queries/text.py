@@ -222,3 +222,40 @@ def multimodal_feature_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode("text", "utf-8").alias("content")
     )
     return extract_features(docs, content_col="content", id_col="doc_id")
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH frames AS (
+        SELECT doc_id,
+               CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS duration_ms,
+               unnest(range(0, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) + 1, 1000)) AS frame_ms
+        FROM documents
+    )
+    SELECT doc_id, frame_ms,
+           round(CAST((doc_id * 1000003 + frame_ms) % 10007 AS DOUBLE) / 10007.0, 9)
+             AS frame_feature
+    FROM frames
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5: video frame-sampling plumbing — duration metadata → one row
+    per 1s frame offset (Catalyst sequence+explode) → per-frame decode
+    stub in Arrow-batched mapInPandas. Payload duration is faked from
+    the text byte length (no codecs in this container); the per-frame
+    "feature" is deterministic arithmetic so the ENTIRE pipeline
+    (explode fan-out, Arrow batch shape, per-frame Python, columnar
+    return) is value-checked against plain SQL."""
+    from metricproxy_spark.operators.multimodal import (
+        extract_frame_features,
+        sample_frame_offsets,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("content"),
+        F.length(F.encode("text", "utf-8")).cast("long").alias("duration_ms"),
+    )
+    frames = sample_frame_offsets(docs, "duration_ms", frame_interval_ms=1000)
+    return extract_frame_features(frames)
