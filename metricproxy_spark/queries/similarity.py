@@ -6,7 +6,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from metricproxy_spark.io import load_table
-from metricproxy_spark.operators.similarity import cosine_topk, ivf_topk
+from metricproxy_spark.operators.similarity import (
+    cosine_topk,
+    cosine_topk_blas,
+    ivf_topk,
+)
 from metricproxy_spark.registry import register
 
 
@@ -53,3 +57,36 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("centroid_vec"),
     )
     return ivf_topk(queries, emb, centroids, k=3, nprobe=2)
+
+
+@register(
+    "sim_topk_blas",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id < 10
+    ), c AS (
+        SELECT vec_id AS match_id, CAST(embedding AS DOUBLE[]) AS cv
+        FROM embeddings
+    ), scored AS (
+        SELECT query_id, match_id,
+               round(list_dot_product(qv, cv), 6) AS score
+        FROM q, c WHERE query_id <> match_id
+    ), ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, match_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, match_id, score, rank FROM ranked WHERE rank <= 3
+    """,
+)
+def sim_topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 scale path (exact flavor): partition-local BLAS matmul +
+    partial top-k, global window reduce. Same oracle as the fold-based
+    baseline — agreement shows the numpy path is bit-stable at 6dp
+    rounding on this corpus AND that the partial-top-k/global-reduce
+    tree loses nothing (its shuffle is k·partitions·queries rows,
+    independent of corpus size)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return cosine_topk_blas(queries, emb, k=3)

@@ -54,6 +54,9 @@ class SinkSpec:
     writer: BatchWriter
 
 
+OBSERVATION_NAME = "proxy_stats"
+
+
 @dataclass
 class ProxyPipeline:
     source: DataFrame
@@ -64,6 +67,37 @@ class ProxyPipeline:
 
     def _count(self, key: str, n: int) -> None:
         self.stats[key] = self.stats.get(key, 0) + n
+
+    def _observed_source(self) -> DataFrame:
+        """A1 the Spark way: attach an ``observe`` to the source so
+        every micro-batch reports row/value counters through
+        ``StreamingQueryProgress.observedMetrics`` — the exact analog
+        of the reference's lock-free stat counters read by the stats
+        loop [P: golib dpsink/counter.go — Counter]. Zero extra jobs:
+        metrics ride the batch's existing action."""
+        from pyspark.sql import functions as F
+
+        return self.source.observe(
+            OBSERVATION_NAME,
+            F.count(F.lit(1)).alias("datapoints"),
+            F.sum(F.lit(1) * 0).alias("_zero"),  # schema anchor
+        )
+
+    def drain_observed_metrics(self, query) -> dict[str, int]:
+        """Fold every progress event's observed metrics into stats
+        (call after awaitTermination; also usable live)."""
+        total = 0
+        for p in query.recentProgress:
+            om = (p or {}).get("observedMetrics", {}).get(
+                OBSERVATION_NAME
+            )
+            if om is not None:  # a Row (batch) — index, don't .get
+                total += int(om["datapoints"])
+        if total:
+            self.stats["observed_datapoints"] = (
+                self.stats.get("observed_datapoints", 0) + total
+            )
+        return dict(self.stats)
 
     def _process_batch(self, batch: DataFrame, batch_id: int) -> None:
         df = self.transform(batch) if self.transform else batch
@@ -95,7 +129,8 @@ class ProxyPipeline:
         shared mode, one per sink in independent mode)."""
         if not independent:
             q = (
-                self.source.writeStream.foreachBatch(self._process_batch)
+                self._observed_source()
+                .writeStream.foreachBatch(self._process_batch)
                 .option("checkpointLocation", os.path.join(checkpoint_dir, "demux"))
                 .trigger(availableNow=available_now)
                 .start()
@@ -125,4 +160,6 @@ class ProxyPipeline:
         the counter snapshot."""
         for q in self.start(checkpoint_dir, independent=independent):
             q.awaitTermination()
+            if not independent:
+                self.drain_observed_metrics(q)
         return dict(self.stats)

@@ -170,3 +170,34 @@ class TestMinHashAccuracy:
             wa, wb = set(texts[r.id_a].split()), set(texts[r.id_b].split())
             true_j = len(wa & wb) / len(wa | wb)
             assert math.isclose(r.jaccard, round(true_j, 6), abs_tol=1e-9)
+
+
+def test_blas_topk_matches_fold_topk(spark):
+    """The BLAS partial-top-k path and the zip_with fold path are
+    interchangeable: identical (query, match, score, rank) output."""
+    from metricproxy_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_blas,
+    )
+
+    import math
+    import random
+
+    rnd = random.Random(7)
+    rows = []
+    for i in range(60):
+        v = [rnd.uniform(-1, 1) for _ in range(16)]
+        n = math.sqrt(sum(x * x for x in v))
+        rows.append((i, [x / n for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    emb = emb.repartition(5)  # force multi-partition partial top-k
+    q = emb.filter("vec_id < 4")
+    a = {
+        (r.query_id, r.match_id, r.score, r.rank)
+        for r in cosine_topk(q, emb, k=3).collect()
+    }
+    b = {
+        (r.query_id, r.match_id, r.score, r.rank)
+        for r in cosine_topk_blas(q, emb, k=3).collect()
+    }
+    assert a == b and len(a) == 12

@@ -236,3 +236,19 @@ def test_streamed_sessions_match_batch(spark, tmp_path):
         "user_id"
     ).distinct().count() - 50  # slack: open sessions near stream end
     assert len(got) > 0
+
+
+def test_observed_metrics_match_counts(spark, tmp_path):
+    """A1 via observe(): StreamingQueryProgress.observedMetrics report
+    the same datapoint totals the driver-side counters saw."""
+    src_dir = str(tmp_path / "src")
+    rows = [(i, float(i)) for i in range(80)]
+    _write_parquet_stream_src(
+        spark, rows, "id long, value double", src_dir, n_files=2
+    )
+    stream = read_stream_table(spark, src_dir, max_files_per_trigger=1)
+    sink = CollectingSink()
+    pipe = ProxyPipeline(source=stream, sinks=[SinkSpec("a", sink)])
+    stats = pipe.run_available_now(str(tmp_path / "ckpt"))
+    assert stats["datapoints_in"] == 80
+    assert stats.get("observed_datapoints") == 80
