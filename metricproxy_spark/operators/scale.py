@@ -1,0 +1,85 @@
+"""Skew & co-location techniques (SURVEY §3.8 L6, §5).
+
+AQE handles most skew automatically (``skewJoin.enabled``), but two
+manual techniques remain worth having as first-class operators for the
+100 TB plans where the optimizer can't see the skew coming:
+
+- **Salted two-phase aggregation**: a groupBy on a handful of hot keys
+  (e.g. per-metric-type counters where one type is 90 % of traffic)
+  puts each hot key on ONE reducer. Salting splits every key into
+  ``n_salt`` partial groups, aggregates, then combines partials —
+  algebraic aggregates (sum/count/min/max) are exact under the split.
+- **Salted replicate join**: a fact⋈dim equi-join where a few dim keys
+  dominate the fact side. The dim side is replicated ``n_salt`` times
+  (bounded: n_salt × |dim|), the fact side picks a deterministic salt
+  per row, and the join key becomes (key, salt) — every hot key now
+  spreads over n_salt reducers. Result-set identical to the plain join.
+
+Both are pure DataFrame compositions — results stay oracle-checkable
+against the unsalted SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_sum_count(
+    df: DataFrame,
+    keys: list[str],
+    sum_cols: dict[str, str],
+    count_alias: str = "n",
+    n_salt: int = 16,
+) -> DataFrame:
+    """Two-phase skew-safe groupBy: SUM/COUNT per ``keys``.
+
+    Phase 1 groups by (keys, salt) — hot keys fan out over ``n_salt``
+    reducers; phase 2 combines the ≤ n_salt partials per key (tiny).
+    ``sum_cols`` maps output alias -> decimal-cast input expression so
+    the combine stays exact (sums of decimals re-sum losslessly).
+    """
+    salt = F.pmod(F.xxhash64(*[F.col(k) for k in keys], F.monotonically_increasing_id()), F.lit(n_salt))
+    phase1 = (
+        df.withColumn("_salt", salt)
+        .groupBy(*keys, "_salt")
+        .agg(
+            F.count(F.lit(1)).alias("_pn"),
+            *[
+                F.sum(F.col(src).cast("decimal(27,4)")).alias(f"_ps_{alias}")
+                for alias, src in sum_cols.items()
+            ],
+        )
+    )
+    return phase1.groupBy(*keys).agg(
+        F.sum("_pn").alias(count_alias),
+        *[
+            F.sum(f"_ps_{alias}").cast("double").alias(alias)
+            for alias in sum_cols
+        ],
+    )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    n_salt: int = 8,
+) -> DataFrame:
+    """Skew-safe fact⋈dim inner equi-join on ``key``.
+
+    The dim side explodes ×``n_salt`` (bounded replication — dim is the
+    small side by contract); each fact row deterministically picks one
+    salt bucket, so a hot key's fact rows spread across ``n_salt``
+    shuffle partitions instead of one. Output = plain inner join.
+    """
+    salts = F.explode(
+        F.sequence(F.lit(0), F.lit(n_salt - 1))
+    ).alias("_salt")
+    dim_rep = dim.select("*", salts)
+    fact_salted = fact.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salt)),
+    )
+    joined = fact_salted.join(dim_rep, [key, "_salt"], "inner")
+    return joined.drop("_salt")

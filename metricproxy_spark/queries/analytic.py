@@ -216,3 +216,62 @@ def analytic_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id").alias("approx_users"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@register(
+    "analytic_salted_agg",
+    oracle=f"""
+    SELECT l_returnflag,
+           count(*) AS n,
+           {dsum_sql('l_extendedprice')} AS sum_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def analytic_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6 skew technique: two-phase salted aggregation. l_returnflag
+    has 3 values over the whole fact table — the canonical hot-key agg.
+    Salting fans each key over 16 reducers in phase 1; the phase-2
+    combine touches <= 16 partials per key. Result (and oracle) are the
+    plain GROUP BY — algebraic aggregates are exact under the split."""
+    from metricproxy_spark.operators.scale import salted_sum_count
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return salted_sum_count(
+        li,
+        keys=["l_returnflag"],
+        sum_cols={"sum_price": "l_extendedprice"},
+        count_alias="n",
+        n_salt=16,
+    )
+
+
+@register(
+    "analytic_salted_join",
+    oracle=f"""
+    SELECT n_name AS nation,
+           count(*) AS n_customers,
+           {dsum_sql('c_acctbal')} AS sum_acctbal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def analytic_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6 skew technique: salted replicate join. customer⋈nation is the
+    classic skewed-dim shape (25 nation keys, millions of customers per
+    key at scale); the dim side replicates x8 and each fact row salts
+    deterministically, spreading every hot key over 8 shuffle
+    partitions. Output identical to the plain join (oracle)."""
+    from metricproxy_spark.operators.scale import salted_join
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nk"), "c_acctbal"
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nk"), "n_name"
+    )
+    joined = salted_join(cust, nat, key="nk", n_salt=8)
+    return joined.groupBy(F.col("n_name").alias("nation")).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        dsum("c_acctbal").alias("sum_acctbal"),
+    )
