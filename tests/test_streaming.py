@@ -252,3 +252,73 @@ def test_observed_metrics_match_counts(spark, tmp_path):
     stats = pipe.run_available_now(str(tmp_path / "ckpt"))
     assert stats["datapoints_in"] == 80
     assert stats.get("observed_datapoints") == 80
+
+
+def test_counter_to_rate_v2_parity(spark, tmp_path):
+    """T6 on transformWithStateInPandas (RocksDB state store): same
+    output as the applyInPandasWithState implementation, including the
+    reset suppression, across 3 micro-batches."""
+    from metricproxy_spark.streaming.stateful_v2 import (
+        HAS_TWS,
+        ROCKSDB_PROVIDER,
+        counter_to_rate_v2,
+    )
+
+    if not HAS_TWS:
+        pytest.skip(
+            "transformWithStateInPandas needs Spark>=4.0 AND the "
+            "google.protobuf package (its state-server protocol); "
+            "absent in this container"
+        )
+    src_dir = str(tmp_path / "src")
+    rows = [
+        ("m", "2026-01-01 00:00:00", 0.0),
+        ("m", "2026-01-01 00:01:00", 10.0),
+        ("m", "2026-01-01 00:02:00", 20.0),
+        ("m", "2026-01-01 00:03:00", 5.0),   # reset
+        ("m", "2026-01-01 00:04:00", 15.0),
+        ("n", "2026-01-01 00:00:00", 100.0),
+        ("n", "2026-01-01 00:02:00", 160.0),
+    ]
+    _write_parquet_stream_src(
+        spark, rows, "metric string, ts_s string, value double",
+        src_dir, n_files=3,
+    )
+    old = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+    )
+    try:
+        stream = read_stream_table(spark, src_dir, max_files_per_trigger=1)
+        rates = counter_to_rate_v2(
+            stream.withColumn("ts", F.to_timestamp("ts_s"))
+        )
+        name = "t_c2r_v2"
+        q = (
+            rates.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {
+            (r.metric, str(r.ts)): round(r.rate, 6)
+            for r in spark.table(name).collect()
+        }
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", old
+            )
+    assert got == {
+        ("m", "2026-01-01 00:01:00"): round(10 / 60, 6),
+        ("m", "2026-01-01 00:02:00"): round(10 / 60, 6),
+        ("m", "2026-01-01 00:04:00"): round(10 / 60, 6),
+        ("n", "2026-01-01 00:02:00"): round(60 / 120, 6),
+    }
