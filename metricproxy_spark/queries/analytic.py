@@ -275,3 +275,59 @@ def analytic_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_customers"),
         dsum("c_acctbal").alias("sum_acctbal"),
     )
+
+
+@register(
+    "analytic_pivot",
+    oracle=f"""
+    SELECT CAST(user_id % 20 AS BIGINT) AS user_bucket,
+           {dsum_sql("CASE WHEN event_type = 'click' THEN value END")} AS click,
+           {dsum_sql("CASE WHEN event_type = 'view' THEN value END")} AS view,
+           {dsum_sql("CASE WHEN event_type = 'purchase' THEN value END")} AS purchase
+    FROM events
+    GROUP BY 1
+    """,
+)
+def analytic_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X10/X3 pivot: long -> wide per-type value sums with an explicit
+    pivot column list (bounded width — the unbounded form needs a
+    distinct-scan first, which Spark's pivot() does implicitly; always
+    pass the list at scale). Oracle is the CASE-aggregation twin."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("user_bucket", (F.col("user_id") % 20).cast("bigint"))
+        .groupBy("user_bucket")
+        .pivot("event_type", ["click", "view", "purchase"])
+        .agg(F.sum(F.col("value").cast("decimal(27,4)")).cast("double"))
+    )
+
+
+@register(
+    "analytic_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, measure, val FROM (
+        SELECT l_orderkey, l_linenumber,
+               'price' AS measure, l_extendedprice AS val FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM lineitem
+    ) u
+    """,
+)
+def analytic_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 unpivot (wide -> long, the C3 normalization shape on a fact
+    table): three measure columns melt into (measure, val) rows via
+    unpivot/stack — one scan, no shuffle, fan-out 3x in the projection."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "val",
+    ).withColumn(
+        "measure",
+        F.when(F.col("measure") == "l_extendedprice", "price")
+        .when(F.col("measure") == "l_discount", "discount")
+        .otherwise("tax"),
+    )
