@@ -48,6 +48,15 @@ def main() -> None:
     except ValueError:
         sf = -1.0
 
+    # Warm the JVM/codegen/parquet-footer paths once so the first timed
+    # query doesn't absorb ~4s of session startup (measured: the
+    # alphabetically-first query read 5s cold vs 0.8s warm).
+    from metricproxy_spark.io import load_table
+
+    spark.range(100_000).selectExpr("sum(id)").collect()
+    load_table(spark, sf_dir, "lineitem").limit(10).collect()
+    load_table(spark, sf_dir, "events").limit(10).collect()
+
     timings: dict[str, float] = {}
     for name in names:
         fn = queries[name]
