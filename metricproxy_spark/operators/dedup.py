@@ -177,6 +177,77 @@ def minhash_near_dup_pairs(
     )
 
 
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 15,
+) -> DataFrame:
+    """Distributed connected components by min-label propagation — the
+    step that turns near-dup *pairs* into dedup *clusters* (keep
+    min-id per component, drop the rest).
+
+    Each iteration: every node takes min(own label, neighbors' labels);
+    converged when no label changes. Iterations needed = component
+    diameter (near-dup clusters are dense, so a handful); each
+    iteration is one join + one aggregation, fully distributed, with
+    ``localCheckpoint`` truncating the lineage so the plan doesn't grow
+    across iterations (the standard Spark iterative pattern — same
+    shape GraphX/GraphFrames CC uses). The per-iteration convergence
+    count is a deliberate driver-side scalar, not a data collect.
+
+    Returns (``id_col``, component_id) for every node (singletons map
+    to themselves).
+    """
+    labels = nodes.select(
+        F.col(id_col).alias("_nid"), F.col(id_col).alias("_label")
+    ).localCheckpoint(eager=True)
+    sym = (
+        edges.select(
+            F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")
+        )
+        .unionByName(
+            edges.select(
+                F.col(dst_col).alias("_src"), F.col(src_col).alias("_dst")
+            )
+        )
+        .dropDuplicates(["_src", "_dst"])
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym["_src"] == labels["_nid"])
+            .groupBy("_dst")
+            .agg(F.min("_label").alias("_nmin"))
+        )
+        new_labels = (
+            labels.join(
+                neighbor_min, labels["_nid"] == neighbor_min["_dst"], "left"
+            )
+            .select(
+                "_nid",
+                F.least(
+                    F.col("_label"), F.coalesce("_nmin", F.col("_label"))
+                ).alias("_label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "_nid")
+            .filter(F.col("n._label") != F.col("o._label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("_nid").alias(id_col), F.col("_label").alias("component_id")
+    )
+
+
 def word_hashes(text_col: Column | str) -> Column:
     """xxhash64 of each distinct word — stage this as its own projection
     before feeding :func:`simhash_from_hashes` (see CollapseProject note

@@ -109,3 +109,60 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rows-only check; semantics unit-tested with planted duplicates."""
     docs = load_table(spark, sf_dir, "documents")
     return simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=8)
+
+
+@register(
+    "dedup_components",
+    oracle="""
+    WITH RECURSIVE ws AS (
+        SELECT doc_id, lang,
+               list_distinct(string_split(lower(trim(text)), ' ')) AS words
+        FROM documents
+    ), pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM ws a JOIN ws b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+              / CAST(len(list_distinct(list_concat(a.words, b.words))) AS DOUBLE)
+              >= 0.5
+    ), edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs
+    ), reach(u, v) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    )
+    SELECT u AS doc_id, min(v) AS component_id FROM reach GROUP BY u
+    """,
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 end-to-end: near-dup pairs (exact Jaccard >= 0.5 within lang,
+    via the prefix-filter similarity join) -> connected components by
+    distributed min-label propagation -> (doc_id, component_id); dedup
+    keeps component_id == doc_id rows. The oracle computes the same
+    components with a recursive-CTE reachability closure — agreement
+    proves the iterative distributed labeling converged to the exact
+    transitive closure, singletons included."""
+    from metricproxy_spark.operators.dedup import (
+        connected_components,
+        prefix_similarity_join,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    ws = docs.select(
+        "doc_id",
+        "lang",
+        F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), " ")).alias(
+            "words"
+        ),
+    )
+    pairs = prefix_similarity_join(
+        ws, "doc_id", "words", threshold=0.5, block_col="lang"
+    )
+    return connected_components(
+        docs.select("doc_id"),
+        pairs,
+        id_col="doc_id",
+        src_col="id_a",
+        dst_col="id_b",
+    )

@@ -201,3 +201,25 @@ def test_blas_topk_matches_fold_topk(spark):
         for r in cosine_topk_blas(q, emb, k=3).collect()
     }
     assert a == b and len(a) == 12
+
+
+def test_connected_components_chain_and_singleton(spark):
+    """Transitivity across a 6-node chain (diameter 5 — exercises
+    multiple propagation iterations), plus two-node island and a
+    singleton."""
+    from metricproxy_spark.operators.dedup import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(9)], "id long")
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (7, 8)],
+        "src long, dst long",
+    )
+    got = {
+        (r.id, r.component_id)
+        for r in connected_components(nodes, edges).collect()
+    }
+    assert got == {
+        (0, 0), (1, 0), (2, 0), (3, 0), (4, 0), (5, 0),
+        (6, 6),            # singleton
+        (7, 7), (8, 7),    # island
+    }
