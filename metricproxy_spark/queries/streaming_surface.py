@@ -317,7 +317,10 @@ def _write_range_split(
 
     # approxQuantile is numeric-only: quantile on a double ordinal
     # (timestamp casts to epoch seconds) and range-filter on it.
-    ordd = df.withColumn("_ord", F.col(order_col).cast("double"))
+    # Cache: the input plan is re-read by the quantile probe plus one
+    # write per range file — without this the upstream agg recomputes
+    # num_files+1 times.
+    ordd = df.withColumn("_ord", F.col(order_col).cast("double")).cache()
     probs = [i / num_files for i in range(1, num_files)]
     cuts = ordd.approxQuantile("_ord", probs, 0.0)
     bounds = [None, *cuts, None]
@@ -334,6 +337,7 @@ def _write_range_split(
         for root, _dirs, files in os.walk(path):
             for f in files:
                 os.utime(os.path.join(root, f), (base + i, base + i))
+    ordd.unpersist()
 
 
 @register(
