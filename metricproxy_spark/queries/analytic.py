@@ -331,3 +331,30 @@ def analytic_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("measure") == "l_discount", "discount")
         .otherwise("tax"),
     )
+
+
+@register(
+    "analytic_percentiles",
+    oracle="""
+    SELECT event_type,
+           quantile_cont(value, 0.25) AS p25,
+           quantile_cont(value, 0.5) AS p50,
+           quantile_cont(value, 0.75) AS p75,
+           max(value) AS vmax
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def analytic_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X10 exact percentiles: interpolated quantiles per group. Spark's
+    percentile() and DuckDB's quantile_cont share the same linear-
+    interpolation definition over sorted exact doubles, so the values
+    hash-match (no summation-order hazard — only an ordered selection
+    plus one interpolation)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile("value", 0.25).alias("p25"),
+        F.percentile("value", 0.5).alias("p50"),
+        F.percentile("value", 0.75).alias("p75"),
+        F.max("value").alias("vmax"),
+    )

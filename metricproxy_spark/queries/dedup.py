@@ -166,3 +166,47 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         src_col="id_a",
         dst_col="id_b",
     )
+
+
+@register(
+    "dedup_levenshtein",
+    oracle="""
+    WITH keyed AS (
+        SELECT doc_id, lang, lower(trim(text)) AS t,
+               substr(lower(trim(text)), 1, 12) AS pfx
+        FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           levenshtein(substr(a.t, 1, 60), substr(b.t, 1, 60)) AS edit_dist
+    FROM keyed a JOIN keyed b
+      ON a.lang = b.lang AND a.pfx = b.pfx AND a.doc_id < b.doc_id
+    WHERE levenshtein(substr(a.t, 1, 60), substr(b.t, 1, 60)) <= 10
+    """,
+)
+def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 (edit-distance flavor): near-dup pairs by Levenshtein <= 10
+    over 60-char prefixes, blocked on (lang, 12-char prefix) — prefix
+    blocking bounds the pair space the same way LSH bands do, and the
+    O(n*m) distance only runs inside blocks. Integer distances make the
+    oracle trivially exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        "lang",
+        F.lower(F.trim(F.col("text"))).alias("t"),
+        F.substring(F.lower(F.trim(F.col("text"))), 1, 12).alias("pfx"),
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.pfx") == F.col("b.pfx"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("id_a"),
+        F.col("b.doc_id").alias("id_b"),
+        F.levenshtein(
+            F.substring(F.col("a.t"), 1, 60), F.substring(F.col("b.t"), 1, 60)
+        ).alias("edit_dist"),
+    )
+    return pairs.filter(F.col("edit_dist") <= 10)

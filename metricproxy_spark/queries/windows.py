@@ -150,3 +150,33 @@ def analytic_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("new_session").alias("n_sessions"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@register(
+    "analytic_range_frame",
+    oracle=f"""
+    SELECT o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,4))) OVER (
+               PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+               RANGE BETWEEN 604800 PRECEDING AND 604800 FOLLOWING
+           ) AS DOUBLE) AS weekly_neighborhood_spend
+    FROM orders
+    """,
+)
+def analytic_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X14 rangeBetween: per order, the customer's total spend within a
+    +/-7-day event-time neighborhood — a RANGE frame over epoch seconds
+    (vs the rowsBetween running totals elsewhere). Decimal-exact sum."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-604800, 604800)
+    )
+    return orders.select(
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(27,4)"))
+        .over(w)
+        .cast("double")
+        .alias("weekly_neighborhood_spend"),
+    )
