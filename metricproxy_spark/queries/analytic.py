@@ -358,3 +358,62 @@ def analytic_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("value", 0.75).alias("p75"),
         F.max("value").alias("vmax"),
     )
+
+
+@register(
+    "analytic_exact_moments",
+    oracle="""
+    WITH sums AS (
+        SELECT event_type,
+               CAST(count(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(15,6))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(user_id % 100 AS DECIMAL(15,6))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(value AS DECIMAL(15,6)) * CAST(value AS DECIMAL(15,6))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(user_id % 100 AS DECIMAL(15,6)) * CAST(user_id % 100 AS DECIMAL(15,6))) AS DOUBLE) AS syy,
+               CAST(SUM(CAST(value AS DECIMAL(15,6)) * CAST(user_id % 100 AS DECIMAL(15,6))) AS DOUBLE) AS sxy
+        FROM events GROUP BY event_type
+    )
+    SELECT event_type,
+           round((sxx - sx * sx / n) / (n - 1), 9) AS var_value,
+           round(sqrt((sxx - sx * sx / n) / (n - 1)), 9) AS stddev_value,
+           round((sxy - sx * sy / n) / (n - 1), 9) AS covar_vu,
+           round((sxy - sx * sy / n)
+                 / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 9) AS corr_vu
+    FROM sums
+    """,
+)
+def analytic_exact_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X10 statistical aggregates, reproducibly: var/stddev/covar/corr
+    are order-DEPENDENT if computed with the builtin double aggregates
+    (partial-aggregation order differs run to run and engine to
+    engine). Here the distributed pass accumulates exact DECIMAL power
+    sums (n, Σx, Σy, Σx², Σy², Σxy) — map-side combinable, one shuffle
+    — and the moments are derived per group from those exact inputs
+    with one identical double formula on both engines. This is the
+    pattern for any reproducible distributed statistic."""
+    ev = load_table(spark, sf_dir, "events")
+    x = F.col("value").cast("decimal(15,6)")
+    y = (F.col("user_id") % 100).cast("decimal(15,6)")
+    sums = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return sums.select(
+        "event_type",
+        F.round((sxx - sx * sx / n) / (n - 1), 9).alias("var_value"),
+        F.round(F.sqrt((sxx - sx * sx / n) / (n - 1)), 9).alias(
+            "stddev_value"
+        ),
+        F.round((sxy - sx * sy / n) / (n - 1), 9).alias("covar_vu"),
+        F.round(
+            (sxy - sx * sy / n)
+            / F.sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)),
+            9,
+        ).alias("corr_vu"),
+    )
