@@ -417,3 +417,44 @@ def analytic_exact_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("corr_vu"),
     )
+
+
+@register(
+    "analytic_pandas_median",
+    oracle="""
+    SELECT event_type,
+           quantile_cont(value, 0.5) AS median_value,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def analytic_pandas_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.9 UDF surface: grouped-map applyInPandas. Each group arrives
+    as one pandas DataFrame (Arrow transfer); the kernel computes the
+    interpolated median — a sorted SELECTION, not a summation, so the
+    result is order-independent and hash-matches quantile_cont despite
+    crossing the Python boundary. The grouped-map shape is the escape
+    hatch for per-entity logic Catalyst can't express (model scoring,
+    per-series fitting); groups must individually fit in executor
+    memory — partitioned by the groupBy key, nothing else collects."""
+    import pandas as pd
+
+    from metricproxy_spark.io import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+
+    def median_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "median_value": [
+                    pdf["value"].quantile(0.5, interpolation="linear")
+                ],
+                "n": [len(pdf)],
+            }
+        )
+
+    return ev.groupBy("event_type").applyInPandas(
+        median_kernel, "event_type string, median_value double, n bigint"
+    )

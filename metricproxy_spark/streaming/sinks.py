@@ -5,6 +5,16 @@ File-backed forms are the test/driver surface; the SignalFx forwarder
 takes an injectable ``transport`` so a real deployment can POST the
 serialized payloads (the HTTP client itself is out of scope here — no
 network in this environment).
+
+Delivery semantics: ``foreachBatch`` is AT-LEAST-ONCE across restarts —
+a batch whose source offsets were not yet committed replays with the
+same ``batch_id`` (demonstrated in
+tests/test_streaming.py::test_checkpoint_resume_idempotent_sink_exactly_once).
+The append-mode writers here therefore match the reference forwarders'
+at-least-once posture; for effective exactly-once, key the write by
+``batch_id`` (e.g. write to ``{path}/batch={batch_id}`` with overwrite,
+or an idempotent upsert) — the ProxyPipeline hands every writer the id
+for exactly this purpose.
 """
 
 from __future__ import annotations

@@ -322,3 +322,49 @@ def test_counter_to_rate_v2_parity(spark, tmp_path):
         ("m", "2026-01-01 00:04:00"): round(10 / 60, 6),
         ("n", "2026-01-01 00:02:00"): round(60 / 120, 6),
     }
+
+
+def test_checkpoint_resume_idempotent_sink_exactly_once(spark, tmp_path):
+    """F6 + the real exactly-once contract: foreachBatch is
+    AT-LEAST-ONCE across restarts (a batch whose offsets weren't yet
+    committed replays with the SAME batch_id), so a sink must be
+    idempotent keyed by batch_id — then restart-from-checkpoint yields
+    effective exactly-once. The test kills the query mid-run, restarts
+    from the same checkpoint, observes the replay, and verifies the
+    batch_id-keyed sink still lands on exactly the full input."""
+    import time as _time
+
+    src_dir = str(tmp_path / "src")
+    rows = [(i, float(i)) for i in range(90)]
+    _write_parquet_stream_src(
+        spark, rows, "id long, value double", src_dir, n_files=3
+    )
+    ckpt = str(tmp_path / "ckpt")
+    by_batch: dict[int, int] = {}   # idempotent: replay overwrites
+    deliveries: list[int] = []      # raw delivery log (may have dups)
+
+    def sink(df, batch_id):
+        n = df.count()
+        deliveries.append(n)
+        by_batch[batch_id] = n
+
+    # Phase 1: stop as soon as the first batch has landed (its offsets
+    # may not be committed yet — that is the point).
+    stream = read_stream_table(spark, src_dir, max_files_per_trigger=1)
+    pipe = ProxyPipeline(source=stream, sinks=[SinkSpec("s", sink)])
+    [q] = pipe.start(ckpt, available_now=True)
+    while not deliveries and q.isActive:
+        _time.sleep(0.05)
+    q.stop()
+    q.awaitTermination()
+    assert deliveries  # at least one batch delivered before the kill
+
+    # Phase 2: fresh query, same checkpoint -> offsets resume; an
+    # uncommitted batch replays under its original batch_id.
+    stream2 = read_stream_table(spark, src_dir, max_files_per_trigger=1)
+    pipe2 = ProxyPipeline(source=stream2, sinks=[SinkSpec("s", sink)])
+    for q2 in pipe2.start(ckpt, available_now=True):
+        q2.awaitTermination()
+
+    assert sum(by_batch.values()) == 90      # exactly-once, idempotent view
+    assert sum(deliveries) >= 90             # raw channel: at-least-once
