@@ -150,6 +150,75 @@ def cosine_topk_blas(
     )
 
 
+def embedding_near_dup_pairs(
+    vectors: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, score) for
+    every pair with cosine ≥ threshold (unit-norm vectors ⇒ dot).
+
+    Shape: the corpus matrix is broadcast once; each partition matmuls
+    its rows against it and emits only above-threshold pairs with
+    id_a < id_b — an O(n²/p) compute sweep per executor but O(matches)
+    shuffle output. Fits corpora whose matrix fits executor memory
+    (64-dim float64 × 10M rows ≈ 5 GB); beyond that, pre-block with
+    IVF buckets (:func:`assign_centroids`) or random-hyperplane signs
+    (SimHash on embeddings) and run this within blocks.
+    """
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from metricproxy_spark.io import ensure_package_on_workers
+
+    spark = vectors.sparkSession
+    ensure_package_on_workers(spark)
+    vpd = vectors.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+    ).toPandas()
+    all_ids = vpd["_id"].to_numpy()
+    all_mat = np.vstack(vpd["_v"].to_numpy()).astype("float64")
+    bv = spark.sparkContext.broadcast((all_ids, all_mat))
+
+    import pyspark.sql.types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    t = float(threshold)
+
+    def sweep(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_all, M = bv.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows_ids = pdf["_id"].to_numpy()
+            R = np.vstack(pdf["_v"].to_numpy()).astype("float64")
+            S = np.round(R @ M.T, 6)  # (rows, corpus)
+            ri, ci = np.nonzero(S >= t)
+            ia, ib = rows_ids[ri], ids_all[ci]
+            keep = ia < ib  # canonical order + drops self-pairs
+            if keep.any():
+                yield pd.DataFrame(
+                    {
+                        "id_a": ia[keep],
+                        "id_b": ib[keep],
+                        "score": S[ri[keep], ci[keep]],
+                    }
+                )
+
+    return vectors.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+    ).mapInPandas(sweep, out_schema)
+
+
 def assign_centroids(
     vectors: DataFrame,
     centroids: DataFrame,

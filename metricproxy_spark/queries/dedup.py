@@ -210,3 +210,32 @@ def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("edit_dist"),
     )
     return pairs.filter(F.col("edit_dist") <= 10)
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.e, b.e), 6) AS score
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.e, b.e), 6) >= 0.4
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 (embedding flavor): near-similar pairs with cosine >= 0.4
+    (this synthetic corpus is near-orthogonal — max pairwise cosine is
+    ~0.51 at sf0.01 — so the threshold sits where real neighbor pairs
+    exist) over unit-norm embeddings — one broadcast corpus matrix, one BLAS
+    matmul per partition, only matches shuffled. Oracle is the
+    quadratic crossjoin twin; 6dp rounding on both sides removes the
+    last-ulp hazard between BLAS and list_dot_product summation
+    orders."""
+    from metricproxy_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, threshold=0.4)
