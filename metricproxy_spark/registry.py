@@ -41,6 +41,7 @@ _QUERY_MODULES = (
     "metricproxy_spark.queries.similarity",
     "metricproxy_spark.queries.text",
     "metricproxy_spark.queries.streaming_surface",
+    "metricproxy_spark.queries.cdc",
 )
 
 _loaded = False
