@@ -88,6 +88,40 @@ def _bump_mtimes(path: str, seq: int) -> None:
             os.utime(os.path.join(root, f), (base + seq, base + seq))
 
 
+def rate_datapoints(
+    spark: SparkSession,
+    rows_per_second: int = 1000,
+    num_partitions: int = 4,
+) -> DataFrame:
+    """Synthetic live stream in canonical datapoint shape, from the
+    built-in ``rate`` source — the zero-dependency stand-in for a real
+    listener when demoing latency/throughput (each row: a gauge point
+    whose value is its sequence number). Useful for soak-testing a
+    ProxyPipeline without staged files; unbounded, so drive it with a
+    processing-time trigger and stop explicitly."""
+    from pyspark.sql import functions as F
+
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", str(rows_per_second))
+        .option("numPartitions", str(num_partitions))
+        .load()
+    )
+    return rate.select(
+        F.concat(
+            F.lit("rate.metric."), (F.col("value") % 10).cast("string")
+        ).alias("metric"),
+        F.col("value").cast("double").alias("value"),
+        F.lit(None).cast("string").alias("value_str"),
+        F.col("timestamp").alias("ts"),
+        F.lit("gauge").alias("metric_type"),
+        F.create_map(
+            F.lit("source"), F.lit("rate")
+        ).alias("dimensions"),
+        F.create_map().cast("map<string,string>").alias("meta"),
+    )
+
+
 def read_stream_table(
     spark: SparkSession,
     src_dir: str,
