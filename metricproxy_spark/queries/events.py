@@ -74,3 +74,118 @@ def events_type_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("min_value"),
         F.max("value").alias("max_value"),
     )
+
+
+@register(
+    "events_multires_rollup",
+    oracle=f"""
+    SELECT event_type,
+           date_trunc('day', ts) AS day_ts,
+           CASE WHEN GROUPING(date_trunc('hour', ts)) = 0
+                THEN date_trunc('hour', ts) END AS hour_ts,
+           CASE WHEN GROUPING(date_trunc('hour', ts)) = 0
+                THEN 'hour' ELSE 'day' END AS resolution,
+           count(*) AS n_events,
+           {dsum_sql('value')} AS sum_value
+    FROM events
+    GROUP BY GROUPING SETS (
+        (event_type, date_trunc('day', ts), date_trunc('hour', ts)),
+        (event_type, date_trunc('day', ts))
+    )
+    """,
+)
+def events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup: hourly AND daily
+    aggregates of the same stream in ONE pass via grouping sets — the
+    continuous-aggregate shape time-series stores maintain, here a
+    single Expand + hash-agg (each input row expands to its 2 grouping
+    rows map-side; the shuffle carries only partial aggregates, so at
+    100 TB the cost is ~2× the single-resolution rollup, not 2 scans).
+    A `resolution` discriminator + GROUPING() guard keeps the schema
+    flat and the oracle exact."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("mp_events_rollup")
+    return spark.sql(
+        f"""
+        SELECT event_type,
+               date_trunc('day', ts) AS day_ts,
+               CASE WHEN GROUPING(date_trunc('hour', ts)) = 0
+                    THEN date_trunc('hour', ts) END AS hour_ts,
+               CASE WHEN GROUPING(date_trunc('hour', ts)) = 0
+                    THEN 'hour' ELSE 'day' END AS resolution,
+               count(*) AS n_events,
+               {dsum_sql('value')} AS sum_value
+        FROM mp_events_rollup
+        GROUP BY GROUPING SETS (
+            (event_type, date_trunc('day', ts), date_trunc('hour', ts)),
+            (event_type, date_trunc('day', ts))
+        )
+        """
+    )
+
+
+@register(
+    "events_gapfill_ffill",
+    oracle=f"""
+    WITH agg AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+               {dsum_sql('value')} AS hour_sum
+        FROM events GROUP BY 1, 2
+    ), b AS (
+        SELECT event_type, min(hour_ts) AS mn, max(hour_ts) AS mx
+        FROM agg GROUP BY 1
+    ), spine AS (
+        SELECT event_type,
+               unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hour_ts
+        FROM b
+    ), j AS (
+        SELECT s.event_type, s.hour_ts, a.hour_sum
+        FROM spine s LEFT JOIN agg a
+          ON s.event_type = a.event_type AND s.hour_ts = a.hour_ts
+    )
+    SELECT event_type, hour_ts,
+           (hour_sum IS NULL) AS is_gap,
+           last_value(hour_sum IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY hour_ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled_sum
+    FROM j
+    """,
+)
+def events_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: generate the dense hourly spine per
+    series (sequence+explode — spine size is bounded by time range ×
+    series count, independent of event volume), left-join the real
+    hourly rollups, then forward-fill gaps with `last(...) ignore
+    nulls` over an ordered window — the standard monitoring-system
+    "connect the line across missing scrapes" semantics (and the
+    LOCF interpolation a hypertable's gappy rollup needs). One
+    shuffle for the rollup, one broadcast-able spine join, one
+    window."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_ts")
+    ).agg(dsum("value").alias("hour_sum"))
+    bounds = agg.groupBy("event_type").agg(
+        F.min("hour_ts").alias("mn"), F.max("hour_ts").alias("mx")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(
+            F.expr("sequence(mn, mx, interval 1 hour)")
+        ).alias("hour_ts"),
+    )
+    joined = spine.join(agg, ["event_type", "hour_ts"], "left")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "event_type",
+        "hour_ts",
+        F.col("hour_sum").isNull().alias("is_gap"),
+        F.last("hour_sum", ignorenulls=True).over(w).alias("filled_sum"),
+    )
