@@ -88,6 +88,29 @@ def _bump_mtimes(path: str, seq: int) -> None:
             os.utime(os.path.join(root, f), (base + seq, base + seq))
 
 
+def carbon_socket_stream(
+    spark: SparkSession, host: str, port: int
+) -> DataFrame:
+    """S1 live form: the carbon TCP listener as Spark's socket source →
+    C1 line parse → canonical datapoint columns. The reference accepts
+    TCP connections and scans newline-delimited ``name value ts`` lines
+    [P: protocol/carbon/carbonlistener.go — Listener]; the socket
+    source delivers exactly those lines as a streaming 'value' column.
+    Dev/demo source (no replay, at-most-once) — production uses the
+    Kafka or file slot; the parse/normalize chain is byte-identical
+    across all three."""
+    from metricproxy_spark.sources.carbon import parse_carbon_lines
+
+    lines = (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", port)
+        .load()
+        .withColumnRenamed("value", "line")
+    )
+    return parse_carbon_lines(lines, "line")
+
+
 def rate_datapoints(
     spark: SparkSession,
     rows_per_second: int = 1000,
