@@ -259,3 +259,155 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     frames = sample_frame_offsets(docs, "duration_ms", frame_interval_ms=1000)
     return extract_frame_features(frames)
+
+
+@register(
+    "text_tfidf",
+    oracle="""
+    WITH docs_n AS (
+        SELECT count(*) AS n FROM documents
+    ), terms AS (
+        SELECT doc_id,
+               unnest(string_split(lower(trim(text)), ' ')) AS term
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, term, count(*) AS term_count
+        FROM terms GROUP BY doc_id, term
+    ), totals AS (
+        SELECT doc_id, sum(term_count) AS doc_terms FROM tf GROUP BY doc_id
+    ), dfreq AS (
+        SELECT term, count(*) AS docs_with FROM tf GROUP BY term
+    )
+    SELECT tf.doc_id, tf.term,
+           round(CAST(tf.term_count AS DOUBLE)
+                 / CAST(totals.doc_terms AS DOUBLE), 9) AS tf,
+           round(ln(CAST(n AS DOUBLE) / CAST(docs_with AS DOUBLE)), 6)
+               AS idf,
+           round(round(CAST(tf.term_count AS DOUBLE)
+                       / CAST(totals.doc_terms AS DOUBLE), 9)
+                 * round(ln(CAST(n AS DOUBLE) / CAST(docs_with AS DOUBLE)), 6),
+                 6) AS tfidf
+    FROM tf
+    JOIN totals USING (doc_id)
+    JOIN dfreq USING (term)
+    CROSS JOIN docs_n
+    """,
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: full TF-IDF matrix (doc_id, term, tf, idf, tfidf) computed
+    with two hash aggregations and two joins — the document-frequency
+    side is vocabulary-sized and broadcast, the corpus count rides in
+    as a 1-row cross join (no driver collect). ln() is rounded to 6dp
+    on both engines before the product so libm last-ulp differences
+    cannot reach the hash; the product is rounded again at 6dp."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n"))
+    terms = docs.select(
+        "doc_id", F.explode(words_of("text")).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("term_count")
+    )
+    totals = tf.groupBy("doc_id").agg(
+        F.sum("term_count").alias("doc_terms")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("docs_with"))
+    tf_col = F.round(
+        F.col("term_count").cast("double")
+        / F.col("doc_terms").cast("double"),
+        9,
+    )
+    idf_col = F.round(
+        F.log(
+            F.col("n").cast("double") / F.col("docs_with").cast("double")
+        ),
+        6,
+    )
+    return (
+        tf.join(totals, "doc_id")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            tf_col.alias("tf"),
+            idf_col.alias("idf"),
+            F.round(tf_col * idf_col, 6).alias("tfidf"),
+        )
+    )
+
+
+@register(
+    "pipeline_training_data",
+    oracle="""
+    WITH surv AS (
+        SELECT min(doc_id) AS doc_id
+        FROM documents GROUP BY lower(trim(text))
+    ), feat AS (
+        SELECT d.doc_id, d.lang,
+               len(string_split(lower(trim(d.text)), ' ')) AS n_words,
+               CAST(length(regexp_replace(lower(trim(d.text)),
+                                          '[^a-z]', '', 'g')) AS DOUBLE)
+                 / CAST(length(lower(trim(d.text))) AS DOUBLE) AS alpha,
+               len(regexp_extract_all(lower(trim(d.text)),
+                                      '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
+                 AS n_tokens
+        FROM documents d JOIN surv USING (doc_id)
+    ), kept AS (
+        SELECT *,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY n_words DESC, doc_id ASC
+               ) AS quality_rank
+        FROM feat
+        WHERE n_words >= 5 AND alpha >= 0.5
+    )
+    SELECT lang, doc_id, n_words, n_tokens, quality_rank
+    FROM kept WHERE quality_rank <= 50
+    """,
+)
+def pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end LLM training-data curation in one declarative plan:
+    exact dedup (survivor = min doc_id per normalized text) -> quality
+    gate (word count + alpha ratio) -> tokenizer budget count (BPE-ish
+    regex tokens) -> per-language top-50 selection by length. This is
+    the composition the individual L1/L4 operators exist for; one
+    dedup shuffle, one narrow feature projection, one window — every
+    stage partition-scalable, no Python."""
+    docs = load_table(spark, sf_dir, "documents")
+    surv = docs.groupBy(
+        F.lower(F.trim(F.col("text"))).alias("_norm")
+    ).agg(F.min("doc_id").alias("doc_id")).drop("_norm")
+    norm = F.lower(F.trim(F.col("text")))
+    feat = (
+        docs.join(surv, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            F.size(F.split(norm, " ")).alias("n_words"),
+            (
+                F.length(F.regexp_replace(norm, "[^a-z]", "")).cast("double")
+                / F.length(norm).cast("double")
+            ).alias("alpha"),
+            F.size(
+                F.regexp_extract_all(
+                    norm, F.lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), 0
+                )
+            ).cast("bigint").alias("n_tokens"),
+        )
+        .filter((F.col("n_words") >= 5) & (F.col("alpha") >= 0.5))
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("n_words").desc(), F.col("doc_id").asc()
+    )
+    return (
+        feat.withColumn("quality_rank", F.row_number().over(w))
+        .filter(F.col("quality_rank") <= 50)
+        .select(
+            "lang",
+            "doc_id",
+            F.col("n_words").cast("bigint").alias("n_words"),
+            "n_tokens",
+            "quality_rank",
+        )
+    )
