@@ -220,7 +220,20 @@ def stream_counter_to_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     _write_range_split(counters, "ts", src_dir, num_files=4)
     stream = read_stream_table(spark, src_dir, max_files_per_trigger=1)
     rates = counter_to_rate(stream)
-    return _run_to_memory(rates, os.path.join(wd, "ckpt"), mode="append")
+    # The stateful shuffle keys on `metric` (a handful of distinct
+    # values): 32 shuffle partitions would spin 32 state-store dirs +
+    # Python workers PER MICRO-BATCH for mostly-empty partitions.
+    # Scope the partition count to the key cardinality for this query
+    # only (state-partition count is fixed at first checkpoint, so
+    # this also keeps restarts consistent). ~3s saved of a 9s query.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        return _run_to_memory(
+            rates, os.path.join(wd, "ckpt"), mode="append"
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 @register(
