@@ -297,13 +297,46 @@ def stream_fanout_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("stream_session_stats")
+@register(
+    "stream_session_stats",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         IS NULL
+                    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+    ), g AS (
+        SELECT *, SUM(brk) OVER (
+            PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING
+        ) AS sid
+        FROM s
+    ), sess AS (
+        SELECT user_id,
+               min(ts) AS session_start,
+               max(ts) + INTERVAL 30 MINUTE AS session_end,
+               count(*) AS n_events
+        FROM g GROUP BY user_id, sid
+    )
+    SELECT session_start, session_end, user_id, n_events
+    FROM sess,
+         (SELECT make_timestamp(epoch_ms(max(ts))*1000 - 60000000) AS wm
+          FROM events) w
+    WHERE session_end < wm
+    """,
+)
 def stream_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T3/T4: session windows (30-min gap per user) over the stream with
-    a watermark. Rows-only check: append mode only emits sessions closed
-    by the final watermark, so the exact row set depends on the
-    watermark's end-of-stream position — semantics unit-tested against
-    the batch sessionizer in tests/test_streaming.py."""
+    a watermark, run as a REAL append-mode streaming query. Append mode
+    emits exactly the sessions the final watermark closed, and with the
+    deterministic single-file replay that set is itself exact SQL: the
+    oracle sessionizes (lag >= gap breaks, cumulative-sum ids), builds
+    [min(ts), max(ts)+gap) windows, and keeps those ending strictly
+    before the end-of-stream watermark (max event time, ms-floored,
+    minus the 1-minute delay). Hash agreement proves BOTH the session
+    merge semantics and the watermark eviction boundary."""
     wd = _workdir()
     src = stage_stream_source(
         spark, sf_dir, "events", os.path.join(wd, "src")
