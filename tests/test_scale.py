@@ -42,6 +42,77 @@ def test_salted_join_equals_plain_join(spark):
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
 
 
+def _executed_plan(df) -> str:
+    df.count()  # let AQE finalize so the plan reflects reality
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+class TestPlanDiscipline:
+    """Explain-plan assertions for the newest operators: the plan we
+    designed is the plan Catalyst actually runs (L6 review pass)."""
+
+    def test_tfidf_broadcasts_small_sides(self, spark, sf_dir):
+        from metricproxy_spark.registry import QUERIES, load_all
+
+        load_all()
+        plan = _executed_plan(QUERIES["text_tfidf"](spark, sf_dir))
+        assert "BroadcastHashJoin" in plan, plan
+        assert "CartesianProduct" not in plan, plan
+
+    def test_bitmask_similarity_is_equi_join(self, spark):
+        """The degenerate-vocab fast path must plan an equi-join on the
+        block key (hash/merge), never a nested-loop cartesian."""
+        from metricproxy_spark.operators.dedup import (
+            prefix_similarity_join,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (i, "en", ["w%d" % (i % 5), "w%d" % ((i + 1) % 5), "x"])
+                for i in range(200)
+            ],
+            "doc_id long, lang string, words array<string>",
+        )
+        pairs = prefix_similarity_join(
+            df, "doc_id", "words", threshold=0.5, block_col="lang"
+        )
+        plan = _executed_plan(pairs)
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoop" not in plan, plan
+
+    def test_cdc_merge_is_single_window_shuffle(self, spark):
+        """merge_upsert = union + one window: exactly one Exchange on
+        the merge key, no join operators at all."""
+        from metricproxy_spark.operators.cdc import merge_upsert
+
+        base = spark.createDataFrame(
+            [(i, "b", 0, 0) for i in range(100)],
+            "k long, v string, ts long, seq long",
+        )
+        changes = spark.createDataFrame(
+            [(i, "c", 1, 0) for i in range(50)],
+            "k long, v string, ts long, seq long",
+        )
+        out = merge_upsert(base, changes, ["k"], ["ts", "seq"])
+        plan = _executed_plan(out)
+        assert "Join" not in plan, plan
+        n_exchanges = plan.count("Exchange hashpartitioning")
+        assert n_exchanges == 1, f"{n_exchanges} exchanges:\n{plan}"
+
+    def test_scan_prunes_columns_for_narrow_query(self, spark, sf_dir):
+        """Column pruning reaches the parquet scan: a 2-column query
+        over documents must not read the text-heavy columns."""
+        from metricproxy_spark.io import load_table
+
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang"
+        )
+        plan = _executed_plan(docs.groupBy("lang").count())
+        # Catalyst prunes past the select: only the grouping column
+        # reaches the scan.
+        assert "ReadSchema: struct<lang:string>" in plan, plan
+
+
 def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     """Bucketing both sides on the join key co-locates them at write
     time: the sort-merge join then needs NO Exchange — at 100 TB this
