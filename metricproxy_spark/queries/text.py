@@ -411,3 +411,46 @@ def pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
             "quality_rank",
         )
     )
+
+
+@register(
+    "text_shingle_udtf",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, string_split(lower(trim(text)), ' ') AS words
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(i - 1 AS INT) AS pos,
+           array_to_string(list_slice(words, i, i + 2), ' ') AS shingle
+    FROM w, unnest(generate_series(1, len(words) - 2)) AS t(i)
+    WHERE len(words) >= 3
+    """,
+)
+def text_shingle_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.9 UDTF surface: word 3-shingle expansion as a Python UDTF in
+    a SQL LATERAL join — the one genuinely table-function-shaped op in
+    the inventory (variable rows-per-input with positional state).
+    Note the engine's hot dedup paths use the Catalyst higher-order
+    equivalent (operators/dedup.py word_shingles) — this query proves
+    the extension API end-to-end (pickled class shipped to workers,
+    LATERAL correlation, schema contract), value-checked against the
+    same expansion in plain SQL."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, shingle string")
+    class Shingle3:
+        def eval(self, text: str):
+            words = text.lower().strip().split(" ")
+            for i in range(len(words) - 2):
+                yield i, " ".join(words[i : i + 3])
+
+    spark.udtf.register("mp_shingle3", Shingle3)
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("mp_docs_udtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.pos, s.shingle
+        FROM mp_docs_udtf d, LATERAL mp_shingle3(d.text) s
+        """
+    )
