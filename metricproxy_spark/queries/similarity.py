@@ -138,7 +138,16 @@ def sim_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver. Rows-only check (iterative fixpoint has no SQL twin);
     convergence on planted clusters is unit-tested."""
     emb = load_table(spark, sf_dir, "embeddings")
-    centroids = train_kmeans(emb, k=8, max_iter=5)
+    # Iteration aggregates are k*d-row shapes: scope the shuffle width
+    # to them for the training loop (restored after), like the
+    # stateful-stream query does. On a real cluster this is the
+    # "small-agg stage" partition sizing rule, not a data change.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        centroids = train_kmeans(emb, k=8, max_iter=5)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     from metricproxy_spark.operators.kmeans import assign
 
     return assign(emb, centroids, "vec_id", "embedding").select(
