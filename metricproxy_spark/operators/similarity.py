@@ -219,6 +219,48 @@ def embedding_near_dup_pairs(
     ).mapInPandas(sweep, out_schema)
 
 
+def embedding_near_dup_pairs_blocked(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    threshold: float,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs, IVF-blocked — the shape that survives
+    corpora whose matrix does NOT fit executor memory (the broadcast
+    sweep's limit): assign every vector to its ``nprobe`` nearest
+    centroids, equi-join within buckets only, verify with the exact
+    dot product. Pair space shrinks from n² to Σ bucket², shuffle is
+    one hash partition on centroid_id; recall < 1 only for pairs whose
+    members share no probed bucket (raise nprobe or train more
+    centroids to trade cost for recall — recall is unit-tested against
+    the exact sweep)."""
+    assigned = assign_centroids(
+        vectors, centroids, id_col, vec_col, nprobe=nprobe
+    ).select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        "centroid_id",
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    t = float(threshold)
+    return (
+        a.join(
+            b,
+            (F.col("a.centroid_id") == F.col("b.centroid_id"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.round(dot(F.col("a._v"), F.col("b._v")), 6).alias("score"),
+        )
+        .filter(F.col("score") >= t)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def assign_centroids(
     vectors: DataFrame,
     centroids: DataFrame,

@@ -458,3 +458,91 @@ def analytic_pandas_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").applyInPandas(
         median_kernel, "event_type string, median_value double, n bigint"
     )
+
+
+@register(
+    "analytic_table_profile",
+    oracle="""
+    SELECT 'l_quantity' AS col_name, count(*) AS n_rows,
+           count(*) - count(l_quantity) AS n_nulls,
+           count(DISTINCT l_quantity) AS n_distinct,
+           CAST(min(l_quantity) AS VARCHAR) AS min_repr,
+           CAST(max(l_quantity) AS VARCHAR) AS max_repr
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_returnflag', count(*), count(*) - count(l_returnflag),
+           count(DISTINCT l_returnflag),
+           CAST(min(l_returnflag) AS VARCHAR),
+           CAST(max(l_returnflag) AS VARCHAR)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_linestatus', count(*), count(*) - count(l_linestatus),
+           count(DISTINCT l_linestatus),
+           CAST(min(l_linestatus) AS VARCHAR),
+           CAST(max(l_linestatus) AS VARCHAR)
+    FROM lineitem
+    """,
+)
+def analytic_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling utility (the "describe" a pipeline runs before
+    trusting a new drop): per-column row/null/distinct counts + min/max
+    reprs, one row per profiled column. One scan per column family via
+    a single multi-aggregate pass each — count(distinct) is the only
+    expand; min/max cast to string so heterogeneous columns stack into
+    one schema. At 100 TB: swap exact distinct for HLL per column and
+    this same shape streams."""
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def profile(col: str) -> DataFrame:
+        return li.agg(
+            F.lit(col).alias("col_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.count(F.lit(1)) - F.count(col)).alias("n_nulls"),
+            F.countDistinct(col).alias("n_distinct"),
+            F.min(col).cast("string").alias("min_repr"),
+            F.max(col).cast("string").alias("max_repr"),
+        )
+
+    out = profile("l_quantity")
+    for c in ("l_returnflag", "l_linestatus"):
+        out = out.unionByName(profile(c))
+    return out
+
+
+@register(
+    "analytic_histogram",
+    oracle="""
+    WITH b AS (
+        SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+        FROM lineitem
+    ), binned AS (
+        SELECT least(CAST(floor((l_extendedprice - lo) / ((hi - lo) / 20.0))
+                         AS BIGINT), 19) AS bucket
+        FROM lineitem, b
+    )
+    SELECT bucket, count(*) AS n
+    FROM binned GROUP BY bucket
+    """,
+)
+def analytic_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (20 buckets) over l_extendedprice: min/max
+    ride in as a 1-row broadcast cross join (no driver collect), bucket
+    index is pure arithmetic, the final agg shuffles 20 keys. The
+    two-pass shape (bounds, then binning) is the standard distributed
+    histogram; bucket arithmetic is IEEE-identical across engines so
+    the oracle is exact without rounding tricks."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    bounds = li.agg(
+        F.min("l_extendedprice").alias("lo"),
+        F.max("l_extendedprice").alias("hi"),
+    )
+    binned = li.crossJoin(F.broadcast(bounds)).select(
+        F.least(
+            F.floor(
+                (F.col("l_extendedprice") - F.col("lo"))
+                / ((F.col("hi") - F.col("lo")) / 20.0)
+            ).cast("bigint"),
+            F.lit(19).cast("bigint"),
+        ).alias("bucket")
+    )
+    return binned.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))

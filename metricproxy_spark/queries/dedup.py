@@ -239,3 +239,27 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return embedding_near_dup_pairs(emb, threshold=0.4)
+
+
+@register("dedup_embedding_blocked")
+def dedup_embedding_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 (embedding flavor, scale path): IVF-blocked near-similar
+    pairs — k-means-trained centroids bucket the corpus, pairs form
+    only within probed buckets (nprobe=2). Rows-only check
+    (approximate recall by construction); recall vs. the exact
+    broadcast sweep is unit-tested in tests/test_llm_ops.py."""
+    from metricproxy_spark.operators.kmeans import train_kmeans
+    from metricproxy_spark.operators.similarity import (
+        embedding_near_dup_pairs_blocked,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        centroids = train_kmeans(emb, k=8, max_iter=3)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return embedding_near_dup_pairs_blocked(
+        emb, centroids, threshold=0.4, nprobe=2
+    )

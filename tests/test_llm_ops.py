@@ -223,3 +223,32 @@ def test_connected_components_chain_and_singleton(spark):
         (6, 6),            # singleton
         (7, 7), (8, 7),    # island
     }
+
+
+def test_blocked_near_dup_recall_vs_exact_sweep(spark, sf_dir):
+    """IVF-blocked near-dup pairs must be a subset of the exact
+    broadcast-sweep pairs (no false positives — scores are exact) with
+    recall above a floor on the fixture corpus."""
+    from metricproxy_spark.io import load_table
+    from metricproxy_spark.operators.kmeans import train_kmeans
+    from metricproxy_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+        embedding_near_dup_pairs_blocked,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(emb, threshold=0.4).collect()
+    }
+    cents = train_kmeans(emb, k=8, max_iter=3)
+    blocked = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs_blocked(
+            emb, cents, threshold=0.4, nprobe=2
+        ).collect()
+    }
+    assert blocked <= exact  # verification is exact -> no false pairs
+    if exact:
+        recall = len(blocked) / len(exact)
+        assert recall >= 0.5, f"recall {recall:.2f} over {len(exact)} pairs"
