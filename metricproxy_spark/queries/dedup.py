@@ -257,7 +257,7 @@ def dedup_embedding_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        centroids = train_kmeans(emb, k=8, max_iter=3)
+        centroids = train_kmeans(emb, k=8, max_iter=2)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return embedding_near_dup_pairs_blocked(
