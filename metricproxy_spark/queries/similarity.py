@@ -153,3 +153,92 @@ def sim_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assign(emb, centroids, "vec_id", "embedding").select(
         "vec_id", "centroid_id"
     )
+
+
+@register(
+    "sim_quantize_int8",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv
+        FROM embeddings
+    ), scaled AS (
+        SELECT vec_id, dv,
+               list_max(list_transform(dv, x -> abs(x))) / 127.0 AS scale
+        FROM v
+    ), q AS (
+        SELECT vec_id, scale,
+               list_transform(dv, x -> CAST(round(x / scale, 0) AS INT)) AS qv,
+               dv
+        FROM scaled
+    )
+    SELECT vec_id,
+           CAST(len(qv) AS INT) AS n_dims,
+           round(scale, 9) AS scale,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(qv, x -> CAST(x AS BIGINT))),
+               (a, b) -> a + b) AS sum_q,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(qv, x -> CAST(x AS BIGINT) * CAST(x AS BIGINT))),
+               (a, b) -> a + b) AS sum_q2,
+           round(list_max(list_transform(dv,
+               x -> abs(x - round(x / scale, 0) * scale))), 9)
+             AS max_abs_err
+    FROM q
+    """,
+)
+def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 storage path: per-vector symmetric int8 scalar quantization
+    (scale = max|x|/127) with exact integer invariants (sum, sum of
+    squares) and the max reconstruction error. Everything is a per-row
+    Catalyst higher-order-function projection — no shuffle, no Python —
+    so at 100 TB this is a map-only pass that cuts the embedding store
+    4x before the IVF index is built. The staged .select()s keep
+    CollapseProject from re-embedding the quantized array expression
+    into every consumer (the minhash lesson)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dv = F.transform("embedding", lambda x: x.cast("double"))
+    staged = emb.select("vec_id", dv.alias("dv"))
+    scaled = staged.select(
+        "vec_id",
+        "dv",
+        (
+            F.array_max(F.transform("dv", F.abs)) / F.lit(127.0)
+        ).alias("scale"),
+    )
+    q = scaled.select(
+        "vec_id",
+        "dv",
+        "scale",
+        F.transform(
+            "dv", lambda x: F.round(x / F.col("scale"), 0).cast("int")
+        ).alias("qv"),
+    )
+    # max_abs_err must see the UNROUNDED scale: Spark 4's lateral column
+    # alias resolution would bind F.col("scale") to a sibling
+    # round(scale, 9).alias("scale") in the same select, so the error
+    # fold is staged before the display rounding.
+    erred = q.select(
+        "vec_id",
+        "scale",
+        "qv",
+        F.array_max(
+            F.zip_with(
+                "dv",
+                "qv",
+                lambda d, qi: F.abs(d - qi.cast("double") * F.col("scale")),
+            )
+        ).alias("raw_err"),
+    )
+    zero = F.lit(0).cast("bigint")
+    return erred.select(
+        "vec_id",
+        F.size("qv").alias("n_dims"),
+        F.round("scale", 9).alias("scale"),
+        F.aggregate(
+            "qv", zero, lambda a, x: a + x.cast("bigint")
+        ).alias("sum_q"),
+        F.aggregate(
+            "qv", zero, lambda a, x: a + x.cast("bigint") * x.cast("bigint")
+        ).alias("sum_q2"),
+        F.round("raw_err", 9).alias("max_abs_err"),
+    )

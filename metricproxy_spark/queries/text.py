@@ -414,6 +414,96 @@ def pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipeline_train_test_split",
+    oracle="""
+    SELECT doc_id, lang,
+           CAST((doc_id * 2654435761) % 4294967296 AS BIGINT) AS h,
+           CAST(((doc_id * 2654435761) % 4294967296) % 10 AS INT) AS bucket,
+           CASE WHEN ((doc_id * 2654435761) % 4294967296) % 10 < 8 THEN 'train'
+                WHEN ((doc_id * 2654435761) % 4294967296) % 10 = 8 THEN 'valid'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def pipeline_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic, engine-reproducible train/valid/test split (80/10/10)
+    via the Knuth multiplicative hash ``(id * 2654435761) mod 2^32`` —
+    the assignment is a pure projection (no shuffle, no sample()), stable
+    across runs/engines/partitionings, which is what a training pipeline
+    needs so that re-runs never leak test docs into train. At 100 TB this
+    is a map-only stage; for non-integer keys swap in xxhash64(key) (same
+    shape, rows-only oracle since DuckDB lacks xxhash64)."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    bucket = (h % 10).cast("int")
+    return docs.select(
+        "doc_id",
+        "lang",
+        h.cast("bigint").alias("h"),
+        bucket.alias("bucket"),
+        F.when(bucket < 8, F.lit("train"))
+        .when(bucket == 8, F.lit("valid"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+@register(
+    "pipeline_pack_sequences",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               len(regexp_extract_all(lower(trim(text)),
+                                      '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_tokens
+        FROM documents
+    ), cum AS (
+        SELECT doc_id, n_tokens,
+               COALESCE(sum(n_tokens) OVER (
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS tokens_before
+        FROM toks
+    )
+    SELECT doc_id, n_tokens,
+           CAST(tokens_before // 512 AS BIGINT) AS seq_id,
+           CAST(tokens_before % 512 AS BIGINT) AS seq_offset
+    FROM cum
+    """,
+)
+def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for LLM training: assign each doc a target
+    training-sequence id by running token budget (512 tokens) over a
+    deterministic doc order. Implemented as one unbounded-preceding
+    window sum — docs may straddle a boundary (the pack step splits
+    them), which keeps the op a single sort-based window instead of a
+    sequential greedy scan. At scale: range-partition by doc_id so the
+    global order window becomes per-range windows + a small prefix-sum
+    fixup of per-range totals (documented here; single window is optimal
+    at test SF)."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.col("text")))
+    toks = docs.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(norm, F.lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), 0)
+        ).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = toks.withColumn(
+        "tokens_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    return cum.select(
+        "doc_id",
+        "n_tokens",
+        F.floor(F.col("tokens_before") / 512).cast("bigint").alias("seq_id"),
+        (F.col("tokens_before") % 512).cast("bigint").alias("seq_offset"),
+    )
+
+
+@register(
     "text_shingle_udtf",
     oracle="""
     WITH w AS (

@@ -252,3 +252,58 @@ def test_blocked_near_dup_recall_vs_exact_sweep(spark, sf_dir):
     if exact:
         recall = len(blocked) / len(exact)
         assert recall >= 0.5, f"recall {recall:.2f} over {len(exact)} pairs"
+
+
+def test_train_test_split_deterministic_and_disjoint(spark, sf_dir):
+    """The multiplicative-hash split must be stable across runs and
+    partition counts, cover every doc exactly once, and land near
+    80/10/10."""
+    from metricproxy_spark.registry import QUERIES, load_all
+
+    load_all()
+
+    fn = QUERIES["pipeline_train_test_split"]
+    a = {r["doc_id"]: r["split"] for r in fn(spark, sf_dir).collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in fn(spark, sf_dir).repartition(13).collect()
+    }
+    assert a == b  # partitioning-independent assignment
+    n = len(a)
+    frac_train = sum(1 for s in a.values() if s == "train") / n
+    assert 0.6 <= frac_train <= 0.95
+    assert set(a.values()) <= {"train", "valid", "test"}
+
+
+def test_pack_sequences_budget_invariants(spark, sf_dir):
+    """seq_offset is tokens_before mod budget; seq ids are contiguous
+    non-decreasing in doc order and every offset is < budget."""
+    from metricproxy_spark.registry import QUERIES, load_all
+
+    load_all()
+
+    rows = sorted(
+        QUERIES["pipeline_pack_sequences"](spark, sf_dir).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    cum = 0
+    for r in rows:
+        assert r["seq_id"] == cum // 512
+        assert r["seq_offset"] == cum % 512
+        cum += r["n_tokens"]
+
+
+def test_quantize_int8_bounds(spark, sf_dir):
+    """Quantized magnitudes stay within int8 and reconstruction error
+    is bounded by half a quantization step."""
+    from metricproxy_spark.registry import QUERIES, load_all
+
+    load_all()
+
+    rows = QUERIES["sim_quantize_int8"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # sum_q2 <= n_dims * 127^2 bounds every |q| <= 127 in aggregate;
+        # the max reconstruction error of round() is scale/2 (+ float fuzz)
+        assert r["sum_q2"] <= r["n_dims"] * 127 * 127
+        assert r["max_abs_err"] <= r["scale"] / 2 + 1e-9
