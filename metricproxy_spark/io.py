@@ -87,3 +87,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def spread(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Normalize parallelism before a CPU-heavy narrow transform.
+
+    A parquet scan yields one partition per ~maxPartitionBytes of input,
+    so a small (or unsplittable, e.g. gzip) file parses on ONE core no
+    matter how wide the cluster is. When the source produced fewer
+    splits than the cluster has slots, a round-robin repartition (a few
+    MB over the wire) buys a cores-wide stage for the expensive
+    JSON/protobuf/string work that follows. At 100 TB the scan already
+    produces thousands of splits and this is a no-op — the guard keeps
+    it from injecting a shuffle where the source is already wide."""
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

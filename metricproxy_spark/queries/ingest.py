@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from metricproxy_spark.io import load_table
+from metricproxy_spark.io import load_table, spread
 from metricproxy_spark.registry import register
 from metricproxy_spark.sources.carbon import (
     commakeys_deconstruct,
@@ -82,7 +82,7 @@ _CARBON_LINE_SQL = """
 def ingest_carbon_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C1: carbon line parse incl. int→float→string value fallback and
     count-and-drop of invalid lines."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = spread(load_table(spark, sf_dir, "events"), spark)
     lines = ev.select(_carbon_line().alias("line"))
     return parse_carbon_lines(lines).select(
         "metric", "value", "value_str", "epoch_s", "metric_type"
@@ -142,7 +142,7 @@ def ingest_carbon_commakeys(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ingest_carbon_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C7/K2: carbon→carbon raw-line passthrough (byte-identical via
     meta) vs. re-serialization from parsed fields."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = spread(load_table(spark, sf_dir, "events"), spark)
     lines = ev.select(_carbon_line(valid_only=True).alias("line"))
     parsed = parse_carbon_lines(lines)
     return parsed.select(
@@ -179,7 +179,7 @@ def ingest_carbon_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ingest_collectd_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6+C2: collectd write_http JSON → one datapoint per values[i],
     with type[.type_instance][.dsname] naming and dstype mapping."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = spread(load_table(spark, sf_dir, "events"), spark)
     body = F.to_json(
         F.array(
             F.struct(
@@ -236,7 +236,7 @@ def ingest_collectd_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ingest_sfx_v2_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2+C3: SignalFx v2 JSON body keyed by metric type → flat tagged
     datapoint stream (per-key explode + unionByName)."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = spread(load_table(spark, sf_dir, "events"), spark)
     point = F.struct(
         F.concat(F.col("event_type"), F.lit(".rate")).alias("metric"),
         F.col("value").alias("value"),
@@ -284,7 +284,7 @@ def ingest_sfx_v2_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ingest_sfx_v1_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S4+S5: v1 newline-JSON points enriched with the metric-type
     registry via broadcast join (T7 stream-static join shape)."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = spread(load_table(spark, sf_dir, "events"), spark)
     line = F.to_json(
         F.struct(
             F.col("event_type").alias("metric"),
@@ -460,7 +460,9 @@ def ingest_sfx_protobuf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
     ensure_package_on_workers(spark)
-    events = load_table(spark, sf_dir, "events").select(
+    # Both codec legs are Python-side: without spread() the single-file
+    # scan hands ONE Arrow batch stream to ONE Python worker.
+    events = spread(load_table(spark, sf_dir, "events"), spark).select(
         F.concat(F.lit("events."), F.col("event_type")).alias("metric"),
         F.col("value"),
         (F.unix_micros("ts") / 1000).cast("long").alias("ts_ms"),

@@ -8,7 +8,7 @@ Because Spark's batch/streaming semantics are unified and the file
 replay is deterministic, the DuckDB oracle can check the *streamed*
 result exactly — the strongest correctness statement available for the
 streaming path. ``stream_counter_to_rate`` exercises cross-batch
-operator state (applyInPandasWithState) with 4 time-ordered
+operator state (applyInPandasWithState) with 3 time-ordered
 micro-batches; its oracle is the ``lag()`` window twin.
 
 The fan-out query drives the ProxyPipeline (demux → counters → K1/K2/K3
@@ -189,8 +189,8 @@ def stream_counter_to_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Stage: build a monotone cumulative counter per event_type (running
     event count sampled per minute — unique event-time per key), split
-    it into 4 time-ranged files, and replay with maxFilesPerTrigger=1 so
-    the stateful operator sees 4 micro-batches in event-time order and
+    it into 3 time-ranged files, and replay with maxFilesPerTrigger=1 so
+    the stateful operator sees 3 micro-batches in event-time order and
     must carry (last_ts, last_value) across them in GroupState. The
     oracle is the batch lag() twin — agreement proves the state handoff
     is exact, not just row counts."""
@@ -217,7 +217,7 @@ def stream_counter_to_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     src_dir = os.path.join(wd, "src")
     os.makedirs(src_dir, exist_ok=True)
-    _write_range_split(counters, "ts", src_dir, num_files=4)
+    _write_range_split(counters, "ts", src_dir, num_files=3)
     stream = read_stream_table(spark, src_dir, max_files_per_trigger=1)
     rates = counter_to_rate(stream)
     # The stateful shuffle keys on `metric` (a handful of distinct
