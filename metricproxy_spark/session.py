@@ -52,7 +52,12 @@ def get_spark(
         # Bounded broadcasts only (L6): keep default 10 MB threshold; dim
         # tables (region/nation/part at test SFs) fall under it, fact
         # tables never should.
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local[N] puts driver + all executor threads + block manager in ONE
+        # JVM; an 8g heap left the 80-query bench GC-bound in its back half
+        # (sim_*/stream_* ran 2-4x their isolated times — measured 151s vs
+        # 87s total at sf0.01 for 8g vs 32g). On a real cluster the driver
+        # carries no executor blocks, so its memory is set by cluster conf.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
