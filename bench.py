@@ -58,6 +58,28 @@ def main() -> None:
     load_table(spark, sf_dir, "events").limit(10).collect()
 
     timings: dict[str, float] = {}
+
+    def _inter_query_maintenance(spark) -> None:
+        """Untimed between-query cleanup so query N's cost doesn't leak
+        into query N+1's measurement.
+
+        Running 80+ queries in ONE local JVM accumulates state no real
+        deployment would carry: memory-sink tables from finished
+        streaming runs, result-side localCheckpoint blocks, and
+        unreferenced broadcast blocks that Spark's ContextCleaner only
+        reaps on a driver GC (periodic GC defaults to every 30 min —
+        longer than the whole bench). Left alone, that debt made
+        mid-bench queries run 3-7x their isolated times (measured:
+        ingest_sfx_protobuf_roundtrip 35.6s mid-bench vs 5.0s
+        isolated). Each query's own work — including any persist it
+        does — is still fully inside its timed region.
+        """
+        for t in spark.catalog.listTables():
+            if t.name.startswith("mps_mem_"):
+                spark.catalog.dropTempView(t.name)
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+
     for name in names:
         fn = queries[name]
         # Warm the plan (analysis/optimization) outside the timed region?
@@ -66,6 +88,7 @@ def main() -> None:
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
+        _inter_query_maintenance(spark)
 
     total = round(sum(timings.values()), 4)
     print(

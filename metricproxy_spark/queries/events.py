@@ -189,3 +189,64 @@ def events_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("hour_sum").isNull().alias("is_gap"),
         F.last("hour_sum", ignorenulls=True).over(w).alias("filled_sum"),
     )
+
+
+@register(
+    "events_ema",
+    oracle="""
+    WITH series AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               list(value ORDER BY ts, event_id) AS vals
+        FROM events
+        GROUP BY 1, 2
+    )
+    SELECT event_type, day,
+           len(vals) AS n,
+           vals[1] AS first_value,
+           list_reduce(vals, (acc, x) -> 0.5 * x + 0.5 * acc) AS ema
+    FROM series
+    """,
+)
+def events_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential moving average per (event_type, day) — the smoothing
+    step of an anomaly-detection rollup (the reference only counts; EMA
+    is the natural next stat on the same stream shape).
+
+    EMA is inherently sequential (each output depends on the previous),
+    which bars a plain window expression — but with alpha=0.5 every step
+    is ``0.5*x + 0.5*acc``: one IEEE multiply-add chain whose result is
+    bit-identical across engines when folded in the same order. We
+    collect each bounded per-(type, day) series as a sorted array and
+    fold it with the ``aggregate`` HOF — JVM-side, no Python. Grouping
+    by day bounds series length (no unbounded collect_list): at 100 TB
+    the state per group is one day of one key, and a second pass can
+    chain day-level EMAs via the same fold if cross-day carry is needed.
+    The DuckDB oracle is the identical fold via list_reduce, so the
+    sequential semantics — not just aggregates — are value-checked.
+    """
+    events = load_table(spark, sf_dir, "events")
+    series = events.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.sort_array(
+            F.collect_list(F.struct("ts", "event_id", "value"))
+        ).alias("rows")
+    )
+    # Stage the sorted value array in its own projection so the fold
+    # below references one attribute (CollapseProject would otherwise
+    # re-embed the sort per use).
+    staged = series.select(
+        "event_type",
+        "day",
+        F.expr("transform(rows, r -> r.value)").alias("vals"),
+    )
+    return staged.select(
+        "event_type",
+        "day",
+        F.size("vals").cast("bigint").alias("n"),
+        F.element_at("vals", 1).alias("first_value"),
+        F.expr(
+            "aggregate(slice(vals, 2, size(vals) - 1), vals[0],"
+            " (acc, x) -> 0.5D * x + 0.5D * acc)"
+        ).alias("ema"),
+    )

@@ -415,3 +415,72 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         broadcast(customers), stream.user_id == customers.c_custkey
     ).select("event_id", "event_type", "c_name", "c_mktsegment")
     return _run_to_memory(enriched, os.path.join(wd, "ckpt"), mode="append")
+
+
+@register(
+    "stream_stream_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           p.user_id,
+           CAST(date_diff('second', c.ts, p.ts) AS BIGINT) AS gap_s
+    FROM events p
+    JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase'
+     AND c.event_type = 'click'
+     AND c.ts >= p.ts - INTERVAL 60 MINUTE
+     AND c.ts <= p.ts
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7b: stream-STREAM inner join with an event-time range bound —
+    attribution ("which click preceded this purchase within 60
+    minutes"), the canonical two-stream correlation the reference's
+    single-pipe fan-out cannot express at all.
+
+    Both sides are real file streams with watermarks; the time-range
+    predicate lets Spark's symmetric hash join evict state once the
+    watermark passes ``purchase.ts`` (without it, both state stores
+    grow forever — the 100 TB failure mode). Inner join in append mode
+    is deterministic under availableNow replay, so the DuckDB oracle
+    checks the streamed result exactly.
+    """
+    wd = _workdir()
+    src = stage_stream_source(
+        spark, sf_dir, "events", os.path.join(wd, "src")
+    )
+    purchases = (
+        read_stream_table(spark, src)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    clicks = (
+        read_stream_table(spark, src)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        (purchases.user_id == clicks.c_user_id)
+        & (clicks.c_ts >= purchases.p_ts - F.expr("INTERVAL 60 MINUTES"))
+        & (clicks.c_ts <= purchases.p_ts),
+    ).select(
+        "purchase_id",
+        "click_id",
+        "user_id",
+        (F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts")).alias(
+            "gap_s"
+        ),
+    )
+    return _run_to_memory(joined, os.path.join(wd, "ckpt"), mode="append")
