@@ -69,3 +69,57 @@ def cdc_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("last_event_type"),
         F.col("value").alias("last_value"),
     )
+
+
+@register(
+    "cdc_incremental_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,4))) AS DOUBLE) AS total,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,4))) AS DOUBLE) / count(*) AS avg_price
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: a materialized per-priority
+    revenue rollup kept current by MERGING delta partials into a base
+    snapshot instead of recomputing over the full table.
+
+    Base = orders before the cutoff, aggregated once (the "nightly
+    snapshot"); delta = orders after it, aggregated alone (tiny); the
+    refresh is a union of the two partial-aggregate tables and a
+    re-aggregation over |keys| rows — cost proportional to the DELTA,
+    not the 100 TB base, because count and decimal-sum are commutative
+    monoids and avg is derived sum/count at the end (never averaged
+    across partials). The oracle aggregates the whole table in one
+    pass: equality proves the merge algebra, which is what makes
+    incremental refresh safe to run forever.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit("1997-06-01").cast("timestamp")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(27,4)")).alias(
+                "sum_dec"
+            ),
+        )
+
+    base = partial(orders.filter(F.col("o_orderdate") < cutoff))
+    delta = partial(orders.filter(F.col("o_orderdate") >= cutoff))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("n").alias("n"), F.sum("sum_dec").alias("sum_dec")
+        )
+    )
+    return merged.select(
+        "o_orderpriority",
+        "n",
+        F.col("sum_dec").cast("double").alias("total"),
+        (F.col("sum_dec").cast("double") / F.col("n")).alias("avg_price"),
+    )

@@ -497,3 +497,39 @@ def ingest_sfx_protobuf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
         "metric_type",
         F.col("dimensions")["user_id"].alias("dim_user_id"),
     )
+
+
+@register(
+    "ingest_variant_props",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
+           CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k_dbl,
+           json_extract_string(props, '$.k') AS k_str,
+           (json_extract_string(props, '$.k') IS NULL) AS k_missing
+    FROM events
+    """,
+)
+def ingest_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3+/X23+: semi-structured payload ingest through Spark 4's
+    VARIANT type — ``parse_json`` once into the binary variant
+    encoding, then typed ``variant_get`` path extraction.
+
+    This is the scale-correct way to keep the reference's open
+    ``Properties map[string]any`` payloads queryable: VARIANT parses
+    the JSON text ONCE at ingest into a shredded binary form, and every
+    downstream path access is a cheap binary probe instead of a
+    re-parse (``get_json_object`` re-parses the string per call — the
+    X23 query does it that way for contrast). The oracle extracts the
+    same paths with DuckDB's JSON functions, value-checking the typed
+    extraction semantics (int/double/string/missing).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select("event_id", F.parse_json("props").alias("v"))
+    return v.select(
+        "event_id",
+        F.try_variant_get("v", "$.k", "bigint").alias("k_int"),
+        F.try_variant_get("v", "$.k", "double").alias("k_dbl"),
+        F.try_variant_get("v", "$.k", "string").alias("k_str"),
+        F.try_variant_get("v", "$.k", "string").isNull().alias("k_missing"),
+    )

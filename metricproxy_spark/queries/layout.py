@@ -1,0 +1,165 @@
+"""Data-layout & sampling queries — scale infrastructure the 100 TB
+deployment needs around the engine proper (SURVEY §3.8 L6 extensions).
+
+- Z-order clustering keys: multi-column data skipping. Sorting a fact
+  table by the Morton (bit-interleaved) code of two keys makes every
+  parquet row-group cover a narrow RANGE of BOTH columns, so min/max
+  row-group stats prune scans on either predicate — the technique
+  Delta/Iceberg expose as ``OPTIMIZE ZORDER BY``. The query computes
+  the codes and proves the locality property the layout would deliver.
+- Deterministic stratified sampling: per-stratum rates via a
+  multiplicative hash — reproducible across engines/runs/partitions
+  (``sample()``/``TABLESAMPLE`` are not), which is what dataset
+  downsampling needs when train/eval splits must be stable.
+
+Both are pure map-side projections/aggregations: no shuffle beyond the
+final small agg, no Python, engine-portable integer arithmetic (the
+DuckDB oracle runs the identical bit math).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from metricproxy_spark.io import load_table
+from metricproxy_spark.registry import register
+
+# Morton spread: insert a 0 bit between consecutive bits of a 16-bit
+# int (classic magic-number bit twiddling, public domain technique).
+_SPREAD_STEPS = (
+    (8, 0x00FF00FF),
+    (4, 0x0F0F0F0F),
+    (2, 0x33333333),
+    (1, 0x55555555),
+)
+
+
+def _spread_sql(col: str) -> str:
+    """One SQL expression string spreading ``col``'s low 16 bits —
+    identical text works in Spark SQL and DuckDB (both support
+    ``&``/``|``/``<<`` on BIGINT)."""
+    e = f"({col} & 65535)"
+    for shift, mask in _SPREAD_STEPS:
+        e = f"(({e} | ({e} << {shift})) & {mask})"
+    return e
+
+
+def zorder_key(x: str, y: str) -> str:
+    """SQL expression for the 32-bit Morton code interleaving two
+    16-bit keys: z = spread(x) | spread(y) << 1."""
+    return f"({_spread_sql(x)} | ({_spread_sql(y)} << 1))"
+
+
+@register(
+    "layout_zorder_stats",
+    oracle=f"""
+    WITH ext AS (
+        SELECT max(l_partkey) + 1 AS pmax, max(l_suppkey) + 1 AS smax
+        FROM lineitem
+    ), grid AS (
+        SELECT (l_partkey * 65536) // pmax AS gx,
+               (l_suppkey * 65536) // smax AS gy
+        FROM lineitem, ext
+    ), coded AS (
+        SELECT gx, gy, {zorder_key('gx', 'gy')} AS z FROM grid
+    )
+    SELECT CAST(z >> 22 AS BIGINT) AS z_bucket,
+           count(*) AS n,
+           min(gx) AS min_x, max(gx) AS max_x,
+           min(gy) AS min_y, max(gy) AS max_y
+    FROM coded
+    GROUP BY 1
+    """,
+)
+def layout_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering codes over (l_partkey, l_suppkey),
+    aggregated per would-be file bucket (top 10 bits of the code).
+
+    Keys are first quantized onto a 16-bit grid by their max (the
+    rank-range quantization every ZORDER writer does, here via one
+    scalar-aggregated broadcast row), then bit-interleaved — 4
+    shift-mask steps per key, whole-stage-codegen'd. The per-bucket
+    min/max bounds ARE the row-group stats a writer sorted by ``z``
+    would produce: every bucket covers ≤ 1/32 of BOTH key domains, so
+    a predicate on EITHER key prunes ~31/32 of the files — the
+    multi-dimensional analogue of partition pruning, and the layout
+    step that makes 100 TB interactive. The identical interleave
+    expression text runs in DuckDB, so the code values (not just the
+    shape) are oracle-checked.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    ext = li.agg(
+        (F.max("l_partkey") + 1).alias("pmax"),
+        (F.max("l_suppkey") + 1).alias("smax"),
+    )
+    grid = li.crossJoin(F.broadcast(ext)).select(
+        F.expr("(l_partkey * 65536) div pmax").alias("gx"),
+        F.expr("(l_suppkey * 65536) div smax").alias("gy"),
+    )
+    coded = grid.select(
+        "gx", "gy", F.expr(zorder_key("gx", "gy")).alias("z")
+    )
+    return coded.groupBy(
+        F.expr("z >> 22").cast("bigint").alias("z_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("gx").alias("min_x"),
+        F.max("gx").alias("max_x"),
+        F.min("gy").alias("min_y"),
+        F.max("gy").alias("max_y"),
+    )
+
+
+# Per-segment sampling rates (percent). CASE-expression form so the
+# identical rule text runs in both engines; at scale this would come
+# from a broadcast config table.
+_RATES = (
+    ("BUILDING", 20),
+    ("AUTOMOBILE", 10),
+    ("MACHINERY", 5),
+)
+_RATE_CASE = (
+    "CASE c_mktsegment "
+    + " ".join(f"WHEN '{seg}' THEN {pct}" for seg, pct in _RATES)
+    + " ELSE 2 END"
+)
+
+
+@register(
+    "layout_stratified_sample",
+    oracle=f"""
+    WITH rated AS (
+        SELECT c_custkey, c_mktsegment, c_acctbal,
+               CAST((c_custkey * 2654435761) % 4294967296 AS BIGINT) % 100 AS h,
+               {_RATE_CASE} AS rate
+        FROM customer
+    )
+    SELECT c_custkey, c_mktsegment, c_acctbal, rate
+    FROM rated WHERE h < rate
+    """,
+)
+def layout_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample of customers: each market
+    segment keeps its own fraction (20/10/5/2%), membership decided by
+    the Knuth multiplicative hash of the key — not ``sample()``, whose
+    output depends on partitioning and seed plumbing and differs
+    between engines. Same rows come back on every run, every engine,
+    every cluster size: the property training-data downsampling needs.
+    Map-only (no shuffle); the rate table is a CASE expression here and
+    a broadcast-joined config dim at production scale.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    rated = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        (
+            ((F.col("c_custkey") * F.lit(2654435761)) % F.lit(4294967296))
+            .cast("bigint") % 100
+        ).alias("h"),
+        F.expr(_RATE_CASE).alias("rate"),
+    )
+    return rated.filter(F.col("h") < F.col("rate")).select(
+        "c_custkey", "c_mktsegment", "c_acctbal", "rate"
+    )

@@ -42,6 +42,7 @@ _QUERY_MODULES = (
     "metricproxy_spark.queries.text",
     "metricproxy_spark.queries.streaming_surface",
     "metricproxy_spark.queries.cdc",
+    "metricproxy_spark.queries.layout",
 )
 
 _loaded = False

@@ -1,0 +1,33 @@
+"""Layout/sampling behavior beyond the oracle hash: the z-order
+locality property and stratified-sample reproducibility."""
+
+from __future__ import annotations
+
+from metricproxy_spark.queries.layout import (
+    layout_stratified_sample,
+    layout_zorder_stats,
+)
+
+
+def test_zorder_buckets_are_local(spark, sf_dir):
+    """Every z-bucket must cover a narrow range of BOTH grid axes —
+    the property that makes min/max row-group stats prunable on either
+    predicate. Top-10-bit buckets fix the high 5 bits of each 16-bit
+    axis, so a bucket's span is < 2^11 on each axis (one 1/32 slice)."""
+    rows = layout_zorder_stats(spark, sf_dir).collect()
+    assert len(rows) > 100  # grid quantization actually spread the keys
+    for r in rows:
+        assert r.max_x - r.min_x < 2048
+        assert r.max_y - r.min_y < 2048
+
+
+def test_stratified_sample_reproducible_and_rated(spark, sf_dir):
+    a = layout_stratified_sample(spark, sf_dir)
+    b = layout_stratified_sample(spark, sf_dir)
+    ra = {tuple(r) for r in a.collect()}
+    rb = {tuple(r) for r in b.collect()}
+    assert ra == rb  # deterministic: identical membership across runs
+    # every sampled row carries its stratum's configured rate
+    rates = {r.c_mktsegment: r.rate for r in ra and a.collect()}
+    assert rates.get("BUILDING", 20) == 20
+    assert all(v in (20, 10, 5, 2) for v in rates.values())
