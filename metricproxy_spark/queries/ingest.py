@@ -17,6 +17,9 @@ Cross-engine determinism notes:
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -533,3 +536,59 @@ def ingest_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_variant_get("v", "$.k", "string").alias("k_str"),
         F.try_variant_get("v", "$.k", "string").isNull().alias("k_missing"),
     )
+
+
+_CARBON_LINE_VALID_SQL = """
+        concat_ws(' ', event_type,
+            CAST(CAST(value AS DECIMAL(27,4)) AS VARCHAR),
+            CAST(CAST(floor(epoch(ts)) AS BIGINT) AS VARCHAR))
+"""
+
+
+@register(
+    "ingest_carbon_datasource",
+    oracle=f"""
+    WITH src AS (
+        SELECT {_CARBON_LINE_VALID_SQL} AS line FROM events
+    ), parts AS (
+        SELECT string_split(line, ' ') AS p FROM src
+    )
+    SELECT p[1] AS metric,
+           TRY_CAST(p[2] AS DOUBLE) AS value,
+           TRY_CAST(p[3] AS BIGINT) AS epoch_s
+    FROM parts
+    """,
+)
+def ingest_carbon_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 as a native connector: carbon wire files read through the
+    custom Python Data Source (``spark.read.format("carbonwire")``,
+    PySpark 4 DataSource API) and parsed by the same C1 parser as the
+    socket listener — proving the connector yields byte-identical lines
+    (the oracle re-derives every parsed field from the source table).
+
+    Scan parallelism is partition-per-file, planner-visible — the
+    contract a 1000-executor cluster needs from any source. The staged
+    dir is written once per (session, sf) and reused.
+    """
+    from metricproxy_spark.io import ensure_package_on_workers
+    from metricproxy_spark.sources.pyds import register_carbonwire
+
+    ensure_package_on_workers(spark)
+    register_carbonwire(spark)
+    wire_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"mps_wire_{os.getpid()}_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    if not os.path.isdir(wire_dir) or not os.listdir(wire_dir):
+        ev = load_table(spark, sf_dir, "events")
+        (
+            ev.select(_carbon_line(valid_only=True).alias("value"))
+            .repartition(8)
+            .write.mode("overwrite")
+            .text(wire_dir)
+        )
+    lines = (
+        spark.read.format("carbonwire").option("path", wire_dir).load()
+    )
+    parsed = parse_carbon_lines(lines)
+    return parsed.select("metric", "value", "epoch_s")

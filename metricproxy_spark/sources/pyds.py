@@ -1,0 +1,124 @@
+"""Custom Python DataSource for carbon wire files (S1 as a first-class
+Spark connector).
+
+The reference terminates the carbon plaintext protocol with a TCP
+listener [P: protocol/carbon/carbonlistener.go — Listener]; this module
+packages the same wire format as a native Spark *connector* via the
+PySpark 4 Python Data Source API — so ``spark.read.format("carbonwire")``
+and ``spark.readStream.format("carbonwire")`` work like any built-in
+source, with scan parallelism the planner understands:
+
+- Batch: one ``InputPartition`` per wire file — a 1000-executor cluster
+  reads 1000 files concurrently, and adding files adds parallelism
+  (the same contract as the parquet reader). Per-partition work is a
+  sequential file read: no driver-side collect anywhere.
+- Streaming: ``SimpleDataSourceStreamReader`` with the offset = number
+  of (sorted) files consumed — each micro-batch picks up newly landed
+  files exactly once, replayable from the checkpointed offset.
+
+Rows are raw ``(line, src_file)`` — parsing stays in
+:func:`metricproxy_spark.sources.carbon.parse_carbon_lines` so the one
+C1 parser serves the socket listener, the file stream, and this
+connector identically.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator, Tuple
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
+from pyspark.sql.types import StringType, StructField, StructType
+
+SCHEMA = StructType(
+    [
+        StructField("line", StringType()),
+        StructField("src_file", StringType()),
+    ]
+)
+
+
+def _list_wire_files(path: str) -> list[str]:
+    return sorted(
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if not f.startswith(("_", "."))
+    )
+
+
+def _read_file(path: str) -> Iterator[Tuple[str, str]]:
+    base = os.path.basename(path)
+    with open(path, encoding="utf-8", errors="replace") as fh:
+        for line in fh:
+            line = line.rstrip("\n")
+            if line:
+                yield (line, base)
+
+
+class CarbonWireBatchReader(DataSourceReader):
+    def __init__(self, path: str):
+        self._path = path
+
+    def partitions(self):
+        return [InputPartition(p) for p in _list_wire_files(self._path)]
+
+    def read(self, partition: InputPartition):
+        yield from _read_file(partition.value)
+
+
+class CarbonWireStreamReader(SimpleDataSourceStreamReader):
+    """Offset = {"files": N}: the first N sorted files are consumed.
+    Restart-safe: the offset is checkpointed by the engine, and sorted
+    order makes replay deterministic."""
+
+    def __init__(self, path: str):
+        self._path = path
+
+    def initialOffset(self) -> dict:
+        return {"files": 0}
+
+    def read(self, start: dict):
+        files = _list_wire_files(self._path)
+        done = start.get("files", 0)
+        # Materialized list, not a generator: the engine prefetch-caches
+        # this batch (copies it) until the offset commits. The Simple
+        # stream API is for modest per-batch volumes by design — the
+        # batch reader above is the bulk path.
+        rows = [t for p in files[done:] for t in _read_file(p)]
+        return rows, {"files": len(files)}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        files = _list_wire_files(self._path)
+        for p in files[start.get("files", 0) : end.get("files", 0)]:
+            yield from _read_file(p)
+
+
+class CarbonWireDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "carbonwire"
+
+    def schema(self):
+        return SCHEMA
+
+    def reader(self, schema) -> DataSourceReader:
+        return CarbonWireBatchReader(self.options["path"])
+
+    def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
+        return CarbonWireStreamReader(self.options["path"])
+
+
+_REGISTERED: set[int] = set()
+
+
+def register_carbonwire(spark) -> None:
+    """Idempotently register the connector on a session."""
+    key = id(spark.sparkContext)
+    if key not in _REGISTERED:
+        spark.dataSource.register(CarbonWireDataSource)
+        _REGISTERED.add(key)
