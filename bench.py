@@ -91,6 +91,8 @@ def main() -> None:
         _inter_query_maintenance(spark)
 
     total = round(sum(timings.values()), 4)
+    vals = sorted(timings.values())
+    median = vals[len(vals) // 2] if vals else 0.0
     print(
         json.dumps(
             {
@@ -99,6 +101,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                # the registry grows every round — keep totals comparable
+                "n_queries": len(timings),
+                "median_sec": round(median, 4),
             }
         )
     )

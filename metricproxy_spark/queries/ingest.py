@@ -18,6 +18,7 @@ Cross-engine determinism notes:
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -575,20 +576,39 @@ def ingest_carbon_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_package_on_workers(spark)
     register_carbonwire(spark)
+    # Staging is keyed by sf only (content is a pure function of the
+    # events table) and published by atomic rename, so concurrent and
+    # successive processes share one materialization — the wire dir
+    # plays "the files the network wrote", not per-run scratch.
     wire_dir = os.path.join(
         tempfile.gettempdir(),
-        f"mps_wire_{os.getpid()}_{os.path.basename(sf_dir.rstrip('/'))}",
+        f"mps_wire_{os.path.basename(sf_dir.rstrip('/'))}",
     )
-    if not os.path.isdir(wire_dir) or not os.listdir(wire_dir):
+    if not os.path.isdir(wire_dir):
+        staging = tempfile.mkdtemp(prefix="mps_wire_stage_")
         ev = load_table(spark, sf_dir, "events")
         (
             ev.select(_carbon_line(valid_only=True).alias("value"))
-            .repartition(8)
             .write.mode("overwrite")
-            .text(wire_dir)
+            .text(staging)
         )
+        try:
+            os.rename(staging, wire_dir)
+        except OSError:  # lost the publish race; theirs is identical
+            shutil.rmtree(staging, ignore_errors=True)
+    # Size chunks for ~2 splits per core: parallelism comes from the
+    # connector's byte-range partitioning, not from file count.
+    total = sum(
+        os.path.getsize(os.path.join(wire_dir, f))
+        for f in os.listdir(wire_dir)
+        if not f.startswith(("_", "."))
+    )
+    chunk = max(64 * 1024, total // (2 * spark.sparkContext.defaultParallelism))
     lines = (
-        spark.read.format("carbonwire").option("path", wire_dir).load()
+        spark.read.format("carbonwire")
+        .option("path", wire_dir)
+        .option("chunk_bytes", str(chunk))
+        .load()
     )
     parsed = parse_carbon_lines(lines)
     return parsed.select("metric", "value", "epoch_s")

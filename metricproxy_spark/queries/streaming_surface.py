@@ -483,4 +483,16 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "gap_s"
         ),
     )
-    return _run_to_memory(joined, os.path.join(wd, "ckpt"), mode="append")
+    # Symmetric-hash-join state is partitioned on user_id; at test
+    # volumes 32 partitions means 2x32 mostly-empty state stores per
+    # micro-batch. Scope to a modest count for this query (fixed at
+    # first checkpoint); a production deployment sizes this to key
+    # cardinality x state size instead.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        return _run_to_memory(
+            joined, os.path.join(wd, "ckpt"), mode="append"
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)

@@ -8,10 +8,10 @@ PySpark 4 Python Data Source API — so ``spark.read.format("carbonwire")``
 and ``spark.readStream.format("carbonwire")`` work like any built-in
 source, with scan parallelism the planner understands:
 
-- Batch: one ``InputPartition`` per wire file — a 1000-executor cluster
-  reads 1000 files concurrently, and adding files adds parallelism
-  (the same contract as the parquet reader). Per-partition work is a
-  sequential file read: no driver-side collect anywhere.
+- Batch: byte-range ``InputPartition`` splits (chunk_bytes option) — a
+  1000-executor cluster saturates on ONE huge wire file just as well as
+  on many, the same contract HDFS text splits give. Per-partition work
+  is a sequential range read: no driver-side collect anywhere.
 - Streaming: ``SimpleDataSourceStreamReader`` with the offset = number
   of (sorted) files consumed — each micro-batch picks up newly landed
   files exactly once, replayable from the checkpointed offset.
@@ -61,14 +61,49 @@ def _read_file(path: str) -> Iterator[Tuple[str, str]]:
 
 
 class CarbonWireBatchReader(DataSourceReader):
-    def __init__(self, path: str):
+    """Splits every wire file into byte-range partitions (default 8 MB,
+    ``chunk_bytes`` option), so scan parallelism tracks data VOLUME,
+    not file count — one huge file still fans out across the cluster,
+    the same contract HDFS text splits give. Line ownership follows
+    the classic LineRecordReader rule: a line belongs to the split
+    containing its first byte; a reader starting mid-file discards the
+    partial line before its offset (the previous split emitted it)."""
+
+    def __init__(self, path: str, chunk_bytes: int):
         self._path = path
+        self._chunk = max(64 * 1024, chunk_bytes)
 
     def partitions(self):
-        return [InputPartition(p) for p in _list_wire_files(self._path)]
+        parts = []
+        for p in _list_wire_files(self._path):
+            size = os.path.getsize(p)
+            start = 0
+            while start < size or start == 0:
+                parts.append(
+                    InputPartition((p, start, min(start + self._chunk, size)))
+                )
+                start += self._chunk
+                if size == 0:
+                    break
+        return parts
 
     def read(self, partition: InputPartition):
-        yield from _read_file(partition.value)
+        path, start, end = partition.value
+        base = os.path.basename(path)
+        with open(path, "rb") as fh:
+            if start > 0:
+                fh.seek(start - 1)
+                fh.readline()  # finish the split-straddling line
+            while True:
+                line_start = fh.tell()
+                if line_start >= end:
+                    break
+                raw = fh.readline()
+                if not raw:
+                    break
+                line = raw.decode("utf-8", errors="replace").rstrip("\n")
+                if line:
+                    yield (line, base)
 
 
 class CarbonWireStreamReader(SimpleDataSourceStreamReader):
@@ -107,7 +142,10 @@ class CarbonWireDataSource(DataSource):
         return SCHEMA
 
     def reader(self, schema) -> DataSourceReader:
-        return CarbonWireBatchReader(self.options["path"])
+        return CarbonWireBatchReader(
+            self.options["path"],
+            int(self.options.get("chunk_bytes", 8 * 1024 * 1024)),
+        )
 
     def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
         return CarbonWireStreamReader(self.options["path"])

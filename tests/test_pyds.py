@@ -55,3 +55,20 @@ def test_stream_picks_up_new_files_exactly_once(spark):
     # offset and appends ONLY the new file's rows
     _write_wire(d, "02.txt", ["c 3 1700000002", "d 4 1700000003"])
     assert drain() == 4
+
+
+def test_byte_range_chunking_no_loss_no_dup(spark):
+    register_carbonwire(spark)
+    d = tempfile.mkdtemp(prefix="mps_pyds_chunk_")
+    lines = [f"metric.{i} {i} {1700000000 + i}" for i in range(5000)]
+    _write_wire(d, "big.txt", lines)
+    df = (
+        spark.read.format("carbonwire")
+        .option("path", d)
+        .option("chunk_bytes", "65536")  # floor -> 64 KiB chunks
+        .load()
+    )
+    # file is ~160 KB -> multiple byte-range splits over ONE file
+    assert df.rdd.getNumPartitions() > 1
+    got = sorted(r.line for r in df.collect())
+    assert got == sorted(lines)  # every line exactly once across splits
