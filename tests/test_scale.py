@@ -146,3 +146,52 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         for name in ("t_bkt_left", "t_bkt_right"):
             spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+class TestPlanDisciplineRound1c:
+    """Plan assertions for this batch's operators."""
+
+    def test_decontaminate_broadcasts_eval_set(self, spark, sf_dir):
+        from metricproxy_spark.registry import QUERIES, load_all
+
+        load_all()
+        plan = _executed_plan(QUERIES["pipeline_decontaminate"](spark, sf_dir))
+        # eval shingle set must probe map-side; a shuffle join here
+        # would shuffle the whole train corpus at 100 TB
+        assert "BroadcastHashJoin" in plan, plan
+        assert "SortMergeJoin" not in plan, plan
+
+    def test_pii_redact_is_map_only(self, spark, sf_dir):
+        from metricproxy_spark.registry import QUERIES, load_all
+
+        load_all()
+        plan = _executed_plan(QUERIES["text_pii_redact"](spark, sf_dir))
+        assert "Exchange" not in plan, plan
+        assert "*(1)" in plan, plan  # whole-stage codegen'd single stage
+
+    def test_stratified_sample_is_map_only(self, spark, sf_dir):
+        from metricproxy_spark.registry import QUERIES, load_all
+
+        load_all()
+        plan = _executed_plan(
+            QUERIES["layout_stratified_sample"](spark, sf_dir)
+        )
+        assert "Exchange" not in plan, plan
+
+    def test_zorder_broadcasts_extrema_row(self, spark, sf_dir):
+        from metricproxy_spark.registry import QUERIES, load_all
+
+        load_all()
+        plan = _executed_plan(QUERIES["layout_zorder_stats"](spark, sf_dir))
+        # the 1-row extrema side must broadcast — a cross-join shuffle
+        # of the fact table would be catastrophic at scale
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+        assert "CartesianProduct" not in plan, plan
+
+    def test_ema_single_shuffle(self, spark, sf_dir):
+        from metricproxy_spark.registry import QUERIES, load_all
+
+        load_all()
+        plan = _executed_plan(QUERIES["events_ema"](spark, sf_dir))
+        # one hash agg pair on (event_type, day): exactly one Exchange
+        assert plan.count("Exchange hashpartitioning") == 1, plan
