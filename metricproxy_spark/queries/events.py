@@ -250,3 +250,112 @@ def events_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
             " (acc, x) -> 0.5D * x + 0.5D * acc)"
         ).alias("ema"),
     )
+
+
+@register(
+    "events_interpolate_linear",
+    oracle=f"""
+    WITH agg AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+               {dsum_sql('value')} AS hour_sum
+        FROM events GROUP BY 1, 2
+    ), b AS (
+        SELECT event_type, min(hour_ts) AS mn, max(hour_ts) AS mx
+        FROM agg GROUP BY 1
+    ), spine AS (
+        SELECT event_type,
+               unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hour_ts
+        FROM b
+    ), j AS (
+        SELECT s.event_type, s.hour_ts, a.hour_sum
+        FROM spine s LEFT JOIN agg a
+          ON s.event_type = a.event_type AND s.hour_ts = a.hour_ts
+    ), ctx AS (
+        SELECT event_type, hour_ts, hour_sum,
+               last_value(hour_sum IGNORE NULLS) OVER w_prev AS pv,
+               last_value(CASE WHEN hour_sum IS NOT NULL THEN hour_ts END
+                          IGNORE NULLS) OVER w_prev AS pt,
+               first_value(hour_sum IGNORE NULLS) OVER w_next AS nv,
+               first_value(CASE WHEN hour_sum IS NOT NULL THEN hour_ts END
+                           IGNORE NULLS) OVER w_next AS nt
+        FROM j
+        WINDOW w_prev AS (PARTITION BY event_type ORDER BY hour_ts
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               w_next AS (PARTITION BY event_type ORDER BY hour_ts
+                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, hour_ts,
+           (hour_sum IS NULL) AS is_gap,
+           CASE WHEN hour_sum IS NOT NULL THEN hour_sum
+                WHEN pv IS NULL THEN nv
+                WHEN nv IS NULL THEN pv
+                ELSE pv + (nv - pv)
+                     * (CAST(epoch(hour_ts) - epoch(pt) AS DOUBLE)
+                        / CAST(epoch(nt) - epoch(pt) AS DOUBLE))
+           END AS filled_sum
+    FROM ctx
+    """,
+)
+def events_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling by LINEAR interpolation (the companion
+    to LOCF in events_gapfill_ffill): a missing hour gets the value on
+    the straight line between its last and next observed neighbors,
+    weighted by time distance; leading/trailing gaps fall back to the
+    nearest observed value.
+
+    Same scale shape as the LOCF query — spine size is bounded by
+    time-range x series count, two ordered windows over the spine (one
+    per direction), never over raw events. The interpolation
+    arithmetic is a fixed IEEE expression over identical operands, so
+    the oracle matches bit-for-bit despite the doubles.
+    """
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    agg = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_ts")
+    ).agg(dsum("value").alias("hour_sum"))
+    bounds = agg.groupBy("event_type").agg(
+        F.min("hour_ts").alias("mn"), F.max("hour_ts").alias("mx")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(F.expr("sequence(mn, mx, interval 1 hour)")).alias(
+            "hour_ts"
+        ),
+    )
+    j = spine.join(agg, ["event_type", "hour_ts"], "left")
+    w_prev = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_ts")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_ts = F.when(F.col("hour_sum").isNotNull(), F.col("hour_ts"))
+    ctx = j.select(
+        "event_type",
+        "hour_ts",
+        "hour_sum",
+        F.last("hour_sum", ignorenulls=True).over(w_prev).alias("pv"),
+        F.last(obs_ts, ignorenulls=True).over(w_prev).alias("pt"),
+        F.first("hour_sum", ignorenulls=True).over(w_next).alias("nv"),
+        F.first(obs_ts, ignorenulls=True).over(w_next).alias("nt"),
+    )
+    frac = (
+        (F.unix_timestamp("hour_ts") - F.unix_timestamp("pt")).cast("double")
+        / (F.unix_timestamp("nt") - F.unix_timestamp("pt")).cast("double")
+    )
+    return ctx.select(
+        "event_type",
+        "hour_ts",
+        F.col("hour_sum").isNull().alias("is_gap"),
+        F.when(F.col("hour_sum").isNotNull(), F.col("hour_sum"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(F.col("pv") + (F.col("nv") - F.col("pv")) * frac)
+        .alias("filled_sum"),
+    )

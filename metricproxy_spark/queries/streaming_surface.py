@@ -496,3 +496,93 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+@register(
+    "stream_stream_outer_join",
+    oracle="""
+    WITH wm AS (
+        SELECT least((SELECT max(ts) FROM events WHERE event_type = 'purchase'),
+                     (SELECT max(ts) FROM events WHERE event_type = 'click'))
+               - INTERVAL 2 HOUR AS w
+    ), matched AS (
+        SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+               p.user_id,
+               CAST(date_diff('second', c.ts, p.ts) AS BIGINT) AS gap_s
+        FROM events p JOIN events c
+          ON p.user_id = c.user_id
+         AND p.event_type = 'purchase' AND c.event_type = 'click'
+         AND c.ts >= p.ts - INTERVAL 60 MINUTE AND c.ts <= p.ts
+    ), expired_unmatched AS (
+        SELECT p.event_id AS purchase_id, CAST(NULL AS BIGINT) AS click_id,
+               p.user_id, CAST(NULL AS BIGINT) AS gap_s
+        FROM events p, wm
+        WHERE p.event_type = 'purchase' AND p.ts < wm.w
+          AND NOT EXISTS (
+              SELECT 1 FROM events c
+              WHERE c.event_type = 'click' AND c.user_id = p.user_id
+                AND c.ts >= p.ts - INTERVAL 60 MINUTE AND c.ts <= p.ts)
+    )
+    SELECT * FROM matched UNION ALL SELECT * FROM expired_unmatched
+    """,
+)
+def stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7c: LEFT OUTER stream-stream join — purchases with no click in
+    the hour before them must still come out (with nulls), which a
+    streaming engine can only decide once the watermark proves no
+    matching click can ever arrive.
+
+    The oracle encodes that temporal semantics in SQL: matched pairs,
+    plus unmatched purchases strictly below the end-of-stream
+    watermark ``min(max purchase ts, max click ts) - 2h`` (Spark's
+    multi-watermark min policy); purchases younger than the watermark
+    stay in state, suppressed — exactly what a restart would resume.
+    This is the strongest available check that outer-join state expiry
+    fires neither early (dropped matches) nor late (phantom nulls).
+    """
+    wd = _workdir()
+    src = stage_stream_source(
+        spark, sf_dir, "events", os.path.join(wd, "src")
+    )
+    purchases = (
+        read_stream_table(spark, src)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    clicks = (
+        read_stream_table(spark, src)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        (purchases.user_id == clicks.c_user_id)
+        & (clicks.c_ts >= purchases.p_ts - F.expr("INTERVAL 60 MINUTES"))
+        & (clicks.c_ts <= purchases.p_ts),
+        "left_outer",
+    ).select(
+        "purchase_id",
+        "click_id",
+        "user_id",
+        (F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts")).alias(
+            "gap_s"
+        ),
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        return _run_to_memory(
+            joined, os.path.join(wd, "ckpt"), mode="append"
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)

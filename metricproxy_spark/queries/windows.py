@@ -180,3 +180,31 @@ def analytic_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("weekly_neighborhood_spend"),
     )
+
+
+@register(
+    "analytic_ntile_cume",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           ntile(4) OVER w AS quartile,
+           cume_dist() OVER w AS cd,
+           percent_rank() OVER w AS pr
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def analytic_ntile_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X13+: distribution-rank window functions (ntile / cume_dist /
+    percent_rank) per segment. The ORDER BY includes the key as a
+    tiebreak so every row is its own peer group — that makes the
+    rational-number outputs (k/n) identical across engines and the
+    quartile assignment deterministic."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).alias("quartile"),
+        F.cume_dist().over(w).alias("cd"),
+        F.percent_rank().over(w).alias("pr"),
+    )
