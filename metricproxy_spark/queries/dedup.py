@@ -263,3 +263,19 @@ def dedup_embedding_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs_blocked(
         emb, centroids, threshold=0.4, nprobe=2
     )
+
+
+@register("dedup_embedding_srp")
+def dedup_embedding_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 (embedding flavor, fully-distributed path): near-similar
+    pairs via signed-random-projection LSH — 64 seeded hyperplane sign
+    bits, 8 bands, candidates equi-joined per band bucket and verified
+    with the exact dot product. No broadcast matrix and no trained
+    centroids, so this is the blocking that still runs when both the
+    BLAS sweep and IVF blocks exceed executor memory. Rows-only check
+    (banding recall < 1 by construction); recall vs. the exact sweep
+    is unit-tested in tests/test_llm_ops.py."""
+    from metricproxy_spark.operators.similarity import srp_band_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return srp_band_pairs(emb, threshold=0.4)

@@ -307,3 +307,33 @@ def test_quantize_int8_bounds(spark, sf_dir):
         # the max reconstruction error of round() is scale/2 (+ float fuzz)
         assert r["sum_q2"] <= r["n_dims"] * 127 * 127
         assert r["max_abs_err"] <= r["scale"] / 2 + 1e-9
+
+
+def test_srp_near_dup_recall_vs_exact_sweep(spark, sf_dir):
+    """SRP-banded pairs must be a subset of the exact sweep (dot-product
+    verification is exact) with banding recall above a floor, and the
+    seeded hyperplanes must make the result identical across runs."""
+    from metricproxy_spark.io import load_table
+    from metricproxy_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+        srp_band_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(emb, threshold=0.4).collect()
+    }
+    srp1 = {
+        (r["id_a"], r["id_b"])
+        for r in srp_band_pairs(emb, threshold=0.4).collect()
+    }
+    srp2 = {
+        (r["id_a"], r["id_b"])
+        for r in srp_band_pairs(emb, threshold=0.4).collect()
+    }
+    assert srp1 == srp2  # seed-derived signatures: deterministic
+    assert srp1 <= exact
+    if exact:
+        recall = len(srp1) / len(exact)
+        assert recall >= 0.5, f"recall {recall:.2f} over {len(exact)} pairs"
