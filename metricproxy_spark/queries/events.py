@@ -359,3 +359,78 @@ def events_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("pv") + (F.col("nv") - F.col("pv")) * frac)
         .alias("filled_sum"),
     )
+
+
+@register(
+    "events_series_correlation",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS v
+        FROM events GROUP BY 1, 2
+    ), paired AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               a.v AS x, b.v AS y
+        FROM hourly a JOIN hourly b ON a.h = b.h
+         AND a.event_type < b.event_type
+    ), sums AS (
+        SELECT type_a, type_b, count(*) AS n,
+               CAST(SUM(CAST(x AS DECIMAL(27,4))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(y AS DECIMAL(27,4))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(x AS DECIMAL(27,4)) * CAST(y AS DECIMAL(27,4))) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(x AS DECIMAL(27,4)) * CAST(x AS DECIMAL(27,4))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(y AS DECIMAL(27,4)) * CAST(y AS DECIMAL(27,4))) AS DOUBLE) AS syy
+        FROM paired GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, n,
+           (n * sxy - sx * sy)
+           / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS corr
+    FROM sums
+    """,
+)
+def events_series_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-series similarity: Pearson correlation between every pair
+    of per-type hourly series — "which metrics move together", the
+    first question a metrics store gets asked across series.
+
+    Exactness through the same decimal-power-sum machinery as the
+    moments query: all five sums are order-independent DECIMAL
+    aggregates (the hourly inputs are 4dp-exact doubles, so products
+    are 8dp-exact and in range), and the final correlation is one
+    fixed IEEE expression over identical operands in both engines.
+    Scale: the hourly rollup bounds the join input (series x hours, not
+    raw events); the pair join is per-hour equi-join over a handful of
+    series — at many-series scale this becomes series-pair blocking,
+    but the sum shapes are unchanged.
+    """
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(dsum("value").alias("v"))
+    a = hourly.select(
+        F.col("event_type").alias("type_a"),
+        "h",
+        F.col("v").alias("x"),
+    )
+    b = hourly.select(
+        F.col("event_type").alias("type_b"),
+        "h",
+        F.col("v").alias("y"),
+    )
+    paired = a.join(b, "h").filter(F.col("type_a") < F.col("type_b"))
+    dec = lambda c: F.col(c).cast("decimal(27,4)")
+    sums = paired.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("x")).cast("double").alias("sx"),
+        F.sum(dec("y")).cast("double").alias("sy"),
+        F.sum(dec("x") * dec("y")).cast("double").alias("sxy"),
+        F.sum(dec("x") * dec("x")).cast("double").alias("sxx"),
+        F.sum(dec("y") * dec("y")).cast("double").alias("syy"),
+    )
+    corr = (
+        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ) / F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return sums.select("type_a", "type_b", "n", corr.alias("corr"))
