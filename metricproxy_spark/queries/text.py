@@ -697,3 +697,97 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_phones"),
     )
+
+
+@register(
+    "text_ngram_udtf_analyze",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, string_split(lower(trim(text)), ' ') AS words
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(i - 1 AS INT) AS pos,
+           words[i] AS w1, words[i + 1] AS w2, words[i + 2] AS w3
+    FROM w, unnest(generate_series(1, len(words) - 2)) AS t(i)
+    WHERE len(words) >= 3
+    """,
+)
+def text_ngram_udtf_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.9 UDTF surface, polymorphic form: an ``analyze()``-time UDTF
+    whose OUTPUT SCHEMA is computed from a constant argument — n=3
+    yields columns (pos, w1, w2, w3); n=5 would yield 5 word columns,
+    decided at plan time, not hardcoded. This is the PySpark 4
+    table-function contract a reusable extension needs (schema
+    negotiation with the analyzer, then pickled row expansion on
+    workers); the static-schema flavor is text_shingle_udtf. Oracle:
+    the same positional expansion in plain SQL at n=3.
+    """
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class NGramCols:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, n: AnalyzeArgument):
+            width = n.value  # constant-foldable argument at plan time
+            fields = [StructField("pos", IntegerType())] + [
+                StructField(f"w{i + 1}", StringType())
+                for i in range(width)
+            ]
+            return AnalyzeResult(StructType(fields))
+
+        def eval(self, text: str, n: int):
+            words = text.lower().strip().split(" ")
+            for i in range(len(words) - n + 1):
+                yield (i, *words[i : i + n])
+
+    spark.udtf.register("mp_ngram_cols", udtf(NGramCols))
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("mp_docs_udtf2")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.pos, s.w1, s.w2, s.w3
+        FROM mp_docs_udtf2 d, LATERAL mp_ngram_cols(d.text, 3) s
+        """
+    )
+
+
+@register(
+    "text_topk_sketch",
+    oracle="""
+    WITH tokens AS (
+        SELECT lang, UNNEST(string_split(lower(trim(text)), ' ')) AS word
+        FROM documents
+    )
+    SELECT lang, word, count(*) AS n
+    FROM tokens WHERE word <> ''
+    GROUP BY 1, 2
+    """,
+)
+def text_topk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitters per language via the approx_top_k sketch — the
+    bounded-memory, mergeable alternative to a full group-by when the
+    term universe is huge: each partition tracks at most
+    maxItemsTracked counters, partials merge associatively, and items
+    under the bound carry EXACT counts. This corpus's vocabulary fits
+    the bound, so the sketch degenerates to exactness and the plain
+    count(*) oracle value-checks the sketch path end-to-end; at 100 TB
+    the same plan caps state at k x partitions counters where the
+    exact group-by's shuffle grows with distinct terms.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = docs.select(
+        "lang", F.explode(words_of("text")).alias("word")
+    ).filter(F.col("word") != "")
+    sk = tokens.groupBy("lang").agg(
+        F.expr("approx_top_k(word, 100, 10000)").alias("tk")
+    )
+    return sk.select(
+        "lang", F.explode("tk").alias("e")
+    ).select("lang", F.col("e.item").alias("word"), F.col("e.count").alias("n"))
