@@ -202,3 +202,60 @@ def analytic_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(k).alias("max_k"),
         dsum(k, 0).alias("sum_k"),
     )
+
+
+@register(
+    "analytic_map_funcs",
+    oracle="""
+    SELECT event_id,
+           upper(event_type) AS type_val,
+           3 AS n_keys,
+           array_to_string(list_sort([
+               'proxy=MP',
+               'type=' || upper(event_type),
+               'user=' || CAST(user_id AS VARCHAR)
+           ]), ',') AS entries
+    FROM events
+    """,
+)
+def analytic_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X23+ MAP expression surface over the open dimensions model (the
+    reference's ``Dimensions map[string]string`` is MAP<STRING,STRING>
+    in the canonical schema): construct, transform_values, map_filter,
+    map_concat, element_at — all JVM-side map primitives an enrichment
+    middleware needs. Maps don't hash stably across engines, so the
+    result projects entries as a sorted joined string; the oracle
+    hand-builds the same strings, value-checking the map pipeline's
+    NET semantics."""
+    ev = load_table(spark, sf_dir, "events")
+    dims = F.create_map(
+        F.lit("user"), F.col("user_id").cast("string"),
+        F.lit("type"), F.col("event_type"),
+        F.lit("src"), F.lit("carbon"),
+    )
+    staged = ev.select("event_id", dims.alias("dims"))
+    upcased = F.transform_values(
+        "dims", lambda k, v: F.upper(v)
+    )
+    s2 = staged.select("event_id", upcased.alias("up"))
+    filtered = F.map_filter("up", lambda k, v: k != F.lit("src"))
+    s3 = s2.select("event_id", filtered.alias("flt"))
+    merged = F.map_concat(
+        "flt", F.create_map(F.lit("proxy"), F.lit("MP"))
+    )
+    s4 = s3.select("event_id", merged.alias("m"))
+    entries = F.array_join(
+        F.sort_array(
+            F.transform(
+                F.map_entries("m"),
+                lambda e: F.concat(e.key, F.lit("="), e.value),
+            )
+        ),
+        ",",
+    )
+    return s4.select(
+        "event_id",
+        F.element_at("m", F.lit("type")).alias("type_val"),
+        F.size("m").alias("n_keys"),
+        entries.alias("entries"),
+    )

@@ -612,3 +612,64 @@ def ingest_carbon_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     parsed = parse_carbon_lines(lines)
     return parsed.select("metric", "value", "epoch_s")
+
+
+@register(
+    "ingest_schema_evolution",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           count(user_id) AS n_with_user,
+           CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS sum_value
+    FROM (
+        SELECT event_type, CAST(NULL AS BIGINT) AS user_id, value
+        FROM events WHERE event_id % 2 = 0
+        UNION ALL
+        SELECT event_type, user_id, value
+        FROM events WHERE event_id % 2 = 1
+    )
+    GROUP BY 1
+    """,
+)
+def ingest_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution at the source: a v1 producer wrote (event_type,
+    value), a v2 producer added user_id — the wire-format drift every
+    long-lived ingest pipeline faces (the reference tolerates it by
+    being schemaless; a lake must reconcile it). Both generations land
+    in one dataset; ``mergeSchema`` unifies them at scan time with v1
+    rows reading NULL for the added column, and the aggregate proves no
+    rows were lost or miscast. Staged once per (process, sf); at scale
+    this is the default parquet behavior with schema merging on, paid
+    only at footer-read time.
+    """
+    wire_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"mps_schevo_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    if not os.path.isdir(wire_dir):
+        staging = tempfile.mkdtemp(prefix="mps_schevo_stage_")
+        ev = load_table(spark, sf_dir, "events")
+        v1 = ev.filter(F.col("event_id") % 2 == 0).select(
+            "event_type", "value"
+        )
+        v2 = ev.filter(F.col("event_id") % 2 == 1).select(
+            "event_type", "user_id", "value"
+        )
+        v1.write.mode("overwrite").parquet(os.path.join(staging, "g=1"))
+        v2.write.mode("overwrite").parquet(os.path.join(staging, "g=2"))
+        try:
+            os.rename(staging, wire_dir)
+        except OSError:
+            shutil.rmtree(staging, ignore_errors=True)
+    merged = (
+        spark.read.option("mergeSchema", "true")
+        .option("recursiveFileLookup", "true")
+        .parquet(wire_dir)
+    )
+    return merged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("user_id").alias("n_with_user"),
+        F.sum(F.col("value").cast("decimal(27,4)"))
+        .cast("double")
+        .alias("sum_value"),
+    )
