@@ -31,3 +31,34 @@ def test_stratified_sample_reproducible_and_rated(spark, sf_dir):
     rates = {r.c_mktsegment: r.rate for r in ra and a.collect()}
     assert rates.get("BUILDING", 20) == 20
     assert all(v in (20, 10, 5, 2) for v in rates.values())
+
+
+def test_morton_interleave_matches_reference():
+    """Property check: the SQL bit-twiddle in zorder_key equals a
+    direct Python bit-interleave for random 16-bit pairs."""
+    import random
+
+    from pyspark.sql import SparkSession
+
+    from metricproxy_spark.queries.layout import zorder_key
+
+    spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
+
+    def morton_ref(x: int, y: int) -> int:
+        z = 0
+        for i in range(16):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    rng = random.Random(7)
+    pairs = [(rng.randrange(65536), rng.randrange(65536)) for _ in range(64)]
+    # BIGINT like the real query's quantized keys — int32 would wrap
+    # at bit 31 when y's top bit lands there
+    df = spark.createDataFrame(pairs, "x long, y long")
+    got = {
+        (r.x, r.y): r.z
+        for r in df.selectExpr("x", "y", f"{zorder_key('x', 'y')} AS z").collect()
+    }
+    for x, y in pairs:
+        assert got[(x, y)] == morton_ref(x, y)
