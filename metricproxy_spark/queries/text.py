@@ -791,3 +791,74 @@ def text_topk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sk.select(
         "lang", F.explode("tk").alias("e")
     ).select("lang", F.col("e.item").alias("word"), F.col("e.count").alias("n"))
+
+
+@register(
+    "pipeline_lang_balance",
+    oracle="""
+    WITH counts AS (
+        SELECT lang, count(*) AS n_l FROM documents GROUP BY 1
+    ), tot AS (
+        SELECT sum(n_l) AS n FROM counts
+    ), temp AS (
+        SELECT lang, n_l,
+               round(pow(CAST(n_l AS DOUBLE) / n, 0.7), 6) AS w
+        FROM counts, tot
+    ), rates AS (
+        SELECT lang, n_l,
+               round(least(1.0,
+                   (w / sum(w) OVER ()) / (CAST(n_l AS DOUBLE)
+                                           / (SELECT n FROM tot))), 6)
+                   AS keep_rate
+        FROM temp
+    )
+    SELECT d.doc_id, d.lang, r.keep_rate
+    FROM documents d JOIN rates r ON d.lang = r.lang
+    WHERE CAST((d.doc_id * 2654435761) % 4294967296 AS BIGINT) % 1000000
+          < CAST(r.keep_rate * 1000000 AS BIGINT)
+    """,
+)
+def pipeline_lang_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multilingual corpus rebalancing by temperature sampling
+    (T=0.7): over-represented languages are down-sampled toward the
+    tempered distribution p^T / sum(p^T) — the standard recipe for
+    keeping low-resource languages from drowning in a training mix.
+
+    Per-language keep-rates derive from one tiny count aggregate
+    (broadcast back onto the corpus), and row membership is the
+    multiplicative-hash filter — fully deterministic, re-runnable,
+    engine-portable. The one transcendental (pow 0.7) is rounded to
+    6dp on BOTH engines before any further arithmetic so libm
+    differences cannot reach the comparison; the rate itself is
+    rounded again before the integer threshold test.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l"))
+    tot = counts.agg(F.sum("n_l").alias("n"))
+    temp = counts.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_l",
+        "n",
+        F.round(
+            F.pow(F.col("n_l").cast("double") / F.col("n"), F.lit(0.7)), 6
+        ).alias("w"),
+    )
+    wsum = temp.agg(F.sum("w").alias("ws"))
+    rates = temp.crossJoin(F.broadcast(wsum)).select(
+        "lang",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                (F.col("w") / F.col("ws"))
+                / (F.col("n_l").cast("double") / F.col("n")),
+            ),
+            6,
+        ).alias("keep_rate"),
+    )
+    joined = docs.join(F.broadcast(rates), "lang")
+    h = (
+        (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    ).cast("bigint") % 1000000
+    return joined.filter(
+        h < (F.col("keep_rate") * 1000000).cast("bigint")
+    ).select("doc_id", "lang", "keep_rate")
