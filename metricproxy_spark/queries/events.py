@@ -434,3 +434,36 @@ def events_series_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
     )
     return sums.select("type_a", "type_b", "n", corr.alias("corr"))
+
+
+@register("events_hll_rollup")
+def events_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count rollup via Datasketches HLL: per-day
+    sketches of user_id are built once, then UNIONED upward to weekly
+    and lifetime distinct-user estimates — the pre-aggregation design
+    that answers "distinct users over any window" at 100 TB without
+    re-touching raw data (exact count-distinct cannot merge; sketches
+    are commutative monoids, so day partials roll up like sums).
+    Approximate by nature -> rows-only check here; the estimate-vs-
+    exact error bound is unit-tested in tests/test_llm_ops.py.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("mp_events_hll")
+    return spark.sql(
+        """
+        WITH daily AS (
+            SELECT event_type, date_trunc('day', ts) AS day,
+                   hll_sketch_agg(user_id, 14) AS sk,
+                   count(DISTINCT user_id) AS exact_day
+            FROM mp_events_hll
+            GROUP BY 1, 2
+        )
+        SELECT event_type,
+               date_trunc('week', day) AS week,
+               count(*) AS n_days,
+               hll_sketch_estimate(hll_union_agg(sk)) AS est_users,
+               CAST(sum(exact_day) AS BIGINT) AS sum_daily_exact
+        FROM daily
+        GROUP BY 1, 2
+        """
+    )

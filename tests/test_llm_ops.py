@@ -337,3 +337,31 @@ def test_srp_near_dup_recall_vs_exact_sweep(spark, sf_dir):
     if exact:
         recall = len(srp1) / len(exact)
         assert recall >= 0.5, f"recall {recall:.2f} over {len(exact)} pairs"
+
+
+def test_hll_rollup_estimates_within_bound(spark, sf_dir):
+    """Weekly HLL-union estimates must sit within the sketch's rated
+    error of the exact weekly distinct counts (lgK=14 -> ~0.8% rse;
+    allow 5% slack on small fixtures)."""
+    from pyspark.sql import functions as F
+
+    from metricproxy_spark.io import load_table
+    from metricproxy_spark.registry import QUERIES, load_all
+
+    load_all()
+    est = {
+        (r.event_type, r.week): r.est_users
+        for r in QUERIES["events_hll_rollup"](spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    exact = {
+        (r.event_type, r.week): r.n
+        for r in ev.groupBy(
+            "event_type", F.date_trunc("week", "ts").alias("week")
+        )
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for k, e in est.items():
+        assert abs(e - exact[k]) <= max(2, 0.05 * exact[k]), (k, e, exact[k])
