@@ -33,3 +33,32 @@ def test_query_runs(spark, sf_dir, name):
 def test_query_matches_oracle(spark, sf_dir, name):
     df = spark_entry.queries()[name](spark, sf_dir)
     assert_matches_oracle(df, spark_entry.oracle_sql()[name], sf_dir)
+
+
+def test_bench_emits_driver_contract_json():
+    """bench.py must print ONE parseable JSON line with the driver's
+    required keys, whatever else lands on stdout/stderr."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    env = dict(
+        os.environ,
+        BENCH_QUERIES="events_type_totals",
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_CPUS="4",
+    )
+    proc = subprocess.run(
+        [sys.executable, "bench.py"],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-800:]
+    line = proc.stdout.strip().splitlines()[-1]
+    d = json.loads(line)
+    assert {"metric", "value", "unit", "queries", "sf"} <= set(d)
+    assert d["unit"] == "sec" and d["queries"]

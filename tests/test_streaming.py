@@ -368,3 +368,81 @@ def test_checkpoint_resume_idempotent_sink_exactly_once(spark, tmp_path):
 
     assert sum(by_batch.values()) == 90      # exactly-once, idempotent view
     assert sum(deliveries) >= 90             # raw channel: at-least-once
+
+
+def test_stream_stream_join_state_survives_restart(spark):
+    """A purchase seen in run 1 must match a click that only arrives in
+    run 2: the symmetric-hash-join state carries across checkpointed
+    restarts, and the pair is emitted exactly once."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    src = tempfile.mkdtemp(prefix="mps_ssj_src_")
+    ckpt = tempfile.mkdtemp(prefix="mps_ssj_ck_")
+    out = tempfile.mkdtemp(prefix="mps_ssj_out_")
+
+    def write_batch(name, rows):
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, event_type string, ts timestamp"
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(src, name)
+        )
+
+    def drain():
+        schema = spark.read.option("recursiveFileLookup", "true").parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+        purchases = (
+            stream.filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("event_id").alias("purchase_id"),
+                "user_id",
+                F.col("ts").alias("p_ts"),
+            )
+            .withWatermark("p_ts", "2 hours")
+        )
+        clicks = (
+            stream.filter(F.col("event_type") == "click")
+            .select(
+                F.col("event_id").alias("click_id"),
+                F.col("user_id").alias("c_user_id"),
+                F.col("ts").alias("c_ts"),
+            )
+            .withWatermark("c_ts", "2 hours")
+        )
+        joined = purchases.join(
+            clicks,
+            (purchases.user_id == clicks.c_user_id)
+            & (clicks.c_ts >= purchases.p_ts)
+            & (clicks.c_ts <= purchases.p_ts + F.expr("INTERVAL 60 MINUTES")),
+        ).select("purchase_id", "click_id", "user_id")
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            (r.purchase_id, r.click_id)
+            for r in spark.read.parquet(out).collect()
+        }
+
+    from datetime import datetime
+
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    write_batch("f1", [(1, 7, "purchase", t0)])
+    assert drain() == set()  # no click yet; purchase parked in state
+    from datetime import timedelta
+
+    write_batch("f2", [(2, 7, "click", t0 + timedelta(minutes=10))])
+    assert drain() == {(1, 2)}  # matched across the restart
+    # a third drain with nothing new must not re-emit
+    assert drain() == {(1, 2)}
