@@ -93,17 +93,28 @@ def main() -> None:
     total = round(sum(timings.values()), 4)
     vals = sorted(timings.values())
     median = vals[len(vals) // 2] if vals else 0.0
+    # Per-query timings go to a FILE; stdout gets one SHORT contract
+    # line. Round 1's driver captured only the tail of the previous
+    # ~5 KB queries-inline line and recorded "parsed": null — the
+    # contract line must stay well under any line buffer.
+    local_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+    )
+    with open(local_path, "w") as fh:
+        json.dump(
+            {"sf": sf, "total_sec": total, "queries": timings}, fh, indent=1
+        )
     print(
         json.dumps(
             {
                 "metric": f"total_query_seconds_sf{sf}",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
                 "sf": sf,
                 # the registry grows every round — keep totals comparable
                 "n_queries": len(timings),
                 "median_sec": round(median, 4),
+                "queries_file": "BENCH_LOCAL.json",
             }
         )
     )

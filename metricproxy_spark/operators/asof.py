@@ -44,17 +44,21 @@ def asof_join(
     if right_payload is None:
         right_payload = [c for c in right.columns if c not in (on, ts_col)]
 
-    lhs = left.withColumn("_side", F.lit(1))
-    for c in right_payload:
-        out_c = f"{c}{suffix}"
-        lhs = lhs.withColumn(
-            out_c, F.lit(None).cast(dict(right.dtypes)[c])
-        )
+    # Carry the ENTIRE right payload as one struct and forward-fill that
+    # struct with a single last(ignorenulls=True): the latest right row
+    # travels atomically, NULL payload fields included. (Filling each
+    # column independently would stitch a composite row that never
+    # existed whenever the latest right row has a legit NULL in one
+    # column — diverging from DuckDB ASOF JOIN semantics.)
     rhs = right.select(
         F.col(on),
         F.col(ts_col),
         F.lit(0).alias("_side"),
-        *[F.col(c).alias(f"{c}{suffix}") for c in right_payload],
+        F.struct(*[F.col(c) for c in right_payload]).alias("_asof_p"),
+    )
+    struct_type = rhs.schema["_asof_p"].dataType
+    lhs = left.withColumn("_side", F.lit(1)).withColumn(
+        "_asof_p", F.lit(None).cast(struct_type)
     )
     # Align schemas: right side gets nulls for left-only columns.
     left_only = [c for c in lhs.columns if c not in rhs.columns]
@@ -67,7 +71,10 @@ def asof_join(
         .orderBy(F.col(ts_col).asc(), F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    filled = unioned.withColumn(
+        "_asof_p", F.last("_asof_p", ignorenulls=True).over(w)
+    )
+    out = filled.filter(F.col("_side") == 1)
     for c in right_payload:
-        out_c = f"{c}{suffix}"
-        unioned = unioned.withColumn(out_c, F.last(out_c, ignorenulls=True).over(w))
-    return unioned.filter(F.col("_side") == 1).drop("_side")
+        out = out.withColumn(f"{c}{suffix}", F.col("_asof_p")[c])
+    return out.drop("_side", "_asof_p")

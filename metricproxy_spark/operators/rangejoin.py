@@ -33,9 +33,19 @@ def time_band_join(
     calling); other column collisions must also be resolved by the
     caller. ``extra_on``: additional predicate applied with the band
     residual.
+
+    Only ``inner`` and ``left`` modes are supported: the right side is
+    replicated into two buckets via explode, so right/full outer would
+    surface each unmatched right row once per replica. Dedup the
+    replicas first if outer-right semantics are ever needed.
     """
     if left_ts == right_ts:
         raise ValueError("rename ts columns to distinct names before joining")
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"time_band_join supports how='inner'|'left' only, got {how!r} "
+            "(right rows are bucket-replicated; outer-right would duplicate)"
+        )
     bucket = lambda c: F.floor(F.unix_timestamp(F.col(c)) / F.lit(band_seconds))  # noqa: E731
 
     l_b = left.withColumn("_lbucket", bucket(left_ts))

@@ -14,6 +14,8 @@ Embeddings in the fixture are L2-normalized, so dot ≡ cosine.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level so pandas_udf type hints resolve
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -155,6 +157,7 @@ def embedding_near_dup_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_broadcast_rows: int = 1_000_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, score) for
     every pair with cosine ≥ threshold (unit-norm vectors ⇒ dot).
@@ -163,9 +166,12 @@ def embedding_near_dup_pairs(
     its rows against it and emits only above-threshold pairs with
     id_a < id_b — an O(n²/p) compute sweep per executor but O(matches)
     shuffle output. Fits corpora whose matrix fits executor memory
-    (64-dim float64 × 10M rows ≈ 5 GB); beyond that, pre-block with
-    IVF buckets (:func:`assign_centroids`) or random-hyperplane signs
-    (SimHash on embeddings) and run this within blocks.
+    (64-dim float64 × 1M rows ≈ 0.5 GB) — GUARDED: past
+    ``max_broadcast_rows`` the call auto-dispatches to the fully
+    distributed SRP-LSH blocking path (:func:`srp_band_pairs`) instead
+    of materializing the corpus on the driver, mirroring PPJoin's
+    bitmask fast-path dispatch. The exact sweep is the oracle-checked
+    baseline; SRP is its recall-tested scale sibling.
     """
     from typing import Iterator
 
@@ -175,6 +181,13 @@ def embedding_near_dup_pairs(
     from metricproxy_spark.io import ensure_package_on_workers
 
     spark = vectors.sparkSession
+    n_rows = vectors.select(id_col).count()
+    if n_rows > max_broadcast_rows:
+        # Too big for a driver round-trip + executor-resident matrix:
+        # use the banded-LSH path (no broadcast of the corpus at all).
+        return srp_band_pairs(
+            vectors, threshold, id_col=id_col, vec_col=vec_col
+        )
     ensure_package_on_workers(spark)
     vpd = vectors.select(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
@@ -394,10 +407,8 @@ def srp_band_pairs(
     band_bits = n_bits // n_bands
     weights = (1 << np.arange(band_bits)).astype("int64")
 
-    from pyspark.sql.functions import PandasUDFType
-
-    @pandas_udf(ArrayType(LongType()), PandasUDFType.SCALAR)
-    def band_keys(vs):
+    @pandas_udf(ArrayType(LongType()))
+    def band_keys(vs: pd.Series) -> pd.Series:
         # Hyperplanes are re-derived per executor from the seed: cheap
         # (dim x n_bits doubles) and avoids a broadcast dependency.
         mat = np.vstack(vs.to_numpy()).astype("float64")

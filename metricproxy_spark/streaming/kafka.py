@@ -114,7 +114,8 @@ def to_kafka_records(
             F.col("metric").alias("metric"),
             F.col("value").alias("value"),
             dims.alias("dimensions"),
-            (F.unix_timestamp("ts") * 1000).alias("timestamp"),
+            # millisecond wire timestamps (unix_timestamp*1000 truncates)
+            F.unix_millis(F.col("ts")).alias("timestamp"),
         )
     )
     key = (

@@ -103,21 +103,25 @@ class ProxyPipeline:
         df = self.transform(batch) if self.transform else batch
         # Persist once, serve all sinks: the demultiplexer's shared
         # slice. Count via the persisted data (one job; sinks reuse).
-        df.persist()
+        # Capture the persisted handle BEFORE the limit() shedding path
+        # reassigns df, and unpersist that same handle — otherwise every
+        # transformed micro-batch leaks its cached blocks for the life
+        # of the stream (cache debt that eventually evicts/OOMs).
+        persisted = df.persist()
         try:
-            n = df.count()
+            n = persisted.count()
             self._count("datapoints_in", n)
             if self.max_batch_rows is not None and n > self.max_batch_rows:
                 # F2 emulation: shed everything past the cap, count it —
                 # the buffered forwarder's drop-on-overflow.
                 self._count("datapoints_dropped", n - self.max_batch_rows)
-                df = df.limit(self.max_batch_rows)
+                df = persisted.limit(self.max_batch_rows)
                 n = self.max_batch_rows
             for sink in self.sinks:
                 sink.writer(df, batch_id)
                 self._count(f"sink.{sink.name}.datapoints", n)
         finally:
-            batch.unpersist()
+            persisted.unpersist()
 
     def start(
         self,

@@ -107,7 +107,10 @@ def signalfx_sink(
                     F.col("metric").alias("metric"),
                     F.col("value").alias("value"),
                     dims.alias("dimensions"),
-                    (F.unix_timestamp("ts") * 1000).alias("timestamp"),
+                    # v2 wire carries MILLISECOND timestamps; unix_millis
+                    # keeps sub-second precision (unix_timestamp*1000
+                    # truncates to whole seconds).
+                    F.unix_millis(F.col("ts")).alias("timestamp"),
                 )
             ).alias("line")
         )
