@@ -1,8 +1,12 @@
 #!/usr/bin/env python
 """Benchmark harness — runs every registered query at a scale-factor dir.
 
-Prints ONE JSON line:
-    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+Prints ONE SHORT JSON line (kept well under any driver line buffer —
+round 1's inline per-query map was ~5 KB and the driver recorded only
+its tail, "parsed": null):
+    {"metric": "...", "value": N, "unit": "sec", "sf": ...,
+     "n_queries": N, "median_sec": N, "queries_file": "BENCH_LOCAL.json"}
+Per-query timings land in BENCH_LOCAL.json next to this file.
 
 Env:
     SPARK_GRAFT_SF_DIR   parquet dir (default /root/testdata/sf0.1)

@@ -74,14 +74,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
-        # read as a timestamp. Read it as raw nanos (runtime-settable
-        # legacy conf, works on any session the driver hands us) and
-        # truncate to microseconds — exactly what DuckDB does internally
-        # (its TIMESTAMP is us-precision), so oracle comparisons agree.
+        # events.ts has shipped as two physical types across testdata
+        # generations: parquet TIMESTAMP(NANOS) (which Spark 4 only reads
+        # via the nanosAsLong legacy conf, as raw int64 nanos) and plain
+        # TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ). Detect which we got
+        # and normalize both to a session-local TIMESTAMP truncated to
+        # microseconds — DuckDB's TIMESTAMP is us-precision and naive, so
+        # oracle comparisons agree either way (sessions run tz=UTC).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))
-        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        ts_type = dict(df.dtypes).get("ts", "")
+        if ts_type in ("bigint", "long"):
+            return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        if ts_type == "timestamp_ntz":
+            return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(table_path(sf_dir, name))
 
 

@@ -158,6 +158,7 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_broadcast_rows: int = 1_000_000,
+    on_overflow: str = "srp",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, score) for
     every pair with cosine ≥ threshold (unit-norm vectors ⇒ dot).
@@ -167,11 +168,19 @@ def embedding_near_dup_pairs(
     id_a < id_b — an O(n²/p) compute sweep per executor but O(matches)
     shuffle output. Fits corpora whose matrix fits executor memory
     (64-dim float64 × 1M rows ≈ 0.5 GB) — GUARDED: past
-    ``max_broadcast_rows`` the call auto-dispatches to the fully
-    distributed SRP-LSH blocking path (:func:`srp_band_pairs`) instead
-    of materializing the corpus on the driver, mirroring PPJoin's
-    bitmask fast-path dispatch. The exact sweep is the oracle-checked
-    baseline; SRP is its recall-tested scale sibling.
+    ``max_broadcast_rows`` the behavior follows ``on_overflow``:
+
+    - ``"srp"`` (default): dispatch to the fully distributed SRP-LSH
+      blocking path (:func:`srp_band_pairs`) with band shape tuned to
+      ``threshold``, after emitting a ``UserWarning`` — results become
+      APPROXIMATE (high recall at the tuned shape, but not exhaustive).
+    - ``"error"``: raise, for callers that require exact semantics.
+
+    The probe that decides dispatch is bounded (``limit(max+1).count()``)
+    so it never re-executes the full upstream lineage of ``vectors``.
+    The exact sweep is the oracle-checked baseline; SRP is its
+    recall-tested scale sibling and both round scores to 6dp, so the
+    two paths share one output contract.
     """
     from typing import Iterator
 
@@ -180,13 +189,35 @@ def embedding_near_dup_pairs(
 
     from metricproxy_spark.io import ensure_package_on_workers
 
+    if on_overflow not in ("srp", "error"):
+        raise ValueError(f"on_overflow must be 'srp' or 'error', got {on_overflow!r}")
     spark = vectors.sparkSession
-    n_rows = vectors.select(id_col).count()
-    if n_rows > max_broadcast_rows:
-        # Too big for a driver round-trip + executor-resident matrix:
-        # use the banded-LSH path (no broadcast of the corpus at all).
+    # Bounded probe: short-circuits after max+1 rows instead of counting
+    # (and thus fully re-computing) the whole input.
+    probed = vectors.select(id_col).limit(max_broadcast_rows + 1).count()
+    if probed > max_broadcast_rows:
+        if on_overflow == "error":
+            raise ValueError(
+                f"corpus exceeds max_broadcast_rows={max_broadcast_rows} "
+                "and on_overflow='error'; use srp_band_pairs / "
+                "embedding_near_dup_pairs_blocked for exact-ish scale paths"
+            )
+        import warnings
+
+        warnings.warn(
+            f"embedding_near_dup_pairs: corpus > {max_broadcast_rows} rows; "
+            "falling back to approximate SRP-LSH blocking (on_overflow='srp')",
+            UserWarning,
+            stacklevel=2,
+        )
+        n_bands, band_bits = _srp_band_shape_for(threshold)
         return srp_band_pairs(
-            vectors, threshold, id_col=id_col, vec_col=vec_col
+            vectors,
+            threshold,
+            n_bits=n_bands * band_bits,
+            n_bands=n_bands,
+            id_col=id_col,
+            vec_col=vec_col,
         )
     ensure_package_on_workers(spark)
     vpd = vectors.select(
@@ -365,6 +396,29 @@ def ivf_topk(
     )
 
 
+def _srp_band_shape_for(
+    threshold: float, target_recall: float = 0.95, max_bands: int = 16
+) -> tuple[int, int]:
+    """Pick an SRP band shape (n_bands, band_bits) for a cosine threshold.
+
+    A sign bit agrees with probability p = 1 - arccos(t)/pi; a band of r
+    bits matches with p**r and recall over b bands is 1-(1-p**r)**b.
+    Choose the LONGEST band (fewest collisions → smallest buckets) whose
+    recall at the threshold still clears ``target_recall`` with at most
+    ``max_bands`` bands — tight thresholds earn long cheap bands, loose
+    ones fall back to short bands with more of them."""
+    import math
+
+    p = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    best = (12, 5)  # historical default; also the p→0 fallback
+    for band_bits in range(10, 1, -1):
+        for n_bands in range(2, max_bands + 1):
+            recall = 1.0 - (1.0 - p**band_bits) ** n_bands
+            if recall >= target_recall:
+                return (n_bands, band_bits)
+    return best
+
+
 def srp_band_pairs(
     vectors: DataFrame,
     threshold: float,
@@ -452,7 +506,12 @@ def srp_band_pairs(
         cand.join(va, "id_a")
         .join(vb, "id_b")
         .select(
-            "id_a", "id_b", dot(F.col("_va"), F.col("_vb")).alias("score")
+            "id_a",
+            "id_b",
+            # 6dp round matches the exact sweep's output contract, so a
+            # caller dispatched here by the overflow guard sees the same
+            # precision it would have gotten from the broadcast path.
+            F.round(dot(F.col("_va"), F.col("_vb")), 6).alias("score"),
         )
         .filter(F.col("score") >= threshold)
     )

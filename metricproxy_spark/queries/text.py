@@ -217,11 +217,19 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("multimodal_feature_vectors")
 def multimodal_feature_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L5 rows-only twin: full feature vectors (array<double>) from the
-    mapInPandas extractor, exercising the Arrow array return path."""
+    mapInPandas extractor, exercising the Arrow array return path. The
+    array is JSON-serialized in the FINAL projection only (the driver's
+    canonicalizer sorts result columns with pandas, which cannot hash
+    list cells — r02 recorded an 'unhashable type' error for this row);
+    everything upstream of the last select still flows as a real
+    array<double> through Arrow."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "utf-8").alias("content")
     )
-    return extract_features(docs, content_col="content", id_col="doc_id")
+    feats = extract_features(docs, content_col="content", id_col="doc_id")
+    return feats.select(
+        "doc_id", "n_bytes", F.to_json("features").alias("features_json")
+    )
 
 
 @register(

@@ -59,6 +59,14 @@ def test_bench_emits_driver_contract_json():
     )
     assert proc.returncode == 0, proc.stderr[-800:]
     line = proc.stdout.strip().splitlines()[-1]
+    # The contract line must stay short: round 1's driver truncated a
+    # ~5 KB queries-inline line and recorded "parsed": null. Per-query
+    # timings therefore live in BENCH_LOCAL.json (queries_file).
+    assert len(line) < 1000
     d = json.loads(line)
-    assert {"metric", "value", "unit", "queries", "sf"} <= set(d)
-    assert d["unit"] == "sec" and d["queries"]
+    assert {"metric", "value", "unit", "sf", "queries_file"} <= set(d)
+    assert d["unit"] == "sec"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, d["queries_file"])) as fh:
+        local = json.load(fh)
+    assert local["queries"]
