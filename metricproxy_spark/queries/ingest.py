@@ -32,7 +32,10 @@ from metricproxy_spark.sources.carbon import (
     parse_carbon_lines,
     to_carbon_lines,
 )
-from metricproxy_spark.sources.collectd import parse_collectd_json
+from metricproxy_spark.sources.collectd import (
+    parse_collectd_json,
+    parse_collectd_notifications,
+)
 from metricproxy_spark.sources.signalfx import (
     parse_sfx_v1_json,
     parse_sfx_v2_json,
@@ -221,6 +224,81 @@ def ingest_collectd_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_element_at("dimensions", F.lit("host")).alias("host"),
         F.try_element_at("dimensions", F.lit("plugin")).alias("plugin"),
         F.try_element_at("dimensions", F.lit("dsname")).alias("dsname"),
+    )
+
+
+@register(
+    "ingest_collectd_events",
+    oracle="""
+    SELECT 'health' ||
+               CASE WHEN event_id % 2 = 0 THEN '.ping' ELSE '' END AS event_type,
+           'COLLECTD' AS category,
+           CASE event_id % 3 WHEN 0 THEN 'OKAY' WHEN 1 THEN 'WARNING'
+                ELSE 'FAILURE' END AS severity,
+           'state of ' || events.event_type AS message,
+           'h' || CAST(user_id % 5 AS VARCHAR) AS host,
+           'dc' || CAST(user_id % 3 AS VARCHAR) AS dc,
+           epoch_us(ts) AS epoch_us
+    FROM events
+    """,
+)
+def ingest_collectd_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 notifications: collectd write_http severity/message elements →
+    §2.2 event rows (category COLLECTD, type[.type_instance] naming),
+    with ``?sfxdim_*`` request dims merged at element-dim priority.
+
+    Each synthesized body holds one notification AND one datapoint
+    element, so the query also proves the notification path excludes
+    datapoint batches (and vice versa: `ingest_collectd_explode` never
+    sees severity rows — posexplode of null values drops them). The
+    query string carries a clashing ``sfxdim_host`` that must LOSE to
+    the element's own host, plus a non-sfxdim param that must be
+    ignored.
+    """
+    ev = spread(load_table(spark, sf_dir, "events"), spark)
+    epoch_s = (F.unix_micros("ts") / F.lit(1_000_000.0)).alias("time")
+    notif = F.struct(
+        epoch_s,
+        F.concat(F.lit("h"), (F.col("user_id") % 5).cast("string")).alias("host"),
+        F.col("event_type").alias("plugin"),
+        F.lit("").alias("plugin_instance"),
+        F.lit("health").alias("type"),
+        F.when(F.col("event_id") % 2 == 0, F.lit("ping"))
+        .otherwise(F.lit(""))
+        .alias("type_instance"),
+        F.element_at(
+            F.array(F.lit("okay"), F.lit("warning"), F.lit("failure")),
+            ((F.col("event_id") % 3) + 1).cast("int"),
+        ).alias("severity"),
+        F.concat(F.lit("state of "), F.col("event_type")).alias("message"),
+    )
+    dp = F.struct(
+        F.array(F.lit("value")).alias("dsnames"),
+        F.array(F.lit("gauge")).alias("dstypes"),
+        F.array(F.col("value")).alias("values"),
+        epoch_s,
+        F.lit("h0").alias("host"),
+        F.lit("cpu").alias("type"),
+    )
+    body = F.concat(
+        F.lit("["), F.to_json(notif), F.lit(","), F.to_json(dp), F.lit("]")
+    )
+    qs = F.concat(
+        F.lit("ignore=1&sfxdim_dc=dc"),
+        (F.col("user_id") % 3).cast("string"),
+        F.lit("&sfxdim_host=SHOULD_LOSE"),
+    )
+    parsed = parse_collectd_notifications(
+        ev.select(body.alias("body"), qs.alias("query")), query_col="query"
+    )
+    return parsed.select(
+        "event_type",
+        "category",
+        F.get_json_object("properties", "$.severity").alias("severity"),
+        F.get_json_object("properties", "$.message").alias("message"),
+        F.try_element_at("dimensions", F.lit("host")).alias("host"),
+        F.try_element_at("dimensions", F.lit("dc")).alias("dc"),
+        "epoch_us",
     )
 
 

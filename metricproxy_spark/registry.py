@@ -55,6 +55,10 @@ _PRIORITY = (
     # never covered by any driver file (past both rounds' row caps):
     "stream_stream_join",
     "stream_stream_outer_join",
+    # new in round 3:
+    "ingest_collectd_events",
+    "ingest_sfx_v2_datasource",
+    "multimodal_decode_real",
 )
 
 _QUERY_MODULES = (

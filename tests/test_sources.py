@@ -13,7 +13,10 @@ from metricproxy_spark.sources.carbon import (
     parse_carbon_lines,
     to_carbon_lines,
 )
-from metricproxy_spark.sources.collectd import parse_collectd_json
+from metricproxy_spark.sources.collectd import (
+    parse_collectd_json,
+    parse_collectd_notifications,
+)
 from metricproxy_spark.sources.signalfx import (
     parse_sfx_v1_json,
     parse_sfx_v2_json,
@@ -137,6 +140,44 @@ class TestCollectd:
         dims = by_metric["load.avg"].dimensions
         assert dims["host"] == "h1" and dims["dsname"] == "value"
         assert "plugin_instance" not in dims  # empty identity fields omitted
+
+    NOTIF_BODY = (
+        '[{"time": 1704067200.5, "host": "h1", "plugin": "load",'
+        ' "plugin_instance": "", "type": "health", "type_instance": "ping",'
+        ' "severity": "failure", "message": "disk full"},'
+        ' {"dsnames": ["value"], "dstypes": ["gauge"], "values": [1.0],'
+        ' "time": 1704067200.5, "host": "h1", "type": "cpu"}]'
+    )
+
+    def test_notifications_split_from_datapoints(self, spark):
+        src = spark.createDataFrame(
+            [(self.NOTIF_BODY, "x=1&sfxdim_dc=west&sfxdim_host=lose")],
+            "body string, query string",
+        )
+        events = parse_collectd_notifications(src, query_col="query").collect()
+        assert len(events) == 1  # the datapoint element is excluded
+        ev = events[0]
+        assert ev.event_type == "health.ping"
+        assert ev.category == "COLLECTD"
+        assert ev.epoch_us == 1704067200500000
+        import json as _json
+
+        props = _json.loads(ev.properties)
+        assert props == {"message": "disk full", "severity": "FAILURE"}
+        # sfxdim_* params become dims; element identity wins a key clash;
+        # non-sfxdim params are ignored; empty identity fields omitted.
+        assert ev.dimensions == {
+            "host": "h1",
+            "plugin": "load",
+            "type_instance": "ping",
+            "dc": "west",
+        }
+        # the datapoint path also takes request dims, and drops notifications
+        dps = parse_collectd_json(src, query_col="query").collect()
+        assert len(dps) == 1
+        assert dps[0].metric == "cpu"
+        assert dps[0].dimensions["dc"] == "west"
+        assert dps[0].dimensions["host"] == "h1"
 
 
 class TestSignalFx:
