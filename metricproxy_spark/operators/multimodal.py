@@ -3,11 +3,12 @@
 Images/audio/video ride the pipeline as opaque BINARY columns with a
 typed metadata struct; decode/feature-extraction runs as Arrow-batched
 ``mapInPandas`` so heavy per-item work is vectorized per partition and
-never touches the driver. The actual codec step is STUBBED in this
-container (no image/audio libs): ``decode_media`` raises
-NotImplementedError by contract, and ``fake_features`` is the
-deterministic stand-in that keeps every piece of Spark-side plumbing —
-schema, batching, partitioning, UDF signature — real and testable.
+never touches the driver. ``decode_media`` REALLY decodes the formats
+that need no codec library (uncompressed 24bpp BMP, PCM-16 WAV — pure
+``struct`` parsing) and raises NotImplementedError for compressed
+formats by contract (no image/audio libs in-container);
+``fake_features`` remains the deterministic stand-in for the model
+forward pass so batching/schema plumbing is testable end-to-end.
 """
 
 from __future__ import annotations
@@ -33,13 +34,134 @@ MEDIA_META_SCHEMA = T.StructType(
 N_FAKE_FEATURES = 8
 
 
-def decode_media(content: bytes, media_type: str):  # pragma: no cover
-    """STUB — real decode (PIL/libav/opencv) is unavailable in this
-    container. The Spark-side contract (binary in, ndarray out) is
-    fixed; swap the body when codecs exist."""
+def decode_media(content: bytes, media_type: str | None = None):
+    """Decode a media payload → (meta dict, numpy sample array).
+
+    REAL decode for the two formats whose containers need no codec
+    library — uncompressed 24bpp BMP and PCM-16 WAV are pure ``struct``
+    parsing — dispatched by magic bytes. Every compressed format
+    (png/jpeg/mp3/mp4/...) still raises by contract: this container has
+    no codec libs, and the Spark-side plumbing (binary in, ndarray out)
+    is identical either way — swap in PIL/libav here when they exist.
+
+    meta keys: media_type, format, width, height, duration_ms.
+    """
+    if content[:2] == b"BM":
+        return decode_bmp(content)
+    if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+        return decode_wav(content)
     raise NotImplementedError(
-        "media decode stub: install codec libs and implement decode_media()"
+        "media decode stub: only uncompressed BMP/WAV decode in-container; "
+        "install codec libs and extend decode_media() for other formats"
     )
+
+
+def encode_bmp(pixels) -> bytes:
+    """numpy (H, W, 3) uint8 (RGB row 0 = top) → 24bpp bottom-up BMP."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    stride = (w * 3 + 3) & ~3
+    img_size = stride * h
+    header = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    rows = bytearray()
+    pad = b"\x00" * (stride - w * 3)
+    for y in range(h - 1, -1, -1):  # bottom-up
+        rows += px[y, :, ::-1].tobytes() + pad  # RGB→BGR per the format
+    return header + info + bytes(rows)
+
+
+def decode_bmp(content: bytes):
+    """24bpp uncompressed BMP → (meta, (H, W, 3) uint8 RGB array)."""
+    import struct
+
+    import numpy as np
+
+    if content[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (offset,) = struct.unpack_from("<I", content, 10)
+    hdr_size, w, h, _planes, bpp, compression = struct.unpack_from(
+        "<IiiHHI", content, 14
+    )
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError("only 24bpp uncompressed BMP decodes in-container")
+    flipped = h < 0  # negative height = top-down rows
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(content, np.uint8, stride * h, offset).reshape(h, stride)
+    px = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR→RGB, drop padding
+    if not flipped:
+        px = px[::-1]  # bottom-up → row 0 = top
+    meta = {
+        "media_type": "image",
+        "format": "bmp",
+        "width": w,
+        "height": h,
+        "duration_ms": None,
+    }
+    return meta, np.ascontiguousarray(px)
+
+
+def encode_wav(samples, sample_rate: int = 8000) -> bytes:
+    """numpy int16 mono samples → PCM-16 WAV container."""
+    import struct
+
+    import numpy as np
+
+    data = np.asarray(samples, dtype="<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def decode_wav(content: bytes):
+    """PCM-16 WAV → (meta, int16 sample array); walks RIFF chunks."""
+    import struct
+
+    import numpy as np
+
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, end = 12, len(content)
+    sample_rate = channels = bits = None
+    data = b""
+    while pos + 8 <= end:
+        cid, size = content[pos : pos + 4], struct.unpack_from("<I", content, pos + 4)[0]
+        body = content[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, channels, sample_rate, _, _, bits = struct.unpack_from(
+                "<HHIIHH", body
+            )
+            if audio_fmt != 1 or bits != 16:
+                raise NotImplementedError("only PCM-16 WAV decodes in-container")
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if sample_rate is None:
+        raise ValueError("WAV missing fmt chunk")
+    samples = np.frombuffer(data, "<i2")
+    n_frames = len(samples) // (channels or 1)
+    meta = {
+        "media_type": "audio",
+        "format": "wav",
+        "width": None,
+        "height": None,
+        "duration_ms": n_frames * 1000 // sample_rate,
+    }
+    return meta, samples
 
 
 def fake_features(content: bytes) -> list[float]:
@@ -87,6 +209,51 @@ def extract_features(
                     ),
                 }
             )
+
+    return df.select(id_col, content_col).mapInPandas(run, out_schema)
+
+
+def decode_media_meta(
+    df: DataFrame, content_col: str = "content", id_col: str = "doc_id"
+) -> DataFrame:
+    """mapInPandas REAL decode over binary media payloads.
+
+    Runs :func:`decode_media` per payload (BMP/WAV in-container) and
+    emits the typed metadata plus the decoded-sample mean — a value
+    derived from the PAYLOAD BYTES, so an oracle checking it proves the
+    pixel/sample data path, not just header parsing. Same scale shape
+    as `extract_features`: Arrow batches, per-partition Python, nothing
+    on the driver.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("media_type", T.StringType(), False),
+            T.StructField("format", T.StringType(), True),
+            T.StructField("width", T.LongType(), True),
+            T.StructField("height", T.LongType(), True),
+            T.StructField("duration_ms", T.LongType(), True),
+            T.StructField("mean_value", T.DoubleType(), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, raw in zip(pdf[id_col], pdf[content_col]):
+                meta, samples = decode_media(bytes(raw))
+                rows.append(
+                    (
+                        i,
+                        meta["media_type"],
+                        meta["format"],
+                        meta["width"],
+                        meta["height"],
+                        meta["duration_ms"],
+                        round(float(samples.mean()), 9) if samples.size else None,
+                    )
+                )
+            yield pd.DataFrame(rows, columns=list(out_schema.names))
 
     return df.select(id_col, content_col).mapInPandas(run, out_schema)
 

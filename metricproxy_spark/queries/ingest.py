@@ -693,6 +693,120 @@ def ingest_carbon_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ingest_sfx_v2_datasource",
+    oracle="""
+    SELECT event_type AS metric,
+           value,
+           'gauge' AS metric_type,
+           epoch_ms(ts) AS ts_ms,
+           CAST(user_id AS VARCHAR) AS dim_user_id,
+           'dc' || CAST((user_id % 97) % 3 AS VARCHAR) AS dc
+    FROM events
+    """,
+)
+def ingest_sfx_v2_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 as a native connector: staged HTTP POST requests (v2 JSON
+    bodies, half of them gzip-encoded) read through the custom
+    ``httpwire`` Python Data Source and parsed by the same C3 parser as
+    the socket path — the listener front door, terminated at rest.
+
+    The oracle re-derives every parsed field (metric, double value, ms
+    timestamp, per-point dims, ``sfxdim_*`` request dims) from the
+    source table, so the whole chain — request framing, Content-Length,
+    gzip decode, JSON unpivot, query-param dim merge — is value-checked.
+
+    Staging is distributed (``applyInPandas`` writes one request file
+    per group from the executors — "the requests the network wrote"),
+    keyed by sf and published by atomic rename so concurrent processes
+    share one materialization. Scan parallelism is the connector's
+    bin-packed file partitions, planner-visible.
+    """
+    from metricproxy_spark.io import ensure_package_on_workers
+    from metricproxy_spark.sources.collectd import sfxdim_params
+    from metricproxy_spark.sources.httpwire import (
+        format_http_request,
+        register_httpwire,
+    )
+
+    ensure_package_on_workers(spark)
+    register_httpwire(spark)
+    req_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"mps_http_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    if not os.path.isdir(req_dir):
+        staging = tempfile.mkdtemp(prefix="mps_http_stage_")
+
+        def write_request(pdf):
+            import json as _json
+
+            pdf = pdf.sort_values("event_id")
+            req = int(pdf["req"].iloc[0])
+            body = _json.dumps(
+                {
+                    "gauge": [
+                        {
+                            "metric": m,
+                            "value": float(v),
+                            "timestamp": int(t),
+                            "dimensions": {"user_id": str(int(u))},
+                        }
+                        for m, v, t, u in zip(
+                            pdf["event_type"],
+                            pdf["value"],
+                            pdf["ts_ms"],
+                            pdf["user_id"],
+                        )
+                    ]
+                }
+            ).encode()
+            raw = format_http_request(
+                body,
+                query=f"sfxdim_dc=dc{req % 3}",
+                gzip_body=(req % 2 == 0),
+            )
+            # deterministic content + atomic replace = safe under task
+            # retries/speculation and the concurrent-process publish race
+            final = os.path.join(staging, f"req_{req:05d}.http")
+            tmp = final + f".tmp{os.getpid()}"
+            with open(tmp, "wb") as fh:
+                fh.write(raw)
+            os.replace(tmp, final)
+            import pandas as _pd
+
+            return _pd.DataFrame({"req": [req], "n": [len(pdf)]})
+
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id",
+            "event_type",
+            "value",
+            "user_id",
+            F.unix_millis("ts").alias("ts_ms"),
+            (F.col("user_id") % 97).alias("req"),
+        )
+        ev.groupBy("req").applyInPandas(write_request, "req long, n long").count()
+        try:
+            os.rename(staging, req_dir)
+        except OSError:  # lost the publish race; theirs is identical
+            shutil.rmtree(staging, ignore_errors=True)
+    reqs = (
+        spark.read.format("httpwire")
+        .option("path", req_dir)
+        .option("chunk_bytes", str(256 * 1024))
+        .load()
+    )
+    parsed = parse_sfx_v2_json(reqs, body_col="body")
+    return parsed.select(
+        "metric",
+        "value",
+        "metric_type",
+        "ts_ms",
+        F.try_element_at("dimensions", F.lit("user_id")).alias("dim_user_id"),
+        F.try_element_at(sfxdim_params(F.col("query")), F.lit("dc")).alias("dc"),
+    )
+
+
+@register(
     "ingest_schema_evolution",
     oracle="""
     SELECT event_type,

@@ -270,6 +270,61 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_decode_real",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS media_type,
+           CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'wav' END AS format,
+           CASE WHEN doc_id % 2 = 0 THEN 4 + doc_id % 13 END AS width,
+           CASE WHEN doc_id % 2 = 0 THEN 3 + doc_id % 7 END AS height,
+           CASE WHEN doc_id % 2 = 1
+                THEN (800 + (doc_id % 50) * 40) // 8 END AS duration_ms,
+           CASE WHEN doc_id % 2 = 0 THEN CAST(doc_id % 256 AS DOUBLE)
+                ELSE CAST(doc_id % 100 - 50 AS DOUBLE) END AS mean_value
+    FROM documents
+    """,
+)
+def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5 with REAL codecs: synthesized BMP images (even doc_ids) and
+    PCM WAV clips (odd doc_ids) ride a binary column and are decoded by
+    the pure-struct BMP/WAV parsers in
+    :mod:`metricproxy_spark.operators.multimodal` — actual container
+    decode, not the compressed-format stub. The oracle re-derives
+    width/height from the BMP header, duration from the WAV
+    frame-count/sample-rate, and the decoded-sample MEAN from the
+    payload generator's constants — so pixel/sample data (stride
+    padding, BGR order, int16 framing) is value-checked, not just
+    header fields. Encode and decode both run executor-side in Arrow
+    batches."""
+    import numpy as np
+    import pandas as pd
+
+    from metricproxy_spark.operators.multimodal import (
+        decode_media_meta,
+        encode_bmp,
+        encode_wav,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                if i % 2 == 0:
+                    w, h, c = 4 + i % 13, 3 + i % 7, i % 256
+                    payloads.append(encode_bmp(np.full((h, w, 3), c, np.uint8)))
+                else:
+                    n, s = 800 + (i % 50) * 40, (i % 100) - 50
+                    payloads.append(encode_wav(np.full(n, s, np.int16)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": payloads})
+
+    media = docs.mapInPandas(synth, "doc_id long, content binary")
+    return decode_media_meta(media)
+
+
+@register(
     "text_tfidf",
     oracle="""
     WITH docs_n AS (

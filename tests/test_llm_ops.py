@@ -143,8 +143,51 @@ class TestMultimodal:
         from metricproxy_spark.operators.multimodal import decode_media
         import pytest
 
+        # compressed formats still raise: no codec libs in-container
         with pytest.raises(NotImplementedError):
-            decode_media(b"\x89PNG", "image")
+            decode_media(b"\x89PNG\r\n\x1a\n....", "image")
+
+    def test_bmp_roundtrip_gradient(self):
+        """Non-constant pixels: a gradient catches stride-padding and
+        BGR/RGB channel-order bugs a solid fill cannot."""
+        import numpy as np
+
+        from metricproxy_spark.operators.multimodal import decode_bmp, encode_bmp
+
+        # width 5 -> 15-byte rows, padded to 16: exercises the pad path
+        px = (
+            np.arange(5 * 3 * 3, dtype=np.uint32).reshape(3, 5, 3) * 17 % 256
+        ).astype(np.uint8)
+        meta, got = decode_bmp(encode_bmp(px))
+        assert (meta["width"], meta["height"]) == (5, 3)
+        assert meta["media_type"] == "image" and meta["format"] == "bmp"
+        assert meta["duration_ms"] is None
+        np.testing.assert_array_equal(got, px)
+
+    def test_wav_roundtrip_and_duration(self):
+        import numpy as np
+
+        from metricproxy_spark.operators.multimodal import decode_wav, encode_wav
+
+        samples = (np.sin(np.arange(12000) / 50.0) * 3000).astype(np.int16)
+        meta, got = decode_wav(encode_wav(samples, sample_rate=8000))
+        assert meta["duration_ms"] == 1500  # 12000 frames @ 8 kHz
+        assert meta["media_type"] == "audio" and meta["format"] == "wav"
+        np.testing.assert_array_equal(got, samples)
+
+    def test_decode_media_dispatches_by_magic(self):
+        import numpy as np
+
+        from metricproxy_spark.operators.multimodal import (
+            decode_media,
+            encode_bmp,
+            encode_wav,
+        )
+
+        meta, _ = decode_media(encode_bmp(np.zeros((2, 2, 3), np.uint8)))
+        assert meta["format"] == "bmp"
+        meta, _ = decode_media(encode_wav(np.zeros(8, np.int16)))
+        assert meta["format"] == "wav"
 
 
 class TestMinHashAccuracy:
