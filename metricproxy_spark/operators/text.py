@@ -74,6 +74,60 @@ def quality_features(text_col: Column | str) -> dict[str, Column]:
     }
 
 
+def paragraph_chunks(words: Column, para_words: int = 8) -> Column:
+    """Fixed-width word chunks standing in for paragraphs (the corpus
+    has no newline structure): ARRAY<STRING> of ``para_words``-word
+    spans in order. Pure array HOFs — a narrow, shuffle-free transform."""
+    n_paras = F.ceil(F.size(words) / F.lit(float(para_words))).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), n_paras - 1),
+        lambda i: F.array_join(F.slice(words, i * para_words + 1, para_words), " "),
+    )
+
+
+def repetition_signals(
+    text_col: Column | str, para_words: int = 8
+) -> dict[str, Column]:
+    """Gopher-style repetition quality signals (Rae et al. 2021, §A1.1:
+    repetitious documents are low-quality): fraction of duplicate
+    paragraphs, and the share of word-bigrams taken by the single most
+    frequent bigram.
+
+    Deliberately NARROW: per-doc signals are computed with array HOFs
+    inside one projection — no explode/groupBy shuffle, so at 100 TB
+    the cost is a linear scan. The most-frequent-bigram count is
+    O(distinct·n) per doc via filter-count, bounded by document length,
+    not corpus size.
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    words = words_of(c)
+    paras = paragraph_chunks(words, para_words)
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(words) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(words, i), F.element_at(words, i + 1)),
+    )
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct(bigrams),
+            lambda x: F.size(F.filter(bigrams, lambda b: b == x)),
+        )
+    )
+    return {
+        "n_paras": F.size(paras).cast("bigint"),
+        "dup_para_frac": F.round(
+            1
+            - F.size(F.array_distinct(paras)).cast("double")
+            / F.size(paras).cast("double"),
+            9,
+        ),
+        "n_bigrams": F.size(bigrams).cast("bigint"),
+        "top_bigram_cnt": top_cnt.cast("bigint"),
+        "top_bigram_frac": F.round(
+            top_cnt.cast("double") / F.size(bigrams).cast("double"), 9
+        ),
+    }
+
+
 def token_counts(text_col: Column | str) -> dict[str, Column]:
     """Token counting: whitespace tokens, BPE-ish regex tokens
     (letter-runs / digit-runs / single other chars), and the ~4 chars

@@ -291,11 +291,14 @@ def ingest_collectd_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     parsed = parse_collectd_notifications(
         ev.select(body.alias("body"), qs.alias("query")), query_col="query"
     )
+    # one from_json for both property fields (get_json_object would
+    # re-parse the string per call)
+    props = F.from_json("properties", "message string, severity string")
     return parsed.select(
         "event_type",
         "category",
-        F.get_json_object("properties", "$.severity").alias("severity"),
-        F.get_json_object("properties", "$.message").alias("message"),
+        props["severity"].alias("severity"),
+        props["message"].alias("message"),
         F.try_element_at("dimensions", F.lit("host")).alias("host"),
         F.try_element_at("dimensions", F.lit("dc")).alias("dc"),
         "epoch_us",

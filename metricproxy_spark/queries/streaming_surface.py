@@ -8,8 +8,10 @@ Because Spark's batch/streaming semantics are unified and the file
 replay is deterministic, the DuckDB oracle can check the *streamed*
 result exactly — the strongest correctness statement available for the
 streaming path. ``stream_counter_to_rate`` exercises cross-batch
-operator state (applyInPandasWithState) with 3 time-ordered
-micro-batches; its oracle is the ``lag()`` window twin.
+operator state (applyInPandasWithState) with 2 time-ordered
+micro-batches (the minimum that proves cross-batch state handoff:
+batch 2's first rate needs batch 1's last (ts, value) per key); its
+oracle is the ``lag()`` window twin.
 
 The fan-out query drives the ProxyPipeline (demux → counters → K1/K2/K3
 sinks) end-to-end and returns the per-sink delivery counters — the
@@ -189,11 +191,14 @@ def stream_counter_to_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Stage: build a monotone cumulative counter per event_type (running
     event count sampled per minute — unique event-time per key), split
-    it into 3 time-ranged files, and replay with maxFilesPerTrigger=1 so
-    the stateful operator sees 3 micro-batches in event-time order and
-    must carry (last_ts, last_value) across them in GroupState. The
-    oracle is the batch lag() twin — agreement proves the state handoff
-    is exact, not just row counts."""
+    it into 2 time-ranged files, and replay with maxFilesPerTrigger=1 so
+    the stateful operator sees 2 micro-batches in event-time order and
+    must carry (last_ts, last_value) across them in GroupState — the
+    minimum batch count that proves the handoff (batch 2's first rate
+    is computable ONLY from batch 1's final state). The oracle is the
+    batch lag() twin — agreement proves the state handoff is exact,
+    not just row counts; tests/test_streaming.py covers the 3-batch
+    replay and restart-from-checkpoint variants."""
     from pyspark.sql import Window
 
     wd = _workdir()
@@ -217,7 +222,7 @@ def stream_counter_to_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     src_dir = os.path.join(wd, "src")
     os.makedirs(src_dir, exist_ok=True)
-    _write_range_split(counters, "ts", src_dir, num_files=3)
+    _write_range_split(counters, "ts", src_dir, num_files=2)
     stream = read_stream_table(spark, src_dir, max_files_per_trigger=1)
     rates = counter_to_rate(stream)
     # The stateful shuffle keys on `metric` (a handful of distinct

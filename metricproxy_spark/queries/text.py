@@ -325,6 +325,111 @@ def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_repetition_signals",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
+        FROM documents
+    ), p AS (
+        SELECT doc_id,
+               list_transform(range(0, CAST(ceil(len(w) / 8.0) AS BIGINT)),
+                              i -> array_to_string(w[(i*8+1):(i*8+8)], ' '))
+                   AS paras,
+               list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+                   AS bg
+        FROM w
+    )
+    SELECT doc_id,
+           CAST(len(paras) AS BIGINT) AS n_paras,
+           round(1 - CAST(len(list_distinct(paras)) AS DOUBLE)
+                     / CAST(len(paras) AS DOUBLE), 9) AS dup_para_frac,
+           CAST(len(bg) AS BIGINT) AS n_bigrams,
+           CAST(list_max(list_transform(list_distinct(bg),
+                    x -> len(list_filter(bg, e -> e = x)))) AS BIGINT)
+               AS top_bigram_cnt,
+           round(CAST(list_max(list_transform(list_distinct(bg),
+                    x -> len(list_filter(bg, e -> e = x)))) AS DOUBLE)
+                     / CAST(len(bg) AS DOUBLE), 9) AS top_bigram_frac
+    FROM p
+    """,
+)
+def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4 quality: Gopher-style repetition signals (duplicate-paragraph
+    fraction, most-frequent-bigram share) as ONE narrow projection —
+    array HOFs only, no explode/groupBy shuffle, so the 100 TB cost is
+    a linear scan bounded by per-document length."""
+    from metricproxy_spark.operators.text import repetition_signals
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = repetition_signals("text")
+    return docs.select(
+        "doc_id", *[expr.alias(name) for name, expr in sig.items()]
+    )
+
+
+@register(
+    "dedup_paragraphs",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
+        FROM documents
+    ), p AS (
+        SELECT doc_id,
+               UNNEST(range(0, CAST(ceil(len(w) / 8.0) AS BIGINT))) AS pos,
+               w
+        FROM w
+    ), paras AS (
+        SELECT doc_id, pos, array_to_string(w[(pos*8+1):(pos*8+8)], ' ') AS para
+        FROM p
+    ), ranked AS (
+        SELECT doc_id, pos, para,
+               row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+        FROM paras
+    )
+    SELECT doc_id,
+           count(*) AS n_kept,
+           string_agg(para, ' ' ORDER BY pos) AS text_dedup
+    FROM ranked WHERE rn = 1
+    GROUP BY doc_id
+    """,
+)
+def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 at sub-document granularity (the RefinedWeb/Dolma paragraph
+    pass): explode fixed-width word chunks standing in for paragraphs,
+    keep only each paragraph's GLOBAL first occurrence (min
+    (doc_id, pos) over a paragraph-keyed window), then reconstruct
+    every document from its surviving paragraphs in original order.
+
+    Scale shape: one shuffle keyed by paragraph text (bounded at
+    para_words words — tens of bytes), one by doc_id for the rebuild;
+    both are plain hash partitions with map-side-combinable aggs, no
+    broadcast, no driver state."""
+    from metricproxy_spark.operators.text import paragraph_chunks, words_of
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", words_of("text").alias("w")
+    )
+    paras = docs.select(
+        "doc_id", F.posexplode(paragraph_chunks(F.col("w"))).alias("pos", "para")
+    )
+    first = F.min(F.struct("doc_id", "pos")).over(Window.partitionBy("para"))
+    kept = paras.withColumn("_first", first).where(
+        (F.col("doc_id") == F.col("_first.doc_id"))
+        & (F.col("pos") == F.col("_first.pos"))
+    )
+    return kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+            " ",
+        ).alias("text_dedup"),
+    )
+
+
+@register(
     "text_tfidf",
     oracle="""
     WITH docs_n AS (

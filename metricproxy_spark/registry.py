@@ -59,6 +59,8 @@ _PRIORITY = (
     "ingest_collectd_events",
     "ingest_sfx_v2_datasource",
     "multimodal_decode_real",
+    "text_repetition_signals",
+    "dedup_paragraphs",
 )
 
 _QUERY_MODULES = (
