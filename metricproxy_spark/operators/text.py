@@ -128,6 +128,62 @@ def repetition_signals(
     }
 
 
+def winnow_fingerprints(
+    text_col: Column | str, k: int = 3, w: int = 4
+) -> Column:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003): hash every k-gram of words, slide a window of ``w``
+    consecutive k-gram hashes, and in each window select the minimum
+    hash — rightmost on ties (robust winnowing), so shared substrings
+    of length ≥ k+w-1 words are guaranteed to share a fingerprint.
+
+    Returns ARRAY<STRUCT<pos INT, fp BIGINT>> of selected (k-gram
+    position, hash) pairs, duplicates included (callers dedupe
+    row-wise). Pure array HOFs over the portable word hash
+    (``ascii·1024+len`` polynomial, same fold as :func:`fingerprint`)
+    — a narrow, shuffle-free projection that an oracle can replay with
+    DuckDB list functions.
+    """
+    from functools import reduce as _reduce
+
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    words = words_of(c)
+
+    def wv(word: Column) -> Column:
+        return (F.ascii(word) * 1024 + F.length(word)).cast("long")
+
+    # If-branches evaluate lazily, so the sequence() never sees a
+    # negative upper bound on short documents.
+    n_kgrams = F.size(words) - (k - 1)
+    kg = F.when(
+        n_kgrams >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_kgrams),
+            lambda i: _reduce(
+                lambda acc, j: acc * 131 + wv(F.element_at(words, i + F.lit(j))),
+                range(k),
+                F.lit(0).cast("long"),
+            )
+            % F.lit(_MOD),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    n_windows = F.size(kg) - (w - 1)
+
+    def select_in_window(j: Column) -> Column:
+        cand = F.slice(kg, j, w)
+        minh = F.array_min(cand)
+        # rightmost tie: first position in the REVERSED window
+        rpos = F.array_position(F.reverse(cand), minh)
+        return F.struct(
+            (j + w - rpos).cast("int").alias("pos"), minh.alias("fp")
+        )
+
+    return F.when(
+        n_windows >= 1,
+        F.transform(F.sequence(F.lit(1), n_windows), select_in_window),
+    ).otherwise(F.array().cast("array<struct<pos:int,fp:bigint>>"))
+
+
 def token_counts(text_col: Column | str) -> dict[str, Column]:
     """Token counting: whitespace tokens, BPE-ish regex tokens
     (letter-runs / digit-runs / single other chars), and the ~4 chars

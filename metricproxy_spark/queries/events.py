@@ -467,3 +467,101 @@ def events_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1, 2
         """
     )
+
+
+@register(
+    "events_funnel",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY 1
+    ), c AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN v USING (user_id)
+        WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1
+    ), p AS (
+        SELECT e.user_id, min(e.ts) AS t3
+        FROM events e JOIN c USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1
+    )
+    SELECT (SELECT count(*) FROM v) AS step1_users,
+           (SELECT count(*) FROM c) AS step2_users,
+           (SELECT count(*) FROM p) AS step3_users
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → click → purchase): each step counts users
+    whose step event strictly FOLLOWS their earliest previous-step
+    event — the order constraint is what separates a funnel from three
+    independent counts.
+
+    Scale shape: three user-keyed hash aggs, each joined to the
+    (shrinking) previous step on user_id; step frames are tiny relative
+    to the event stream, so the joins are broadcast-able and the only
+    full-data shuffles are the per-step min-aggregations, which
+    map-side combine to one row per user."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+
+    def step(name: str, prev: DataFrame | None, prev_ts: str, out_ts: str):
+        e = ev.where(F.col("event_type") == name)
+        if prev is not None:
+            e = e.join(F.broadcast(prev), "user_id").where(
+                F.col("ts") > F.col(prev_ts)
+            )
+        return e.groupBy("user_id").agg(F.min("ts").alias(out_ts))
+
+    v = step("view", None, "", "t1")
+    c = step("click", v, "t1", "t2")
+    p = step("purchase", c, "t2", "t3")
+    counts = [
+        df.agg(F.count(F.lit(1)).alias(alias))
+        for df, alias in ((v, "step1_users"), (c, "step2_users"), (p, "step3_users"))
+    ]
+    out = counts[0].crossJoin(counts[1]).crossJoin(counts[2])
+    return out
+
+
+@register(
+    "events_cohort_retention",
+    oracle="""
+    WITH firstw AS (
+        SELECT user_id, date_trunc('week', min(ts)) AS cohort
+        FROM events GROUP BY 1
+    ), act AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+    )
+    SELECT CAST(cohort AS TIMESTAMP) AS cohort,
+           -- date_trunc('week') is a DATE in DuckDB: the difference is
+           -- whole days, always a multiple of 7
+           CAST((wk - cohort) // 7 AS BIGINT) AS week_offset,
+           count(*) AS active_users
+    FROM firstw JOIN act USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-activity week,
+    counted in every subsequent week they return. The offset is integer
+    epoch arithmetic on week-truncated timestamps (not calendar
+    datediff), so both engines agree by construction.
+
+    Scale shape: first-activity agg + per-week distinct both shuffle on
+    user_id and combine map-side; the cohort join is user-keyed; the
+    final agg's key space is weeks², which is tiny forever."""
+    ev = load_table(spark, sf_dir, "events")
+    firstw = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort")
+    )
+    act = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("wk")
+    ).distinct()
+    joined = firstw.join(act, "user_id")
+    return (
+        joined.withColumn(
+            "week_offset",
+            ((F.unix_timestamp("wk") - F.unix_timestamp("cohort")) / 604800)
+            .cast("bigint"),
+        )
+        .groupBy("cohort", "week_offset")
+        .agg(F.count(F.lit(1)).alias("active_users"))
+    )

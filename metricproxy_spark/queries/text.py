@@ -325,6 +325,118 @@ def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_winnow_fingerprints",
+    oracle="""
+    WITH wds AS (
+        SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
+        FROM documents
+    ), kg AS (
+        SELECT doc_id,
+            list_transform(range(1, len(w) - 1),
+              i -> ((CAST(ascii(w[i]) * 1024 + length(w[i]) AS BIGINT) * 131
+                     + CAST(ascii(w[i+1]) * 1024 + length(w[i+1]) AS BIGINT)) * 131
+                     + CAST(ascii(w[i+2]) * 1024 + length(w[i+2]) AS BIGINT))
+                   % 1000000000000037
+            ) AS kg
+        FROM wds
+    ), wins AS (
+        SELECT doc_id,
+            list_transform(range(1, len(kg) - 2),
+              j -> {'pos': j + 4 - list_position(list_reverse(kg[j:j+3]),
+                                                 list_min(kg[j:j+3])),
+                    'fp': list_min(kg[j:j+3])}
+            ) AS fps
+        FROM kg
+    )
+    SELECT DISTINCT doc_id, f.pos AS pos, f.fp AS fp
+    FROM wins, UNNEST(fps) AS t(f)
+    """,
+)
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4/L2: winnowing fingerprints (the MOSS algorithm) — guaranteed
+    to share a fingerprint for any common run of ≥ k+w-1 words, the
+    substring-matching primitive paragraph/suffix dedup builds on.
+    Selection (k-gram hashing, window minima, rightmost tie-break) is
+    a narrow array-HOF projection; only the selected (pos, fp) pairs
+    are exploded and row-deduped — at 100 TB the shuffle carries ~2/w
+    of the k-gram stream, nothing else."""
+    from metricproxy_spark.operators.text import winnow_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents")
+    fps = docs.select(
+        "doc_id", F.explode(winnow_fingerprints("text")).alias("f")
+    )
+    return fps.select(
+        "doc_id", F.col("f.pos").alias("pos"), F.col("f.fp").alias("fp")
+    ).distinct()
+
+
+@register(
+    "pipeline_quality_filter",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, lang, n_chars AS score FROM documents
+    ), tot AS (
+        SELECT count(*) AS n FROM scored
+    ), hist AS (
+        SELECT score, count(*) AS c FROM scored GROUP BY score
+    ), cum AS (
+        SELECT score, sum(c) OVER (ORDER BY score) AS cum FROM hist
+    ), thr AS (
+        SELECT min(CASE WHEN 10 * cum >= (SELECT n FROM tot)
+                        THEN score END) AS lo,
+               min(CASE WHEN 10 * cum >= 9 * (SELECT n FROM tot)
+                        THEN score END) AS hi
+        FROM cum
+    )
+    SELECT doc_id, lang, score
+    FROM scored, thr
+    WHERE score BETWEEN lo AND hi
+    """,
+)
+def pipeline_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4 curation: corpus-RELATIVE quality band — keep documents whose
+    length score sits between the exact 10th and 90th corpus deciles
+    (the C4/Gopher "outlier trim" move, where thresholds come from the
+    corpus, not constants).
+
+    Exactness without a corpus sort: deciles are derived from a score
+    HISTOGRAM (groupBy score → cumulative count → first score crossing
+    n/10 and 9n/10, all integer arithmetic — no float interpolation to
+    disagree across engines). The only window runs over DISTINCT score
+    values, bounded by the score domain, not the corpus; thresholds
+    then broadcast back. At 100 TB: two tiny shuffles + a broadcast,
+    nothing driver-side."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.col("n_chars").alias("score")
+    )
+    total = docs.agg(F.count(F.lit(1)).alias("n"))
+    hist = docs.groupBy("score").agg(F.count(F.lit(1)).alias("c"))
+    cum = hist.withColumn(
+        "cum",
+        F.sum("c").over(
+            Window.orderBy("score").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ),
+    )
+    thr = (
+        cum.crossJoin(F.broadcast(total))
+        .agg(
+            F.min(F.when(10 * F.col("cum") >= F.col("n"), F.col("score"))).alias(
+                "lo"
+            ),
+            F.min(
+                F.when(10 * F.col("cum") >= 9 * F.col("n"), F.col("score"))
+            ).alias("hi"),
+        )
+    )
+    return docs.crossJoin(F.broadcast(thr)).where(
+        F.col("score").between(F.col("lo"), F.col("hi"))
+    ).select("doc_id", "lang", "score")
+
+
+@register(
     "text_repetition_signals",
     oracle="""
     WITH w AS (

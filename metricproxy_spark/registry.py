@@ -61,6 +61,10 @@ _PRIORITY = (
     "multimodal_decode_real",
     "text_repetition_signals",
     "dedup_paragraphs",
+    "text_winnow_fingerprints",
+    "pipeline_quality_filter",
+    "events_funnel",
+    "events_cohort_retention",
 )
 
 _QUERY_MODULES = (

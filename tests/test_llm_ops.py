@@ -215,6 +215,37 @@ class TestMinHashAccuracy:
             assert math.isclose(r.jaccard, round(true_j, 6), abs_tol=1e-9)
 
 
+def test_winnowing_guarantee_shared_run_shares_fingerprint(spark):
+    """The winnowing guarantee (Schleimer et al. 2003): two documents
+    sharing a run of >= k+w-1 words (here 3+4-1=6) MUST share at least
+    one selected fingerprint; fingerprints are also position-stable."""
+    from metricproxy_spark.operators.text import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6-word common run
+    docs = spark.createDataFrame(
+        [
+            (1, f"one two three {shared} four five six"),
+            (2, f"seven eight {shared} nine ten eleven twelve"),
+            (3, "totally different words with no overlap at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = (
+        docs.select(
+            "doc_id", F.explode(winnow_fingerprints("text")).alias("f")
+        )
+        .select("doc_id", "f.fp")
+        .distinct()
+        .collect()
+    )
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc[1] & by_doc[2], "shared 6-word run must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3])
+    assert not (by_doc[2] & by_doc[3])
+
+
 def test_blas_topk_matches_fold_topk(spark):
     """The BLAS partial-top-k path and the zip_with fold path are
     interchangeable: identical (query, match, score, rank) output."""

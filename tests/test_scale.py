@@ -99,6 +99,52 @@ class TestPlanDiscipline:
         n_exchanges = plan.count("Exchange hashpartitioning")
         assert n_exchanges == 1, f"{n_exchanges} exchanges:\n{plan}"
 
+    def test_repetition_signals_shuffle_free(self, spark, sf_dir):
+        """The Gopher repetition signals must stay a NARROW projection:
+        no Exchange anywhere — per-doc array HOFs, not explode+groupBy.
+        At 100 TB this is the difference between a linear scan and a
+        corpus-wide bigram shuffle."""
+        from metricproxy_spark.io import load_table
+        from metricproxy_spark.operators.text import repetition_signals
+
+        docs = load_table(spark, sf_dir, "documents")
+        sig = repetition_signals("text")
+        out = docs.select(
+            "doc_id", *[expr.alias(n) for n, expr in sig.items()]
+        )
+        plan = _executed_plan(out)
+        assert "Exchange" not in plan, plan
+
+    def test_paragraph_dedup_two_hash_shuffles_no_join(self, spark):
+        """Paragraph dedup = window on para + groupBy doc: exactly two
+        hash Exchanges (paragraph key, then doc key), no join operator
+        — the rebuild must not plan as a self-join."""
+        from metricproxy_spark.operators.text import paragraph_chunks, words_of
+        from pyspark.sql import Window
+
+        docs = spark.createDataFrame(
+            [(i, "a b c d e f g h " * 4) for i in range(200)],
+            "doc_id long, text string",
+        )
+        paras = docs.select(
+            "doc_id",
+            F.posexplode(paragraph_chunks(words_of("text"))).alias(
+                "pos", "para"
+            ),
+        )
+        first = F.min(F.struct("doc_id", "pos")).over(
+            Window.partitionBy("para")
+        )
+        kept = paras.withColumn("_f", first).where(
+            (F.col("doc_id") == F.col("_f.doc_id"))
+            & (F.col("pos") == F.col("_f.pos"))
+        )
+        out = kept.groupBy("doc_id").agg(F.count("*").alias("n_kept"))
+        plan = _executed_plan(out)
+        assert "Join" not in plan, plan
+        n_exchanges = plan.count("Exchange hashpartitioning")
+        assert n_exchanges == 2, f"{n_exchanges} exchanges:\n{plan}"
+
     def test_scan_prunes_columns_for_narrow_query(self, spark, sf_dir):
         """Column pruning reaches the parquet scan: a 2-column query
         over documents must not read the text-heavy columns."""
