@@ -65,6 +65,7 @@ _PRIORITY = (
     "pipeline_quality_filter",
     "events_funnel",
     "events_cohort_retention",
+    "sim_pq_topk",
 )
 
 _QUERY_MODULES = (
