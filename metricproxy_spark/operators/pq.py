@@ -22,7 +22,7 @@ Scale shape (what must survive 100 TB):
 - ADC top-k mirrors the BLAS top-k shape: partition-local heaps, a
   final shuffle of O(k_top · partitions · n_queries) id/score pairs.
 
-Determinism: init = first-k-by-id subvectors (no RNG), L2 assignment
+Determinism: init = k id-hash-spread subvectors (no RNG), L2 assignment
 ties break on the lowest code, scores rounded to 6dp — consistent with
 the rest of the similarity family.
 """
@@ -77,8 +77,17 @@ def train_pq_codebooks(
         raise ValueError(f"dim {d} not divisible by m={m} subspaces")
     dsub = d // m
 
-    # deterministic init: the k lowest-id vectors, split into subvectors
-    seed_rows = base.orderBy(F.col("_vid").asc()).limit(k).collect()
+    # deterministic init: k vectors picked by hashing the id — a fixed
+    # pseudo-random sample that spreads seeds across clusters even when
+    # ids correlate with cluster membership (the lowest-k-ids init
+    # collapsed every codebook into one cluster on clustered corpora).
+    # xxhash64 is a deterministic JVM-side function: no RNG, same seeds
+    # on every run, and the pick is a LIMIT over a sort — scan-cheap.
+    seed_rows = (
+        base.orderBy(F.xxhash64(F.col("_vid")).asc(), F.col("_vid").asc())
+        .limit(k)
+        .collect()
+    )
     if len(seed_rows) < k:
         raise ValueError(f"need >= {k} vectors to train k={k} codebooks")
     seed = np.asarray([r["_vec"] for r in seed_rows])  # (k, d)

@@ -246,12 +246,12 @@ def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("sim_pq_topk")
 def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L3 compression path: product-quantization ADC top-3 — train m=8
-    sub-codebooks (k=16) on the corpus, encode every vector to 8 codes
-    (32× smaller than the floats), then answer the same 10 queries as
-    the exact baselines from codes alone via per-query distance tables.
-    Rows-only check; recall and reconstruction-error invariants are
-    asserted in tests/test_pq.py."""
+    """L3 compression path: product-quantization ADC top-3 — train m=32
+    sub-codebooks (k=16) on the corpus, encode every vector to 32
+    nibble codes (16× smaller than the floats), then answer the same 10
+    queries as the exact baselines from codes alone via per-query
+    distance tables. Rows-only check; recall and reconstruction-error
+    invariants are asserted in tests/test_pq.py."""
     from metricproxy_spark.operators.pq import (
         pq_adc_topk,
         pq_encode,
@@ -259,7 +259,7 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    books = train_pq_codebooks(emb, m=8, k=16, max_iter=4)
+    books = train_pq_codebooks(emb, m=32, k=16, max_iter=4)
     codes = pq_encode(emb, books)
     queries = emb.filter(F.col("vec_id") < 10)
     return pq_adc_topk(queries, codes, books, k_top=3)

@@ -16,7 +16,7 @@ from metricproxy_spark.operators.pq import (
     train_pq_codebooks,
 )
 
-M, K = 8, 16
+M, K = 32, 16
 
 
 def test_encode_shape_bounds_determinism(spark, sf_dir):
@@ -47,10 +47,11 @@ def test_training_reduces_reconstruction_error(spark, sf_dir):
 
 
 def test_adc_recall_vs_exact(spark, sf_dir):
-    """ADC ranking from 8-byte codes must keep most of the exact
+    """ADC ranking from compact codes must keep most of the exact
     top-10: mean recall@10 >= 0.5 on the clustered fixture (PQ with
-    m=8, k=16 is a 32x compression — recall well above chance but
-    below exact, like the IVF/SRP siblings)."""
+    m=32, k=16 packs 64 float32 into 32 nibble codes, an 16x
+    compression — recall well above chance but below exact, like the
+    IVF/SRP siblings)."""
     emb = load_table(spark, sf_dir, "embeddings")
     books = train_pq_codebooks(emb, m=M, k=K, max_iter=6)
     codes = pq_encode(emb, books)
