@@ -263,3 +263,20 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = pq_encode(emb, books)
     queries = emb.filter(F.col("vec_id") < 10)
     return pq_adc_topk(queries, codes, books, k_top=3)
+
+
+@register("sim_ivfpq_topk")
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 index composition: IVF-PQ (IVFADC) top-3 — a spherical-k-means
+    coarse quantizer buckets the corpus into 8 inverted lists, residuals
+    are product-quantized (m=32, k=16), and each query probes only its 3
+    nearest lists, ranking codes by asymmetric distance. Search reads
+    ints from ~3/8 of the corpus instead of every float. Rows-only
+    check; recall/pruning/determinism invariants live in
+    tests/test_ivfpq.py."""
+    from metricproxy_spark.operators.ivfpq import build_ivfpq, ivfpq_adc_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    index = build_ivfpq(emb, kc=8, m=32, k=16, coarse_iter=4, pq_iter=3)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivfpq_adc_topk(queries, index, k_top=3, nprobe=3)

@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from metricproxy_spark.io import load_table
+from metricproxy_spark.io import load_table, spread
 from metricproxy_spark.operators.multimodal import extract_features
 from metricproxy_spark.operators.text import (
     LANG_LEXICONS,
@@ -356,19 +356,20 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L4/L2: winnowing fingerprints (the MOSS algorithm) — guaranteed
     to share a fingerprint for any common run of ≥ k+w-1 words, the
     substring-matching primitive paragraph/suffix dedup builds on.
-    Selection (k-gram hashing, window minima, rightmost tie-break) is
-    a narrow array-HOF projection; only the selected (pos, fp) pairs
-    are exploded and row-deduped — at 100 TB the shuffle carries ~2/w
-    of the k-gram stream, nothing else."""
-    from metricproxy_spark.operators.text import winnow_fingerprints
-
-    docs = load_table(spark, sf_dir, "documents")
-    fps = docs.select(
-        "doc_id", F.explode(winnow_fingerprints("text")).alias("f")
+    Selection (k-gram hashing, window minima, rightmost tie-break) runs
+    in the vectorized mapInPandas twin — per-partition numpy sliding
+    windows, no shuffle (the array-HOF form is the executable spec;
+    Catalyst interprets nested HOF lambdas per element, measured ~300×
+    slower, and pytest asserts the two forms are row-identical). Only
+    the selected (pos, fp) pairs are shuffled for the row-dedup — ~2/w
+    of the k-gram stream. ``spread`` widens the scan when the source
+    produced fewer splits than cores (no-op at real scale)."""
+    from metricproxy_spark.operators.text import (
+        winnow_fingerprints_vectorized,
     )
-    return fps.select(
-        "doc_id", F.col("f.pos").alias("pos"), F.col("f.fp").alias("fp")
-    ).distinct()
+
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
+    return winnow_fingerprints_vectorized(docs).distinct()
 
 
 @register(
@@ -451,28 +452,34 @@ def pipeline_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS bg
         FROM w
     )
-    SELECT doc_id,
+    , b AS (
+        SELECT doc_id, unnest(bg) AS big FROM p
+    ), cnt AS (
+        SELECT doc_id, big, count(*) AS c FROM b GROUP BY doc_id, big
+    ), top AS (
+        SELECT doc_id, max(c) AS top_cnt FROM cnt GROUP BY doc_id
+    )
+    SELECT p.doc_id,
            CAST(len(paras) AS BIGINT) AS n_paras,
            round(1 - CAST(len(list_distinct(paras)) AS DOUBLE)
                      / CAST(len(paras) AS DOUBLE), 9) AS dup_para_frac,
            CAST(len(bg) AS BIGINT) AS n_bigrams,
-           CAST(list_max(list_transform(list_distinct(bg),
-                    x -> len(list_filter(bg, e -> e = x)))) AS BIGINT)
-               AS top_bigram_cnt,
-           round(CAST(list_max(list_transform(list_distinct(bg),
-                    x -> len(list_filter(bg, e -> e = x)))) AS DOUBLE)
+           CAST(top.top_cnt AS BIGINT) AS top_bigram_cnt,
+           round(CAST(top.top_cnt AS DOUBLE)
                      / CAST(len(bg) AS DOUBLE), 9) AS top_bigram_frac
-    FROM p
+    FROM p LEFT JOIN top ON p.doc_id = top.doc_id
     """,
 )
 def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L4 quality: Gopher-style repetition signals (duplicate-paragraph
     fraction, most-frequent-bigram share) as ONE narrow projection —
     array HOFs only, no explode/groupBy shuffle, so the 100 TB cost is
-    a linear scan bounded by per-document length."""
+    a linear scan bounded by per-document length. ``spread`` widens the
+    scan when a small corpus arrives as fewer splits than cores (no-op
+    at real scale)."""
     from metricproxy_spark.operators.text import repetition_signals
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
     sig = repetition_signals("text")
     return docs.select(
         "doc_id", *[expr.alias(name) for name, expr in sig.items()]

@@ -66,6 +66,7 @@ _PRIORITY = (
     "events_funnel",
     "events_cohort_retention",
     "sim_pq_topk",
+    "sim_ivfpq_topk",
 )
 
 _QUERY_MODULES = (

@@ -439,3 +439,25 @@ def test_hll_rollup_estimates_within_bound(spark, sf_dir):
     assert set(est) == set(exact)
     for k, e in est.items():
         assert abs(e - exact[k]) <= max(2, 0.05 * exact[k]), (k, e, exact[k])
+
+
+def test_winnow_vectorized_equals_hof_spec(spark, sf_dir):
+    """The numpy mapInPandas winnowing twin must emit EXACTLY the rows
+    of the array-HOF executable spec (including duplicates) on the real
+    corpus — the spec stays the semantics, the twin stays the hot path."""
+    from metricproxy_spark.io import load_table
+    from metricproxy_spark.operators.text import (
+        winnow_fingerprints,
+        winnow_fingerprints_vectorized,
+    )
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    hof = (
+        docs.select("doc_id", F.explode(winnow_fingerprints("text")).alias("f"))
+        .select("doc_id", F.col("f.pos").alias("pos"), F.col("f.fp").alias("fp"))
+    )
+    vec = winnow_fingerprints_vectorized(docs)
+    a = sorted(map(tuple, hof.collect()))
+    b = sorted(map(tuple, vec.collect()))
+    assert a == b
