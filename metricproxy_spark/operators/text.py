@@ -149,6 +149,34 @@ def repetition_signals(
     }
 
 
+def kgram_hashes(text_col: Column | str, k: int = 3) -> Column:
+    """ARRAY<BIGINT> of word-k-gram polynomial hashes (the winnowing
+    base stream, usable standalone for span-level dedup signals):
+    ``hash(i) = (Σ_j wv(word[i+j])·131^(k-1-j)) mod _MOD`` with
+    ``wv = ascii·1024 + len``. Linear array HOF — narrow, no shuffle."""
+    from functools import reduce as _reduce
+
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    words = words_of(c)
+
+    def wv(word: Column) -> Column:
+        return (F.ascii(word) * 1024 + F.length(word)).cast("long")
+
+    n_kgrams = F.size(words) - (k - 1)
+    return F.when(
+        n_kgrams >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_kgrams),
+            lambda i: _reduce(
+                lambda acc, j: acc * 131 + wv(F.element_at(words, i + F.lit(j))),
+                range(k),
+                F.lit(0).cast("long"),
+            )
+            % F.lit(_MOD),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+
+
 def winnow_fingerprints(
     text_col: Column | str, k: int = 3, w: int = 4
 ) -> Column:

@@ -565,3 +565,89 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort", "week_offset")
         .agg(F.count(F.lit(1)).alias("active_users"))
     )
+
+
+@register(
+    "events_histogram_rollup",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               CAST(floor(value / 5.0) AS BIGINT) AS bin,
+               count(*) AS cnt
+        FROM events GROUP BY 1, 2, 3
+    ), weekly AS (
+        SELECT event_type, date_trunc('week', day) AS week, bin,
+               CAST(sum(cnt) AS BIGINT) AS cnt
+        FROM daily GROUP BY 1, 2, 3
+    ), cum AS (
+        SELECT event_type, week, bin, cnt,
+               sum(cnt) OVER (PARTITION BY event_type, week
+                              ORDER BY bin) AS cum,
+               sum(cnt) OVER (PARTITION BY event_type, week) AS total
+        FROM weekly
+    )
+    SELECT event_type, week,
+           CAST(max(total) AS BIGINT) AS n_events,
+           round(min(CASE WHEN 2 * cum >= total THEN bin END) * 5.0, 1)
+             AS p50_lo,
+           round(min(CASE WHEN 20 * cum >= 19 * total THEN bin END) * 5.0, 1)
+             AS p95_lo
+    FROM cum GROUP BY event_type, week
+    """,
+)
+def events_histogram_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable fixed-bin histogram rollup — the exact-arithmetic
+    sibling of the HLL rollup: per-day value histograms (bin width 5)
+    are MERGED upward to weeks by summing bin counts (histograms are
+    monoids, like sketches but lossless within bin resolution), then
+    weekly p50/p95 lower bin edges fall out of the cumulative counts
+    with pure integer comparisons — so unlike t-digest/KLL this
+    pre-aggregated percentile pipeline is DuckDB-oracle EXACT.
+
+    Scale shape: two hash aggs shrinking to (type × day × bins) then
+    (type × week × bins) — partial combine makes the shuffles key-space
+    sized, independent of event volume; the window runs per (type,
+    week) over ≤ bins rows. The "percentiles over any window without
+    re-touching raw data" pattern at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.date_trunc("day", "ts").alias("day"),
+            F.floor(F.col("value") / 5.0).cast("bigint").alias("bin"),
+        )
+        .groupBy("event_type", "day", "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    weekly = (
+        daily.groupBy(
+            "event_type", F.date_trunc("week", "day").alias("week"), "bin"
+        ).agg(F.sum("cnt").alias("cnt"))
+    )
+    from pyspark.sql import Window
+
+    wsum = Window.partitionBy("event_type", "week").orderBy("bin")
+    wall = Window.partitionBy("event_type", "week")
+    cum = weekly.select(
+        "event_type",
+        "week",
+        "bin",
+        "cnt",
+        F.sum("cnt").over(wsum).alias("cum"),
+        F.sum("cnt").over(wall).alias("total"),
+    )
+    return cum.groupBy("event_type", "week").agg(
+        F.max("total").cast("bigint").alias("n_events"),
+        F.round(
+            F.min(F.when(2 * F.col("cum") >= F.col("total"), F.col("bin")))
+            * 5.0,
+            1,
+        ).alias("p50_lo"),
+        F.round(
+            F.min(
+                F.when(20 * F.col("cum") >= 19 * F.col("total"), F.col("bin"))
+            )
+            * 5.0,
+            1,
+        ).alias("p95_lo"),
+    )

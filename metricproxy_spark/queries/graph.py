@@ -1,0 +1,121 @@
+"""Graph analytics over the star schema (engine extension — SURVEY
+§3.8 territory: the connected-components primitive in operators/dedup
+already does min-label propagation; this module adds the other classic
+iterative-graph shape, PageRank, in an oracle-exact form).
+
+Exactness trick: textbook PageRank iterates on doubles, and float sums
+over differently-ordered edge streams cannot hash-match across
+engines. Here ranks are INTEGER-SCALED (1e6 = rank 1.0) and the update
+uses integer division only::
+
+    rank'(v) = TELEPORT + (85 * Σ_{u→v} rank(u) div deg(u)) div 100
+
+Both Spark's ``div`` and DuckDB's ``//`` are floor division on
+BIGINT, every intermediate is exact, so a fixed iteration count gives
+bit-identical ranks — a DuckDB oracle can replay it as chained CTEs.
+
+Scale shape (what survives 100 TB): the edge list is the big side and
+is touched once per iteration by ONE shuffle join on src plus one
+hash agg on dst (partial combine); the rank/degree tables are
+node-sized. Degrees are joined into the edge list ONCE before the
+loop and the result persisted, so iterations reuse the same shuffled
+layout. Driver holds nothing (no collect in the loop)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from metricproxy_spark.io import load_table
+from metricproxy_spark.registry import register
+
+_SCALE = 1_000_000
+_TELEPORT = 150_000  # 0.15 * scale
+_ITERS = 3
+
+
+def _pagerank_oracle() -> str:
+    it = """
+    r{n} AS (
+        SELECT e.dst AS node,
+               CAST({tp} + (85 * sum(r.rank // e.deg)) // 100 AS BIGINT)
+                 AS rank
+        FROM edges e JOIN r{p} r ON e.src = r.node
+        GROUP BY e.dst
+    )"""
+    chain = ",".join(
+        it.format(n=i + 1, p=i, tp=_TELEPORT) for i in range(_ITERS)
+    )
+    return f"""
+    WITH half AS (
+        SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ), sym AS (
+        SELECT src, dst FROM half
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM half
+    ), deg AS (
+        SELECT src AS node, count(*) AS deg FROM sym GROUP BY src
+    ), edges AS (
+        SELECT s.src, s.dst, d.deg FROM sym s JOIN deg d ON d.node = s.src
+    ), r0 AS (
+        SELECT node, CAST({_SCALE} AS BIGINT) AS rank FROM deg
+    ), {chain}
+    SELECT node AS node_id,
+           CAST(node % 2 AS INT) AS is_supplier,
+           rank AS rank_e6
+    FROM r{_ITERS}
+    """
+
+
+@register("graph_pagerank", oracle=_pagerank_oracle())
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the customer↔supplier bipartite trade graph
+    (distinct pairs from orders⋈lineitem, symmetrized), 3 iterations,
+    damping 0.85, integer-scaled so the result is oracle-EXACT (see
+    module docstring). Every node has degree ≥ 1 by construction, so
+    there is no dangling-mass term."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+
+    half = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    sym = half.unionByName(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # one edge-layout: degrees ride along so the loop re-joins only the
+    # node-sized rank table each iteration
+    edges = sym.join(deg, "src").persist()
+
+    ranks = deg.select(
+        F.col("src").alias("node"), F.lit(_SCALE).cast("bigint").alias("rank")
+    )
+    for _ in range(_ITERS):
+        ranks = (
+            edges.join(ranks, edges.src == ranks.node)
+            .select(
+                F.col("dst"),
+                F.expr("rank div deg").alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+            .select(
+                F.col("dst").alias("node"),
+                (F.lit(_TELEPORT) + F.expr(f"(85 * s) div 100"))
+                .cast("bigint")
+                .alias("rank"),
+            )
+        )
+    out = ranks.select(
+        F.col("node").alias("node_id"),
+        (F.col("node") % 2).cast("int").alias("is_supplier"),
+        F.col("rank").alias("rank_e6"),
+    )
+    return out

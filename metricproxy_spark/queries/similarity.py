@@ -277,6 +277,13 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from metricproxy_spark.operators.ivfpq import build_ivfpq, ivfpq_adc_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
-    index = build_ivfpq(emb, kc=8, m=32, k=16, coarse_iter=4, pq_iter=3)
+    # Training aggregates are k*d-row shapes — scope the shuffle width
+    # to them for the build (restored after), as sim_kmeans_train does.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        index = build_ivfpq(emb, kc=8, m=32, k=16, coarse_iter=3, pq_iter=2)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     queries = emb.filter(F.col("vec_id") < 10)
     return ivfpq_adc_topk(queries, index, k_top=3, nprobe=3)

@@ -1149,3 +1149,72 @@ def pipeline_lang_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.filter(
         h < (F.col("keep_rate") * 1000000).cast("bigint")
     ).select("doc_id", "lang", "keep_rate")
+
+
+@register(
+    "text_common_span_frac",
+    oracle="""
+    WITH wds AS (
+        SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
+        FROM documents
+    ), kg AS (
+        SELECT doc_id,
+            list_transform(range(1, len(w) - 3),
+              i -> ((((CAST(ascii(w[i]) * 1024 + length(w[i]) AS BIGINT) * 131
+                     + CAST(ascii(w[i+1]) * 1024 + length(w[i+1]) AS BIGINT)) * 131
+                     + CAST(ascii(w[i+2]) * 1024 + length(w[i+2]) AS BIGINT)) * 131
+                     + CAST(ascii(w[i+3]) * 1024 + length(w[i+3]) AS BIGINT)) * 131
+                     + CAST(ascii(w[i+4]) * 1024 + length(w[i+4]) AS BIGINT))
+                   % 1000000000000037
+            ) AS kg
+        FROM wds
+    ), occ AS (
+        SELECT doc_id, unnest(kg) AS fp FROM kg
+    ), shared AS (
+        SELECT fp FROM occ GROUP BY fp HAVING count(DISTINCT doc_id) >= 2
+    )
+    SELECT o.doc_id,
+           CAST(count(*) AS BIGINT) AS n_kgrams,
+           CAST(count(s.fp) AS BIGINT) AS n_shared,
+           round(CAST(count(s.fp) AS DOUBLE) / count(*), 9) AS shared_frac
+    FROM occ o LEFT JOIN shared s ON o.fp = s.fp
+    GROUP BY o.doc_id
+    """,
+)
+def text_common_span_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2/L4 span-level contamination signal (the detection half of
+    Lee et al. 2022's exact-substring dedup): fraction of a document's
+    word-5-gram occurrences whose hash also appears in ANOTHER
+    document. High fraction ⇒ boilerplate/mirror content.
+
+    Scale shape: the k-gram occurrence stream is exploded once (~n
+    words/doc rows, ids+int64 hashes only — no text leaves the scan);
+    "shared" fps come from one hash agg with partial combine
+    (count(DISTINCT doc) >= 2 over the fp key space), then a shuffle
+    join on fp and a per-doc re-agg. Three key-hashed shuffles, no
+    broadcast of anything corpus-sized, no driver state — the same
+    shape as the PPJoin candidate stage. ``spread`` widens narrow
+    scans (no-op at scale)."""
+    from metricproxy_spark.operators.text import kgram_hashes
+
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
+    occ = docs.select(
+        "doc_id", F.explode(kgram_hashes("text", k=5)).alias("fp")
+    )
+    shared = (
+        occ.groupBy("fp")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("fp", F.lit(1).alias("_shared"))
+    )
+    return (
+        occ.join(shared, "fp", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_kgrams"),
+            F.count("_shared").alias("n_shared"),
+            F.round(
+                F.count("_shared").cast("double") / F.count(F.lit(1)), 9
+            ).alias("shared_frac"),
+        )
+    )

@@ -67,6 +67,9 @@ _PRIORITY = (
     "events_cohort_retention",
     "sim_pq_topk",
     "sim_ivfpq_topk",
+    "graph_pagerank",
+    "events_histogram_rollup",
+    "text_common_span_frac",
 )
 
 _QUERY_MODULES = (
@@ -78,6 +81,7 @@ _QUERY_MODULES = (
     "metricproxy_spark.queries.layout",
     "metricproxy_spark.queries.streaming_surface",
     "metricproxy_spark.queries.events",
+    "metricproxy_spark.queries.graph",
     "metricproxy_spark.queries.ingest",
     "metricproxy_spark.queries.analytic",
     "metricproxy_spark.queries.joins",
