@@ -123,3 +123,51 @@ def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sum_dec").cast("double").alias("total"),
         (F.col("sum_dec").cast("double") / F.col("n")).alias("avg_price"),
     )
+
+
+@register(
+    "cdc_scd2_history",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts, event_type, value,
+               row_number() OVER w AS version,
+               lead(ts) OVER w AS valid_to
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, version, ts AS valid_from, valid_to,
+           event_type, value,
+           CAST(valid_to IS NULL AS INT) AS is_current
+    FROM ordered
+    WHERE event_type <> 'error'
+    """,
+)
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history build (the warehouse pattern MERGE feeds):
+    every change becomes a versioned row with a [valid_from, valid_to)
+    interval — lead(ts) over the per-key change order closes each
+    interval, the last row per key stays open (is_current). Tombstones
+    ('error') contribute their timestamp to close the prior version but
+    emit no history row — i.e. a delete ends the interval without a
+    successor.
+
+    One window shuffle on the natural key, no join, no driver state;
+    at 100 TB this is the standard "dimension history from a change
+    stream" build, partitioned by key."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "value", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    hist = ev.select(
+        "user_id",
+        F.row_number().over(w).alias("version"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        "event_type",
+        "value",
+    ).withColumn(
+        "is_current", F.col("valid_to").isNull().cast("int")
+    )
+    return hist.where(F.col("event_type") != "error")

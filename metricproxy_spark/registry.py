@@ -70,6 +70,11 @@ _PRIORITY = (
     "graph_pagerank",
     "events_histogram_rollup",
     "text_common_span_frac",
+    "cdc_scd2_history",
+    "tpch_q14_promo_share",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_orders",
+    "tpch_q22_idle_customers",
 )
 
 _QUERY_MODULES = (
@@ -82,6 +87,7 @@ _QUERY_MODULES = (
     "metricproxy_spark.queries.streaming_surface",
     "metricproxy_spark.queries.events",
     "metricproxy_spark.queries.graph",
+    "metricproxy_spark.queries.tpch",
     "metricproxy_spark.queries.ingest",
     "metricproxy_spark.queries.analytic",
     "metricproxy_spark.queries.joins",
