@@ -133,6 +133,11 @@ def build_ivfpq(
             "coarse_id", mapping[F.col("coarse_id")].cast("int")
         )
 
+    # The residual lineage (broadcast-join assignment + rank window)
+    # re-executes for every PQ training iteration, the encode pass and
+    # the codes join without this; persist materializes it once.
+    residuals = residuals.persist()
+
     books = train_pq_codebooks(
         residuals, m=m, k=k, max_iter=pq_iter, id_col=id_col, vec_col="_res"
     )

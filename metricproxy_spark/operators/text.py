@@ -324,3 +324,46 @@ def winnow_fingerprints_vectorized(
     return df.select(id_col, text_col).mapInPandas(
         gen, f"{id_col} long, pos int, fp bigint"
     )
+
+
+def kgram_hashes_vectorized(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+):
+    """Vectorized twin of :func:`kgram_hashes`, returning EXPLODED
+    occurrence rows ``(id_col, fp BIGINT)`` — one row per k-gram
+    occurrence, order-insensitive downstream. Same rationale as
+    :func:`winnow_fingerprints_vectorized`: Catalyst interprets the
+    per-element polynomial lambda; three shifted int64 numpy folds do
+    the identical arithmetic per partition with no shuffle."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out_id, out_fp = [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                ws = ("" if text is None else text).strip(" ").lower().split(" ")
+                n = len(ws)
+                if n - (k - 1) < 1:
+                    continue
+                wv = np.array(
+                    [(ord(x[0]) if x else 0) * 1024 + len(x) for x in ws],
+                    np.int64,
+                )
+                acc = np.zeros(n - k + 1, np.int64)
+                for j in range(k):
+                    acc = acc * 131 + wv[j : n - k + 1 + j]
+                kg = acc % _MOD
+                out_id.extend([did] * len(kg))
+                out_fp.extend(kg.tolist())
+            yield pd.DataFrame({id_col: out_id, "fp": out_fp})
+
+    return df.select(id_col, text_col).mapInPandas(
+        gen, f"{id_col} long, fp bigint"
+    )

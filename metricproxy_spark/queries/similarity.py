@@ -282,7 +282,7 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        index = build_ivfpq(emb, kc=8, m=32, k=16, coarse_iter=3, pq_iter=2)
+        index = build_ivfpq(emb, kc=8, m=32, k=16, coarse_iter=2, pq_iter=2)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     queries = emb.filter(F.col("vec_id") < 10)

@@ -1194,13 +1194,12 @@ def text_common_span_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
     join on fp and a per-doc re-agg. Three key-hashed shuffles, no
     broadcast of anything corpus-sized, no driver state — the same
     shape as the PPJoin candidate stage. ``spread`` widens narrow
-    scans (no-op at scale)."""
-    from metricproxy_spark.operators.text import kgram_hashes
+    scans (no-op at scale). Hashing runs in the vectorized numpy twin
+    (the HOF form is the spec; equality pytest-asserted)."""
+    from metricproxy_spark.operators.text import kgram_hashes_vectorized
 
     docs = spread(load_table(spark, sf_dir, "documents"), spark)
-    occ = docs.select(
-        "doc_id", F.explode(kgram_hashes("text", k=5)).alias("fp")
-    )
+    occ = kgram_hashes_vectorized(docs, k=5)
     shared = (
         occ.groupBy("fp")
         .agg(F.count_distinct("doc_id").alias("nd"))
@@ -1218,3 +1217,45 @@ def text_common_span_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("shared_frac"),
         )
     )
+
+
+@register(
+    "pipeline_per_class_cap",
+    oracle="""
+    WITH h AS (
+        SELECT doc_id, lang, source,
+               CAST((doc_id * 2654435761) % 4294967296 AS BIGINT) AS h
+        FROM documents
+    ), ranked AS (
+        SELECT doc_id, lang, source, h,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY h, doc_id) AS rn
+        FROM h
+    )
+    SELECT doc_id, lang, source, h, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= 50
+    """,
+)
+def pipeline_per_class_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4 curation: cap every class (language) at 50 documents with a
+    CONSISTENT sample — rank classes by the Knuth multiplicative hash
+    of the stable id and keep the lowest 50. Unlike sample()/limit()
+    the kept set is a pure function of ids: re-runs, engine swaps and
+    repartitioning all select the SAME documents, and growing the
+    corpus only ever swaps docs whose hash rank crosses the boundary
+    (bounded churn) — what per-class caps in training-data builds need.
+
+    Scale: one window shuffle on the class key; per-class hash ranking
+    is the same shape as top-k-per-group (AQE handles a skewed class).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    h = ((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)).cast(
+        "bigint"
+    )
+    ranked = docs.select("doc_id", "lang", "source", h.alias("h")).withColumn(
+        "rn",
+        F.row_number()
+        .over(Window.partitionBy("lang").orderBy("h", "doc_id"))
+        .cast("bigint"),
+    )
+    return ranked.where(F.col("rn") <= 50)

@@ -75,6 +75,7 @@ _PRIORITY = (
     "tpch_q17_small_qty_revenue",
     "tpch_q18_large_orders",
     "tpch_q22_idle_customers",
+    "pipeline_per_class_cap",
 )
 
 _QUERY_MODULES = (
