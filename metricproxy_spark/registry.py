@@ -76,6 +76,7 @@ _PRIORITY = (
     "tpch_q18_large_orders",
     "tpch_q22_idle_customers",
     "pipeline_per_class_cap",
+    "pipeline_bpe_train",
 )
 
 _QUERY_MODULES = (

@@ -1,0 +1,69 @@
+"""BPE trainer (operators/bpe.py): known-corpus merge sequence,
+determinism, and the compression invariant of applying merges."""
+
+from __future__ import annotations
+
+from metricproxy_spark.operators.bpe import (
+    apply_bpe,
+    train_bpe_merges,
+    word_vocab,
+)
+
+
+def _corpus(spark):
+    # the classic Sennrich-style toy corpus: 'lo' then 'low' dominate
+    return spark.createDataFrame(
+        [
+            (0, "low low low low low"),
+            (1, "lower lower"),
+            (2, "newest newest newest newest newest newest"),
+            (3, "widest widest widest"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_merge_sequence_known_corpus(spark):
+    m = train_bpe_merges(_corpus(spark), n_merges=4)
+    got = [(x["left"], x["right"], x["pair_cnt"]) for x in m]
+    # e+s appears in newest(6)+widest(3)=9 — the top pair; then es+t 9,
+    # then est+</w> 9; then l+o in low(5)+lower(2)=7
+    assert got == [
+        ("e", "s", 9),
+        ("es", "t", 9),
+        ("est", "</w>", 9),
+        ("l", "o", 7),
+    ]
+
+
+def test_determinism_and_vocab_counts(spark):
+    a = train_bpe_merges(_corpus(spark), n_merges=6)
+    b = train_bpe_merges(_corpus(spark), n_merges=6)
+    assert a == b
+    vocab = {r["word"]: r["cnt"] for r in word_vocab(_corpus(spark)).collect()}
+    assert vocab == {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+
+
+def test_apply_compresses_monotonically(spark):
+    docs = _corpus(spark)
+    m6 = train_bpe_merges(docs, n_merges=6)
+    chars = {
+        r.doc_id: r.n_tokens for r in apply_bpe(docs, []).collect()
+    }
+    toks = {
+        r.doc_id: r.n_tokens for r in apply_bpe(docs, m6).collect()
+    }
+    assert all(toks[d] < chars[d] for d in chars)  # merges compress
+    # with zero merges every word is chars+1 tokens
+    words = {r.doc_id: r.n_words for r in apply_bpe(docs, []).collect()}
+    lens = {0: 5 * 3, 1: 2 * 5, 2: 6 * 6, 3: 3 * 6}  # Σ word chars
+    assert {d: lens[d] + words[d] for d in lens} == chars
+
+
+def test_real_corpus_runs_and_is_deterministic(spark, sf_dir):
+    from metricproxy_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    m = train_bpe_merges(docs, n_merges=3)
+    assert len(m) == 3
+    assert m == train_bpe_merges(docs, n_merges=3)
