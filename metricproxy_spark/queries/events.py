@@ -651,3 +651,63 @@ def events_histogram_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             1,
         ).alias("p95_lo"),
     )
+
+
+@register(
+    "events_anomaly_mad",
+    oracle="""
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY event_type
+    ), mad AS (
+        SELECT e.event_type,
+               max(m.med) AS med,
+               quantile_cont(abs(e.value - m.med), 0.5) AS mad
+        FROM events e JOIN med m ON e.event_type = m.event_type
+        GROUP BY e.event_type
+    )
+    SELECT e.event_type,
+           count(*) AS n_events,
+           round(max(d.med), 6) AS med,
+           round(max(d.mad), 6) AS mad,
+           CAST(sum(CASE WHEN abs(e.value - d.med) > 3 * d.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+    FROM events e JOIN mad d ON e.event_type = d.event_type
+    GROUP BY e.event_type
+    """,
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection per metric stream — the classic
+    median/MAD rule (|x − med| > 3·MAD), the outlier flag a proxy's
+    stats pipeline would emit. Two grouped exact-percentile passes
+    (median, then median absolute deviation) with the per-type scalars
+    broadcast back onto the stream; both engines run the identical
+    interpolated-quantile selection over identical doubles, so even
+    the boundary comparison is deterministic. Scale: percentiles per
+    key are a sort-based agg over each type's values; the enrich joins
+    broadcast (types ≪ events)."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type")
+    mad = dev.groupBy("event_type").agg(
+        F.max("med").alias("med"),
+        F.percentile(F.abs(F.col("value") - F.col("med")), 0.5).alias("mad"),
+    )
+    return (
+        ev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.max("med"), 6).alias("med"),
+            F.round(F.max("mad"), 6).alias("mad"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("value") - F.col("med")) > 3 * F.col("mad"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_anomalies"),
+        )
+    )

@@ -77,6 +77,7 @@ _PRIORITY = (
     "tpch_q22_idle_customers",
     "pipeline_per_class_cap",
     "pipeline_bpe_train",
+    "events_anomaly_mad",
 )
 
 _QUERY_MODULES = (

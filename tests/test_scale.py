@@ -241,3 +241,47 @@ class TestPlanDisciplineRound1c:
         plan = _executed_plan(QUERIES["events_ema"](spark, sf_dir))
         # one hash agg pair on (event_type, day): exactly one Exchange
         assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+class TestTpchPlanDiscipline:
+    """The adapted TPC-H shapes must plan the way their docstrings
+    claim: dims broadcast, facts never cartesian-joined, filters at
+    the scan."""
+
+    def _plan(self, spark, sf_dir, name):
+        from metricproxy_spark.registry import QUERIES, load_all
+
+        load_all()
+        return _executed_plan(QUERIES[name](spark, sf_dir))
+
+    def test_q14_broadcasts_part_and_pushes_dates(self, spark, sf_dir):
+        plan = self._plan(spark, sf_dir, "tpch_q14_promo_share")
+        assert "BroadcastHashJoin" in plan, plan
+        assert "CartesianProduct" not in plan, plan
+        assert "PushedFilters" in plan or "isnotnull(l_shipdate" in plan, plan
+
+    def test_q17_coshuffles_avg_on_partkey(self, spark, sf_dir):
+        plan = self._plan(spark, sf_dir, "tpch_q17_small_qty_revenue")
+        assert "BroadcastHashJoin" in plan, plan  # part dim
+        assert "CartesianProduct" not in plan, plan
+
+    def test_q18_aggregates_before_joining(self, spark, sf_dir):
+        plan = self._plan(spark, sf_dir, "tpch_q18_large_orders")
+        assert "CartesianProduct" not in plan, plan
+
+    def test_q22_anti_join_no_cartesian_on_facts(self, spark, sf_dir):
+        plan = self._plan(spark, sf_dir, "tpch_q22_idle_customers")
+        # the 1-row scalar threshold joins as a broadcast nested loop —
+        # that's the intended scalar cross join; the anti join must be
+        # hash-based and nothing fact-sized may go cartesian
+        assert "BroadcastHashJoin" in plan, plan
+        assert "CartesianProduct" not in plan, plan
+
+    def test_pagerank_loop_reuses_edge_layout(self, spark, sf_dir):
+        from metricproxy_spark.registry import QUERIES, load_all
+
+        load_all()
+        df = QUERIES["graph_pagerank"](spark, sf_dir)
+        plan = _executed_plan(df)
+        assert "InMemoryTableScan" in plan, plan  # persisted edges reused
+        assert "CartesianProduct" not in plan, plan
