@@ -331,10 +331,12 @@ def kgram_hashes_vectorized(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 3,
+    with_pos: bool = False,
 ):
     """Vectorized twin of :func:`kgram_hashes`, returning EXPLODED
     occurrence rows ``(id_col, fp BIGINT)`` — one row per k-gram
-    occurrence, order-insensitive downstream. Same rationale as
+    occurrence (plus the 1-based start position ``pos INT`` when
+    ``with_pos``). Same rationale as
     :func:`winnow_fingerprints_vectorized`: Catalyst interprets the
     per-element polynomial lambda; three shifted int64 numpy folds do
     the identical arithmetic per partition with no shuffle."""
@@ -346,7 +348,7 @@ def kgram_hashes_vectorized(
         import numpy as np
 
         for pdf in batches:
-            out_id, out_fp = [], []
+            out_id, out_fp, out_pos = [], [], []
             for did, text in zip(pdf[id_col], pdf[text_col]):
                 ws = ("" if text is None else text).strip(" ").lower().split(" ")
                 n = len(ws)
@@ -362,8 +364,18 @@ def kgram_hashes_vectorized(
                 kg = acc % _MOD
                 out_id.extend([did] * len(kg))
                 out_fp.extend(kg.tolist())
-            yield pd.DataFrame({id_col: out_id, "fp": out_fp})
+                if with_pos:
+                    out_pos.extend(range(1, len(kg) + 1))
+            if with_pos:
+                yield pd.DataFrame(
+                    {id_col: out_id, "pos": out_pos, "fp": out_fp}
+                )
+            else:
+                yield pd.DataFrame({id_col: out_id, "fp": out_fp})
 
-    return df.select(id_col, text_col).mapInPandas(
-        gen, f"{id_col} long, fp bigint"
+    schema = (
+        f"{id_col} long, pos int, fp bigint"
+        if with_pos
+        else f"{id_col} long, fp bigint"
     )
+    return df.select(id_col, text_col).mapInPandas(gen, schema)

@@ -1281,3 +1281,106 @@ def pipeline_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(m["rank"], m["left"], m["right"], m["pair_cnt"]) for m in merges],
         "rank int, left string, right string, pair_cnt bigint",
     )
+
+
+@register(
+    "dedup_exact_spans",
+    oracle="""
+    WITH wds AS (
+        SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
+        FROM documents
+    ), kg AS (
+        SELECT doc_id,
+            list_transform(range(1, len(w) - 3),
+              i -> ((((CAST(ascii(w[i]) * 1024 + length(w[i]) AS BIGINT) * 131
+                     + CAST(ascii(w[i+1]) * 1024 + length(w[i+1]) AS BIGINT)) * 131
+                     + CAST(ascii(w[i+2]) * 1024 + length(w[i+2]) AS BIGINT)) * 131
+                     + CAST(ascii(w[i+3]) * 1024 + length(w[i+3]) AS BIGINT)) * 131
+                     + CAST(ascii(w[i+4]) * 1024 + length(w[i+4]) AS BIGINT))
+                   % 1000000000000037
+            ) AS kg
+        FROM wds
+    ), occ AS (
+        SELECT doc_id, t.o.pos AS pos, t.o.fp AS fp
+        FROM kg, UNNEST(list_transform(range(1, len(kg) + 1),
+                        i -> {'pos': i, 'fp': kg[i]})) AS t(o)
+    ), ranked AS (
+        SELECT doc_id, pos,
+               row_number() OVER (PARTITION BY fp
+                                  ORDER BY doc_id, pos) AS rn
+        FROM occ
+    ), covered AS (
+        SELECT DISTINCT doc_id, pos + t.o AS wp
+        FROM ranked, UNNEST(range(0, 5)) AS t(o)
+        WHERE rn > 1
+    ), wordrows AS (
+        SELECT doc_id, t.o.wp AS wp, t.o.word AS word
+        FROM wds, UNNEST(list_transform(range(1, len(w) + 1),
+                         i -> {'wp': i, 'word': w[i]})) AS t(o)
+    )
+    SELECT r.doc_id,
+           count(*) AS n_kept,
+           string_agg(r.word, ' ' ORDER BY r.wp) AS text_dedup
+    FROM wordrows r
+    WHERE NOT EXISTS (SELECT 1 FROM covered c
+                      WHERE c.doc_id = r.doc_id AND c.wp = r.wp)
+    GROUP BY r.doc_id
+    """,
+)
+def dedup_exact_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 exact duplicated-SPAN removal (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", at word-5-gram
+    granularity): every k-gram occurrence that is NOT the global first
+    occurrence of its hash marks its 5 word positions as duplicated;
+    documents are rebuilt from the surviving words. Finer than
+    paragraph dedup — shared boilerplate is excised mid-document while
+    unique prose around it survives.
+
+    Scale shape: the occurrence stream (ids + int64 hashes, no text)
+    shuffles once on fp for the first-occurrence window, once on
+    (doc, word-pos) for the anti join, once on doc for the rebuild —
+    all key-hashed, map-side-combinable or streaming-window stages;
+    no broadcast of anything corpus-sized, no driver state. Hashing
+    runs in the vectorized numpy twin (equality pytest-asserted
+    against the HOF spec)."""
+    from metricproxy_spark.operators.text import (
+        kgram_hashes_vectorized,
+        words_of,
+    )
+
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
+    occ = kgram_hashes_vectorized(docs, k=5, with_pos=True)
+    # first occurrence per fp as a map-side-combinable MIN aggregate
+    # (a row_number window would sort the whole occurrence stream per
+    # fp partition; min(struct) partially combines before the shuffle)
+    first = occ.groupBy("fp").agg(
+        F.min(F.struct("doc_id", "pos")).alias("_first")
+    )
+    covered = (
+        occ.join(first, "fp")
+        .where(
+            (F.col("doc_id") != F.col("_first.doc_id"))
+            | (F.col("pos") != F.col("_first.pos"))
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + 4)
+            ).alias("wp"),
+        )
+        .distinct()
+    )
+    words = docs.select(
+        "doc_id", F.posexplode(words_of("text")).alias("p0", "word")
+    ).select("doc_id", (F.col("p0") + 1).alias("wp"), "word")
+    kept = words.join(covered, ["doc_id", "wp"], "left_anti")
+    return kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("wp", "word"))),
+                lambda s: s["word"],
+            ),
+            " ",
+        ).alias("text_dedup"),
+    )

@@ -78,6 +78,7 @@ _PRIORITY = (
     "pipeline_per_class_cap",
     "pipeline_bpe_train",
     "events_anomaly_mad",
+    "dedup_exact_spans",
 )
 
 _QUERY_MODULES = (
