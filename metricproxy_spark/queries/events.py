@@ -711,3 +711,36 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_anomalies"),
         )
     )
+
+
+@register(
+    "events_seasonality",
+    oracle=f"""
+    SELECT event_type,
+           CAST(hour(ts) AS INT) AS hour_of_day,
+           CAST(dayofweek(ts) AS INT) AS day_of_week,
+           count(*) AS n,
+           {dsum_sql("value", 2)} AS sum_value,
+           round({davg_sql("value", 2)}, 6) AS avg_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def events_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality profile — the hour-of-day × day-of-week load/value
+    matrix per metric stream (the first thing an SRE plots from a
+    proxy's traffic). One hash agg onto a key space bounded at
+    |types|·24·7 regardless of event volume (map-side combine);
+    decimal sums keep values hash-exact. DuckDB's dayofweek is
+    0=Sunday; Spark's dayofweek is 1=Sunday — aligned by subtracting
+    one on the Spark side."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type",
+        F.hour("ts").cast("int").alias("hour_of_day"),
+        (F.dayofweek("ts") - 1).cast("int").alias("day_of_week"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("value", 2).alias("sum_value"),
+        F.round(davg("value", 2), 6).alias("avg_value"),
+    )

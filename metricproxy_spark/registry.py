@@ -79,6 +79,7 @@ _PRIORITY = (
     "pipeline_bpe_train",
     "events_anomaly_mad",
     "dedup_exact_spans",
+    "events_seasonality",
 )
 
 _QUERY_MODULES = (

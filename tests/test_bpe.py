@@ -67,3 +67,40 @@ def test_real_corpus_runs_and_is_deterministic(spark, sf_dir):
     m = train_bpe_merges(docs, n_merges=3)
     assert len(m) == 3
     assert m == train_bpe_merges(docs, n_merges=3)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_word = st.text(alphabet="abno", min_size=1, max_size=4)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.lists(_word, min_size=1, max_size=8).map(" ".join),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_property_merges_compress_monotonically(spark, texts):
+    """On arbitrary corpora: every additional merge can only shrink (or
+    keep) each document's token count, and no document compresses below
+    one token per word."""
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    merges = train_bpe_merges(docs, n_merges=4)
+    prev = None
+    for upto in range(len(merges) + 1):
+        toks = {
+            r.doc_id: r.n_tokens
+            for r in apply_bpe(docs, merges[:upto]).collect()
+        }
+        words = {
+            r.doc_id: r.n_words for r in apply_bpe(docs, []).collect()
+        }
+        assert all(toks[d] >= max(words[d], 1) for d in toks)
+        if prev is not None:
+            assert all(toks[d] <= prev[d] for d in toks)
+        prev = toks
