@@ -591,3 +591,88 @@ def stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+@register(
+    "stream_histogram_rollup",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, time_bucket(INTERVAL 1 DAY, ts) AS day,
+               CAST(floor(value / 5.0) AS BIGINT) AS bin,
+               count(*) AS cnt
+        FROM events GROUP BY 1, 2, 3
+    ), weekly AS (
+        SELECT event_type, date_trunc('week', day) AS week, bin,
+               CAST(sum(cnt) AS BIGINT) AS cnt
+        FROM daily GROUP BY 1, 2, 3
+    ), cum AS (
+        SELECT event_type, week, bin, cnt,
+               sum(cnt) OVER (PARTITION BY event_type, week
+                              ORDER BY bin) AS cum,
+               sum(cnt) OVER (PARTITION BY event_type, week) AS total
+        FROM weekly
+    )
+    SELECT event_type, week,
+           CAST(max(total) AS BIGINT) AS n_events,
+           round(min(CASE WHEN 2 * cum >= total THEN bin END) * 5.0, 1)
+             AS p50_lo,
+           round(min(CASE WHEN 20 * cum >= 19 * total THEN bin END) * 5.0, 1)
+             AS p95_lo
+    FROM cum GROUP BY event_type, week
+    """,
+)
+def stream_histogram_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1×pre-aggregation: the mergeable histogram rollup fed by a REAL
+    stream — per-(day, type, bin) counts accumulate as streaming window
+    state across micro-batches (complete mode), and the weekly p50/p95
+    derivation runs on the streamed day-level table. Bin counts are
+    integers, so cross-batch merging is exact and the streamed result
+    hash-matches the one-shot batch oracle — the streaming proof that
+    day histograms are safe pre-aggregation state at 100 TB."""
+    from pyspark.sql import Window
+
+    wd = _workdir()
+    src = stage_stream_source(
+        spark, sf_dir, "events", os.path.join(wd, "src")
+    )
+    stream = read_stream_table(spark, src)
+    daily = (
+        stream.groupBy(
+            F.window("ts", "1 day").alias("w"),
+            "event_type",
+            F.floor(F.col("value") / 5.0).cast("bigint").alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("w.start").alias("day"), "event_type", "bin", "cnt"
+        )
+    )
+    tbl = _run_to_memory(daily, os.path.join(wd, "ckpt"))
+    weekly = tbl.groupBy(
+        "event_type", F.date_trunc("week", "day").alias("week"), "bin"
+    ).agg(F.sum("cnt").alias("cnt"))
+    wsum = Window.partitionBy("event_type", "week").orderBy("bin")
+    wall = Window.partitionBy("event_type", "week")
+    cum = weekly.select(
+        "event_type",
+        "week",
+        "bin",
+        "cnt",
+        F.sum("cnt").over(wsum).alias("cum"),
+        F.sum("cnt").over(wall).alias("total"),
+    )
+    return cum.groupBy("event_type", "week").agg(
+        F.max("total").cast("bigint").alias("n_events"),
+        F.round(
+            F.min(F.when(2 * F.col("cum") >= F.col("total"), F.col("bin")))
+            * 5.0,
+            1,
+        ).alias("p50_lo"),
+        F.round(
+            F.min(
+                F.when(20 * F.col("cum") >= 19 * F.col("total"), F.col("bin"))
+            )
+            * 5.0,
+            1,
+        ).alias("p95_lo"),
+    )

@@ -80,6 +80,7 @@ _PRIORITY = (
     "events_anomaly_mad",
     "dedup_exact_spans",
     "events_seasonality",
+    "stream_histogram_rollup",
 )
 
 _QUERY_MODULES = (

@@ -285,3 +285,38 @@ class TestTpchPlanDiscipline:
         plan = _executed_plan(df)
         assert "InMemoryTableScan" in plan, plan  # persisted edges reused
         assert "CartesianProduct" not in plan, plan
+
+
+class TestRound3bPlanDiscipline:
+    """Plan assertions for the round-3b operators."""
+
+    def _plan(self, spark, sf_dir, name):
+        from metricproxy_spark.registry import QUERIES, load_all
+
+        load_all()
+        return _executed_plan(QUERIES[name](spark, sf_dir))
+
+    def test_histogram_rollup_partial_aggregates(self, spark, sf_dir):
+        """Both rollup levels must partial-aggregate (map-side combine)
+        so the shuffles stay key-space sized at any event volume."""
+        plan = self._plan(spark, sf_dir, "events_histogram_rollup")
+        assert "partial_count" in plan or "HashAggregate" in plan, plan
+        assert "CartesianProduct" not in plan, plan
+
+    def test_exact_spans_no_cartesian_no_global_sort(self, spark, sf_dir):
+        """First-occurrence = min(struct) hash agg + joins; no window
+        sort of the occurrence stream, nothing cartesian."""
+        plan = self._plan(spark, sf_dir, "dedup_exact_spans")
+        assert "CartesianProduct" not in plan, plan
+        assert "min(_first" in plan or "HashAggregate" in plan, plan
+
+    def test_anomaly_mad_broadcasts_scalars(self, spark, sf_dir):
+        plan = self._plan(spark, sf_dir, "events_anomaly_mad")
+        assert "BroadcastHashJoin" in plan, plan
+        assert "CartesianProduct" not in plan, plan
+
+    def test_seasonality_single_bounded_agg(self, spark, sf_dir):
+        """One hash agg, no join, no window — the |types|x24x7 matrix."""
+        plan = self._plan(spark, sf_dir, "events_seasonality")
+        assert "Join" not in plan, plan
+        assert "Window" not in plan, plan
