@@ -72,3 +72,23 @@ def test_adc_recall_vs_exact(spark, sf_dir):
         exact = set(ids[np.lexsort((ids, d2))[:10]].tolist())
         recalls.append(len(exact & approx[int(ids[qi])]) / 10)
     assert float(np.mean(recalls)) >= 0.5, recalls
+
+
+def test_codes_partitioned_by_list_prune_scans(spark, sf_dir, tmp_path):
+    """The scale story made literal: codes written partitioned by
+    coarse_id give the probe filter partition-PRUNING semantics — the
+    scan's PartitionFilters carry the IN-list, so un-probed inverted
+    lists are never read from storage."""
+    from pyspark.sql import functions as F
+
+    emb, idx = _index(spark, sf_dir)
+    path = str(tmp_path / "codes")
+    idx.codes.write.partitionBy("coarse_id").parquet(path)
+
+    reread = spark.read.parquet(path)
+    probed = reread.where(F.col("coarse_id").isin(0, 3))
+    n = probed.count()
+    assert n == idx.codes.where(F.col("coarse_id").isin(0, 3)).count()
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan, plan
+    assert "coarse_id" in plan.split("PartitionFilters", 1)[1][:200], plan
