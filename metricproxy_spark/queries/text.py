@@ -1384,3 +1384,114 @@ def dedup_exact_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("text_dedup"),
     )
+
+
+@register(
+    "pipeline_curation_end2end",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, lang, text, n_chars AS score FROM documents
+    ), tot AS (
+        SELECT count(*) AS n FROM scored
+    ), hist AS (
+        SELECT score, count(*) AS c FROM scored GROUP BY score
+    ), cum AS (
+        SELECT score, sum(c) OVER (ORDER BY score) AS cum FROM hist
+    ), thr AS (
+        SELECT min(CASE WHEN 10 * cum >= (SELECT n FROM tot)
+                        THEN score END) AS lo,
+               min(CASE WHEN 10 * cum >= 9 * (SELECT n FROM tot)
+                        THEN score END) AS hi
+        FROM cum
+    ), banded AS (
+        SELECT s.* FROM scored s, thr WHERE s.score BETWEEN lo AND hi
+    ), kept AS (
+        SELECT min(doc_id) AS doc_id FROM banded
+        GROUP BY lower(trim(text))
+    ), enriched AS (
+        SELECT b.doc_id, b.lang, b.score,
+               CAST((b.doc_id * 2654435761) % 4294967296 AS BIGINT) AS h
+        FROM banded b JOIN kept k ON b.doc_id = k.doc_id
+    ), tagged AS (
+        SELECT *,
+               CASE WHEN h % 10 < 8 THEN 'train'
+                    WHEN h % 10 = 8 THEN 'valid'
+                    ELSE 'test' END AS split
+        FROM enriched
+    ), capped AS (
+        SELECT *, row_number() OVER (PARTITION BY lang, split
+                                     ORDER BY h, doc_id) AS rn
+        FROM tagged
+    )
+    SELECT lang, split,
+           count(*) AS n_docs,
+           CAST(sum(score) AS BIGINT) AS sum_chars
+    FROM capped WHERE rn <= 50
+    GROUP BY lang, split
+    """,
+)
+def pipeline_curation_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4 flagship composition — a complete training-data build in one
+    plan: corpus-relative quality band (exact histogram deciles) →
+    exact dedup (first occurrence per normalized text) → deterministic
+    80/10/10 split (Knuth hash) → consistent per-(lang, split) cap →
+    manifest counts. Every stage is hash/integer-deterministic, so the
+    WHOLE pipeline is one exact DuckDB oracle — the property that makes
+    a curation run auditable end to end.
+
+    Scale: two key-space-bounded aggs (histogram, text-key dedup), one
+    broadcast of two scalars, one window over (lang, split) groups, one
+    final tiny agg. No driver state, nothing corpus-sized broadcast;
+    each stage's shuffle key is content-derived, so the plan composes
+    at 100 TB exactly as written."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text", F.col("n_chars").alias("score")
+    )
+    total = docs.agg(F.count(F.lit(1)).alias("n"))
+    hist = docs.groupBy("score").agg(F.count(F.lit(1)).alias("c"))
+    cum = hist.withColumn(
+        "cum",
+        F.sum("c").over(
+            Window.orderBy("score").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ),
+    )
+    thr = cum.crossJoin(F.broadcast(total)).agg(
+        F.min(
+            F.when(10 * F.col("cum") >= F.col("n"), F.col("score"))
+        ).alias("lo"),
+        F.min(
+            F.when(10 * F.col("cum") >= 9 * F.col("n"), F.col("score"))
+        ).alias("hi"),
+    )
+    banded = docs.crossJoin(F.broadcast(thr)).where(
+        F.col("score").between(F.col("lo"), F.col("hi"))
+    )
+    kept_ids = banded.groupBy(F.lower(F.trim("text")).alias("_key")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    enriched = banded.join(kept_ids.select("doc_id"), "doc_id").select(
+        "doc_id",
+        "lang",
+        "score",
+        ((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296))
+        .cast("bigint")
+        .alias("h"),
+    )
+    tagged = enriched.withColumn(
+        "split",
+        F.when(F.col("h") % 10 < 8, F.lit("train"))
+        .when(F.col("h") % 10 == 8, F.lit("valid"))
+        .otherwise(F.lit("test")),
+    )
+    capped = tagged.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("lang", "split").orderBy("h", "doc_id")
+        ),
+    ).where(F.col("rn") <= 50)
+    return capped.groupBy("lang", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("score").cast("bigint").alias("sum_chars"),
+    )

@@ -81,6 +81,7 @@ _PRIORITY = (
     "dedup_exact_spans",
     "events_seasonality",
     "stream_histogram_rollup",
+    "pipeline_curation_end2end",
 )
 
 _QUERY_MODULES = (
