@@ -320,3 +320,12 @@ class TestRound3bPlanDiscipline:
         plan = self._plan(spark, sf_dir, "events_seasonality")
         assert "Join" not in plan, plan
         assert "Window" not in plan, plan
+
+    def test_per_class_cap_window_group_limit(self, spark, sf_dir):
+        """The rn<=50 cap must plan as Partial+Final WindowGroupLimit
+        (Spark's rank-limit pushdown): every input partition prunes to
+        ≤50 rows per class BEFORE the shuffle, so the per-class sort
+        never sees a full 100 TB class."""
+        plan = self._plan(spark, sf_dir, "pipeline_per_class_cap")
+        assert plan.count("WindowGroupLimit") >= 2, plan
+        assert "Partial" in plan and "Final" in plan, plan
