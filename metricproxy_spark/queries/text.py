@@ -1495,3 +1495,119 @@ def pipeline_curation_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("score").cast("bigint").alias("sum_chars"),
     )
+
+
+@register(
+    "pipeline_chunk_windows",
+    oracle="""
+    WITH wds AS (
+        SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
+        FROM documents
+    ), chunks AS (
+        SELECT doc_id,
+               unnest(range(0, CAST(greatest(ceil((len(w) - 128) / 96.0) + 1, 1)
+                                    AS BIGINT))) AS chunk_id,
+               w
+        FROM wds
+    )
+    SELECT doc_id,
+           CAST(chunk_id AS INT) AS chunk_id,
+           CAST(chunk_id * 96 + 1 AS INT) AS start_word,
+           array_to_string(w[(chunk_id*96+1):(chunk_id*96+128)], ' ')
+             AS chunk_text,
+           CAST(len(w[(chunk_id*96+1):(chunk_id*96+128)]) AS INT)
+             AS n_words
+    FROM chunks
+    """,
+)
+def pipeline_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4 retrieval prep: split documents into OVERLAPPING 128-word
+    chunks with stride 96 (32-word overlap) — the RAG-ingest shape
+    (chunk ids are derivable, boundaries never split mid-word, the
+    final partial chunk is kept, and no duplicate tail chunk is
+    emitted when the last full window already reaches the end).
+    Chunking is a narrow array-HOF projection + one explode: the chunk
+    stream shuffles nowhere until a downstream consumer keys it. Chunk
+    count per doc = max(ceil((n-128)/96) + 1, 1), identical stride
+    arithmetic in both engines."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", words_of("text").alias("w")
+    )
+    n_chunks = F.greatest(
+        F.ceil((F.size("w") - 128) / 96.0) + 1, F.lit(1)
+    ).cast("bigint")
+    chunks = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+        "w",
+    )
+    piece = F.slice(F.col("w"), F.col("chunk_id") * 96 + 1, 128)
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        (F.col("chunk_id") * 96 + 1).cast("int").alias("start_word"),
+        F.array_join(piece, " ").alias("chunk_text"),
+        F.size(piece).cast("int").alias("n_words"),
+    )
+
+
+@register(
+    "pipeline_domain_mixture",
+    oracle="""
+    WITH per AS (
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM documents GROUP BY source
+    ), tot AS (
+        SELECT CAST(sum(n_docs) AS BIGINT) AS total_docs,
+               CAST(count(*) AS BIGINT) AS n_sources
+        FROM per
+    )
+    SELECT source, n_docs, sum_chars,
+           round(CAST(n_docs AS DOUBLE) / total_docs, 9) AS share,
+           round((CAST(total_docs AS DOUBLE) / n_sources)
+                 / n_docs, 9) AS uniform_weight,
+           CAST(least(n_docs,
+                CAST(ceil(total_docs / (1.0 * n_sources)) AS BIGINT))
+             AS BIGINT) AS capped_quota
+    FROM per, tot
+    """,
+)
+def pipeline_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4 curation: domain-mixture reweighting manifest — per-source
+    counts, current share, the sampling weight that would flatten the
+    mixture to uniform-over-sources, and the per-source quota when
+    capped at ceil(total/n_sources) (the DoReMi-style first step of
+    rebalancing a crawl). One key-space-bounded agg + a two-scalar
+    broadcast; all ratios derive from identical integers in both
+    engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+    )
+    tot = per.agg(
+        F.sum("n_docs").cast("bigint").alias("total_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_sources"),
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "sum_chars",
+        F.round(F.col("n_docs").cast("double") / F.col("total_docs"), 9).alias(
+            "share"
+        ),
+        F.round(
+            (F.col("total_docs").cast("double") / F.col("n_sources"))
+            / F.col("n_docs"),
+            9,
+        ).alias("uniform_weight"),
+        F.least(
+            F.col("n_docs"),
+            F.ceil(F.col("total_docs") / (1.0 * F.col("n_sources"))).cast(
+                "bigint"
+            ),
+        )
+        .cast("bigint")
+        .alias("capped_quota"),
+    )

@@ -82,6 +82,8 @@ _PRIORITY = (
     "events_seasonality",
     "stream_histogram_rollup",
     "pipeline_curation_end2end",
+    "pipeline_chunk_windows",
+    "pipeline_domain_mixture",
 )
 
 _QUERY_MODULES = (
