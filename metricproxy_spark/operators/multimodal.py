@@ -338,3 +338,128 @@ def attach_media_meta(
             F.lit(None).cast("bigint").alias("duration_ms"),
         ),
     )
+
+
+def audio_spectral_features(
+    media: "DataFrame",
+    content_col: str = "content",
+    id_col: str = "doc_id",
+) -> "DataFrame":
+    """REAL audio DSP on in-container-decodable WAV payloads: per clip
+    RMS, zero-crossing rate, FFT spectral centroid/85%-rolloff and the
+    dominant frequency — numpy rfft per partition (Arrow-batched,
+    no shuffle), the L5 feature-extraction stage with actual signal
+    processing instead of a stub. Values round to 6dp; FFT bin math is
+    deterministic per platform (tested against synthesized tones, not
+    a SQL oracle — rfft has no SQL twin)."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {
+                id_col: [],
+                "sample_rate": [],
+                "n_samples": [],
+                "rms": [],
+                "zcr": [],
+                "spectral_centroid_hz": [],
+                "rolloff85_hz": [],
+                "dominant_hz": [],
+            }
+            for did, content in zip(pdf[id_col], pdf[content_col]):
+                meta, samples = decode_wav(bytes(content))
+                x = samples.astype(np.float64)
+                n = len(x)
+                sr = 1000 * n // max(meta["duration_ms"], 1) if meta[
+                    "duration_ms"
+                ] else 8000
+                rms = float(np.sqrt(np.mean(x * x))) if n else 0.0
+                zcr = (
+                    float(np.mean(np.abs(np.diff(np.signbit(x)))))
+                    if n > 1
+                    else 0.0
+                )
+                spec = np.abs(np.fft.rfft(x))
+                freqs = np.fft.rfftfreq(n, d=1.0 / sr)
+                power = spec * spec
+                tot = power.sum()
+                if tot > 0:
+                    centroid = float((freqs * power).sum() / tot)
+                    csum = np.cumsum(power)
+                    rolloff = float(freqs[np.searchsorted(csum, 0.85 * tot)])
+                    dom = float(freqs[int(power.argmax())])
+                else:
+                    centroid = rolloff = dom = 0.0
+                out[id_col].append(did)
+                out["sample_rate"].append(int(sr))
+                out["n_samples"].append(int(n))
+                out["rms"].append(round(rms, 6))
+                out["zcr"].append(round(zcr, 6))
+                out["spectral_centroid_hz"].append(round(centroid, 6))
+                out["rolloff85_hz"].append(round(rolloff, 6))
+                out["dominant_hz"].append(round(dom, 6))
+            yield pd.DataFrame(out)
+
+    return media.select(id_col, content_col).mapInPandas(
+        gen,
+        f"{id_col} long, sample_rate int, n_samples int, rms double, "
+        "zcr double, spectral_centroid_hz double, rolloff85_hz double, "
+        "dominant_hz double",
+    )
+
+
+def image_stats(
+    media: "DataFrame",
+    content_col: str = "content",
+    id_col: str = "doc_id",
+) -> "DataFrame":
+    """REAL image statistics on in-container-decodable BMP payloads:
+    dimensions, mean/std brightness, per-channel means, and gradient
+    edge energy (mean |∂x| + |∂y|) — numpy per partition, the image
+    half of the L5 feature-extraction stage."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {
+                id_col: [],
+                "width": [],
+                "height": [],
+                "mean_brightness": [],
+                "std_brightness": [],
+                "mean_r": [],
+                "mean_g": [],
+                "mean_b": [],
+                "edge_energy": [],
+            }
+            for did, content in zip(pdf[id_col], pdf[content_col]):
+                meta, px = decode_bmp(bytes(content))  # (h, w, 3) uint8
+                img = px.astype(np.float64)
+                gray = img.mean(axis=2)
+                gx = np.abs(np.diff(gray, axis=1)).mean() if gray.shape[1] > 1 else 0.0
+                gy = np.abs(np.diff(gray, axis=0)).mean() if gray.shape[0] > 1 else 0.0
+                out[id_col].append(did)
+                out["width"].append(int(meta["width"]))
+                out["height"].append(int(meta["height"]))
+                out["mean_brightness"].append(round(float(gray.mean()), 6))
+                out["std_brightness"].append(round(float(gray.std()), 6))
+                out["mean_r"].append(round(float(img[:, :, 0].mean()), 6))
+                out["mean_g"].append(round(float(img[:, :, 1].mean()), 6))
+                out["mean_b"].append(round(float(img[:, :, 2].mean()), 6))
+                out["edge_energy"].append(round(float(gx + gy), 6))
+            yield pd.DataFrame(out)
+
+    return media.select(id_col, content_col).mapInPandas(
+        gen,
+        f"{id_col} long, width int, height int, mean_brightness double, "
+        "std_brightness double, mean_r double, mean_g double, "
+        "mean_b double, edge_energy double",
+    )

@@ -1611,3 +1611,88 @@ def pipeline_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("capped_quota"),
     )
+
+
+@register("multimodal_audio_spectral")
+def multimodal_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5 real audio DSP: synthesize a deterministic PCM-16 sine tone
+    per document (freq = 200 + (doc_id % 20)·40 Hz, 0.2 s @ 8 kHz),
+    then run the REAL decode → rfft feature chain (RMS, ZCR, spectral
+    centroid, rolloff, dominant bin). Rows-only (FFT has no SQL twin);
+    tone-recovery exactness (dominant == synthesized freq) is value-
+    tested in tests/test_multimodal_features.py. Scale: synth+decode+
+    FFT are one narrow mapInPandas pass each — no shuffle anywhere."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from metricproxy_spark.operators.multimodal import (
+        audio_spectral_features,
+        encode_wav,
+    )
+
+    docs = spread(
+        load_table(spark, sf_dir, "documents").select("doc_id"), spark
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        sr, dur = 8000, 0.2
+        t = np.arange(int(sr * dur)) / sr
+        for pdf in batches:
+            payloads = [
+                encode_wav(
+                    (8000 * np.sin(2 * np.pi * (200 + (int(d) % 20) * 40) * t)).astype(
+                        np.int16
+                    ),
+                    sr,
+                )
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": payloads})
+
+    media = docs.mapInPandas(synth, "doc_id long, content binary")
+    return audio_spectral_features(media)
+
+
+@register("multimodal_image_stats")
+def multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5 real image statistics: synthesize a deterministic 24bpp BMP
+    gradient per document (size and pixel pattern derived from
+    doc_id), then run the REAL decode → numpy stats chain (brightness
+    mean/std, channel means, gradient edge energy). Rows-only; pixel-
+    exact values are asserted in tests/test_multimodal_features.py
+    against the closed-form pattern. One narrow mapInPandas pass."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from metricproxy_spark.operators.multimodal import encode_bmp, image_stats
+
+    docs = spread(
+        load_table(spark, sf_dir, "documents").select("doc_id"), spark
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 16 + d % 8, 8 + d % 5
+                y, x = np.mgrid[0:h, 0:w]
+                px = np.stack(
+                    [
+                        (x * 3 + y * 5 + d) % 256,
+                        (x * 7 + y) % 256,
+                        (x + y * 11 + 2 * d) % 256,
+                    ],
+                    axis=2,
+                ).astype(np.uint8)
+                payloads.append(encode_bmp(px))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": payloads})
+
+    media = docs.mapInPandas(synth, "doc_id long, content binary")
+    return image_stats(media)

@@ -84,6 +84,8 @@ _PRIORITY = (
     "pipeline_curation_end2end",
     "pipeline_chunk_windows",
     "pipeline_domain_mixture",
+    "multimodal_audio_spectral",
+    "multimodal_image_stats",
 )
 
 _QUERY_MODULES = (
