@@ -744,3 +744,52 @@ def events_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("value", 2).alias("sum_value"),
         F.round(davg("value", 2), 6).alias("avg_value"),
     )
+
+
+@register(
+    "events_transition_matrix",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_type
+        FROM events
+    )
+    SELECT event_type AS from_type, next_type AS to_type,
+           count(*) AS n,
+           CAST((1000000 * count(*))
+                // sum(count(*)) OVER (PARTITION BY event_type)
+             AS BIGINT) AS prob_e6
+    FROM ordered WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    """,
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral Markov matrix: per-user event-type bigrams (lead over
+    each user's time-ordered stream) aggregated into transition counts
+    and integer-scaled row-conditional probabilities (exact ×1e6 floor
+    division — no float summation anywhere, so the matrix hash-matches).
+    Scale: one window shuffle on user_id (each user's slice sorts
+    independently), one hash agg onto the |types|² key space, one
+    window over ≤|types| rows."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        "user_id",
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).where(F.col("to_type").isNotNull())
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    row_tot = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.expr("1000000 * n div sum(n) over (partition by from_type)")
+        .cast("bigint")
+        .alias("prob_e6"),
+    )

@@ -287,3 +287,49 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     queries = emb.filter(F.col("vec_id") < 10)
     return ivfpq_adc_topk(queries, index, k_top=3, nprobe=3)
+
+
+@register(
+    "sim_mrl_truncate",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), t AS (
+        SELECT vec_id, e[1:16] AS t16,
+               sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list_transform(e[1:16], x -> x * x)),
+                    (a, b) -> a + b)) AS norm16
+        FROM v
+    )
+    SELECT vec_id,
+           CAST(16 AS INT) AS dims_kept,
+           round(norm16, 6) AS norm16,
+           round(norm16 * norm16, 6) AS retained_energy,
+           round(t16[1] / norm16, 6) AS first_component_renormed
+    FROM t
+    """,
+)
+def sim_mrl_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 storage path: Matryoshka-style truncation — keep the first 16
+    of 64 dims and L2-renormalize (Kusupati et al. 2022: nested
+    representations let one index serve several dim budgets). For
+    unit-norm inputs the retained energy ‖e[:16]‖² IS the cosine
+    between the full vector and its zero-padded truncation, so the
+    projection doubles as the fidelity report. Pure array HOFs — a
+    narrow map-only stage; the truncated column is the 4× cheaper
+    index payload. Ranking-overlap vs the full index is asserted in
+    tests (top-k with truncated vectors)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    t16 = F.slice(F.col("embedding").cast("array<double>"), 1, 16)
+    norm16 = F.sqrt(
+        F.aggregate(t16, F.lit(0.0), lambda a, x: a + x * x)
+    )
+    return emb.select(
+        "vec_id",
+        F.lit(16).cast("int").alias("dims_kept"),
+        F.round(norm16, 6).alias("norm16"),
+        F.round(norm16 * norm16, 6).alias("retained_energy"),
+        F.round(F.element_at(t16, 1) / norm16, 6).alias(
+            "first_component_renormed"
+        ),
+    )

@@ -86,6 +86,8 @@ _PRIORITY = (
     "pipeline_domain_mixture",
     "multimodal_audio_spectral",
     "multimodal_image_stats",
+    "events_transition_matrix",
+    "sim_mrl_truncate",
 )
 
 _QUERY_MODULES = (

@@ -96,3 +96,50 @@ def test_pagerank_shuffle_linear_in_edges_and_iters(
         queries["graph_pagerank"](spark, sf_correctness_dir)
     )
     assert b <= 48 * n_edges * 3, (b, n_edges)
+
+
+def test_mrl_truncated_ranking_overlaps_full(spark, sf_dir, queries):
+    """Truncated-to-16-dims cosine top-10 vs the full 64-d top-10.
+    The fixture embeddings are NOT matryoshka-trained (energy is
+    uniform across dims, not front-loaded), so retained fidelity is
+    bounded by retained energy: measured ~0.22 mean overlap — assert
+    well above chance (10/500 = 0.02) rather than near-parity."""
+    from metricproxy_spark.io import load_table
+    from metricproxy_spark.operators.similarity import cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    t16 = F.slice(F.col("embedding").cast("array<double>"), 1, 16)
+    norm = F.sqrt(F.aggregate(t16, F.lit(0.0), lambda a, x: a + x * x))
+    trunc = emb.select(
+        "vec_id",
+        F.transform(t16, lambda x: x / norm).alias("embedding"),
+    )
+    q_full = emb.filter(F.col("vec_id") < 10)
+    q_trunc = trunc.filter(F.col("vec_id") < 10)
+    full = {}
+    for r in cosine_topk(q_full, emb, k=10).collect():
+        full.setdefault(r.query_id, set()).add(r.match_id)
+    cheap = {}
+    for r in cosine_topk(q_trunc, trunc, k=10).collect():
+        cheap.setdefault(r.query_id, set()).add(r.match_id)
+    overlaps = [len(full[q] & cheap[q]) / 10 for q in full]
+    assert sum(overlaps) / len(overlaps) >= 0.1, overlaps
+
+
+def test_centroid_broadcasts_stay_kd_bounded(
+    spark, sf_correctness_dir, queries
+):
+    """The k-means/IVF family claim 'only k·d floats broadcast': every
+    BroadcastExchange in the assignment plan must carry < 64 KB
+    (k=8 × d=64 doubles ≈ 4 KB + row overhead)."""
+    from tests.plan_metrics import executed_metrics
+
+    df = queries["sim_kmeans_assign"](spark, sf_correctness_dir)
+    mets = executed_metrics(df)
+    bcasts = [
+        v.get("dataSize", 0)
+        for _, name, v in mets
+        if name == "BroadcastExchange"
+    ]
+    assert bcasts, mets  # the broadcast join must actually plan
+    assert all(0 < b < 64 * 1024 for b in bcasts), bcasts
