@@ -163,3 +163,57 @@ def layout_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rated.filter(F.col("h") < F.col("rate")).select(
         "c_custkey", "c_mktsegment", "c_acctbal", "rate"
     )
+
+
+@register(
+    "layout_skew_report",
+    oracle="""
+    WITH b AS (
+        SELECT 'lineitem.l_suppkey' AS key_name, l_suppkey % 32 AS bucket,
+               count(*) AS n
+        FROM lineitem GROUP BY 1, 2
+        UNION ALL
+        SELECT 'lineitem.l_partkey', l_partkey % 32, count(*)
+        FROM lineitem GROUP BY 1, 2
+        UNION ALL
+        SELECT 'events.user_id', user_id % 32, count(*)
+        FROM events GROUP BY 1, 2
+    )
+    SELECT key_name,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(min(n) AS BIGINT) AS min_rows,
+           CAST(max(n) AS BIGINT) AS max_rows,
+           CAST(sum(n) AS BIGINT) AS total_rows,
+           round(32.0 * max(n) / sum(n), 6) AS skew_factor
+    FROM b GROUP BY key_name
+    """,
+)
+def layout_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-planning skew report: for each candidate shuffle key,
+    the 32-bucket histogram's min/max/skew factor (max over mean) —
+    the number that decides between plain hash partitioning, salting
+    (operators/scale.py) and AQE skew-join before a 100 TB run. Three
+    key-space-bounded aggs unioned; modulo buckets (not hash) so both
+    engines bucket identically."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ev = load_table(spark, sf_dir, "events")
+
+    def bucketed(df, key_name: str, col: str):
+        return (
+            df.groupBy((F.col(col) % 32).alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.lit(key_name).alias("key_name"), "bucket", "n")
+        )
+
+    b = (
+        bucketed(li, "lineitem.l_suppkey", "l_suppkey")
+        .unionByName(bucketed(li, "lineitem.l_partkey", "l_partkey"))
+        .unionByName(bucketed(ev, "events.user_id", "user_id"))
+    )
+    return b.groupBy("key_name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.min("n").cast("bigint").alias("min_rows"),
+        F.max("n").cast("bigint").alias("max_rows"),
+        F.sum("n").cast("bigint").alias("total_rows"),
+        F.round(32.0 * F.max("n") / F.sum("n"), 6).alias("skew_factor"),
+    )

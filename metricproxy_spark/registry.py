@@ -88,6 +88,7 @@ _PRIORITY = (
     "multimodal_image_stats",
     "events_transition_matrix",
     "sim_mrl_truncate",
+    "layout_skew_report",
 )
 
 _QUERY_MODULES = (
