@@ -214,7 +214,10 @@ def extract_features(
 
 
 def decode_media_meta(
-    df: DataFrame, content_col: str = "content", id_col: str = "doc_id"
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    tolerant: bool = False,
 ) -> DataFrame:
     """mapInPandas REAL decode over binary media payloads.
 
@@ -224,6 +227,13 @@ def decode_media_meta(
     pixel/sample data path, not just header parsing. Same scale shape
     as `extract_features`: Arrow batches, per-partition Python, nothing
     on the driver.
+
+    ``tolerant=True`` applies the reference's invalid-line principle
+    (count-and-drop, never fail the batch) to payloads: a corrupt /
+    truncated / unknown payload yields one ``media_type='invalid'``
+    row instead of failing the task, so a single bad blob in a 100 TB
+    scan cannot kill the job; callers count them like the carbon
+    listener counts invalid lines.
     """
     out_schema = T.StructType(
         [
@@ -241,7 +251,13 @@ def decode_media_meta(
         for pdf in batches:
             rows = []
             for i, raw in zip(pdf[id_col], pdf[content_col]):
-                meta, samples = decode_media(bytes(raw))
+                try:
+                    meta, samples = decode_media(bytes(raw))
+                except Exception:
+                    if not tolerant:
+                        raise
+                    rows.append((i, "invalid", None, None, None, None, None))
+                    continue
                 rows.append(
                     (
                         i,

@@ -65,3 +65,30 @@ def test_image_stats_pixel_exact(spark):
         6,
     )
     assert r.edge_energy == expected_edge
+
+
+def test_tolerant_decode_counts_and_drops_corrupt_payloads(spark):
+    """The reference's invalid-line principle on payloads: corrupt
+    blobs become media_type='invalid' rows (never a failed task),
+    valid neighbors decode untouched."""
+    import numpy as np
+
+    from metricproxy_spark.operators.multimodal import decode_media_meta
+
+    good_bmp = encode_bmp(np.zeros((4, 4, 3), np.uint8))
+    good_wav = encode_wav(np.zeros(16, np.int16))
+    rows = [
+        (0, bytearray(good_bmp)),
+        (1, bytearray(good_wav)),
+        (2, bytearray(b"\x00\x01garbage")),
+        (3, bytearray(good_bmp[:20])),  # truncated header
+        (4, bytearray(good_wav[:10])),  # truncated RIFF
+    ]
+    media = spark.createDataFrame(rows, "doc_id long, content binary")
+    got = {r.doc_id: r.media_type for r in decode_media_meta(media, tolerant=True).collect()}
+    assert got == {0: "image", 1: "audio", 2: "invalid", 3: "invalid", 4: "invalid"}
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        decode_media_meta(media, tolerant=False).collect()
