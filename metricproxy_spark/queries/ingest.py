@@ -868,3 +868,43 @@ def ingest_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_value"),
     )
+
+
+@register(
+    "ingest_xml_roundtrip",
+    oracle="""
+    SELECT event_id, event_type, user_id,
+           round(value, 2) AS value
+    FROM events
+    """,
+)
+def ingest_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-surface breadth (Spark 4 XML expressions): serialize each
+    event to an XML document with ``to_xml`` and parse it back with
+    ``from_xml`` against an explicit schema — the write_http-style
+    payload cycle for the one wire format the reference does NOT
+    speak. The oracle selects the same values straight from columns:
+    a hash match proves the XML encode→decode cycle is lossless for
+    typed fields (int64, string, 2dp double). Narrow projection,
+    no shuffle."""
+    from pyspark.sql.functions import from_xml, to_xml
+
+    ev = load_table(spark, sf_dir, "events")
+    doc = ev.select(
+        to_xml(
+            F.struct(
+                "event_id",
+                "event_type",
+                "user_id",
+                F.round("value", 2).alias("value"),
+            )
+        ).alias("xml")
+    )
+    schema = "event_id BIGINT, event_type STRING, user_id BIGINT, value DOUBLE"
+    parsed = doc.select(from_xml("xml", schema).alias("p"))
+    return parsed.select(
+        F.col("p.event_id").alias("event_id"),
+        F.col("p.event_type").alias("event_type"),
+        F.col("p.user_id").alias("user_id"),
+        F.col("p.value").alias("value"),
+    )

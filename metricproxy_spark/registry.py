@@ -89,6 +89,7 @@ _PRIORITY = (
     "events_transition_matrix",
     "sim_mrl_truncate",
     "layout_skew_report",
+    "ingest_xml_roundtrip",
 )
 
 _QUERY_MODULES = (
