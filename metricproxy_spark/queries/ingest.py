@@ -908,3 +908,68 @@ def ingest_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p.user_id").alias("user_id"),
         F.col("p.value").alias("value"),
     )
+
+
+@register(
+    "ingest_csv_permissive",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) FILTER (WHERE event_id % 19 <> 0) AS BIGINT)
+             AS n_valid,
+           CAST(count(*) FILTER (WHERE event_id % 19 = 0) AS BIGINT)
+             AS n_corrupt
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def ingest_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV wire robustness — the C1 count-and-drop principle on the K3
+    debug format: events re-serialize as CSV with every 19th row
+    deterministically corrupted (unparseable numerics), then read back
+    with an explicit schema in PERMISSIVE mode + columnNameOfCorrupt-
+    Record. Corrupt lines become rows with ``_corrupt`` set (well-
+    formed fields like event_type survive), never task failures; the
+    per-type valid/corrupt report hash-matches the modular rule the
+    corruption was planted with. Staging write + scan + one hash agg.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    bad = F.col("event_id") % 19 == 0
+    line = F.concat_ws(
+        ",",
+        F.col("event_id").cast("string"),
+        F.col("event_type"),
+        F.when(bad, F.lit("notanum")).otherwise(F.col("user_id").cast("string")),
+        F.when(bad, F.lit("alsobad")).otherwise(
+            F.col("value").cast("decimal(27,4)").cast("string")
+        ),
+    )
+    staging = tempfile.mkdtemp(prefix="mps_csv_")
+    try:
+        ev.select(line.alias("value")).write.mode("overwrite").text(staging)
+        schema = (
+            "event_id BIGINT, event_type STRING, user_id BIGINT, "
+            "value DOUBLE, _corrupt STRING"
+        )
+        parsed = (
+            spark.read.schema(schema)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt")
+            .csv(staging)
+        )
+        # Materialize FULL rows before aggregating: CSV corrupt-record
+        # detection only fires for columns the parser actually reads,
+        # and column pruning would otherwise drop the failing numeric
+        # fields from the scan (documented Spark CSV behavior), leaving
+        # _corrupt never populated.
+        parsed = parsed.localCheckpoint(eager=True)
+        result = parsed.groupBy("event_type").agg(
+            F.sum(F.when(F.col("_corrupt").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_valid"),
+            F.sum(F.when(F.col("_corrupt").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_corrupt"),
+        )
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    return result

@@ -90,6 +90,7 @@ _PRIORITY = (
     "sim_mrl_truncate",
     "layout_skew_report",
     "ingest_xml_roundtrip",
+    "ingest_csv_permissive",
 )
 
 _QUERY_MODULES = (
