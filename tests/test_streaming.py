@@ -446,3 +446,71 @@ def test_stream_stream_join_state_survives_restart(spark):
     assert drain() == {(1, 2)}  # matched across the restart
     # a third drain with nothing new must not re-emit
     assert drain() == {(1, 2)}
+
+
+def test_windowed_agg_state_survives_restart(spark):
+    """Tumbling-window counts accumulated in run 1 must MERGE with rows
+    that only arrive in run 2 (same window, new process): append-mode
+    window state survives the checkpointed restart and each finalized
+    window is emitted exactly once, equal to the batch aggregate."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    src = tempfile.mkdtemp(prefix="mps_win_src_")
+    ckpt = tempfile.mkdtemp(prefix="mps_win_ck_")
+    out = tempfile.mkdtemp(prefix="mps_win_out_")
+
+    def ts(m, s=0):
+        import datetime as _dt
+
+        return _dt.datetime(2026, 1, 1, 0, m, s)
+
+    def write_batch(name, rows):
+        spark.createDataFrame(
+            rows, "k string, ts timestamp, v double"
+        ).coalesce(1).write.mode("overwrite").parquet(os.path.join(src, name))
+
+    def drain():
+        schema = spark.read.option("recursiveFileLookup", "true").parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+        agg = (
+            stream.withWatermark("ts", "0 seconds")
+            .groupBy(F.window("ts", "5 minutes").alias("w"), "k")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+            .select(F.col("w.start").alias("ws"), "k", "n", "s")
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # run 1: window A complete, window B partial
+    write_batch("b1", [("x", ts(1), 1.0), ("x", ts(2), 2.0), ("x", ts(6), 4.0)])
+    drain()
+    # run 2 (fresh query, same checkpoint): rest of window B + sentinel
+    # in window C that pushes the watermark past B's end
+    write_batch("b2", [("x", ts(7), 8.0), ("y", ts(8), 16.0), ("x", ts(11), 0.5)])
+    drain()
+
+    got = {
+        (r.ws.minute, r.k): (r.n, r.s)
+        for r in spark.read.parquet(out).collect()
+    }
+    # window A [00:00,00:05) emitted in run 2's watermark advance or run 1;
+    # window B [00:05,00:10) merges run-1 state (4.0) with run-2 rows
+    assert got[(0, "x")] == (2, 3.0)
+    assert got[(5, "x")] == (2, 12.0)
+    assert got[(5, "y")] == (1, 16.0)
+    # window C not finalized -> absent; nothing emitted twice
+    assert len(got) == 3, got
