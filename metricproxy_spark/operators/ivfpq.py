@@ -248,3 +248,45 @@ def ivfpq_adc_topk(
             "rank",
         )
     )
+
+
+def save_ivfpq(index: IvfPqIndex, path: str) -> None:
+    """Persist the index as durable artifacts: the bounded state
+    (coarse centroids + codebooks + id column name) as one JSON file,
+    the codes as parquet PARTITIONED BY inverted list — so a later
+    probe's ``coarse_id IN (...)`` prunes whole list directories at
+    the storage layer (tested in test_ivfpq.py)."""
+    import json
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "meta.json"), "w") as fh:
+        json.dump(
+            {
+                "coarse": index.coarse,
+                "codebooks": index.codebooks,
+                "id_col": index.id_col,
+            },
+            fh,
+        )
+    index.codes.write.mode("overwrite").partitionBy("coarse_id").parquet(
+        os.path.join(path, "codes")
+    )
+
+
+def load_ivfpq(spark, path: str) -> IvfPqIndex:
+    """Reload a saved index: bounded state from JSON, codes as a
+    partition-pruned parquet scan. The returned index serves
+    :func:`ivfpq_adc_topk` identically to the freshly-built one."""
+    import json
+    import os
+
+    with open(os.path.join(path, "meta.json")) as fh:
+        meta = json.load(fh)
+    codes = spark.read.parquet(os.path.join(path, "codes"))
+    return IvfPqIndex(
+        coarse=meta["coarse"],
+        codebooks=meta["codebooks"],
+        codes=codes,
+        id_col=meta["id_col"],
+    )

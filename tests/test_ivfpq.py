@@ -92,3 +92,27 @@ def test_codes_partitioned_by_list_prune_scans(spark, sf_dir, tmp_path):
     plan = probed._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan, plan
     assert "coarse_id" in plan.split("PartitionFilters", 1)[1][:200], plan
+
+
+def test_saved_index_serves_identical_results(spark, sf_dir, tmp_path):
+    """Build → save → load → search must equal build → search exactly:
+    the index is a durable artifact (bounded JSON state + partitioned
+    codes), not session state."""
+    from metricproxy_spark.operators.ivfpq import (
+        ivfpq_adc_topk,
+        load_ivfpq,
+        save_ivfpq,
+    )
+    from pyspark.sql import functions as F
+
+    emb, idx = _index(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5)
+    fresh = sorted(map(tuple, ivfpq_adc_topk(queries, idx, k_top=5, nprobe=3).collect()))
+
+    path = str(tmp_path / "ivfpq_index")
+    save_ivfpq(idx, path)
+    reloaded = load_ivfpq(spark, path)
+    served = sorted(
+        map(tuple, ivfpq_adc_topk(queries, reloaded, k_top=5, nprobe=3).collect())
+    )
+    assert fresh == served
