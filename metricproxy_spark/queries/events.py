@@ -793,3 +793,67 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("prob_e6"),
     )
+
+
+@register(
+    "events_trend_slope",
+    oracle="""
+    WITH base AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts)) AS BIGINT)
+                 - (SELECT CAST(floor(epoch(min(ts))) AS BIGINT) FROM events)
+                 AS x,
+               value AS y
+        FROM events
+    ), sums AS (
+        SELECT event_type, count(*) AS n,
+               CAST(SUM(CAST(x AS DECIMAL(27,4))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(y AS DECIMAL(27,4))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(x AS DECIMAL(27,4)) * CAST(y AS DECIMAL(27,4)))
+                 AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(x AS DECIMAL(27,4)) * CAST(x AS DECIMAL(27,4)))
+                 AS DOUBLE) AS sxx
+        FROM base GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           round(86400.0 * (n * sxy - sx * sy) / (n * sxx - sx * sx), 9)
+             AS slope_per_day
+    FROM sums
+    """,
+)
+def events_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stream trend: closed-form OLS slope of value over time
+    (scaled to per-day), the drift detector a metrics pipeline runs
+    before alerting on "this gauge is slowly climbing". Time is
+    re-based to the corpus min epoch so the decimal power sums stay
+    in range at any scale factor; the four sums are order-independent
+    DECIMAL aggregates (same machinery as correlation/moments) and the
+    final slope is one fixed IEEE expression over identical operands.
+    Scale: one scalar broadcast (min ts) + one hash agg per type."""
+    ev = load_table(spark, sf_dir, "events")
+    t0 = ev.agg(
+        F.floor(F.unix_timestamp(F.min("ts"))).cast("bigint").alias("t0")
+    )
+    base = ev.crossJoin(F.broadcast(t0)).select(
+        "event_type",
+        (F.floor(F.unix_timestamp("ts")).cast("bigint") - F.col("t0")).alias("x"),
+        F.col("value").alias("y"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(27,4)")
+    sums = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("x")).cast("double").alias("sx"),
+        F.sum(dec("y")).cast("double").alias("sy"),
+        F.sum(dec("x") * dec("y")).cast("double").alias("sxy"),
+        F.sum(dec("x") * dec("x")).cast("double").alias("sxx"),
+    )
+    return sums.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(
+            86400.0
+            * (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")),
+            9,
+        ).alias("slope_per_day"),
+    )

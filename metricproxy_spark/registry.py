@@ -91,6 +91,7 @@ _PRIORITY = (
     "layout_skew_report",
     "ingest_xml_roundtrip",
     "ingest_csv_permissive",
+    "events_trend_slope",
 )
 
 _QUERY_MODULES = (
