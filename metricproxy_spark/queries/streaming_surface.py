@@ -676,3 +676,65 @@ def stream_histogram_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             1,
         ).alias("p95_lo"),
     )
+
+
+@register(
+    "stream_topk_users",
+    oracle="""
+    WITH c AS (
+        SELECT event_type, user_id, count(*) AS cnt
+        FROM events GROUP BY 1, 2
+    ), tot AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS version
+        FROM events GROUP BY 1
+    ), ranked AS (
+        SELECT event_type, user_id, cnt,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY cnt DESC, user_id) AS rn
+        FROM c
+    )
+    SELECT r.event_type, t.version, r.user_id,
+           CAST(r.cnt AS BIGINT) AS cnt,
+           CAST(0 AS BIGINT) AS err,
+           CAST(r.rn AS BIGINT) AS rank
+    FROM ranked r JOIN tot t ON r.event_type = t.event_type
+    WHERE r.rn <= 5
+    """,
+)
+def stream_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming heavy hitters: per-type top-5 users via a REAL
+    space-saving summary in applyInPandasWithState (bounded capacity,
+    cross-batch GroupState, 2 time-ordered micro-batches). In the
+    exact regime (distinct users ≤ capacity — true at driver scale
+    factors) every count is exact with err = 0, so the streamed sketch
+    hash-matches the batch GROUP BY oracle including the version stamp
+    (= total events per type). The over-capacity error-bound regime is
+    unit-tested in tests/test_streaming.py."""
+    from pyspark.sql import Window
+
+    from metricproxy_spark.streaming.stateful import streaming_topk
+
+    wd = _workdir()
+    src = stage_stream_source(
+        spark,
+        sf_dir,
+        "events",
+        os.path.join(wd, "src"),
+        num_files=2,
+        order_col="ts",
+    )
+    stream = read_stream_table(spark, src, max_files_per_trigger=1)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        snapshots = _run_to_memory(
+            streaming_topk(stream), os.path.join(wd, "ckpt"), mode="append"
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    w = Window.partitionBy("event_type")
+    return (
+        snapshots.withColumn("_vmax", F.max("version").over(w))
+        .where(F.col("version") == F.col("_vmax"))
+        .drop("_vmax")
+    )

@@ -92,6 +92,7 @@ _PRIORITY = (
     "ingest_xml_roundtrip",
     "ingest_csv_permissive",
     "events_trend_slope",
+    "stream_topk_users",
 )
 
 _QUERY_MODULES = (

@@ -109,3 +109,132 @@ def counter_to_rate(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+TOPK_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("version", LongType()),
+        StructField("user_id", LongType()),
+        StructField("cnt", LongType()),
+        StructField("err", LongType()),
+        StructField("rank", LongType()),
+    ]
+)
+
+# state: parallel arrays of monitored items (space-saving summary) plus
+# the total observation count (the snapshot version)
+from pyspark.sql.types import ArrayType  # noqa: E402
+
+_TOPK_STATE_SCHEMA = StructType(
+    [
+        StructField("items", ArrayType(LongType())),
+        StructField("counts", ArrayType(LongType())),
+        StructField("errors", ArrayType(LongType())),
+        StructField("total", LongType()),
+    ]
+)
+
+_TOPK_CAPACITY = 4096
+_TOPK_EMIT = 5
+
+
+def _make_topk_fn(capacity: int, emit: int):
+    """Build the per-group space-saving function with ``capacity`` and
+    ``emit`` baked into the closure (cloudpickled to workers — a module
+    global would be re-imported there and ignore test overrides)."""
+
+    def _topk_fn(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        """Space-saving (Metwally, Agrawal & El Abbadi, ICDT 2005) per
+        key: bounded-capacity counter summary with the classic
+        guarantees — true_count ≤ cnt, cnt − err ≤ true_count, and any
+        item with frequency > N/capacity is monitored. With distinct
+        items ≤ capacity the summary is EXACT (err = 0), which is what
+        makes the streamed query oracle-checkable; the bound regime is
+        unit-tested. Emits the current top items each batch stamped
+        with version = total observations, so the final snapshot per
+        key is the row set with the maximum version."""
+        (etype,) = key
+        if state.exists:
+            items_l, counts_l, errors_l, total = state.get
+            summary = {
+                i: [c, e] for i, c, e in zip(items_l, counts_l, errors_l)
+            }
+        else:
+            summary, total = {}, 0
+
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "user_id"])
+            for u in pdf["user_id"].to_numpy():
+                u = int(u)
+                total += 1
+                if u in summary:
+                    summary[u][0] += 1
+                elif len(summary) < capacity:
+                    summary[u] = [1, 0]
+                else:
+                    # evict the minimum-count entry (ties: lowest item
+                    # id, deterministic), inherit count as error bound
+                    evict = min(summary, key=lambda k: (summary[k][0], k))
+                    mc = summary[evict][0]
+                    del summary[evict]
+                    summary[u] = [mc + 1, mc]
+
+        state.update(
+            (
+                list(summary.keys()),
+                [v[0] for v in summary.values()],
+                [v[1] for v in summary.values()],
+                total,
+            )
+        )
+        top = sorted(summary.items(), key=lambda kv: (-kv[1][0], kv[0]))[:emit]
+        if top:
+            yield pd.DataFrame(
+                {
+                    "event_type": etype,
+                    "version": total,
+                    "user_id": [u for u, _ in top],
+                    "cnt": [c for _, (c, _e) in top],
+                    "err": [e for _, (_c, e) in top],
+                    "rank": list(range(1, len(top) + 1)),
+                }
+            )
+
+    return _topk_fn
+
+
+def streaming_topk(
+    df: DataFrame,
+    key_col: str = "event_type",
+    item_col: str = "user_id",
+    ts_col: str = "ts",
+    capacity: int = _TOPK_CAPACITY,
+    emit: int = _TOPK_EMIT,
+) -> DataFrame:
+    """Streaming heavy hitters per key via bounded space-saving state.
+    Each micro-batch emits the current top items stamped with a
+    monotone version; take the max-version rows per key for the final
+    answer. State is O(capacity) per key regardless of stream length —
+    the sketch property that makes per-key top-k viable at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from metricproxy_spark.io import ensure_package_on_workers
+
+    ensure_package_on_workers(df.sparkSession)
+    slim = df.select(
+        F.col(key_col).alias("event_type"),
+        F.col(item_col).alias("user_id"),
+        F.col(ts_col).alias("ts"),
+    )
+    return slim.groupBy("event_type").applyInPandasWithState(
+        _make_topk_fn(capacity, emit),
+        outputStructType=TOPK_SCHEMA,
+        stateStructType=_TOPK_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

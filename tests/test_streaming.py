@@ -514,3 +514,52 @@ def test_windowed_agg_state_survives_restart(spark):
     assert got[(5, "y")] == (1, 16.0)
     # window C not finalized -> absent; nothing emitted twice
     assert len(got) == 3, got
+
+
+def test_space_saving_error_bounds_over_capacity(spark):
+    """Capacity 3 with 6 distinct items: the space-saving guarantees
+    must hold — cnt overestimates, cnt − err underestimates, and the
+    genuinely frequent item (freq > N/capacity) is present and top."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from metricproxy_spark.streaming.stateful import streaming_topk
+
+    # item 100 appears 10x, 200 5x, the rest once each (N=19)
+    rows = []
+    t = 0
+    for u, n in ((100, 10), (200, 5), (1, 1), (2, 1), (3, 1), (4, 1)):
+        for _ in range(n):
+            t += 1
+            rows.append((f"k", u, t))
+    df = spark.createDataFrame(rows, "event_type string, user_id long, t long").select(
+        "event_type", "user_id", F.timestamp_seconds("t").alias("ts")
+    )
+    src = tempfile.mkdtemp(prefix="mps_ss_src_")
+    df.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "b1"))
+    schema = spark.read.option("recursiveFileLookup", "true").parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    out = streaming_topk(stream, capacity=3, emit=3)
+    name = "mps_ss_topk_tbl"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r.user_id: r for r in spark.table(name).collect()}
+    true = {100: 10, 200: 5, 1: 1, 2: 1, 3: 1, 4: 1}
+    assert 100 in got and got[100].rank == 1
+    for u, r in got.items():
+        tc = true[u]
+        assert r.cnt >= tc, (u, r)          # never underestimates
+        assert r.cnt - r.err <= tc, (u, r)  # guaranteed-count bound
+        assert r.version == 19
