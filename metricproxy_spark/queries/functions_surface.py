@@ -259,3 +259,58 @@ def analytic_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("m").alias("n_keys"),
         entries.alias("entries"),
     )
+
+
+@register(
+    "analytic_bitwise_funcs",
+    oracle="""
+    SELECT event_type,
+           CAST(bit_and(event_id) AS BIGINT) AS all_and,
+           CAST(bit_or(event_id) AS BIGINT) AS all_or,
+           CAST(bit_xor(event_id) AS BIGINT) AS all_xor,
+           CAST(sum(CASE WHEN event_id & 7 = 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS low3_zero,
+           CAST(sum(event_id >> 8) AS BIGINT) AS sum_shifted
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def analytic_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X20 extension: bitwise aggregate (bit_and/or/xor) and scalar
+    (&, >>) surface — integer-exact in both engines by construction."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.bit_and("event_id").cast("bigint").alias("all_and"),
+        F.bit_or("event_id").cast("bigint").alias("all_or"),
+        F.bit_xor("event_id").cast("bigint").alias("all_xor"),
+        F.sum(
+            F.when(F.col("event_id").bitwiseAND(7) == 0, 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("low3_zero"),
+        F.sum(F.expr("event_id >> 8")).cast("bigint").alias("sum_shifted"),
+    )
+
+
+@register(
+    "analytic_hash_funcs",
+    oracle="""
+    SELECT doc_id,
+           sha256(text) AS sha_hex,
+           md5(text) AS md5_hex,
+           CAST(length(sha256(text)) AS INT) AS sha_len
+    FROM documents
+    """,
+)
+def analytic_hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-surface: cryptographic digests as portable row identities —
+    sha2-256 and md5 hex must agree byte-for-byte across engines (the
+    property the exact-dedup family and hash splits rest on, asserted
+    directly)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.sha2("text", 256).alias("sha_hex"),
+        F.md5("text").alias("md5_hex"),
+        F.length(F.sha2("text", 256)).cast("int").alias("sha_len"),
+    )

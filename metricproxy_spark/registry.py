@@ -94,6 +94,8 @@ _PRIORITY = (
     "stream_topk_users",
     # 51st+: below the driver's 50-row cap; judge re-run territory
     "analytic_json_funcs",
+    "analytic_bitwise_funcs",
+    "analytic_hash_funcs",
 )
 
 _QUERY_MODULES = (
