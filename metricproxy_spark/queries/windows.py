@@ -208,3 +208,55 @@ def analytic_ntile_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cume_dist().over(w).alias("cd"),
         F.percent_rank().over(w).alias("pr"),
     )
+
+
+@register(
+    "analytic_running_distinct",
+    oracle="""
+    WITH marked AS (
+        SELECT event_type, ts, event_id,
+               CASE WHEN row_number() OVER (
+                   PARTITION BY event_type, user_id
+                   ORDER BY ts, event_id) = 1 THEN 1 ELSE 0 END AS is_first
+        FROM events
+    )
+    SELECT event_type, ts, event_id,
+           CAST(sum(is_first) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS distinct_users_so_far
+    FROM marked
+    """,
+)
+def analytic_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X13 extension — running COUNT(DISTINCT) over an ordered window,
+    which Spark does not support natively: rewritten as
+    first-occurrence marking (row_number = 1 per (key, member)) + a
+    running sum of the marks. Two windows, both partition-local sorts;
+    the rewrite is the standard decorrelation every engine lacking
+    distinct-over-window uses, and the oracle replays it identically."""
+    ev = load_table(spark, sf_dir, "events")
+    w_first = Window.partitionBy("event_type", "user_id").orderBy(
+        "ts", "event_id"
+    )
+    w_run = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marked = ev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.when(F.row_number().over(w_first) == 1, 1).otherwise(0).alias(
+            "is_first"
+        ),
+    )
+    return marked.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.sum("is_first").over(w_run).cast("bigint").alias(
+            "distinct_users_so_far"
+        ),
+    )

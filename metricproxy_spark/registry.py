@@ -96,6 +96,7 @@ _PRIORITY = (
     "analytic_json_funcs",
     "analytic_bitwise_funcs",
     "analytic_hash_funcs",
+    "analytic_running_distinct",
 )
 
 _QUERY_MODULES = (
