@@ -333,3 +333,52 @@ def sim_mrl_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "first_component_renormed"
         ),
     )
+
+
+@register(
+    "sim_lang_centroids",
+    oracle="""
+    WITH joined AS (
+        SELECT d.lang, CAST(e.embedding AS DOUBLE[]) AS v
+        FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    ), dims AS (
+        SELECT lang, u.o.pos AS pos, u.o.x AS x
+        FROM joined, UNNEST(list_transform(range(1, len(v) + 1),
+                         i -> {'pos': i, 'x': v[i]})) AS u(o)
+    )
+    SELECT lang, CAST(pos AS INT) AS pos,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(SUM(CAST(x AS DECIMAL(27,12))) AS DOUBLE)
+                 / count(*), 9) AS mean_x
+    FROM dims WHERE pos <= 4
+    GROUP BY lang, pos
+    """,
+)
+def sim_lang_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal composition: join the text table to its embedding
+    rows (doc_id = vec_id) and compute per-language mean vectors —
+    the "domain centroid" a curation pipeline uses to score drift.
+    posexplode → (lang, dim) hash agg with exact decimal sums (12dp —
+    float32 inputs widen exactly), reported for the first 4 dims to
+    keep the manifest small. Scale: the join is id-keyed co-shuffle;
+    the agg key space is |langs|·d regardless of corpus size."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    joined = docs.join(emb, docs.doc_id == emb.vec_id)
+    dims = joined.select(
+        "lang", F.posexplode("v").alias("pos0", "x")
+    ).select("lang", (F.col("pos0") + 1).alias("pos"), "x")
+    return (
+        dims.where(F.col("pos") <= 4)
+        .groupBy("lang", F.col("pos").cast("int").alias("pos"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(
+                F.sum(F.col("x").cast("decimal(27,12)")).cast("double")
+                / F.count(F.lit(1)),
+                9,
+            ).alias("mean_x"),
+        )
+    )

@@ -97,6 +97,7 @@ _PRIORITY = (
     "analytic_bitwise_funcs",
     "analytic_hash_funcs",
     "analytic_running_distinct",
+    "sim_lang_centroids",
 )
 
 _QUERY_MODULES = (
