@@ -857,3 +857,57 @@ def events_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("slope_per_day"),
     )
+
+
+@register(
+    "events_alert_rules",
+    oracle="""
+    WITH rules AS (
+        SELECT * FROM (VALUES
+            ('click',    40.0, 'warn'),
+            ('click',    48.0, 'crit'),
+            ('error',     5.0, 'warn'),
+            ('purchase', 45.0, 'crit')
+        ) AS t(rule_type, threshold, severity)
+    )
+    SELECT e.event_type, r.severity, r.threshold,
+           CAST(count(*) AS BIGINT) AS n_alerts,
+           CAST(min(e.event_id) AS BIGINT) AS first_event_id,
+           round(max(e.value), 2) AS worst_value
+    FROM events e JOIN rules r
+      ON e.event_type = r.rule_type AND e.value > r.threshold
+    GROUP BY e.event_type, r.severity, r.threshold
+    """,
+)
+def events_alert_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proxy-native alert evaluation: a small RULES table (type,
+    threshold, severity — in the reference's world this is what the
+    SignalFx backend applies after forwarding) broadcast-joined onto
+    the event stream; each breach groups into an alert summary. The
+    canonical "tiny config dim × huge fact" join: rules broadcast,
+    predicates pushed into the join, one hash agg on the rule key
+    space. Batch form here; the same join runs stream-side unchanged
+    (stream_static_enrich proves that path)."""
+    ev = load_table(spark, sf_dir, "events")
+    rules = spark.createDataFrame(
+        [
+            ("click", 40.0, "warn"),
+            ("click", 48.0, "crit"),
+            ("error", 5.0, "warn"),
+            ("purchase", 45.0, "crit"),
+        ],
+        "rule_type string, threshold double, severity string",
+    )
+    return (
+        ev.join(
+            F.broadcast(rules),
+            (F.col("event_type") == F.col("rule_type"))
+            & (F.col("value") > F.col("threshold")),
+        )
+        .groupBy("event_type", "severity", "threshold")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_alerts"),
+            F.min("event_id").cast("bigint").alias("first_event_id"),
+            F.round(F.max("value"), 2).alias("worst_value"),
+        )
+    )

@@ -98,6 +98,7 @@ _PRIORITY = (
     "analytic_hash_funcs",
     "analytic_running_distinct",
     "sim_lang_centroids",
+    "events_alert_rules",
 )
 
 _QUERY_MODULES = (
