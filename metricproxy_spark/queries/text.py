@@ -570,10 +570,14 @@ def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / CAST(totals.doc_terms AS DOUBLE), 9) AS tf,
            round(ln(CAST(n AS DOUBLE) / CAST(docs_with AS DOUBLE)), 6)
                AS idf,
-           round(round(CAST(tf.term_count AS DOUBLE)
-                       / CAST(totals.doc_terms AS DOUBLE), 9)
-                 * round(ln(CAST(n AS DOUBLE) / CAST(docs_with AS DOUBLE)), 6),
-                 6) AS tfidf
+           CAST(round(
+                 CAST(round(CAST(tf.term_count AS DOUBLE)
+                            / CAST(totals.doc_terms AS DOUBLE), 9)
+                      AS DECIMAL(20,9))
+                 * CAST(round(ln(CAST(n AS DOUBLE)
+                                 / CAST(docs_with AS DOUBLE)), 6)
+                        AS DECIMAL(20,6)),
+                 6) AS DOUBLE) AS tfidf
     FROM tf
     JOIN totals USING (doc_id)
     JOIN dfreq USING (term)
@@ -619,7 +623,16 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "term",
             tf_col.alias("tf"),
             idf_col.alias("idf"),
-            F.round(tf_col * idf_col, 6).alias("tfidf"),
+            # multiply-and-round in EXACT decimal: the 9dp×6dp product
+            # can land exactly on a .5e-6 boundary where Spark (decimal
+            # HALF_UP on the shortest repr) and DuckDB (binary round)
+            # disagree — decimal arithmetic rounds identically in both.
+            F.round(
+                tf_col.cast("decimal(20,9)") * idf_col.cast("decimal(20,6)"),
+                6,
+            )
+            .cast("double")
+            .alias("tfidf"),
         )
     )
 
