@@ -911,3 +911,50 @@ def events_alert_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("value"), 2).alias("worst_value"),
         )
     )
+
+
+@register(
+    "events_gap_report",
+    oracle="""
+    WITH gaps AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts)) AS BIGINT)
+                 - CAST(floor(epoch(lag(ts) OVER (
+                       PARTITION BY event_type ORDER BY ts, event_id)))
+                   AS BIGINT) AS gap_s
+        FROM events
+    )
+    SELECT event_type,
+           CAST(count(gap_s) AS BIGINT) AS n_gaps,
+           CAST(sum(CASE WHEN gap_s > 300 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outages,
+           CAST(max(gap_s) AS BIGINT) AS max_gap_s,
+           CAST(sum(gap_s) AS BIGINT) AS sum_gap_s
+    FROM gaps GROUP BY event_type
+    """,
+)
+def events_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-health outage report: inter-arrival gaps per stream via
+    lag() over event time; gaps over 5 minutes count as outages (the
+    "did the scraper die" check a proxy runs on itself). Integer epoch
+    arithmetic end to end. One window shuffle on the type key + one
+    key-space agg."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "event_type",
+        (
+            F.floor(F.unix_timestamp("ts")).cast("bigint")
+            - F.floor(F.unix_timestamp(F.lag("ts").over(w))).cast("bigint")
+        ).alias("gap_s"),
+    )
+    return gaps.groupBy("event_type").agg(
+        F.count("gap_s").cast("bigint").alias("n_gaps"),
+        F.sum(F.when(F.col("gap_s") > 300, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_outages"),
+        F.max("gap_s").cast("bigint").alias("max_gap_s"),
+        F.sum("gap_s").cast("bigint").alias("sum_gap_s"),
+    )

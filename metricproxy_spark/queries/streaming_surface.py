@@ -738,3 +738,59 @@ def stream_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("version") == F.col("_vmax"))
         .drop("_vmax")
     )
+
+
+@register(
+    "stream_alert_rules",
+    oracle="""
+    WITH rules AS (
+        SELECT * FROM (VALUES
+            ('click',    40.0, 'warn'),
+            ('click',    48.0, 'crit'),
+            ('error',     5.0, 'warn'),
+            ('purchase', 45.0, 'crit')
+        ) AS t(rule_type, threshold, severity)
+    )
+    SELECT e.event_type, r.severity, r.threshold,
+           CAST(count(*) AS BIGINT) AS n_alerts,
+           CAST(min(e.event_id) AS BIGINT) AS first_event_id,
+           round(max(e.value), 2) AS worst_value
+    FROM events e JOIN rules r
+      ON e.event_type = r.rule_type AND e.value > r.threshold
+    GROUP BY e.event_type, r.severity, r.threshold
+    """,
+)
+def stream_alert_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2×T7 composition on a REAL stream: the broadcast rules dim
+    joins each micro-batch (stream-static join) and breaches
+    accumulate in a complete-mode aggregation — the in-proxy alert
+    evaluator running continuously. Hash-matches the batch oracle:
+    stream-static join + streamed agg lose nothing across batches."""
+    wd = _workdir()
+    src = stage_stream_source(
+        spark, sf_dir, "events", os.path.join(wd, "src")
+    )
+    stream = read_stream_table(spark, src)
+    rules = spark.createDataFrame(
+        [
+            ("click", 40.0, "warn"),
+            ("click", 48.0, "crit"),
+            ("error", 5.0, "warn"),
+            ("purchase", 45.0, "crit"),
+        ],
+        "rule_type string, threshold double, severity string",
+    )
+    agg = (
+        stream.join(
+            F.broadcast(rules),
+            (F.col("event_type") == F.col("rule_type"))
+            & (F.col("value") > F.col("threshold")),
+        )
+        .groupBy("event_type", "severity", "threshold")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_alerts"),
+            F.min("event_id").cast("bigint").alias("first_event_id"),
+            F.round(F.max("value"), 2).alias("worst_value"),
+        )
+    )
+    return _run_to_memory(agg, os.path.join(wd, "ckpt"))

@@ -99,6 +99,8 @@ _PRIORITY = (
     "analytic_running_distinct",
     "sim_lang_centroids",
     "events_alert_rules",
+    "events_gap_report",
+    "stream_alert_rules",
 )
 
 _QUERY_MODULES = (
