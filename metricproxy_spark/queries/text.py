@@ -1709,3 +1709,55 @@ def multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = docs.mapInPandas(synth, "doc_id long, content binary")
     return image_stats(media)
+
+
+@register(
+    "pipeline_weighted_sample",
+    oracle="""
+    WITH keyed AS (
+        SELECT doc_id, lang, n_chars,
+               round(pow(
+                   (CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE) + 1.0)
+                       / 4294967296.0,
+                   1.0 / n_chars), 9) AS es_key
+        FROM documents
+    ), ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY lang
+                                     ORDER BY es_key DESC, doc_id) AS rn
+        FROM keyed
+    )
+    SELECT doc_id, lang, n_chars, es_key, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= 20
+    """,
+)
+def pipeline_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4 curation: weighted sampling without replacement, 20 docs per
+    language with inclusion probability ∝ n_chars — the Efraimidis-
+    Spirakis scheme (key = u^(1/w), keep the largest keys), with the
+    uniform u derived from the Knuth hash of the stable id instead of
+    an RNG: the sample is reproducible across runs/engines/partitions,
+    the property sample() cannot give. Keys round to 9dp before
+    ranking (ties break on doc_id) so the one cross-engine pow() ulp
+    cannot reorder. Scale: pure projection + the same WindowGroupLimit-
+    pushed top-N per class as the cap query."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        ((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)).cast(
+            "double"
+        )
+        + 1.0
+    ) / 4294967296.0
+    es_key = F.round(F.pow(u, 1.0 / F.col("n_chars")), 9)
+    ranked = docs.select(
+        "doc_id", "lang", "n_chars", es_key.alias("es_key")
+    ).withColumn(
+        "rn",
+        F.row_number()
+        .over(
+            Window.partitionBy("lang").orderBy(
+                F.col("es_key").desc(), F.col("doc_id").asc()
+            )
+        )
+        .cast("bigint"),
+    )
+    return ranked.where(F.col("rn") <= 20)

@@ -101,6 +101,7 @@ _PRIORITY = (
     "events_alert_rules",
     "events_gap_report",
     "stream_alert_rules",
+    "pipeline_weighted_sample",
 )
 
 _QUERY_MODULES = (
