@@ -546,3 +546,35 @@ def analytic_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bucket")
     )
     return binned.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "analytic_setops_all",
+    oracle="""
+    WITH a AS (SELECT event_type FROM events WHERE event_id % 2 = 0),
+         b AS (SELECT event_type FROM events WHERE user_id % 3 = 0)
+    SELECT op, event_type, CAST(count(*) AS BIGINT) AS n FROM (
+        SELECT 'intersect_all' AS op, event_type FROM (
+            SELECT event_type FROM a INTERSECT ALL SELECT event_type FROM b)
+        UNION ALL
+        SELECT 'except_all' AS op, event_type FROM (
+            SELECT event_type FROM a EXCEPT ALL SELECT event_type FROM b)
+    ) GROUP BY op, event_type
+    """,
+)
+def analytic_setops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X17 bag semantics: INTERSECT ALL / EXCEPT ALL (multiset
+    min/difference of duplicate counts — the variant the DISTINCT set
+    ops cannot express), summarized per type so the multiplicity math
+    itself is what the oracle checks."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.where(F.col("event_id") % 2 == 0).select("event_type")
+    b = ev.where(F.col("user_id") % 3 == 0).select("event_type")
+    tagged = (
+        a.intersectAll(b).select(F.lit("intersect_all").alias("op"), "event_type")
+    ).unionByName(
+        a.exceptAll(b).select(F.lit("except_all").alias("op"), "event_type")
+    )
+    return tagged.groupBy("op", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )

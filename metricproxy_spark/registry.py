@@ -102,6 +102,7 @@ _PRIORITY = (
     "events_gap_report",
     "stream_alert_rules",
     "pipeline_weighted_sample",
+    "analytic_setops_all",
 )
 
 _QUERY_MODULES = (
