@@ -1761,3 +1761,36 @@ def pipeline_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint"),
     )
     return ranked.where(F.col("rn") <= 20)
+
+
+@register("pipeline_tokenizer_report")
+def pipeline_tokenizer_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4 tokenizer loop closed: train 4 BPE merges on the corpus,
+    APPLY them corpus-wide, and report per-language compression —
+    words, post-BPE tokens, chars, tokens-per-word and chars-per-token
+    (the numbers a tokenizer team actually reviews). Training iterates
+    on the vocab (see pipeline_bpe_train); application is one narrow
+    mapInPandas pass with the merge table in the closure; the report
+    is a |langs|-bounded agg. Rows-only (iterative trainer upstream);
+    the trainer/applier pair is value-tested in tests/test_bpe.py."""
+    from metricproxy_spark.operators.bpe import apply_bpe, train_bpe_merges
+
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
+    merges = train_bpe_merges(docs, n_merges=4)
+    toks = apply_bpe(docs, merges)
+    enriched = toks.join(
+        load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars"),
+        "doc_id",
+    )
+    return enriched.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("words"),
+        F.sum("n_tokens").cast("bigint").alias("tokens"),
+        F.sum("n_chars").cast("bigint").alias("chars"),
+        F.round(
+            F.sum("n_tokens").cast("double") / F.sum("n_words"), 6
+        ).alias("tokens_per_word"),
+        F.round(
+            F.sum("n_chars").cast("double") / F.sum("n_tokens"), 6
+        ).alias("chars_per_token"),
+    )

@@ -103,6 +103,7 @@ _PRIORITY = (
     "stream_alert_rules",
     "pipeline_weighted_sample",
     "analytic_setops_all",
+    "pipeline_tokenizer_report",
 )
 
 _QUERY_MODULES = (
