@@ -578,3 +578,36 @@ def analytic_setops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tagged.groupBy("op", "event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
     )
+
+
+@register(
+    "analytic_lateral_topn",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey, o.o_totalprice
+    FROM customer c, LATERAL (
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+    """,
+)
+def analytic_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X24 extension — LATERAL correlated subquery with per-row
+    ORDER/LIMIT (each customer's 2 priciest orders), the SQL:2016
+    lateral-join surface Catalyst decorrelates into a ranked join
+    rather than executing per-row. Identical text runs on DuckDB —
+    the rare query where the oracle IS the query."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "mp_lat_customer"
+    )
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "mp_lat_orders"
+    )
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey, o.o_totalprice
+        FROM mp_lat_customer c, LATERAL (
+            SELECT o_orderkey, o_totalprice FROM mp_lat_orders
+            WHERE o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        """
+    )

@@ -104,6 +104,7 @@ _PRIORITY = (
     "pipeline_weighted_sample",
     "analytic_setops_all",
     "pipeline_tokenizer_report",
+    "analytic_lateral_topn",
 )
 
 _QUERY_MODULES = (
