@@ -958,3 +958,52 @@ def events_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("gap_s").cast("bigint").alias("max_gap_s"),
         F.sum("gap_s").cast("bigint").alias("sum_gap_s"),
     )
+
+
+@register(
+    "events_week_over_week",
+    oracle=f"""
+    WITH weekly AS (
+        SELECT event_type, date_trunc('week', ts) AS week,
+               count(*) AS n, {dsum_sql('value')} AS sum_value
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, week, CAST(n AS BIGINT) AS n, sum_value,
+           CAST(n - lag(n) OVER w AS BIGINT) AS n_delta,
+           round(100.0 * (n - lag(n) OVER w)
+                 / CAST(lag(n) OVER w AS DOUBLE), 6) AS n_pct_change,
+           round(sum_value - lag(sum_value) OVER w, 6) AS value_delta
+    FROM weekly
+    WINDOW w AS (PARTITION BY event_type ORDER BY week)
+    """,
+)
+def events_week_over_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week deltas per stream — the default dashboard
+    comparison: weekly rollup (decimal-exact sums) then lag() per
+    type for absolute and percent change (first week NULLs). One
+    key-space agg + one window over |types|·weeks rows."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    weekly = ev.groupBy(
+        "event_type", F.date_trunc("week", "ts").alias("week")
+    ).agg(
+        F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value")
+    )
+    w = Window.partitionBy("event_type").orderBy("week")
+    return weekly.select(
+        "event_type",
+        "week",
+        F.col("n").cast("bigint").alias("n"),
+        "sum_value",
+        (F.col("n") - F.lag("n").over(w)).cast("bigint").alias("n_delta"),
+        F.round(
+            100.0
+            * (F.col("n") - F.lag("n").over(w))
+            / F.lag("n").over(w).cast("double"),
+            6,
+        ).alias("n_pct_change"),
+        F.round(
+            F.col("sum_value") - F.lag("sum_value").over(w), 6
+        ).alias("value_delta"),
+    )

@@ -107,6 +107,7 @@ _PRIORITY = (
     "sim_ivfpq_topk",
     "multimodal_audio_spectral",
     "multimodal_image_stats",
+    "events_week_over_week",
 )
 
 _QUERY_MODULES = (
