@@ -611,3 +611,44 @@ def analytic_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
             ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
         """
     )
+
+
+@register(
+    "analytic_conditional_aggs",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) FILTER (WHERE l_discount > 0.05) AS BIGINT)
+             AS n_discounted,
+           CAST(count(*) FILTER (WHERE l_quantity >= 25) AS BIGINT)
+             AS n_bulk,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,4)))
+                FILTER (WHERE l_tax = 0.0) AS DOUBLE) AS tax_free_price,
+           CAST(max(l_linenumber) AS BIGINT) AS max_line,
+           CAST(bool_or(l_quantity = 50) AS INT) AS any_max_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def analytic_conditional_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X10 extension: conditional aggregation surface — count_if /
+    FILTER-style predicated counts and sums plus bool_or, the idiom
+    that replaces N self-joins with one pass. Decimal sum keeps the
+    filtered money aggregate hash-exact; everything else is integer."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_if(F.col("l_discount") > 0.05).cast("bigint").alias(
+            "n_discounted"
+        ),
+        F.count_if(F.col("l_quantity") >= 25).cast("bigint").alias("n_bulk"),
+        F.sum(
+            F.when(
+                F.col("l_tax") == 0.0,
+                F.col("l_extendedprice").cast("decimal(27,4)"),
+            )
+        )
+        .cast("double")
+        .alias("tax_free_price"),
+        F.max("l_linenumber").cast("bigint").alias("max_line"),
+        F.max(F.when(F.col("l_quantity") == 50, 1).otherwise(0))
+        .cast("int")
+        .alias("any_max_qty"),
+    )

@@ -108,6 +108,7 @@ _PRIORITY = (
     "multimodal_audio_spectral",
     "multimodal_image_stats",
     "events_week_over_week",
+    "analytic_conditional_aggs",
 )
 
 _QUERY_MODULES = (
