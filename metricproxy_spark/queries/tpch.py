@@ -216,3 +216,501 @@ def tpch_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("c_acctbal", 2).alias("total_bal"),
         )
     )
+
+
+@register(
+    "tpch_q3_shipping_priority",
+    oracle=f"""
+    SELECT l_orderkey, o_orderdate,
+           {dsum_sql("l_extendedprice * (1 - l_discount)")} AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < '1998-06-01'
+      AND l_shipdate > '1998-06-01'
+    GROUP BY l_orderkey, o_orderdate
+    """,
+)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: unshipped-revenue per order for one market
+    segment. The segment filter reaches the customer scan and shrinks
+    it to ~1/5 before its broadcast onto orders; the two date filters
+    push to their own scans; one hash agg on the order key. This is
+    the canonical filter-early/join-late plan Catalyst should produce
+    from the declarative form — the plan-discipline tests assert no
+    cartesian and partial aggregation."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") < "1998-06-01")
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > "1998-06-01"
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(dsum(rev).alias("revenue"))
+    )
+
+
+@register(
+    "tpch_q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= '1998-01-01' AND o_orderdate < '1998-04-01'
+      AND EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+          )
+    GROUP BY o_orderpriority
+    """,
+)
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (adapted: the reduced schema has no commit/receipt
+    dates, so the EXISTS predicate is "has a returned lineitem"):
+    priority distribution of one quarter's orders having at least one
+    matching lineitem. The EXISTS becomes a LEFT SEMI join — Spark's
+    semi-join keeps the probe row on first build match (no fan-out, no
+    distinct), and the date filter bounds the probe side before the
+    shuffle."""
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1998-01-01")
+        & (F.col("o_orderdate") < "1998-04-01")
+    )
+    returned = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(
+            returned, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "tpch_q5_local_supplier_volume",
+    oracle=f"""
+    SELECT n_name,
+           {dsum_sql("l_extendedprice * (1 - l_discount)")} AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= '1997-01-01' AND o_orderdate < '1998-01-01'
+    GROUP BY n_name
+    """,
+)
+def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue by nation where customer and supplier
+    share the nation, restricted to one region and year. Six-table
+    join: the three dims (supplier, nation, region) collapse into one
+    broadcast build side; customer broadcasts onto orders; only
+    orders⋈lineitem shuffles, on the order key both sides already
+    produce. The same-nation predicate rides the supplier join rather
+    than a post-filter, so mismatched rows never materialize."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= "1997-01-01")
+            & (F.col("o_orderdate") < "1998-01-01")
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    asia_supp = (
+        supp.join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(asia_supp),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(dsum(rev).alias("revenue"))
+    )
+
+
+@register(
+    "tpch_q7_volume_shipping",
+    oracle=f"""
+    SELECT supp_nation, cust_nation, l_year,
+           {dsum_sql("volume")} AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS INT) AS l_year,
+               l_extendedprice * (1 - l_discount) AS volume
+        FROM supplier
+        JOIN lineitem ON s_suppkey = l_suppkey
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+           OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations by
+    ship year. The nation dim joins twice under different roles (the
+    classic self-join-of-a-dim pattern); both sides broadcast, and the
+    disjunctive nation-pair predicate lands on the joined row before
+    aggregation. Only orders⋈lineitem shuffles."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+        .where(F.col("supp_nation").isin("NATION_1", "NATION_2"))
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+        .where(F.col("cust_nation").isin("NATION_1", "NATION_2"))
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(dsum(vol).alias("revenue"))
+    )
+
+
+@register(
+    "tpch_q8_market_share",
+    oracle=f"""
+    SELECT o_year,
+           round(100.0 * {dsum_sql("CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END")}
+                 / {dsum_sql("volume")}, 6) AS mkt_share_pct
+    FROM (
+        SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+               l_extendedprice * (1 - l_discount) AS volume,
+               n2.n_name AS supp_nation
+        FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region ON n1.n_regionkey = r_regionkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'EUROPE' AND p_type = 'STANDARD'
+    ) all_nations
+    GROUP BY o_year
+    """,
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of STANDARD-part revenue sold
+    into EUROPE, by order year. Eight logical tables; every dim
+    broadcasts, the conditional-share aggregate is numerator/denominator
+    decimal sums in one pass (no second scan for the denominator), and
+    the part-type filter prunes lineitem via the broadcast hash join's
+    build-side filter."""
+    part = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_type") == "STANDARD")
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    cust_eu = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust_eu), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                100.0
+                * dsum(
+                    F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(
+                        0.0
+                    )
+                )
+                / dsum(vol),
+                6,
+            ).alias("mkt_share_pct")
+        )
+    )
+
+
+@register(
+    "tpch_q10_returned_items",
+    oracle=f"""
+    SELECT c_custkey, c_name, n_name,
+           {dsum_sql("l_extendedprice * (1 - l_discount)")} AS revenue,
+           c_acctbal
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= '1998-01-01' AND o_orderdate < '1998-07-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name, c_acctbal
+    """,
+)
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: per-customer revenue lost to returns in a
+    half-year window. Both fact filters (date, returnflag) push to
+    their scans; customer and nation broadcast; the agg keys include
+    the functionally-dependent customer attributes so no second join
+    is needed to decorate the result."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal"
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= "1998-01-01")
+            & (F.col("o_orderdate") < "1998-07-01")
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag") == "R"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(dsum(rev).alias("revenue"))
+        .select("c_custkey", "c_name", "n_name", "revenue", "c_acctbal")
+    )
+
+
+@register(
+    "tpch_q13_customer_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM customer
+        LEFT JOIN orders ON c_custkey = o_custkey
+              AND o_orderpriority <> '5-LOW'
+        GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    """,
+)
+def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of per-customer order counts,
+    keeping zero-order customers via the LEFT OUTER join (the join
+    predicate carries the priority filter so those rows count as zero,
+    not disappear). Two cascaded aggs: the first keyed on the customer
+    (shuffle on c_custkey), the second on the tiny count domain —
+    map-side combine collapses it to a handful of rows per task."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    per_cust = (
+        cust.join(
+            orders,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "5-LOW"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+@register(
+    "tpch_q19_disjunctive_revenue",
+    oracle=f"""
+    SELECT {dsum_sql("l_extendedprice * (1 - l_discount)")} AS revenue,
+           count(*) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+           AND l_quantity BETWEEN 20 AND 40)
+    """,
+)
+def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs mixing build-side (brand/size) and
+    probe-side (quantity) predicates. Catalyst extracts the common
+    per-side disjuncts: the brand IN-list prunes the broadcast part
+    build, the quantity range [1,40] pushes to the lineitem scan, and
+    the full disjunction evaluates on joined rows — the standard
+    partial-pushdown treatment of q19's famous predicate."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    q = F.col("l_quantity")
+    sz = F.col("p_size")
+    pred = (
+        ((F.col("p_brand") == "Brand#1") & sz.between(1, 15) & q.between(1, 20))
+        | ((F.col("p_brand") == "Brand#2") & sz.between(1, 25) & q.between(10, 30))
+        | ((F.col("p_brand") == "Brand#3") & sz.between(1, 35) & q.between(20, 40))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .where(pred)
+        .agg(
+            dsum(rev).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "tpch_q21_waiting_supplier",
+    oracle="""
+    SELECT s_name, count(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_returnflag = 'R'
+      AND n_name IN ('NATION_4', 'NATION_5', 'NATION_6')
+      AND EXISTS (
+            SELECT 1 FROM lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey
+          )
+      AND NOT EXISTS (
+            SELECT 1 FROM lineitem l3
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_returnflag = 'R'
+          )
+    GROUP BY s_name
+    """,
+)
+def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted: returnflag = 'R' stands in for the
+    missing receipt>commit lateness predicate): suppliers solely
+    responsible for the returned item in finalized multi-supplier
+    orders. The correlated EXISTS / NOT EXISTS pair is decorrelated
+    into per-order aggregates computed in ONE pass over lineitem
+    (distinct-supplier count and returned-supplier set bounds) and
+    joined back on the order key — replacing two extra shuffled
+    semi/anti joins of the fact table with one agg the size of orders."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    # One pass: per order, #distinct suppliers overall and among
+    # returned lines, plus min/max returned supplier to identify "the
+    # one returned supplier" without a second join.
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_ret_supp"),
+        F.min(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("ret_supp"),
+    )
+    qualifying = per_order.where(
+        (F.col("n_supp") > 1) & (F.col("n_ret_supp") == 1)
+    ).select(F.col("l_orderkey").alias("q_orderkey"), "ret_supp")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    nation = load_table(spark, sf_dir, "nation").where(
+        F.col("n_name").isin("NATION_4", "NATION_5", "NATION_6")
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name")
+    )
+    l1 = li.where(F.col("l_returnflag") == "R")
+    return (
+        l1.join(
+            qualifying,
+            (F.col("l_orderkey") == F.col("q_orderkey"))
+            & (F.col("l_suppkey") == F.col("ret_supp")),
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
