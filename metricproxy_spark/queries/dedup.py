@@ -279,3 +279,121 @@ def dedup_embedding_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return srp_band_pairs(emb, threshold=0.4)
+
+
+@register(
+    "dedup_semantic",
+    oracle="""
+    WITH comp AS (
+        SELECT vec_id, label,
+               unnest(CAST(embedding AS DOUBLE[])) AS v,
+               unnest(range(0, len(embedding))) AS pos
+        FROM embeddings
+    ), cent AS (
+        SELECT label AS c_label, pos AS c_pos,
+               CAST(SUM(CAST(v AS DECIMAL(27,9))) AS DOUBLE) / COUNT(*) AS c
+        FROM comp GROUP BY label, pos
+    ), dots AS (
+        SELECT comp.vec_id, cent.c_label,
+               CAST(SUM(CAST(comp.v * cent.c AS DECIMAL(38,18))) AS DOUBLE)
+                 AS dot
+        FROM comp JOIN cent ON comp.pos = cent.c_pos
+        GROUP BY comp.vec_id, cent.c_label
+    ), assign AS (
+        SELECT vec_id, c_label AS cluster FROM (
+            SELECT vec_id, c_label,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY round(dot, 6) DESC, c_label)
+                     AS rn
+            FROM dots
+        ) WHERE rn = 1
+    ), ve AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    )
+    SELECT a.cluster, a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(ea.e, eb.e), 6) AS score
+    FROM assign a
+    JOIN assign b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+    JOIN ve ea ON ea.vec_id = a.vec_id
+    JOIN ve eb ON eb.vec_id = b.vec_id
+    WHERE round(list_dot_product(ea.e, eb.e), 6) >= 0.3
+    """,
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 SemDeDup shape (Abbas et al. 2023, arXiv:2303.09540): cluster
+    the corpus, then search for near-duplicates only WITHIN each
+    cluster — the pair space shrinks from O(n²) to Σ|cluster|².
+    Here the clustering step is exact so the whole query is
+    oracle-checkable: centroids are per-label decimal-mean vectors
+    (|labels|·d rows, broadcast), assignment is argmax dot with
+    deterministic 6dp/label tie-break, and within-cluster pairs verify
+    with the sequential-fold dot product both engines evaluate in the
+    same order. At 100 TB the trained-centroid twin is
+    `dedup_embedding_blocked` (k-means IVF); this query pins the
+    cluster-then-pair semantics bit-exactly."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "vf")
+    ).withColumn("v", F.col("vf").cast("double"))
+    cent = comp.groupBy(
+        F.col("label").alias("c_label"), F.col("pos").alias("c_pos")
+    ).agg(
+        (
+            F.sum(F.col("v").cast("decimal(27,9)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("c")
+    )
+    dots = (
+        comp.join(F.broadcast(cent), F.col("pos") == F.col("c_pos"))
+        .groupBy("vec_id", "c_label")
+        .agg(
+            F.sum(
+                (F.col("v") * F.col("c")).cast("decimal(38,18)")
+            ).cast("double").alias("dot")
+        )
+    )
+    from pyspark.sql import Window
+
+    rn = Window.partitionBy("vec_id").orderBy(
+        F.round(F.col("dot"), 6).desc(), F.col("c_label")
+    )
+    assign = (
+        dots.withColumn("rn", F.row_number().over(rn))
+        .where(F.col("rn") == 1)
+        .select("vec_id", F.col("c_label").alias("cluster"))
+    )
+    ve = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    a = assign.alias("a").join(
+        ve.select(
+            F.col("vec_id").alias("a_id"), F.col("e").alias("ea")
+        ),
+        F.col("a.vec_id") == F.col("a_id"),
+    )
+    b = assign.alias("b").join(
+        ve.select(
+            F.col("vec_id").alias("b_id"), F.col("e").alias("eb")
+        ),
+        F.col("b.vec_id") == F.col("b_id"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("ea"), F.col("eb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .withColumn("score", F.round(dot, 6))
+        .where(F.col("score") >= 0.3)
+        .select(
+            F.col("a.cluster").alias("cluster"),
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            "score",
+        )
+    )

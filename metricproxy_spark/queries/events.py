@@ -1007,3 +1007,118 @@ def events_week_over_week(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sum_value") - F.lag("sum_value").over(w), 6
         ).alias("value_delta"),
     )
+
+
+@register(
+    "events_sessionize",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+        SELECT user_id, ts, event_id, value,
+               sum(new_sess) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM marked
+    )
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           count(*) AS n_events,
+           min(ts) AS session_start,
+           date_diff('microsecond', min(ts), max(ts)) AS duration_us,
+           CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS total_value
+    FROM sess
+    GROUP BY user_id, session_seq
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch gap-based sessionization (the batch twin of the streamed
+    session windows in `stream_session_stats`): a new session starts
+    after >30 min of per-user inactivity; sessions get a per-user
+    sequence number via the classic lag-gap-cumsum rewrite, then one
+    hash agg per session. One shuffle on user_id serves both window
+    passes AND the final agg (same key, Exchange reuse); ordering ties
+    broken by event_id so both engines number identically. Duration in
+    integer microseconds keeps the output hash-exact."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    marked = ev.withColumn(
+        "new_sess",
+        F.when(
+            F.lag("ts").over(w).isNull() | (gap_s > 1800 * 1_000_000), 1
+        ).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "session_seq",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        (
+            F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))
+        ).alias("duration_us"),
+        dsum("value").alias("total_value"),
+    )
+
+
+@register(
+    "events_concurrency",
+    oracle="""
+    WITH deltas AS (
+        SELECT event_type, ts AS t, 1 AS delta FROM events
+        UNION ALL
+        SELECT event_type, ts + INTERVAL 300 SECOND AS t, -1 FROM events
+    ), swept AS (
+        SELECT event_type, t, delta,
+               sum(delta) OVER (PARTITION BY event_type ORDER BY t, delta
+                                ROWS UNBOUNDED PRECEDING) AS running
+        FROM deltas
+    )
+    SELECT event_type, date_trunc('day', t) AS day,
+           CAST(max(running) AS BIGINT) AS max_concurrent
+    FROM swept
+    WHERE delta = 1
+    GROUP BY event_type, date_trunc('day', t)
+    """,
+)
+def events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency per type and day via the +1/−1 interval sweep:
+    each event occupies [ts, ts+5min); starts and ends become deltas,
+    one running sum ordered by (time, delta) — ends sort before the
+    starts sharing their timestamp, so half-open interval semantics
+    fall out of the sort key and the result is tie-deterministic (tied
+    rows carry equal deltas, so every interleaving yields the same
+    running-max). The max is taken at start points only. One shuffle
+    on event_type; the sweep is a single window pass — the standard
+    O(n log n) rewrite of interval-overlap counting, linear shuffle
+    bytes at 100 TB (2 rows per event)."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts")
+    starts = ev.select(
+        "event_type", F.col("ts").alias("t"), F.lit(1).alias("delta")
+    )
+    ends = ev.select(
+        "event_type",
+        (F.col("ts") + F.expr("INTERVAL 300 SECOND")).alias("t"),
+        F.lit(-1).alias("delta"),
+    )
+    from pyspark.sql import Window
+
+    sweep = Window.partitionBy("event_type").orderBy("t", "delta").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    swept = starts.unionAll(ends).withColumn(
+        "running", F.sum("delta").over(sweep)
+    )
+    return (
+        swept.where(F.col("delta") == 1)
+        .groupBy("event_type", F.date_trunc("day", "t").alias("day"))
+        .agg(F.max("running").alias("max_concurrent"))
+    )

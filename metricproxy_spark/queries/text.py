@@ -1794,3 +1794,83 @@ def pipeline_tokenizer_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("double") / F.sum("n_tokens"), 6
         ).alias("chars_per_token"),
     )
+
+
+@register(
+    "text_bigram_coverage",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
+        FROM documents
+    ), b AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(w)),
+                                     i -> w[i] || ' ' || w[i+1])) AS big
+        FROM w
+    ), corpus AS (
+        SELECT big, count(*) AS c FROM b GROUP BY big
+    ), per_doc AS (
+        SELECT b.doc_id,
+               count(*) AS n_bigrams,
+               count(*) FILTER (WHERE corpus.c < 3) AS n_rare
+        FROM b JOIN corpus ON b.big = corpus.big
+        GROUP BY b.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(p.n_bigrams, 0) AS n_bigrams,
+           COALESCE(p.n_rare, 0) AS n_rare,
+           CASE WHEN COALESCE(p.n_bigrams, 0) > 0
+                THEN 1000 * (p.n_bigrams - p.n_rare) // p.n_bigrams
+           END AS common_permille
+    FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+    """,
+)
+def text_bigram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model coverage scoring (the count-based heart of
+    n-gram LM quality filters, cf. CCNet's LM-perplexity gate): train
+    corpus-wide bigram counts in one pass, then score each document by
+    how much of it is made of common bigrams (corpus count ≥ 3).
+    Integer permille keeps the score hash-exact; docs with <2 words
+    surface with NULL coverage rather than silently dropping. Shape:
+    explode → one hash agg for the model, one shuffle join occurrence→
+    count (both sides keyed on the bigram; skew on stop-bigrams is the
+    documented salting case), one per-doc agg. No driver state — the
+    "model" stays distributed."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.lower(F.trim(F.col("text"))), " ")
+    bigrams = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(w, i + 1), F.element_at(w, i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    occ = docs.select(
+        "doc_id", F.explode(bigrams).alias("big")
+    )
+    corpus = occ.groupBy("big").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = (
+        occ.join(corpus, "big")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.count_if(F.col("c") < 3).alias("n_rare"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left_outer")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.coalesce("n_rare", F.lit(0)).alias("n_rare"),
+            F.when(
+                F.coalesce("n_bigrams", F.lit(0)) > 0,
+                1000
+                * (F.col("n_bigrams") - F.col("n_rare"))
+                / F.col("n_bigrams"),
+            ).cast("bigint").alias("common_permille"),
+        )
+    )
