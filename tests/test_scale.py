@@ -329,3 +329,98 @@ class TestRound3bPlanDiscipline:
         plan = self._plan(spark, sf_dir, "pipeline_per_class_cap")
         assert plan.count("WindowGroupLimit") >= 2, plan
         assert "Partial" in plan and "Final" in plan, plan
+
+
+class TestRound3cPlanDiscipline:
+    """Plan assertions for the round-3c queries: the nine new TPC-H
+    shapes and the sessionize/concurrency/SemDeDup/bigram additions."""
+
+    def _plan(self, spark, sf_dir, name):
+        from metricproxy_spark.registry import QUERIES, load_all
+
+        load_all()
+        return _executed_plan(QUERIES[name](spark, sf_dir))
+
+    def test_q3_broadcasts_customer_no_cartesian(self, spark, sf_dir):
+        plan = self._plan(spark, sf_dir, "tpch_q3_shipping_priority")
+        assert "BroadcastHashJoin" in plan, plan
+        assert "CartesianProduct" not in plan, plan
+
+    def test_q4_exists_plans_as_semi_join(self, spark, sf_dir):
+        plan = self._plan(spark, sf_dir, "tpch_q4_order_priority")
+        assert "LeftSemi" in plan, plan
+        assert "CartesianProduct" not in plan, plan
+
+    def test_q5_dims_collapse_to_broadcasts(self, spark, sf_dir):
+        """Six logical tables; only orders⋈lineitem may shuffle-join —
+        every dim side must arrive broadcast."""
+        plan = self._plan(spark, sf_dir, "tpch_q5_local_supplier_volume")
+        assert plan.count("BroadcastHashJoin") >= 3, plan
+        assert "CartesianProduct" not in plan, plan
+
+    def test_q7_nation_self_join_broadcasts_both_roles(self, spark, sf_dir):
+        plan = self._plan(spark, sf_dir, "tpch_q7_volume_shipping")
+        assert plan.count("BroadcastHashJoin") >= 2, plan
+        assert "CartesianProduct" not in plan, plan
+
+    def test_q8_share_aggregates_in_one_pass(self, spark, sf_dir):
+        """Numerator and denominator must come out of ONE aggregate —
+        exactly one pair of partial/final HashAggregates, not a second
+        scan for the denominator."""
+        plan = self._plan(spark, sf_dir, "tpch_q8_market_share")
+        assert "CartesianProduct" not in plan, plan
+        assert plan.count("HashAggregate") == 2, plan
+
+    def test_q13_outer_join_keeps_filter_in_join(self, spark, sf_dir):
+        """The priority filter must ride the LEFT OUTER join condition
+        (zero-order customers survive), not fall below it as a scan
+        filter on orders' probe side post-join."""
+        plan = self._plan(spark, sf_dir, "tpch_q13_customer_distribution")
+        assert "LeftOuter" in plan or "RightOuter" in plan, plan
+        assert "CartesianProduct" not in plan, plan
+
+    def test_q19_pushes_quantity_range_to_scan(self, spark, sf_dir):
+        """Catalyst must extract the probe-side disjunct range and push
+        it into the lineitem scan filters."""
+        plan = self._plan(spark, sf_dir, "tpch_q19_disjunctive_revenue")
+        assert "CartesianProduct" not in plan, plan
+        # the OR-of-ANDs quantity bounds surface as a pushed range
+        assert "l_quantity" in plan, plan
+
+    def test_q21_single_fact_agg_no_extra_fact_joins(self, spark, sf_dir):
+        """The decorrelated EXISTS/NOT EXISTS must not re-shuffle
+        lineitem more than the one per-order aggregate + one re-join:
+        at most two Exchanges carrying lineitem-derived rows."""
+        plan = self._plan(spark, sf_dir, "tpch_q21_waiting_supplier")
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastHashJoin" in plan, plan  # supplier dim
+
+    def test_sessionize_reuses_user_partitioning(self, spark, sf_dir):
+        """Both window passes and the final agg key on user_id — one
+        Exchange on the events table, reused downstream."""
+        plan = self._plan(spark, sf_dir, "events_sessionize")
+        n_exchanges = plan.count("Exchange hashpartitioning")
+        assert n_exchanges <= 2, plan  # sort-window + (possibly) agg
+        assert "CartesianProduct" not in plan, plan
+
+    def test_concurrency_single_sweep_shuffle(self, spark, sf_dir):
+        """The +1/−1 sweep must shuffle once on event_type and the
+        per-day max must partial-aggregate on top of it."""
+        plan = self._plan(spark, sf_dir, "events_concurrency")
+        assert plan.count("Exchange hashpartitioning") <= 2, plan
+        assert "CartesianProduct" not in plan, plan
+
+    def test_semantic_dedup_broadcasts_centroids(self, spark, sf_dir):
+        """The |labels|·d centroid table must broadcast; the pair space
+        is the within-cluster equi-join, never a corpus cartesian."""
+        plan = self._plan(spark, sf_dir, "dedup_semantic")
+        assert "BroadcastHashJoin" in plan, plan
+        assert "CartesianProduct" not in plan, plan
+
+    def test_bigram_coverage_model_stays_distributed(self, spark, sf_dir):
+        """Occurrence→count join must be a shuffled equi-join on the
+        bigram (model never collected to the driver), then one per-doc
+        agg."""
+        plan = self._plan(spark, sf_dir, "text_bigram_coverage")
+        assert "CartesianProduct" not in plan, plan
+        assert "HashAggregate" in plan, plan
