@@ -652,3 +652,87 @@ def analytic_conditional_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("any_max_qty"),
     )
+
+
+@register(
+    "analytic_copurchase_lift",
+    oracle="""
+    WITH op AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), part_cnt AS (
+        SELECT l_partkey, count(*) AS c FROM op GROUP BY l_partkey
+    ), total AS (
+        SELECT count(DISTINCT l_orderkey) AS n_orders FROM op
+    ), pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               count(*) AS together
+        FROM op a JOIN op b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+        HAVING count(*) >= 3
+    )
+    SELECT part_a, part_b, together,
+           round(CAST(together AS DOUBLE) * total.n_orders
+                 / (ca.c * cb.c), 6) AS lift
+    FROM pairs
+    JOIN part_cnt ca ON ca.l_partkey = part_a
+    JOIN part_cnt cb ON cb.l_partkey = part_b
+    CROSS JOIN total
+    """,
+)
+def analytic_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence with lift — the association-rule
+    shape (co-purchase graph edges weighted by
+    P(a,b)/(P(a)·P(b))). One distinct pass over (order, part), a
+    self-equi-join on the order key (i<j dedupes the pair space), a
+    pair-count agg with a ≥3 support floor bounding the output, and
+    two broadcast joins against the per-part counts plus a broadcast
+    scalar total. Lift is one integer-ratio double expression, so both
+    engines compute the identical IEEE value. At 100 TB the self-join
+    shuffles on the order key (baskets are small, so the per-order
+    pair fan-out is bounded); the support floor keeps the result
+    linear in genuinely-frequent pairs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    part_cnt = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    total = op.agg(
+        F.countDistinct("l_orderkey").alias("n_orders")
+    )
+    a = op.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+    )
+    b = op.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("ok") == F.col("ok2"))
+            & (F.col("part_a") < F.col("part_b")),
+        )
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("together"))
+        .where(F.col("together") >= 3)
+    )
+    ca = part_cnt.select(
+        F.col("l_partkey").alias("pa"), F.col("c").alias("ca")
+    )
+    cb = part_cnt.select(
+        F.col("l_partkey").alias("pb"), F.col("c").alias("cb")
+    )
+    return (
+        pairs.join(F.broadcast(ca), F.col("part_a") == F.col("pa"))
+        .join(F.broadcast(cb), F.col("part_b") == F.col("pb"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "part_a",
+            "part_b",
+            "together",
+            F.round(
+                F.col("together").cast("double")
+                * F.col("n_orders")
+                / (F.col("ca") * F.col("cb")),
+                6,
+            ).alias("lift"),
+        )
+    )

@@ -119,3 +119,93 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank").alias("rank_e6"),
     )
     return out
+
+
+@register(
+    "graph_triangles",
+    oracle="""
+    WITH trade AS (
+        SELECT DISTINCT
+               least(c.c_nationkey, s.s_nationkey) AS u,
+               greatest(c.c_nationkey, s.s_nationkey) AS v
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        WHERE c.c_nationkey <> s.s_nationkey
+    ), tri AS (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM trade e1
+        JOIN trade e2 ON e2.u = e1.v
+        JOIN trade e3 ON e3.u = e1.u AND e3.v = e2.v
+    ), member AS (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+    )
+    SELECT n_name AS node, count(*) AS n_triangles
+    FROM member JOIN nation ON node = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting on the international-trade graph (nations are
+    nodes; an undirected edge exists where any order ships between the
+    two nations). The standard distributed formulation: canonicalize
+    edges u<v (each triangle appears exactly once as a<b<c), then two
+    self-equi-joins — e1(a,b)⋈e2(b,c)⋈e3(a,c) — and a membership
+    explode for per-node counts. Edge derivation is the fact-side join
+    (dims broadcast); the triangle joins run on the DEDUPLICATED edge
+    list, which is |V|²-bounded — at 100 TB the heavy lifting stays in
+    the distinct, and the triangle enumeration is proportional to the
+    graph, not the data."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    trade = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .where(F.col("c_nationkey") != F.col("s_nationkey"))
+        .select(
+            F.least("c_nationkey", "s_nationkey").alias("u"),
+            F.greatest("c_nationkey", "s_nationkey").alias("v"),
+        )
+        .distinct()
+    )
+    e1 = trade.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = trade.select(F.col("u").alias("b2"), F.col("v").alias("c"))
+    e3 = trade.select(F.col("u").alias("a3"), F.col("v").alias("c3"))
+    tri = (
+        e1.join(e2, F.col("b") == F.col("b2"))
+        .join(
+            e3,
+            (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")),
+        )
+        .select("a", "b", "c")
+    )
+    member = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    return (
+        member.join(
+            F.broadcast(nation), F.col("node") == F.col("n_nationkey")
+        )
+        .groupBy(F.col("n_name").alias("node_name"))
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .select(F.col("node_name").alias("node"), "n_triangles")
+    )

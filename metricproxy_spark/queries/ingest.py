@@ -973,3 +973,40 @@ def ingest_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(staging, ignore_errors=True)
     return result
+
+
+@register(
+    "ingest_orc_roundtrip",
+    oracle="""
+    SELECT event_id, event_type, user_id, value, ts
+    FROM events
+    """,
+)
+def ingest_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second columnar format (X1 scan breadth): write the events table
+    as ORC and read it back — Spark ships the ORC reader/writer
+    natively, and at 100 TB a lake often mixes parquet and ORC
+    producers. The oracle reads the same rows straight from parquet, so
+    a hash match proves the ORC cycle is lossless for int64, string,
+    double AND microsecond timestamps (ORC stores NANOS-capable
+    timestamps; the parquet side arrives as µs, so equality is exact).
+    Predicate pushdown and column pruning work on the ORC scan the
+    same as parquet (orc.filterPushdown is on by default)."""
+    import shutil
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id", "value", "ts"
+    )
+    staging = tempfile.mkdtemp(prefix="mps_orc_")
+    path = f"{staging}/events_orc"
+    try:
+        ev.write.mode("overwrite").orc(path)
+        # Materialize before the temp dir vanishes.
+        back = spark.read.orc(path).select(
+            "event_id", "event_type", "user_id", "value", "ts"
+        )
+        back = back.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    return back
