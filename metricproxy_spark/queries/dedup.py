@@ -361,6 +361,11 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         dots.withColumn("rn", F.row_number().over(rn))
         .where(F.col("rn") == 1)
         .select("vec_id", F.col("c_label").alias("cluster"))
+        # Both sides of the pair self-join consume the assignment;
+        # without this the explode+centroid+argmax lineage executes
+        # twice. The checkpoint is corpus-id-sized (one int pair per
+        # vector), bounded at any scale.
+        .localCheckpoint(eager=True)
     )
     ve = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
