@@ -1122,3 +1122,57 @@ def events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", F.date_trunc("day", "t").alias("day"))
         .agg(F.max("running").alias("max_concurrent"))
     )
+
+
+@register(
+    "events_downsample_m4",
+    oracle="""
+    WITH b AS (
+        SELECT event_type,
+               date_trunc('hour', ts) AS bucket,
+               ts, event_id, value
+        FROM events
+    ), ranked AS (
+        SELECT event_type, bucket, value,
+               row_number() OVER (PARTITION BY event_type, bucket
+                                  ORDER BY ts, event_id) AS rn_first,
+               row_number() OVER (PARTITION BY event_type, bucket
+                                  ORDER BY ts DESC, event_id DESC) AS rn_last
+        FROM b
+    )
+    SELECT event_type, bucket,
+           count(*) AS n_points,
+           min(value) AS v_min,
+           max(value) AS v_max,
+           min(CASE WHEN rn_first = 1 THEN value END) AS v_first,
+           min(CASE WHEN rn_last = 1 THEN value END) AS v_last
+    FROM ranked
+    GROUP BY event_type, bucket
+    """,
+)
+def events_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 time-series downsampling (Jugel et al., VLDB 2014): per
+    series and time bucket keep exactly the min/max/first/last values —
+    the four points that make a line chart of the bucket pixel-exact.
+    This is the metrics-proxy rollup a charting backend serves.
+    min/max aggregate directly; first/last ride a (ts, event_id)-
+    ordered struct min/max so one hash aggregate produces all four —
+    no window pass, no second shuffle, map-side combinable, and
+    deterministic under timestamp ties. The oracle computes first/last
+    independently via row_number windows."""
+    ev = load_table(spark, sf_dir, "events")
+    # Order key: (ts, event_id) packed in a struct so min/max pick the
+    # earliest/latest row atomically; value rides along.
+    key = F.struct(F.col("ts"), F.col("event_id"), F.col("value"))
+    return (
+        ev.groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.min("value").alias("v_min"),
+            F.max("value").alias("v_max"),
+            F.min(key).getField("value").alias("v_first"),
+            F.max(key).getField("value").alias("v_last"),
+        )
+    )
