@@ -714,3 +714,194 @@ def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+@register(
+    "tpch_q6_forecast_revenue",
+    oracle=f"""
+    SELECT {dsum_sql("l_extendedprice * l_discount")} AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: the pure scan-filter-aggregate query — no join
+    at all. Every predicate (date range, discount band, quantity cap)
+    must reach the parquet scan as a pushed filter; what remains is one
+    partial+final aggregate pair. This is the query where scan
+    efficiency IS the whole cost at 100 TB, so it doubles as the
+    pushdown canary."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount")).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "tpch_q9_product_profit",
+    oracle=f"""
+    SELECT nation, o_year,
+           {dsum_sql("amount")} AS sum_profit
+    FROM (
+        SELECT n_name AS nation,
+               CAST(year(o_orderdate) AS INT) AS o_year,
+               l_extendedprice * (1 - l_discount)
+                 - 0.6 * p_retailprice * l_quantity AS amount
+        FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%red%'
+    ) profit
+    GROUP BY nation, o_year
+    """,
+)
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (adapted: no partsupp, so unit cost is
+    0.6·p_retailprice): profit on a part-name-matched product line by
+    supplier nation and order year. The LIKE filter prunes the part
+    build side before broadcast; supplier/nation collapse into a second
+    broadcast; only lineitem⋈orders shuffles. The profit expression
+    mixes two money products — decimal scale 6 would put products of
+    three 2dp factors on rounding boundaries, so the sum uses scale 4
+    over each product separately composed (both engines compute the
+    identical double before one decimal cast)."""
+    part = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_name").like("%red%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount", "l_quantity",
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    supp_nat = supp.join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "nation")
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp_nat), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(dsum(amount).alias("sum_profit"))
+    )
+
+
+@register(
+    "tpch_q12_priority_lines",
+    oracle="""
+    SELECT l_linestatus,
+           count(*) FILTER (WHERE o_orderpriority IN
+                            ('1-URGENT', '2-HIGH')) AS high_line_count,
+           count(*) FILTER (WHERE o_orderpriority NOT IN
+                            ('1-URGENT', '2-HIGH')) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= '1998-01-01' AND l_shipdate < '1999-01-01'
+      AND l_returnflag = 'N'
+    GROUP BY l_linestatus
+    """,
+)
+def tpch_q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (adapted: l_linestatus stands in for the missing
+    shipmode, returnflag='N' for the commit/receipt sanity predicate):
+    high- vs low-priority order counts per line status. The classic
+    fact⋈fact equi-join on the order key with conditional counts —
+    both date and flag filters push to the lineitem scan, shrinking
+    the shuffled probe side before the join."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= "1998-01-01")
+            & (F.col("l_shipdate") < "1999-01-01")
+            & (F.col("l_returnflag") == "N")
+        )
+        .select("l_orderkey", "l_linestatus")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.count_if(high).alias("high_line_count"),
+            F.count_if(~high).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "tpch_q15_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               {dsum_sql("l_extendedprice * (1 - l_discount)")} AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= '1998-01-01' AND l_shipdate < '1998-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the quarter's top-revenue supplier(s) — a CTE
+    aggregated once and consumed twice (per-supplier revenue, and its
+    max as a scalar subquery). The revenue table is supplier-
+    cardinality so the double consumption is cheap; the scalar max
+    broadcasts back as a one-row join. Decimal revenue sums make the
+    equality predicate safe — both engines land on the identical
+    double, so ties (all suppliers at the max) surface identically."""
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = (
+        li.where(
+            (F.col("l_shipdate") >= "1998-01-01")
+            & (F.col("l_shipdate") < "1998-04-01")
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("total_revenue")
+        )
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        revenue.crossJoin(F.broadcast(mx))
+        .where(F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
