@@ -794,3 +794,75 @@ def stream_alert_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_memory(agg, os.path.join(wd, "ckpt"))
+
+
+@register(
+    "stream_downsample_m4",
+    oracle="""
+    WITH b AS (
+        SELECT event_type, date_trunc('hour', ts) AS bucket,
+               ts, event_id, value
+        FROM events
+    ), ranked AS (
+        SELECT event_type, bucket, value,
+               row_number() OVER (PARTITION BY event_type, bucket
+                                  ORDER BY ts, event_id) AS rn_first,
+               row_number() OVER (PARTITION BY event_type, bucket
+                                  ORDER BY ts DESC, event_id DESC) AS rn_last
+        FROM b
+    )
+    SELECT event_type, bucket,
+           count(*) AS n_points,
+           min(value) AS v_min,
+           max(value) AS v_max,
+           min(CASE WHEN rn_first = 1 THEN value END) AS v_first,
+           min(CASE WHEN rn_last = 1 THEN value END) AS v_last
+    FROM ranked
+    GROUP BY event_type, bucket
+    """,
+)
+def stream_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streamed twin of ``events_downsample_m4``: the M4 chart rollup
+    maintained as streaming window state. min/max/count merge
+    associatively, and first/last ride (ts, event_id)-ordered structs
+    whose min/max are ALSO associative — so the whole M4 tuple is a
+    monoid and cross-micro-batch merging is exact. The streamed result
+    hash-matches the one-shot batch oracle, proving M4 is safe
+    incremental state for a live charting backend (the reference's
+    forwarder loop shape: ingest → windowed rollup → serve)."""
+    wd = _workdir()
+    src = stage_stream_source(
+        spark, sf_dir, "events", os.path.join(wd, "src")
+    )
+    stream = read_stream_table(spark, src)
+    key = F.struct(F.col("ts"), F.col("event_id"), F.col("value"))
+    agg = (
+        stream.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.min("value").alias("v_min"),
+            F.max("value").alias("v_max"),
+            F.min(key).getField("value").alias("v_first"),
+            F.max(key).getField("value").alias("v_last"),
+        )
+        .select(
+            "event_type",
+            F.col("w.start").alias("bucket"),
+            "n_points",
+            "v_min",
+            "v_max",
+            "v_first",
+            "v_last",
+        )
+    )
+    # Key space is |types|·|hours| (~3.4k) — scope the state store to 8
+    # partitions so a vanilla 200-partition session doesn't spin 200
+    # state dirs per micro-batch for a few thousand keys.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        return _run_to_memory(agg, os.path.join(wd, "ckpt"))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
