@@ -357,16 +357,24 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     rn = Window.partitionBy("vec_id").orderBy(
         F.round(F.col("dot"), 6).desc(), F.col("c_label")
     )
-    assign = (
-        dots.withColumn("rn", F.row_number().over(rn))
-        .where(F.col("rn") == 1)
-        .select("vec_id", F.col("c_label").alias("cluster"))
-        # Both sides of the pair self-join consume the assignment;
-        # without this the explode+centroid+argmax lineage executes
-        # twice. The checkpoint is corpus-id-sized (one int pair per
-        # vector), bounded at any scale.
-        .localCheckpoint(eager=True)
-    )
+    # Both sides of the pair self-join consume the assignment; without
+    # the eager checkpoint the explode+centroid+argmax lineage executes
+    # twice. The checkpoint is corpus-id-sized (one int pair per
+    # vector), bounded at any scale. It runs NOW, so the shuffle-
+    # partition scope (key spaces here are |vecs| and |labels|·d — tiny)
+    # applies to the whole assignment subtree even under a vanilla
+    # 200-partition session.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        assign = (
+            dots.withColumn("rn", F.row_number().over(rn))
+            .where(F.col("rn") == 1)
+            .select("vec_id", F.col("c_label").alias("cluster"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     ve = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
