@@ -424,3 +424,60 @@ class TestRound3cPlanDiscipline:
         plan = self._plan(spark, sf_dir, "text_bigram_coverage")
         assert "CartesianProduct" not in plan, plan
         assert "HashAggregate" in plan, plan
+
+
+class TestRound3dPlanDiscipline:
+    """Plan assertions for the q6/q9/q12/q15, M4, lift, and triangle
+    additions."""
+
+    def _plan(self, spark, sf_dir, name):
+        from metricproxy_spark.registry import QUERIES, load_all
+
+        load_all()
+        return _executed_plan(QUERIES[name](spark, sf_dir))
+
+    def test_q6_every_predicate_reaches_the_scan(self, spark, sf_dir):
+        """Q6 is scan+filter+agg only: no join operator of any kind may
+        appear, and the ship-date bound must be pushed."""
+        plan = self._plan(spark, sf_dir, "tpch_q6_forecast_revenue")
+        assert "Join" not in plan, plan
+        assert "PushedFilters" in plan, plan
+        assert "l_shipdate" in plan, plan
+
+    def test_q9_dims_broadcast_facts_shuffle_once(self, spark, sf_dir):
+        plan = self._plan(spark, sf_dir, "tpch_q9_product_profit")
+        assert plan.count("BroadcastHashJoin") >= 2, plan
+        assert "CartesianProduct" not in plan, plan
+
+    def test_q12_filters_shrink_probe_before_join(self, spark, sf_dir):
+        plan = self._plan(spark, sf_dir, "tpch_q12_priority_lines")
+        assert "CartesianProduct" not in plan, plan
+        assert "l_returnflag" in plan, plan  # pushed to lineitem scan
+
+    def test_q15_scalar_max_broadcasts(self, spark, sf_dir):
+        """The 1-row max joins via broadcast nested loop (the intended
+        scalar cross join); the supplier dim must hash-broadcast."""
+        plan = self._plan(spark, sf_dir, "tpch_q15_top_supplier")
+        assert "BroadcastHashJoin" in plan, plan
+        assert "CartesianProduct" not in plan, plan
+
+    def test_m4_single_aggregate_no_window(self, spark, sf_dir):
+        """The batch M4 rollup must be ONE partial+final agg pair —
+        first/last via ordered-struct min/max, never a window sort."""
+        plan = self._plan(spark, sf_dir, "events_downsample_m4")
+        assert plan.count("HashAggregate") == 2 or (
+            "SortAggregate" in plan and "Window" not in plan
+        ), plan
+        assert "Window" not in plan, plan
+
+    def test_copurchase_counts_broadcast_onto_pairs(self, spark, sf_dir):
+        plan = self._plan(spark, sf_dir, "analytic_copurchase_lift")
+        assert plan.count("BroadcastHashJoin") >= 2, plan
+        assert "CartesianProduct" not in plan, plan
+
+    def test_triangles_join_deduped_edges_only(self, spark, sf_dir):
+        """The triangle self-joins must consume the DISTINCT edge list
+        (an aggregate above the fact join), and nothing cartesian."""
+        plan = self._plan(spark, sf_dir, "graph_triangles")
+        assert "CartesianProduct" not in plan, plan
+        assert "HashAggregate" in plan, plan
