@@ -1010,3 +1010,70 @@ def ingest_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(staging, ignore_errors=True)
     return back
+
+
+@register(
+    "ingest_carbon_connector_sink",
+    oracle=f"""
+    WITH src AS (
+        SELECT {_CARBON_LINE_VALID_SQL} AS line FROM events
+    ), parts AS (
+        SELECT string_split(line, ' ') AS p FROM src
+    )
+    SELECT p[1] AS metric,
+           TRY_CAST(p[2] AS DOUBLE) AS value,
+           TRY_CAST(p[3] AS BIGINT) AS epoch_s
+    FROM parts
+    """,
+)
+def ingest_carbon_connector_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 as a first-class connector SINK (PySpark 4 Python DataSource
+    writer API): ``df.write.format("carbonwire")`` lands graphite
+    plaintext with the standard two-phase task commit — staged
+    per-partition files renamed into place only by the driver-side job
+    commit (plus ``_SUCCESS``), so partial jobs are never visible and
+    speculative attempts can't double-write. The proof is a full
+    write→read→parse cycle through the connector pair: the oracle
+    re-derives every field from the source table, so a hash match
+    pins byte fidelity through BOTH directions of the wire format."""
+    from metricproxy_spark.io import ensure_package_on_workers
+    from metricproxy_spark.sources.pyds import register_carbonwire
+
+    ensure_package_on_workers(spark)
+    register_carbonwire(spark)
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"mps_wire_sink_{os.getpid()}_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    ev = load_table(spark, sf_dir, "events")
+    # One output file per partition: size partitions by VOLUME (~50k
+    # lines ≈ a few MB each, capped at the core count) — the same
+    # repartition-to-size-files contract as the built-in file sinks.
+    # Python writer tasks carry ~150ms fixed overhead each, so width
+    # must track data, not cores, at the small end.
+    n_rows = ev.count()  # parquet metadata count, no scan
+    n_parts = max(
+        1, min(spark.sparkContext.defaultParallelism, n_rows // 50_000)
+    )
+    (
+        ev.select(_carbon_line(valid_only=True).alias("line"))
+        .repartition(n_parts)
+        .write.format("carbonwire")
+        .mode("overwrite")
+        .save(out_dir)
+    )
+    total = sum(
+        os.path.getsize(os.path.join(out_dir, f))
+        for f in os.listdir(out_dir)
+        if not f.startswith(("_", "."))
+    )
+    chunk = max(
+        64 * 1024, total // (2 * spark.sparkContext.defaultParallelism)
+    )
+    back = (
+        spark.read.format("carbonwire")
+        .option("path", out_dir)
+        .option("chunk_bytes", str(chunk))
+        .load()
+    )
+    return parse_carbon_lines(back).select("metric", "value", "epoch_s")

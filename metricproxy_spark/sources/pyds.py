@@ -27,11 +27,15 @@ from __future__ import annotations
 import os
 from typing import Iterator, Tuple
 
+from dataclasses import dataclass
+
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StringType, StructField, StructType
 
@@ -133,6 +137,70 @@ class CarbonWireStreamReader(SimpleDataSourceStreamReader):
             yield from _read_file(p)
 
 
+@dataclass
+class _StagedFile(WriterCommitMessage):
+    staged: str
+    final: str
+
+
+class CarbonWireBatchWriter(DataSourceArrowWriter):
+    """K2 carbon forwarder as a first-class connector sink:
+    ``df.write.format("carbonwire").save(path)`` lands graphite
+    plaintext files with the standard two-phase commit — each task
+    writes a uniquely-named ``._staged_`` file and reports it in its
+    commit message; only the driver-side ``commit()`` renames the full
+    set into place (plus a ``_SUCCESS`` marker), so a reader never
+    observes a partial job and failed/speculative task attempts leave
+    only garbage-prefixed files that ``abort()`` removes. One file per
+    partition — at cluster scale the caller sizes output files by
+    repartitioning upstream, exactly like the built-in file sinks.
+    Arrow-batched (``DataSourceArrowWriter``): lines arrive as
+    RecordBatch columns and serialize with one join per batch, not a
+    per-row Python loop. Expects a single ``line`` column (serialize
+    datapoints with
+    :func:`metricproxy_spark.sources.carbon.to_carbon_lines`)."""
+
+    def __init__(self, path: str, overwrite: bool):
+        self._path = path
+        self._overwrite = overwrite
+
+    def write(self, iterator) -> WriterCommitMessage:
+        import uuid
+
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        os.makedirs(self._path, exist_ok=True)
+        final = os.path.join(self._path, f"part-{pid:05d}.carbon")
+        staged = os.path.join(
+            self._path, f"._staged_{uuid.uuid4().hex}_{pid:05d}"
+        )
+        with open(staged, "w", encoding="utf-8", newline="") as fh:
+            for batch in iterator:
+                col = batch.column(0).to_pylist()
+                if col:
+                    fh.write("\n".join(col))
+                    fh.write("\n")
+        return _StagedFile(staged=staged, final=final)
+
+    def commit(self, messages) -> None:
+        if self._overwrite:
+            for f in _list_wire_files(self._path):
+                os.remove(f)
+        for m in messages:
+            os.replace(m.staged, m.final)
+        with open(os.path.join(self._path, "_SUCCESS"), "w") as fh:
+            fh.write("")
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            try:
+                os.remove(m.staged)
+            except FileNotFoundError:
+                pass
+
+
 class CarbonWireDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -149,6 +217,9 @@ class CarbonWireDataSource(DataSource):
 
     def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
         return CarbonWireStreamReader(self.options["path"])
+
+    def writer(self, schema, overwrite: bool) -> DataSourceWriter:
+        return CarbonWireBatchWriter(self.options["path"], overwrite)
 
 
 _REGISTERED: set[int] = set()

@@ -72,3 +72,36 @@ def test_byte_range_chunking_no_loss_no_dup(spark):
     assert df.rdd.getNumPartitions() > 1
     got = sorted(r.line for r in df.collect())
     assert got == sorted(lines)  # every line exactly once across splits
+
+
+def test_writer_roundtrip_and_success_marker(spark):
+    register_carbonwire(spark)
+    d = tempfile.mkdtemp(prefix="mps_pyds_w_")
+    df = spark.createDataFrame(
+        [(f"m.{i} {i} {1700000000 + i}",) for i in range(100)], "line string"
+    )
+    df.repartition(3).write.format("carbonwire").mode("overwrite").save(d)
+    files = sorted(os.listdir(d))
+    assert "_SUCCESS" in files
+    # no staged leftovers, only committed part files + marker
+    assert not [f for f in files if f.startswith("._staged_")]
+    back = spark.read.format("carbonwire").option("path", d).load()
+    assert sorted(r.line for r in back.collect()) == sorted(
+        r.line for r in df.collect()
+    )
+
+
+def test_writer_overwrite_replaces_previous_job(spark):
+    register_carbonwire(spark)
+    d = tempfile.mkdtemp(prefix="mps_pyds_ow_")
+    one = spark.createDataFrame([("a 1 1700000000",)], "line string")
+    two = spark.createDataFrame(
+        [("b 2 1700000001",), ("c 3 1700000002",)], "line string"
+    )
+    one.coalesce(1).write.format("carbonwire").mode("overwrite").save(d)
+    two.coalesce(1).write.format("carbonwire").mode("overwrite").save(d)
+    back = spark.read.format("carbonwire").option("path", d).load()
+    assert sorted(r.line for r in back.collect()) == [
+        "b 2 1700000001",
+        "c 3 1700000002",
+    ]
