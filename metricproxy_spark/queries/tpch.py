@@ -17,6 +17,17 @@ determinism contract:
 - q22: global scalar subquery (avg positive balance) + NOT EXISTS
   anti-join with a date-bounded build side.
 
+Round 3c completes the set: q3 (filter-early join-late), q4
+(EXISTS→left-semi), q5 (six-table dim collapse), q6 (pure
+scan-filter-agg pushdown canary), q7 (dim self-join nation pairs), q8
+(one-pass conditional share), q9 (profit, retailprice-as-cost
+adaptation), q10 (returned revenue), q12 (fact⋈fact conditional
+counts), q13 (outer-join count histogram), q15 (CTE consumed twice +
+scalar max), q19 (OR-of-ANDs partial pushdown), q21 (EXISTS/NOT-EXISTS
+decorrelated into one per-order aggregate pass). q1 lives as
+``analytic_pricing_summary``; q2/q11/q16/q20 need the partsupp table
+the reduced schema omits.
+
 Scale notes: fact tables only ever join dim tables (broadcast) or
 aggregate on their own keys (partial combine); the q17 avg-by-part
 table is partkey-partitioned, so its join with lineitem co-shuffles on
