@@ -1837,7 +1837,14 @@ def text_bigram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     documented salting case), one per-doc agg. No driver state — the
     "model" stays distributed."""
     docs = load_table(spark, sf_dir, "documents")
-    w = F.split(F.lower(F.trim(F.col("text"))), " ")
+    # Stage the split into its own projection: built inline, Catalyst
+    # inlines the (non-cheap) split/lower/trim into every element_at of
+    # the transform lambda — 2 re-splits per bigram. Staged, it computes
+    # once per row (CollapseProject won't duplicate non-cheap exprs).
+    w_df = docs.select(
+        "doc_id", F.split(F.lower(F.trim(F.col("text"))), " ").alias("w")
+    )
+    w = F.col("w")
     bigrams = F.when(
         F.size(w) >= 2,
         F.transform(
@@ -1847,7 +1854,7 @@ def text_bigram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    occ = docs.select(
+    occ = w_df.select(
         "doc_id", F.explode(bigrams).alias("big")
     )
     corpus = occ.groupBy("big").agg(F.count(F.lit(1)).alias("c"))
