@@ -281,9 +281,7 @@ def dedup_embedding_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return srp_band_pairs(emb, threshold=0.4)
 
 
-@register(
-    "dedup_semantic",
-    oracle="""
+_SEMANTIC_ORACLE_CTES = """
     WITH comp AS (
         SELECT vec_id, label,
                unnest(CAST(embedding AS DOUBLE[])) AS v,
@@ -309,29 +307,18 @@ def dedup_embedding_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) WHERE rn = 1
     ), ve AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
-    )
-    SELECT a.cluster, a.vec_id AS id_a, b.vec_id AS id_b,
-           round(list_dot_product(ea.e, eb.e), 6) AS score
-    FROM assign a
-    JOIN assign b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
-    JOIN ve ea ON ea.vec_id = a.vec_id
-    JOIN ve eb ON eb.vec_id = b.vec_id
-    WHERE round(list_dot_product(ea.e, eb.e), 6) >= 0.3
-    """,
-)
-def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L2 SemDeDup shape (Abbas et al. 2023, arXiv:2303.09540): cluster
-    the corpus, then search for near-duplicates only WITHIN each
-    cluster — the pair space shrinks from O(n²) to Σ|cluster|².
-    Here the clustering step is exact so the whole query is
-    oracle-checkable: centroids are per-label decimal-mean vectors
-    (|labels|·d rows, broadcast), assignment is argmax dot with
-    deterministic 6dp/label tie-break, and within-cluster pairs verify
-    with the sequential-fold dot product both engines evaluate in the
-    same order. At 100 TB the trained-centroid twin is
-    `dedup_embedding_blocked` (k-means IVF); this query pins the
-    cluster-then-pair semantics bit-exactly."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    )"""
+
+
+def _semantic_assignment(spark: SparkSession, emb: DataFrame) -> DataFrame:
+    """Exact cluster assignment for the SemDeDup family: per-label
+    decimal-mean centroids (|labels|·d rows, broadcast), argmax dot
+    with a 6dp/label tie-break. Returned eagerly checkpointed — every
+    consumer self-joins it, and the checkpoint is corpus-id-sized (one
+    int pair per vector), bounded at any scale. The eager step runs
+    inside a shuffle-partition scope sized to the tiny key spaces
+    (|vecs|, |labels|·d), so a vanilla 200-partition session doesn't
+    spin 200 tasks per stage."""
     comp = emb.select(
         "vec_id", "label", F.posexplode("embedding").alias("pos", "vf")
     ).withColumn("v", F.col("vf").cast("double"))
@@ -357,17 +344,10 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     rn = Window.partitionBy("vec_id").orderBy(
         F.round(F.col("dot"), 6).desc(), F.col("c_label")
     )
-    # Both sides of the pair self-join consume the assignment; without
-    # the eager checkpoint the explode+centroid+argmax lineage executes
-    # twice. The checkpoint is corpus-id-sized (one int pair per
-    # vector), bounded at any scale. It runs NOW, so the shuffle-
-    # partition scope (key spaces here are |vecs| and |labels|·d — tiny)
-    # applies to the whole assignment subtree even under a vanilla
-    # 200-partition session.
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "16")
     try:
-        assign = (
+        return (
             dots.withColumn("rn", F.row_number().over(rn))
             .where(F.col("rn") == 1)
             .select("vec_id", F.col("c_label").alias("cluster"))
@@ -375,19 +355,21 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def _semantic_pairs(assign: DataFrame, emb: DataFrame) -> DataFrame:
+    """Within-cluster near-dup pairs (score = 6dp-rounded dot ≥ 0.3)
+    over an exact assignment — the pair space is Σ|cluster|², never the
+    corpus square."""
     ve = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
     a = assign.alias("a").join(
-        ve.select(
-            F.col("vec_id").alias("a_id"), F.col("e").alias("ea")
-        ),
+        ve.select(F.col("vec_id").alias("a_id"), F.col("e").alias("ea")),
         F.col("a.vec_id") == F.col("a_id"),
     )
     b = assign.alias("b").join(
-        ve.select(
-            F.col("vec_id").alias("b_id"), F.col("e").alias("eb")
-        ),
+        ve.select(F.col("vec_id").alias("b_id"), F.col("e").alias("eb")),
         F.col("b.vec_id") == F.col("b_id"),
     )
     dot = F.aggregate(
@@ -409,4 +391,82 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.vec_id").alias("id_b"),
             "score",
         )
+    )
+
+
+@register(
+    "dedup_semantic",
+    oracle=_SEMANTIC_ORACLE_CTES
+    + """
+    SELECT a.cluster, a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(ea.e, eb.e), 6) AS score
+    FROM assign a
+    JOIN assign b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+    JOIN ve ea ON ea.vec_id = a.vec_id
+    JOIN ve eb ON eb.vec_id = b.vec_id
+    WHERE round(list_dot_product(ea.e, eb.e), 6) >= 0.3
+    """,
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 SemDeDup shape (Abbas et al. 2023, arXiv:2303.09540): cluster
+    the corpus, then search for near-duplicates only WITHIN each
+    cluster — the pair space shrinks from O(n²) to Σ|cluster|².
+    Here the clustering step is exact so the whole query is
+    oracle-checkable: centroids are per-label decimal-mean vectors
+    (|labels|·d rows, broadcast), assignment is argmax dot with
+    deterministic 6dp/label tie-break, and within-cluster pairs verify
+    with the sequential-fold dot product both engines evaluate in the
+    same order. At 100 TB the trained-centroid twin is
+    `dedup_embedding_blocked` (k-means IVF); this query pins the
+    cluster-then-pair semantics bit-exactly."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign = _semantic_assignment(spark, emb)
+    return _semantic_pairs(assign, emb)
+
+
+@register(
+    "dedup_semantic_prune",
+    oracle=_SEMANTIC_ORACLE_CTES
+    + """
+    , dominated AS (
+        SELECT DISTINCT b.vec_id
+        FROM assign a
+        JOIN assign b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        JOIN ve ea ON ea.vec_id = a.vec_id
+        JOIN ve eb ON eb.vec_id = b.vec_id
+        WHERE round(list_dot_product(ea.e, eb.e), 6) >= 0.3
+    )
+    SELECT a.cluster,
+           count(*) AS n_total,
+           count(*) FILTER (WHERE d.vec_id IS NULL) AS n_kept,
+           count(d.vec_id) AS n_dropped
+    FROM assign a LEFT JOIN dominated d ON a.vec_id = d.vec_id
+    GROUP BY a.cluster
+    """,
+)
+def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup's KEEP policy on top of the pair search: a vector is
+    dropped iff some LOWER-id vector in its cluster is a near-duplicate
+    (score ≥ 0.3) — the deterministic keep-the-first-representative
+    rule, one anti-style left join of the corpus against the
+    dominated-id set (no iteration, unlike connected components;
+    chains prune conservatively exactly as the greedy SemDeDup pass
+    does). Output is the per-cluster curation manifest
+    (total/kept/dropped). The checkpointed assignment is computed ONCE
+    and shared by the pair search and the membership side; the
+    dominated set carries ids only."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign = _semantic_assignment(spark, emb)
+    dominated = (
+        _semantic_pairs(assign, emb)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    flagged = assign.join(
+        dominated.withColumn("is_dropped", F.lit(1)), "vec_id", "left_outer"
+    )
+    return flagged.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count_if(F.col("is_dropped").isNull()).alias("n_kept"),
+        F.count("is_dropped").alias("n_dropped"),
     )
