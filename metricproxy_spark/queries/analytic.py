@@ -736,3 +736,22 @@ def analytic_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@register("analytic_approx_percentile")
+def analytic_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X12 sibling: per-type approximate percentiles from Spark's
+    built-in quantile sketch (`approx_percentile`, accuracy 10000 —
+    rank error ≤ 1/accuracy). Registered rows-only (the sketch has no
+    DuckDB twin); tests/test_round3c_ops.py bounds it against the
+    exact interpolated percentiles. At 100 TB this is THE quantile
+    path: the sketch is mergeable partial state (map-side combine),
+    where exact percentiles need a full sort or all values per
+    group."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias(
+            "approx_p"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )

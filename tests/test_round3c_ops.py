@@ -135,3 +135,36 @@ class TestSemanticPruneInvariants:
         for r in rows:
             assert r.n_kept + r.n_dropped == r.n_total
             assert r.n_kept >= 1  # the lowest id in a cluster survives
+
+
+class TestApproxPercentile:
+    def test_rank_error_within_sketch_bound(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from metricproxy_spark.io import load_table
+
+        got = {
+            r.event_type: r.approx_p
+            for r in _q("analytic_approx_percentile")(spark, sf_dir).collect()
+        }
+        ev = load_table(spark, sf_dir, "events")
+        for etype, approx in got.items():
+            vals = sorted(
+                r.value
+                for r in ev.where(F.col("event_type") == etype)
+                .select("value")
+                .collect()
+            )
+            n = len(vals)
+            for q, a in zip((0.5, 0.95, 0.99), approx):
+                # rank of the sketch answer must be within 1/accuracy
+                # (plus 1 position of slack for interpolation-free picks)
+                import bisect
+
+                lo = bisect.bisect_left(vals, a)
+                hi = bisect.bisect_right(vals, a)
+                target = q * (n - 1)
+                slack = n / 10000.0 + 1
+                assert lo - slack <= target <= hi + slack, (
+                    etype, q, a, lo, hi, target,
+                )
