@@ -9,23 +9,39 @@ WORD-VOCABULARY (distinct words × counts), which is orders of
 magnitude smaller than the corpus — 100 TB of text, a few million
 distinct words.
 
-Scale shape per merge round:
+Scale shape per merge ROUND (standard frequency batching — see e.g.
+the batched trainers in SentencePiece/tokenizers):
 
-- pair counting = posexplode(zip(syms, syms[1:])) → groupBy(pair)
+- pair counting = explode(zip(syms, syms[1:])) → groupBy(pair)
   weighted sum — hash agg with map-side combine over the vocab;
-- the argmax pair is ONE collected row (deterministic tie-break:
-  highest count, then lexicographic pair);
-- the merge applies to the vocab via one narrow mapInPandas pass;
+- the top candidate pairs are ONE small collected slice
+  (deterministic tie-break: highest count, then lexicographic pair);
+- up to ``batch_size`` mutually NON-INTERACTING pairs (disjoint
+  symbol sets, including each pair's fused symbol) are picked
+  greedily from that slice — disjointness makes the batch exact:
+  applying one picked merge cannot change another picked pair's
+  adjacency count, so the recorded counts equal what one-at-a-time
+  training would have seen for those pairs;
+- all picked merges apply in ONE narrow mapInPandas pass;
 - vocab re-persists each round and the previous round unpersists
   (the connected-components lineage pattern), so state on the
   cluster stays vocab-sized and lineage stays flat.
+
+Driver round-trips therefore scale as vocab_size / batch_size, not
+vocab_size — the fix for the "32k merges = 32k Spark jobs" driver
+bottleneck. ``batch_size=1`` degenerates to the classic Sennrich
+sequence exactly. With batching, the SEQUENCE may differ from
+one-at-a-time training (a fused pair such as ('es','t') only becomes
+visible the round after ('e','s') merges) — the standard, documented
+trade of every batched BPE trainer.
 
 Driver state: the merge table (n_merges pairs) — nothing else.
 
 Determinism: no RNG anywhere; ties on pair counts break
 lexicographically, so the merge sequence is a pure function of the
-corpus. Iterative fixpoint ⇒ rows-only driver check; the known-corpus
-merge sequence and compression property are unit-tested.
+corpus and batch_size. Iterative fixpoint ⇒ rows-only driver check;
+the known-corpus merge sequence and compression property are
+unit-tested.
 """
 
 from __future__ import annotations
@@ -87,27 +103,34 @@ def _pair_counts(syms_df: DataFrame) -> DataFrame:
     ).agg(F.sum("cnt").alias("pair_cnt"))
 
 
-def _apply_merge(syms_df: DataFrame, left: str, right: str) -> DataFrame:
-    """Replace every adjacent (left, right) with the fused symbol —
-    left-to-right greedy, the standard BPE application order. Narrow
-    mapInPandas over the vocab."""
+def _apply_merges(
+    syms_df: DataFrame, batch: list[tuple[str, str]]
+) -> DataFrame:
+    """Replace every adjacent (left, right) of each pair in ``batch``
+    with its fused symbol — left-to-right greedy, the standard BPE
+    application order. The batch is mutually non-interacting (disjoint
+    symbol sets), so within-pass application order is irrelevant. One
+    narrow mapInPandas over the vocab for the WHOLE batch."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        fused = left + right
         for pdf in batches:
             out = []
             for syms in pdf["syms"]:
                 s = list(syms)
-                res = []
-                i = 0
-                while i < len(s):
-                    if i + 1 < len(s) and s[i] == left and s[i + 1] == right:
-                        res.append(fused)
-                        i += 2
-                    else:
-                        res.append(s[i])
-                        i += 1
-                out.append(res)
+                for left, right in batch:
+                    fused = left + right
+                    res = []
+                    i = 0
+                    n = len(s)
+                    while i < n:
+                        if i + 1 < n and s[i] == left and s[i + 1] == right:
+                            res.append(fused)
+                            i += 2
+                        else:
+                            res.append(s[i])
+                            i += 1
+                    s = res
+                out.append(s)
             yield pd.DataFrame(
                 {"word": pdf["word"], "cnt": pdf["cnt"], "syms": out}
             )
@@ -115,30 +138,64 @@ def _apply_merge(syms_df: DataFrame, left: str, right: str) -> DataFrame:
     return syms_df.mapInPandas(gen, "word string, cnt long, syms array<string>")
 
 
+def _pick_noninteracting(
+    cands: list, want: int
+) -> list[tuple[str, str, int]]:
+    """Greedy scan of count-ordered candidates: accept a pair iff its
+    symbol triple {l, r, l+r} is disjoint from every accepted pair's
+    triple. Disjointness ⇒ the accepted merges commute AND their
+    pre-round counts are exact."""
+    used: set[str] = set()
+    picked: list[tuple[str, str, int]] = []
+    for row in cands:
+        if len(picked) >= want:
+            break
+        l, r, c = row["l"], row["r"], int(row["pair_cnt"])
+        if c < 2:
+            break
+        trip = {l, r, l + r}
+        if trip & used:
+            continue
+        picked.append((l, r, c))
+        used |= trip
+    return picked
+
+
 def train_bpe_merges(
     docs: DataFrame,
     text_col: str = "text",
     n_merges: int = 10,
+    batch_size: int = 1,
 ) -> list[dict]:
-    """Learn ``n_merges`` BPE merges. Returns the merge table:
-    [{rank, left, right, pair_cnt}] in learned order."""
+    """Learn ``n_merges`` BPE merges, up to ``batch_size`` per Spark
+    round (driver round-trips ~ n_merges / batch_size). Returns the
+    merge table [{rank, left, right, pair_cnt}] in learned order;
+    ``batch_size=1`` reproduces the classic one-at-a-time sequence."""
+    if batch_size < 1:
+        raise ValueError(f"batch_size must be >= 1, got {batch_size}")
     syms = _init_syms(word_vocab(docs, text_col)).persist()
     syms.count()  # materialize before iterating
     merges: list[dict] = []
-    for rank in range(n_merges):
-        top = (
+    while len(merges) < n_merges:
+        want = min(batch_size, n_merges - len(merges))
+        # over-fetch: interacting candidates get skipped, so pull a
+        # few× the batch (still one small driver collect)
+        cands = (
             _pair_counts(syms)
             .orderBy(
                 F.col("pair_cnt").desc(), F.col("l").asc(), F.col("r").asc()
             )
-            .limit(1)
+            .limit(max(8, 4 * want))
             .collect()
         )
-        if not top or top[0]["pair_cnt"] < 2:
+        picked = _pick_noninteracting(cands, want)
+        if not picked:
             break
-        l, r, c = top[0]["l"], top[0]["r"], int(top[0]["pair_cnt"])
-        merges.append({"rank": rank, "left": l, "right": r, "pair_cnt": c})
-        nxt = _apply_merge(syms, l, r).persist()
+        for l, r, c in picked:
+            merges.append(
+                {"rank": len(merges), "left": l, "right": r, "pair_cnt": c}
+            )
+        nxt = _apply_merges(syms, [(l, r) for l, r, _ in picked]).persist()
         nxt.count()
         syms.unpersist()
         syms = nxt

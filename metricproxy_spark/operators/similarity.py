@@ -157,35 +157,46 @@ def embedding_near_dup_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    max_broadcast_rows: int = 1_000_000,
+    max_exact_rows: int = 1_000_000,
     on_overflow: str = "srp",
+    target_block_rows: int = 65_536,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, score) for
     every pair with cosine ≥ threshold (unit-norm vectors ⇒ dot).
 
-    Shape: the corpus matrix is broadcast once; each partition matmuls
-    its rows against it and emits only above-threshold pairs with
-    id_a < id_b — an O(n²/p) compute sweep per executor but O(matches)
-    shuffle output. Fits corpora whose matrix fits executor memory
-    (64-dim float64 × 1M rows ≈ 0.5 GB) — GUARDED: past
-    ``max_broadcast_rows`` the behavior follows ``on_overflow``:
+    Fully distributed block-pair sweep — NO driver materialization of
+    vector data anywhere: rows hash into ``B = ceil(n /
+    target_block_rows)`` blocks, every row is replicated to each of
+    its B unordered block-pair groups, and one ``applyInPandas``
+    matmul per group emits the above-threshold pairs with id_a < id_b.
+    Each distinct pair of rows meets in EXACTLY one group (the
+    unordered pair of their blocks), so no dedup pass is needed.
+    Costs: shuffle = n·B rows (replication factor B, each group ≤
+    ~2·target_block_rows rows), compute = the inherent O(n²) dot
+    products spread evenly over B·(B+1)/2 independent tasks.
 
-    - ``"srp"`` (default): dispatch to the fully distributed SRP-LSH
+    Exactness is still quadratic COMPUTE, so the guard stands: past
+    ``max_exact_rows`` (≈10¹² dots at the default) the behavior
+    follows ``on_overflow``:
+
+    - ``"srp"`` (default): dispatch to the sub-quadratic SRP-LSH
       blocking path (:func:`srp_band_pairs`) with band shape tuned to
       ``threshold``, after emitting a ``UserWarning`` — results become
       APPROXIMATE (high recall at the tuned shape, but not exhaustive).
     - ``"error"``: raise, for callers that require exact semantics.
 
     The probe that decides dispatch is bounded (``limit(max+1).count()``)
-    so it never re-executes the full upstream lineage of ``vectors``.
-    The exact sweep is the oracle-checked baseline; SRP is its
-    recall-tested scale sibling and both round scores to 6dp, so the
-    two paths share one output contract.
+    so it never re-executes the full upstream lineage of ``vectors``;
+    when it does not overflow, the probed value IS the corpus size and
+    sizes the block count with no extra pass. The exact sweep is the
+    oracle-checked baseline; SRP is its recall-tested scale sibling
+    and both round scores to 6dp, so the two paths share one output
+    contract.
     """
-    from typing import Iterator
-
     import numpy as np
     import pandas as pd
+
+    import pyspark.sql.types as T
 
     from metricproxy_spark.io import ensure_package_on_workers
 
@@ -194,18 +205,18 @@ def embedding_near_dup_pairs(
     spark = vectors.sparkSession
     # Bounded probe: short-circuits after max+1 rows instead of counting
     # (and thus fully re-computing) the whole input.
-    probed = vectors.select(id_col).limit(max_broadcast_rows + 1).count()
-    if probed > max_broadcast_rows:
+    probed = vectors.select(id_col).limit(max_exact_rows + 1).count()
+    if probed > max_exact_rows:
         if on_overflow == "error":
             raise ValueError(
-                f"corpus exceeds max_broadcast_rows={max_broadcast_rows} "
+                f"corpus exceeds max_exact_rows={max_exact_rows} "
                 "and on_overflow='error'; use srp_band_pairs / "
-                "embedding_near_dup_pairs_blocked for exact-ish scale paths"
+                "embedding_near_dup_pairs_blocked for sub-quadratic paths"
             )
         import warnings
 
         warnings.warn(
-            f"embedding_near_dup_pairs: corpus > {max_broadcast_rows} rows; "
+            f"embedding_near_dup_pairs: corpus > {max_exact_rows} rows; "
             "falling back to approximate SRP-LSH blocking (on_overflow='srp')",
             UserWarning,
             stacklevel=2,
@@ -220,14 +231,22 @@ def embedding_near_dup_pairs(
             vec_col=vec_col,
         )
     ensure_package_on_workers(spark)
-    vpd = vectors.select(
+    n_blocks = max(1, -(-probed // max(1, target_block_rows)))
+    src = vectors.select(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
-    ).toPandas()
-    all_ids = vpd["_id"].to_numpy()
-    all_mat = np.vstack(vpd["_v"].to_numpy()).astype("float64")
-    bv = spark.sparkContext.broadcast((all_ids, all_mat))
-
-    import pyspark.sql.types as T
+    ).withColumn(
+        "_b", F.pmod(F.xxhash64(F.col("_id")), F.lit(n_blocks)).cast("int")
+    )
+    partners = F.array(*[F.lit(j) for j in range(n_blocks)])
+    exploded = src.select(
+        "_id", "_v", "_b", F.explode(partners).alias("_ob")
+    ).select(
+        "_id",
+        "_v",
+        "_b",
+        F.least("_b", "_ob").alias("_gl"),
+        F.greatest("_b", "_ob").alias("_gr"),
+    )
 
     out_schema = T.StructType(
         [
@@ -237,30 +256,37 @@ def embedding_near_dup_pairs(
         ]
     )
     t = float(threshold)
+    empty = pd.DataFrame({"id_a": [], "id_b": [], "score": []})
 
-    def sweep(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ids_all, M = bv.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            rows_ids = pdf["_id"].to_numpy()
-            R = np.vstack(pdf["_v"].to_numpy()).astype("float64")
-            S = np.round(R @ M.T, 6)  # (rows, corpus)
+    def pair_sweep(key, pdf):  # (key, pdf) form — no hints, see SPARK-40770
+        gl, gr = key
+        if len(pdf) == 0:
+            return empty
+        ids = pdf["_id"].to_numpy()
+        V = np.vstack(pdf["_v"].to_numpy()).astype("float64")
+        if gl == gr:
+            S = np.round(V @ V.T, 6)
             ri, ci = np.nonzero(S >= t)
-            ia, ib = rows_ids[ri], ids_all[ci]
-            keep = ia < ib  # canonical order + drops self-pairs
-            if keep.any():
-                yield pd.DataFrame(
-                    {
-                        "id_a": ia[keep],
-                        "id_b": ib[keep],
-                        "score": S[ri[keep], ci[keep]],
-                    }
-                )
+            keep = ids[ri] < ids[ci]
+            return pd.DataFrame(
+                {
+                    "id_a": ids[ri[keep]],
+                    "id_b": ids[ci[keep]],
+                    "score": S[ri[keep], ci[keep]],
+                }
+            )
+        lm = pdf["_b"].to_numpy() == gl
+        if not lm.any() or lm.all():
+            return empty
+        lids, rids = ids[lm], ids[~lm]
+        S = np.round(V[lm] @ V[~lm].T, 6)
+        ri, ci = np.nonzero(S >= t)
+        ia, ib = lids[ri], rids[ci]
+        lo = np.minimum(ia, ib)
+        hi = np.maximum(ia, ib)
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "score": S[ri, ci]})
 
-    return vectors.select(
-        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
-    ).mapInPandas(sweep, out_schema)
+    return exploded.groupBy("_gl", "_gr").applyInPandas(pair_sweep, out_schema)
 
 
 def embedding_near_dup_pairs_blocked(

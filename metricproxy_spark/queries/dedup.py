@@ -447,11 +447,15 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup's KEEP policy on top of the pair search: a vector is
     dropped iff some LOWER-id vector in its cluster is a near-duplicate
-    (score ≥ 0.3) — the deterministic keep-the-first-representative
+    (score ≥ 0.3) — a deterministic keep-the-first-representative
     rule, one anti-style left join of the corpus against the
-    dominated-id set (no iteration, unlike connected components;
-    chains prune conservatively exactly as the greedy SemDeDup pass
-    does). Output is the per-cluster curation manifest
+    dominated-id set (no iteration, unlike connected components).
+    NOTE: chains prune MORE aggressively than a strictly greedy
+    kept-set pass — a dominator need not itself be kept (for a~b, b~c,
+    a!~c this drops both b and c; greedy would keep c since only kept
+    representatives are compared). The oracle encodes the same
+    lower-id-dominates rule, so both engines agree.
+    Output is the per-cluster curation manifest
     (total/kept/dropped). The checkpointed assignment is computed ONCE
     and shared by the pair search and the membership side; the
     dominated set carries ids only."""

@@ -1015,7 +1015,8 @@ def events_week_over_week(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH marked AS (
         SELECT user_id, ts, event_id, value,
                CASE WHEN lag(ts) OVER w IS NULL
-                         OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                         OR date_diff('microsecond', lag(ts) OVER w, ts)
+                            > 1800000000
                     THEN 1 ELSE 0 END AS new_sess
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

@@ -113,6 +113,12 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("rank"),
             )
         )
+    # Materialize the final node-sized ranks across executors (eager
+    # localCheckpoint = the standard lineage cut for iterative algos),
+    # then release the edge-layout cache — a shared session running
+    # many queries must not accumulate edge-sized cache entries.
+    ranks = ranks.localCheckpoint()
+    edges.unpersist()
     out = ranks.select(
         F.col("node").alias("node_id"),
         (F.col("node") % 2).cast("int").alias("is_supplier"),

@@ -1277,19 +1277,22 @@ def pipeline_per_class_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("pipeline_bpe_train")
 def pipeline_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L4 tokenizer fitting: distributed BPE training (Sennrich 2016)
-    — 6 merge rounds on the corpus word-vocabulary. The corpus is
-    touched ONCE (word counts); every round then pair-counts the
-    vocab (hash agg), collects one argmax row, and applies the merge
-    with a narrow vocab pass (persist/unpersist keeps lineage flat) —
-    the real-trainer scale shape where 100 TB of text reduces to a
-    few-million-row vocab after pass one. Deterministic (lexicographic
-    tie-break, no RNG) but an iterative fixpoint -> rows-only check;
-    the known-corpus merge sequence and compression invariants are in
-    tests/test_bpe.py."""
+    with frequency batching — 6 merges learned up to 3 per round on
+    the corpus word-vocabulary. The corpus is touched ONCE (word
+    counts); every round then pair-counts the vocab (hash agg),
+    collects one small top-slice, greedily picks mutually
+    NON-INTERACTING pairs (disjoint symbol triples ⇒ their pre-round
+    counts are exact), and applies the whole batch in one narrow vocab
+    pass (persist/unpersist keeps lineage flat) — so driver
+    round-trips scale as vocab/batch, the real-trainer shape where a
+    32k vocab is ~thousands of rounds, not 32k. Deterministic
+    (lexicographic tie-break, no RNG) but an iterative fixpoint ->
+    rows-only check; the known-corpus merge sequence, batch-vs-classic
+    degeneracy, and compression invariants are in tests/test_bpe.py."""
     from metricproxy_spark.operators.bpe import train_bpe_merges
 
     docs = spread(load_table(spark, sf_dir, "documents"), spark)
-    merges = train_bpe_merges(docs, n_merges=6)
+    merges = train_bpe_merges(docs, n_merges=6, batch_size=3)
     return spark.createDataFrame(
         [(m["rank"], m["left"], m["right"], m["pair_cnt"]) for m in merges],
         "rank int, left string, right string, pair_cnt bigint",

@@ -161,8 +161,14 @@ class CarbonWireBatchWriter(DataSourceArrowWriter):
     :func:`metricproxy_spark.sources.carbon.to_carbon_lines`)."""
 
     def __init__(self, path: str, overwrite: bool):
+        import uuid
+
         self._path = path
         self._overwrite = overwrite
+        # Driver-minted job id, serialized into every task: append-mode
+        # final names embed it so a second job never clobbers a prior
+        # job's committed part files.
+        self._job_id = uuid.uuid4().hex[:12]
 
     def write(self, iterator) -> WriterCommitMessage:
         import uuid
@@ -172,7 +178,9 @@ class CarbonWireBatchWriter(DataSourceArrowWriter):
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else 0
         os.makedirs(self._path, exist_ok=True)
-        final = os.path.join(self._path, f"part-{pid:05d}.carbon")
+        final = os.path.join(
+            self._path, f"part-{self._job_id}-{pid:05d}.carbon"
+        )
         staged = os.path.join(
             self._path, f"._staged_{uuid.uuid4().hex}_{pid:05d}"
         )
@@ -218,7 +226,7 @@ class CarbonWireDataSource(DataSource):
     def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
         return CarbonWireStreamReader(self.options["path"])
 
-    def writer(self, schema, overwrite: bool) -> DataSourceWriter:
+    def writer(self, schema, overwrite: bool) -> CarbonWireBatchWriter:
         return CarbonWireBatchWriter(self.options["path"], overwrite)
 
 

@@ -299,6 +299,34 @@ def test_connected_components_chain_and_singleton(spark):
     }
 
 
+def test_exact_sweep_block_count_invariant(spark, sf_dir):
+    """The distributed block-pair exact sweep must return the identical
+    pair set and scores regardless of block count: forcing many small
+    blocks (every row replicated to B block-pair groups) equals the
+    single-block degenerate case — each distinct row pair meets in
+    exactly one group, so no pair is lost or double-emitted."""
+    from metricproxy_spark.io import load_table
+    from metricproxy_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    one = {
+        (r["id_a"], r["id_b"], r["score"])
+        for r in embedding_near_dup_pairs(
+            emb, threshold=0.4, target_block_rows=10**9
+        ).collect()
+    }
+    many = {
+        (r["id_a"], r["id_b"], r["score"])
+        for r in embedding_near_dup_pairs(
+            emb, threshold=0.4, target_block_rows=64
+        ).collect()
+    }
+    assert one == many
+    assert one  # fixture has planted near-dups; the sweep must find them
+
+
 def test_blocked_near_dup_recall_vs_exact_sweep(spark, sf_dir):
     """IVF-blocked near-dup pairs must be a subset of the exact
     broadcast-sweep pairs (no false positives — scores are exact) with

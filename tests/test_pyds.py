@@ -105,3 +105,21 @@ def test_writer_overwrite_replaces_previous_job(spark):
         "b 2 1700000001",
         "c 3 1700000002",
     ]
+
+
+def test_writer_append_never_clobbers_previous_job(spark):
+    """Append-mode final names embed a per-job id: a second append job
+    must add its rows next to (not over) the first job's part files."""
+    register_carbonwire(spark)
+    d = tempfile.mkdtemp(prefix="mps_pyds_ap_")
+    one = spark.createDataFrame([("a 1 1700000000",)], "line string")
+    two = spark.createDataFrame([("b 2 1700000001",)], "line string")
+    one.coalesce(1).write.format("carbonwire").mode("append").save(d)
+    two.coalesce(1).write.format("carbonwire").mode("append").save(d)
+    parts = [f for f in os.listdir(d) if f.endswith(".carbon")]
+    assert len(parts) == 2, parts
+    back = spark.read.format("carbonwire").option("path", d).load()
+    assert sorted(r.line for r in back.collect()) == [
+        "a 1 1700000000",
+        "b 2 1700000001",
+    ]

@@ -53,6 +53,47 @@ class TestSessionize:
         }
         assert rows == {(1, 2), (2, 1)}
 
+    def test_fractional_second_gap_just_over_threshold_splits(self, spark):
+        """A 1800.05s gap crosses exactly 1800 whole-second boundaries
+        but 1_800_050_000 microseconds of elapsed time: the split
+        predicate (and the DuckDB oracle) must compare ELAPSED
+        microseconds, not boundary crossings — this gap is a split."""
+        sf = _write_events(
+            [
+                (1, TS0, 7, "click", 1.0),
+                (
+                    2,
+                    TS0 + dt.timedelta(seconds=1800, milliseconds=50),
+                    7,
+                    "click",
+                    1.0,
+                ),
+            ]
+        )
+        rows = {
+            (r.session_seq, r.n_events)
+            for r in _q("events_sessionize")(spark, sf).collect()
+        }
+        assert rows == {(1, 1), (2, 1)}
+
+    def test_fractional_second_gap_just_under_threshold_holds(self, spark):
+        # 1799.95s elapsed: same session even though 1800 boundaries
+        # may be crossed depending on phase
+        sf = _write_events(
+            [
+                (1, TS0 + dt.timedelta(milliseconds=990), 7, "click", 1.0),
+                (
+                    2,
+                    TS0 + dt.timedelta(seconds=1800, milliseconds=940),
+                    7,
+                    "click",
+                    1.0,
+                ),
+            ]
+        )
+        [r] = _q("events_sessionize")(spark, sf).collect()
+        assert (r.session_seq, r.n_events) == (1, 2)
+
     def test_timestamp_ties_break_by_event_id(self, spark):
         sf = _write_events(
             [
