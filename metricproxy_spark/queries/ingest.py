@@ -1077,3 +1077,98 @@ def ingest_carbon_connector_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load()
     )
     return parse_carbon_lines(back).select("metric", "value", "epoch_s")
+
+
+@register(
+    "ingest_http_listener_live",
+    oracle="""
+    SELECT event_type AS metric,
+           value,
+           'gauge' AS metric_type,
+           epoch_ms(ts) AS ts_ms,
+           CAST(user_id AS VARCHAR) AS dim_user_id
+    FROM events
+    WHERE event_id % 5 = 0
+    """,
+)
+def ingest_http_listener_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 LIVE: a real HTTP server (``streaming.httplistener``) binds a
+    loopback port, a client posts sfx v2 JSON bodies (half gzip-encoded)
+    over actual TCP, and the accepted requests — spooled verbatim in
+    httpwire at-rest format — are parsed by the SAME C3 parser as every
+    other path. The oracle re-derives every field from the source
+    table, so the whole live chain (accept, Content-Length, gzip
+    decode, JSON unpivot) is value-checked end to end.
+
+    The posting loop is the CLIENT side of the wire — a bounded load
+    generator that by definition holds its own payload (at 100 TB the
+    clients are the fleet posting to many listener replicas; the
+    engine side stays distributed: spool → connector scan → parse).
+    The posted subset is deterministic (event_id % 5 = 0, grouped into
+    requests by user_id % 23) so the result is a pure function of the
+    events table."""
+    import gzip as _gzip
+    import http.client
+    import json as _json
+
+    from metricproxy_spark.io import ensure_package_on_workers
+    from metricproxy_spark.sources.httpwire import register_httpwire
+    from metricproxy_spark.streaming.httplistener import HttpIngestListener
+
+    ensure_package_on_workers(spark)
+    register_httpwire(spark)
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_id") % 5 == 0)
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            "user_id",
+            F.unix_millis("ts").alias("ts_ms"),
+            (F.col("user_id") % 23).alias("req"),
+        )
+    )
+    pdf = ev.toPandas()  # client-side payload (bounded load generator)
+    spool = tempfile.mkdtemp(prefix="mps_http_live_")
+    with HttpIngestListener(spool) as lis:
+        conn = http.client.HTTPConnection(lis.host, lis.port, timeout=30)
+        for req, grp in pdf.groupby("req"):
+            grp = grp.sort_values("event_id")
+            body = _json.dumps(
+                {
+                    "gauge": [
+                        {
+                            "metric": m,
+                            "value": float(v),
+                            "timestamp": int(t),
+                            "dimensions": {"user_id": str(int(u))},
+                        }
+                        for m, v, t, u in zip(
+                            grp["event_type"],
+                            grp["value"],
+                            grp["ts_ms"],
+                            grp["user_id"],
+                        )
+                    ]
+                }
+            ).encode()
+            headers = {"Content-Type": "application/json"}
+            if int(req) % 2 == 0:
+                body = _gzip.compress(body)
+                headers["Content-Encoding"] = "gzip"
+            conn.request("POST", "/v2/datapoint", body=body, headers=headers)
+            resp = conn.getresponse()
+            assert resp.status == 200 and resp.read() == b'"OK"'
+        conn.close()
+    reqs = spark.read.format("httpwire").option("path", spool).load()
+    parsed = parse_sfx_v2_json(reqs, body_col="body")
+    return parsed.select(
+        "metric",
+        "value",
+        "metric_type",
+        "ts_ms",
+        F.try_element_at("dimensions", F.lit("user_id")).alias(
+            "dim_user_id"
+        ),
+    )

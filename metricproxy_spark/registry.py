@@ -78,6 +78,7 @@ _PRIORITY = (
     "multimodal_audio_spectral",
     "multimodal_image_stats",
     # --- round-4 additions (new queries land here, inside the 50) ---
+    "ingest_http_listener_live",
 )
 
 _QUERY_MODULES = (

@@ -98,6 +98,56 @@ def test_pipeline_load_shedding(spark, tmp_path):
     assert sum(sink.batches) == 30  # out = in - dropped
 
 
+def test_pipeline_shedding_soak_bounded_memory(spark, tmp_path):
+    """F2 soak proof [P: dpbuffered — BufferSize]: a deliberately slow
+    sink under sustained overload for 20+ micro-batches. The pipeline
+    must (a) account every drop exactly — Σ delivered = Σ in − Σ
+    counted drops, per batch and in total — and (b) hold cluster
+    memory FLAT: each micro-batch's persisted block is released in the
+    same batch (cache plateau ≤ baseline+1 during every batch, back to
+    baseline after), so a slow sink causes latency, never growth."""
+    import time
+
+    src_dir = str(tmp_path / "src")
+    n_files, per_file, cap = 20, 20, 12
+    rows = [(i, float(i)) for i in range(n_files * per_file)]
+    _write_parquet_stream_src(
+        spark, rows, "id long, value double", src_dir, n_files=n_files
+    )
+    stream = read_stream_table(spark, src_dir, max_files_per_trigger=1)
+
+    jsc = spark.sparkContext._jsc
+    baseline = jsc.getPersistentRDDs().size()
+    plateau: list[int] = []
+
+    class SlowSink(CollectingSink):
+        def __call__(self, df, batch_id):
+            time.sleep(0.02)  # sustained slow consumer
+            plateau.append(jsc.getPersistentRDDs().size())
+            super().__call__(df, batch_id)
+
+    sink = SlowSink()
+    pipe = ProxyPipeline(
+        source=stream,
+        sinks=[SinkSpec("slow", sink)],
+        max_batch_rows=cap,
+    )
+    stats = pipe.run_available_now(str(tmp_path / "ckpt"))
+    assert len(sink.batches) >= 20
+    # exact drop accounting, per batch and in total
+    assert all(b == cap for b in sink.batches)
+    assert stats["datapoints_in"] == n_files * per_file
+    assert stats["datapoints_dropped"] == n_files * (per_file - cap)
+    assert (
+        sum(sink.batches)
+        == stats["datapoints_in"] - stats["datapoints_dropped"]
+    )
+    # memory plateau: never more than ONE extra cached block mid-batch,
+    # and nothing left cached once the stream drains
+    assert max(plateau) <= baseline + 1, plateau
+    assert jsc.getPersistentRDDs().size() == baseline
+
+
 def test_pipeline_independent_sinks(spark, tmp_path):
     """F5: per-sink queries with isolated checkpoints still each
     deliver everything."""
