@@ -217,3 +217,154 @@ def layout_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").cast("bigint").alias("total_rows"),
         F.round(32.0 * F.max("n") / F.sum("n"), 6).alias("skew_factor"),
     )
+
+
+def _staged_dir(tag: str, sf_dir: str) -> str:
+    """Per-(artifact, sf) staging path under the system tempdir —
+    content is a pure function of the testdata, shared across
+    processes via atomic-rename publish (see _publish)."""
+    import os
+    import tempfile
+
+    sf = os.path.basename(sf_dir.rstrip("/"))
+    return os.path.join(tempfile.gettempdir(), f"mps_{tag}_{sf}")
+
+
+def _publish(staging: str, final: str) -> None:
+    import os
+    import shutil
+
+    try:
+        os.rename(staging, final)
+    except OSError:  # lost the race; the winner's copy is identical
+        shutil.rmtree(staging, ignore_errors=True)
+
+
+@register(
+    "layout_partition_pruning",
+    oracle="""
+    SELECT CAST(user_id % 8 AS BIGINT) AS user_bucket,
+           event_type,
+           count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS sum_value
+    FROM events
+    WHERE user_id % 8 IN (2, 5)
+    GROUP BY 1, 2
+    """,
+)
+def layout_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned WRITE + pruned READ: events land
+    partitioned by ``user_bucket = user_id % 8`` (the layout step), a
+    predicate on the partition column then reads ONLY the 2 matching
+    directories — ``PartitionFilters`` in the scan, 6/8 of the data
+    never opened. This is the first lever of 100 TB interactivity
+    (date/tenant partitioning); the plan discipline is asserted in
+    tests/test_scale.py. Layout is staged once per sf (atomic-rename
+    publish) so repeated runs measure the READ, not the write."""
+    import os
+
+    tgt = _staged_dir("part_events", sf_dir)
+    if not os.path.isdir(tgt):
+        import tempfile
+
+        staging = tempfile.mkdtemp(prefix="mps_part_stage_")
+        ev = load_table(spark, sf_dir, "events")
+        (
+            ev.withColumn(
+                "user_bucket", (F.col("user_id") % 8).cast("bigint")
+            )
+            .repartition("user_bucket")
+            .write.mode("overwrite")
+            .partitionBy("user_bucket")
+            .parquet(staging)
+        )
+        _publish(staging, tgt)
+    part = spark.read.parquet(tgt)
+    return (
+        part.where(F.col("user_bucket").isin(2, 5))
+        .groupBy("user_bucket", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(27,4)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "layout_bucketed_join",
+    oracle="""
+    SELECT o.o_orderpriority,
+           count(*) AS n_lines,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(27,2))) AS DOUBLE)
+             AS sum_price
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    """,
+)
+def layout_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-FREE fact⋈fact join via bucketed layout: orders and
+    lineitem are written once as tables bucketed (8 buckets) AND
+    sorted on the join key, so the sort-merge join consumes both scans
+    with NO Exchange on either input (only cheap per-file local sorts
+    remain) — the co-location contract that turns the biggest
+    recurring shuffle of a 100 TB star schema into a local merge. The
+    single Exchange left in the whole plan is the final 5-key agg.
+    Plan asserted in tests/test_scale.py; the oracle checks the join's
+    values against the plain path.
+
+    The merge-join hint pins SMJ (a broadcast join would also be
+    shuffle-free at test scale but proves nothing about co-location).
+    """
+    import os
+
+    sf = sf_dir.rstrip("/").split("/")[-1].replace(".", "_")
+    t_orders, t_lineitem = f"mps_bkt_orders_{sf}", f"mps_bkt_lineitem_{sf}"
+    for tbl, src, key, cols, ddl_cols in (
+        (
+            t_orders,
+            "orders",
+            "o_orderkey",
+            ["o_orderkey", "o_orderpriority"],
+            "o_orderkey BIGINT, o_orderpriority STRING",
+        ),
+        (
+            t_lineitem,
+            "lineitem",
+            "l_orderkey",
+            ["l_orderkey", "l_extendedprice"],
+            "l_orderkey BIGINT, l_extendedprice DOUBLE",
+        ),
+    ):
+        if spark.catalog.tableExists(tbl):
+            continue
+        path = _staged_dir(f"bkt_{src}", sf_dir)
+        if os.path.isdir(path):
+            # Another session already wrote the bucketed layout —
+            # re-register it as an EXTERNAL bucketed table (DDL only,
+            # no data write); bucket/sort spec must match the writer's.
+            spark.sql(
+                f"""CREATE TABLE {tbl} ({ddl_cols}) USING PARQUET
+                CLUSTERED BY ({key}) SORTED BY ({key}) INTO 8 BUCKETS
+                LOCATION '{path}'"""
+            )
+        else:
+            (
+                load_table(spark, sf_dir, src)
+                .select(*cols)
+                .write.mode("overwrite")
+                .bucketBy(8, key)
+                .sortBy(key)
+                .option("path", path)
+                .saveAsTable(tbl)
+            )
+    o = spark.table(t_orders).hint("merge")
+    l = spark.table(t_lineitem)
+    joined = l.join(o, l.l_orderkey == o.o_orderkey)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("l_extendedprice").cast("decimal(27,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    )

@@ -79,6 +79,8 @@ _PRIORITY = (
     "multimodal_image_stats",
     # --- round-4 additions (new queries land here, inside the 50) ---
     "ingest_http_listener_live",
+    "layout_partition_pruning",
+    "layout_bucketed_join",
 )
 
 _QUERY_MODULES = (

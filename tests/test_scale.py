@@ -495,3 +495,40 @@ class TestRound3dPlanDiscipline:
         plan = self._plan(spark, sf_dir, "graph_triangles")
         assert "CartesianProduct" not in plan, plan
         assert "HashAggregate" in plan, plan
+
+
+class TestRound4LayoutDiscipline:
+    """Plan assertions for the round-4 layout operators: the layout's
+    whole point is what the plan does NOT contain."""
+
+    def _plan(self, spark, sf_dir, name):
+        from metricproxy_spark.registry import QUERIES, load_all
+
+        load_all()
+        return _executed_plan(QUERIES[name](spark, sf_dir))
+
+    def test_partition_pruning_reaches_the_scan(self, spark, sf_dir):
+        """The user_bucket predicate must prune directories at planning
+        time (PartitionFilters on the scan), not filter rows after a
+        full read."""
+        plan = self._plan(spark, sf_dir, "layout_partition_pruning")
+        assert "PartitionFilters" in plan, plan
+        import re
+
+        m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+        assert m and "user_bucket" in m.group(1), plan
+
+    def test_bucketed_join_no_exchange_no_sort(self, spark, sf_dir):
+        """Bucketed+sorted layout on the join key: the sort-merge join
+        must consume both bucketed scans DIRECTLY — no Exchange on
+        either join input (the co-location contract). The only Exchange
+        allowed in the whole plan is the final tiny groupBy on
+        o_orderpriority (5 keys); bucket scans are planner-visible
+        (Bucketed: true, all buckets selected)."""
+        plan = self._plan(spark, sf_dir, "layout_bucketed_join")
+        assert "SortMergeJoin" in plan, plan
+        # everything below the join (its two inputs) is shuffle-free
+        below_join = plan.split("SortMergeJoin", 1)[1]
+        assert "Exchange" not in below_join, plan
+        assert plan.count("Exchange") == 1, plan  # only the final agg
+        assert plan.count("Bucketed: true") == 2, plan
