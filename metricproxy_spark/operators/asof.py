@@ -78,3 +78,49 @@ def asof_join(
     for c in right_payload:
         out = out.withColumn(f"{c}{suffix}", F.col("_asof_p")[c])
     return out.drop("_side", "_asof_p")
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts_col: str = "ts",
+    right_payload: list[str] | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Forward as-of join: left rows enriched with the EARLIEST right
+    payload where ``right.ts >= left.ts``, per ``on`` key (null when
+    none) — the look-ahead alignment (e.g. "the next deploy after this
+    alert"). Same single-shuffle union+window shape as
+    :func:`asof_join`, with the scan order mirrored: descending ts, so
+    the forward-fill carries the smallest qualifying right timestamp;
+    right still sorts before left at equal ts, giving inclusive ``>=``
+    — matching ``ASOF JOIN ... ON l.ts <= r.ts`` in DuckDB."""
+    if right_payload is None:
+        right_payload = [c for c in right.columns if c not in (on, ts_col)]
+    rhs = right.select(
+        F.col(on),
+        F.col(ts_col),
+        F.lit(0).alias("_side"),
+        F.struct(*[F.col(c) for c in right_payload]).alias("_asof_p"),
+    )
+    struct_type = rhs.schema["_asof_p"].dataType
+    lhs = left.withColumn("_side", F.lit(1)).withColumn(
+        "_asof_p", F.lit(None).cast(struct_type)
+    )
+    left_only = [c for c in lhs.columns if c not in rhs.columns]
+    for c in left_only:
+        rhs = rhs.withColumn(c, F.lit(None).cast(dict(lhs.dtypes)[c]))
+    unioned = lhs.unionByName(rhs)
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col(ts_col).desc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.withColumn(
+        "_asof_p", F.last("_asof_p", ignorenulls=True).over(w)
+    )
+    out = filled.filter(F.col("_side") == 1)
+    for c in right_payload:
+        out = out.withColumn(f"{c}{suffix}", F.col("_asof_p")[c])
+    return out.drop("_side", "_asof_p")

@@ -755,3 +755,85 @@ def analytic_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "analytic_mode_per_group",
+    oracle="""
+    WITH counted AS (
+        SELECT c.c_mktsegment, o.o_orderpriority, count(*) AS n
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    ), ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY c_mktsegment
+            ORDER BY n DESC, o_orderpriority ASC
+        ) AS rk
+        FROM counted
+    )
+    SELECT c_mktsegment AS mktsegment,
+           o_orderpriority AS modal_priority,
+           n AS modal_n
+    FROM ranked WHERE rk = 1
+    """,
+)
+def analytic_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group MODE: the most frequent order priority
+    per market segment, ties broken lexicographically — the native
+    ``mode()`` of both engines leaves ties unspecified, so the
+    portable form is count + row_number (two shuffles, both on bounded
+    key spaces; the count agg map-side combines, so the window input
+    is segments × priorities, not order volume)."""
+    from pyspark.sql import Window
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    counted = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("n").desc(), F.col("o_orderpriority").asc()
+    )
+    return (
+        counted.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            F.col("c_mktsegment").alias("mktsegment"),
+            F.col("o_orderpriority").alias("modal_priority"),
+            F.col("n").alias("modal_n"),
+        )
+    )
+
+
+@register("analytic_hll_sketch")
+def analytic_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X12 sibling: Apache DataSketches HLL through Spark's native
+    ``hll_sketch_agg`` — per-type user sketches UNION-merged
+    (``hll_union_agg``) into an all-events estimate, the re-aggregable
+    distinct-count path (a sketch per partition/day merges into any
+    rollup without re-scanning, which exact distinct cannot do at
+    100 TB). Registered rows-only (DataSketches has no DuckDB twin);
+    tests/test_round4_ops.py bounds the estimates against exact
+    distinct counts and checks merge consistency."""
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", 14).alias("sk"),
+        F.count_distinct("user_id").alias("exact_users"),
+    )
+    merged = per_type.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users")
+    ).select(
+        F.lit("ALL").alias("event_type"),
+        "est_users",
+        F.lit(None).cast("bigint").alias("exact_users"),
+    )
+    return (
+        per_type.select(
+            "event_type",
+            F.hll_sketch_estimate("sk").alias("est_users"),
+            F.col("exact_users").cast("bigint"),
+        )
+        .unionByName(merged)
+    )

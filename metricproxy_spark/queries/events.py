@@ -1177,3 +1177,84 @@ def events_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(key).getField("value").alias("v_last"),
         )
     )
+
+
+@register(
+    "events_counter_to_rate",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, ts, event_id,
+               CAST(CAST(value AS DECIMAL(27,4)) * 10000 AS BIGINT) AS v_i
+        FROM events
+    ), c AS (
+        SELECT user_id, ts, event_id,
+               CAST(sum(v_i) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING)
+                    % 1000000 AS BIGINT) AS cum
+        FROM s
+    ), d AS (
+        SELECT user_id, cum,
+               cum - lag(cum) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS diff
+        FROM c
+    )
+    SELECT user_id,
+           count(*) AS n_samples,
+           CAST(count(*) FILTER (WHERE diff < 0) AS BIGINT) AS n_resets,
+           CAST(sum(CASE WHEN diff IS NULL THEN NULL
+                         WHEN diff < 0 THEN cum ELSE diff END) AS BIGINT)
+               AS total_increase
+    FROM d GROUP BY user_id
+    """,
+)
+def events_counter_to_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6's batch twin, oracle-EXACT: cumulative-counter samples are
+    synthesized per user (integer-scaled running sum with a 1e6
+    modulus, so wrap-around resets occur naturally), then converted to
+    increases with the reference's counter rule — a decrease means the
+    source counter reset, so the sample's whole value counts
+    [P: the cumulative_counter semantics of the sfx protocol]. All
+    arithmetic is integer (scaled by 1e4), so Spark and DuckDB agree
+    bit-for-bit where the streaming twin can only be invariant-tested.
+    One shuffle on user_id serves both window passes and the agg."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.col("value").cast("decimal(27,4)") * 10000)
+        .cast("bigint")
+        .alias("v_i"),
+    )
+    c = s.select(
+        "user_id",
+        "ts",
+        "event_id",
+        (
+            F.sum("v_i").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            )
+            % 1000000
+        )
+        .cast("bigint")
+        .alias("cum"),
+    )
+    d = c.select(
+        "user_id",
+        "cum",
+        (F.col("cum") - F.lag("cum").over(w)).alias("diff"),
+    )
+    inc = (
+        F.when(F.col("diff").isNull(), F.lit(None))
+        .when(F.col("diff") < 0, F.col("cum"))
+        .otherwise(F.col("diff"))
+    )
+    return d.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        F.count_if(F.col("diff") < 0).cast("bigint").alias("n_resets"),
+        F.sum(inc).cast("bigint").alias("total_increase"),
+    )

@@ -1172,3 +1172,76 @@ def ingest_http_listener_live(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dim_user_id"
         ),
     )
+
+
+@register(
+    "ingest_prometheus_text",
+    oracle="""
+    SELECT event_type AS metric,
+           CAST(CAST(value AS DECIMAL(27,4)) AS DOUBLE) AS value,
+           CASE WHEN event_id % 13 = 0 THEN NULL ELSE epoch_ms(ts) END
+               AS ts_ms,
+           CAST(user_id AS VARCHAR) AS label_user,
+           's' || CAST(user_id % 4 AS VARCHAR) AS label_shard,
+           CASE WHEN event_type LIKE 'p%' THEN 'counter' ELSE 'gauge' END
+               AS prom_type
+    FROM events
+    """,
+)
+def ingest_prometheus_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prometheus text exposition ingest (the pull-scrape sibling of
+    the push listeners): synthesize a full scrape — ``# HELP`` +
+    ``# TYPE`` comments and labeled sample lines (1/13 without a
+    timestamp, as the format allows) — then parse it back JVM-side
+    (regexp + str_to_map) with the TYPE registry broadcast-joined on
+    like the sfx v1 registry (S5). The oracle re-derives every field
+    from the source table, so name/label/value/timestamp framing and
+    the type join are all value-checked. Map-only + one broadcast
+    join: scrape parsing stays embarrassingly parallel at any scale."""
+    from metricproxy_spark.sources.prometheus import (
+        parse_prometheus_lines,
+        parse_prometheus_types,
+        with_prometheus_types,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    value_text = F.col("value").cast("decimal(27,4)").cast("string")
+    sample = F.concat(
+        F.col("event_type"),
+        F.lit('{user="'),
+        F.col("user_id").cast("string"),
+        F.lit('",shard="s'),
+        (F.col("user_id") % 4).cast("string"),
+        F.lit('"} '),
+        value_text,
+        F.when(F.col("event_id") % 13 == 0, F.lit("")).otherwise(
+            F.concat(F.lit(" "), F.unix_millis("ts").cast("string"))
+        ),
+    )
+    kind = F.when(
+        F.col("event_type").startswith("p"), F.lit("counter")
+    ).otherwise(F.lit("gauge"))
+    meta = ev.select("event_type").distinct().select(
+        F.explode(
+            F.array(
+                F.concat(
+                    F.lit("# HELP "),
+                    F.col("event_type"),
+                    F.lit(" Synthesized scrape fixture."),
+                ),
+                F.concat(F.lit("# TYPE "), F.col("event_type"), F.lit(" "), kind),
+            )
+        ).alias("line")
+    )
+    lines = ev.select(sample.alias("line")).unionByName(meta)
+    samples = parse_prometheus_lines(lines)
+    types = parse_prometheus_types(lines)
+    typed = with_prometheus_types(samples, types)
+    return typed.select(
+        "metric",
+        "value",
+        "ts_ms",
+        F.try_element_at("labels", F.lit("user")).alias("label_user"),
+        F.try_element_at("labels", F.lit("shard")).alias("label_shard"),
+        "prom_type",
+    )

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from metricproxy_spark.functions.aggregates import dsum, dsum_sql
 from metricproxy_spark.io import load_table
-from metricproxy_spark.operators.asof import asof_join
+from metricproxy_spark.operators.asof import asof_join, asof_join_forward
 from metricproxy_spark.operators.rangejoin import time_band_join
 from metricproxy_spark.registry import register
 
@@ -223,3 +223,51 @@ def analytic_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = asof_join(purchases, errors, on="user_id", ts_col="ts")
     return joined.select("event_id", "user_id", "err_value_asof")
+
+
+@register(
+    "analytic_asof_forward",
+    oracle="""
+    WITH e AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+    ), p AS (
+        SELECT user_id, ts, max(value) AS next_purchase
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    )
+    SELECT e.event_id, e.user_id,
+           p.next_purchase AS next_purchase_asof,
+           date_diff('microsecond', e.ts, p.ts) AS lead_us
+    FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts <= p.ts
+    """,
+)
+def analytic_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9 forward variant: each error enriched with the user's NEXT
+    purchase at-or-after it (value + lead time in exact integer µs) —
+    the look-ahead alignment of conversion/recovery analyses. Same
+    one-shuffle union+window shape as the backward as-of, scan order
+    mirrored (operators.asof.asof_join_forward); DuckDB's native
+    forward ASOF JOIN (l.ts <= r.ts) is the oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("next_purchase"))
+    )
+    joined = asof_join_forward(
+        errors,
+        purchases,
+        on="user_id",
+        ts_col="ts",
+        right_payload=["next_purchase", "ts"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("next_purchase_asof"),
+        (
+            F.unix_micros(F.col("ts_asof")) - F.unix_micros(F.col("ts"))
+        ).alias("lead_us"),
+    )

@@ -81,6 +81,11 @@ _PRIORITY = (
     "ingest_http_listener_live",
     "layout_partition_pruning",
     "layout_bucketed_join",
+    "ingest_prometheus_text",
+    "analytic_asof_forward",
+    "events_counter_to_rate",
+    "analytic_mode_per_group",
+    "analytic_hll_sketch",
 )
 
 _QUERY_MODULES = (

@@ -1,0 +1,153 @@
+"""Edge-semantics tests for the round-4 operators: forward as-of
+boundaries, prometheus exposition parsing tolerance, HLL sketch
+accuracy/merge bounds, and deterministic mode tie-breaks."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+
+class TestAsofForward:
+    def _join(self, spark, left_rows, right_rows):
+        from metricproxy_spark.operators.asof import asof_join_forward
+
+        left = spark.createDataFrame(left_rows, "k long, ts long, lid long")
+        right = spark.createDataFrame(right_rows, "k long, ts long, v string")
+        return {
+            (r.lid, r.v_asof)
+            for r in asof_join_forward(left, right, on="k").collect()
+        }
+
+    def test_picks_earliest_at_or_after(self, spark):
+        got = self._join(
+            spark,
+            [(1, 10, 100), (1, 25, 101)],
+            [(1, 5, "past"), (1, 20, "b"), (1, 30, "c")],
+        )
+        assert got == {(100, "b"), (101, "c")}
+
+    def test_equal_ts_is_inclusive(self, spark):
+        got = self._join(spark, [(1, 20, 100)], [(1, 20, "same")])
+        assert got == {(100, "same")}
+
+    def test_no_future_row_gives_null(self, spark):
+        got = self._join(spark, [(1, 50, 100)], [(1, 20, "past")])
+        assert got == {(100, None)}
+
+    def test_null_payload_travels_atomically(self, spark):
+        """The carried payload is the actual nearest row even when one
+        of its fields is NULL (struct fill, not per-column fill)."""
+        from metricproxy_spark.operators.asof import asof_join_forward
+
+        left = spark.createDataFrame([(1, 10, 100)], "k long, ts long, lid long")
+        right = spark.createDataFrame(
+            [(1, 20, None, 7.0), (1, 30, "later", 9.0)],
+            "k long, ts long, v string, x double",
+        )
+        [r] = asof_join_forward(left, right, on="k").collect()
+        assert (r.v_asof, r.x_asof) == (None, 7.0)
+
+
+class TestPrometheusParse:
+    def _parse(self, spark, lines):
+        from metricproxy_spark.sources.prometheus import (
+            parse_prometheus_lines,
+        )
+
+        df = spark.createDataFrame([(l,) for l in lines], "line string")
+        return parse_prometheus_lines(df).collect()
+
+    def test_labels_value_timestamp(self, spark):
+        [r] = self._parse(
+            spark, ['http_req{method="post",code="200"} 1027 1395066363000']
+        )
+        assert r.metric == "http_req"
+        assert dict(r.labels) == {"method": "post", "code": "200"}
+        assert (r.value, r.ts_ms) == (1027.0, 1395066363000)
+
+    def test_no_labels_no_timestamp(self, spark):
+        [r] = self._parse(spark, ["up 1"])
+        assert (r.metric, dict(r.labels), r.value, r.ts_ms) == (
+            "up",
+            {},
+            1.0,
+            None,
+        )
+
+    def test_comments_blanks_garbage_dropped(self, spark):
+        rows = self._parse(
+            spark,
+            [
+                "# HELP up Is it up.",
+                "# TYPE up gauge",
+                "",
+                "not a metric line !!!",
+                "up 1",
+            ],
+        )
+        assert len(rows) == 1 and rows[0].metric == "up"
+
+    def test_type_registry_join(self, spark):
+        from metricproxy_spark.sources.prometheus import (
+            parse_prometheus_lines,
+            parse_prometheus_types,
+            with_prometheus_types,
+        )
+
+        df = spark.createDataFrame(
+            [("# TYPE a counter",), ("a 1",), ("b 2",)], "line string"
+        )
+        got = {
+            (r.metric, r.prom_type)
+            for r in with_prometheus_types(
+                parse_prometheus_lines(df), parse_prometheus_types(df)
+            ).collect()
+        }
+        assert got == {("a", "counter"), ("b", "untyped")}
+
+
+def test_hll_sketch_estimates_within_bounds(spark, sf_dir):
+    """DataSketches HLL at lgK=14: relative error is ~1.6% at 3σ for
+    these cardinalities — assert every per-type estimate within 5% of
+    the exact count, and the union-merged ALL row within 5% of the
+    global exact distinct."""
+    from metricproxy_spark.io import load_table
+    from metricproxy_spark.registry import QUERIES, load_all
+
+    load_all()
+    rows = QUERIES["analytic_hll_sketch"](spark, sf_dir).collect()
+    per_type = [r for r in rows if r.event_type != "ALL"]
+    assert per_type
+    for r in per_type:
+        assert abs(r.est_users - r.exact_users) <= max(
+            2, 0.05 * r.exact_users
+        ), r
+    [allrow] = [r for r in rows if r.event_type == "ALL"]
+    exact_all = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert abs(allrow.est_users - exact_all) <= max(2, 0.05 * exact_all)
+
+
+def test_mode_tie_break_is_lexicographic(spark):
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [("s", "B"), ("s", "B"), ("s", "A"), ("s", "A"), ("s", "C")],
+        "seg string, pri string",
+    )
+    counted = df.groupBy("seg", "pri").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("seg").orderBy(
+        F.col("n").desc(), F.col("pri").asc()
+    )
+    [r] = (
+        counted.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .collect()
+    )
+    assert (r.pri, r.n) == ("A", 2)  # tie A/B at 2 → lexicographic
