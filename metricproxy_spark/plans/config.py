@@ -106,6 +106,23 @@ def _build_listener(spark: SparkSession, spec: dict[str, Any]) -> DataFrame:
         return _canonicalize(
             read_stream_table(spark, src, max_files_per_trigger=mft)
         )
+    if ltype == "signalfx":
+        # The reference's HTTP front door [P: signalfxlistener.go].
+        # ``Source`` is the request spool (httpwire at-rest format); a
+        # LIVE server bound per ``ListenAddr`` is started separately by
+        # build_pipeline and spools into the same directory, so config
+        # users get a real network endpoint feeding this stream.
+        from metricproxy_spark.sources.signalfx import parse_sfx_v2_json
+        from metricproxy_spark.streaming.httplistener import (
+            http_spool_stream,
+        )
+
+        parsed = parse_sfx_v2_json(
+            http_spool_stream(spark, src), body_col="body"
+        )
+        return _canonicalize(
+            parsed.select("metric", "value", "ts", "metric_type", "dimensions")
+        )
     raise ValueError(f"unknown listener type {spec['Type']!r}")
 
 
@@ -144,4 +161,20 @@ def build_pipeline(
             # smallest configured buffer bounds the shared batch (F2)
             b = int(fwd["BufferSize"])
             max_rows = b if max_rows is None else min(max_rows, b)
-    return ProxyPipeline(source=source, sinks=sinks, max_batch_rows=max_rows)
+    pipe = ProxyPipeline(source=source, sinks=sinks, max_batch_rows=max_rows)
+    # Live network endpoints: a signalfx listener with a ListenAddr
+    # gets a REAL HTTP server spooling into its Source dir. The caller
+    # owns the lifecycle via pipe.live_listeners (stop() when done).
+    for spec in cfg["ListenFrom"]:
+        if spec["Type"].lower() == "signalfx" and spec.get("ListenAddr"):
+            from metricproxy_spark.streaming.httplistener import (
+                HttpIngestListener,
+            )
+
+            host, _, port = spec["ListenAddr"].rpartition(":")
+            lis = HttpIngestListener(
+                spec["Source"], host=host or "127.0.0.1", port=int(port)
+            )
+            lis.start()
+            pipe.live_listeners.append(lis)
+    return pipe

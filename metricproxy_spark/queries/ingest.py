@@ -1088,7 +1088,7 @@ def ingest_carbon_connector_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
            epoch_ms(ts) AS ts_ms,
            CAST(user_id AS VARCHAR) AS dim_user_id
     FROM events
-    WHERE event_id % 5 = 0
+    WHERE event_id % 5 = 0 AND user_id % 4 < 2
     """,
 )
 def ingest_http_listener_live(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1104,7 +1104,8 @@ def ingest_http_listener_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     generator that by definition holds its own payload (at 100 TB the
     clients are the fleet posting to many listener replicas; the
     engine side stays distributed: spool → connector scan → parse).
-    The posted subset is deterministic (event_id % 5 = 0, grouped into
+    The posted subset is deterministic (event_id % 5 = 0 and half the
+    users, grouped into
     requests by user_id % 23) so the result is a pure function of the
     events table."""
     import gzip as _gzip
@@ -1119,7 +1120,7 @@ def ingest_http_listener_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_httpwire(spark)
     ev = (
         load_table(spark, sf_dir, "events")
-        .where(F.col("event_id") % 5 == 0)
+        .where((F.col("event_id") % 5 == 0) & (F.col("user_id") % 4 < 2))
         .select(
             "event_id",
             "event_type",

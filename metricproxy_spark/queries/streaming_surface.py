@@ -866,3 +866,95 @@ def stream_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _run_to_memory(agg, os.path.join(wd, "ckpt"))
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+@register(
+    "stream_http_live_pipeline",
+    oracle="""
+    SELECT event_type AS metric,
+           count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS sum_value
+    FROM events
+    WHERE event_id % 7 = 0
+    GROUP BY 1
+    """,
+)
+def stream_http_live_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full LIVE front door as one streamed query: a real HTTP
+    server accepts loopback POSTs of sfx v2 JSON (the client posts a
+    deterministic events subset in 11 requests), the accepted spool is
+    consumed EXACTLY ONCE through the httpwire streaming connector,
+    parsed by the same C3 parser as every other path, and aggregated
+    per metric with decimal-exact sums in complete mode — so even the
+    live-network streamed result hash-matches the DuckDB batch oracle.
+    JSON double repr round-trips IEEE-exactly, which is what makes a
+    value-checked live wire possible."""
+    import http.client
+    import json as _json
+
+    from metricproxy_spark.io import ensure_package_on_workers, load_table
+    from metricproxy_spark.sources.signalfx import parse_sfx_v2_json
+    from metricproxy_spark.streaming.httplistener import (
+        HttpIngestListener,
+        http_spool_stream,
+    )
+
+    ensure_package_on_workers(spark)
+    wd = _workdir()
+    pdf = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_id") % 7 == 0)
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.unix_millis("ts").alias("ts_ms"),
+            (F.col("user_id") % 11).alias("req"),
+        )
+        .toPandas()
+    )
+    spool = os.path.join(wd, "spool")
+    with HttpIngestListener(spool) as lis:
+        conn = http.client.HTTPConnection(lis.host, lis.port, timeout=30)
+        for _req, grp in pdf.groupby("req"):
+            grp = grp.sort_values("event_id")
+            body = _json.dumps(
+                {
+                    "gauge": [
+                        {"metric": m, "value": float(v), "timestamp": int(t)}
+                        for m, v, t in zip(
+                            grp["event_type"], grp["value"], grp["ts_ms"]
+                        )
+                    ]
+                }
+            ).encode()
+            conn.request(
+                "POST",
+                "/v2/datapoint",
+                body=body,
+                headers={"Content-Type": "application/json"},
+            )
+            assert conn.getresponse().read() == b'"OK"'
+        conn.close()
+        parsed = parse_sfx_v2_json(
+            http_spool_stream(spark, spool), body_col="body"
+        )
+        agg = parsed.groupBy(F.col("metric")).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(27,4)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        # ~5 metric keys: scope the state-store width (200 default
+        # partitions would spin 200 state dirs for 5 keys)
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            out = _run_to_memory(agg, os.path.join(wd, "ckpt"))
+            result = spark.createDataFrame(
+                out.collect(), "metric string, n bigint, sum_value double"
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    shutil.rmtree(wd, ignore_errors=True)
+    return result

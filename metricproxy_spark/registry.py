@@ -86,6 +86,8 @@ _PRIORITY = (
     "events_counter_to_rate",
     "analytic_mode_per_group",
     "analytic_hll_sketch",
+    "stream_http_live_pipeline",
+    "sim_pq_rerank",
 )
 
 _QUERY_MODULES = (

@@ -64,6 +64,16 @@ class ProxyPipeline:
     sinks: list[SinkSpec] = field(default_factory=list)
     max_batch_rows: int | None = None
     stats: dict[str, int] = field(default_factory=dict)
+    # live network endpoints feeding this pipeline's sources (e.g. the
+    # HTTP ingest listener a config's ListenAddr starts); owned by the
+    # caller — see close_listeners()
+    live_listeners: list = field(default_factory=list)
+
+    def close_listeners(self) -> None:
+        """Stop every live network endpoint attached by build_pipeline
+        (idempotent; drain the stream first for exactly-once intake)."""
+        for lis in self.live_listeners:
+            lis.stop()
 
     def _count(self, key: str, n: int) -> None:
         self.stats[key] = self.stats.get(key, 0) + n

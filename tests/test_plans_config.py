@@ -93,3 +93,59 @@ def test_buffer_size_sheds(spark, tmp_path):
     assert stats["datapoints_in"] == 50
     assert stats["datapoints_dropped"] == 30
     assert count_rows_in_dir(spark, str(tmp_path / "out"), "csv") == 20
+
+
+def test_signalfx_live_listener_from_config(spark, tmp_path):
+    """A config-declared signalfx listener with a ListenAddr starts a
+    REAL HTTP endpoint: points POSTed over TCP land in the CSV
+    forwarder after one availableNow drain, with counters agreeing."""
+    import http.client
+
+    spool = str(tmp_path / "sfx_spool")
+    out = str(tmp_path / "csv_out")
+    cfg = {
+        "ListenFrom": [
+            {
+                "Type": "signalfx",
+                "ListenAddr": "127.0.0.1:0",
+                "Source": spool,
+            }
+        ],
+        "ForwardTo": [{"Type": "csv", "Name": "csv", "Path": out}],
+    }
+    pipe = build_pipeline(spark, cfg)
+    try:
+        [lis] = pipe.live_listeners
+        body = json.dumps(
+            {
+                "gauge": [
+                    {
+                        "metric": "live.cpu",
+                        "value": 0.5,
+                        "timestamp": 1700000000000,
+                        "dimensions": {"dc": "us"},
+                    },
+                    {
+                        "metric": "live.mem",
+                        "value": 2048.0,
+                        "timestamp": 1700000001000,
+                        "dimensions": {},
+                    },
+                ]
+            }
+        ).encode()
+        conn = http.client.HTTPConnection(lis.host, lis.port, timeout=10)
+        conn.request(
+            "POST",
+            "/v2/datapoint",
+            body=body,
+            headers={"Content-Type": "application/json"},
+        )
+        assert conn.getresponse().status == 200
+        conn.close()
+        stats = pipe.run_available_now(str(tmp_path / "ckpt"))
+    finally:
+        pipe.close_listeners()
+    assert stats["datapoints_in"] == 2
+    assert stats["sink.csv.datapoints"] == 2
+    assert count_rows_in_dir(spark, out, fmt="csv") == 2

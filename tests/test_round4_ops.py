@@ -151,3 +151,40 @@ def test_mode_tie_break_is_lexicographic(spark):
         .collect()
     )
     assert (r.pri, r.n) == ("A", 2)  # tie A/B at 2 → lexicographic
+
+
+def test_pq_rerank_recall_not_below_pure_adc(spark, sf_dir):
+    """Two-stage retrieval: exact re-rank of the ADC top-20 candidates
+    must match the exact-cosine top-3 at least as well as ranking by
+    ADC distance alone (the standard rerank-recovers-recall result)."""
+    from metricproxy_spark.io import load_table
+    from metricproxy_spark.operators.similarity import cosine_topk
+    from metricproxy_spark.registry import QUERIES, load_all
+
+    load_all()
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.match_id)
+        for r in cosine_topk(queries, emb, k=3).collect()
+    }
+    rerank = {
+        (r.query_id, r.neighbor_id)
+        for r in QUERIES["sim_pq_rerank"](spark, sf_dir).collect()
+    }
+    from metricproxy_spark.operators.pq import (
+        pq_adc_topk,
+        pq_encode,
+        train_pq_codebooks,
+    )
+
+    books = train_pq_codebooks(emb, m=32, k=16, max_iter=4)
+    codes = pq_encode(emb, books)
+    adc = {
+        (r.query_id, r.neighbor_id)
+        for r in pq_adc_topk(queries, codes, books, k_top=4).collect()
+        if r.query_id != r.neighbor_id and r.rank <= 3
+    }
+    # both are 10 queries x 3; compare overlap with exact ground truth
+    assert len(rerank & exact) >= len(adc & exact)
+    assert len(rerank & exact) >= 0.5 * len(exact)
