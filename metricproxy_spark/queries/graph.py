@@ -74,7 +74,21 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     (distinct pairs from orders⋈lineitem, symmetrized), 3 iterations,
     damping 0.85, integer-scaled so the result is oracle-EXACT (see
     module docstring). Every node has degree ≥ 1 by construction, so
-    there is no dangling-mass term."""
+    there is no dangling-mass term.
+
+    The whole build runs inside a shuffle-partition scope sized to the
+    ~1M-edge layout (a vanilla 200-partition session would spin 200
+    tasks for each of the ~8 node-sized stages in the loop; at real
+    scale the edge volume, not a session default, should set this)."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        return _pagerank_build(spark, sf_dir)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def _pagerank_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
 
