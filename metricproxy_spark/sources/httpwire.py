@@ -148,7 +148,10 @@ class HttpWireStreamReader(SimpleDataSourceStreamReader):
         files = _list_request_files(self._path)
         done = start.get("files", 0)
         rows = [_read_request_file(p) for p in files[done:]]
-        return rows, {"files": len(files)}
+        # MUST be an iterator, not a list: on an idle poll (offset
+        # unchanged) Spark probes it with next() to verify emptiness —
+        # a daemon stream polls idle constantly.
+        return iter(rows), {"files": len(files)}
 
     def readBetweenOffsets(self, start: dict, end: dict):
         files = _list_request_files(self._path)

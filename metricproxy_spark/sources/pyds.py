@@ -129,7 +129,10 @@ class CarbonWireStreamReader(SimpleDataSourceStreamReader):
         # stream API is for modest per-batch volumes by design — the
         # batch reader above is the bulk path.
         rows = [t for p in files[done:] for t in _read_file(p)]
-        return rows, {"files": len(files)}
+        # iter(), not the list itself: on an idle poll (offset
+        # unchanged) Spark probes the result with next() to verify
+        # emptiness — a daemon stream polls idle constantly.
+        return iter(rows), {"files": len(files)}
 
     def readBetweenOffsets(self, start: dict, end: dict):
         files = _list_wire_files(self._path)

@@ -138,15 +138,33 @@ class ProxyPipeline:
         checkpoint_dir: str,
         independent: bool = False,
         available_now: bool = True,
+        processing_time: str | None = None,
     ) -> list[StreamingQuery]:
         """Start the pipeline; returns the running queries (one in
-        shared mode, one per sink in independent mode)."""
+        shared mode, one per sink in independent mode).
+
+        ``available_now=True`` (default) drains and stops (F6);
+        ``available_now=False`` runs continuously on a
+        ``processing_time`` trigger (default "5 seconds") — the daemon
+        mode `serve` uses."""
+
+        def with_trigger(writer):
+            if available_now:
+                return writer.trigger(availableNow=True)
+            return writer.trigger(
+                processingTime=processing_time or "5 seconds"
+            )
+
         if not independent:
             q = (
-                self._observed_source()
-                .writeStream.foreachBatch(self._process_batch)
-                .option("checkpointLocation", os.path.join(checkpoint_dir, "demux"))
-                .trigger(availableNow=available_now)
+                with_trigger(
+                    self._observed_source().writeStream.foreachBatch(
+                        self._process_batch
+                    ).option(
+                        "checkpointLocation",
+                        os.path.join(checkpoint_dir, "demux"),
+                    )
+                )
                 .start()
             )
             return [q]
@@ -158,12 +176,12 @@ class ProxyPipeline:
                 self._count(f"sink.{_s.name}.datapoints", df.count())
 
             q = (
-                self.source.writeStream.foreachBatch(per_sink)
-                .option(
-                    "checkpointLocation",
-                    os.path.join(checkpoint_dir, f"sink_{sink.name}"),
+                with_trigger(
+                    self.source.writeStream.foreachBatch(per_sink).option(
+                        "checkpointLocation",
+                        os.path.join(checkpoint_dir, f"sink_{sink.name}"),
+                    )
                 )
-                .trigger(availableNow=available_now)
                 .start()
             )
             queries.append(q)
