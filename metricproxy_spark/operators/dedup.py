@@ -68,7 +68,14 @@ def minhash_signature(
 ) -> Column:
     """MinHash signature: element i = min over shingles of a seeded
     64-bit hash. Permutation family = xxhash64 with the seed as a
-    second hashed column (independent enough for LSH banding)."""
+    second hashed column (independent enough for LSH banding).
+
+    ``shingles`` may be the shingle STRINGS or already base-hashed
+    BIGINTs: callers at scale stage ``transform(sh, xxhash64)`` once
+    so the num_hashes seeded permutations re-hash 8-byte ints instead
+    of re-reading every shingle string num_hashes× — same
+    independence, ~an order less hashed bytes (the standard
+    one-base-hash MinHash layout)."""
     return F.array(
         *[
             F.array_min(F.transform(shingles, _seeded_hash(i)))
@@ -135,10 +142,18 @@ def minhash_near_dup_pairs(
         ),
         word_shingles(text_col, k_shingle).alias("_sh"),
     )
-    sig_df = words_df.select(
+    # Base-hash each shingle string ONCE (its own staged projection —
+    # CollapseProject would otherwise inline it back 16×), then the
+    # seeded permutations hash 8-byte ints.
+    hashed_df = words_df.select(
         "_id",
         "_words",
-        minhash_signature(F.col("_sh"), num_hashes).alias("_sig"),
+        F.transform(F.col("_sh"), lambda s: F.xxhash64(s)).alias("_shh"),
+    )
+    sig_df = hashed_df.select(
+        "_id",
+        "_words",
+        minhash_signature(F.col("_shh"), num_hashes).alias("_sig"),
     )
     # The band-bucket join only needs (id, band, band_hash): keep the
     # shuffle narrow; word arrays rejoin after candidate dedup. At scale
