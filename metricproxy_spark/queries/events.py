@@ -1258,3 +1258,34 @@ def events_counter_to_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("diff") < 0).cast("bigint").alias("n_resets"),
         F.sum(inc).cast("bigint").alias("total_increase"),
     )
+
+
+@register("events_downsample_lttb")
+def events_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTTB chart downsampling (Steinarsson 2013) to 50 points per
+    event-type series — the shape-preserving sibling of the M4
+    min/max/first/last rollup: each kept point maximizes the triangle
+    with the previously kept point and the next bucket's mean, so
+    trends and spikes survive where uniform sampling flattens them.
+    One applyInPandas per series (parallel across series, vectorized
+    within); deterministic (ts/id sort, first-index argmax ties) but
+    sequential selection has no SQL twin -> rows-only; endpoint/count/
+    subset/shape invariants + a hand-computed case live in
+    tests/test_round4_ops.py."""
+    from metricproxy_spark.operators.downsample import lttb_downsample
+
+    ev = load_table(spark, sf_dir, "events")
+    src = ev.select(
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        "value",
+        "event_id",
+    )
+    return lttb_downsample(
+        src,
+        series_col="event_type",
+        ts_col="ts_us",
+        value_col="value",
+        id_col="event_id",
+        n_out=50,
+    )

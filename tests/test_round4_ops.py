@@ -188,3 +188,65 @@ def test_pq_rerank_recall_not_below_pure_adc(spark, sf_dir):
     # both are 10 queries x 3; compare overlap with exact ground truth
     assert len(rerank & exact) >= len(adc & exact)
     assert len(rerank & exact) >= 0.5 * len(exact)
+
+
+class TestLttb:
+    def _run(self, spark, rows, n_out):
+        from metricproxy_spark.operators.downsample import lttb_downsample
+
+        df = spark.createDataFrame(rows, "s string, ts long, v double, id long")
+        return (
+            lttb_downsample(df, "s", "ts", "v", "id", n_out=n_out)
+            .orderBy("pos")
+            .collect()
+        )
+
+    def test_endpoints_kept_and_count(self, spark):
+        rows = [("a", t, float(t % 17), t) for t in range(200)]
+        got = self._run(spark, rows, 20)
+        assert len(got) == 20
+        assert got[0].ts == 0 and got[-1].ts == 199
+        # kept points are a subset of the input, strictly increasing ts
+        ts = [r.ts for r in got]
+        assert ts == sorted(ts) and len(set(ts)) == 20
+
+    def test_short_series_passthrough(self, spark):
+        rows = [("a", t, 1.0, t) for t in range(5)]
+        got = self._run(spark, rows, 20)
+        assert [r.ts for r in got] == [0, 1, 2, 3, 4]
+
+    def test_spike_survives(self, spark):
+        """A single huge spike must be kept — the property M4/minmax
+        has and uniform sampling lacks; LTTB keeps it because the
+        spike's triangle area dominates its bucket."""
+        rows = [("a", t, 1.0 if t != 137 else 500.0, t) for t in range(300)]
+        got = self._run(spark, rows, 12)
+        assert any(r.ts == 137 for r in got)
+
+    def test_hand_computed_tiny_case(self, spark):
+        """n=5 → n_out=4: linspace bounds [1,2,4] give interior
+        buckets {1} and {2,3}. Bucket {1} keeps its only point; bucket
+        {2,3} computes areas against (kept point 1, mean of {4}):
+        point 2 (the spike, area 27) beats point 3 (area 0)."""
+        rows = [
+            ("a", 0, 0.0, 0),
+            ("a", 1, 0.0, 1),
+            ("a", 2, 9.0, 2),
+            ("a", 3, 0.0, 3),
+            ("a", 4, 0.0, 4),
+        ]
+        got = self._run(spark, rows, 4)
+        assert [r.ts for r in got] == [0, 1, 2, 4]
+
+    def test_deterministic_across_partitionings(self, spark):
+        rows = [("a", t, float((t * 7919) % 101), t) for t in range(500)]
+        df = spark.createDataFrame(rows, "s string, ts long, v double, id long")
+        from metricproxy_spark.operators.downsample import lttb_downsample
+
+        a = lttb_downsample(df, "s", "ts", "v", "id", 30).orderBy("pos").collect()
+        b = (
+            lttb_downsample(df.repartition(13), "s", "ts", "v", "id", 30)
+            .orderBy("pos")
+            .collect()
+        )
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]

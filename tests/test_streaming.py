@@ -613,3 +613,43 @@ def test_space_saving_error_bounds_over_capacity(spark):
         assert r.cnt >= tc, (u, r)          # never underestimates
         assert r.cnt - r.err <= tc, (u, r)  # guaranteed-count bound
         assert r.version == 19
+
+
+def test_pipeline_crash_recovery_exactly_once(spark, tmp_path):
+    """T-family recovery: the stream crashes mid-run (sink raises on
+    its second micro-batch), then a RESTART from the same checkpoint
+    resumes at the failed batch — every row delivered exactly once
+    across the two runs, none lost, none duplicated (the checkpointed
+    offset + fail-before-write sink give idempotent delivery)."""
+    src_dir = str(tmp_path / "src")
+    rows = [(i, float(i)) for i in range(90)]
+    _write_parquet_stream_src(
+        spark, rows, "id long, value double", src_dir, n_files=3
+    )
+
+    delivered: list[int] = []
+
+    class CrashOnceSink:
+        def __init__(self):
+            self.crashed = False
+
+        def __call__(self, df, batch_id):
+            ids = [r.id for r in df.select("id").collect()]
+            if batch_id == 1 and not self.crashed:
+                self.crashed = True
+                raise RuntimeError("simulated sink outage")
+            delivered.extend(ids)
+
+    sink = CrashOnceSink()
+
+    def run():
+        stream = read_stream_table(spark, src_dir, max_files_per_trigger=1)
+        pipe = ProxyPipeline(source=stream, sinks=[SinkSpec("s", sink)])
+        return pipe.run_available_now(str(tmp_path / "ckpt"))
+
+    with pytest.raises(Exception, match="simulated sink outage"):
+        run()
+    assert sorted(delivered) == list(range(30))  # batch 0 only
+    run()  # restart from the SAME checkpoint
+    assert sorted(delivered) == list(range(90))
+    assert len(delivered) == len(set(delivered))  # no duplicates
