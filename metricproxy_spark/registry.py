@@ -88,6 +88,7 @@ _PRIORITY = (
     "analytic_hll_sketch",
     "stream_http_live_pipeline",
     "sim_pq_rerank",
+    "events_downsample_lttb",
 )
 
 _QUERY_MODULES = (
