@@ -1289,3 +1289,81 @@ def events_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="event_id",
         n_out=50,
     )
+
+
+@register(
+    "events_holt_trend",
+    oracle="""
+    WITH series AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               list(value ORDER BY ts, event_id) AS vals
+        FROM events
+        GROUP BY 1, 2
+    ), fitted AS (
+        -- NB list-typed accumulator [l, b], not a struct: DuckDB
+        -- 1.0.0's list_reduce lets later struct_pack fields see
+        -- earlier NEW fields under the same name (aliasing), which
+        -- silently corrupts multi-field recurrences. Positional list
+        -- elements have no names to shadow.
+        SELECT event_type, day, len(vals) AS n,
+               list_reduce(
+                   list_prepend(
+                       [vals[1], vals[2] - vals[1]],
+                       list_transform(
+                           list_slice(vals, 2, len(vals)),
+                           x -> [x, CAST(0 AS DOUBLE)]
+                       )
+                   ),
+                   (acc, e) -> [
+                       0.5 * e[1] + 0.5 * (acc[1] + acc[2]),
+                       0.5 * ((0.5 * e[1] + 0.5 * (acc[1] + acc[2]))
+                              - acc[1]) + 0.5 * acc[2]
+                   ]
+               ) AS hw
+        FROM series
+    )
+    SELECT event_type, day, n,
+           hw[1] AS level, hw[2] AS trend,
+           hw[1] + hw[2] AS forecast_1
+    FROM fitted
+    """,
+)
+def events_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend double exponential smoothing per
+    (event_type, day), alpha = beta = 0.5 — the trend-aware sibling of
+    `events_ema` and the classic metric forecaster (level + trend →
+    one-step forecast). Sequential by nature, so the same bounded
+    per-group sorted-array fold: init l=x1, b=x2-x1, then one JVM
+    `aggregate` HOF step per sample whose multiply-add chain is
+    bit-identical to the DuckDB `list_reduce` twin — the SEQUENTIAL
+    recurrence, not just aggregates, is value-checked. Single-sample
+    days yield NULL trend/forecast in both engines."""
+    events = load_table(spark, sf_dir, "events")
+    series = events.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.sort_array(
+            F.collect_list(F.struct("ts", "event_id", "value"))
+        ).alias("rows")
+    )
+    staged = series.select(
+        "event_type",
+        "day",
+        F.expr("transform(rows, r -> r.value)").alias("vals"),
+    )
+    hw = F.expr(
+        "aggregate(slice(vals, 2, size(vals) - 1),"
+        " struct(vals[0] AS l, vals[1] - vals[0] AS b),"
+        " (acc, x) -> struct("
+        "   0.5D * x + 0.5D * (acc.l + acc.b) AS l,"
+        "   0.5D * ((0.5D * x + 0.5D * (acc.l + acc.b)) - acc.l)"
+        "     + 0.5D * acc.b AS b))"
+    )
+    return staged.select(
+        "event_type",
+        "day",
+        F.size("vals").cast("bigint").alias("n"),
+        hw["l"].alias("level"),
+        hw["b"].alias("trend"),
+        (hw["l"] + hw["b"]).alias("forecast_1"),
+    )

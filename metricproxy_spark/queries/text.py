@@ -1884,3 +1884,77 @@ def text_bigram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("common_permille"),
         )
     )
+
+
+@register(
+    "pipeline_lm_typicality",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS w
+        FROM documents
+    ), w2 AS (
+        SELECT doc_id, w FROM words WHERE w <> ''
+    ), vocab AS (
+        SELECT w, count(*) AS cnt FROM w2 GROUP BY w
+    ), consts AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(count(DISTINCT w) AS BIGINT) AS v_size
+        FROM w2
+    ), per_doc AS (
+        SELECT d.doc_id,
+               CAST(count(*) AS BIGINT) AS n_tok,
+               CAST(sum(v.cnt + 1) AS BIGINT) AS sum_cnt
+        FROM w2 d JOIN vocab v ON d.w = v.w
+        GROUP BY d.doc_id
+    )
+    SELECT p.doc_id, p.n_tok, p.sum_cnt,
+           round(CAST(p.sum_cnt AS DOUBLE)
+                 / (CAST(p.n_tok AS DOUBLE) * (c.n_tokens + c.v_size)),
+                 9) AS typicality
+    FROM per_doc p, consts c
+    """,
+)
+def pipeline_lm_typicality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4 quality signal, CCNet-flavored: per-doc mean add-one-smoothed
+    unigram probability under the corpus LM — common-word-heavy docs
+    score high, gibberish scores low (the cheap stand-in for KenLM
+    perplexity filtering). Everything stays INTEGER until one final
+    division of exact BIGINTs (Σ(cnt+1), n_tok·(N+V)) rounded to 9dp,
+    so both engines agree bit-for-bit — no per-token log-sum float
+    drift. Shape: one token explode, one vocab hash agg, one
+    shuffled equi-join token→count (the LM is corpus-sized and stays
+    DISTRIBUTED — no driver vocabulary), one per-doc agg, and the two
+    corpus constants ride a 1-row broadcast cross join."""
+    docs = load_table(spark, sf_dir, "documents")
+    w2 = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(F.lower(F.trim(F.col("text"))), " ")
+        ).alias("w"),
+    ).where(F.col("w") != "")
+    vocab = w2.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    consts = w2.agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.count_distinct("w").alias("v_size"),
+    )
+    per_doc = (
+        w2.join(vocab, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.sum(F.col("cnt") + 1).alias("sum_cnt"),
+        )
+    )
+    return per_doc.crossJoin(F.broadcast(consts)).select(
+        "doc_id",
+        "n_tok",
+        "sum_cnt",
+        F.round(
+            F.col("sum_cnt").cast("double")
+            / (
+                F.col("n_tok").cast("double")
+                * (F.col("n_tokens") + F.col("v_size"))
+            ),
+            9,
+        ).alias("typicality"),
+    )

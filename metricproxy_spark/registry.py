@@ -89,6 +89,7 @@ _PRIORITY = (
     "stream_http_live_pipeline",
     "sim_pq_rerank",
     "events_downsample_lttb",
+    "events_holt_trend",  # slot 50 — window exactly full
 )
 
 _QUERY_MODULES = (

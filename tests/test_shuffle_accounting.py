@@ -143,3 +143,38 @@ def test_centroid_broadcasts_stay_kd_bounded(
     ]
     assert bcasts, mets  # the broadcast join must actually plan
     assert all(0 < b < 64 * 1024 for b in bcasts), bcasts
+
+
+def test_exact_sweep_shuffle_linear_in_rows_times_blocks(
+    spark, sf_correctness_dir
+):
+    """The distributed block-pair exact sweep's shuffle must be n·B
+    replicated rows (each row visits its B block-pair groups), NOT the
+    n² pair space: with B blocks forced, bytes ≤ ~700B × n × B (one
+    64-dim float64 vector + ids per replicated row, uncompressed
+    upper bound) — and the measured bytes must GROW ~linearly in B,
+    proving replication factor, not pair materialization."""
+    from metricproxy_spark.io import load_table
+    from metricproxy_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    n = _table_count(sf_correctness_dir, "embeddings")
+    emb = load_table(spark, sf_correctness_dir, "embeddings")
+
+    def bytes_at(blocks: int) -> int:
+        return total_shuffle_bytes_written(
+            embedding_near_dup_pairs(
+                emb,
+                threshold=0.4,
+                target_block_rows=max(1, n // blocks),
+            )
+        )
+
+    b4 = bytes_at(4)
+    assert b4 <= 700 * n * 4, (b4, n)
+    b8 = bytes_at(8)
+    assert b8 <= 700 * n * 8, (b8, n)
+    # replication scaling: doubling the block count roughly doubles
+    # shuffle volume (allow wide slack; quadratic would blow past it)
+    assert b8 <= 3.2 * b4, (b4, b8)
