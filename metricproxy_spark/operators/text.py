@@ -149,6 +149,79 @@ def repetition_signals(
     }
 
 
+def repetition_signals_staged(
+    df,
+    text_col: str = "text",
+    id_cols: tuple[str, ...] = ("doc_id",),
+    para_words: int = 8,
+):
+    """Staged-projection twin of :func:`repetition_signals`: identical
+    per-column expressions, but the words / paragraphs / bigrams /
+    sorted-bigrams arrays each live in their OWN projection so every
+    array is computed once per row — Catalyst's CollapseProject would
+    otherwise re-inline the bigram transform into each of the four
+    columns that reference it (the `text_bigram_coverage` lesson).
+    Row-equal to the spec by test; still narrow (no shuffle)."""
+    w = df.select(*id_cols, words_of(F.col(text_col)).alias("_w"))
+    arrs = w.select(
+        *id_cols,
+        paragraph_chunks(F.col("_w"), para_words).alias("_paras"),
+        F.transform(
+            F.sequence(F.lit(1), F.size("_w") - 1),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(F.col("_w"), i),
+                F.element_at(F.col("_w"), i + 1),
+            ),
+        ).alias("_bg"),
+    )
+    sorted_bg = arrs.select(
+        *id_cols, "_paras", "_bg", F.array_sort("_bg").alias("_bgs")
+    )
+    run_fold = F.aggregate(
+        F.col("_bgs"),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    topped = sorted_bg.select(
+        *id_cols,
+        "_paras",
+        "_bg",
+        F.when(F.size("_bg") > 0, run_fold)
+        .otherwise(F.lit(None).cast("int"))
+        .alias("_top"),
+    )
+    return topped.select(
+        *id_cols,
+        F.size("_paras").cast("bigint").alias("n_paras"),
+        F.round(
+            1
+            - F.size(F.array_distinct("_paras")).cast("double")
+            / F.size("_paras").cast("double"),
+            9,
+        ).alias("dup_para_frac"),
+        F.size("_bg").cast("bigint").alias("n_bigrams"),
+        F.col("_top").cast("bigint").alias("top_bigram_cnt"),
+        F.round(
+            F.col("_top").cast("double") / F.size("_bg").cast("double"), 9
+        ).alias("top_bigram_frac"),
+    )
+
+
 def kgram_hashes(text_col: Column | str, k: int = 3) -> Column:
     """ARRAY<BIGINT> of word-k-gram polynomial hashes (the winnowing
     base stream, usable standalone for span-level dedup signals):

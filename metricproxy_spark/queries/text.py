@@ -477,13 +477,10 @@ def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     a linear scan bounded by per-document length. ``spread`` widens the
     scan when a small corpus arrives as fewer splits than cores (no-op
     at real scale)."""
-    from metricproxy_spark.operators.text import repetition_signals
+    from metricproxy_spark.operators.text import repetition_signals_staged
 
     docs = spread(load_table(spark, sf_dir, "documents"), spark)
-    sig = repetition_signals("text")
-    return docs.select(
-        "doc_id", *[expr.alias(name) for name, expr in sig.items()]
-    )
+    return repetition_signals_staged(docs, "text")
 
 
 @register(

@@ -250,3 +250,27 @@ class TestLttb:
             .collect()
         )
         assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_repetition_signals_staged_row_equal_to_spec(spark, sf_dir):
+    """The staged-projection twin must be row-identical to the HOF
+    spec dict — the spec stays the semantics, the twin the hot path."""
+    from metricproxy_spark.io import load_table
+    from metricproxy_spark.operators.text import (
+        repetition_signals,
+        repetition_signals_staged,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = repetition_signals("text")
+    spec = {
+        r["doc_id"]: tuple(r)[1:]
+        for r in docs.select(
+            "doc_id", *[e.alias(n) for n, e in sig.items()]
+        ).collect()
+    }
+    twin = {
+        r["doc_id"]: tuple(r)[1:]
+        for r in repetition_signals_staged(docs, "text").collect()
+    }
+    assert spec == twin
