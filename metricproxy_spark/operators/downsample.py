@@ -62,12 +62,24 @@ def lttb_downsample(
             keep = np.arange(n)
         else:
             keep_idx = [0]
-            # n_out-2 interior buckets over points 1..n-2
+            # n_out-2 interior buckets over points 1..n-2. Integer
+            # rounding of the edges can produce EMPTY buckets when n is
+            # only slightly above n_out — repack greedily so every
+            # bucket holds ≥1 point (there are n-2 ≥ n_out-1 interior
+            # points whenever n > n_out, so packing always fits).
             bounds = np.linspace(1, n - 1, n_out - 1).astype(int)
+            prev_end = 1
             for b in range(n_out - 2):
-                lo, hi = bounds[b], bounds[b + 1]
-                nxt_lo, nxt_hi = bounds[b + 1], (
-                    bounds[b + 2] if b + 2 < len(bounds) else n
+                lo = max(int(bounds[b]), prev_end)
+                hi = max(int(bounds[b + 1]), lo + 1)
+                hi = min(hi, n - 1)
+                if lo >= n - 1:
+                    break  # interior points exhausted
+                prev_end = hi
+                nxt_lo, nxt_hi = hi, (
+                    max(int(bounds[b + 2]), hi + 1)
+                    if b + 2 < len(bounds)
+                    else n
                 )
                 ax, ay = x[keep_idx[-1]], y[keep_idx[-1]]
                 bx = x[nxt_lo:nxt_hi].mean() if nxt_hi > nxt_lo else x[n - 1]

@@ -113,6 +113,20 @@ class HttpIngestListener:
 
     def start(self) -> tuple[str, int]:
         os.makedirs(self.spool_dir, exist_ok=True)
+        # Resume the sequence after existing spool files: a RESTARTED
+        # listener must append, never clobber — the stream's offset is
+        # "first N sorted files", so names stay monotonic across
+        # listener generations.
+        existing = [
+            f
+            for f in os.listdir(self.spool_dir)
+            if f.startswith("req_") and f.endswith(".http")
+        ]
+        if existing:
+            self._seq = (
+                max(int(f.split("_")[1].split(".")[0]) for f in existing)
+                + 1
+            )
         handler = type(
             "_BoundHandler", (_IngestHandler,), {"listener": self}
         )

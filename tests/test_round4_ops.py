@@ -274,3 +274,70 @@ def test_repetition_signals_staged_row_equal_to_spec(spark, sf_dir):
         for r in repetition_signals_staged(docs, "text").collect()
     }
     assert spec == twin
+
+
+def test_lttb_n_just_above_n_out_no_empty_bucket_crash(spark):
+    """Integer edge rounding creates empty buckets when n is barely
+    above n_out — the repacking must keep every bucket non-empty and
+    still emit exactly n_out unique points."""
+    from metricproxy_spark.operators.downsample import lttb_downsample
+
+    for n, n_out in ((21, 20), (22, 20), (101, 100), (25, 24)):
+        rows = [("a", t, float(t % 7), t) for t in range(n)]
+        df = spark.createDataFrame(
+            rows, "s string, ts long, v double, id long"
+        )
+        got = (
+            lttb_downsample(df, "s", "ts", "v", "id", n_out=n_out)
+            .orderBy("pos")
+            .collect()
+        )
+        ts = [r.ts for r in got]
+        assert len(ts) == n_out, (n, n_out, len(ts))
+        assert ts[0] == 0 and ts[-1] == n - 1
+        assert ts == sorted(ts) and len(set(ts)) == n_out
+
+
+def test_httplistener_restart_appends_not_clobbers(spark, tmp_path):
+    """A restarted listener on the same spool must continue the file
+    sequence (stream offsets = first-N-sorted-files), never overwrite
+    previously accepted requests."""
+    import http.client
+    import json as _json
+
+    from metricproxy_spark.streaming.httplistener import HttpIngestListener
+
+    spool = str(tmp_path / "spool")
+
+    def post_one(metric):
+        with HttpIngestListener(spool) as lis:
+            conn = http.client.HTTPConnection(lis.host, lis.port, timeout=10)
+            body = _json.dumps(
+                {"gauge": [{"metric": metric, "value": 1.0, "timestamp": 1}]}
+            ).encode()
+            conn.request("POST", "/v2/datapoint", body=body)
+            assert conn.getresponse().status == 200
+            conn.close()
+
+    post_one("gen1.a")
+    post_one("gen2.b")  # fresh listener instance, same spool
+    import os
+
+    files = sorted(
+        f for f in os.listdir(spool) if f.endswith(".http")
+    )
+    assert files == ["req_000000.http", "req_000001.http"], files
+    from metricproxy_spark.sources.httpwire import register_httpwire
+
+    register_httpwire(spark)
+    bodies = [
+        r.body
+        for r in spark.read.format("httpwire")
+        .option("path", spool)
+        .load()
+        .collect()
+    ]
+    metrics = sorted(
+        _json.loads(b)["gauge"][0]["metric"] for b in bodies
+    )
+    assert metrics == ["gen1.a", "gen2.b"]
