@@ -468,13 +468,19 @@ def simhash(text_col: Column | str, num_bits: int = 64) -> Column:
 def simhash_from_hashes(hashes: Column, num_bits: int = 64) -> Column:
     n = F.size(hashes)
 
-    def bit_set(b: int):
-        # one-param lambda (see _seeded_hash note)
-        return lambda h: F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)) == 1
+    def ones(b: int):
+        # count of elements with bit b set — an integer FOLD, not
+        # filter+size (filter materializes a filtered array per bit;
+        # 64 bits × per-row allocation dominated the signature cost)
+        return F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)),
+        )
 
     bit = lambda b: F.when(  # noqa: E731
-        F.size(F.filter(hashes, bit_set(b))) * 2 > n,
-        F.lit(1).cast("long"),
+        ones(b) * 2 > n, F.lit(1).cast("long")
     ).otherwise(F.lit(0).cast("long"))
     out = F.lit(0).cast("long")
     for b in range(num_bits):
