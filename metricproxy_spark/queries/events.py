@@ -1367,3 +1367,149 @@ def events_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         hw["b"].alias("trend"),
         (hw["l"] + hw["b"]).alias("forecast_1"),
     )
+
+
+@register(
+    "events_sla_burn_rate",
+    oracle="""
+    WITH base AS (
+        SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS w5,
+               date_trunc('hour', ts) AS w1h,
+               CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_err
+        FROM events
+    ), five AS (
+        SELECT w1h, w5, count(*) AS n, CAST(sum(is_err) AS BIGINT) AS errs
+        FROM base GROUP BY 1, 2
+    ), hour AS (
+        SELECT w1h, CAST(sum(n) AS BIGINT) AS n_total,
+               CAST(sum(errs) AS BIGINT) AS n_errors,
+               max(round((errs * 100.0) / n, 6)) AS worst_5m_err_pct
+        FROM five GROUP BY 1
+    )
+    SELECT w1h AS window_start, n_total, n_errors,
+           round((n_errors * 100.0) / n_total, 6) AS err_pct,
+           round(((n_errors * 100.0) / n_total) / 1.0, 6) AS burn_rate_1h,
+           worst_5m_err_pct,
+           (((n_errors * 100.0) / n_total) / 1.0 > 14.4
+            AND worst_5m_err_pct / 1.0 > 14.4) AS page_alert
+    FROM hour
+    """,
+)
+def events_sla_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRE multi-window error-budget burn rate over the event stream
+    (the Google SRE workbook's multiwindow multi-burn-rate alert, on a
+    99% SLO ⇒ 1% budget): per hour, the hourly burn rate AND the worst
+    5-minute burn inside it — paging only when BOTH exceed 14.4×
+    budget kills the single-window false-positive/slow-detect
+    tradeoff. Two nested rollups (5m → 1h) so the short-window maximum
+    needs no second scan; integer counts until two final divisions
+    rounded to 6dp keep both engines bit-identical."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        F.window("ts", "5 minutes").getField("start").alias("w5"),
+        F.date_trunc("hour", "ts").alias("w1h"),
+        F.when(F.col("event_type") == "error", 1).otherwise(0).alias(
+            "is_err"
+        ),
+    )
+    five = base.groupBy("w1h", "w5").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("is_err").cast("bigint").alias("errs"),
+    )
+    hour = five.groupBy("w1h").agg(
+        F.sum("n").cast("bigint").alias("n_total"),
+        F.sum("errs").cast("bigint").alias("n_errors"),
+        F.max(
+            F.round((F.col("errs") * 100.0) / F.col("n"), 6)
+        ).alias("worst_5m_err_pct"),
+    )
+    err_pct = F.round((F.col("n_errors") * 100.0) / F.col("n_total"), 6)
+    burn_1h = F.round(
+        ((F.col("n_errors") * 100.0) / F.col("n_total")) / 1.0, 6
+    )
+    return hour.select(
+        F.col("w1h").alias("window_start"),
+        "n_total",
+        "n_errors",
+        err_pct.alias("err_pct"),
+        burn_1h.alias("burn_rate_1h"),
+        "worst_5m_err_pct",
+        (
+            (((F.col("n_errors") * 100.0) / F.col("n_total")) / 1.0 > 14.4)
+            & (F.col("worst_5m_err_pct") / 1.0 > 14.4)
+        ).alias("page_alert"),
+    )
+
+
+@register(
+    "events_cusum_score",
+    oracle="""
+    WITH series AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               list(value ORDER BY ts, event_id) AS vals,
+               (CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE)
+                / COUNT(value)) AS mu
+        FROM events
+        GROUP BY 1, 2
+    ), folded AS (
+        -- positional-list accumulator [s_plus, best] (see
+        -- events_holt_trend for why not a struct)
+        SELECT event_type, day, len(vals) AS n,
+               list_reduce(
+                   list_prepend(
+                       [CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)],
+                       list_transform(vals, x -> [x - mu - 0.5, CAST(0 AS DOUBLE)])
+                   ),
+                   (acc, e) -> [
+                       greatest(CAST(0 AS DOUBLE), acc[1] + e[1]),
+                       greatest(acc[2],
+                                greatest(CAST(0 AS DOUBLE), acc[1] + e[1]))
+                   ]
+               ) AS cs
+        FROM series
+    )
+    SELECT event_type, day, n,
+           cs[1] AS cusum_end, cs[2] AS cusum_max,
+           cs[2] > 4.0 AS shifted
+    FROM folded
+    """,
+)
+def events_cusum_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM change-point score per (event_type, day) (Page
+    1954): S⁺_t = max(0, S⁺_{t-1} + (x_t − μ − k)) with slack k=0.5 —
+    the classic sequential drift detector; a day whose max S⁺ exceeds
+    the decision interval h=4 likely contains an upward mean shift.
+    Same bounded per-group sorted-array fold as the EMA/Holt family:
+    μ comes from the exact decimal mean (both engines agree
+    bit-for-bit), the per-sample deltas are staged by one transform,
+    and the fold's max/add chain is identical IEEE arithmetic in both
+    engines, so the SEQUENTIAL detector — end state, running max and
+    decision — is value-checked exactly."""
+    events = load_table(spark, sf_dir, "events")
+    series = events.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.sort_array(
+            F.collect_list(F.struct("ts", "event_id", "value"))
+        ).alias("rows"),
+        davg("value").alias("mu"),
+    )
+    staged = series.select(
+        "event_type",
+        "day",
+        F.expr("transform(rows, r -> r.value - mu - 0.5D)").alias("deltas"),
+    )
+    cs = F.expr(
+        "aggregate(deltas, struct(0D AS s, 0D AS best),"
+        " (acc, d) -> struct("
+        "   greatest(0D, acc.s + d) AS s,"
+        "   greatest(acc.best, greatest(0D, acc.s + d)) AS best))"
+    )
+    return staged.select(
+        "event_type",
+        "day",
+        F.size("deltas").cast("bigint").alias("n"),
+        cs["s"].alias("cusum_end"),
+        cs["best"].alias("cusum_max"),
+        (cs["best"] > 4.0).alias("shifted"),
+    )

@@ -271,3 +271,104 @@ def analytic_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_micros(F.col("ts_asof")) - F.unix_micros(F.col("ts"))
         ).alias("lead_us"),
     )
+
+
+@register(
+    "analytic_asof_nearest",
+    oracle="""
+    WITH e AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+    ), p AS (
+        SELECT user_id, ts, max(value) AS pv
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    ), back AS (
+        SELECT e.event_id, e.user_id, e.ts, p.pv AS bv, p.ts AS bts
+        FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts
+    ), paired AS (
+        SELECT b.event_id, b.user_id, b.ts, b.bv, b.bts,
+               f.pv AS fv, f.ts AS fts
+        FROM back b ASOF LEFT JOIN p f
+          ON b.user_id = f.user_id AND b.ts <= f.ts
+    )
+    SELECT event_id, user_id,
+           CASE
+             WHEN bts IS NULL AND fts IS NULL THEN NULL
+             WHEN fts IS NULL THEN bv
+             WHEN bts IS NULL THEN fv
+             WHEN date_diff('microsecond', bts, ts)
+                  <= date_diff('microsecond', ts, fts) THEN bv
+             ELSE fv
+           END AS nearest_value,
+           CASE
+             WHEN bts IS NULL AND fts IS NULL THEN NULL
+             WHEN fts IS NULL THEN 'prev'
+             WHEN bts IS NULL THEN 'next'
+             WHEN date_diff('microsecond', bts, ts)
+                  <= date_diff('microsecond', ts, fts) THEN 'prev'
+             ELSE 'next'
+           END AS direction,
+           CASE
+             WHEN bts IS NULL AND fts IS NULL THEN NULL
+             WHEN fts IS NULL THEN date_diff('microsecond', bts, ts)
+             WHEN bts IS NULL THEN date_diff('microsecond', ts, fts)
+             ELSE least(date_diff('microsecond', bts, ts),
+                        date_diff('microsecond', ts, fts))
+           END AS dist_us
+    FROM paired
+    """,
+)
+def analytic_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9 nearest variant: each error enriched with the CLOSEST
+    purchase in either direction (tie → the earlier one) — the full
+    bidirectional alignment built by composing the backward and
+    forward as-of operators (two one-shuffle window passes on the same
+    user_id key; Exchange reuse makes the second pass cheap). The
+    oracle chains DuckDB's two ASOF directions with the same
+    tie-break."""
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pv"))
+    )
+    back = asof_join(
+        errors,
+        purchases,
+        on="user_id",
+        ts_col="ts",
+        right_payload=["pv", "ts"],
+        suffix="_b",
+    ).withColumnsRenamed({"pv_b": "bv", "ts_b": "bts"})
+    both = asof_join_forward(
+        back,
+        purchases,
+        on="user_id",
+        ts_col="ts",
+        right_payload=["pv", "ts"],
+        suffix="_f",
+    ).withColumnsRenamed({"pv_f": "fv", "ts_f": "fts"})
+    d_b = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("bts"))
+    d_f = F.unix_micros(F.col("fts")) - F.unix_micros(F.col("ts"))
+    take_prev = F.col("fts").isNull() | (
+        F.col("bts").isNotNull() & (d_b <= d_f)
+    )
+    none = F.col("bts").isNull() & F.col("fts").isNull()
+    return both.select(
+        "event_id",
+        "user_id",
+        F.when(none, F.lit(None).cast("double"))
+        .when(take_prev, F.col("bv"))
+        .otherwise(F.col("fv"))
+        .alias("nearest_value"),
+        F.when(none, F.lit(None).cast("string"))
+        .when(take_prev, F.lit("prev"))
+        .otherwise(F.lit("next"))
+        .alias("direction"),
+        F.when(none, F.lit(None).cast("bigint"))
+        .when(take_prev, d_b)
+        .otherwise(d_f)
+        .alias("dist_us"),
+    )
