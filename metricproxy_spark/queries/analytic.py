@@ -837,3 +837,70 @@ def analytic_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionByName(merged)
     )
+
+
+@register(
+    "analytic_skyline_frontier",
+    oracle="""
+    WITH pts AS (
+        SELECT c.c_custkey, c.c_acctbal,
+               CAST(count(o.o_orderkey) AS BIGINT) AS n_orders
+        FROM customer c
+        LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey, c.c_acctbal
+    ), flagged AS (
+        SELECT *,
+               max(c_acctbal) OVER (
+                   ORDER BY n_orders
+                   RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+               ) AS best_bal_more_orders,
+               max(c_acctbal) OVER (PARTITION BY n_orders)
+                   AS best_bal_same_orders
+        FROM pts
+    )
+    SELECT c_custkey, n_orders, c_acctbal
+    FROM flagged
+    WHERE (best_bal_more_orders IS NULL
+           OR c_acctbal > best_bal_more_orders)
+      AND c_acctbal = best_bal_same_orders
+    """,
+)
+def analytic_skyline_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto skyline (Börzsönyi et al. 2001) over customers on
+    (n_orders ↑, acctbal ↑): the frontier no other customer dominates
+    (≥ on both axes, > on one). NOT the textbook O(n²) dominance
+    self-join — for 2 dimensions the skyline falls out of two WINDOW
+    passes: a point survives iff its balance (a) beats the best
+    balance among all strictly-higher order counts (range frame 1
+    FOLLOWING → ∞) and (b) is the maximum within its own order count.
+    One sort-shuffle total, n log n — the shape that survives 100 TB
+    where the join formulation cannot. Oracle runs the identical
+    window logic."""
+    from pyspark.sql import Window
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    pts = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_acctbal")
+        .agg(F.count("o_orderkey").cast("bigint").alias("n_orders"))
+    )
+    w_more = (
+        Window.orderBy("n_orders")
+        .rangeBetween(1, Window.unboundedFollowing)
+    )
+    w_same = Window.partitionBy("n_orders")
+    flagged = pts.select(
+        "c_custkey",
+        "n_orders",
+        "c_acctbal",
+        F.max("c_acctbal").over(w_more).alias("best_more"),
+        F.max("c_acctbal").over(w_same).alias("best_same"),
+    )
+    return flagged.where(
+        (
+            F.col("best_more").isNull()
+            | (F.col("c_acctbal") > F.col("best_more"))
+        )
+        & (F.col("c_acctbal") == F.col("best_same"))
+    ).select("c_custkey", "n_orders", "c_acctbal")
