@@ -532,3 +532,53 @@ class TestRound4LayoutDiscipline:
         assert "Exchange" not in below_join, plan
         assert plan.count("Exchange") == 1, plan  # only the final agg
         assert plan.count("Bucketed: true") == 2, plan
+
+
+class TestRound4QueryPlanDiscipline:
+    """Plan assertions for the round-4 analytic additions."""
+
+    def _plan(self, spark, sf_dir, name):
+        from metricproxy_spark.registry import QUERIES, load_all
+
+        load_all()
+        return _executed_plan(QUERIES[name](spark, sf_dir))
+
+    def test_skyline_is_window_not_dominance_join(self, spark, sf_dir):
+        """The Pareto frontier must plan as window passes over one
+        sort — never a quadratic dominance self-join (the only join
+        allowed is the initial customer⋈orders rollup)."""
+        plan = self._plan(spark, sf_dir, "analytic_skyline_frontier")
+        assert "Window" in plan, plan
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoop" not in plan, plan
+        # exactly the customer⋈orders rollup join, nothing pairwise
+        n_joins = plan.count("Join")
+        assert n_joins <= 2, f"{n_joins} joins:\n{plan}"
+
+    def test_asof_family_plans_without_joins(self, spark, sf_dir):
+        """Forward and nearest as-of are union+window rewrites: ZERO
+        join operators anywhere — the pair-explosion-free property
+        that makes them survive fact-sized inputs."""
+        for name in ("analytic_asof_forward", "analytic_asof_nearest"):
+            plan = self._plan(spark, sf_dir, name)
+            assert "Join" not in plan, f"{name}:\n{plan}"
+            assert "Window" in plan, name
+
+    def test_burn_rate_nested_rollup_partial_aggregates(
+        self, spark, sf_dir
+    ):
+        """5m→1h nested rollup: both levels hash-aggregate with
+        map-side partials; no join, no window."""
+        plan = self._plan(spark, sf_dir, "events_sla_burn_rate")
+        assert "Join" not in plan, plan
+        assert plan.count("HashAggregate") >= 4, plan  # 2 levels × partial+final
+
+    def test_sequential_folds_single_shuffle(self, spark, sf_dir):
+        """Holt and CUSUM collapse to ONE hash shuffle (the per-group
+        collect_list agg) + narrow folds — the sequential recurrences
+        never become iterative jobs or windows over the raw stream."""
+        for name in ("events_holt_trend", "events_cusum_score"):
+            plan = self._plan(spark, sf_dir, name)
+            n_ex = plan.count("Exchange hashpartitioning")
+            assert n_ex == 1, f"{name}: {n_ex} exchanges\n{plan}"
+            assert "Join" not in plan, name
