@@ -1246,3 +1246,70 @@ def ingest_prometheus_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_element_at("labels", F.lit("shard")).alias("label_shard"),
         "prom_type",
     )
+
+
+@register(
+    "ingest_syslog_rfc3164",
+    oracle="""
+    SELECT CAST(((user_id % 3 + 16) * 8 + event_id % 8) // 8 AS BIGINT)
+               AS facility,
+           CAST(((user_id % 3 + 16) * 8 + event_id % 8) % 8 AS BIGINT)
+               AS severity,
+           strftime(ts, '%b %d %H:%M:%S') AS ts_str,
+           'h' || CAST(user_id % 5 AS VARCHAR) AS host,
+           event_type AS tag,
+           CAST(event_id % 1000 AS BIGINT) AS pid,
+           'value=' || CAST(CAST(value AS DECIMAL(27,4)) AS VARCHAR)
+               AS msg
+    FROM events
+    """,
+)
+def ingest_syslog_rfc3164(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Syslog (RFC 3164 BSD format) ingest — the last classic ops wire
+    format next to carbon/collectd/sfx/prometheus: synthesize
+    ``<PRI>MMM dd HH:mm:ss host tag[pid]: msg`` lines from events,
+    parse them back with one JVM regexp (PRI decomposes to
+    facility = pri div 8, severity = pri % 8), and value-check every
+    field against an independent derivation. English month
+    abbreviations + zero-padded day render identically in both
+    engines' formatters, making even the timestamp string exact.
+    Map-only: scan-parallel at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    pri = (F.col("user_id") % 3 + 16) * 8 + F.col("event_id") % 8
+    line = F.concat(
+        F.lit("<"),
+        pri.cast("string"),
+        F.lit(">"),
+        F.date_format("ts", "MMM dd HH:mm:ss"),
+        F.lit(" h"),
+        (F.col("user_id") % 5).cast("string"),
+        F.lit(" "),
+        F.col("event_type"),
+        F.lit("["),
+        (F.col("event_id") % 1000).cast("string"),
+        F.lit("]: value="),
+        F.col("value").cast("decimal(27,4)").cast("string"),
+    )
+    lines = ev.select(line.alias("line"))
+    rx = (
+        r"^<(\d+)>(\w{3} \d{2} \d{2}:\d{2}:\d{2}) (\S+) "
+        r"([^:\[]+)(?:\[(\d+)\])?: (.*)$"
+    )
+    g = lambda i: F.regexp_extract(F.col("line"), rx, i)  # noqa: E731
+    parsed = lines.select(
+        g(1).cast("bigint").alias("_pri"),
+        g(2).alias("ts_str"),
+        g(3).alias("host"),
+        g(4).alias("tag"),
+        g(5).cast("bigint").alias("pid"),
+        g(6).alias("msg"),
+    ).where(F.col("_pri").isNotNull())
+    return parsed.select(
+        F.expr("_pri div 8").cast("bigint").alias("facility"),
+        (F.col("_pri") % 8).cast("bigint").alias("severity"),
+        "ts_str",
+        "host",
+        "tag",
+        "pid",
+        "msg",
+    )
