@@ -69,6 +69,46 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def sf_fingerprint(sf_dir: str) -> str:
+    """Short content fingerprint of an sf testdata directory.
+
+    Hashes every parquet file's (relative path, size, mtime_ns), so
+    REGENERATED testdata under the same sf name yields a different
+    value. Shared staged artifacts (wire dirs, SemDeDup assignment,
+    bucketed layouts) embed this in their path — a stale cache from a
+    prior testdata generation is then simply never found, instead of
+    silently reused (round-4 ADVICE). Cost: one os.stat per table.
+    """
+    import hashlib
+
+    h = hashlib.sha256()
+    root = sf_dir.rstrip("/")
+    for name in sorted(os.listdir(root)):
+        if not name.endswith(".parquet"):
+            continue
+        p = os.path.join(root, name)
+        if os.path.isdir(p):  # spark-style parquet dir: stat its parts
+            for part in sorted(os.listdir(p)):
+                st = os.stat(os.path.join(p, part))
+                h.update(f"{name}/{part}:{st.st_size}:{st.st_mtime_ns};".encode())
+        else:
+            st = os.stat(p)
+            h.update(f"{name}:{st.st_size}:{st.st_mtime_ns};".encode())
+    return h.hexdigest()[:10]
+
+
+def staged_artifact_dir(tag: str, sf_dir: str) -> str:
+    """Canonical path for a shared derived artifact of ``sf_dir``:
+    ``$TMP/mps_{tag}_{sf}_{fingerprint}``. Callers write to a private
+    staging dir and publish with ``os.rename`` (atomic on one fs);
+    concurrent losers delete their copy — identical by construction.
+    """
+    sf = os.path.basename(sf_dir.rstrip("/"))
+    return os.path.join(
+        tempfile.gettempdir(), f"mps_{tag}_{sf}_{sf_fingerprint(sf_dir)}"
+    )
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_package_on_workers(spark)
     if name not in TABLES:

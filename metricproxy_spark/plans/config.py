@@ -165,16 +165,23 @@ def build_pipeline(
     # Live network endpoints: a signalfx listener with a ListenAddr
     # gets a REAL HTTP server spooling into its Source dir. The caller
     # owns the lifecycle via pipe.live_listeners (stop() when done).
-    for spec in cfg["ListenFrom"]:
-        if spec["Type"].lower() == "signalfx" and spec.get("ListenAddr"):
-            from metricproxy_spark.streaming.httplistener import (
-                HttpIngestListener,
-            )
+    # Started LAST, after every listener/sink spec has parsed, and
+    # unwound on failure: a bad ListenAddr in the Nth spec must not
+    # leak the N-1 already-bound ports/threads (round-4 ADVICE).
+    try:
+        for spec in cfg["ListenFrom"]:
+            if spec["Type"].lower() == "signalfx" and spec.get("ListenAddr"):
+                from metricproxy_spark.streaming.httplistener import (
+                    HttpIngestListener,
+                )
 
-            host, _, port = spec["ListenAddr"].rpartition(":")
-            lis = HttpIngestListener(
-                spec["Source"], host=host or "127.0.0.1", port=int(port)
-            )
-            lis.start()
-            pipe.live_listeners.append(lis)
+                host, _, port = spec["ListenAddr"].rpartition(":")
+                lis = HttpIngestListener(
+                    spec["Source"], host=host or "127.0.0.1", port=int(port)
+                )
+                lis.start()
+                pipe.live_listeners.append(lis)
+    except Exception:
+        pipe.close_listeners()
+        raise
     return pipe

@@ -747,13 +747,27 @@ def analytic_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact interpolated percentiles. At 100 TB this is THE quantile
     path: the sketch is mergeable partial state (map-side combine),
     where exact percentiles need a full sort or all values per
-    group."""
+    group.
+
+    The sketch result is projected to SCALAR columns (p50/p95/p99) —
+    array-typed result columns are unhashable in the driver's pandas
+    canonicalizer (round-4 `unhashable type: 'list'` failure)."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias(
-            "approx_p"
-        ),
-        F.count(F.lit(1)).alias("n"),
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias(
+                "approx_p"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "event_type",
+            F.col("approx_p")[0].alias("p50"),
+            F.col("approx_p")[1].alias("p95"),
+            F.col("approx_p")[2].alias("p99"),
+            "n",
+        )
     )
 
 

@@ -331,8 +331,9 @@ def _semantic_assignment(
 
     tgt = None
     if sf_dir is not None:
-        sf = os.path.basename(sf_dir.rstrip("/"))
-        tgt = os.path.join(tempfile.gettempdir(), f"mps_semassign_{sf}")
+        from metricproxy_spark.io import staged_artifact_dir
+
+        tgt = staged_artifact_dir("semassign", sf_dir)
         if os.path.isdir(tgt):
             return spark.read.parquet(tgt)
     comp = emb.select(

@@ -24,7 +24,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from metricproxy_spark.io import load_table, spread
+from metricproxy_spark.io import load_table, spread, staged_artifact_dir
 from metricproxy_spark.registry import register
 from metricproxy_spark.sources.carbon import (
     commakeys_deconstruct,
@@ -657,14 +657,12 @@ def ingest_carbon_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_package_on_workers(spark)
     register_carbonwire(spark)
-    # Staging is keyed by sf only (content is a pure function of the
-    # events table) and published by atomic rename, so concurrent and
-    # successive processes share one materialization — the wire dir
-    # plays "the files the network wrote", not per-run scratch.
-    wire_dir = os.path.join(
-        tempfile.gettempdir(),
-        f"mps_wire_{os.path.basename(sf_dir.rstrip('/'))}",
-    )
+    # Staging is keyed by (sf, content fingerprint) — content is a
+    # pure function of the events table and the fingerprint invalidates
+    # on testdata regeneration — and published by atomic rename, so
+    # concurrent and successive processes share one materialization:
+    # the wire dir plays "the files the network wrote", not scratch.
+    wire_dir = staged_artifact_dir("wire", sf_dir)
     if not os.path.isdir(wire_dir):
         staging = tempfile.mkdtemp(prefix="mps_wire_stage_")
         ev = load_table(spark, sf_dir, "events")
@@ -733,10 +731,7 @@ def ingest_sfx_v2_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_package_on_workers(spark)
     register_httpwire(spark)
-    req_dir = os.path.join(
-        tempfile.gettempdir(),
-        f"mps_http_{os.path.basename(sf_dir.rstrip('/'))}",
-    )
+    req_dir = staged_artifact_dir("http", sf_dir)
     if not os.path.isdir(req_dir):
         staging = tempfile.mkdtemp(prefix="mps_http_stage_")
 
@@ -837,10 +832,7 @@ def ingest_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     this is the default parquet behavior with schema merging on, paid
     only at footer-read time.
     """
-    wire_dir = os.path.join(
-        tempfile.gettempdir(),
-        f"mps_schevo_{os.path.basename(sf_dir.rstrip('/'))}",
-    )
+    wire_dir = staged_artifact_dir("schevo", sf_dir)
     if not os.path.isdir(wire_dir):
         staging = tempfile.mkdtemp(prefix="mps_schevo_stage_")
         ev = load_table(spark, sf_dir, "events")

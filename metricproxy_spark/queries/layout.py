@@ -220,14 +220,13 @@ def layout_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _staged_dir(tag: str, sf_dir: str) -> str:
-    """Per-(artifact, sf) staging path under the system tempdir —
-    content is a pure function of the testdata, shared across
-    processes via atomic-rename publish (see _publish)."""
-    import os
-    import tempfile
+    """Per-(artifact, sf, content-fingerprint) staging path under the
+    system tempdir — content is a pure function of the testdata (the
+    fingerprint invalidates on regeneration), shared across processes
+    via atomic-rename publish (see _publish)."""
+    from metricproxy_spark.io import staged_artifact_dir
 
-    sf = os.path.basename(sf_dir.rstrip("/"))
-    return os.path.join(tempfile.gettempdir(), f"mps_{tag}_{sf}")
+    return staged_artifact_dir(tag, sf_dir)
 
 
 def _publish(staging: str, final: str) -> None:
@@ -319,7 +318,16 @@ def layout_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import os
 
-    sf = sf_dir.rstrip("/").split("/")[-1].replace(".", "_")
+    from metricproxy_spark.io import sf_fingerprint
+
+    # Catalog table names carry the same content fingerprint as the
+    # data path — regenerated testdata registers fresh tables instead
+    # of resolving a stale catalog entry over vanished files.
+    sf = (
+        sf_dir.rstrip("/").split("/")[-1].replace(".", "_")
+        + "_"
+        + sf_fingerprint(sf_dir)
+    )
     t_orders, t_lineitem = f"mps_bkt_orders_{sf}", f"mps_bkt_lineitem_{sf}"
     for tbl, src, key, cols, ddl_cols in (
         (
@@ -340,25 +348,34 @@ def layout_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         if spark.catalog.tableExists(tbl):
             continue
         path = _staged_dir(f"bkt_{src}", sf_dir)
-        if os.path.isdir(path):
-            # Another session already wrote the bucketed layout —
-            # re-register it as an EXTERNAL bucketed table (DDL only,
-            # no data write); bucket/sort spec must match the writer's.
-            spark.sql(
-                f"""CREATE TABLE {tbl} ({ddl_cols}) USING PARQUET
-                CLUSTERED BY ({key}) SORTED BY ({key}) INTO 8 BUCKETS
-                LOCATION '{path}'"""
-            )
-        else:
+        if not os.path.isdir(path):
+            # Write to a staging dir and atomic-rename into place
+            # (same _publish discipline as every other shared
+            # artifact) — a concurrent reader must never observe a
+            # half-written layout at the final path. saveAsTable with
+            # an explicit path makes an EXTERNAL table, so dropping
+            # the bookkeeping entry keeps the files.
+            staging = f"{path}.staging.{os.getpid()}"
+            stage_tbl = f"{tbl}_staging_{os.getpid()}"
             (
                 load_table(spark, sf_dir, src)
                 .select(*cols)
                 .write.mode("overwrite")
                 .bucketBy(8, key)
                 .sortBy(key)
-                .option("path", path)
-                .saveAsTable(tbl)
+                .option("path", staging)
+                .saveAsTable(stage_tbl)
             )
+            spark.sql(f"DROP TABLE IF EXISTS {stage_tbl}")
+            _publish(staging, path)
+        # Register the published layout as an EXTERNAL bucketed table
+        # (DDL only, no data write); bucket/sort spec matches the
+        # writer's, and the path is complete-by-construction.
+        spark.sql(
+            f"""CREATE TABLE {tbl} ({ddl_cols}) USING PARQUET
+            CLUSTERED BY ({key}) SORTED BY ({key}) INTO 8 BUCKETS
+            LOCATION '{path}'"""
+        )
     o = spark.table(t_orders).hint("merge")
     l = spark.table(t_lineitem)
     joined = l.join(o, l.l_orderkey == o.o_orderkey)

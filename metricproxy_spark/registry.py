@@ -31,65 +31,25 @@ QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
 # Registration order = the order a row-capped driver verifies queries
-# (r1-r3 CORRECTNESS files each stopped at exactly 50 rows).
-# _PRIORITY pins specific names to the FRONT of the registry. Round-4
-# rotation: the 38 queries never covered by ANY driver file (union of
-# CORRECTNESS_r01-r03) fill the window first, then queries newly added
-# this round; the union across rounds then gives every query hard
-# driver evidence. Everything else keeps module order behind them.
+# (r1-r4 CORRECTNESS files each stopped at exactly 50 rows).
+# _PRIORITY pins specific names to the FRONT of the registry. Round-5
+# rotation: first the 6 round-4 additions that overflowed r4's window
+# (never driver-verified), then analytic_approx_percentile (FAILED in
+# r4 — array column crashed the driver canonicalizer; now returns
+# scalar p50/p95/p99 and needs re-verification), then queries newly
+# added in round 5. Union across r1-r5 then covers every query.
+# Everything else keeps module order behind them.
 _PRIORITY = (
-    # --- never covered by any driver file (r1∪r2∪r3), 38 names ---
-    "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q10_returned_items",
-    "tpch_q12_priority_lines",
-    "tpch_q13_customer_distribution",
-    "tpch_q15_top_supplier",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q21_waiting_supplier",
-    "dedup_semantic",
-    "dedup_semantic_prune",
-    "events_sessionize",
-    "events_concurrency",
-    "events_downsample_m4",
-    "events_week_over_week",
-    "stream_downsample_m4",
-    "stream_alert_rules",
-    "graph_triangles",
-    "analytic_copurchase_lift",
-    "analytic_conditional_aggs",
-    "analytic_running_distinct",
-    "analytic_setops_all",
-    "analytic_bitwise_funcs",
-    "analytic_hash_funcs",
+    # --- r4 window overflow, never driver-verified (6 names) ---
+    "events_sla_burn_rate",
+    "events_cusum_score",
+    "analytic_asof_nearest",
+    "analytic_skyline_frontier",
+    "pipeline_lm_typicality",
+    "ingest_syslog_rfc3164",
+    # --- failed in r4, fixed this round ---
     "analytic_approx_percentile",
-    "text_bigram_coverage",
-    "ingest_orc_roundtrip",
-    "ingest_carbon_connector_sink",
-    "sim_ivfpq_topk",
-    "sim_lang_centroids",
-    "pipeline_bpe_train",
-    "pipeline_tokenizer_report",
-    "multimodal_audio_spectral",
-    "multimodal_image_stats",
-    # --- round-4 additions (new queries land here, inside the 50) ---
-    "ingest_http_listener_live",
-    "layout_partition_pruning",
-    "layout_bucketed_join",
-    "ingest_prometheus_text",
-    "analytic_asof_forward",
-    "events_counter_to_rate",
-    "analytic_mode_per_group",
-    "analytic_hll_sketch",
-    "stream_http_live_pipeline",
-    "sim_pq_rerank",
-    "events_downsample_lttb",
-    "events_holt_trend",  # slot 50 — window exactly full
+    # --- round-5 additions (new queries land here, inside the 50) ---
 )
 
 _QUERY_MODULES = (

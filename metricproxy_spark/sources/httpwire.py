@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import gzip
 import os
+import re
 from typing import Iterator, Tuple
 
 from pyspark.sql.datasource import (
@@ -59,11 +60,24 @@ SCHEMA = StructType(
 Row = Tuple[str, str, str, str, str, str]
 
 
+def _natural_key(name: str) -> tuple:
+    """Sort key treating digit runs numerically ('req_2' < 'req_10',
+    and mixed-width spool names like req_999999/req_1000000 order by
+    sequence, not lexicographically)."""
+    return tuple(
+        int(part) if part.isdigit() else part
+        for part in re.split(r"(\d+)", os.path.basename(name))
+    )
+
+
 def _list_request_files(path: str) -> list[str]:
     return sorted(
-        os.path.join(path, f)
-        for f in os.listdir(path)
-        if not f.startswith(("_", "."))
+        (
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if not f.startswith(("_", "."))
+        ),
+        key=_natural_key,
     )
 
 

@@ -105,7 +105,11 @@ class HttpIngestListener:
             seq = self._seq
             self._seq += 1
             self.accepted += 1
-        final = os.path.join(self.spool_dir, f"req_{seq:06d}.http")
+        # 12-digit pad: wide enough that the name never widens in
+        # practice, and the stream's offset accounting sorts files
+        # NUMERICALLY anyway (httpwire natural sort), so even a
+        # hypothetical overflow keeps ordering correct.
+        final = os.path.join(self.spool_dir, f"req_{seq:012d}.http")
         tmp = final + f".tmp{os.getpid()}"
         with open(tmp, "wb") as fh:
             fh.write(raw)

@@ -326,7 +326,10 @@ def test_httplistener_restart_appends_not_clobbers(spark, tmp_path):
     files = sorted(
         f for f in os.listdir(spool) if f.endswith(".http")
     )
-    assert files == ["req_000000.http", "req_000001.http"], files
+    assert files == [
+        "req_000000000000.http",
+        "req_000000000001.http",
+    ], files
     from metricproxy_spark.sources.httpwire import register_httpwire
 
     register_httpwire(spark)
@@ -341,3 +344,15 @@ def test_httplistener_restart_appends_not_clobbers(spark, tmp_path):
         _json.loads(b)["gauge"][0]["metric"] for b in bodies
     )
     assert metrics == ["gen1.a", "gen2.b"]
+
+
+def test_httpwire_file_order_is_numeric_not_lexicographic(tmp_path):
+    """Offset accounting is 'first N sorted files' — names with mixed
+    digit widths (overflow past the pad, hand-dropped files) must sort
+    by sequence number, not byte order (round-4 ADVICE)."""
+    from metricproxy_spark.sources.httpwire import _list_request_files
+
+    for name in ("req_999999.http", "req_1000000.http", "req_2.http"):
+        (tmp_path / name).write_bytes(b"POST / HTTP/1.1\r\n\r\n")
+    got = [f.split("/")[-1] for f in _list_request_files(str(tmp_path))]
+    assert got == ["req_2.http", "req_999999.http", "req_1000000.http"]
