@@ -1513,3 +1513,67 @@ def events_cusum_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         cs["best"].alias("cusum_max"),
         (cs["best"] > 4.0).alias("shifted"),
     )
+
+
+@register(
+    "events_time_weighted_avg",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type,
+               date_trunc('day', ts) AS day_ts,
+               epoch_us(ts) AS t_us,
+               CAST(value AS DECIMAL(18,4)) AS v,
+               lead(epoch_us(ts)) OVER (
+                   PARTITION BY event_type, date_trunc('day', ts)
+                   ORDER BY epoch_us(ts), event_id
+               ) AS t_next
+        FROM events
+    ), seg AS (
+        SELECT event_type, day_ts, v, t_next - t_us AS dt_us
+        FROM seq WHERE t_next IS NOT NULL
+    )
+    SELECT event_type, day_ts,
+           count(*) AS n_segments,
+           CAST(SUM(dt_us) AS BIGINT) AS span_us,
+           round(CAST(SUM(v * dt_us) AS DOUBLE)
+                 / CAST(SUM(dt_us) AS DOUBLE), 6) AS twa
+    FROM seg
+    GROUP BY 1, 2
+    """,
+)
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average over IRREGULARLY sampled series — the
+    metrics-engine aggregation a plain AVG gets wrong (a value that
+    held for an hour must weigh 3600× one that held a second; every
+    monitoring product's rollup does this). Step-function (LOCF)
+    integral per (type, day): each sample's value is weighted by the
+    microseconds until the next sample; the day's last sample carries
+    no weight (no successor — the standard half-open convention).
+
+    Exactness: weights are integer µs, values DECIMAL(18,4); the
+    weighted sum is a decimal product summed exactly, with ONE double
+    division at the end (rounded 6dp). One window sort shuffle per
+    series + one hash agg — linear, the sessionize scale shape."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type", "day_ts").orderBy("t_us", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.date_trunc("day", "ts").alias("day_ts"),
+        F.unix_micros("ts").alias("t_us"),
+        F.col("value").cast("decimal(18,4)").alias("v"),
+        "event_id",
+    ).withColumn("t_next", F.lead("t_us").over(w))
+    seg = seq.where(F.col("t_next").isNotNull()).withColumn(
+        "dt_us", F.col("t_next") - F.col("t_us")
+    )
+    return seg.groupBy("event_type", "day_ts").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum("dt_us").cast("bigint").alias("span_us"),
+        F.round(
+            F.sum(F.col("v") * F.col("dt_us")).cast("double")
+            / F.sum("dt_us").cast("double"),
+            6,
+        ).alias("twa"),
+    )

@@ -1305,3 +1305,185 @@ def ingest_syslog_rfc3164(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pid",
         "msg",
     )
+
+
+@register(
+    "ingest_statsd",
+    oracle="""
+    WITH wire AS (
+        SELECT event_type || '.h' || CAST(user_id % 5 AS VARCHAR) AS name,
+               CASE event_id % 4 WHEN 0 THEN 'c' WHEN 1 THEN 'g'
+                                 WHEN 2 THEN 'ms' ELSE 's' END AS mtype,
+               CASE WHEN event_id % 4 = 0 AND event_id % 2 = 0
+                    THEN 0.5 ELSE 1.0 END AS rate,
+               -- the wire renders value as DECIMAL(27,4) text; the
+               -- parser reads it back as DOUBLE — mirror the roundtrip
+               CAST(CAST(CAST(value AS DECIMAL(27,4)) AS VARCHAR)
+                    AS DOUBLE) AS val,
+               'u' || CAST(user_id AS VARCHAR) AS member
+        FROM events
+    )
+    SELECT name, mtype,
+           count(*) AS n_lines,
+           CAST(SUM(CASE WHEN mtype <> 's'
+                THEN CAST(val / rate AS DECIMAL(27,6)) END) AS DOUBLE)
+             AS total,
+           CASE WHEN mtype = 's'
+                THEN count(DISTINCT CASE WHEN mtype = 's' THEN member END)
+           END AS n_members
+    FROM wire
+    GROUP BY 1, 2
+    """,
+)
+def ingest_statsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StatsD wire-format ingest (`name:value|type[|@rate]`) — the
+    fourth classic push protocol next to carbon/collectd/prometheus
+    (public spec: github.com/statsd/statsd `docs/metric_types.md`;
+    the reference family of metric proxies all terminate it).
+
+    Synthesizes one UDP-style line per event — counters (``|c``, half
+    of them sampled at ``@0.5``), gauges (``|g``), timers (``|ms``)
+    and sets (``|s`` with string members) — parses them back with one
+    JVM regexp, applies the counter sample-rate correction
+    (value/rate, the statsd server contract), and aggregates per
+    (name, type): counts, rate-corrected totals, and distinct set
+    cardinality.
+
+    Exactness: value/rate is ONE IEEE division on identical doubles in
+    both engines, then cast to DECIMAL(27,6) so the SUM is
+    order-independent. Map-only parse + one hash agg with map-side
+    combine — scan-parallel at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    is_counter = F.col("event_id") % 4 == 0
+    mtype = (
+        F.when(F.col("event_id") % 4 == 0, "c")
+        .when(F.col("event_id") % 4 == 1, "g")
+        .when(F.col("event_id") % 4 == 2, "ms")
+        .otherwise("s")
+    )
+    val_str = F.when(
+        mtype == "s", F.concat(F.lit("u"), F.col("user_id").cast("string"))
+    ).otherwise(F.col("value").cast("decimal(27,4)").cast("string"))
+    line = F.concat(
+        F.col("event_type"),
+        F.lit(".h"),
+        (F.col("user_id") % 5).cast("string"),
+        F.lit(":"),
+        val_str,
+        F.lit("|"),
+        mtype,
+        F.when(
+            is_counter & (F.col("event_id") % 2 == 0), F.lit("|@0.5")
+        ).otherwise(F.lit("")),
+    )
+    lines = ev.select(line.alias("line"))
+    rx = r"^([^:]+):([^|]+)\|([a-z]+)(?:\|@([0-9.]+))?$"
+    g = lambda i: F.regexp_extract(F.col("line"), rx, i)  # noqa: E731
+    parsed = lines.select(
+        g(1).alias("name"),
+        g(2).alias("raw_val"),
+        g(3).alias("mtype"),
+        F.nullif(g(4), F.lit("")).alias("rate_str"),
+    ).where(F.col("name") != "")
+    scaled = parsed.withColumn(
+        "scaled",
+        F.when(
+            F.col("mtype") != "s",
+            (
+                F.col("raw_val").try_cast("double")
+                / F.coalesce(
+                    F.col("rate_str").try_cast("double"), F.lit(1.0)
+                )
+            ).cast("decimal(27,6)"),
+        ),
+    )
+    return scaled.groupBy("name", "mtype").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("scaled").cast("double").alias("total"),
+        F.when(
+            F.first("mtype") == "s",
+            F.count_distinct(
+                F.when(F.col("mtype") == "s", F.col("raw_val"))
+            ),
+        ).alias("n_members"),
+    )
+
+
+@register(
+    "ingest_influx_line",
+    oracle="""
+    WITH wire AS (
+        SELECT event_type AS measurement,
+               'h' || CAST(user_id % 5 AS VARCHAR) AS host,
+               'r' || CAST(user_id % 3 AS VARCHAR) AS region,
+               CAST(CAST(CAST(value AS DECIMAL(27,4)) AS VARCHAR)
+                    AS DOUBLE) AS val,
+               event_id % 100 AS cnt,
+               epoch_us(ts) * 1000 AS ts_ns
+        FROM events
+    )
+    SELECT measurement, host,
+           count(*) AS n_points,
+           CAST(SUM(CAST(val AS DECIMAL(27,4))) AS DOUBLE) AS sum_value,
+           CAST(SUM(cnt) AS BIGINT) AS sum_count,
+           CAST(min(ts_ns) AS BIGINT) AS min_ts_ns,
+           CAST(max(ts_ns) AS BIGINT) AS max_ts_ns
+    FROM wire
+    GROUP BY 1, 2
+    """,
+)
+def ingest_influx_line(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InfluxDB line-protocol ingest
+    (`measurement,tag=v,... field=v,...i <ns-timestamp>` — public spec:
+    docs.influxdata.com line-protocol reference). Synthesizes one line
+    per event with two tags (host, region), a float field and an
+    integer field (``i`` suffix), and a nanosecond timestamp; parses
+    the sections apart with one regexp, then ``str_to_map`` for the
+    tag and field sets (the general n-tag path, not positional
+    groups); aggregates per (measurement, host).
+
+    The synthesized corpus contains no escaped commas/spaces/quotes —
+    the escape grammar is out of scope and documented here. Map-only
+    parse (regexp + str_to_map stay in whole-stage codegen) + one hash
+    agg; exactly the carbon-parse scale shape."""
+    ev = load_table(spark, sf_dir, "events")
+    line = F.concat(
+        F.col("event_type"),
+        F.lit(",host=h"),
+        (F.col("user_id") % 5).cast("string"),
+        F.lit(",region=r"),
+        (F.col("user_id") % 3).cast("string"),
+        F.lit(" value="),
+        F.col("value").cast("decimal(27,4)").cast("string"),
+        F.lit(",count="),
+        (F.col("event_id") % 100).cast("string"),
+        F.lit("i "),
+        (F.unix_micros("ts") * 1000).cast("string"),
+    )
+    lines = ev.select(line.alias("line"))
+    rx = r"^([^,]+),([^ ]+) ([^ ]+) (\d+)$"
+    g = lambda i: F.regexp_extract(F.col("line"), rx, i)  # noqa: E731
+    sec = lines.select(
+        g(1).alias("measurement"),
+        F.expr("str_to_map(regexp_extract(line, '^([^,]+),([^ ]+) ([^ ]+) (\\\\d+)$', 2), ',', '=')").alias("tags"),
+        F.expr("str_to_map(regexp_extract(line, '^([^,]+),([^ ]+) ([^ ]+) (\\\\d+)$', 3), ',', '=')").alias("fields"),
+        g(4).cast("bigint").alias("ts_ns"),
+    ).where(F.col("measurement") != "")
+    typed = sec.select(
+        "measurement",
+        F.col("tags")["host"].alias("host"),
+        F.col("fields")["value"].cast("double").alias("val"),
+        F.regexp_replace(F.col("fields")["count"], "i$", "")
+        .cast("bigint")
+        .alias("cnt"),
+        "ts_ns",
+    )
+    return typed.groupBy("measurement", "host").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum(F.col("val").cast("decimal(27,4)"))
+        .cast("double")
+        .alias("sum_value"),
+        F.sum("cnt").cast("bigint").alias("sum_count"),
+        F.min("ts_ns").cast("bigint").alias("min_ts_ns"),
+        F.max("ts_ns").cast("bigint").alias("max_ts_ns"),
+    )

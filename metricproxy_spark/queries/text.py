@@ -1955,3 +1955,112 @@ def pipeline_lm_typicality(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("typicality"),
     )
+
+
+@register(
+    "text_bm25_topk",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               len(string_split(lower(trim(text)), ' ')) AS dl,
+               len(list_filter(string_split(lower(trim(text)), ' '),
+                               x -> x = 'hash')) AS tf_hash,
+               len(list_filter(string_split(lower(trim(text)), ' '),
+                               x -> x = 'join')) AS tf_join,
+               len(list_filter(string_split(lower(trim(text)), ' '),
+                               x -> x = 'window')) AS tf_window
+        FROM documents
+    ), corpus AS (
+        SELECT count(*) AS n,
+               CAST(SUM(dl) AS DOUBLE) / count(*) AS avgdl,
+               SUM(CASE WHEN tf_hash > 0 THEN 1 ELSE 0 END) AS df_hash,
+               SUM(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END) AS df_join,
+               SUM(CASE WHEN tf_window > 0 THEN 1 ELSE 0 END) AS df_window
+        FROM toks
+    ), scored AS (
+        SELECT doc_id, dl, tf_hash, tf_join, tf_window,
+            CAST(
+              ROUND(CAST(ROUND(ln(1 + (n - df_hash + 0.5) / (df_hash + 0.5)), 6) AS DECIMAL(20,6))
+                * CAST(ROUND(tf_hash * 2.2 / (tf_hash + 1.2 * (0.25 + 0.75 * dl / avgdl)), 9) AS DECIMAL(20,9)), 6)
+            + ROUND(CAST(ROUND(ln(1 + (n - df_join + 0.5) / (df_join + 0.5)), 6) AS DECIMAL(20,6))
+                * CAST(ROUND(tf_join * 2.2 / (tf_join + 1.2 * (0.25 + 0.75 * dl / avgdl)), 9) AS DECIMAL(20,9)), 6)
+            + ROUND(CAST(ROUND(ln(1 + (n - df_window + 0.5) / (df_window + 0.5)), 6) AS DECIMAL(20,6))
+                * CAST(ROUND(tf_window * 2.2 / (tf_window + 1.2 * (0.25 + 0.75 * dl / avgdl)), 9) AS DECIMAL(20,9)), 6)
+            AS DOUBLE) AS score
+        FROM toks CROSS JOIN corpus
+    )
+    SELECT doc_id, dl, tf_hash, tf_join, tf_window, score
+    FROM scored
+    ORDER BY score DESC, doc_id ASC
+    LIMIT 20
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4/L3: BM25 retrieval scoring (Robertson/Spärck Jones; the
+    lexical-search baseline every RAG corpus pipeline ranks with) for
+    the fixed query {hash, join, window}: k1=1.2, b=0.75,
+    idf = ln(1 + (N−df+0.5)/(df+0.5)), top-20 by score.
+
+    Plan shape: per-doc term frequencies come from ``size(filter(...))``
+    on the already-split token array — MAP-ONLY, no explode shuffle;
+    corpus stats (N, avgdl, per-term df) reduce to ONE row that rides
+    back on a broadcast cross join; top-k is TakeOrdered (no full
+    sort). At 100 TB: one scan + a 1-row broadcast + a bounded top-k.
+
+    Exactness discipline (same as text_tfidf): idf is rounded to 6dp
+    and the per-term weight to 9dp BEFORE a decimal product, the three
+    term contributions are summed in a FIXED expression order, and the
+    final score rounds once more at 6dp."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.size(words_of("text")).cast("bigint").alias("dl"),
+        *[
+            F.size(
+                F.filter(words_of("text"), lambda x: x == F.lit(t))
+            ).cast("bigint").alias(f"tf_{t}")
+            for t in ("hash", "join", "window")
+        ],
+    )
+    corpus = toks.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{t}") > 0).cast("int")).alias(f"df_{t}")
+            for t in ("hash", "join", "window")
+        ],
+    )
+
+    def term_score(t: str):
+        idf = F.round(
+            F.log(
+                1
+                + (F.col("n") - F.col(f"df_{t}") + 0.5)
+                / (F.col(f"df_{t}") + 0.5)
+            ),
+            6,
+        ).cast("decimal(20,6)")
+        w = F.round(
+            F.col(f"tf_{t}")
+            * 2.2
+            / (
+                F.col(f"tf_{t}")
+                + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))
+            ),
+            9,
+        ).cast("decimal(20,9)")
+        return F.round(idf * w, 6)
+
+    scored = toks.crossJoin(F.broadcast(corpus)).select(
+        "doc_id",
+        "dl",
+        "tf_hash",
+        "tf_join",
+        "tf_window",
+        (
+            term_score("hash") + term_score("join") + term_score("window")
+        ).cast("double").alias("score"),
+    )
+    return scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(
+        20
+    )
