@@ -918,3 +918,34 @@ def analytic_skyline_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         & (F.col("c_acctbal") == F.col("best_same"))
     ).select("c_custkey", "n_orders", "c_acctbal")
+
+
+@register("analytic_cms_heavy_hitters")
+def analytic_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X12 sibling: count-min-sketch heavy hitters — the top-20 users
+    by event count with BOTH their exact count and the CMS point
+    estimate (depth 4 × width 256, seeded xxhash64 so the sketch is
+    deterministic). The sketch build is one hash agg whose output is
+    AT MOST d·w cells per mapper — at 100 TB the sketch is the shuffle
+    compression (exact top-k needs the full key space; the sketch
+    ships 1024 counters). Registered rows-only (the sketch family has
+    no DuckDB twin); tests/test_sketches.py pins est ≥ exact,
+    the εN overestimate bound, and merge additivity."""
+    from metricproxy_spark.operators.sketches import cms_build, cms_estimate
+
+    ev = load_table(spark, sf_dir, "events")
+    items = ev.select(F.col("user_id").cast("string").alias("item"))
+    sketch = cms_build(items, "item")
+    exact_top = (
+        items.groupBy("item")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), F.col("item").asc())
+        .limit(20)
+    )
+    est = cms_estimate(exact_top, sketch, "item")
+    return est.select(
+        F.col("item").alias("user_id"),
+        "exact_n",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_n")).alias("overcount"),
+    )

@@ -229,3 +229,72 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_triangles"))
         .select(F.col("node_name").alias("node"), "n_triangles")
     )
+
+
+@register(
+    "graph_khop_reach",
+    oracle="""
+    WITH half AS (
+        SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ), hop1 AS (
+        SELECT supp, count(DISTINCT cust) AS n_hop1
+        FROM half GROUP BY supp
+    ), hop2 AS (
+        SELECT a.supp, count(DISTINCT b.supp) AS n_hop2
+        FROM half a JOIN half b ON a.cust = b.cust
+        WHERE b.supp <> a.supp
+        GROUP BY a.supp
+    )
+    SELECT h1.supp AS supplier_id,
+           h1.n_hop1 AS n_customers,
+           COALESCE(h2.n_hop2, 0) AS n_peer_suppliers
+    FROM hop1 h1 LEFT JOIN hop2 h2 ON h1.supp = h2.supp
+    """,
+)
+def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-hop neighborhood size on the bipartite trade graph: per
+    supplier, the 1-hop reach (distinct customers) and 2-hop reach
+    (distinct OTHER suppliers sharing a customer) — the neighborhood-
+    expansion primitive under collaborative filtering and fraud-ring
+    detection. The 2-hop set is a self-join of the deduped edge list
+    on the customer side followed by a distinct count: edges are
+    touched once per hop, counts stay aggregated — no per-node
+    adjacency lists materialize on any single machine, so the shape
+    survives skewed hubs at 100 TB (the hot customer key salts through
+    AQE's skew-join splitting)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    half = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp")
+        )
+        .distinct()
+    )
+    hop1 = half.groupBy("supp").agg(
+        F.count_distinct("cust").alias("n_customers")
+    )
+    b = half.select(
+        F.col("cust").alias("cust2"), F.col("supp").alias("peer")
+    )
+    hop2 = (
+        half.join(b, half.cust == b.cust2)
+        .where(F.col("peer") != F.col("supp"))
+        .groupBy("supp")
+        .agg(F.count_distinct("peer").alias("n_peer_suppliers"))
+    )
+    return (
+        hop1.join(hop2, "supp", "left")
+        .select(
+            F.col("supp").alias("supplier_id"),
+            "n_customers",
+            F.coalesce("n_peer_suppliers", F.lit(0)).alias(
+                "n_peer_suppliers"
+            ),
+        )
+    )

@@ -433,3 +433,85 @@ def sim_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= 3)
     )
+
+
+@register(
+    "sim_embedding_moments",
+    oracle="""
+    WITH comp AS (
+        SELECT unnest(CAST(embedding AS DOUBLE[])) AS v,
+               unnest(range(0, len(embedding))) AS pos
+        FROM embeddings
+    ), agg AS (
+        SELECT pos,
+               count(*) AS n,
+               CAST(SUM(CAST(v AS DECIMAL(27,9))) AS DOUBLE) AS sv,
+               CAST(SUM(CAST(v * v AS DECIMAL(38,18))) AS DOUBLE) AS svv,
+               min(v) AS min_v,
+               max(v) AS max_v
+        FROM comp GROUP BY pos
+    )
+    SELECT CAST(pos AS BIGINT) AS dim,
+           n,
+           round(sv / n, 9) AS mean,
+           round(svv / n - (sv / n) * (sv / n), 9) AS variance,
+           round(min_v, 9) AS min_v,
+           round(max_v, 9) AS max_v
+    FROM agg
+    """,
+)
+def sim_embedding_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 corpus diagnostics: per-DIMENSION moments of the embedding
+    matrix (mean, population variance, min, max) — the first thing a
+    pipeline computes before whitening/quantization/PCA (dead or
+    saturated dimensions show up here). posexplode → one hash agg with
+    map-side combine: 64 output rows regardless of corpus size.
+
+    Exactness: Σv and Σv² go through exact decimals; mean and variance
+    are then a fixed double expression rounded at 9dp on both
+    engines."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "pos", "v"
+        )
+    )
+    agg = comp.groupBy("pos").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("v").cast("decimal(27,9)")).cast("double").alias("sv"),
+        F.sum((F.col("v") * F.col("v")).cast("decimal(38,18)"))
+        .cast("double")
+        .alias("svv"),
+        F.min("v").alias("min_raw"),
+        F.max("v").alias("max_raw"),
+    )
+    return agg.select(
+        F.col("pos").cast("bigint").alias("dim"),
+        "n",
+        F.round(F.col("sv") / F.col("n"), 9).alias("mean"),
+        F.round(
+            F.col("svv") / F.col("n")
+            - (F.col("sv") / F.col("n")) * (F.col("sv") / F.col("n")),
+            9,
+        ).alias("variance"),
+        F.round("min_raw", 9).alias("min_v"),
+        F.round("max_raw", 9).alias("max_v"),
+    )
+
+
+@register("sim_pca_project")
+def sim_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3: PCA dimensionality reduction — fit 4 principal components
+    with the distributed partial-Gram reduction (one d²-sized partial
+    per partition; driver state is d², never n) and project every
+    vector map-only. Registered rows-only: eigendecomposition has no
+    DuckDB twin; tests/test_pca.py pins orthonormality, variance
+    ordering vs sim_embedding_moments, reconstruction-error descent,
+    and stability across repartitionings."""
+    from metricproxy_spark.operators.pca import project_pca, train_pca
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    comps, mean, _ = train_pca(emb, "embedding", k=4)
+    return project_pca(emb, comps, mean, "embedding").select(
+        "vec_id", "label", "pc1", "pc2", "pc3", "pc4"
+    )

@@ -50,6 +50,14 @@ _PRIORITY = (
     # --- failed in r4, fixed this round ---
     "analytic_approx_percentile",
     # --- round-5 additions (new queries land here, inside the 50) ---
+    "ingest_statsd",
+    "ingest_influx_line",
+    "events_time_weighted_avg",
+    "text_bm25_topk",
+    "sim_embedding_moments",
+    "sim_pca_project",
+    "analytic_cms_heavy_hitters",
+    "graph_khop_reach",
 )
 
 _QUERY_MODULES = (
