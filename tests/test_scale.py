@@ -582,3 +582,81 @@ class TestRound4QueryPlanDiscipline:
             n_ex = plan.count("Exchange hashpartitioning")
             assert n_ex == 1, f"{name}: {n_ex} exchanges\n{plan}"
             assert "Join" not in plan, name
+
+
+class TestRound5PlanDiscipline:
+    """Plan assertions for the round-5 additions."""
+
+    def _plan(self, spark, sf_dir, name):
+        from metricproxy_spark.registry import QUERIES, load_all
+
+        load_all()
+        return _executed_plan(QUERIES[name](spark, sf_dir))
+
+    def test_wire_parsers_single_agg_no_join(self, spark, sf_dir):
+        """statsd / influx-line: map-only parse (regexp/str_to_map in
+        codegen) + keyed hash shuffles only, no joins anywhere.
+        Influx is ONE exchange; statsd's set-cardinality
+        count(DISTINCT) legitimately adds the standard
+        partial-distinct second exchange (both keyed — no all-to-one
+        stage)."""
+        for name, max_ex in (
+            ("ingest_statsd", 2),
+            ("ingest_influx_line", 1),
+        ):
+            plan = self._plan(spark, sf_dir, name)
+            assert "Join" not in plan, f"{name}:\n{plan}"
+            n_ex = plan.count("Exchange hashpartitioning")
+            assert n_ex <= max_ex, f"{name}: {n_ex} exchanges\n{plan}"
+            assert "Exchange SinglePartition" not in plan, plan
+
+    def test_bm25_tf_is_map_only_with_broadcast_stats(self, spark, sf_dir):
+        """Per-doc tf comes from array filter (no explode shuffle);
+        corpus stats ride back on a broadcast; top-k is TakeOrdered,
+        never a global sort."""
+        plan = self._plan(spark, sf_dir, "text_bm25_topk")
+        assert "Generate explode" not in plan, plan
+        assert "BroadcastExchange" in plan, plan
+        assert "TakeOrderedAndProject" in plan, plan
+        # the only hash exchange is the 1-row corpus-stats agg
+        assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+    def test_twa_single_window_sort(self, spark, sf_dir):
+        """Lead + weighted agg reuse ONE (type, day) partitioning:
+        exactly one hash exchange, no join."""
+        plan = self._plan(spark, sf_dir, "events_time_weighted_avg")
+        assert "Join" not in plan, plan
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+        assert "Window" in plan, plan
+
+    def test_moments_partial_aggregates(self, spark, sf_dir):
+        """posexplode then hash agg with map-side combine: the shuffle
+        carries ≤ 64 dims × partials, never the exploded rows."""
+        plan = self._plan(spark, sf_dir, "sim_embedding_moments")
+        assert plan.count("HashAggregate") >= 2, plan  # partial+final
+        assert "Join" not in plan, plan
+
+    def test_cms_sketch_is_broadcast_probe(self, spark, sf_dir):
+        """The candidate→cell probe joins against the d·w-cell sketch
+        as a BROADCAST (the sketch is bounded by construction); no
+        sort-merge join of fact-sized sides."""
+        plan = self._plan(spark, sf_dir, "analytic_cms_heavy_hitters")
+        assert "BroadcastHashJoin" in plan, plan
+        assert "SortMergeJoin" not in plan, plan
+
+    def test_pca_partials_bounded_by_partition_count(self, spark, sf_dir):
+        """The Gram reduction ships ONE d²-sized row per non-empty
+        input partition — the collect is partition-count-sized, not
+        row-count-sized."""
+        from metricproxy_spark.io import load_table
+        from metricproxy_spark.operators.pca import (
+            _PARTIAL_SCHEMA,
+            _partial_gram,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings").repartition(5)
+        src = emb.select(
+            F.col("embedding").cast("array<double>").alias("embedding")
+        )
+        parts = src.mapInPandas(_partial_gram("embedding"), _PARTIAL_SCHEMA)
+        assert parts.count() <= 5
