@@ -883,15 +883,17 @@ def analytic_skyline_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto skyline (Börzsönyi et al. 2001) over customers on
     (n_orders ↑, acctbal ↑): the frontier no other customer dominates
     (≥ on both axes, > on one). NOT the textbook O(n²) dominance
-    self-join — for 2 dimensions the skyline falls out of two WINDOW
-    passes: a point survives iff its balance (a) beats the best
-    balance among all strictly-higher order counts (range frame 1
-    FOLLOWING → ∞) and (b) is the maximum within its own order count.
-    One sort-shuffle total, n log n — the shape that survives 100 TB
-    where the join formulation cannot. Oracle runs the identical
-    window logic."""
-    from pyspark.sql import Window
-
+    self-join, and NOT a global-order window (WindowExec would run a
+    partition-less frame as ONE task). The 2-D skyline reduces to the
+    per-x maxima first: best_same = max(acctbal) per n_orders — a
+    KEYED hash agg whose output is bounded by the n_orders domain
+    (max orders held by any single customer, ≪ row count at any SF).
+    best_more = max over strictly-greater n_orders then falls out of a
+    broadcast triangular self-join of that tiny aggregate (domain²
+    pairs). A broadcast join ships both bests back to the row data; a
+    point survives iff bal > best_more (or none) and bal = best_same.
+    All row-data shuffles are keyed — the plan has no single-partition
+    exchange at any scale. Oracle runs the equivalent window logic."""
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     pts = (
@@ -899,18 +901,21 @@ def analytic_skyline_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "c_acctbal")
         .agg(F.count("o_orderkey").cast("bigint").alias("n_orders"))
     )
-    w_more = (
-        Window.orderBy("n_orders")
-        .rangeBetween(1, Window.unboundedFollowing)
+    per_n = pts.groupBy("n_orders").agg(
+        F.max("c_acctbal").alias("best_same")
     )
-    w_same = Window.partitionBy("n_orders")
-    flagged = pts.select(
-        "c_custkey",
-        "n_orders",
-        "c_acctbal",
-        F.max("c_acctbal").over(w_more).alias("best_more"),
-        F.max("c_acctbal").over(w_same).alias("best_same"),
+    a, b = per_n.alias("a"), per_n.alias("b")
+    bests = (
+        a.join(
+            F.broadcast(b), F.col("b.n_orders") > F.col("a.n_orders"), "left"
+        )
+        .groupBy(
+            F.col("a.n_orders").alias("n_orders"),
+            F.col("a.best_same").alias("best_same"),
+        )
+        .agg(F.max("b.best_same").alias("best_more"))
     )
+    flagged = pts.join(F.broadcast(bests), "n_orders")
     return flagged.where(
         (
             F.col("best_more").isNull()

@@ -770,13 +770,22 @@ def pipeline_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing for LLM training: assign each doc a target
     training-sequence id by running token budget (512 tokens) over a
-    deterministic doc order. Implemented as one unbounded-preceding
-    window sum — docs may straddle a boundary (the pack step splits
-    them), which keeps the op a single sort-based window instead of a
-    sequential greedy scan. At scale: range-partition by doc_id so the
-    global order window becomes per-range windows + a small prefix-sum
-    fixup of per-range totals (documented here; single window is optimal
-    at test SF)."""
+    deterministic doc order — docs may straddle a boundary (the pack
+    step splits them), which keeps the op a prefix sum instead of a
+    sequential greedy scan.
+
+    DISTRIBUTED prefix sum (no global-order window): docs are bucketed
+    into R contiguous doc_id ranges (min/max ride in on a 1-row
+    broadcast), each range computes its local running sum under a
+    PARTITIONED window, and the per-range grand totals (R rows) turn
+    into range offsets via a prefix-sum window over the AGGREGATE —
+    the only single-partition exchanges in the plan carry bounded
+    data (the 1-row min/max partials and the R-row totals), never row
+    data; tests/test_scale.py TestRound6PlanDiscipline asserts
+    exactly that. tokens_before = range_offset + local_before is
+    exact regardless of R, so the result is identical to the
+    single-window form the oracle runs."""
+    n_ranges = 32
     docs = load_table(spark, sf_dir, "documents")
     norm = F.lower(F.trim(F.col("text")))
     toks = docs.select(
@@ -785,12 +794,37 @@ def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_extract_all(norm, F.lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), 0)
         ).cast("bigint").alias("n_tokens"),
     )
-    w = (
-        Window.orderBy("doc_id")
+    bounds = toks.agg(
+        F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx")
+    )
+    ranged = toks.crossJoin(F.broadcast(bounds)).select(
+        "doc_id",
+        "n_tokens",
+        F.least(
+            F.lit(n_ranges - 1),
+            F.floor(
+                (F.col("doc_id") - F.col("mn"))
+                * n_ranges
+                / (F.col("mx") - F.col("mn") + 1)
+            ),
+        ).cast("int").alias("rg"),
+    )
+    w_local = (
+        Window.partitionBy("rg")
+        .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    cum = toks.withColumn(
-        "tokens_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    local = ranged.withColumn(
+        "local_before", F.coalesce(F.sum("n_tokens").over(w_local), F.lit(0))
+    )
+    rg_tot = ranged.groupBy("rg").agg(F.sum("n_tokens").alias("rg_total"))
+    w_rg = Window.orderBy("rg").rowsBetween(Window.unboundedPreceding, -1)
+    rg_off = rg_tot.select(
+        "rg",
+        F.coalesce(F.sum("rg_total").over(w_rg), F.lit(0)).alias("rg_offset"),
+    )
+    cum = local.join(F.broadcast(rg_off), "rg").withColumn(
+        "tokens_before", F.col("rg_offset") + F.col("local_before")
     )
     return cum.select(
         "doc_id",

@@ -185,7 +185,7 @@ class TestApproxPercentile:
         from metricproxy_spark.io import load_table
 
         got = {
-            r.event_type: r.approx_p
+            r.event_type: (r.p50, r.p95, r.p99)
             for r in _q("analytic_approx_percentile")(spark, sf_dir).collect()
         }
         ev = load_table(spark, sf_dir, "events")

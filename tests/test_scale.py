@@ -660,3 +660,47 @@ class TestRound5PlanDiscipline:
         )
         parts = src.mapInPandas(_partial_gram("embedding"), _PARTIAL_SCHEMA)
         assert parts.count() <= 5
+
+
+class TestRound6PlanDiscipline:
+    """Plan assertions for the round-6 scale rewrites: the two former
+    global-order windows (VERDICT r5 "What's wrong" #2/#3) now shuffle
+    row data only on keys; any single-partition exchange that remains
+    carries aggregate (bounded) data."""
+
+    def _plan(self, spark, sf_dir, name):
+        from metricproxy_spark.registry import QUERIES, load_all
+
+        load_all()
+        return _executed_plan(QUERIES[name](spark, sf_dir))
+
+    @staticmethod
+    def _single_partition_children(plan: str) -> list[str]:
+        """For each Exchange SinglePartition, the operator feeding it."""
+        lines = plan.splitlines()
+        return [
+            lines[i + 1]
+            for i, ln in enumerate(lines)
+            if "Exchange SinglePartition" in ln
+        ]
+
+    def test_pack_sequences_no_row_data_single_partition(self, spark, sf_dir):
+        """The doc-order prefix sum runs as per-range PARTITIONED
+        windows; every surviving SinglePartition exchange feeds off a
+        HashAggregate (1-row min/max partials or the R-row range
+        totals), never raw document rows."""
+        plan = self._plan(spark, sf_dir, "pipeline_pack_sequences")
+        children = self._single_partition_children(plan)
+        assert children, "expected the bounded bounds/offsets aggregates"
+        for child in children:
+            assert "HashAggregate" in child, f"{child}\n{plan}"
+        # the row-data window is partitioned by the range id
+        assert "windowspecdefinition(rg#" in plan, plan
+
+    def test_skyline_no_single_partition_at_all(self, spark, sf_dir):
+        """Per-x maxima via keyed agg + broadcast of the domain-bounded
+        bests: zero single-partition exchanges, zero windows."""
+        plan = self._plan(spark, sf_dir, "analytic_skyline_frontier")
+        assert "Exchange SinglePartition" not in plan, plan
+        assert "Window" not in plan, plan
+        assert "BroadcastExchange" in plan, plan
