@@ -102,11 +102,30 @@ def staged_artifact_dir(tag: str, sf_dir: str) -> str:
     ``$TMP/mps_{tag}_{sf}_{fingerprint}``. Callers write to a private
     staging dir and publish with ``os.rename`` (atomic on one fs);
     concurrent losers delete their copy — identical by construction.
+
+    Superseded generations are garbage-collected here: a sibling
+    ``mps_{tag}_{sf}_<other-fp>`` dir belongs to REGENERATED testdata
+    (its fingerprint can never come back) and is best-effort removed,
+    so /tmp doesn't accumulate one orphan per generation. In-flight
+    ``*.staging.*`` dirs are never touched.
     """
     sf = os.path.basename(sf_dir.rstrip("/"))
-    return os.path.join(
-        tempfile.gettempdir(), f"mps_{tag}_{sf}_{sf_fingerprint(sf_dir)}"
-    )
+    fp = sf_fingerprint(sf_dir)
+    prefix = f"mps_{tag}_{sf}_"
+    tmp = tempfile.gettempdir()
+    import shutil
+
+    try:
+        for name in os.listdir(tmp):
+            if (
+                name.startswith(prefix)
+                and name != prefix + fp
+                and len(name) == len(prefix) + len(fp)
+            ):
+                shutil.rmtree(os.path.join(tmp, name), ignore_errors=True)
+    except OSError:
+        pass
+    return os.path.join(tmp, prefix + fp)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -11,7 +11,7 @@ the cell table (d·w rows — broadcast) and take the min over seeds.
 
 Estimates are deterministic (seeded xxhash64), always ≥ the true
 count, and within εN (ε = e/w) with probability 1−e^−d — the bound
-tests live in tests/test_sketches.py.
+tests live in tests/test_round5_ops.py (TestCountMinSketch).
 """
 
 from __future__ import annotations
@@ -47,7 +47,14 @@ def cms_estimate(
 ) -> DataFrame:
     """Point-query the sketch for each candidate row: adds ``cms_est``
     = min over seeds of the item's cell counter. The sketch side is
-    d·w rows — broadcast, so this is a map-side join."""
+    d·w rows — broadcast, so this is a map-side join.
+
+    The probe is a LEFT join with missing cells coalesced to 0: a
+    (seed, bucket) cell no build item ever hashed into has no row in
+    the sketch DataFrame, and the CMS contract says an empty cell
+    estimates 0 — an inner join would silently drop (or min over only
+    the collided subset of seeds for) candidates absent from the
+    build data, voiding the 1−e^−d guarantee for them."""
     c = F.col(item) if isinstance(item, str) else item
     probes = candidates.withColumn(
         "_seed", F.explode(F.array(*[F.lit(i) for i in range(depth)]))
@@ -56,9 +63,10 @@ def cms_estimate(
         F.broadcast(sketch),
         (F.col("_seed") == F.col("seed"))
         & (F.col("_bucket") == F.col("bucket")),
+        "left",
     )
     keys = [f.name for f in candidates.schema.fields]
     return (
         joined.groupBy(*keys)
-        .agg(F.min("cell_n").alias("cms_est"))
+        .agg(F.min(F.coalesce(F.col("cell_n"), F.lit(0))).alias("cms_est"))
     )

@@ -934,8 +934,9 @@ def analytic_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     AT MOST d·w cells per mapper — at 100 TB the sketch is the shuffle
     compression (exact top-k needs the full key space; the sketch
     ships 1024 counters). Registered rows-only (the sketch family has
-    no DuckDB twin); tests/test_sketches.py pins est ≥ exact,
-    the εN overestimate bound, and merge additivity."""
+    no DuckDB twin); tests/test_round5_ops.py (TestCountMinSketch)
+    pins est ≥ exact, the εN overestimate bound, and merge
+    additivity."""
     from metricproxy_spark.operators.sketches import cms_build, cms_estimate
 
     ev = load_table(spark, sf_dir, "events")

@@ -1314,7 +1314,7 @@ def ingest_syslog_rfc3164(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type || '.h' || CAST(user_id % 5 AS VARCHAR) AS name,
                CASE event_id % 4 WHEN 0 THEN 'c' WHEN 1 THEN 'g'
                                  WHEN 2 THEN 'ms' ELSE 's' END AS mtype,
-               CASE WHEN event_id % 4 = 0 AND event_id % 2 = 0
+               CASE WHEN event_id % 8 = 0
                     THEN 0.5 ELSE 1.0 END AS rate,
                -- the wire renders value as DECIMAL(27,4) text; the
                -- parser reads it back as DOUBLE — mirror the roundtrip
@@ -1341,8 +1341,10 @@ def ingest_statsd(spark: SparkSession, sf_dir: str) -> DataFrame:
     (public spec: github.com/statsd/statsd `docs/metric_types.md`;
     the reference family of metric proxies all terminate it).
 
-    Synthesizes one UDP-style line per event — counters (``|c``, half
-    of them sampled at ``@0.5``), gauges (``|g``), timers (``|ms``)
+    Synthesizes one UDP-style line per event — counters (``|c``,
+    event_id % 8 == 0 sampled at ``@0.5``, the rest bare ``|c`` so the
+    rate-default path is exercised too), gauges (``|g``), timers
+    (``|ms``)
     and sets (``|s`` with string members) — parses them back with one
     JVM regexp, applies the counter sample-rate correction
     (value/rate, the statsd server contract), and aggregates per
@@ -1354,7 +1356,6 @@ def ingest_statsd(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-independent. Map-only parse + one hash agg with map-side
     combine — scan-parallel at any scale."""
     ev = load_table(spark, sf_dir, "events")
-    is_counter = F.col("event_id") % 4 == 0
     mtype = (
         F.when(F.col("event_id") % 4 == 0, "c")
         .when(F.col("event_id") % 4 == 1, "g")
@@ -1372,9 +1373,9 @@ def ingest_statsd(spark: SparkSession, sf_dir: str) -> DataFrame:
         val_str,
         F.lit("|"),
         mtype,
-        F.when(
-            is_counter & (F.col("event_id") % 2 == 0), F.lit("|@0.5")
-        ).otherwise(F.lit("")),
+        F.when(F.col("event_id") % 8 == 0, F.lit("|@0.5")).otherwise(
+            F.lit("")
+        ),
     )
     lines = ev.select(line.alias("line"))
     rx = r"^([^:]+):([^|]+)\|([a-z]+)(?:\|@([0-9.]+))?$"

@@ -329,6 +329,18 @@ def layout_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         + sf_fingerprint(sf_dir)
     )
     t_orders, t_lineitem = f"mps_bkt_orders_{sf}", f"mps_bkt_lineitem_{sf}"
+    # GC superseded catalog entries: same sf name, older fingerprint —
+    # their LOCATION dirs were removed by staged_artifact_dir's sweep,
+    # so the stale EXTERNAL entries would only dangle.
+    sf_name = sf.rsplit("_", 1)[0]
+    for t in spark.catalog.listTables():
+        for stem in ("mps_bkt_orders_", "mps_bkt_lineitem_"):
+            if (
+                t.name.startswith(f"{stem}{sf_name}_")
+                and t.name not in (t_orders, t_lineitem)
+                and "_staging_" not in t.name
+            ):
+                spark.sql(f"DROP TABLE IF EXISTS {t.name}")
     for tbl, src, key, cols, ddl_cols in (
         (
             t_orders,

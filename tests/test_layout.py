@@ -62,3 +62,34 @@ def test_morton_interleave_matches_reference():
     }
     for x, y in pairs:
         assert got[(x, y)] == morton_ref(x, y)
+
+
+def test_staged_artifact_gc_removes_stale_fingerprints(sf_dir, tmp_path):
+    """A sibling mps_{tag}_{sf}_<old-fp> dir from regenerated testdata
+    is swept on the next staged_artifact_dir call; in-flight
+    *.staging.* dirs and other tags are never touched."""
+    import os
+    import tempfile
+
+    from metricproxy_spark.io import sf_fingerprint, staged_artifact_dir
+
+    tmp = tempfile.gettempdir()
+    sf = os.path.basename(sf_dir.rstrip("/"))
+    fp = sf_fingerprint(sf_dir)
+    stale_fp = ("0" * 10) if fp != "0" * 10 else ("1" * 10)
+    stale = os.path.join(tmp, f"mps_gctest_{sf}_{stale_fp}")
+    staging = os.path.join(tmp, f"mps_gctest_{sf}_{stale_fp}.staging.999")
+    other_tag = os.path.join(tmp, f"mps_gctestx_{sf}_{stale_fp}")
+    for d in (stale, staging, other_tag):
+        os.makedirs(d, exist_ok=True)
+    try:
+        got = staged_artifact_dir("gctest", sf_dir)
+        assert got.endswith(fp)
+        assert not os.path.isdir(stale), "stale generation not swept"
+        assert os.path.isdir(staging), "in-flight staging dir was swept"
+        assert os.path.isdir(other_tag), "foreign tag was swept"
+    finally:
+        import shutil
+
+        for d in (stale, staging, other_tag):
+            shutil.rmtree(d, ignore_errors=True)

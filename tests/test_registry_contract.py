@@ -27,6 +27,24 @@ def test_query_runs(spark, sf_dir, name):
     assert df.count() >= 0
 
 
+@pytest.mark.parametrize("name", _query_names())
+def test_query_schema_has_no_complex_columns(spark, sf_dir, name):
+    """The driver's pandas canonicalizer hashes cell values — an
+    array/map/struct column is unhashable and crashed it in round 4
+    (`unhashable type: 'list'` on analytic_approx_percentile). Every
+    registered query must therefore project complex types down to
+    scalars before returning."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    df = spark_entry.queries()[name](spark, sf_dir)
+    bad = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not bad, f"{name} returns complex-typed columns {bad}"
+
+
 @pytest.mark.parametrize(
     "name", [n for n in _query_names() if n in spark_entry.oracle_sql()]
 )

@@ -49,6 +49,53 @@ class TestCountMinSketch:
         got = self._sketch_and_exact(spark, rows, width=4096)
         assert got == {"a": (5, 5), "b": (3, 3), "c": (1, 1)}
 
+    def test_absent_candidate_estimates_zero(self, spark):
+        # A candidate never seen at build time must come back with
+        # cms_est = 0 when its cells are empty (wide sketch => no
+        # collisions), and must NOT be dropped from the output — the
+        # CMS point-query contract treats a missing cell as 0.
+        from metricproxy_spark.operators.sketches import (
+            cms_build,
+            cms_estimate,
+        )
+
+        build = spark.createDataFrame(
+            [("a",)] * 5 + [("b",)] * 3, "item string"
+        )
+        sketch = cms_build(build, "item", width=4096)
+        cands = spark.createDataFrame(
+            [("a",), ("ghost",), ("phantom",)], "item string"
+        )
+        got = {
+            r.item: r.cms_est
+            for r in cms_estimate(cands, sketch, "item", width=4096).collect()
+        }
+        assert got == {"a": 5, "ghost": 0, "phantom": 0}
+
+    def test_absent_candidate_narrow_sketch_still_bounded(self, spark):
+        # Even when an absent item collides on SOME seeds, the min
+        # over ALL d seeds (empty cells counting 0) keeps the
+        # overestimate within the εN bound rather than min-ing over
+        # only the collided subset.
+        from metricproxy_spark.operators.sketches import (
+            cms_build,
+            cms_estimate,
+        )
+
+        rows = [(f"u{i % 37}",) for i in range(1000)]
+        build = spark.createDataFrame(rows, "item string")
+        width = 64
+        sketch = cms_build(build, "item", width=width)
+        cands = spark.createDataFrame(
+            [(f"absent{i}",) for i in range(20)], "item string"
+        )
+        est = cms_estimate(cands, sketch, "item", width=width)
+        bound = 2 * 2.72 * len(rows) / width
+        out = est.collect()
+        assert len(out) == 20
+        for r in out:
+            assert 0 <= r.cms_est <= bound, (r.item, r.cms_est)
+
     def test_sketch_is_mergeable(self, spark):
         # sketch(A ∪ B) == cell-wise sum of sketch(A) + sketch(B)
         from metricproxy_spark.operators.sketches import cms_build
