@@ -1307,9 +1307,9 @@ def ingest_syslog_rfc3164(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ingest_statsd",
-    oracle="""
+# One oracle per wire format, shared by the at-rest and live-socket
+# twins — the live path must hash-match the batch path exactly.
+_STATSD_ORACLE = """
     WITH wire AS (
         SELECT event_type || '.h' || CAST(user_id % 5 AS VARCHAR) AS name,
                CASE event_id % 4 WHEN 0 THEN 'c' WHEN 1 THEN 'g'
@@ -1333,86 +1333,9 @@ def ingest_syslog_rfc3164(spark: SparkSession, sf_dir: str) -> DataFrame:
            END AS n_members
     FROM wire
     GROUP BY 1, 2
-    """,
-)
-def ingest_statsd(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """StatsD wire-format ingest (`name:value|type[|@rate]`) — the
-    fourth classic push protocol next to carbon/collectd/prometheus
-    (public spec: github.com/statsd/statsd `docs/metric_types.md`;
-    the reference family of metric proxies all terminate it).
+    """
 
-    Synthesizes one UDP-style line per event — counters (``|c``,
-    event_id % 8 == 0 sampled at ``@0.5``, the rest bare ``|c`` so the
-    rate-default path is exercised too), gauges (``|g``), timers
-    (``|ms``)
-    and sets (``|s`` with string members) — parses them back with one
-    JVM regexp, applies the counter sample-rate correction
-    (value/rate, the statsd server contract), and aggregates per
-    (name, type): counts, rate-corrected totals, and distinct set
-    cardinality.
-
-    Exactness: value/rate is ONE IEEE division on identical doubles in
-    both engines, then cast to DECIMAL(27,6) so the SUM is
-    order-independent. Map-only parse + one hash agg with map-side
-    combine — scan-parallel at any scale."""
-    ev = load_table(spark, sf_dir, "events")
-    mtype = (
-        F.when(F.col("event_id") % 4 == 0, "c")
-        .when(F.col("event_id") % 4 == 1, "g")
-        .when(F.col("event_id") % 4 == 2, "ms")
-        .otherwise("s")
-    )
-    val_str = F.when(
-        mtype == "s", F.concat(F.lit("u"), F.col("user_id").cast("string"))
-    ).otherwise(F.col("value").cast("decimal(27,4)").cast("string"))
-    line = F.concat(
-        F.col("event_type"),
-        F.lit(".h"),
-        (F.col("user_id") % 5).cast("string"),
-        F.lit(":"),
-        val_str,
-        F.lit("|"),
-        mtype,
-        F.when(F.col("event_id") % 8 == 0, F.lit("|@0.5")).otherwise(
-            F.lit("")
-        ),
-    )
-    lines = ev.select(line.alias("line"))
-    rx = r"^([^:]+):([^|]+)\|([a-z]+)(?:\|@([0-9.]+))?$"
-    g = lambda i: F.regexp_extract(F.col("line"), rx, i)  # noqa: E731
-    parsed = lines.select(
-        g(1).alias("name"),
-        g(2).alias("raw_val"),
-        g(3).alias("mtype"),
-        F.nullif(g(4), F.lit("")).alias("rate_str"),
-    ).where(F.col("name") != "")
-    scaled = parsed.withColumn(
-        "scaled",
-        F.when(
-            F.col("mtype") != "s",
-            (
-                F.col("raw_val").try_cast("double")
-                / F.coalesce(
-                    F.col("rate_str").try_cast("double"), F.lit(1.0)
-                )
-            ).cast("decimal(27,6)"),
-        ),
-    )
-    return scaled.groupBy("name", "mtype").agg(
-        F.count(F.lit(1)).alias("n_lines"),
-        F.sum("scaled").cast("double").alias("total"),
-        F.when(
-            F.first("mtype") == "s",
-            F.count_distinct(
-                F.when(F.col("mtype") == "s", F.col("raw_val"))
-            ),
-        ).alias("n_members"),
-    )
-
-
-@register(
-    "ingest_influx_line",
-    oracle="""
+_INFLUX_ORACLE = """
     WITH wire AS (
         SELECT event_type AS measurement,
                'h' || CAST(user_id % 5 AS VARCHAR) AS host,
@@ -1431,8 +1354,88 @@ def ingest_statsd(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(max(ts_ns) AS BIGINT) AS max_ts_ns
     FROM wire
     GROUP BY 1, 2
-    """,
-)
+    """
+
+
+@register("ingest_statsd", oracle=_STATSD_ORACLE)
+def ingest_statsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StatsD wire-format ingest (`name:value|type[|@rate]`) — the
+    fourth classic push protocol next to carbon/collectd/prometheus
+    (public spec: github.com/statsd/statsd `docs/metric_types.md`;
+    the reference family of metric proxies all terminate it).
+
+    Synthesizes one UDP-style line per event — counters (``|c``,
+    event_id % 8 == 0 sampled at ``@0.5``, the rest bare ``|c`` so
+    the rate-default path is exercised too), gauges (``|g``), timers
+    (``|ms``) and sets (``|s`` with string members) — parses them
+    back with one JVM regexp, applies the counter sample-rate
+    correction (value/rate, the statsd server contract), and
+    aggregates per (name, type): counts, rate-corrected totals, and
+    distinct set cardinality. Synthesis, parse and flush-agg live in
+    :mod:`metricproxy_spark.sources.statsd`, shared verbatim with the
+    live-socket twin (`ingest_statsd_live`).
+
+    Exactness: value/rate is ONE IEEE division on identical doubles in
+    both engines, then cast to DECIMAL(27,6) so the SUM is
+    order-independent. Map-only parse + one hash agg with map-side
+    combine — scan-parallel at any scale."""
+    from metricproxy_spark.sources.statsd import (
+        aggregate_statsd,
+        parse_statsd_lines,
+        statsd_wire_lines,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    lines = ev.select(statsd_wire_lines(ev).alias("line"))
+    return aggregate_statsd(parse_statsd_lines(lines))
+
+
+@register("ingest_statsd_live", oracle=_STATSD_ORACLE)
+def ingest_statsd_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-ext LIVE: the same statsd corpus pushed over REAL loopback
+    TCP into :class:`~metricproxy_spark.streaming.socketlistener.
+    LineSocketListener` (the telegraf socket_listener transport for
+    statsd — lossless, unlike datagram UDP whose at-most-once
+    semantics are exercised in tests/test_socketlistener.py), spooled
+    verbatim to line files, scanned back through the byte-range
+    `carbonwire` connector, and parsed/aggregated by the SAME
+    functions as the at-rest twin. Oracle is the identical SQL — the
+    whole live chain (accept, newline framing, spool rotation,
+    connector splits, parse, flush agg) is value-checked end to end.
+
+    The sending loop is the CLIENT side of the wire — a bounded load
+    generator that holds its own payload by definition; the engine
+    side (spool scan -> parse -> agg) stays distributed."""
+    from metricproxy_spark.sources.pyds import register_carbonwire
+    from metricproxy_spark.sources.statsd import (
+        aggregate_statsd,
+        parse_statsd_lines,
+        statsd_wire_lines,
+    )
+    from metricproxy_spark.streaming.socketlistener import (
+        LineSocketListener,
+        send_lines_tcp,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    payload = [
+        r.line
+        for r in ev.select(statsd_wire_lines(ev).alias("line")).collect()
+    ]
+    spool = tempfile.mkdtemp(prefix="mps_statsd_live_")
+    with LineSocketListener(spool, mode="tcp") as lis:
+        send_lines_tcp(lis.host, lis.port, payload)
+    register_carbonwire(spark)
+    back = (
+        spark.read.format("carbonwire")
+        .option("path", spool)
+        .load()
+        .select("line")
+    )
+    return aggregate_statsd(parse_statsd_lines(back))
+
+
+@register("ingest_influx_line", oracle=_INFLUX_ORACLE)
 def ingest_influx_line(spark: SparkSession, sf_dir: str) -> DataFrame:
     """InfluxDB line-protocol ingest
     (`measurement,tag=v,... field=v,...i <ns-timestamp>` — public spec:
@@ -1441,50 +1444,59 @@ def ingest_influx_line(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer field (``i`` suffix), and a nanosecond timestamp; parses
     the sections apart with one regexp, then ``str_to_map`` for the
     tag and field sets (the general n-tag path, not positional
-    groups); aggregates per (measurement, host).
+    groups); aggregates per (measurement, host). Synthesis, parse and
+    rollup live in :mod:`metricproxy_spark.sources.influx`, shared
+    verbatim with the live-socket twin (`ingest_influx_live`).
 
     The synthesized corpus contains no escaped commas/spaces/quotes —
     the escape grammar is out of scope and documented here. Map-only
     parse (regexp + str_to_map stay in whole-stage codegen) + one hash
     agg; exactly the carbon-parse scale shape."""
+    from metricproxy_spark.sources.influx import (
+        aggregate_influx,
+        influx_wire_lines,
+        parse_influx_lines,
+    )
+
     ev = load_table(spark, sf_dir, "events")
-    line = F.concat(
-        F.col("event_type"),
-        F.lit(",host=h"),
-        (F.col("user_id") % 5).cast("string"),
-        F.lit(",region=r"),
-        (F.col("user_id") % 3).cast("string"),
-        F.lit(" value="),
-        F.col("value").cast("decimal(27,4)").cast("string"),
-        F.lit(",count="),
-        (F.col("event_id") % 100).cast("string"),
-        F.lit("i "),
-        (F.unix_micros("ts") * 1000).cast("string"),
+    lines = ev.select(influx_wire_lines(ev).alias("line"))
+    return aggregate_influx(parse_influx_lines(lines))
+
+
+@register("ingest_influx_live", oracle=_INFLUX_ORACLE)
+def ingest_influx_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-ext LIVE: influx line protocol over REAL loopback TCP (the
+    telegraf socket_listener transport) into the line spool, scanned
+    back via the `carbonwire` byte-range connector and parsed by the
+    SAME functions as the at-rest twin — identical oracle SQL, so the
+    live chain is value-checked end to end. See `ingest_statsd_live`
+    for the transport/scale notes."""
+    from metricproxy_spark.sources.influx import (
+        aggregate_influx,
+        influx_wire_lines,
+        parse_influx_lines,
     )
-    lines = ev.select(line.alias("line"))
-    rx = r"^([^,]+),([^ ]+) ([^ ]+) (\d+)$"
-    g = lambda i: F.regexp_extract(F.col("line"), rx, i)  # noqa: E731
-    sec = lines.select(
-        g(1).alias("measurement"),
-        F.expr("str_to_map(regexp_extract(line, '^([^,]+),([^ ]+) ([^ ]+) (\\\\d+)$', 2), ',', '=')").alias("tags"),
-        F.expr("str_to_map(regexp_extract(line, '^([^,]+),([^ ]+) ([^ ]+) (\\\\d+)$', 3), ',', '=')").alias("fields"),
-        g(4).cast("bigint").alias("ts_ns"),
-    ).where(F.col("measurement") != "")
-    typed = sec.select(
-        "measurement",
-        F.col("tags")["host"].alias("host"),
-        F.col("fields")["value"].cast("double").alias("val"),
-        F.regexp_replace(F.col("fields")["count"], "i$", "")
-        .cast("bigint")
-        .alias("cnt"),
-        "ts_ns",
+    from metricproxy_spark.sources.pyds import register_carbonwire
+    from metricproxy_spark.streaming.socketlistener import (
+        LineSocketListener,
+        send_lines_tcp,
     )
-    return typed.groupBy("measurement", "host").agg(
-        F.count(F.lit(1)).alias("n_points"),
-        F.sum(F.col("val").cast("decimal(27,4)"))
-        .cast("double")
-        .alias("sum_value"),
-        F.sum("cnt").cast("bigint").alias("sum_count"),
-        F.min("ts_ns").cast("bigint").alias("min_ts_ns"),
-        F.max("ts_ns").cast("bigint").alias("max_ts_ns"),
+
+    ev = load_table(spark, sf_dir, "events")
+    payload = [
+        r.line
+        for r in ev.select(influx_wire_lines(ev).alias("line")).collect()
+    ]
+    spool = tempfile.mkdtemp(prefix="mps_influx_live_")
+    with LineSocketListener(spool, mode="tcp") as lis:
+        send_lines_tcp(lis.host, lis.port, payload)
+    register_carbonwire(spark)
+    back = (
+        spark.read.format("carbonwire")
+        .option("path", spool)
+        .load()
+        .select("line")
     )
+    return aggregate_influx(parse_influx_lines(back))
+
+

@@ -32,32 +32,24 @@ ORACLES: dict[str, str] = {}
 
 # Registration order = the order a row-capped driver verifies queries
 # (r1-r4 CORRECTNESS files each stopped at exactly 50 rows).
-# _PRIORITY pins specific names to the FRONT of the registry. Round-5
-# rotation: first the 6 round-4 additions that overflowed r4's window
-# (never driver-verified), then analytic_approx_percentile (FAILED in
-# r4 — array column crashed the driver canonicalizer; now returns
-# scalar p50/p95/p99 and needs re-verification), then queries newly
-# added in round 5. Union across r1-r5 then covers every query.
-# Everything else keeps module order behind them.
+# _PRIORITY pins specific names to the FRONT of the registry. Round-6
+# rotation: first analytic_json_funcs (the ONE name whose only driver
+# row is r02's env-era failure — r5 VERDICT task 2), then every query
+# whose semantics or plan changed this round (the two distributed
+# window rewrites, the statsd sampling fix, the CMS left-join fix),
+# then queries newly added in round 6. Union across r1-r6 then covers
+# every query. Everything else keeps module order behind them.
 _PRIORITY = (
-    # --- r4 window overflow, never driver-verified (6 names) ---
-    "events_sla_burn_rate",
-    "events_cusum_score",
-    "analytic_asof_nearest",
+    # --- evidence gap: only driver row is an r02 env-era failure ---
+    "analytic_json_funcs",
+    # --- changed in round 6, need re-verification ---
+    "pipeline_pack_sequences",
     "analytic_skyline_frontier",
-    "pipeline_lm_typicality",
-    "ingest_syslog_rfc3164",
-    # --- failed in r4, fixed this round ---
-    "analytic_approx_percentile",
-    # --- round-5 additions (new queries land here, inside the 50) ---
     "ingest_statsd",
-    "ingest_influx_line",
-    "events_time_weighted_avg",
-    "text_bm25_topk",
-    "sim_embedding_moments",
-    "sim_pca_project",
     "analytic_cms_heavy_hitters",
-    "graph_khop_reach",
+    # --- round-6 additions (new queries land here, inside the 50) ---
+    "ingest_statsd_live",
+    "ingest_influx_live",
 )
 
 _QUERY_MODULES = (
