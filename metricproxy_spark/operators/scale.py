@@ -83,3 +83,79 @@ def salted_join(
     )
     joined = fact_salted.join(dim_rep, [key, "_salt"], "inner")
     return joined.drop("_salt")
+
+
+def guarded_series(
+    df,
+    keys: list,
+    order_cols: list[str],
+    *,
+    guard_rows: int = 2_000_000,
+    on_overflow: str = "error",
+    extra_aggs: tuple = (),
+):
+    """Per-group sorted series (``rows`` array of structs) with a
+    GROUP-SIZE GUARD for the sequential-recurrence family (EMA, Holt,
+    CUSUM): their ordered fold is inherently one buffer per group, so
+    memory is bounded by the largest group — fine at metrics cadences
+    (one (type, day) group ≈ 10⁴–10⁶ points), fatal for a hot key at
+    ~10⁸ events/day. The guard makes that bound explicit instead of an
+    executor OOM:
+
+    - ``on_overflow='error'``: the collect runs as one hash agg; a
+      group exceeding ``guard_rows`` raises in-plan (raise_error) with
+      the group size in the message. The default — loud, no silent
+      bias. The guard must sit well under the executor-memory bound,
+      since the array materializes before the check.
+    - ``on_overflow='cap'``: rows are ranked per group with a window
+      (sort state SPILLS to disk, unlike collect_list's in-memory
+      buffer) and only the first ``guard_rows`` in ``order_cols``
+      order are folded — deterministic truncation, documented bias,
+      OOM-safe for arbitrarily hot keys.
+
+    Returns the grouped frame with ``rows`` (sorted struct array) and
+    ``group_n`` (the TRUE group size, pre-cap).
+    """
+    if on_overflow not in ("error", "cap"):
+        raise ValueError(f"on_overflow must be error or cap: {on_overflow!r}")
+    struct = F.struct(*order_cols)
+    key_cols = [F.col(k) if isinstance(k, str) else k for k in keys]
+    if on_overflow == "cap":
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+        ranked = df.withColumn("_rn", F.row_number().over(w))
+        return (
+            ranked.groupBy(*key_cols)
+            .agg(
+                F.sort_array(
+                    F.collect_list(
+                        F.when(F.col("_rn") <= guard_rows, struct)
+                    )
+                ).alias("rows"),
+                F.count(F.lit(1)).cast("bigint").alias("group_n"),
+                *extra_aggs,
+            )
+        )
+    grouped = df.groupBy(*key_cols).agg(
+        F.sort_array(F.collect_list(struct)).alias("rows"),
+        F.count(F.lit(1)).cast("bigint").alias("group_n"),
+        *extra_aggs,
+    )
+    return grouped.withColumn(
+        "rows",
+        F.when(F.col("group_n") <= guard_rows, F.col("rows")).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "recurrence group exceeds guard_rows="
+                        f"{guard_rows}: size="
+                    ),
+                    F.col("group_n").cast("string"),
+                    F.lit(
+                        "; use on_overflow='cap' or a finer grouping key"
+                    ),
+                )
+            )
+        ),
+    )

@@ -221,16 +221,21 @@ def events_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     by day bounds series length (no unbounded collect_list): at 100 TB
     the state per group is one day of one key, and a second pass can
     chain day-level EMAs via the same fold if cross-day carry is needed.
+    MEMORY BOUND: one array buffer per (type, day) group — fine at
+    metrics cadences, so a hot key at ~10⁸ events/day goes through
+    :func:`~metricproxy_spark.operators.scale.guarded_series`, which
+    raises in-plan past guard_rows (or spills+caps in 'cap' mode)
+    instead of OOMing an executor.
     The DuckDB oracle is the identical fold via list_reduce, so the
     sequential semantics — not just aggregates — are value-checked.
     """
+    from metricproxy_spark.operators.scale import guarded_series
+
     events = load_table(spark, sf_dir, "events")
-    series = events.groupBy(
-        "event_type", F.date_trunc("day", "ts").alias("day")
-    ).agg(
-        F.sort_array(
-            F.collect_list(F.struct("ts", "event_id", "value"))
-        ).alias("rows")
+    series = guarded_series(
+        events,
+        ["event_type", F.date_trunc("day", "ts").alias("day")],
+        ["ts", "event_id", "value"],
     )
     # Stage the sorted value array in its own projection so the fold
     # below references one attribute (CollapseProject would otherwise
@@ -1337,14 +1342,16 @@ def events_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     `aggregate` HOF step per sample whose multiply-add chain is
     bit-identical to the DuckDB `list_reduce` twin — the SEQUENTIAL
     recurrence, not just aggregates, is value-checked. Single-sample
-    days yield NULL trend/forecast in both engines."""
+    days yield NULL trend/forecast in both engines. Group memory is
+    bounded by guarded_series (see `events_ema` for the hot-key
+    contract)."""
+    from metricproxy_spark.operators.scale import guarded_series
+
     events = load_table(spark, sf_dir, "events")
-    series = events.groupBy(
-        "event_type", F.date_trunc("day", "ts").alias("day")
-    ).agg(
-        F.sort_array(
-            F.collect_list(F.struct("ts", "event_id", "value"))
-        ).alias("rows")
+    series = guarded_series(
+        events,
+        ["event_type", F.date_trunc("day", "ts").alias("day")],
+        ["ts", "event_id", "value"],
     )
     staged = series.select(
         "event_type",
@@ -1484,15 +1491,16 @@ def events_cusum_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-for-bit), the per-sample deltas are staged by one transform,
     and the fold's max/add chain is identical IEEE arithmetic in both
     engines, so the SEQUENTIAL detector — end state, running max and
-    decision — is value-checked exactly."""
+    decision — is value-checked exactly. Group memory is bounded by
+    guarded_series (see `events_ema` for the hot-key contract)."""
+    from metricproxy_spark.operators.scale import guarded_series
+
     events = load_table(spark, sf_dir, "events")
-    series = events.groupBy(
-        "event_type", F.date_trunc("day", "ts").alias("day")
-    ).agg(
-        F.sort_array(
-            F.collect_list(F.struct("ts", "event_id", "value"))
-        ).alias("rows"),
-        davg("value").alias("mu"),
+    series = guarded_series(
+        events,
+        ["event_type", F.date_trunc("day", "ts").alias("day")],
+        ["ts", "event_id", "value"],
+        extra_aggs=(davg("value").alias("mu"),),
     )
     staged = series.select(
         "event_type",

@@ -260,30 +260,55 @@ def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     detection. The 2-hop set is a self-join of the deduped edge list
     on the customer side followed by a distinct count: edges are
     touched once per hop, counts stay aggregated — no per-node
-    adjacency lists materialize on any single machine, so the shape
-    survives skewed hubs at 100 TB (the hot customer key salts through
-    AQE's skew-join splitting)."""
+    adjacency lists materialize on any single machine. AQE's
+    skew-join splitting handles a hot customer in the JOIN itself,
+    but the pair stream is still Σ deg(cust)² — on power-law graphs
+    pass ``hub_cap`` to :func:`_khop_exact` (drop hub customers from
+    hop 2, bounding pairs at cap·|edges|) or use the sketch form
+    (`graph_khop_reach_approx`), whose shuffle is linear in edges."""
+    return _khop_exact(_khop_half(spark, sf_dir))
+
+
+def _khop_half(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deduped bipartite (cust, supp) edge list shared by every k-hop
+    flavor."""
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey"
     )
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey"
     )
-    half = (
+    return (
         orders.join(li, orders.o_orderkey == li.l_orderkey)
         .select(
             F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp")
         )
         .distinct()
     )
+
+
+def _khop_exact(half: DataFrame, hub_cap: int | None = None) -> DataFrame:
+    """Exact 1-hop/2-hop reach. ``hub_cap``: customers with more than
+    this many suppliers are excluded from the hop-2 expansion (their
+    near-clique contribution dominates Σ deg² on power-law graphs);
+    hop-1 counts stay exact. With cap c the pair stream is ≤ c·|edges|
+    — the standard bounded-exact compromise; the HLL form keeps hubs
+    AND linear shuffle at the price of ~1.6% estimate error."""
+    hop2_src = half
+    if hub_cap is not None:
+        deg = half.groupBy("cust").agg(F.count(F.lit(1)).alias("_deg"))
+        hop2_src = (
+            half.join(deg.where(F.col("_deg") <= hub_cap), "cust")
+            .select("cust", "supp")
+        )
     hop1 = half.groupBy("supp").agg(
         F.count_distinct("cust").alias("n_customers")
     )
-    b = half.select(
+    b = hop2_src.select(
         F.col("cust").alias("cust2"), F.col("supp").alias("peer")
     )
     hop2 = (
-        half.join(b, half.cust == b.cust2)
+        hop2_src.join(b, hop2_src.cust == b.cust2)
         .where(F.col("peer") != F.col("supp"))
         .groupBy("supp")
         .agg(F.count_distinct("peer").alias("n_peer_suppliers"))
@@ -297,4 +322,51 @@ def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_peer_suppliers"
             ),
         )
+    )
+
+
+@register("graph_khop_reach_approx")
+def graph_khop_reach_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hub-scale k-hop: the HLL-sketch variant of `graph_khop_reach`
+    (VERDICT r5 "What's missing" #5). Instead of materializing the
+    Σ deg(cust)² hop-2 pair stream and exploding count_distinct keys,
+    each customer aggregates ONE DataSketches HLL of its supplier set
+    (`hll_sketch_agg`, lgConfigK=12, ~4 KB worst case, far smaller in
+    sparse mode); the edge list joins those per-customer sketches on
+    the customer key and `hll_union_agg` merges them per supplier —
+    mergeable partial state, so the shuffle is map-side combined and
+    LINEAR in |edges| regardless of hub degree. The union necessarily
+    contains the supplier itself (it is one of its customers'
+    suppliers), so the peer estimate reports round(est) - 1, floored
+    at 0.
+
+    Rows-only by contract (sketch family has no DuckDB twin);
+    tests/test_round6_ops.py bounds it against the exact form
+    (≤ 5% rel error at lgK=12) and pins the hub-cap contract."""
+    half = _khop_half(spark, sf_dir)
+    per_cust = half.groupBy("cust").agg(
+        F.hll_sketch_agg("supp", 12).alias("supp_sk")
+    )
+    hop1 = half.groupBy("supp").agg(
+        F.count_distinct("cust").alias("n_customers")
+    )
+    hop2 = (
+        half.join(per_cust, "cust")
+        .groupBy("supp")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("supp_sk")).alias("_est")
+        )
+        .select(
+            "supp",
+            F.greatest(
+                F.round(F.col("_est")).cast("bigint") - 1, F.lit(0)
+            ).alias("est_peer_suppliers"),
+        )
+    )
+    return hop1.join(hop2, "supp", "left").select(
+        F.col("supp").alias("supplier_id"),
+        "n_customers",
+        F.coalesce("est_peer_suppliers", F.lit(0)).alias(
+            "est_peer_suppliers"
+        ),
     )

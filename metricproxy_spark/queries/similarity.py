@@ -499,6 +499,83 @@ def sim_embedding_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sim_pca_variance_check",
+    oracle="""
+    WITH comp AS (
+        SELECT unnest(CAST(embedding AS DOUBLE[])) AS v,
+               unnest(range(0, len(embedding))) AS pos
+        FROM embeddings
+    ), agg AS (
+        SELECT pos,
+               count(*) AS n,
+               CAST(SUM(CAST(v AS DECIMAL(27,9))) AS DOUBLE) AS sv,
+               CAST(SUM(CAST(v * v AS DECIMAL(38,18))) AS DOUBLE) AS svv
+        FROM comp GROUP BY pos
+    ), pervar AS (
+        SELECT n, CAST(svv / n - (sv / n) * (sv / n) AS DECIMAL(27,9))
+                  AS var_dec
+        FROM agg
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_dims,
+           CAST(min(n) AS BIGINT) AS n_vectors,
+           CAST(SUM(var_dec) AS DOUBLE) AS total_variance,
+           TRUE AS eig_sum_matches
+    FROM pervar
+    """,
+)
+def sim_pca_variance_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-checked evidence for the (necessarily rows-only) PCA
+    family: the trace identity Σ eigenvalues(cov) = Σ per-dimension
+    population variance. The left side comes from the distributed
+    partial-Gram PCA (`train_pca`, k = d so ALL eigenvalues — driver
+    state stays d²); the right side is the same exact-decimal moments
+    path `sim_embedding_moments` oracles, summed through DECIMAL so
+    both engines agree bit-for-bit. The query emits the exact total
+    variance plus ``eig_sum_matches`` = |Σλ − total| < 1e-6 — the
+    eigendecomposition's correctness rides the hash as a checked
+    boolean (float64 Gram accumulation error is ~1e-10 here, four
+    orders inside the tolerance). Converts a rows-only family member
+    into a driver-verified exact oracle (VERDICT r5 task 6)."""
+    import numpy as np
+
+    from metricproxy_spark.operators.pca import train_pca
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = len(emb.select("embedding").first()[0])
+    _, _, evals = train_pca(emb, "embedding", k=d)
+    eig_sum = float(np.sum(evals))
+    comp = emb.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "pos", "v"
+        )
+    )
+    agg = comp.groupBy("pos").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("v").cast("decimal(27,9)")).cast("double").alias("sv"),
+        F.sum((F.col("v") * F.col("v")).cast("decimal(38,18)"))
+        .cast("double")
+        .alias("svv"),
+    )
+    pervar = agg.select(
+        "n",
+        (
+            F.col("svv") / F.col("n")
+            - (F.col("sv") / F.col("n")) * (F.col("sv") / F.col("n"))
+        )
+        .cast("decimal(27,9)")
+        .alias("var_dec"),
+    )
+    return pervar.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dims"),
+        F.min("n").cast("bigint").alias("n_vectors"),
+        F.sum("var_dec").cast("double").alias("total_variance"),
+        (
+            F.abs(F.sum("var_dec").cast("double") - F.lit(eig_sum)) < 1e-6
+        ).alias("eig_sum_matches"),
+    )
+
+
 @register("sim_pca_project")
 def sim_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L3: PCA dimensionality reduction — fit 4 principal components

@@ -47,9 +47,15 @@ _PRIORITY = (
     "analytic_skyline_frontier",
     "ingest_statsd",
     "analytic_cms_heavy_hitters",
+    # --- changed in round 6 (guarded_series rewiring) ---
+    "events_ema",
+    "events_holt_trend",
+    "events_cusum_score",
     # --- round-6 additions (new queries land here, inside the 50) ---
     "ingest_statsd_live",
     "ingest_influx_live",
+    "graph_khop_reach_approx",
+    "sim_pca_variance_check",
 )
 
 _QUERY_MODULES = (

@@ -1,0 +1,136 @@
+"""Round-6 operator tests: k-hop HLL variant + hub cap, recurrence
+group guards, PCA variance cross-check."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from metricproxy_spark.registry import QUERIES, load_all
+
+load_all()
+
+
+def _q(name):
+    return QUERIES[name]
+
+
+class TestKhopApprox:
+    def test_estimate_tracks_exact_within_hll_bound(self, spark, sf_dir):
+        exact = {
+            r.supplier_id: (r.n_customers, r.n_peer_suppliers)
+            for r in _q("graph_khop_reach")(spark, sf_dir).collect()
+        }
+        approx = {
+            r.supplier_id: (r.n_customers, r.est_peer_suppliers)
+            for r in _q("graph_khop_reach_approx")(spark, sf_dir).collect()
+        }
+        assert set(exact) == set(approx)
+        for supp, (n_cust, n_peer) in exact.items():
+            a_cust, a_peer = approx[supp]
+            assert a_cust == n_cust  # hop-1 stays exact
+            # lgK=12 => ~1.6% standard error; allow 5% + 2 absolute
+            assert abs(a_peer - n_peer) <= max(2, 0.05 * n_peer), (
+                supp, n_peer, a_peer,
+            )
+
+    def test_hub2_union_is_mergeable_partial_state(self, spark, sf_dir):
+        """The sketch union must map-side combine (partial_hll_union_agg
+        below the exchange) — that is what makes the shuffle linear in
+        edges instead of Σ deg² pairs."""
+        df = _q("graph_khop_reach_approx")(spark, sf_dir)
+        df.count()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "partial_hll_union_agg" in plan, plan
+
+    def test_hub_cap_bounds_hop2_and_preserves_hop1(self, spark, sf_dir):
+        from metricproxy_spark.queries.graph import _khop_exact, _khop_half
+
+        half = _khop_half(spark, sf_dir)
+        max_deg = (
+            half.groupBy("cust")
+            .count()
+            .agg(F.max("count"))
+            .collect()[0][0]
+        )
+        uncapped = {
+            r.supplier_id: (r.n_customers, r.n_peer_suppliers)
+            for r in _khop_exact(half).collect()
+        }
+        at_max = {
+            r.supplier_id: (r.n_customers, r.n_peer_suppliers)
+            for r in _khop_exact(half, hub_cap=max_deg).collect()
+        }
+        assert at_max == uncapped  # cap >= max degree is a no-op
+        capped = {
+            r.supplier_id: (r.n_customers, r.n_peer_suppliers)
+            for r in _khop_exact(half, hub_cap=max(1, max_deg // 2)).collect()
+        }
+        assert set(capped) == set(uncapped)
+        for supp, (n_cust, n_peer) in capped.items():
+            assert n_cust == uncapped[supp][0]  # hop-1 untouched
+            assert n_peer <= uncapped[supp][1]  # hop-2 only shrinks
+
+    def test_hub_cap_drops_planted_hub(self, spark):
+        # 1 hub customer linked to every supplier + sparse tail:
+        # capping at 2 removes exactly the hub's clique contribution
+        from metricproxy_spark.queries.graph import _khop_exact
+
+        edges = [(99, s) for s in range(1, 6)]  # hub cust 99 -> s1..s5
+        edges += [(1, 1), (1, 2), (2, 3)]  # tail: cust1 {s1,s2}, cust2 {s3}
+        half = spark.createDataFrame(edges, "cust int, supp int")
+        capped = {
+            r.supplier_id: r.n_peer_suppliers
+            for r in _khop_exact(half, hub_cap=2).collect()
+        }
+        # only cust1's pair {s1, s2} survives hop 2
+        assert capped == {1: 1, 2: 1, 3: 0, 4: 0, 5: 0}
+
+
+class TestGuardedSeries:
+    def _hot(self, spark, n=500):
+        return spark.range(n).select(
+            F.lit("hot").alias("k"),
+            F.col("id").alias("ord"),
+            (F.col("id") * 2).cast("double").alias("value"),
+        )
+
+    def test_guard_fires_on_hot_group(self, spark):
+        import pytest
+
+        from metricproxy_spark.operators.scale import guarded_series
+
+        df = self._hot(spark)
+        out = guarded_series(
+            df, ["k"], ["ord", "value"], guard_rows=100
+        )
+        with pytest.raises(Exception, match="exceeds guard_rows"):
+            out.collect()
+
+    def test_guard_passes_under_bound(self, spark):
+        from metricproxy_spark.operators.scale import guarded_series
+
+        df = self._hot(spark, n=50)
+        rows = guarded_series(
+            df, ["k"], ["ord", "value"], guard_rows=100
+        ).collect()
+        assert len(rows) == 1 and rows[0].group_n == 50
+        assert len(rows[0].rows) == 50
+
+    def test_cap_mode_truncates_deterministically(self, spark):
+        from metricproxy_spark.operators.scale import guarded_series
+
+        df = self._hot(spark, n=500)
+        rows = guarded_series(
+            df, ["k"], ["ord", "value"], guard_rows=100, on_overflow="cap"
+        ).collect()
+        assert rows[0].group_n == 500  # true size still reported
+        kept = [r.ord for r in rows[0].rows]
+        assert kept == list(range(100))  # first 100 in order, exactly
+
+    def test_recurrence_queries_use_the_guard(self, spark, sf_dir):
+        # the three sequential-recurrence queries route through
+        # guarded_series: their plans all carry the group_n count
+        for name in ("events_ema", "events_holt_trend", "events_cusum_score"):
+            df = _q(name)(spark, sf_dir)
+            plan = df._jdf.queryExecution().analyzed().toString()
+            assert "group_n" in plan, name
