@@ -51,6 +51,10 @@ _PRIORITY = (
     "events_ema",
     "events_holt_trend",
     "events_cusum_score",
+    # --- changed in round 6 (bench-tail staging/bucketing) ---
+    "dedup_semantic",
+    "dedup_semantic_prune",
+    "ingest_carbon_connector_sink",
     # --- round-6 additions (new queries land here, inside the 50) ---
     "ingest_statsd_live",
     "ingest_influx_live",

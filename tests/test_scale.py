@@ -704,3 +704,13 @@ class TestRound6PlanDiscipline:
         assert "Exchange SinglePartition" not in plan, plan
         assert "Window" not in plan, plan
         assert "BroadcastExchange" in plan, plan
+
+    def test_semantic_pair_join_consumes_bucketed_members(self, spark, sf_dir):
+        """The within-cluster self-join reads the staged members table
+        bucketed by cluster: no hash exchange on either side — the
+        broadcast path at tiny SF, the bucketed sort-merge at scale
+        (both verified; this asserts the absence of re-shuffle)."""
+        plan = self._plan(spark, sf_dir, "dedup_semantic")
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "Exchange SinglePartition" not in plan, plan
+        assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan, plan
