@@ -50,10 +50,202 @@ def decode_media(content: bytes, media_type: str | None = None):
         return decode_bmp(content)
     if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
         return decode_wav(content)
+    if content[:8] == PNG_MAGIC:
+        return decode_png(content)
     raise NotImplementedError(
-        "media decode stub: only uncompressed BMP/WAV decode in-container; "
-        "install codec libs and extend decode_media() for other formats"
+        "media decode stub: BMP/WAV (struct) and PNG (zlib inflate + "
+        "defilter) decode in-container; install codec libs and extend "
+        "decode_media() for JPEG/MP3/MP4"
     )
+
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+# PNG color types (ISO/IEC 15948 §6.1) → samples per pixel
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def encode_png(pixels, row_filters=None, palette=None) -> bytes:
+    """numpy uint8 array → 8-bit PNG (RFC 2083 / ISO 15948 subset).
+
+    Shapes: (H, W) gray; (H, W, 2) gray+alpha; (H, W, 3) RGB;
+    (H, W, 4) RGBA; (H, W) index array with ``palette`` (P×3 uint8) →
+    color type 3. ``row_filters``: per-row filter ids 0–4 (default all
+    0) — the encoder applies the REAL filter math, so a decoder
+    round-trip exercises Sub/Up/Average/Paeth, not just None."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if palette is not None:
+        color_type, data = 3, px[:, :, None]
+    elif px.ndim == 2:
+        color_type, data = 0, px[:, :, None]
+    else:
+        color_type = {2: 4, 3: 2, 4: 6}[px.shape[2]]
+        data = px
+    h, w = data.shape[:2]
+    bpp = data.shape[2]
+    filters = row_filters or [0] * h
+    if len(filters) != h:
+        raise ValueError("row_filters must have one entry per row")
+    raw = data.reshape(h, w * bpp).astype(np.int16)
+    prev = np.zeros(w * bpp, dtype=np.int16)
+    out = bytearray()
+    for y in range(h):
+        cur = raw[y]
+        left = np.concatenate([np.zeros(bpp, np.int16), cur[:-bpp]])
+        upleft = np.concatenate([np.zeros(bpp, np.int16), prev[:-bpp]])
+        f = int(filters[y])
+        if f == 0:
+            filt = cur
+        elif f == 1:
+            filt = cur - left
+        elif f == 2:
+            filt = cur - prev
+        elif f == 3:
+            filt = cur - (left + prev) // 2
+        elif f == 4:
+            pred = np.fromiter(
+                (
+                    _paeth(int(a), int(b), int(c))
+                    for a, b, c in zip(left, prev, upleft)
+                ),
+                dtype=np.int16,
+                count=w * bpp,
+            )
+            filt = cur - pred
+        else:
+            raise ValueError(f"bad PNG filter {f}")
+        out += bytes([f]) + (filt % 256).astype(np.uint8).tobytes()
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    body = _png_chunk(b"IHDR", ihdr)
+    if palette is not None:
+        body += _png_chunk(
+            b"PLTE", np.asarray(palette, np.uint8).tobytes()
+        )
+    body += _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+    body += _png_chunk(b"IEND", b"")
+    return PNG_MAGIC + body
+
+
+def decode_png(content: bytes):
+    """REAL PNG decode, stdlib-only: chunk walk → zlib inflate →
+    per-row defilter (None/Sub/Up/Average/Paeth) → channel reshape;
+    palette images expand through PLTE to RGB. Supports the 8-bit
+    non-interlaced profile (all five color types); 16-bit and Adam7
+    raise. Sub defilters via modular uint8 cumsum per byte lane;
+    Average/Paeth run the sequential recurrence the spec demands.
+
+    Returns (meta, uint8 array): (H, W) for gray, (H, W, C)
+    otherwise."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if content[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos, end = 8, len(content)
+    ihdr = None
+    plte = None
+    idat = bytearray()
+    while pos + 8 <= end:
+        (size,) = struct.unpack_from(">I", content, pos)
+        ctype = content[pos + 4 : pos + 8]
+        body = content[pos + 8 : pos + 8 + size]
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + size  # len + type + body + crc
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color_type, comp, filt_method, interlace = ihdr
+    if depth != 8 or comp != 0 or filt_method != 0:
+        raise NotImplementedError("only 8-bit depth PNG decodes in-container")
+    if interlace != 0:
+        raise NotImplementedError("Adam7 interlace not supported")
+    if color_type not in _PNG_CHANNELS:
+        raise ValueError(f"bad PNG color type {color_type}")
+    bpp = _PNG_CHANNELS[color_type]
+    stride = w * bpp
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG IDAT length mismatch")
+    rows = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        f = int(rows[y, 0])
+        cur = rows[y, 1:].copy()
+        prev = out[y - 1] if y else np.zeros(stride, np.uint8)
+        if f == 0:
+            rec = cur
+        elif f == 1:  # Sub: per-lane modular prefix sum
+            rec = cur
+            for lane in range(bpp):
+                rec[lane::bpp] = np.cumsum(cur[lane::bpp], dtype=np.uint8)
+        elif f == 2:
+            rec = cur + prev  # uint8 wraps mod 256
+        elif f == 3:
+            rec = np.zeros(stride, np.uint8)
+            for i in range(stride):
+                left = int(rec[i - bpp]) if i >= bpp else 0
+                rec[i] = (int(cur[i]) + (left + int(prev[i])) // 2) % 256
+        elif f == 4:
+            rec = np.zeros(stride, np.uint8)
+            for i in range(stride):
+                left = int(rec[i - bpp]) if i >= bpp else 0
+                ul = int(prev[i - bpp]) if i >= bpp else 0
+                rec[i] = (int(cur[i]) + _paeth(left, int(prev[i]), ul)) % 256
+        else:
+            raise ValueError(f"bad PNG row filter {f}")
+        out[y] = rec
+    if color_type == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        px = plte[out.reshape(h, w)]
+    elif bpp == 1:
+        px = out.reshape(h, w)
+    else:
+        px = out.reshape(h, w, bpp)
+    meta = {
+        "media_type": "image",
+        "format": "png",
+        "width": w,
+        "height": h,
+        "duration_ms": None,
+    }
+    return meta, np.ascontiguousarray(px)
 
 
 def encode_bmp(pixels) -> bytes:

@@ -325,6 +325,113 @@ def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_decode_png",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id,
+               4 + doc_id % 13 AS w,
+               3 + doc_id % 7  AS h,
+               doc_id % 100    AS c
+        FROM documents
+    ), sums AS (
+        SELECT doc_id, w, h, c,
+               h * ((w * (w - 1)) // 2) AS sx,
+               w * ((h * (h - 1)) // 2) AS sy
+        FROM dims
+    )
+    SELECT doc_id,
+           'png' AS fmt,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN h * w
+                     ELSE 3 * h * w END AS BIGINT) AS n_samples,
+           CAST(CASE WHEN doc_id % 2 = 0
+                     THEN h * w * c + sx + 2 * sy
+                     ELSE (h * w * c + sx + 2 * sy) + h * w * c + sx
+                END AS BIGINT) AS px_sum
+    FROM sums
+    """,
+)
+def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5 with a REAL compressed codec (r5 VERDICT "What's missing"
+    #4): per-doc PNGs — gray for even doc_ids, RGB for odd — are
+    ENCODED executor-side with row filters cycling through all five
+    PNG filter types ((doc_id + y) % 5), zlib-deflated, then DECODED
+    by the stdlib-only PNG decoder in
+    :mod:`metricproxy_spark.operators.multimodal` (chunk walk →
+    inflate → Sub/Up/Average/Paeth defilter → channel reshape). Pixel
+    values are the linear ramp x + 2y + c (c = doc_id %% 100, never
+    wrapping), so the oracle re-derives the EXACT integer pixel sum
+    from closed-form Σx/Σy — every byte of the decode path
+    (filter recurrences included) is value-checked through an
+    integer-only hash, no float tolerance anywhere. Both codec halves
+    run in Arrow batches via mapInPandas; at 100 TB this is the
+    map-only decode stage of a multimodal curation pipeline."""
+    import numpy as np
+    import pandas as pd
+
+    from metricproxy_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth_and_decode(batches):
+        for pdf in batches:
+            out = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w, h, c = 4 + i % 13, 3 + i % 7, i % 100
+                x = np.arange(w, dtype=np.int16)[None, :]
+                y = np.arange(h, dtype=np.int16)[:, None]
+                ramp = (x + 2 * y + c).astype(np.uint8)
+                if i % 2 == 0:
+                    px = ramp
+                else:
+                    px = np.stack(
+                        [
+                            ramp,
+                            np.full((h, w), c, np.uint8),
+                            np.broadcast_to(
+                                x.astype(np.uint8), (h, w)
+                            ),
+                        ],
+                        axis=2,
+                    )
+                filts = [(i + yy) % 5 for yy in range(h)]
+                blob = encode_png(px, row_filters=filts)
+                meta, back = decode_png(blob)
+                out.append(
+                    (
+                        i,
+                        meta["format"],
+                        meta["width"],
+                        meta["height"],
+                        int(back.size),
+                        int(back.sum(dtype=np.int64)),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id",
+                    "fmt",
+                    "width",
+                    "height",
+                    "n_samples",
+                    "px_sum",
+                ],
+            )
+
+    return docs.mapInPandas(
+        synth_and_decode,
+        "doc_id long, fmt string, width int, height int,"
+        " n_samples long, px_sum long",
+    )
+
+
+@register(
     "text_winnow_fingerprints",
     oracle="""
     WITH wds AS (

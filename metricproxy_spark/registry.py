@@ -60,6 +60,7 @@ _PRIORITY = (
     "ingest_influx_live",
     "graph_khop_reach_approx",
     "sim_pca_variance_check",
+    "multimodal_decode_png",
 )
 
 _QUERY_MODULES = (
