@@ -52,10 +52,15 @@ def decode_media(content: bytes, media_type: str | None = None):
         return decode_wav(content)
     if content[:8] == PNG_MAGIC:
         return decode_png(content)
+    if content[:3] == b"\xff\xd8\xff":
+        from metricproxy_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(content)
     raise NotImplementedError(
-        "media decode stub: BMP/WAV (struct) and PNG (zlib inflate + "
-        "defilter) decode in-container; install codec libs and extend "
-        "decode_media() for JPEG/MP3/MP4"
+        "media decode stub: BMP/WAV (struct), PNG (zlib inflate + "
+        "defilter) and baseline JPEG (operators/jpeg.py) decode "
+        "in-container; install codec libs and extend decode_media() "
+        "for MP3/MP4"
     )
 
 

@@ -432,6 +432,90 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_decode_jpeg",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id,
+               1 + doc_id % 4 AS wb,
+               1 + doc_id % 3 AS hb,
+               doc_id % 100   AS c
+        FROM documents
+    )
+    SELECT doc_id,
+           'jpeg' AS fmt,
+           CAST(8 * wb AS INT) AS width,
+           CAST(8 * hb AS INT) AS height,
+           CAST(64 * wb * hb AS BIGINT) AS n_samples,
+           CAST(64 * (hb * ((wb * (wb - 1)) // 2)
+                      + 2 * wb * ((hb * (hb - 1)) // 2)
+                      + wb * hb * c) AS BIGINT) AS px_sum
+    FROM dims
+    """,
+)
+def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5 with the REAL lossy codec: per-doc baseline JPEGs run the
+    FULL pipeline — forward DCT, quantization, zigzag, DC DPCM + AC
+    run-length Huffman, 0xFF stuffing — through
+    :mod:`metricproxy_spark.operators.jpeg`'s encoder, then the
+    independent marker-parsing decoder. The payloads are PIECEWISE-
+    FLAT on the 8×8 grid (block (bx,by) = bx + 2·by + c, never
+    wrapping) with unit quant tables, the one regime where lossy JPEG
+    is bit-exact (AC quantizes to 0, the DC path is integer after
+    final rounding) — so the oracle re-derives the EXACT integer
+    pixel sum in closed form and the whole codec chain is
+    hash-checked with no float tolerance. General-content error
+    bounds live in tests/test_jpeg.py. Both halves run executor-side
+    in Arrow batches; map-only at any scale."""
+    import numpy as np
+    import pandas as pd
+
+    from metricproxy_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth_and_decode(batches):
+        for pdf in batches:
+            out = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                wb, hb, c = 1 + i % 4, 1 + i % 3, i % 100
+                px = np.zeros((8 * hb, 8 * wb), np.uint8)
+                for by in range(hb):
+                    for bx in range(wb):
+                        px[
+                            8 * by : 8 * by + 8, 8 * bx : 8 * bx + 8
+                        ] = bx + 2 * by + c
+                meta, back = decode_jpeg(encode_jpeg(px))
+                out.append(
+                    (
+                        i,
+                        meta["format"],
+                        meta["width"],
+                        meta["height"],
+                        int(back.size),
+                        int(back.sum(dtype=np.int64)),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id",
+                    "fmt",
+                    "width",
+                    "height",
+                    "n_samples",
+                    "px_sum",
+                ],
+            )
+
+    return docs.mapInPandas(
+        synth_and_decode,
+        "doc_id long, fmt string, width int, height int,"
+        " n_samples long, px_sum long",
+    )
+
+
+@register(
     "text_winnow_fingerprints",
     oracle="""
     WITH wds AS (

@@ -61,6 +61,7 @@ _PRIORITY = (
     "graph_khop_reach_approx",
     "sim_pca_variance_check",
     "multimodal_decode_png",
+    "multimodal_decode_jpeg",
 )
 
 _QUERY_MODULES = (

@@ -1,0 +1,118 @@
+"""Baseline JPEG codec: exactness regime, error bounds, profile
+errors, stream-declared table handling."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from metricproxy_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+
+class TestExactRegime:
+    def test_flat_gray_bit_exact(self):
+        px = np.full((16, 24), 77, np.uint8)
+        meta, back = decode_jpeg(encode_jpeg(px))
+        assert (meta["width"], meta["height"]) == (24, 16)
+        assert (back == px).all()
+
+    def test_piecewise_flat_blocks_bit_exact(self):
+        v = np.zeros((24, 32), np.uint8)
+        for by in range(3):
+            for bx in range(4):
+                v[8 * by : 8 * by + 8, 8 * bx : 8 * bx + 8] = (
+                    bx + 2 * by + 50
+                )
+        _, back = decode_jpeg(encode_jpeg(v))
+        assert (back == v).all()
+
+    def test_non_multiple_of_8_dims_pad_and_crop(self):
+        px = np.full((13, 19), 90, np.uint8)
+        meta, back = decode_jpeg(encode_jpeg(px))
+        assert back.shape == (13, 19)
+        assert (back == px).all()
+
+
+class TestErrorBounds:
+    def test_random_gray_unit_quant_within_one(self):
+        rng = np.random.default_rng(5)
+        px = rng.integers(0, 256, (24, 17), np.uint8)
+        _, back = decode_jpeg(encode_jpeg(px))
+        assert np.abs(back.astype(int) - px.astype(int)).max() <= 1
+
+    def test_rgb_444_unit_quant_small_error(self):
+        rng = np.random.default_rng(6)
+        px = rng.integers(0, 256, (15, 21, 3), np.uint8)
+        _, back = decode_jpeg(encode_jpeg(px))
+        assert back.shape == px.shape
+        assert np.abs(back.astype(int) - px.astype(int)).max() <= 3
+
+    def test_rgb_420_smooth_content(self):
+        xs = np.linspace(0, 200, 32)[None, :]
+        ys = np.linspace(0, 55, 20)[:, None]
+        smooth = np.stack(
+            [xs + ys, np.flip(xs + ys, 1), 0 * xs + ys + 100], axis=2
+        ).astype(np.uint8)
+        meta, back = decode_jpeg(encode_jpeg(smooth, subsampling="420"))
+        assert back.shape == smooth.shape
+        assert np.abs(back.astype(int) - smooth.astype(int)).max() <= 24
+
+    def test_real_quant_table_compresses_and_bounds_error(self):
+        rng = np.random.default_rng(7)
+        px = rng.integers(0, 256, (32, 32), np.uint8)
+        q = np.full((8, 8), 16, np.uint16)
+        blob_q, blob_1 = encode_jpeg(px, quant_luma=q), encode_jpeg(px)
+        assert len(blob_q) < len(blob_1)
+        _, back = decode_jpeg(blob_q)
+        # quantization error bounded by ~q/2 per coefficient spread
+        # across the block; 3q is a generous per-pixel bound
+        assert np.abs(back.astype(int) - px.astype(int)).max() <= 3 * 16
+
+
+class TestProfileErrors:
+    def test_not_a_jpeg(self):
+        with pytest.raises(ValueError):
+            decode_jpeg(b"\x89PNG")
+
+    def test_progressive_raises(self):
+        blob = bytearray(encode_jpeg(np.zeros((8, 8), np.uint8)))
+        i = bytes(blob).find(b"\xff\xc0")
+        blob[i + 1] = 0xC2  # rewrite SOF0 → SOF2
+        with pytest.raises(NotImplementedError):
+            decode_jpeg(bytes(blob))
+
+    def test_dri_raises(self):
+        blob = encode_jpeg(np.zeros((8, 8), np.uint8))
+        i = blob.find(b"\xff\xda")
+        dri = b"\xff\xdd\x00\x04\x00\x08"
+        with pytest.raises(NotImplementedError):
+            decode_jpeg(blob[:i] + dri + blob[i:])
+
+
+class TestStreamTables:
+    def test_decoder_uses_tables_from_the_stream(self):
+        # 16-bit (Pq=1) quant table parse path: hand-build a DQT with
+        # Pq=1 and verify the stream still decodes identically
+        import struct
+
+        px = np.full((8, 8), 44, np.uint8)
+        blob = encode_jpeg(px)
+        i = blob.find(b"\xff\xdb")
+        (seglen,) = struct.unpack_from(">H", blob, i + 2)
+        body = blob[i + 4 : i + 2 + seglen]
+        vals = body[1:65]
+        body16 = bytes([0x10]) + b"".join(
+            struct.pack(">H", v) for v in vals
+        )
+        dqt16 = b"\xff\xdb" + struct.pack(">H", len(body16) + 2) + body16
+        patched = blob[:i] + dqt16 + blob[i + 2 + seglen :]
+        _, back = decode_jpeg(patched)
+        assert (back == px).all()
+
+    def test_unknown_app_segments_skipped(self):
+        px = np.full((8, 8), 10, np.uint8)
+        blob = encode_jpeg(px)
+        i = blob.find(b"\xff\xdb")
+        com = b"\xff\xfe\x00\x07hello"
+        _, back = decode_jpeg(blob[:i] + com + blob[i:])
+        assert (back == px).all()
