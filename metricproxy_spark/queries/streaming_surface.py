@@ -958,3 +958,175 @@ def stream_http_live_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
     shutil.rmtree(wd, ignore_errors=True)
     return result
+
+
+@register(
+    "stream_statsd_pipeline",
+    oracle=None,  # set just below to share the batch twin's SQL
+)
+def stream_statsd_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The statsd front door fully STREAMED: wire lines pushed over
+    real loopback TCP into the line-socket listener's spool, the
+    spool consumed EXACTLY ONCE through the carbonwire STREAMING
+    connector (checkpointed first-N-files offset), parsed by the same
+    shared statsd parser, flush-aggregated in complete mode — the
+    streamed result hash-matches the SAME DuckDB oracle as the
+    at-rest (`ingest_statsd`) and live-batch (`ingest_statsd_live`)
+    twins. One parser, three transports, one oracle; at 100 TB this
+    is the micro-batched listener pipeline with per-batch state in
+    the store, not the driver."""
+    from metricproxy_spark.io import ensure_package_on_workers, load_table
+    from metricproxy_spark.sources.pyds import register_carbonwire
+    from metricproxy_spark.sources.statsd import (
+        aggregate_statsd,
+        parse_statsd_lines,
+        statsd_wire_lines,
+    )
+    from metricproxy_spark.streaming.socketlistener import (
+        LineSocketListener,
+        send_lines_tcp,
+    )
+
+    ensure_package_on_workers(spark)
+    register_carbonwire(spark)
+    wd = _workdir()
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_id") % 3 == 0
+    )
+    payload = [
+        r.line
+        for r in ev.select(statsd_wire_lines(ev).alias("line")).collect()
+    ]
+    spool = os.path.join(wd, "spool")
+    os.makedirs(spool, exist_ok=True)
+    with LineSocketListener(
+        spool, mode="tcp", lines_per_file=50_000
+    ) as lis:
+        send_lines_tcp(lis.host, lis.port, payload)
+    lines = (
+        spark.readStream.format("carbonwire")
+        .option("path", spool)
+        .load()
+        .select("line")
+    )
+    parsed = parse_statsd_lines(lines)
+    # Streaming disallows count_distinct: the STREAMING agg groups by
+    # (name, mtype, member) — set members dedup into state keys, so
+    # per-key state stays bounded — and the distinct COUNT happens in
+    # one batch rollup over the flushed complete-mode state.
+    member = F.when(F.col("mtype") == "s", F.col("raw_val"))
+    pre = parsed.groupBy(
+        "name", "mtype", member.alias("member")
+    ).agg(
+        F.count(F.lit(1)).alias("n_l"),
+        F.sum("scaled").alias("total_dec"),
+    )
+    # ~100 (name, type) keys: scope the state-store width
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        out = _run_to_memory(pre, os.path.join(wd, "ckpt"))
+        rolled = out.groupBy("name", "mtype").agg(
+            F.sum("n_l").cast("bigint").alias("n_lines"),
+            F.sum("total_dec").cast("double").alias("total"),
+            F.when(
+                F.first("mtype") == "s", F.count("member")
+            ).alias("n_members"),
+        )
+        result = spark.createDataFrame(
+            rolled.collect(),
+            "name string, mtype string, n_lines bigint,"
+            " total double, n_members bigint",
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    shutil.rmtree(wd, ignore_errors=True)
+    return result
+
+
+def _share_statsd_oracle() -> None:
+    from metricproxy_spark.queries.ingest import _STATSD_ORACLE
+    from metricproxy_spark.registry import ORACLES
+
+    # the streamed twin pushes the deterministic 1/3 subset through
+    # the wire; same oracle SQL with the matching predicate
+    ORACLES["stream_statsd_pipeline"] = _STATSD_ORACLE.replace(
+        "FROM events", "FROM events WHERE event_id % 3 = 0"
+    )
+
+
+_share_statsd_oracle()
+
+
+@register(
+    "stream_influx_pipeline",
+    oracle=None,  # set just below to share the batch twin's SQL
+)
+def stream_influx_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Influx line protocol fully STREAMED (see stream_statsd_pipeline
+    for the transport chain): real TCP push → line spool → carbonwire
+    streaming connector exactly-once → shared influx parser →
+    complete-mode rollup per (measurement, host) with decimal-exact
+    sums — hash-matches the same oracle as the at-rest and live-batch
+    twins, on the deterministic 1/3 subset."""
+    from metricproxy_spark.io import ensure_package_on_workers, load_table
+    from metricproxy_spark.sources.influx import (
+        aggregate_influx,
+        influx_wire_lines,
+        parse_influx_lines,
+    )
+    from metricproxy_spark.sources.pyds import register_carbonwire
+    from metricproxy_spark.streaming.socketlistener import (
+        LineSocketListener,
+        send_lines_tcp,
+    )
+
+    ensure_package_on_workers(spark)
+    register_carbonwire(spark)
+    wd = _workdir()
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_id") % 3 == 0
+    )
+    payload = [
+        r.line
+        for r in ev.select(influx_wire_lines(ev).alias("line")).collect()
+    ]
+    spool = os.path.join(wd, "spool")
+    os.makedirs(spool, exist_ok=True)
+    with LineSocketListener(
+        spool, mode="tcp", lines_per_file=50_000
+    ) as lis:
+        send_lines_tcp(lis.host, lis.port, payload)
+    lines = (
+        spark.readStream.format("carbonwire")
+        .option("path", spool)
+        .load()
+        .select("line")
+    )
+    agg = aggregate_influx(parse_influx_lines(lines))
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        out = _run_to_memory(agg, os.path.join(wd, "ckpt"))
+        result = spark.createDataFrame(
+            out.collect(),
+            "measurement string, host string, n_points bigint,"
+            " sum_value double, sum_count bigint,"
+            " min_ts_ns bigint, max_ts_ns bigint",
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    shutil.rmtree(wd, ignore_errors=True)
+    return result
+
+
+def _share_influx_oracle() -> None:
+    from metricproxy_spark.queries.ingest import _INFLUX_ORACLE
+    from metricproxy_spark.registry import ORACLES
+
+    ORACLES["stream_influx_pipeline"] = _INFLUX_ORACLE.replace(
+        "FROM events", "FROM events WHERE event_id % 3 = 0"
+    )
+
+
+_share_influx_oracle()

@@ -62,6 +62,8 @@ _PRIORITY = (
     "sim_pca_variance_check",
     "multimodal_decode_png",
     "multimodal_decode_jpeg",
+    "stream_statsd_pipeline",
+    "stream_influx_pipeline",
 )
 
 _QUERY_MODULES = (
