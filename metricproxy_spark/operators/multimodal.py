@@ -50,6 +50,8 @@ def decode_media(content: bytes, media_type: str | None = None):
         return decode_bmp(content)
     if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
         return decode_wav(content)
+    if content[:4] == b"RIFF" and content[8:12] == b"AVI ":
+        return decode_avi_mjpeg(content)
     if content[:8] == PNG_MAGIC:
         return decode_png(content)
     if content[:3] == b"\xff\xd8\xff":
@@ -58,9 +60,9 @@ def decode_media(content: bytes, media_type: str | None = None):
         return decode_jpeg(content)
     raise NotImplementedError(
         "media decode stub: BMP/WAV (struct), PNG (zlib inflate + "
-        "defilter) and baseline JPEG (operators/jpeg.py) decode "
-        "in-container; install codec libs and extend decode_media() "
-        "for MP3/MP4"
+        "defilter), baseline JPEG (operators/jpeg.py) and MJPEG AVI "
+        "video decode in-container; install codec libs and extend "
+        "decode_media() for MP3/MP4/H.264"
     )
 
 
@@ -676,3 +678,135 @@ def image_stats(
         "std_brightness double, mean_r double, mean_g double, "
         "mean_b double, edge_energy double",
     )
+
+
+# -- MJPEG-in-AVI video (RIFF container + baseline JPEG frames) -------
+
+
+def encode_avi_mjpeg(frames, fps: int = 10) -> bytes:
+    """List of uint8 frame arrays (all same shape) → minimal MJPEG
+    AVI: RIFF('AVI ') with hdrl (avih + one 'vids'/'MJPG' stream) and
+    a movi list of one '00dc' JPEG chunk per frame. Frames are
+    encoded by :func:`metricproxy_spark.operators.jpeg.encode_jpeg`
+    (unit quant tables — the bit-exact regime for piecewise-flat
+    content carries through to video)."""
+    import struct
+
+    import numpy as np
+
+    from metricproxy_spark.operators.jpeg import encode_jpeg
+
+    frames = [np.asarray(f, np.uint8) for f in frames]
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w = frames[0].shape[:2]
+    blobs = [encode_jpeg(f) for f in frames]
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    max_bytes = max(len(b) for b in blobs)
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps,  # dwMicroSecPerFrame
+        max_bytes * fps,  # dwMaxBytesPerSec
+        0,  # dwPaddingGranularity
+        0x10,  # AVIF_HASINDEX off; 0x10 = AVIF_WASCAPTUREFILE-ish flag
+        len(blobs),  # dwTotalFrames
+        0,
+        1,  # dwStreams
+        max_bytes,
+        w,
+        h,
+        0, 0, 0, 0,
+    )
+    strh = (
+        b"vids"
+        + b"MJPG"
+        + struct.pack(
+            "<IHHIIIIIIII4H",
+            0, 0, 0, 0,  # flags, prio+lang, initial frames
+            1, fps,  # scale, rate → fps frames/s
+            0, len(blobs),  # start, length (frames)
+            max_bytes, 0xFFFFFFFF, 0,  # bufsize, quality, samplesize
+            0, 0, w, h,  # rcFrame
+        )
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00dc", b) for b in blobs))
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def decode_avi_mjpeg(content: bytes):
+    """MJPEG AVI → (meta, list of decoded frame arrays). Walks the
+    RIFF tree for the 'movi' list and decodes every '00dc'/'00db'
+    chunk with the baseline JPEG decoder; fps comes from the stream
+    header's rate/scale (falling back to avih µs-per-frame). Only the
+    MJPG fourcc decodes — any other codec raises (honestly) rather
+    than returning garbage."""
+    import struct
+
+    from metricproxy_spark.operators.jpeg import decode_jpeg
+
+    if content[:4] != b"RIFF" or content[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    frames = []
+    fps = None
+    usec_pf = None
+    codec = None
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal fps, usec_pf, codec
+        while pos + 8 <= end:
+            cid = content[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", content, pos + 4)
+            body_start = pos + 8
+            if cid == b"LIST":
+                walk(body_start + 4, body_start + size)
+            elif cid == b"avih":
+                (usec_pf,) = struct.unpack_from("<I", content, body_start)
+            elif cid == b"strh":
+                fcc_type = content[body_start : body_start + 4]
+                if fcc_type == b"vids":
+                    codec = content[body_start + 4 : body_start + 8]
+                    scale, rate = struct.unpack_from(
+                        "<II", content, body_start + 20
+                    )
+                    if scale:
+                        fps = rate / scale
+            elif cid in (b"00dc", b"00db"):
+                if codec not in (b"MJPG", b"mjpg"):
+                    raise NotImplementedError(
+                        f"only MJPG AVI decodes in-container, got {codec!r}"
+                    )
+                frames.append(
+                    decode_jpeg(content[body_start : body_start + size])
+                )
+            pos = body_start + size + (size & 1)  # chunks word-aligned
+
+    walk(12, len(content))
+    if not frames:
+        raise ValueError("AVI contains no video frames")
+    if fps is None and usec_pf:
+        fps = 1_000_000 / usec_pf
+    metas, pixels = zip(*frames)
+    meta = {
+        "media_type": "video",
+        "format": "avi/mjpeg",
+        "width": metas[0]["width"],
+        "height": metas[0]["height"],
+        "duration_ms": int(len(pixels) * 1000 / (fps or 1)),
+    }
+    return meta, list(pixels)

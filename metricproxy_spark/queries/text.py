@@ -516,6 +516,116 @@ def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_decode_video",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id,
+               1 + doc_id % 4 AS wb,
+               1 + doc_id % 3 AS hb,
+               doc_id % 90    AS c,
+               2 + doc_id % 4 AS nf
+        FROM documents
+    ), s AS (
+        SELECT *, (nf + 1) // 2 AS n_sampled FROM dims
+    )
+    SELECT doc_id,
+           'avi/mjpeg' AS fmt,
+           CAST(8 * wb AS INT) AS width,
+           CAST(8 * hb AS INT) AS height,
+           CAST(nf AS INT) AS n_frames,
+           CAST(n_sampled AS INT) AS n_sampled,
+           CAST(nf * 100 AS BIGINT) AS duration_ms,
+           CAST(64 * (n_sampled * (hb * ((wb * (wb - 1)) // 2)
+                                   + 2 * wb * ((hb * (hb - 1)) // 2))
+                      + wb * hb * (n_sampled * c
+                                   + n_sampled * (n_sampled - 1)))
+                AS BIGINT) AS px_sum
+    FROM s
+    """,
+)
+def multimodal_decode_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5 VIDEO with real codecs end to end: per-doc MJPEG AVI clips
+    (2–5 frames at 10 fps; frame f is piecewise-flat bx + 2y_b + c + f
+    on the 8×8 grid) are containerized executor-side, then DECODED by
+    the RIFF walk + per-frame baseline-JPEG chain in
+    :mod:`metricproxy_spark.operators.multimodal` /
+    :mod:`~metricproxy_spark.operators.jpeg`, and every 2nd frame is
+    SAMPLED (the standard video-curation stride). Unit quant keeps
+    the flat-block regime bit-exact through the lossy codec, so the
+    oracle re-derives frame count, duration, and the EXACT integer
+    pixel sum over the sampled frames (Σ over even f of the
+    closed-form per-frame sum) — container walk, entropy decode, and
+    sampling all ride one integer hash. Map-only in Arrow batches at
+    any scale."""
+    import numpy as np
+    import pandas as pd
+
+    from metricproxy_spark.operators.multimodal import (
+        decode_avi_mjpeg,
+        encode_avi_mjpeg,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth_and_decode(batches):
+        for pdf in batches:
+            out = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                wb, hb, c = 1 + i % 4, 1 + i % 3, i % 90
+                nf = 2 + i % 4
+                frames = []
+                for f in range(nf):
+                    v = np.zeros((8 * hb, 8 * wb), np.uint8)
+                    for by in range(hb):
+                        for bx in range(wb):
+                            v[
+                                8 * by : 8 * by + 8,
+                                8 * bx : 8 * bx + 8,
+                            ] = bx + 2 * by + c + f
+                    frames.append(v)
+                meta, decoded = decode_avi_mjpeg(
+                    encode_avi_mjpeg(frames, fps=10)
+                )
+                sampled = decoded[::2]
+                out.append(
+                    (
+                        i,
+                        meta["format"],
+                        meta["width"],
+                        meta["height"],
+                        len(decoded),
+                        len(sampled),
+                        meta["duration_ms"],
+                        int(
+                            sum(
+                                fr.sum(dtype=np.int64) for fr in sampled
+                            )
+                        ),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id",
+                    "fmt",
+                    "width",
+                    "height",
+                    "n_frames",
+                    "n_sampled",
+                    "duration_ms",
+                    "px_sum",
+                ],
+            )
+
+    return docs.mapInPandas(
+        synth_and_decode,
+        "doc_id long, fmt string, width int, height int, n_frames int,"
+        " n_sampled int, duration_ms long, px_sum long",
+    )
+
+
+@register(
     "text_winnow_fingerprints",
     oracle="""
     WITH wds AS (

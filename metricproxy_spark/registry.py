@@ -64,6 +64,7 @@ _PRIORITY = (
     "multimodal_decode_jpeg",
     "stream_statsd_pipeline",
     "stream_influx_pipeline",
+    "multimodal_decode_video",
 )
 
 _QUERY_MODULES = (

@@ -116,3 +116,72 @@ class TestStreamTables:
         com = b"\xff\xfe\x00\x07hello"
         _, back = decode_jpeg(blob[:i] + com + blob[i:])
         assert (back == px).all()
+
+
+class TestAviMjpeg:
+    def test_roundtrip_piecewise_flat_exact(self):
+        from metricproxy_spark.operators.multimodal import (
+            decode_avi_mjpeg,
+            encode_avi_mjpeg,
+        )
+
+        frames = []
+        for f in range(5):
+            v = np.zeros((16, 24), np.uint8)
+            for by in range(2):
+                for bx in range(3):
+                    v[8 * by : 8 * by + 8, 8 * bx : 8 * bx + 8] = (
+                        bx + 2 * by + 40 + f
+                    )
+            frames.append(v)
+        meta, out = decode_avi_mjpeg(encode_avi_mjpeg(frames, fps=10))
+        assert meta == {
+            "media_type": "video",
+            "format": "avi/mjpeg",
+            "width": 24,
+            "height": 16,
+            "duration_ms": 500,
+        }
+        assert len(out) == 5
+        for a, b in zip(frames, out):
+            assert (a == b).all()
+
+    def test_rgb_frames_lossy_bound(self):
+        from metricproxy_spark.operators.multimodal import (
+            decode_avi_mjpeg,
+            encode_avi_mjpeg,
+        )
+
+        rng = np.random.default_rng(11)
+        frames = [
+            rng.integers(0, 256, (8, 16, 3), np.uint8) for _ in range(3)
+        ]
+        _, out = decode_avi_mjpeg(encode_avi_mjpeg(frames))
+        for a, b in zip(frames, out):
+            assert np.abs(a.astype(int) - b.astype(int)).max() <= 3
+
+    def test_non_mjpeg_codec_raises(self):
+        from metricproxy_spark.operators.multimodal import (
+            decode_avi_mjpeg,
+            encode_avi_mjpeg,
+        )
+
+        blob = bytearray(
+            encode_avi_mjpeg([np.zeros((8, 8), np.uint8)])
+        )
+        i = bytes(blob).find(b"MJPG")  # strh fccHandler
+        blob[i : i + 4] = b"H264"
+        with pytest.raises(NotImplementedError):
+            decode_avi_mjpeg(bytes(blob))
+
+    def test_decode_media_dispatches_avi_not_wav(self):
+        from metricproxy_spark.operators.multimodal import (
+            decode_media,
+            encode_avi_mjpeg,
+            encode_wav,
+        )
+
+        m1, _ = decode_media(encode_avi_mjpeg([np.zeros((8, 8), np.uint8)]))
+        assert m1["media_type"] == "video"
+        m2, _ = decode_media(encode_wav(np.zeros(100, np.int16)))
+        assert m2["media_type"] == "audio"
