@@ -1510,3 +1510,65 @@ def ingest_influx_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     return aggregate_influx(parse_influx_lines(back))
 
 
+
+
+@register(
+    "ingest_avro_datasource",
+    oracle="""
+    SELECT event_id, event_type, user_id,
+           value,
+           epoch_us(ts) AS ts_us
+    FROM events
+    """,
+)
+def ingest_avro_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 scan breadth: Avro object-container files through the
+    first-class ``avrowire`` Python DataSource
+    (:mod:`metricproxy_spark.sources.avro` — this pyspark ships the
+    core avro jars but NOT the spark-avro connector, so the binary
+    encoding, container framing and deflate codec are implemented
+    from the public Avro spec). Full write→read cycle: the writer
+    lands one container file per task with the same two-phase commit
+    as the carbon sink; the reader derives the Spark schema from the
+    file's embedded writer schema and splits WITHIN files at Avro
+    block boundaries (sync markers), so scan parallelism tracks
+    bytes, not file count. Longs/strings round-trip exactly and
+    doubles are raw IEEE bits — the oracle compares every field
+    against the source parquet with no tolerance. Staged once per sf
+    fingerprint; warm runs measure the READ."""
+    from metricproxy_spark.io import ensure_package_on_workers
+    from metricproxy_spark.sources.avro import register_avrowire
+
+    ensure_package_on_workers(spark)
+    register_avrowire(spark)
+    out_dir = staged_artifact_dir("avro_sink", sf_dir)
+    if not os.path.isdir(out_dir):
+        staging = out_dir + f".staging.{os.getpid()}"
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id",
+            "event_type",
+            "user_id",
+            "value",
+            F.unix_micros("ts").alias("ts_us"),
+        )
+        n_rows = ev.count()  # parquet metadata count
+        n_parts = max(
+            1,
+            min(spark.sparkContext.defaultParallelism, n_rows // 50_000),
+        )
+        (
+            ev.repartition(n_parts)
+            .write.format("avrowire")
+            .mode("overwrite")
+            .save(staging)
+        )
+        try:
+            os.rename(staging, out_dir)
+        except OSError:  # lost the publish race; winner is identical
+            shutil.rmtree(staging, ignore_errors=True)
+    return (
+        spark.read.format("avrowire")
+        .option("path", out_dir)
+        .option("split_bytes", str(256 * 1024))
+        .load()
+    )

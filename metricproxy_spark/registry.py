@@ -65,6 +65,7 @@ _PRIORITY = (
     "stream_statsd_pipeline",
     "stream_influx_pipeline",
     "multimodal_decode_video",
+    "ingest_avro_datasource",
 )
 
 _QUERY_MODULES = (
