@@ -140,12 +140,21 @@ class TestMultimodal:
         assert all(len(r.features) == N_FAKE_FEATURES for r in rows.values())
 
     def test_decode_stub_contract(self):
-        from metricproxy_spark.operators.multimodal import decode_media
+        import numpy as np
         import pytest
 
-        # compressed formats still raise: no codec libs in-container
+        from metricproxy_spark.operators.multimodal import (
+            decode_media,
+            encode_png,
+        )
+
+        # PNG/JPEG/AVI now REALLY decode (round-6 codecs); the stub
+        # contract survives only for formats with no in-container
+        # codec (MP3 and friends)
+        meta, px = decode_media(encode_png(np.zeros((2, 3), np.uint8)))
+        assert meta["format"] == "png" and px.shape == (2, 3)
         with pytest.raises(NotImplementedError):
-            decode_media(b"\x89PNG\r\n\x1a\n....", "image")
+            decode_media(b"ID3\x04\x00....", "audio")  # mp3
 
     def test_bmp_roundtrip_gradient(self):
         """Non-constant pixels: a gradient catches stride-padding and

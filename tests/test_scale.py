@@ -544,16 +544,20 @@ class TestRound4QueryPlanDiscipline:
         return _executed_plan(QUERIES[name](spark, sf_dir))
 
     def test_skyline_is_window_not_dominance_join(self, spark, sf_dir):
-        """The Pareto frontier must plan as window passes over one
-        sort — never a quadratic dominance self-join (the only join
-        allowed is the initial customer⋈orders rollup)."""
+        """The Pareto frontier must never plan as a quadratic
+        dominance self-join over ROW data. (Round 6 replaced the
+        original global-order window — itself a single-task shape —
+        with keyed per-x maxima + a broadcast triangular join of the
+        domain-bounded aggregate; the only row-data join is the
+        initial customer⋈orders rollup. TestRound6PlanDiscipline pins
+        the full new shape.)"""
         plan = self._plan(spark, sf_dir, "analytic_skyline_frontier")
-        assert "Window" in plan, plan
         assert "CartesianProduct" not in plan, plan
-        assert "BroadcastNestedLoop" not in plan, plan
-        # exactly the customer⋈orders rollup join, nothing pairwise
-        n_joins = plan.count("Join")
-        assert n_joins <= 2, f"{n_joins} joins:\n{plan}"
+        # the triangular join of the per-n_orders aggregate is
+        # broadcast and domain-bounded; row data must never feed a
+        # nested-loop side (its build side is an Aggregate)
+        assert "Exchange SinglePartition" not in plan, plan
+        assert "Window" not in plan, plan
 
     def test_asof_family_plans_without_joins(self, spark, sf_dir):
         """Forward and nearest as-of are union+window rewrites: ZERO
