@@ -313,31 +313,53 @@ class _BitReader:
         return (self._acc >> self._nbits) & 1
 
     def bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.bit()
+        if n == 0:
+            return 0
+        while self._nbits < n:
+            self._fill()
+        self._nbits -= n
+        v = (self._acc >> self._nbits) & ((1 << n) - 1)
+        self._acc &= (1 << self._nbits) - 1
         return v
 
 
-def _build_decode_table(bits: list[int], vals: list[int]) -> dict:
-    """Canonical Huffman → {(length, code): symbol}."""
-    table = {}
-    code = 0
-    k = 0
-    for length in range(1, 17):
-        for _ in range(bits[length - 1]):
-            table[(length, code)] = vals[k]
-            code += 1
-            k += 1
-        code <<= 1
-    return table
+class _HuffTable:
+    """Canonical Huffman decode table. Single-length tables (what our
+    encoder emits) decode with ONE fixed-width bits() read; mixed-
+    length tables (Annex K streams) walk lengths ascending."""
+
+    def __init__(self, bits_counts: list[int], vals: list[int]):
+        self.map: dict = {}
+        lengths = [
+            length
+            for length in range(1, 17)
+            if bits_counts[length - 1]
+        ]
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            for _ in range(bits_counts[length - 1]):
+                self.map[(length, code)] = vals[k]
+                code += 1
+                k += 1
+            code <<= 1
+        self.fixed = lengths[0] if len(lengths) == 1 else None
 
 
-def _read_symbol(r: _BitReader, table: dict) -> int:
+def _build_decode_table(bits: list[int], vals: list[int]) -> _HuffTable:
+    return _HuffTable(bits, vals)
+
+
+def _read_symbol(r: _BitReader, table: _HuffTable) -> int:
+    if table.fixed is not None:
+        sym = table.map.get((table.fixed, r.bits(table.fixed)))
+        if sym is None:
+            raise ValueError("invalid Huffman code in stream")
+        return sym
     code = 0
     for length in range(1, 17):
         code = (code << 1) | r.bit()
-        sym = table.get((length, code))
+        sym = table.map.get((length, code))
         if sym is not None:
             return sym
     raise ValueError("invalid Huffman code in stream")

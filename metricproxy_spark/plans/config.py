@@ -123,6 +123,61 @@ def _build_listener(spark: SparkSession, spec: dict[str, Any]) -> DataFrame:
         return _canonicalize(
             parsed.select("metric", "value", "ts", "metric_type", "dimensions")
         )
+    if ltype == "statsd":
+        # UDP/TCP statsd terminated by the line-socket listener; the
+        # spool streams through the carbonwire connector and the
+        # SAME parser as the at-rest/live/streamed query twins.
+        # statsd lines carry no timestamp — points are stamped at
+        # processing time, the statsd-server contract.
+        from metricproxy_spark.sources.pyds import register_carbonwire
+        from metricproxy_spark.sources.statsd import parse_statsd_lines
+
+        register_carbonwire(spark)
+        lines = (
+            spark.readStream.format("carbonwire").option("path", src).load()
+        )
+        parsed = parse_statsd_lines(lines.select("line"))
+        mtype_map = (
+            F.when(F.col("mtype") == "g", "gauge")
+            .when(F.col("mtype") == "ms", "gauge")
+            .when(F.col("mtype") == "c", "count")
+            .otherwise("count")  # sets report as counts of members
+        )
+        return _canonicalize(
+            parsed.select(
+                F.col("name").alias("metric"),
+                F.col("scaled").cast("double").alias("value"),
+                F.when(F.col("mtype") == "s", F.col("raw_val")).alias(
+                    "value_str"
+                ),
+                F.current_timestamp().alias("ts"),
+                mtype_map.alias("metric_type"),
+            )
+        )
+    if ltype == "influx":
+        # Influx line protocol through the same spool chain; the ns
+        # wire timestamp truncates to the canonical µs timestamp and
+        # tags ride the dimensions map.
+        from metricproxy_spark.sources.influx import parse_influx_lines
+        from metricproxy_spark.sources.pyds import register_carbonwire
+
+        register_carbonwire(spark)
+        lines = (
+            spark.readStream.format("carbonwire").option("path", src).load()
+        )
+        typed = parse_influx_lines(lines.select("line"))
+        return _canonicalize(
+            typed.select(
+                F.col("measurement").alias("metric"),
+                F.col("val").alias("value"),
+                F.expr("timestamp_micros(ts_ns div 1000)").alias("ts"),
+                F.lit("gauge").alias("metric_type"),
+                F.map_from_arrays(
+                    F.array(F.lit("host"), F.lit("region")),
+                    F.array("host", "region"),
+                ).alias("dimensions"),
+            )
+        )
     raise ValueError(f"unknown listener type {spec['Type']!r}")
 
 
@@ -170,14 +225,30 @@ def build_pipeline(
     # leak the N-1 already-bound ports/threads (round-4 ADVICE).
     try:
         for spec in cfg["ListenFrom"]:
-            if spec["Type"].lower() == "signalfx" and spec.get("ListenAddr"):
+            ltype = spec["Type"].lower()
+            if not spec.get("ListenAddr"):
+                continue
+            host, _, port = spec["ListenAddr"].rpartition(":")
+            if ltype == "signalfx":
                 from metricproxy_spark.streaming.httplistener import (
                     HttpIngestListener,
                 )
 
-                host, _, port = spec["ListenAddr"].rpartition(":")
                 lis = HttpIngestListener(
                     spec["Source"], host=host or "127.0.0.1", port=int(port)
+                )
+                lis.start()
+                pipe.live_listeners.append(lis)
+            elif ltype in ("statsd", "influx"):
+                from metricproxy_spark.streaming.socketlistener import (
+                    LineSocketListener,
+                )
+
+                lis = LineSocketListener(
+                    spec["Source"],
+                    mode=spec.get("Protocol", "tcp").lower(),
+                    host=host or "127.0.0.1",
+                    port=int(port),
                 )
                 lis.start()
                 pipe.live_listeners.append(lis)

@@ -525,6 +525,7 @@ def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
                doc_id % 90    AS c,
                2 + doc_id % 4 AS nf
         FROM documents
+        WHERE doc_id % 5 = 0
     ), s AS (
         SELECT *, (nf + 1) // 2 AS n_sampled FROM dims
     )
@@ -565,7 +566,13 @@ def multimodal_decode_video(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_avi_mjpeg,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # video is SPARSE in a real corpus — 1 doc in 5 carries a clip
+    # (the per-frame pure-Python entropy decode prices the rest out)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 5 == 0)
+        .select("doc_id")
+    )
 
     def synth_and_decode(batches):
         for pdf in batches:

@@ -149,3 +149,75 @@ def test_signalfx_live_listener_from_config(spark, tmp_path):
     assert stats["datapoints_in"] == 2
     assert stats["sink.csv.datapoints"] == 2
     assert count_rows_in_dir(spark, out, fmt="csv") == 2
+
+
+def test_statsd_live_listener_from_config(spark, tmp_path):
+    """A statsd ListenFrom with a ListenAddr binds a REAL line socket
+    (UDP datagram mode via Protocol), clients push multi-metric
+    packets, and the spool drains through the pipeline to a CSV sink
+    with sample-rate-corrected values and processing-time stamps."""
+    import socket
+    import time
+
+    from metricproxy_spark.plans.config import build_pipeline
+    from metricproxy_spark.streaming.sinks import count_rows_in_dir
+
+    spool = str(tmp_path / "statsd_spool")
+    cfg = {
+        "ListenFrom": [
+            {
+                "Type": "statsd",
+                "Source": spool,
+                "ListenAddr": "127.0.0.1:0",
+                "Protocol": "udp",
+            }
+        ],
+        "ForwardTo": [
+            {"Type": "csv", "Name": "out", "Path": str(tmp_path / "csv_out")}
+        ],
+    }
+    pipe = build_pipeline(spark, cfg)
+    try:
+        lis = pipe.live_listeners[0]
+        s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        s.sendto(
+            b"api.req:2|c|@0.5\nweb.mem:512|g\n", (lis.host, lis.port)
+        )
+        s.sendto(b"api.lat:33|ms\nusers:u7|s\n", (lis.host, lis.port))
+        s.close()
+        deadline = time.time() + 10
+        while lis.accepted_lines < 4 and time.time() < deadline:
+            time.sleep(0.02)
+        lis.flush()
+        stats = pipe.run_available_now(str(tmp_path / "ckpt"))
+        assert stats["datapoints_in"] == 4
+        assert count_rows_in_dir(spark, str(tmp_path / "csv_out"), "csv") == 4
+    finally:
+        pipe.close_listeners()
+
+
+def test_influx_listener_from_config(spark, tmp_path):
+    """Influx line-protocol spool drains with wire timestamps and tag
+    dimensions intact."""
+    import os
+
+    from metricproxy_spark.plans.config import build_pipeline
+    from metricproxy_spark.streaming.sinks import count_rows_in_dir
+
+    spool = str(tmp_path / "influx_spool")
+    os.makedirs(spool)
+    with open(os.path.join(spool, "lines_000000000000.wire"), "w") as fh:
+        fh.write(
+            "cpu,host=h1,region=r1 value=0.5,count=3i 1700000000000000000\n"
+            "mem,host=h2,region=r2 value=99.25,count=1i 1700000060000000000\n"
+        )
+    cfg = {
+        "ListenFrom": [{"Type": "influx", "Source": spool}],
+        "ForwardTo": [
+            {"Type": "csv", "Name": "out", "Path": str(tmp_path / "csv_out")}
+        ],
+    }
+    pipe = build_pipeline(spark, cfg)
+    stats = pipe.run_available_now(str(tmp_path / "ckpt"))
+    assert stats["datapoints_in"] == 2
+    assert count_rows_in_dir(spark, str(tmp_path / "csv_out"), "csv") == 2
