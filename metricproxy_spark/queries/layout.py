@@ -397,3 +397,69 @@ def layout_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_price"),
     )
+
+
+@register(
+    "layout_runtime_bloom_filter",
+    oracle="""
+    SELECT o.o_orderpriority,
+           count(*) AS n_lineitems,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(27,4))) AS DOUBLE)
+               AS sum_qty
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY 1
+    """,
+)
+def layout_runtime_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6 runtime row-level filtering: a selective dim-side predicate
+    (URGENT orders, ~20% of keys) injects a RUNTIME BLOOM FILTER on
+    the fact side — Catalyst aggregates a bloom_filter_agg over the
+    creation side's join keys and plants might_contain(l_orderkey)
+    into the lineitem scan, so ~80% of fact rows drop BEFORE the join
+    shuffle instead of after it. At 100 TB this is the difference
+    between shuffling the fact table and shuffling a fifth of it when
+    the dim filter isn't a partition column. Local scans sit under the
+    10 GB application-side default, so the query scopes the threshold
+    to 0 (and disables broadcast, which would otherwise satisfy the
+    small side first); at warehouse scale the defaults fire on their
+    own. The plan assertion lives in TestRound6PlanDiscipline."""
+    scoped = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in scoped}
+    for k, v in scoped.items():
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_quantity"
+        )
+        o = load_table(spark, sf_dir, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        out = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_lineitems"),
+                F.sum(F.col("l_quantity").cast("decimal(27,4)"))
+                .cast("double")
+                .alias("sum_qty"),
+            )
+        )
+        # materialize the plan under the scoped confs: the runtime
+        # filter is injected at optimization time, so the result must
+        # be computed before the confs are restored
+        rows = out.collect()
+        return spark.createDataFrame(
+            rows, "o_orderpriority string, n_lineitems bigint, sum_qty double"
+        )
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

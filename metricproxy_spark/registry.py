@@ -66,6 +66,7 @@ _PRIORITY = (
     "stream_influx_pipeline",
     "multimodal_decode_video",
     "ingest_avro_datasource",
+    "layout_runtime_bloom_filter",
 )
 
 _QUERY_MODULES = (

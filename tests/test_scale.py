@@ -718,3 +718,43 @@ class TestRound6PlanDiscipline:
         assert "Exchange hashpartitioning" not in plan, plan
         assert "Exchange SinglePartition" not in plan, plan
         assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+    def test_runtime_bloom_filter_reaches_fact_scan(self, spark, sf_dir):
+        """layout_runtime_bloom_filter's scoped confs must make
+        Catalyst aggregate a bloom filter over the filtered dim keys
+        and plant might_contain into the fact side BEFORE the join
+        shuffle — replicated here on the raw join so the executed
+        plan is inspectable (the registered query collects under the
+        scoped confs and returns materialized rows)."""
+        from metricproxy_spark.io import load_table
+
+        scoped = {
+            "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold": "0",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+        }
+        prev = {k: spark.conf.get(k, None) for k in scoped}
+        for k, v in scoped.items():
+            spark.conf.set(k, v)
+        try:
+            li = load_table(spark, sf_dir, "lineitem").select(
+                "l_orderkey", "l_quantity"
+            )
+            o = load_table(spark, sf_dir, "orders").where(
+                F.col("o_orderpriority") == "1-URGENT"
+            )
+            j = (
+                li.join(o, li.l_orderkey == o.o_orderkey)
+                .groupBy("o_orderpriority")
+                .count()
+            )
+            plan = _executed_plan(j)
+            assert "bloom_filter_agg" in plan, plan
+            assert "might_contain" in plan, plan
+        finally:
+            for k, v in prev.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
