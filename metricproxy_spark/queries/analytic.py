@@ -955,3 +955,71 @@ def analytic_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cms_est",
         (F.col("cms_est") - F.col("exact_n")).alias("overcount"),
     )
+
+
+@register(
+    "analytic_mad_outliers",
+    oracle="""
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY event_type
+    ), dev AS (
+        SELECT e.event_type, e.value, m.med,
+               abs(e.value - m.med) AS adev
+        FROM events e JOIN med m ON e.event_type = m.event_type
+    ), mad AS (
+        SELECT event_type,
+               any_value(med) AS med,
+               quantile_cont(adev, 0.5) AS mad
+        FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           round(m.med, 9) AS med,
+           round(m.mad, 9) AS mad,
+           CAST(count(*) FILTER (
+               WHERE abs(d.value - m.med) > 3 * 1.4826 * m.mad
+           ) AS BIGINT) AS n_outliers,
+           CAST(count(*) AS BIGINT) AS n
+    FROM dev d JOIN mad m ON d.event_type = m.event_type
+    GROUP BY d.event_type, m.med, m.mad
+    """,
+)
+def analytic_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per event type via MAD (median
+    absolute deviation): median and MAD are selection statistics —
+    unlike mean/stddev they are order-INdependent across engines
+    (`percentile` and `quantile_cont` share the linear-interpolation
+    definition), so the whole detector is exact cross-engine with no
+    decimal plumbing, and a single corrupted hot point cannot drag
+    the threshold the way it drags a z-score. Two grouped percentile
+    passes + a broadcast of the (|types|)-row med/MAD table back onto
+    the rows; the 1.4826 factor scales MAD to σ under normality
+    (the standard robust z-score rule). At 100 TB the exact medians
+    become `approx_percentile` sketches — same shape, documented
+    swap."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "value",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.first("med").alias("med2"),
+        F.percentile("adev", 0.5).alias("mad"),
+    )
+    out = dev.join(F.broadcast(mad), "event_type")
+    return out.groupBy(
+        "event_type",
+        F.round("med2", 9).alias("med"),
+        F.round("mad", 9).alias("mad"),
+    ).agg(
+        F.count_if(
+            F.abs(F.col("value") - F.col("med2"))
+            > 3 * 1.4826 * F.col("mad")
+        ).cast("bigint").alias("n_outliers"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )

@@ -67,6 +67,7 @@ _PRIORITY = (
     "multimodal_decode_video",
     "ingest_avro_datasource",
     "layout_runtime_bloom_filter",
+    "analytic_mad_outliers",
 )
 
 _QUERY_MODULES = (
