@@ -45,6 +45,7 @@ from pyspark.sql.datasource import (
     DataSourceArrowWriter,
     DataSourceReader,
     InputPartition,
+    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 
@@ -347,6 +348,36 @@ class AvroBatchReader(DataSourceReader):
             yield from _decode_block(data, schema, n)
 
 
+class AvroStreamReader(SimpleDataSourceStreamReader):
+    """Offset = {"files": N}: the first N sorted container files are
+    consumed — the same checkpointed exactly-once contract as the
+    carbonwire stream (restart replays deterministically from the
+    committed offset)."""
+
+    def __init__(self, path: str):
+        self._path = path
+
+    def _rows_of(self, path: str):
+        rdr = AvroBatchReader(path, 1 << 60)  # one split per file
+        for part in rdr.partitions():
+            yield from rdr.read(part)
+
+    def initialOffset(self) -> dict:
+        return {"files": 0}
+
+    def read(self, start: dict):
+        files = _avro_files(self._path)
+        done = start.get("files", 0)
+        rows = [t for p in files[done:] for t in self._rows_of(p)]
+        # iter(): idle polls probe emptiness with next()
+        return iter(rows), {"files": len(files)}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        files = _avro_files(self._path)
+        for p in files[start.get("files", 0) : end.get("files", 0)]:
+            yield from self._rows_of(p)
+
+
 class _Staged(WriterCommitMessage):
     def __init__(self, staged: str, final: str):
         self.staged = staged
@@ -430,6 +461,9 @@ class AvroContainerDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> AvroBatchWriter:
         return AvroBatchWriter(self.options["path"], overwrite, schema)
+
+    def simpleStreamReader(self, schema) -> AvroStreamReader:
+        return AvroStreamReader(self.options["path"])
 
 
 _REGISTERED: set[int] = set()
