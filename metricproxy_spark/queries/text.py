@@ -2406,3 +2406,110 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(
         20
     )
+
+
+@register(
+    "pipeline_pack_greedy",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, doc_id % 16 AS shard,
+               CAST(len(regexp_extract_all(lower(trim(text)),
+                    '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS t
+        FROM documents
+    ), grp AS (
+        SELECT shard,
+               list(doc_id ORDER BY doc_id) AS ids,
+               list(t ORDER BY doc_id) AS ts
+        FROM toks GROUP BY shard
+    ), folded AS (
+        SELECT shard, ids, ts,
+            list_reduce(
+                list_prepend([ts[1], CAST(0 AS BIGINT)],
+                    list_transform(list_slice(ts, 2, len(ts)),
+                                   x -> [x, CAST(0 AS BIGINT)])),
+                (acc, e) -> list_concat(acc,
+                    [CASE WHEN acc[-2] + e[1] > 512 AND acc[-2] > 0
+                          THEN e[1] ELSE acc[-2] + e[1] END,
+                     CASE WHEN acc[-2] + e[1] > 512 AND acc[-2] > 0
+                          THEN acc[-1] + 1 ELSE acc[-1] END])
+            ) AS st
+        FROM grp
+    )
+    SELECT shard,
+           ids[i] AS doc_id,
+           ts[i] AS n_tokens,
+           st[2 * i] AS seq_in_shard,
+           st[2 * i - 1] - ts[i] AS seq_offset
+    FROM folded, unnest(generate_series(1, len(ids))) AS u(i)
+    """,
+)
+def pipeline_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GREEDY (non-splitting) sequence packing — the trainer-data
+    sibling of `pipeline_pack_sequences`: a doc never straddles a
+    boundary; a new 512-token sequence starts when the next doc
+    doesn't fit, and an oversized doc gets a sequence of its own
+    (overflowing, never split). Real pipelines pack WITHIN SHARDS
+    (each data-loader shard is packed independently), which is what
+    makes the inherently sequential scan distributable: shard =
+    doc_id % 16 here, thousands of hash shards at 100 TB, each
+    shard's fold bounded by `guarded_series` (the EMA/Holt memory
+    contract). The fold itself is one JVM `aggregate` HOF appending
+    (used, seq) state pairs; the oracle runs the IDENTICAL recurrence
+    via DuckDB list_reduce with a POSITIONAL list accumulator, so the
+    sequential greedy decisions — not just totals — are value-checked
+    exactly."""
+    from metricproxy_spark.operators.scale import guarded_series
+
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.col("text")))
+    toks = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 16).alias("shard"),
+        F.size(
+            F.regexp_extract_all(norm, F.lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), 0)
+        ).cast("bigint").alias("t"),
+    )
+    series = guarded_series(toks, ["shard"], ["doc_id", "t"])
+    staged = series.select(
+        "shard",
+        F.expr("transform(rows, r -> r.doc_id)").alias("ids"),
+        F.expr("transform(rows, r -> r.t)").alias("ts"),
+    )
+    folded = staged.withColumn(
+        "st",
+        F.expr(
+            """
+            aggregate(
+              slice(ts, 2, size(ts) - 1),
+              array(element_at(ts, 1), 0L),
+              (acc, t) -> concat(acc, array(
+                IF(element_at(acc, -2) + t > 512L
+                   AND element_at(acc, -2) > 0L,
+                   t, element_at(acc, -2) + t),
+                IF(element_at(acc, -2) + t > 512L
+                   AND element_at(acc, -2) > 0L,
+                   element_at(acc, -1) + 1L, element_at(acc, -1))
+              )))
+            """
+        ),
+    )
+    i = F.col("i")
+    return (
+        folded.select(
+            "shard",
+            "ids",
+            "ts",
+            "st",
+            F.posexplode(F.expr("sequence(1, size(ids))")).alias("_p", "i"),
+        )
+        .select(
+            "shard",
+            F.element_at("ids", i).alias("doc_id"),
+            F.element_at("ts", i).alias("n_tokens"),
+            F.element_at("st", (i * 2).cast("int")).alias("seq_in_shard"),
+            (
+                F.element_at("st", (i * 2 - 1).cast("int"))
+                - F.element_at("ts", i)
+            ).alias("seq_offset"),
+        )
+    )

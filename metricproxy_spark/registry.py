@@ -68,6 +68,7 @@ _PRIORITY = (
     "ingest_avro_datasource",
     "layout_runtime_bloom_filter",
     "analytic_mad_outliers",
+    "pipeline_pack_greedy",
 )
 
 _QUERY_MODULES = (

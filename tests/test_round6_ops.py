@@ -134,3 +134,51 @@ class TestGuardedSeries:
             df = _q(name)(spark, sf_dir)
             plan = df._jdf.queryExecution().analyzed().toString()
             assert "group_n" in plan, name
+
+
+class TestGreedyPacker:
+    def test_greedy_invariants(self, spark, sf_dir):
+        rows = _q("pipeline_pack_greedy")(spark, sf_dir).collect()
+        by_shard: dict = {}
+        for r in rows:
+            by_shard.setdefault(r.shard, []).append(r)
+        assert len(rows) > 0
+        for shard, docs in by_shard.items():
+            docs.sort(key=lambda r: r.doc_id)
+            used, seq = 0, 0
+            for r in docs:
+                fits = used + r.n_tokens <= 512 or used == 0
+                if fits:
+                    assert r.seq_in_shard == seq, (shard, r)
+                    assert r.seq_offset == used, (shard, r)
+                    used += r.n_tokens
+                else:  # greedy: new sequence exactly when it spills
+                    seq += 1
+                    assert r.seq_in_shard == seq, (shard, r)
+                    assert r.seq_offset == 0, (shard, r)
+                    used = r.n_tokens
+
+    def test_oversized_doc_gets_own_sequence(self, spark):
+        from metricproxy_spark.registry import QUERIES
+
+        # tokens [5, 510, 10] in one shard: 510 spills into its own
+        # sequence, then 10 spills again (510+10 > 512)
+        import os
+        import tempfile
+
+        import pandas as pd
+
+        d = tempfile.mkdtemp()
+        pdf = pd.DataFrame(
+            {
+                "doc_id": [0, 16, 32],  # same shard (doc_id % 16 == 0)
+                "lang": ["en"] * 3,
+                "text": ["a " * 5, "b " * 510, "c " * 10],
+            }
+        )
+        pdf.to_parquet(os.path.join(d, "documents.parquet"), index=False)
+        got = {
+            r.doc_id: (r.seq_in_shard, r.seq_offset)
+            for r in QUERIES["pipeline_pack_greedy"](spark, d).collect()
+        }
+        assert got == {0: (0, 0), 16: (1, 0), 32: (2, 0)}
