@@ -810,3 +810,37 @@ def decode_avi_mjpeg(content: bytes):
         "duration_ms": int(len(pixels) * 1000 / (fps or 1)),
     }
     return meta, list(pixels)
+
+
+def dhash64(pixels) -> int:
+    """64-bit difference hash (dHash — the public perceptual-hash
+    baseline, e.g. the widely-cited Hacker Factor description):
+    grayscale → area-average onto a 9×8 grid → bit k set iff
+    grid[r][c] > grid[r][c+1]. Invariant to global brightness shifts
+    and scaling; a handful of changed pixels flips only the bits of
+    the grid cells they touch, so near-duplicate images land within a
+    small Hamming distance — the property the banded LSH join
+    exploits."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.float64)
+    if px.ndim == 3:
+        px = px.mean(axis=2)  # luminance proxy; exact weights don't matter
+    h, w = px.shape
+    # area-average onto 8 rows x 9 cols via integral binning
+    re = np.linspace(0, h, 9).astype(int)
+    ce = np.linspace(0, w, 10).astype(int)
+    grid = np.zeros((8, 9))
+    for r in range(8):
+        for c in range(9):
+            cell = px[re[r] : max(re[r] + 1, re[r + 1]),
+                      ce[c] : max(ce[c] + 1, ce[c + 1])]
+            grid[r, c] = cell.mean()
+    bits = 0
+    k = 0
+    for r in range(8):
+        for c in range(8):
+            if grid[r, c] > grid[r, c + 1]:
+                bits |= 1 << k
+            k += 1
+    return bits

@@ -564,3 +564,96 @@ def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("is_dropped").isNull()).alias("n_kept"),
         F.count("is_dropped").alias("n_dropped"),
     )
+
+
+@register("dedup_image_dhash")
+def dedup_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE near-duplicate detection — the multimodal member of the
+    L2 dedup family: per-doc PNGs decode through the real codec, hash
+    to a 64-bit dHash (difference hash — brightness-shift invariant,
+    a few changed pixels flip only the grid bits they touch), and
+    candidate pairs come from a BANDED join on 4×16-bit hash bands —
+    the SimHash discipline, so the pair space is Σ|bucket|², never
+    corpus². Pairs confirm with exact Hamming distance
+    (bit_count(xor), JVM-side) ≤ 16.
+
+    The corpus plants near-duplicates deterministically: doc_ids
+    sharing doc_id % 250 render the same base image with a small
+    per-variant brightness band at the top — found by banding because
+    the untouched grid rows leave whole bands intact. Rows-only by
+    contract (perceptual hashes have no DuckDB twin);
+    tests/test_round6_ops.py pins planted-pair recall and
+    distinct-image rejection. At 100 TB: decode+hash is map-only
+    Arrow batches; candidate bytes are bounded by the band buckets
+    exactly as dedup_simhash's accounting test bounds them."""
+    import numpy as np
+    import pandas as pd
+
+    from metricproxy_spark.operators.multimodal import (
+        decode_png,
+        dhash64,
+        encode_png,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def hash_images(batches):
+        for pdf in batches:
+            out = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                g, v = i % 250, i // 250
+                x = np.arange(32)[None, :]
+                y = np.arange(32)[:, None]
+                base = (((x + 1) * (y + 2) * (g + 3)) % 256).astype(
+                    np.uint8
+                )
+                if v:
+                    base = base.copy()
+                    rows = (v % 4) + 1
+                    base[0:rows, :] = np.clip(
+                        base[0:rows, :].astype(int) + 10 * v, 0, 255
+                    )
+                _meta, px = decode_png(encode_png(base))
+                out.append((i, dhash64(px) - (1 << 63)))  # signed long
+            yield pd.DataFrame(out, columns=["doc_id", "dhash"])
+
+    sigs = docs.mapInPandas(hash_images, "doc_id long, dhash long")
+    bands = sigs.select(
+        "doc_id",
+        "dhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("dhash"), 16 * k)
+                    % F.lit(65536)
+                    for k in range(4)
+                ]
+            )
+        ).alias("band_idx", "band"),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("dhash").alias("ha"),
+        "band_idx",
+        "band",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("dhash").alias("hb"),
+        "band_idx",
+        "band",
+    )
+    cand = (
+        a.join(b, ["band_idx", "band"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "ha", "hb")
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+        )
+        .where(F.col("hamming") <= 16)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -69,6 +69,7 @@ _PRIORITY = (
     "layout_runtime_bloom_filter",
     "analytic_mad_outliers",
     "pipeline_pack_greedy",
+    "dedup_image_dhash",
 )
 
 _QUERY_MODULES = (

@@ -182,3 +182,44 @@ class TestGreedyPacker:
             for r in QUERIES["pipeline_pack_greedy"](spark, d).collect()
         }
         assert got == {0: (0, 0), 16: (1, 0), 32: (2, 0)}
+
+
+class TestImageDhash:
+    def test_dhash_properties(self):
+        import numpy as np
+
+        from metricproxy_spark.operators.multimodal import dhash64
+
+        x = np.arange(32)[None, :]
+        y = np.arange(32)[:, None]
+        base = ((x + 1) * (y + 2) * 7 % 256).astype(np.uint8)
+        ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+        # brightness-shift invariance (modulo clipping at the edges)
+        shifted = np.clip(base.astype(int) + 25, 0, 255)
+        assert ham(dhash64(base), dhash64(shifted)) <= 2
+        # local perturbation flips only local grid bits
+        twin = base.copy()
+        twin[0:4, :] = np.clip(twin[0:4, :].astype(int) + 40, 0, 255)
+        assert ham(dhash64(base), dhash64(twin)) <= 16
+        # different content is far
+        other = ((x + 1) * (y + 2) * 11 % 256).astype(np.uint8)
+        assert ham(dhash64(base), dhash64(other)) > 16
+        # RGB reduces through luminance
+        rgb = np.stack([base] * 3, axis=2)
+        assert dhash64(rgb) == dhash64(base)
+
+    def test_planted_image_pairs_found(self, spark, sf_dir):
+        from metricproxy_spark.io import load_table
+
+        n_docs = load_table(spark, sf_dir, "documents").count()
+        pairs = {
+            (r.id_a, r.id_b)
+            for r in _q("dedup_image_dhash")(spark, sf_dir).collect()
+        }
+        planted = {
+            (i, i + 250) for i in range(max(0, min(250, n_docs - 250)))
+        }
+        missing = planted - pairs
+        assert not missing, f"{len(missing)} planted pairs missed"
+        # same-variant different-g docs are NOT near-dups
+        assert (0, 1) not in pairs and (1, 2) not in pairs
