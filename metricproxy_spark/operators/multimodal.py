@@ -844,3 +844,30 @@ def dhash64(pixels) -> int:
                 bits |= 1 << k
             k += 1
     return bits
+
+
+def resize_area(pixels, out_h: int, out_w: int):
+    """Area-average (box) resize — the standard antialiasing DOWNSCALE
+    for dataset preprocessing (what cv2.INTER_AREA / PIL BOX do):
+    output cell (r, c) is the mean of its source box, boxes defined by
+    the integer bin edges linspace(0, H, out_h+1). Exact for our
+    oracle because the mean of a linear ramp over a box is the ramp at
+    the box center — closed form. Returns float64 (H', W') or
+    (H', W', C)."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.float64)
+    chans = px.ndim == 3
+    h, w = px.shape[:2]
+    re = np.linspace(0, h, out_h + 1).astype(int)
+    ce = np.linspace(0, w, out_w + 1).astype(int)
+    shape = (out_h, out_w, px.shape[2]) if chans else (out_h, out_w)
+    out = np.zeros(shape)
+    for r in range(out_h):
+        for c in range(out_w):
+            box = px[
+                re[r] : max(re[r] + 1, re[r + 1]),
+                ce[c] : max(ce[c] + 1, ce[c + 1]),
+            ]
+            out[r, c] = box.mean(axis=(0, 1)) if chans else box.mean()
+    return out

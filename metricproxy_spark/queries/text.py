@@ -2513,3 +2513,81 @@ def pipeline_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("seq_offset"),
         )
     )
+
+
+@register(
+    "multimodal_resize",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id,
+               16 + 8 * (doc_id % 3) AS w,
+               16 + 8 * (doc_id % 2) AS h,
+               doc_id % 100 AS c
+        FROM documents
+    ), mx AS (
+        SELECT doc_id,
+               SUM(((i * w) // 16 + ((i + 1) * w) // 16 - 1) / 2.0)
+                   AS sum_mean_x
+        FROM dims, unnest(generate_series(0, 15)) AS t(i)
+        GROUP BY doc_id
+    ), my AS (
+        SELECT doc_id,
+               SUM(((i * h) // 16 + ((i + 1) * h) // 16 - 1) / 2.0)
+                   AS sum_mean_y
+        FROM dims, unnest(generate_series(0, 15)) AS t(i)
+        GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(d.w AS INT) AS in_w,
+           CAST(d.h AS INT) AS in_h,
+           CAST(256 AS BIGINT) AS out_n,
+           16 * mx.sum_mean_x + 32 * my.sum_mean_y + 256 * d.c
+               AS resized_sum
+    FROM dims d
+    JOIN mx ON mx.doc_id = d.doc_id
+    JOIN my ON my.doc_id = d.doc_id
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5 preprocessing RESIZE: per-doc PNGs of varying size (16/24/32
+    px per axis — uneven 16-bin boxes on the 24s) decode through the
+    real codec and downscale by AREA AVERAGING (`resize_area`, the
+    cv2.INTER_AREA-equivalent every image pipeline standardizes on).
+    The pixel ramp x + 2y + c is linear, so each box mean is the ramp
+    at the box's integer-edge center — a closed form the oracle
+    recomputes per output cell via generate_series, and every value
+    is a dyadic half (exact in float64 REGARDLESS of summation
+    order), so the resized pixel sum hash-matches with no rounding.
+    Decode + resize run map-only in Arrow batches."""
+    import numpy as np
+    import pandas as pd
+
+    from metricproxy_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+        resize_area,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def work(batches):
+        for pdf in batches:
+            out = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w, h, c = 16 + 8 * (i % 3), 16 + 8 * (i % 2), i % 100
+                x = np.arange(w)[None, :]
+                y = np.arange(h)[:, None]
+                ramp = (x + 2 * y + c).astype(np.uint8)
+                _meta, px = decode_png(encode_png(ramp))
+                small = resize_area(px, 16, 16)
+                out.append((i, w, h, small.size, float(small.sum())))
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "in_w", "in_h", "out_n", "resized_sum"],
+            )
+
+    return docs.mapInPandas(
+        work,
+        "doc_id long, in_w int, in_h int, out_n long, resized_sum double",
+    )

@@ -70,6 +70,7 @@ _PRIORITY = (
     "analytic_mad_outliers",
     "pipeline_pack_greedy",
     "dedup_image_dhash",
+    "multimodal_resize",
 )
 
 _QUERY_MODULES = (
