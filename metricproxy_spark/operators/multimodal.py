@@ -871,3 +871,26 @@ def resize_area(pixels, out_h: int, out_w: int):
             ]
             out[r, c] = box.mean(axis=(0, 1)) if chans else box.mean()
     return out
+
+
+def resample_linear(samples, src_rate: int, dst_rate: int):
+    """Linear-interpolation resampling (the audio analogue of
+    resize_area — what a preprocessing pipeline runs before a
+    fixed-rate feature extractor). Output j sits at source position
+    p = j·src/dst; out[j] = s[k] + (p−k)·(s[k+1]−s[k]), k = ⌊p⌋.
+    Returns float64. For integer-ratio upsampling the positions are
+    exact rationals (2×: dyadic halves — the regime the oracle query
+    uses for bit-exact sums); arbitrary ratios carry the usual last-
+    ulp float behavior (bounded in tests)."""
+    import numpy as np
+
+    s = np.asarray(samples, dtype=np.float64)
+    n_src = s.shape[0]
+    if n_src < 2:
+        return s.copy()
+    n_out = int((n_src - 1) * dst_rate // src_rate) + 1
+    j = np.arange(n_out, dtype=np.float64)
+    p = j * src_rate / dst_rate
+    k = np.minimum(p.astype(np.int64), n_src - 2)
+    frac = p - k
+    return s[k] + frac * (s[k + 1] - s[k])

@@ -2591,3 +2591,65 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         work,
         "doc_id long, in_w int, in_h int, out_n long, resized_sum double",
     )
+
+
+@register(
+    "multimodal_resample_audio",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id,
+               96 + 16 * (doc_id % 5) AS n_src,
+               1 + doc_id % 3 AS a,
+               (doc_id % 50) - 25 AS b
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_src AS INT) AS n_src,
+           CAST(2 * (n_src - 1) + 1 AS BIGINT) AS n_out,
+           -- linear signal s[n] = a*n + b upsampled 2x: out[j] =
+           -- a*(j/2) + b, all dyadic halves -> the float64 sum is
+           -- exact in any order: sum_j a*j/2 + b*n_out
+           a * (2 * (n_src - 1) + 1) * (2 * (n_src - 1)) / 4.0
+             + CAST(b * (2 * (n_src - 1) + 1) AS DOUBLE) AS sum_resampled
+    FROM dims
+    """,
+)
+def multimodal_resample_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5 audio preprocessing RESAMPLE: per-doc PCM-16 WAV clips
+    (linear ramp a·n + b) decode through the real RIFF parser and
+    upsample 2× by linear interpolation (`resample_linear`). At the
+    2× ratio every interpolation position is a dyadic half, so the
+    resampled values and their float64 sum are EXACT in any summation
+    order — the oracle reduces the whole chain to the closed form
+    Σ a·j/2 + b·n_out. Decode + resample run map-only in Arrow
+    batches; arbitrary-ratio behavior is bounded in pytest."""
+    import numpy as np
+    import pandas as pd
+
+    from metricproxy_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+        resample_linear,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def work(batches):
+        for pdf in batches:
+            out = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                n_src = 96 + 16 * (i % 5)
+                a, b = 1 + i % 3, (i % 50) - 25
+                sig = (a * np.arange(n_src) + b).astype(np.int16)
+                _meta, s = decode_wav(encode_wav(sig, sample_rate=8000))
+                res = resample_linear(s, 8000, 16000)
+                out.append((i, n_src, res.shape[0], float(res.sum())))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "n_src", "n_out", "sum_resampled"]
+            )
+
+    return docs.mapInPandas(
+        work,
+        "doc_id long, n_src int, n_out long, sum_resampled double",
+    )

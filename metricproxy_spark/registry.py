@@ -71,6 +71,7 @@ _PRIORITY = (
     "pipeline_pack_greedy",
     "dedup_image_dhash",
     "multimodal_resize",
+    "multimodal_resample_audio",
 )
 
 _QUERY_MODULES = (

@@ -223,3 +223,61 @@ class TestImageDhash:
         assert not missing, f"{len(missing)} planted pairs missed"
         # same-variant different-g docs are NOT near-dups
         assert (0, 1) not in pairs and (1, 2) not in pairs
+
+
+class TestResampleResize:
+    def test_resample_2x_exact_on_ramp(self):
+        import numpy as np
+
+        from metricproxy_spark.operators.multimodal import resample_linear
+
+        s = (3 * np.arange(100) - 20).astype(np.int16)
+        r = resample_linear(s, 8000, 16000)
+        assert r.shape[0] == 199
+        exp = 3 * (np.arange(199) / 2.0) - 20
+        assert np.array_equal(r, exp)
+
+    def test_resample_arbitrary_ratio_bounded(self):
+        import numpy as np
+
+        from metricproxy_spark.operators.multimodal import resample_linear
+
+        t = np.arange(0, 1, 1 / 8000)
+        sig = np.sin(2 * np.pi * 50 * t)
+        down = resample_linear(sig, 8000, 6000)
+        # a 50 Hz tone survives 3/4 resampling nearly unchanged:
+        # compare against the analytic tone at the resampled times
+        t2 = np.arange(down.shape[0]) / 6000
+        err = np.abs(down - np.sin(2 * np.pi * 50 * t2)).max()
+        assert err < 1e-3, err
+
+    def test_resize_area_uneven_boxes_mean_preserving(self):
+        import numpy as np
+
+        from metricproxy_spark.operators.multimodal import resize_area
+
+        rng = np.random.default_rng(9)
+        px = rng.integers(0, 256, (24, 24), np.uint8)
+        small = resize_area(px, 16, 16)
+        # area averaging preserves the GLOBAL mean when every source
+        # pixel lands in exactly one box of equal weight... boxes are
+        # unequal here (1 or 2 wide), so check per-box means directly
+        re = np.linspace(0, 24, 17).astype(int)
+        for r in (0, 7, 15):
+            for c in (0, 8, 15):
+                box = px[re[r] : re[r + 1], re[c] : re[c + 1]]
+                assert small[r, c] == box.mean()
+
+    def test_resize_rgb_channels_independent(self):
+        import numpy as np
+
+        from metricproxy_spark.operators.multimodal import resize_area
+
+        rng = np.random.default_rng(10)
+        px = rng.integers(0, 256, (16, 16, 3), np.uint8)
+        small = resize_area(px, 8, 8)
+        assert small.shape == (8, 8, 3)
+        for ch in range(3):
+            assert np.array_equal(
+                small[:, :, ch], resize_area(px[:, :, ch], 8, 8)
+            )
