@@ -825,25 +825,20 @@ def dhash64(pixels) -> int:
 
     px = np.asarray(pixels, dtype=np.float64)
     if px.ndim == 3:
-        px = px.mean(axis=2)  # luminance proxy; exact weights don't matter
+        # channel SUM, not mean: a monotone ×C transform leaves every
+        # grid comparison unchanged and keeps integer inputs exact
+        px = px.sum(axis=2)
     h, w = px.shape
-    # area-average onto 8 rows x 9 cols via integral binning
+    # area-average onto 8 rows x 9 cols: box sums via reduceat (for
+    # integer pixels the sums are exact in any order), then divide by
+    # box areas
     re = np.linspace(0, h, 9).astype(int)
     ce = np.linspace(0, w, 10).astype(int)
-    grid = np.zeros((8, 9))
-    for r in range(8):
-        for c in range(9):
-            cell = px[re[r] : max(re[r] + 1, re[r + 1]),
-                      ce[c] : max(ce[c] + 1, ce[c + 1])]
-            grid[r, c] = cell.mean()
-    bits = 0
-    k = 0
-    for r in range(8):
-        for c in range(8):
-            if grid[r, c] > grid[r, c + 1]:
-                bits |= 1 << k
-            k += 1
-    return bits
+    sums = np.add.reduceat(np.add.reduceat(px, re[:-1], axis=0), ce[:-1], axis=1)
+    areas = np.outer(np.diff(re), np.diff(ce))
+    grid = sums / np.maximum(areas, 1)
+    cmp = grid[:, :8] > grid[:, 1:]
+    return int(np.packbits(cmp.reshape(-1)[::-1]).view(">u8")[0])
 
 
 def resize_area(pixels, out_h: int, out_w: int):
@@ -857,20 +852,19 @@ def resize_area(pixels, out_h: int, out_w: int):
     import numpy as np
 
     px = np.asarray(pixels, dtype=np.float64)
-    chans = px.ndim == 3
     h, w = px.shape[:2]
     re = np.linspace(0, h, out_h + 1).astype(int)
     ce = np.linspace(0, w, out_w + 1).astype(int)
-    shape = (out_h, out_w, px.shape[2]) if chans else (out_h, out_w)
-    out = np.zeros(shape)
-    for r in range(out_h):
-        for c in range(out_w):
-            box = px[
-                re[r] : max(re[r] + 1, re[r + 1]),
-                ce[c] : max(ce[c] + 1, ce[c + 1]),
-            ]
-            out[r, c] = box.mean(axis=(0, 1)) if chans else box.mean()
-    return out
+    # box sums via reduceat (exact for integer pixels in any order),
+    # divided by box areas; channels ride along on axis 2
+    sums = np.add.reduceat(
+        np.add.reduceat(px, re[:-1], axis=0), ce[:-1], axis=1
+    )
+    areas = np.outer(np.diff(re), np.diff(ce))
+    areas = np.maximum(areas, 1).astype(np.float64)
+    if px.ndim == 3:
+        return sums / areas[:, :, None]
+    return sums / areas
 
 
 def resample_linear(samples, src_rate: int, dst_rate: int):
