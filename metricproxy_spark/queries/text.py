@@ -2653,3 +2653,151 @@ def multimodal_resample_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
         work,
         "doc_id long, n_src int, n_out long, sum_resampled double",
     )
+
+
+_HTML_STRIP_STEPS = (
+    # (pattern, replacement) applied in order, identical in both
+    # engines (Spark Java regex / DuckDB RE2 agree on this subset)
+    (r"<script>.*?</script>", ""),
+    (r"<style>.*?</style>", ""),
+    (r"<!--.*?-->", ""),
+    (r"<[^>]+>", " "),
+    (r" +", " "),
+)
+
+
+@register(
+    "text_html_extract",
+    oracle="""
+    WITH page AS (
+        SELECT doc_id,
+               '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+               || '</title><script>var x=' || CAST(doc_id AS VARCHAR)
+               || ';</script><style>p{color:red}</style></head>'
+               || '<body><div class="nav">home about</div><p>'
+               || text || '</p><!-- trailer --></body></html>' AS html
+        FROM documents
+    ), ext AS (
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(regexp_replace(
+                    regexp_replace(regexp_replace(html,
+                    '<script>.*?</script>', '', 'g'),
+                    '<style>.*?</style>', '', 'g'),
+                    '<!--.*?-->', '', 'g'),
+                    '<[^>]+>', ' ', 'g'),
+                    ' +', ' ', 'g')) AS extracted
+        FROM page
+    )
+    SELECT doc_id,
+           length(extracted) AS n_chars,
+           len(string_split(extracted, ' ')) AS n_words,
+           substring(extracted, 1, 48) AS head
+    FROM ext
+    """,
+)
+def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-corpus text extraction — the step every training pipeline
+    runs before quality filtering: strip script/style blocks, drop
+    comments, flatten tags to spaces, collapse whitespace (the
+    boilerplate-stripping core of trafilatura-class extractors,
+    minus DOM heuristics). Pages are synthesized around the document
+    text (title + nav + script + comment chrome), extraction is a
+    fixed JVM regexp_replace chain — whole-stage codegen, zero Python
+    — and the oracle runs the IDENTICAL chain in DuckDB, so the
+    extracted STRINGS (not just counts) are value-checked. Map-only
+    at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</title><script>var x="),
+        F.col("doc_id").cast("string"),
+        F.lit(';</script><style>p{color:red}</style></head>'),
+        F.lit('<body><div class="nav">home about</div><p>'),
+        F.col("text"),
+        F.lit("</p><!-- trailer --></body></html>"),
+    )
+    extracted = html
+    for pat, rep in _HTML_STRIP_STEPS:
+        extracted = F.regexp_replace(extracted, pat, rep)
+    extracted = F.trim(extracted)
+    return docs.select(
+        "doc_id",
+        F.length(extracted).alias("n_chars"),
+        F.size(F.split(extracted, " ")).alias("n_words"),
+        F.substring(extracted, 1, 48).alias("head"),
+    )
+
+
+@register(
+    "pipeline_url_canonicalize",
+    oracle="""
+    WITH urls AS (
+        SELECT doc_id,
+               'https://WWW.Site' || CAST(doc_id % 7 AS VARCHAR)
+               || '.COM/art/' || CAST(doc_id AS VARCHAR)
+               || CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END
+               || '?utm_source=feed&id=' || CAST(doc_id % 50 AS VARCHAR)
+               || '&utm_campaign=x'
+               || CASE WHEN doc_id % 2 = 0 THEN '#section2' ELSE '' END
+                   AS url
+        FROM documents
+    ), canon AS (
+        SELECT doc_id, url,
+            regexp_replace(regexp_replace(regexp_replace(
+                lower(regexp_extract(url, '^https?://[^/]+'))
+                || regexp_replace(
+                       regexp_replace(
+                           regexp_replace(
+                               regexp_replace(url, '^https?://[^/]+', ''),
+                               '#.*', ''),
+                           '\\?', '?&'),
+                       '&utm_[^&]*', '', 'g'),
+                '\\?&', '?'), '\\?$', ''), '/$', '') AS canon_url
+        FROM urls
+    )
+    SELECT doc_id, url, canon_url,
+           CAST(doc_id % 7 AS BIGINT) AS host_group
+    FROM canon
+    """,
+)
+def pipeline_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization — the key for web-corpus dedup and
+    per-host rate accounting: lowercase the scheme+host (case-
+    insensitive per RFC 3986), drop the fragment, strip utm_*
+    tracking params (normalizing the ?/& boundary), drop empty query
+    strings and trailing slashes. A pure regexp pipeline (no UDF, no
+    parse_url — DuckDB has no twin for that builtin, and regexp keeps
+    both engines running the IDENTICAL normalization), value-checked
+    string-for-string. Docs synthesize mixed-case hosts, trailing
+    slashes, tracking params and fragments deterministically. At
+    100 TB: map-only; canonical URL becomes the exact-dedup key."""
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://WWW.Site"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".COM/art/"),
+        F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm_source=feed&id="),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit("&utm_campaign=x"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("#section2")).otherwise(
+            F.lit("")
+        ),
+    )
+    host = F.lower(F.regexp_extract(url, r"^https?://[^/]+", 0))
+    rest = F.regexp_replace(url, r"^https?://[^/]+", "")
+    rest = F.regexp_replace(rest, r"#.*", "")
+    rest = F.regexp_replace(rest, r"\?", "?&")
+    rest = F.regexp_replace(rest, r"&utm_[^&]*", "")
+    canon = F.concat(host, rest)
+    canon = F.regexp_replace(canon, r"\?&", "?")
+    canon = F.regexp_replace(canon, r"\?$", "")
+    canon = F.regexp_replace(canon, r"/$", "")
+    return docs.select(
+        "doc_id",
+        url.alias("url"),
+        canon.alias("canon_url"),
+        (F.col("doc_id") % 7).cast("bigint").alias("host_group"),
+    )

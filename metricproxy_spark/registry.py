@@ -72,6 +72,8 @@ _PRIORITY = (
     "dedup_image_dhash",
     "multimodal_resize",
     "multimodal_resample_audio",
+    "text_html_extract",
+    "pipeline_url_canonicalize",
 )
 
 _QUERY_MODULES = (
