@@ -120,6 +120,16 @@ def encode_png(pixels, row_filters=None, palette=None) -> bytes:
     filters = row_filters or [0] * h
     if len(filters) != h:
         raise ValueError("row_filters must have one entry per row")
+    if not any(filters):  # all-None rows: one vectorized prepend
+        flat = data.reshape(h, w * bpp)
+        scan = np.hstack([np.zeros((h, 1), np.uint8), flat]).tobytes()
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+        body = _png_chunk(b"IHDR", ihdr)
+        if palette is not None:
+            body += _png_chunk(b"PLTE", np.asarray(palette, np.uint8).tobytes())
+        body += _png_chunk(b"IDAT", zlib.compress(scan))
+        body += _png_chunk(b"IEND", b"")
+        return PNG_MAGIC + body
     raw = data.reshape(h, w * bpp).astype(np.int16)
     prev = np.zeros(w * bpp, dtype=np.int16)
     out = bytearray()
@@ -210,6 +220,9 @@ def decode_png(content: bytes):
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG IDAT length mismatch")
     rows = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+    if not rows[:, 0].any():  # every row filter 0: pure slice
+        out = np.ascontiguousarray(rows[:, 1:])
+        return _png_reshape(out, color_type, plte, h, w, bpp)
     out = np.zeros((h, stride), dtype=np.uint8)
     for y in range(h):
         f = int(rows[y, 0])
@@ -237,6 +250,12 @@ def decode_png(content: bytes):
         else:
             raise ValueError(f"bad PNG row filter {f}")
         out[y] = rec
+    return _png_reshape(out, color_type, plte, h, w, bpp)
+
+
+def _png_reshape(out, color_type, plte, h, w, bpp):
+    import numpy as np
+
     if color_type == 3:
         if plte is None:
             raise ValueError("palette PNG missing PLTE")
