@@ -758,3 +758,21 @@ class TestRound6PlanDiscipline:
                     spark.conf.unset(k)
                 else:
                     spark.conf.set(k, v)
+
+    def test_image_dhash_candidates_are_equi_join(self, spark, sf_dir):
+        """The banded candidate join must plan as an equi-join on
+        (band_idx, band) — never a nested-loop/cartesian pair sweep;
+        exact Hamming confirm stays JVM-side (bit_count)."""
+        plan = self._plan(spark, sf_dir, "dedup_image_dhash")
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoop" not in plan, plan
+        assert "bit_count" in plan, plan
+
+    def test_greedy_packer_keyed_shuffles_only(self, spark, sf_dir):
+        """Per-shard greedy packing: the only shuffle over row data is
+        the keyed shard groupBy; no single-partition exchange, no
+        window, no join."""
+        plan = self._plan(spark, sf_dir, "pipeline_pack_greedy")
+        assert "Exchange SinglePartition" not in plan, plan
+        assert "Join" not in plan, plan
+        assert "Window" not in plan, plan
