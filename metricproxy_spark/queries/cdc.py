@@ -171,3 +171,69 @@ def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_current", F.col("valid_to").isNull().cast("int")
     )
     return hist.where(F.col("event_type") != "error")
+
+
+@register(
+    "cdc_scd2_asof_enrich",
+    oracle="""
+    WITH dims AS (
+        SELECT user_id, ts,
+               arg_max(event_type, event_id) AS dim_type,
+               arg_max(value, event_id) AS dim_value
+        FROM events WHERE event_id % 4 = 0
+        GROUP BY user_id, ts
+    ), facts AS (
+        SELECT event_id, user_id, ts, value
+        FROM events WHERE event_id % 4 <> 0
+    )
+    SELECT f.event_id, f.user_id,
+           epoch_us(f.ts) AS ts_us,
+           f.value,
+           d.dim_type, d.dim_value
+    FROM facts f
+    ASOF LEFT JOIN dims d
+      ON f.user_id = d.user_id AND f.ts >= d.ts
+    """,
+)
+def cdc_scd2_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-as-of-event-time enrichment — the composition a CDC
+    warehouse runs constantly: attribute-change events (every 4th
+    event) form a slowly-changing dimension, and every fact row picks
+    up the dimension version IN EFFECT AT ITS TIMESTAMP. Implemented
+    with the engine's JOIN-FREE as-of operator (union + one
+    (user, ts)-sorted window with a forward-filled payload struct —
+    no pair explosion, the shape that survives fact-sized inputs);
+    the oracle is DuckDB's NATIVE ASOF LEFT JOIN, so the engine's
+    rewrite is value-checked against an independent first-class
+    implementation of the same semantics. Dimension rows sharing
+    (user, ts) pre-aggregate deterministically by max event_id (the
+    documented as-of tie rule on both sides)."""
+    from metricproxy_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    dims = (
+        ev.where(F.col("event_id") % 4 == 0)
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max_by("event_type", "event_id").alias("dim_type"),
+            F.max_by("value", "event_id").alias("dim_value"),
+        )
+    )
+    facts = ev.where(F.col("event_id") % 4 != 0).select(
+        "event_id", "user_id", "ts", "value"
+    )
+    enriched = asof_join(
+        facts,
+        dims,
+        on="user_id",
+        ts_col="ts",
+        right_payload=["dim_type", "dim_value"],
+    )
+    return enriched.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "value",
+        F.col("dim_type_asof").alias("dim_type"),
+        F.col("dim_value_asof").alias("dim_value"),
+    )

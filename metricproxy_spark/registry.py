@@ -74,6 +74,7 @@ _PRIORITY = (
     "multimodal_resample_audio",
     "text_html_extract",
     "pipeline_url_canonicalize",
+    "cdc_scd2_asof_enrich",
 )
 
 _QUERY_MODULES = (
