@@ -236,9 +236,39 @@ class CarbonWireDataSource(DataSource):
 _REGISTERED: set[int] = set()
 
 
+def pickle_module_by_value(module_name: str) -> None:
+    """Make a self-contained connector module cloudpickle BY VALUE.
+
+    Spark serializes a registered Python DataSource class with
+    cloudpickle. By default an importable class pickles by REFERENCE
+    (module path + name), which executor workers resolve because
+    :func:`metricproxy_spark.io.ensure_package_on_workers` ships the
+    package zip via ``addPyFile`` — but the *streaming source runner*
+    is a separate driver-side Python process that does NOT see
+    SparkFiles/addPyFile paths. If the driver found this repo only via
+    a ``sys.path`` insert (the external driver does exactly that), the
+    runner dies with ``ModuleNotFoundError: metricproxy_spark`` while
+    planning ``readStream``. Registering the module for by-value
+    pickling embeds the class bodies in the pickle itself, so the
+    runner needs no import path at all. Only valid for connector
+    modules that are self-contained (stdlib + pyspark imports only) —
+    both ``pyds`` and ``avro`` keep that invariant on purpose.
+    """
+    import sys
+
+    try:
+        from pyspark import cloudpickle
+
+        cloudpickle.register_pickle_by_value(sys.modules[module_name])
+    except Exception:
+        # Best-effort: batch reads still work by reference + addPyFile.
+        pass
+
+
 def register_carbonwire(spark) -> None:
     """Idempotently register the connector on a session."""
     key = id(spark.sparkContext)
     if key not in _REGISTERED:
+        pickle_module_by_value(__name__)
         spark.dataSource.register(CarbonWireDataSource)
         _REGISTERED.add(key)
