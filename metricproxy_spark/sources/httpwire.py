@@ -222,5 +222,12 @@ def register_httpwire(spark) -> None:
     """Idempotently register the connector on a session."""
     key = id(spark.sparkContext)
     if key not in _REGISTERED:
+        # Streaming source runner processes can't import this repo when
+        # the driver used a sys.path insert — pickle the module by value
+        # (see pyds.pickle_module_by_value; this module is likewise
+        # self-contained stdlib+pyspark by design).
+        from metricproxy_spark.sources.pyds import pickle_module_by_value
+
+        pickle_module_by_value(__name__)
         spark.dataSource.register(HttpWireDataSource)
         _REGISTERED.add(key)
