@@ -75,6 +75,9 @@ _PRIORITY = (
     "text_html_extract",
     "pipeline_url_canonicalize",
     "cdc_scd2_asof_enrich",
+    # --- round-6 continuation (streaming-runner fix re-drive + new) ---
+    "stream_http_live_pipeline",
+    "ingest_warc_records",
 )
 
 _QUERY_MODULES = (
