@@ -61,3 +61,70 @@ def time_band_join(
     if extra_on is not None:
         cond = cond & extra_on
     return l_b.join(r_b, cond, how).drop("_lbucket", "_rbucket")
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    bucket_width: int,
+    extra_on: Column | None = None,
+) -> DataFrame:
+    """Join interval rows that OVERLAP: ``l_start <= r_end AND
+    r_start <= l_end`` (closed intervals, integer endpoints — convert
+    timestamps to epoch units first).
+
+    Both sides carry intervals (unlike :func:`time_band_join`, where
+    the right side is a point), so BOTH are replicated: each row lands
+    in every bucket its interval spans (``sequence`` + ``explode``,
+    ≤ len/width + 1 replicas), the join is an equi-join on the bucket
+    key, and the exact overlap predicate runs as a residual filter.
+
+    Exactly-once without a distinct: a pair that overlaps across
+    several shared buckets is emitted ONLY from the bucket containing
+    ``greatest(l_start, r_start)`` — the overlap's first point, which
+    lies in exactly one bucket. This replaces the usual
+    ``dropDuplicates`` (a second full shuffle) with a free residual
+    comparison.
+
+    Scale: shuffles each side once on the bucket key; pick
+    ``bucket_width`` near the typical interval length to keep
+    replication ~2x. With an ``extra_on`` equi-column folded into the
+    join key space, per-task work is bounded by the densest
+    (key, bucket) cell — the operator degrades linearly in local
+    interval density, never in |L|·|R|.
+    """
+    w = int(bucket_width)
+    if w <= 0:
+        raise ValueError("bucket_width must be a positive integer")
+    for name in (l_start, l_end):
+        if name in (r_start, r_end):
+            raise ValueError("rename endpoint columns to distinct names")
+
+    def buckets(start: str, end: str) -> Column:
+        return F.explode(
+            F.sequence(
+                F.floor(F.col(start) / w).cast("long"),
+                F.floor(F.col(end) / w).cast("long"),
+            )
+        )
+
+    l_b = left.withColumn("_lbucket", buckets(l_start, l_end))
+    r_b = right.withColumn("_rbucket", buckets(r_start, r_end))
+    overlap = (F.col(l_start) <= F.col(r_end)) & (
+        F.col(r_start) <= F.col(l_end)
+    )
+    first_bucket = F.floor(
+        F.greatest(F.col(l_start), F.col(r_start)) / w
+    ).cast("long")
+    cond = (
+        (F.col("_lbucket") == F.col("_rbucket"))
+        & overlap
+        & (first_bucket == F.col("_lbucket"))
+    )
+    if extra_on is not None:
+        cond = cond & extra_on
+    return l_b.join(r_b, cond, "inner").drop("_lbucket", "_rbucket")

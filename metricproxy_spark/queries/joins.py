@@ -372,3 +372,82 @@ def analytic_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(d_f)
         .alias("dist_us"),
     )
+
+
+@register(
+    "analytic_interval_overlap",
+    oracle="""
+    WITH l AS (
+        SELECT o_orderkey AS l_key, o_orderpriority AS pri,
+               date_diff('day', TIMESTAMP '1992-01-01', o_orderdate)
+                   AS l_start,
+               date_diff('day', TIMESTAMP '1992-01-01', o_orderdate)
+                   + o_orderkey % 20 + 1 AS l_end
+        FROM orders WHERE o_orderkey % 7 = 0
+    ), r AS (
+        SELECT o_orderkey AS r_key, o_orderpriority AS pri,
+               date_diff('day', TIMESTAMP '1992-01-01', o_orderdate)
+                   AS r_start,
+               date_diff('day', TIMESTAMP '1992-01-01', o_orderdate)
+                   + o_orderkey % 15 + 1 AS r_end
+        FROM orders WHERE o_orderkey % 11 = 3
+    )
+    SELECT l.pri AS priority,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(least(l_end, r_end) - greatest(l_start, r_start))
+                AS BIGINT) AS sum_overlap_days,
+           CAST(MAX(least(l_end, r_end) - greatest(l_start, r_start))
+                AS BIGINT) AS max_overlap_days
+    FROM l JOIN r ON l.pri = r.pri
+               AND l_start <= r_end AND r_start <= l_end
+    GROUP BY l.pri
+    """,
+)
+def analytic_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join (X8 ext.): two sets of order-activity
+    intervals (deterministic [orderdate, orderdate + key-derived
+    length] windows) pair up wherever they overlap within the same
+    order priority, then aggregate pair counts and total/max overlap
+    length. Endpoints and overlaps are integer day offsets — sums are
+    exact in any order, no decimal plumbing.
+
+    Plan: :func:`metricproxy_spark.operators.rangejoin.
+    interval_overlap_join` — both sides replicate into 32-day buckets
+    (sequence+explode, ≤2x), equi-join on (priority, bucket), exact
+    overlap predicate as residual, and the pair is emitted only from
+    the bucket holding greatest(l_start, r_start) so NO distinct pass
+    is needed. The oracle runs the naive theta join: the bucketed
+    decomposition is value-checked against the O(n²) definition."""
+    from metricproxy_spark.operators.rangejoin import interval_overlap_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    day0 = F.lit("1992-01-01").cast("timestamp")
+    base = F.datediff(F.col("o_orderdate"), day0)
+    left = orders.where(F.col("o_orderkey") % 7 == 0).select(
+        F.col("o_orderkey").alias("l_key"),
+        F.col("o_orderpriority").alias("pri"),
+        base.cast("long").alias("l_start"),
+        (base + F.col("o_orderkey") % 20 + 1).cast("long").alias("l_end"),
+    )
+    right = orders.where(F.col("o_orderkey") % 11 == 3).select(
+        F.col("o_orderkey").alias("r_key"),
+        F.col("o_orderpriority").alias("r_pri"),
+        base.cast("long").alias("r_start"),
+        (base + F.col("o_orderkey") % 15 + 1).cast("long").alias("r_end"),
+    )
+    pairs = interval_overlap_join(
+        left,
+        right,
+        "l_start",
+        "l_end",
+        "r_start",
+        "r_end",
+        bucket_width=32,
+        extra_on=F.col("pri") == F.col("r_pri"),
+    )
+    olap = F.least("l_end", "r_end") - F.greatest("l_start", "r_start")
+    return pairs.groupBy(F.col("pri").alias("priority")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(olap).alias("sum_overlap_days"),
+        F.max(olap).alias("max_overlap_days"),
+    )

@@ -78,6 +78,7 @@ _PRIORITY = (
     # --- round-6 continuation (streaming-runner fix re-drive + new) ---
     "stream_http_live_pipeline",
     "ingest_warc_records",
+    "analytic_interval_overlap",
 )
 
 _QUERY_MODULES = (

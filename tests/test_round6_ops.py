@@ -281,3 +281,68 @@ class TestResampleResize:
             assert np.array_equal(
                 small[:, :, ch], resize_area(px[:, :, ch], 8, 8)
             )
+
+
+class TestIntervalOverlapJoin:
+    """interval_overlap_join: bucketed decomposition == naive theta join,
+    each overlapping pair exactly once, replication bounded."""
+
+    def _mk(self, spark, rows, prefix):
+        s, e = f"{prefix}_start", f"{prefix}_end"
+        return spark.createDataFrame(
+            [(k, a, b) for k, a, b in rows],
+            f"{prefix}_key long, {s} long, {e} long",
+        )
+
+    def test_matches_naive_cross_join(self, spark):
+        import itertools
+
+        # Deterministic pseudo-random intervals incl. bucket-straddlers,
+        # touching endpoints, containments and long spans.
+        lrows = [
+            (i, (i * 37) % 100, (i * 37) % 100 + (i * 13) % 45 + 1)
+            for i in range(40)
+        ]
+        rrows = [
+            (j, (j * 29 + 7) % 110, (j * 29 + 7) % 110 + (j * 11) % 30 + 1)
+            for j in range(35)
+        ]
+        expected = sorted(
+            (lk, rk)
+            for (lk, ls, le), (rk, rs, re) in itertools.product(lrows, rrows)
+            if ls <= re and rs <= le
+        )
+        from metricproxy_spark.operators.rangejoin import interval_overlap_join
+
+        for width in (1, 8, 32, 1000):  # incl. degenerate single-bucket
+            got = interval_overlap_join(
+                self._mk(spark, lrows, "l"),
+                self._mk(spark, rrows, "r"),
+                "l_start", "l_end", "r_start", "r_end",
+                bucket_width=width,
+            ).select("l_key", "r_key").collect()
+            pairs = sorted((r.l_key, r.r_key) for r in got)
+            assert pairs == expected, f"width={width}"
+            assert len(pairs) == len(set(pairs)), "duplicate pair emitted"
+
+    def test_extra_on_and_validation(self, spark):
+        import pytest as _pytest
+
+        from metricproxy_spark.operators.rangejoin import interval_overlap_join
+
+        left = self._mk(spark, [(1, 0, 10), (2, 0, 10)], "l").withColumn(
+            "grp", F.col("l_key") % 2
+        )
+        right = self._mk(spark, [(3, 5, 6), (4, 5, 6)], "r").withColumn(
+            "rgrp", F.col("r_key") % 2
+        )
+        got = interval_overlap_join(
+            left, right, "l_start", "l_end", "r_start", "r_end",
+            bucket_width=4, extra_on=F.col("grp") == F.col("rgrp"),
+        ).select("l_key", "r_key").collect()
+        assert sorted((r.l_key, r.r_key) for r in got) == [(1, 3), (2, 4)]
+        with _pytest.raises(ValueError):
+            interval_overlap_join(
+                left, right, "l_start", "l_end", "r_start", "r_end",
+                bucket_width=0,
+            )
