@@ -1585,3 +1585,93 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("twa"),
     )
+
+
+@register(
+    "events_kalman_level",
+    oracle="""
+    WITH series AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               list(value ORDER BY ts, event_id) AS vals
+        FROM events
+        GROUP BY 1, 2
+    ), folded AS (
+        -- positional-list accumulator [x, P, i] (see events_holt_trend
+        -- for why not a struct); i=0 marks the uninitialized state.
+        SELECT event_type, day, len(vals) AS n,
+               list_reduce(
+                   list_prepend(
+                       [CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+                        CAST(0 AS DOUBLE)],
+                       list_transform(vals, z -> [z, CAST(0 AS DOUBLE),
+                                                  CAST(0 AS DOUBLE)])
+                   ),
+                   (acc, e) -> CASE WHEN acc[3] = 0 THEN
+                       [e[1], CAST(1.0 AS DOUBLE), CAST(1.0 AS DOUBLE)]
+                   ELSE [
+                       acc[1] + ((acc[2] + 0.01) / ((acc[2] + 0.01) + 1.0))
+                                * (e[1] - acc[1]),
+                       (1.0 - (acc[2] + 0.01) / ((acc[2] + 0.01) + 1.0))
+                                * (acc[2] + 0.01),
+                       acc[3] + 1.0
+                   ] END
+               ) AS st
+        FROM series
+    )
+    SELECT event_type, day, n,
+           st[1] AS level_end,
+           st[2] AS variance_end,
+           (st[2] + 0.01) / ((st[2] + 0.01) + 1.0) AS gain_end
+    FROM folded
+    """,
+)
+def events_kalman_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D Kalman filter, local-level model, per (event_type, day)
+    (Kalman 1960; the random-walk-plus-noise state-space smoother
+    behind every monitoring product's adaptive baseline): with process
+    noise Q=0.01 and observation noise R=1, each step predicts
+    P⁻ = P + Q, gains K = P⁻/(P⁻ + R), and updates
+    x ← x + K(z − x), P ← (1−K)P⁻; the state initializes on the first
+    observation (x=z₁, P=1).
+
+    Same evidence trick as the EMA/Holt/CUSUM family: the per-group
+    sorted-array fold runs the IDENTICAL IEEE double sequence in Spark
+    (``aggregate`` struct accumulator) and DuckDB (``list_reduce``
+    positional-list accumulator), so the sequential filter's end state
+    — level, posterior variance, settled gain — is value-checked
+    bit-for-bit with no tolerance. Group memory is bounded by
+    guarded_series (hot-key contract in `events_ema`)."""
+    from metricproxy_spark.operators.scale import guarded_series
+
+    events = load_table(spark, sf_dir, "events")
+    series = guarded_series(
+        events,
+        ["event_type", F.date_trunc("day", "ts").alias("day")],
+        ["ts", "event_id", "value"],
+    )
+    staged = series.select(
+        "event_type",
+        "day",
+        F.expr("transform(rows, r -> r.value)").alias("vals"),
+    )
+    st = F.expr(
+        "aggregate(vals, struct(0D AS x, 0D AS p, 0D AS i),"
+        " (acc, z) -> CASE WHEN acc.i = 0D THEN"
+        "   struct(z AS x, 1.0D AS p, 1.0D AS i)"
+        " ELSE struct("
+        "   acc.x + ((acc.p + 0.01D) / ((acc.p + 0.01D) + 1.0D))"
+        "         * (z - acc.x) AS x,"
+        "   (1.0D - (acc.p + 0.01D) / ((acc.p + 0.01D) + 1.0D))"
+        "         * (acc.p + 0.01D) AS p,"
+        "   acc.i + 1.0D AS i) END)"
+    )
+    return staged.select(
+        "event_type",
+        "day",
+        F.size("vals").cast("bigint").alias("n"),
+        st["x"].alias("level_end"),
+        st["p"].alias("variance_end"),
+        (
+            (st["p"] + F.lit(0.01)) / ((st["p"] + F.lit(0.01)) + F.lit(1.0))
+        ).alias("gain_end"),
+    )

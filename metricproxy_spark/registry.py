@@ -79,6 +79,7 @@ _PRIORITY = (
     "stream_http_live_pipeline",
     "ingest_warc_records",
     "analytic_interval_overlap",
+    "events_kalman_level",
 )
 
 _QUERY_MODULES = (

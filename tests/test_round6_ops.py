@@ -346,3 +346,50 @@ class TestIntervalOverlapJoin:
                 left, right, "l_start", "l_end", "r_start", "r_end",
                 bucket_width=0,
             )
+
+
+class TestKalmanLevel:
+    """events_kalman_level semantics vs an independent NumPy reference
+    (the registry oracle only proves cross-engine agreement; this
+    proves both engines run the RIGHT filter)."""
+
+    def test_matches_numpy_reference(self, spark, sf_dir):
+        import numpy as np
+
+        from metricproxy_spark.io import load_table
+        from metricproxy_spark.registry import QUERIES, load_all
+
+        load_all()
+        got = {
+            (r.event_type, str(r.day)): r
+            for r in QUERIES["events_kalman_level"](spark, sf_dir).collect()
+        }
+        src = (
+            load_table(spark, sf_dir, "events")
+            .select("event_type", "ts", "event_id", "value")
+            .toPandas()
+        )
+        src["day"] = src["ts"].dt.floor("D")
+        q, rnoise = 0.01, 1.0
+        checked = 0
+        for (etype, day), grp in src.groupby(["event_type", "day"]):
+            zs = grp.sort_values(["ts", "event_id"])["value"].to_numpy()
+            x, p = float(zs[0]), 1.0
+            for z in zs[1:]:
+                pp = p + q
+                k = pp / (pp + rnoise)
+                x = x + k * (z - x)
+                p = (1.0 - k) * pp
+            row = got[(etype, str(day))]
+            assert row.n == len(zs)
+            assert np.isclose(row.level_end, x, rtol=0, atol=1e-12)
+            assert np.isclose(row.variance_end, p, rtol=0, atol=1e-15)
+            # steady-state gain of the local-level model:
+            # K* = (q + sqrt(q^2 + 4qR)) / (2R + q + sqrt(q^2 + 4qR))
+            kstar = (q + np.sqrt(q * q + 4 * q * rnoise)) / (
+                2 * rnoise + q + np.sqrt(q * q + 4 * q * rnoise)
+            )
+            if len(zs) > 50:
+                assert abs(row.gain_end - kstar) < 1e-6
+            checked += 1
+        assert checked == len(got) > 0
