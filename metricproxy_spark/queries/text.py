@@ -2801,3 +2801,53 @@ def pipeline_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         canon.alias("canon_url"),
         (F.col("doc_id") % 7).cast("bigint").alias("host_group"),
     )
+
+
+@register(
+    "text_boolean_retrieval",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, lang, n_chars,
+               list_distinct(string_split(lower(trim(text)), ' ')) AS dw
+        FROM documents
+    )
+    SELECT doc_id, lang, n_chars
+    FROM w
+    WHERE list_contains(dw, 'table') AND list_contains(dw, 'join')
+      AND NOT list_contains(dw, 'slow')
+    """,
+)
+def text_boolean_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index boolean retrieval (L4; the posting-list algebra
+    under every search engine, Manning/Raghavan/Schütze IR ch.1):
+    build (term → doc) postings, intersect the postings of the AND
+    terms ('table' ∧ 'join'), then subtract the NOT term ('slow') with
+    an anti-join. The oracle evaluates the same boolean expression
+    per-document, so the postings build + intersection + negation is
+    value-checked against the direct definition.
+
+    Plan notes: the term predicate lands immediately after the explode
+    — only postings of the three query terms ever reach a shuffle, so
+    the groupBy(doc_id) intersection moves |query-term postings| rows,
+    not the corpus. For one-off queries a per-doc array_contains scan
+    would be shuffle-free; the postings shape is the one that matters
+    when the index is materialized once and probed repeatedly."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.trim("text")), " "))
+        ).alias("w"),
+    )
+    hits = (
+        words.where(F.col("w").isin("table", "join"))
+        .groupBy("doc_id")
+        .agg(F.count_distinct("w").alias("k"))
+        .where(F.col("k") == 2)
+    )
+    neg = words.where(F.col("w") == "slow").select("doc_id")
+    return (
+        hits.join(neg, "doc_id", "left_anti")
+        .join(docs.select("doc_id", "lang", "n_chars"), "doc_id")
+        .select("doc_id", "lang", "n_chars")
+    )

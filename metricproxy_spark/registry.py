@@ -80,6 +80,7 @@ _PRIORITY = (
     "ingest_warc_records",
     "analytic_interval_overlap",
     "events_kalman_level",
+    "text_boolean_retrieval",
 )
 
 _QUERY_MODULES = (
