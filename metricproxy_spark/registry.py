@@ -81,6 +81,7 @@ _PRIORITY = (
     "analytic_interval_overlap",
     "events_kalman_level",
     "text_boolean_retrieval",
+    "analytic_kll_quantiles",
 )
 
 _QUERY_MODULES = (

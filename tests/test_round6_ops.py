@@ -393,3 +393,51 @@ class TestKalmanLevel:
                 assert abs(row.gain_end - kstar) < 1e-6
             checked += 1
         assert checked == len(got) > 0
+
+
+class TestKllQuantiles:
+    """KLL sketch: rank-error bound vs exact, merge consistency, and
+    map-side partial aggregation in the plan."""
+
+    def test_rank_error_bound_and_merge(self, spark, sf_dir):
+        from metricproxy_spark.io import load_table
+        from metricproxy_spark.registry import QUERIES, load_all
+
+        load_all()
+        out = {r.event_type: r for r in
+               QUERIES["analytic_kll_quantiles"](spark, sf_dir).collect()}
+        vals = (
+            load_table(spark, sf_dir, "events")
+            .select("event_type", "value")
+            .toPandas()
+        )
+        # KLL k=200 normalized rank error ≈ 1.65%; assert a safe 3.5%.
+        eps = 0.035
+        for etype, grp in vals.groupby("event_type"):
+            v = grp["value"].sort_values().to_numpy()
+            row = out[etype]
+            assert row.n == len(v)
+            for q, est in ((0.5, row.kll_p50), (0.95, row.kll_p95),
+                           (0.99, row.kll_p99)):
+                true_rank = (v <= est).mean()
+                assert abs(true_rank - q) <= eps, (etype, q, est, true_rank)
+        # the ALL row is the MERGE of per-type sketches — same bound
+        # against the global distribution proves merge preserves it
+        v = vals["value"].sort_values().to_numpy()
+        allrow = out["ALL"]
+        assert allrow.n == len(v)
+        for q, est in ((0.5, allrow.kll_p50), (0.95, allrow.kll_p95),
+                       (0.99, allrow.kll_p99)):
+            true_rank = (v <= est).mean()
+            assert abs(true_rank - q) <= eps, ("ALL", q, est, true_rank)
+
+    def test_partial_aggregation_in_plan(self, spark, sf_dir):
+        from metricproxy_spark.registry import QUERIES, load_all
+
+        load_all()
+        plan = QUERIES["analytic_kll_quantiles"](
+            spark, sf_dir
+        )._jdf.queryExecution().executedPlan().toString()
+        # sketch agg must combine map-side (ObjectHashAggregate partial)
+        # so the shuffle moves one sketch per (partition, key), not rows
+        assert "partial_kll_sketch_agg_double" in plan, plan[:4000]
