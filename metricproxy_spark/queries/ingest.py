@@ -1658,3 +1658,105 @@ def ingest_warc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.encode(F.col("payload"), "UTF-8")).alias("payload_md5"),
         F.octet_length("payload").alias("payload_bytes"),
     )
+
+
+_GRAPHITE_ORACLE = """
+    WITH wire AS (
+        SELECT event_type || '.latency' AS name,
+               CASE WHEN event_id % 9 = 0 THEN NULL
+                    ELSE 'h' || CAST(user_id % 5 AS VARCHAR) END AS host,
+               CAST(CAST(CAST(value AS DECIMAL(27,4)) AS VARCHAR)
+                    AS DOUBLE) AS val,
+               CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_sec
+        FROM events
+    )
+    SELECT name, host,
+           count(*) AS n_points,
+           CAST(SUM(CAST(val AS DECIMAL(27,4))) AS DOUBLE) AS sum_value,
+           min(ts_sec) AS min_ts_sec,
+           max(ts_sec) AS max_ts_sec
+    FROM wire GROUP BY 1, 2
+    """
+
+
+@register("ingest_graphite_tags", oracle=_GRAPHITE_ORACLE)
+def ingest_graphite_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graphite TAGGED carbon ingest (`name;tag1=v1;tag2=v2 value ts`
+    — public spec: graphite.readthedocs.io "Graphite Tag Support").
+    The plain-path carbon listener family (S1) already parses the
+    untagged form; this is the tagged dialect every graphite 1.1+
+    deployment emits.
+
+    Synthesizes one tagged line per event (every 9th line untagged so
+    the empty-tag grammar branch occurs on the wire), parses with one
+    JVM regexp + ``str_to_map`` over the tag block (general n-tag
+    path), and rolls up per (name, host-tag) — untagged traffic lands
+    in the host-NULL bucket, which the oracle models explicitly.
+    Synthesis/parse/agg live in
+    :mod:`metricproxy_spark.sources.graphite`.
+
+    Exactness: values roundtrip through DECIMAL(27,4) text, the sum
+    through exact decimal; timestamps are integer epoch seconds. Scale
+    shape: map-only parse in whole-stage codegen + one hash agg with
+    map-side combine — identical to the carbon-parse plan."""
+    from metricproxy_spark.sources.graphite import (
+        aggregate_graphite,
+        graphite_wire_lines,
+        parse_graphite_lines,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    lines = ev.select(graphite_wire_lines(ev).alias("line"))
+    return aggregate_graphite(parse_graphite_lines(lines))
+
+
+_OTLP_ORACLE = """
+    WITH pts AS (
+        SELECT event_type AS name,
+               CASE WHEN user_id % 2 = 0 THEN 'gauge' ELSE 'sum' END AS mtype,
+               'h' || CAST(user_id % 5 AS VARCHAR) AS host,
+               epoch_us(ts) * 1000 AS ts_ns,
+               CAST(CAST(CAST(value AS DECIMAL(27,4)) AS VARCHAR)
+                    AS DOUBLE) AS val
+        FROM events
+    )
+    SELECT name, mtype, host,
+           count(*) AS n_points,
+           CAST(SUM(CAST(val AS DECIMAL(27,4))) AS DOUBLE) AS sum_value,
+           CAST(min(ts_ns) AS BIGINT) AS min_ts_ns,
+           CAST(max(ts_ns) AS BIGINT) AS max_ts_ns
+    FROM pts GROUP BY 1, 2, 3
+    """
+
+
+@register("ingest_otlp_json", oracle=_OTLP_ORACLE)
+def ingest_otlp_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenTelemetry OTLP/JSON metrics ingest — the modern successor
+    to the carbon/collectd/sfx generation (public spec:
+    opentelemetry-proto ``metrics/v1/metrics.proto`` + proto3 JSON
+    mapping, ``ExportMetricsServiceRequest``).
+
+    Synthesizes one real nested request per (metric, series) group —
+    resourceMetrics -> scopeMetrics -> metrics with the gauge/sum
+    oneof (even series gauge, odd cumulative monotonic sum),
+    datapoint attributes as {key, value:{stringValue}} pairs and
+    uint64 ``timeUnixNano`` as JSON strings per the proto3 mapping —
+    then decodes with an explicit ``from_json`` schema (no inference),
+    three explodes, a higher-order attribute lookup, and rolls up per
+    (name, type, host). Build/parse/agg live in
+    :mod:`metricproxy_spark.sources.otlp`.
+
+    Exactness: asDouble rides the DECIMAL(27,4) text roundtrip and
+    Jackson's shortest-roundtrip double repr, so the oracle mirrors
+    the synthesis arithmetic and never parses JSON. Scale shape: the
+    collect_list batch is one series' points (the same bound every
+    OTLP exporter has); parse is map-only JVM, agg is one hash agg
+    with map-side combine."""
+    from metricproxy_spark.sources.otlp import (
+        aggregate_otlp,
+        otlp_request_json,
+        parse_otlp_requests,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return aggregate_otlp(parse_otlp_requests(otlp_request_json(ev)))

@@ -82,6 +82,14 @@ _PRIORITY = (
     "events_kalman_level",
     "text_boolean_retrieval",
     "analytic_kll_quantiles",
+    # --- round-6 continuation, second batch ---
+    "ingest_graphite_tags",
+    "ingest_otlp_json",
+    "events_apdex",
+    "events_holt_winters",
+    "text_collocations_pmi",
+    "text_readability",
+    "dedup_containment",
 )
 
 _QUERY_MODULES = (
