@@ -1675,3 +1675,61 @@ def events_kalman_level(spark: SparkSession, sf_dir: str) -> DataFrame:
             (st["p"] + F.lit(0.01)) / ((st["p"] + F.lit(0.01)) + F.lit(1.0))
         ).alias("gain_end"),
     )
+
+
+@register(
+    "events_apdex",
+    oracle="""
+    WITH graded AS (
+        SELECT event_type,
+               date_trunc('hour', ts) AS hour_ts,
+               CASE WHEN value <= 100 THEN 1 ELSE 0 END AS sat,
+               CASE WHEN value > 100 AND value <= 400 THEN 1 ELSE 0 END
+                 AS tol
+        FROM events
+    )
+    SELECT event_type, hour_ts,
+           count(*) AS n_events,
+           CAST(SUM(sat) AS BIGINT) AS n_satisfied,
+           CAST(SUM(tol) AS BIGINT) AS n_tolerating,
+           (CAST(SUM(sat) AS DOUBLE) + 0.5 * CAST(SUM(tol) AS DOUBLE))
+             / CAST(count(*) AS DOUBLE) AS apdex
+    FROM graded
+    GROUP BY 1, 2
+    """,
+)
+def events_apdex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2-ext: Apdex score per (event_type, hour) — the standard SLO
+    satisfaction index (public spec: apdex.org Apdex Alliance technical
+    specification): T = 100, satisfied value <= T, tolerating
+    T < value <= 4T, score = (satisfied + tolerating/2) / total. The
+    SRE companion to `events_sla_burn_rate`.
+
+    Exactness: the score is integer counts combined by one IEEE
+    multiply-add and one division — bit-identical across engines, no
+    decimal plumbing needed. Scale shape: identical to
+    `events_hourly_stats` — one hash agg on (type, hour) with map-side
+    combine; group count is bounded by types x hours, independent of
+    row count."""
+    ev = load_table(spark, sf_dir, "events")
+    sat = F.when(F.col("value") <= 100, 1).otherwise(0)
+    tol = F.when((F.col("value") > 100) & (F.col("value") <= 400), 1).otherwise(0)
+    g = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_ts")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(sat).alias("n_satisfied"),
+        F.sum(tol).alias("n_tolerating"),
+    )
+    apdex = (
+        F.col("n_satisfied").cast("double")
+        + F.lit(0.5) * F.col("n_tolerating").cast("double")
+    ) / F.col("n_events").cast("double")
+    return g.select(
+        "event_type",
+        "hour_ts",
+        "n_events",
+        "n_satisfied",
+        "n_tolerating",
+        apdex.alias("apdex"),
+    )

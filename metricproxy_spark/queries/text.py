@@ -2851,3 +2851,165 @@ def text_boolean_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(docs.select("doc_id", "lang", "n_chars"), "doc_id")
         .select("doc_id", "lang", "n_chars")
     )
+
+
+@register(
+    "text_readability",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id, lang,
+               len(regexp_extract_all(lower(text), '[a-z]+')) AS n_words,
+               len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                 AS n_syllables,
+               greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+                 AS n_sentences
+        FROM documents
+        WHERE len(regexp_extract_all(lower(text), '[a-z]+')) > 0
+    )
+    SELECT doc_id, lang, n_words, n_sentences, n_syllables,
+           round(CAST(206.835 AS DOUBLE)
+                 - CAST(1.015 AS DOUBLE)
+                   * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+                 - CAST(84.6 AS DOUBLE)
+                   * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)),
+                 6) AS flesch,
+           round(CAST(0.39 AS DOUBLE)
+                 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+                 + CAST(11.8 AS DOUBLE)
+                   * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+                 - CAST(15.59 AS DOUBLE), 6) AS fk_grade
+    FROM m
+    """,
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: readability scoring per document — Flesch reading ease and
+    Flesch-Kincaid grade level (public formulas, Kincaid et al. 1975)
+    with the standard cheap syllable proxy (vowel-group count, the
+    same heuristic every large-corpus quality pipeline uses). A
+    curation signal alongside `text_quality` / Gopher rules.
+
+    The synthetic corpus carries no sentence terminals, so
+    n_sentences floors at 1 here; the [.!?]+ sentence splitter is
+    exercised on punctuated prose in tests/test_round6b_ops.py.
+
+    Exactness: all three inputs are integer regexp-match counts; the
+    score is a fixed chain of IEEE multiply/divide/subtract on
+    exactly-representable doubles — bit-identical across engines
+    (literals CAST to DOUBLE on the SQL side so DuckDB does not
+    compute in DECIMAL). Scale shape: map-only regexp counting in
+    whole-stage codegen, no shuffle at all."""
+    docs = load_table(spark, sf_dir, "documents")
+    wl = F.lower(F.col("text"))
+    m = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.regexp_extract_all(wl, F.lit("[a-z]+"), F.lit(0))).alias(
+            "n_words"
+        ),
+        F.greatest(
+            F.lit(1),
+            F.size(
+                F.regexp_extract_all(F.col("text"), F.lit("[.!?]+"), F.lit(0))
+            ),
+        ).alias("n_sentences"),
+        F.size(
+            F.regexp_extract_all(wl, F.lit("[aeiouy]+"), F.lit(0))
+        ).alias("n_syllables"),
+    ).where(F.col("n_words") > 0)
+    wps = F.col("n_words").cast("double") / F.col("n_sentences").cast("double")
+    spw = F.col("n_syllables").cast("double") / F.col("n_words").cast("double")
+    return m.select(
+        "doc_id",
+        "lang",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.round(
+            F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, 6
+        ).alias("flesch"),
+        F.round(
+            F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 6
+        ).alias("fk_grade"),
+    )
+
+
+@register(
+    "text_collocations_pmi",
+    oracle="""
+    WITH ws AS (
+        SELECT string_split(lower(trim(text)), ' ') AS w
+        FROM documents
+        WHERE len(string_split(lower(trim(text)), ' ')) >= 2
+    ), big AS (
+        SELECT w[g] AS x, w[g + 1] AS y
+        FROM (
+            SELECT w, unnest(generate_series(1, len(w) - 1)) AS g
+            FROM ws
+        ) q
+    ), uni AS (
+        SELECT unnest(w) AS t FROM ws
+    ), uc AS (
+        SELECT t, count(*) AS c FROM uni GROUP BY t
+    ), bc AS (
+        SELECT x, y, count(*) AS c_xy FROM big GROUP BY x, y
+    ), tot AS (
+        SELECT count(*) AS nb FROM big
+    )
+    SELECT bc.x, bc.y, bc.c_xy,
+           CAST(bc.c_xy * tot.nb AS DOUBLE)
+             / CAST(ux.c * uy.c AS DOUBLE) AS lift
+    FROM bc, tot
+    JOIN uc ux ON ux.t = bc.x
+    JOIN uc uy ON uy.t = bc.y
+    WHERE bc.c_xy >= 5
+    """,
+)
+def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: adjacent-bigram collocation mining — the PMI lift
+    (c_xy * N) / (c_x * c_y) per ordered word pair with joint count
+    >= 5 (Church & Hanks 1990). PMI = ln(lift), a monotone transform,
+    so ranking/thresholding on the exact integer-ratio lift is
+    equivalent and keeps the oracle free of libm log (whose last-ulp
+    differences across engines could flip a rounded 6th decimal).
+
+    Exactness: c_xy*N and c_x*c_y are exact integer products (< 2^53
+    up to ~10^8 total tokens — past that, compute lift in DECIMAL),
+    so the single IEEE division is bit-identical across engines.
+
+    Scale shape: bigrams are a map-only transform over each document's
+    token array (no self-join); unigram counts and the 1-row bigram
+    total are vocabulary-bounded and broadcast into the final join —
+    one hash agg on (x, y) is the only data-sized shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = docs.select(
+        F.split(F.lower(F.trim(F.col("text"))), " ").alias("w")
+    ).where(F.size("w") >= 2)
+    big = ws.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 1),"
+                " i -> struct(w[i - 1] AS x, w[i] AS y))"
+            )
+        ).alias("b")
+    ).select("b.x", "b.y")
+    uni = ws.select(F.explode("w").alias("t"))
+    uc = uni.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    bc = big.groupBy("x", "y").agg(F.count(F.lit(1)).alias("c_xy"))
+    tot = big.agg(F.count(F.lit(1)).alias("nb"))
+    ux = uc.select(F.col("t").alias("x"), F.col("c").alias("cx"))
+    uy = uc.select(F.col("t").alias("y"), F.col("c").alias("cy"))
+    return (
+        bc.where(F.col("c_xy") >= 5)
+        .join(F.broadcast(ux), "x")
+        .join(F.broadcast(uy), "y")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "x",
+            "y",
+            "c_xy",
+            (
+                (F.col("c_xy") * F.col("nb")).cast("double")
+                / (F.col("cx") * F.col("cy")).cast("double")
+            ).alias("lift"),
+        )
+    )

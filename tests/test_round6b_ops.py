@@ -196,3 +196,105 @@ class TestOtlpJson:
             ORACLES["ingest_otlp_json"],
             sf_dir,
         )
+
+
+class TestApdex:
+    def test_score_bounds_and_known_values(self, spark):
+        from metricproxy_spark.registry import ORACLES
+
+        df = spark.createDataFrame(
+            [
+                (1, "2024-01-01 00:10:00", "api", 50.0),   # satisfied
+                (2, "2024-01-01 00:20:00", "api", 100.0),  # boundary: satisfied
+                (3, "2024-01-01 00:30:00", "api", 400.0),  # boundary: tolerating
+                (4, "2024-01-01 00:40:00", "api", 900.0),  # frustrated
+            ],
+            "event_id long, ts string, event_type string, value double",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        import duckdb
+
+        con = duckdb.connect()
+        con.register("events", df.toPandas())
+        row = con.execute(ORACLES["events_apdex"]).df().iloc[0]
+        assert row.n_satisfied == 2 and row.n_tolerating == 1
+        assert row.apdex == (2 + 0.5 * 1) / 4
+
+    def test_query_matches_oracle(self, spark, sf_dir):
+        from metricproxy_spark.registry import ORACLES
+        from tests.oracle_utils import assert_matches_oracle
+
+        assert_matches_oracle(
+            _q("events_apdex")(spark, sf_dir), ORACLES["events_apdex"], sf_dir
+        )
+
+
+class TestReadability:
+    def test_sentence_splitter_on_punctuated_prose(self, spark, sf_dir):
+        """The synthetic corpus has no terminals (n_sentences == 1);
+        prove the [.!?]+ splitter and the vowel-group syllable proxy
+        on real punctuated prose, including '?!' runs counting once."""
+        import duckdb
+
+        from metricproxy_spark.registry import ORACLES
+
+        prose = (
+            "The cat sat on the mat. It was happy?! Then it left... "
+            "What a day."
+        )
+        con = duckdb.connect()
+        con.register(
+            "documents",
+            __import__("pandas").DataFrame(
+                {"doc_id": [1], "lang": ["en"], "text": [prose]}
+            ),
+        )
+        row = con.execute(ORACLES["text_readability"]).df().iloc[0]
+        assert row.n_sentences == 4  # '?!' and '...' each count once
+        assert row.n_words == 15
+        # flesch for 4 words/sentence and this syllable density is high
+        assert 80 < row.flesch <= 121.22
+        assert row.fk_grade < 3
+
+    def test_query_matches_oracle(self, spark, sf_dir):
+        from metricproxy_spark.registry import ORACLES
+        from tests.oracle_utils import assert_matches_oracle
+
+        assert_matches_oracle(
+            _q("text_readability")(spark, sf_dir),
+            ORACLES["text_readability"],
+            sf_dir,
+        )
+
+
+class TestCollocationsPmi:
+    def test_lift_on_planted_collocation(self, spark):
+        """'hong kong' always adjacent => lift = N / c_hong / c_kong
+        * c_xy; independent fillers get lift ~1."""
+        rows = [(i, "hong kong " + "x y " * 5) for i in range(10)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        import duckdb
+
+        from metricproxy_spark.registry import ORACLES
+
+        con = duckdb.connect()
+        con.register("documents", df.toPandas())
+        out = {
+            (r.x, r.y): (r.c_xy, r.lift)
+            for _, r in con.execute(ORACLES["text_collocations_pmi"])
+            .df()
+            .iterrows()
+        }
+        # 12 tokens/doc, 11 bigrams/doc, N=110; hong:10, kong:10, xy pairs
+        c_xy, lift = out[("hong", "kong")]
+        assert c_xy == 10 and lift == (10 * 110) / (10 * 10)
+        c_xy, lift = out[("x", "y")]
+        assert c_xy == 50 and lift == (50 * 110) / (50 * 50)
+
+    def test_spark_matches_oracle_and_broadcasts(self, spark, sf_dir):
+        from metricproxy_spark.registry import ORACLES
+        from tests.oracle_utils import assert_matches_oracle
+
+        df = _q("text_collocations_pmi")(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan  # unigram dims never shuffle
+        assert_matches_oracle(df, ORACLES["text_collocations_pmi"], sf_dir)
