@@ -536,3 +536,122 @@ def simhash_near_dup_pairs(
         .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def containment_similarity_join(
+    ws: DataFrame,
+    id_col: str,
+    words_col: str,
+    threshold: float,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Exact DIRECTIONAL set-containment self-join: returns
+    (id_a, id_b, containment) for every ORDERED pair a != b with
+    C(a in b) = |A n B| / |A| >= threshold — the asymmetric near-dup
+    metric for quote/subset detection (Broder 1997's containment, the
+    companion to resemblance/Jaccard; Lee et al. 2022 use the same
+    notion for train-set contamination).
+
+    Same two-regime design as :func:`prefix_similarity_join`:
+
+    - vocab <= 63: one int64 bitmask per document; every in-block
+      ordered pair verified with two ``bit_count`` codegen ops, no
+      candidate dedup needed.
+    - general: prefix filtering adapted to containment. A pair needs
+      |A n B| >= ceil(t*|A|), so if B shares NONE of the
+      |A| - ceil(t*|A|) + 1 rarest tokens of A, the intersection fits
+      inside A's (ceil(t*|A|) - 1)-token suffix and must fail — the
+      A-side prefix join is a provable candidate superset. The B side
+      cannot be pruned (a superset's own rare tokens say nothing), so
+      candidates come from A-prefix x B-all-tokens; that asymmetric
+      fan-out is the known cost of containment joins at scale and is
+      bounded by blocking + the rare-first token order.
+    """
+    from pyspark.sql import Window
+
+    t = float(threshold)
+    blocks = [block_col] if block_col else []
+    tok = ws.select(
+        F.col(id_col).alias("_id"),
+        *[F.col(c) for c in blocks],
+        F.explode(words_col).alias("_w"),
+    )
+    counts = (
+        tok.groupBy("_w")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .localCheckpoint(eager=True)
+    )
+    vocab_size = counts.count()
+    vocab = counts.withColumn(
+        "_r",
+        F.row_number().over(Window.orderBy(F.col("_df"), F.col("_w"))),
+    ).select("_w", "_r")
+    if vocab_size <= 63:
+        masks = (
+            tok.join(F.broadcast(vocab), "_w")
+            .groupBy("_id", *blocks)
+            .agg(
+                F.sum(
+                    F.expr("shiftleft(CAST(1 AS BIGINT), _r - 1)")
+                ).alias("_mask"),
+                F.count(F.lit(1)).alias("_n"),
+            )
+        )
+        a, b = masks.alias("a"), masks.alias("b")
+        cond = F.col("a._id") != F.col("b._id")
+        for c in blocks:
+            cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+        inter = F.bit_count(F.col("a._mask").bitwiseAND(F.col("b._mask")))
+        cont = inter.cast("double") / F.col("a._n").cast("double")
+        return (
+            a.join(b, cond)
+            .withColumn("containment", cont)
+            .filter(F.col("containment") >= t)
+            .select(
+                F.col("a._id").alias("id_a"),
+                F.col("b._id").alias("id_b"),
+                "containment",
+            )
+        )
+    docr = (
+        tok.join(vocab, "_w")
+        .groupBy("_id", *blocks)
+        .agg(F.sort_array(F.collect_list("_r")).alias("_ranks"))
+        .withColumn("_n", F.size("_ranks"))
+    )
+    prefix_len = (F.col("_n") - F.ceil(F.lit(t) * F.col("_n")) + 1).cast("int")
+    pref = docr.select(
+        "_id",
+        *blocks,
+        F.explode(F.slice("_ranks", 1, prefix_len)).alias("_pr"),
+    )
+    full = docr.select(
+        "_id", *blocks, F.explode("_ranks").alias("_pr")
+    )
+    a, b = pref.alias("a"), full.alias("b")
+    cond = (F.col("a._pr") == F.col("b._pr")) & (
+        F.col("a._id") != F.col("b._id")
+    )
+    for c in blocks:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    cand = (
+        a.join(b, cond)
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ra = docr.select(
+        F.col("_id").alias("id_a"),
+        F.col("_ranks").alias("_ra"),
+        F.col("_n").alias("_na"),
+    )
+    rb = docr.select(F.col("_id").alias("id_b"), F.col("_ranks").alias("_rb"))
+    inter = F.size(F.array_intersect("_ra", "_rb"))
+    return (
+        cand.join(ra, "id_a")
+        .join(rb, "id_b")
+        .withColumn(
+            "containment", inter.cast("double") / F.col("_na").cast("double")
+        )
+        .filter(F.col("containment") >= t)
+        .select("id_a", "id_b", "containment")
+    )

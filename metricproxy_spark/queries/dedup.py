@@ -657,3 +657,74 @@ def dedup_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("hamming") <= 16)
         .select("id_a", "id_b", "hamming")
     )
+
+
+@register(
+    "dedup_containment",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, lang,
+               string_split(lower(trim(text)), ' ') AS w
+        FROM documents
+    ), corpus AS (
+        SELECT doc_id, lang, list_distinct(w) AS words FROM base
+        UNION ALL
+        SELECT doc_id + 2000000, lang,
+               list_distinct(w[1 : greatest(1, (len(w) * 2) // 5)])
+        FROM base WHERE doc_id % 11 = 0
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+                 / CAST(len(a.words) AS DOUBLE), 6) AS containment
+    FROM corpus a JOIN corpus b
+      ON a.lang = b.lang AND a.doc_id <> b.doc_id
+    WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+          / CAST(len(a.words) AS DOUBLE) >= 0.95
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 (asymmetric flavor): directional set-containment
+    |A n B| / |A| >= 0.95 within language blocks — quote/subset
+    detection, the metric Jaccard misses (a short doc quoted inside a
+    long one has high containment but low Jaccard). Quote docs are
+    planted by re-unioning the first 40% of every 11th document's
+    words under shifted ids; each planted quote is a distinct-word
+    subset of its source, so containment is exactly 1.0 there and the
+    oracle's quadratic in-block join verifies the full result set.
+
+    Runs on :func:`~metricproxy_spark.operators.dedup.
+    containment_similarity_join` — bitmask verification on this
+    corpus (vocab <= 63), A-side-prefix x B-all-tokens candidate
+    generation in the general regime (the B side of a containment
+    join is not prunable; blocking bounds the fan-out)."""
+    from metricproxy_spark.operators.dedup import containment_similarity_join
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "lang",
+        F.split(F.lower(F.trim(F.col("text"))), " ").alias("w"),
+    )
+    corpus = base.select(
+        "doc_id", "lang", F.array_distinct("w").alias("words")
+    ).unionByName(
+        base.filter(F.col("doc_id") % 11 == 0).select(
+            (F.col("doc_id") + 2000000).alias("doc_id"),
+            "lang",
+            F.array_distinct(
+                F.slice(
+                    "w",
+                    1,
+                    F.greatest(
+                        F.lit(1), F.expr("CAST(size(w) * 2 DIV 5 AS INT)")
+                    ),
+                )
+            ).alias("words"),
+        )
+    )
+    pairs = containment_similarity_join(
+        corpus, "doc_id", "words", threshold=0.95, block_col="lang"
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round("containment", 6).alias("containment")
+    )

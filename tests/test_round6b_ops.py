@@ -298,3 +298,83 @@ class TestCollocationsPmi:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan  # unigram dims never shuffle
         assert_matches_oracle(df, ORACLES["text_collocations_pmi"], sf_dir)
+
+
+class TestContainmentJoin:
+    def test_planted_quote_has_containment_one(self, spark, sf_dir):
+        df = _q("dedup_containment")(spark, sf_dir)
+        # the pair (quote, its source) must surface with containment
+        # exactly 1.0 (the quote's distinct words are a subset)
+        vs_source = {
+            r.id_a: r.containment
+            for r in df.filter(
+                F.col("id_b") == F.col("id_a") - 2000000
+            ).collect()
+        }
+        from metricproxy_spark.io import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        expect = {
+            r.doc_id + 2000000
+            for r in docs.filter(F.col("doc_id") % 11 == 0).collect()
+        }
+        assert set(vs_source) == expect
+        assert all(c == 1.0 for c in vs_source.values())
+
+    def test_directional_asymmetry(self, spark):
+        """A subset of B: C(A in B) = 1, C(B in A) = |A|/|B| < t —
+        only the forward direction must appear."""
+        from metricproxy_spark.operators.dedup import (
+            containment_similarity_join,
+        )
+
+        rows = [
+            (1, ["a", "b", "c"]),
+            (2, ["a", "b", "c", "d", "e", "f", "g", "h"]),
+            (3, ["x", "y", "z"]),
+        ]
+        ws = spark.createDataFrame(
+            rows, "doc_id long, words array<string>"
+        )
+        out = {
+            (r.id_a, r.id_b): r.containment
+            for r in containment_similarity_join(
+                ws, "doc_id", "words", threshold=0.9
+            ).collect()
+        }
+        assert out == {(1, 2): 1.0}
+
+    def test_general_prefix_path_matches_naive(self, spark):
+        """Force the >63-token regime with a wide vocabulary and check
+        the prefix-filtered join returns exactly the naive result."""
+        import itertools
+        import random
+
+        rng = random.Random(7)
+        vocab = [f"tok{i}" for i in range(200)]
+        docs = []
+        for i in range(30):
+            docs.append((i, sorted(rng.sample(vocab, rng.randint(8, 20)))))
+        # plant subsets
+        for i in range(0, 30, 10):
+            base = docs[i][1]
+            docs.append((1000 + i, base[: max(1, len(base) * 3 // 4)]))
+        ws = spark.createDataFrame(docs, "doc_id long, words array<string>")
+        from metricproxy_spark.operators.dedup import (
+            containment_similarity_join,
+        )
+
+        t = 0.7
+        got = {
+            (r.id_a, r.id_b): round(r.containment, 9)
+            for r in containment_similarity_join(
+                ws, "doc_id", "words", threshold=t
+            ).collect()
+        }
+        naive = {}
+        for (ia, wa), (ib, wb) in itertools.permutations(docs, 2):
+            inter = len(set(wa) & set(wb))
+            c = inter / len(set(wa))
+            if c >= t:
+                naive[(ia, ib)] = round(c, 9)
+        assert got == naive and naive  # non-empty and exact
