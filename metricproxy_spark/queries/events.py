@@ -1733,3 +1733,136 @@ def events_apdex(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tolerating",
         apdex.alias("apdex"),
     )
+
+
+@register(
+    "events_holt_winters",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+               CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS x
+        FROM events
+        GROUP BY 1, 2
+    ), series AS (
+        SELECT event_type, list(x ORDER BY hour_ts) AS vals
+        FROM hourly GROUP BY 1
+    ), seeded AS (
+        SELECT event_type, vals, len(vals) AS n,
+               list_reduce(list_slice(vals, 1, 24),
+                           (a, x) -> a + x) / 24.0 AS l0
+        FROM series WHERE len(vals) > 24
+    ), fitted AS (
+        -- positional LIST accumulator [l, b, s1..s24]: DuckDB 1.0's
+        -- list_reduce struct aliasing bug (see events_holt_trend)
+        -- rules out struct accumulators; the seasonal ring rotates by
+        -- slicing [4:] and appending the refreshed component. l_new
+        -- is inlined at each use exactly as the Spark HOF does, so
+        -- the IEEE op chain is identical.
+        SELECT event_type, n, l0,
+               list_reduce(
+                   list_prepend(
+                       list_concat(
+                           [l0, CAST(0 AS DOUBLE)],
+                           list_transform(list_slice(vals, 1, 24),
+                                          x -> x - l0)
+                       ),
+                       list_transform(
+                           list_slice(vals, 25, len(vals)),
+                           x -> list_concat([x],
+                                list_transform(range(25), i -> CAST(0 AS DOUBLE)))
+                       )
+                   ),
+                   (acc, e) -> list_concat(
+                       list_concat(
+                           [
+                             0.5 * (e[1] - acc[3])
+                               + 0.5 * (acc[1] + acc[2]),
+                             0.25 * ((0.5 * (e[1] - acc[3])
+                                      + 0.5 * (acc[1] + acc[2])) - acc[1])
+                               + 0.75 * acc[2]
+                           ],
+                           list_slice(acc, 4, 26)
+                       ),
+                       [0.25 * (e[1] - (0.5 * (e[1] - acc[3])
+                                        + 0.5 * (acc[1] + acc[2])))
+                          + 0.75 * acc[3]]
+                   )
+               ) AS hw
+        FROM seeded
+    )
+    SELECT event_type, n,
+           hw[1] AS level, hw[2] AS trend,
+           hw[1] + hw[2] + hw[3] AS forecast_1,
+           list_aggregate(list_slice(hw, 3, 26), 'min') AS season_lo,
+           list_aggregate(list_slice(hw, 3, 26), 'max') AS season_hi
+    FROM fitted
+    """,
+)
+def events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters ADDITIVE SEASONAL triple exponential smoothing per
+    event_type over the hourly rollup, period m = 24 (the daily cycle),
+    alpha = 0.5, beta = gamma = 0.25 (dyadic, like the Holt/EMA
+    family). Init: l0 = mean of the first day, b0 = 0, seasonal
+    components x_i - l0; then the textbook recurrence (Winters 1960 /
+    Hyndman fpp3):
+
+        l_t = a(x_t - s_{t-m}) + (1-a)(l_{t-1} + b_{t-1})
+        b_t = B(l_t - l_{t-1}) + (1-B) b_{t-1}
+        s_t = y(x_t - l_t)    + (1-y) s_{t-m}
+
+    The fold runs over OBSERVED hourly buckets in time order (sparse
+    hours simply advance the ring — documented, deterministic). Inputs
+    are exact-decimal hourly sums, so the whole chain is IEEE
+    bit-identical across engines; the DuckDB twin folds the identical
+    positional-list accumulator [l, b, s1..s24] (struct accumulators
+    hit DuckDB 1.0's list_reduce aliasing bug, see events_holt_trend).
+    The final seasonal ring is value-checked through its min/max and
+    the one-step forecast l + b + s_next.
+
+    Scale shape: the hourly rollup is the only data-sized shuffle
+    (map-side combine); the fold is per-type over bounded series
+    (hours-per-retention), the same group-memory contract as
+    events_ema. Emits only types with > m observed buckets."""
+    m = 24
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_ts")
+    ).agg(dsum("value").alias("x"))
+    series = hourly.groupBy("event_type").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(hour_ts, x))),"
+            " r -> r.x)"
+        ).alias("vals")
+    )
+    seeded = series.where(F.size("vals") > m).withColumn(
+        "l0",
+        F.expr(
+            f"aggregate(slice(vals, 2, {m - 1}), vals[0],"
+            " (a, x) -> a + x) / 24.0D"
+        ),
+    )
+    l_new = "(0.5D * (x - acc.s[0]) + 0.5D * (acc.l + acc.b))"
+    hw = F.expr(
+        f"aggregate(slice(vals, {m + 1}, size(vals) - {m}),"
+        f" struct(l0 AS l, 0D AS b,"
+        f"        transform(slice(vals, 1, {m}), x -> x - l0) AS s),"
+        f" (acc, x) -> struct("
+        f"   {l_new} AS l,"
+        f"   0.25D * ({l_new} - acc.l) + 0.75D * acc.b AS b,"
+        f"   concat(slice(acc.s, 2, {m - 1}),"
+        f"          array(0.25D * (x - {l_new}) + 0.75D * acc.s[0])) AS s))"
+    )
+    fitted = seeded.select(
+        "event_type", F.size("vals").cast("bigint").alias("n"), hw.alias("hw")
+    )
+    return fitted.select(
+        "event_type",
+        "n",
+        F.col("hw.l").alias("level"),
+        F.col("hw.b").alias("trend"),
+        (F.col("hw.l") + F.col("hw.b") + F.col("hw.s")[0]).alias(
+            "forecast_1"
+        ),
+        F.array_min("hw.s").alias("season_lo"),
+        F.array_max("hw.s").alias("season_hi"),
+    )

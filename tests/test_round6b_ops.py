@@ -378,3 +378,59 @@ class TestContainmentJoin:
             if c >= t:
                 naive[(ia, ib)] = round(c, 9)
         assert got == naive and naive  # non-empty and exact
+
+
+class TestHoltWinters:
+    def test_matches_numpy_reference(self, spark, sf_dir):
+        """Re-run the recurrence in plain Python over the same hourly
+        series and demand bit-equality with the Spark HOF fold."""
+        from metricproxy_spark.functions.aggregates import dsum
+        from metricproxy_spark.io import load_table
+
+        m = 24
+        ev = load_table(spark, sf_dir, "events")
+        hourly = (
+            ev.groupBy(
+                "event_type", F.date_trunc("hour", "ts").alias("hour_ts")
+            )
+            .agg(dsum("value").alias("x"))
+            .orderBy("event_type", "hour_ts")
+            .collect()
+        )
+        series = {}
+        for r in hourly:
+            series.setdefault(r.event_type, []).append(r.x)
+
+        got = {
+            r.event_type: r
+            for r in _q("events_holt_winters")(spark, sf_dir).collect()
+        }
+        assert set(got) == {t for t, v in series.items() if len(v) > m}
+        for t, xs in series.items():
+            if len(xs) <= m:
+                continue
+            l = sum_ = xs[0]
+            for x in xs[1:m]:
+                sum_ = sum_ + x
+            l = sum_ / 24.0
+            b = 0.0
+            s = [x - l for x in xs[:m]]
+            for x in xs[m:]:
+                l_new = 0.5 * (x - s[0]) + 0.5 * (l + b)
+                b = 0.25 * (l_new - l) + 0.75 * b
+                s = s[1:] + [0.25 * (x - l_new) + 0.75 * s[0]]
+                l = l_new
+            r = got[t]
+            assert r.level == l and r.trend == b
+            assert r.forecast_1 == l + b + s[0]
+            assert r.season_lo == min(s) and r.season_hi == max(s)
+
+    def test_query_matches_oracle(self, spark, sf_dir):
+        from metricproxy_spark.registry import ORACLES
+        from tests.oracle_utils import assert_matches_oracle
+
+        assert_matches_oracle(
+            _q("events_holt_winters")(spark, sf_dir),
+            ORACLES["events_holt_winters"],
+            sf_dir,
+        )
