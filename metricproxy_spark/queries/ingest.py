@@ -1760,3 +1760,76 @@ def ingest_otlp_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return aggregate_otlp(parse_otlp_requests(otlp_request_json(ev)))
+
+
+_OTLP_LIVE_ORACLE = """
+    WITH pts AS (
+        SELECT event_type AS name,
+               CASE WHEN user_id % 2 = 0 THEN 'gauge' ELSE 'sum' END AS mtype,
+               'h' || CAST(user_id % 5 AS VARCHAR) AS host,
+               epoch_us(ts) * 1000 AS ts_ns,
+               CAST(CAST(CAST(value AS DECIMAL(27,4)) AS VARCHAR)
+                    AS DOUBLE) AS val
+        FROM events WHERE user_id % 7 = 0
+    )
+    SELECT name, mtype, host,
+           count(*) AS n_points,
+           CAST(SUM(CAST(val AS DECIMAL(27,4))) AS DOUBLE) AS sum_value,
+           CAST(min(ts_ns) AS BIGINT) AS min_ts_ns,
+           CAST(max(ts_ns) AS BIGINT) AS max_ts_ns
+    FROM pts GROUP BY 1, 2, 3
+    """
+
+
+@register("ingest_otlp_http_live", oracle=_OTLP_LIVE_ORACLE)
+def ingest_otlp_http_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-ext LIVE: OTLP/HTTP — the OTLP/JSON requests of
+    `ingest_otlp_json` POSTed over REAL loopback HTTP (the
+    ``/v1/metrics`` OTLP/HTTP binding, half the requests
+    gzip-encoded as OTLP exporters do) into
+    :class:`~metricproxy_spark.streaming.httplistener.
+    HttpIngestListener`, spooled verbatim, scanned back through the
+    ``httpwire`` connector and decoded/aggregated by the SAME
+    functions as the at-rest twin — identical oracle arithmetic, so
+    accept, Content-Length, gzip decode, nested JSON parse and rollup
+    are all value-checked end to end.
+
+    The posting loop is the CLIENT side of the wire (a bounded load
+    generator, one series subset: user_id % 7 = 0); the engine side
+    (spool scan -> from_json -> explode -> agg) stays distributed."""
+    import gzip as _gzip
+    import http.client
+
+    from metricproxy_spark.io import ensure_package_on_workers
+    from metricproxy_spark.sources.httpwire import register_httpwire
+    from metricproxy_spark.sources.otlp import (
+        aggregate_otlp,
+        otlp_request_json,
+        parse_otlp_requests,
+    )
+    from metricproxy_spark.streaming.httplistener import HttpIngestListener
+
+    ensure_package_on_workers(spark)
+    register_httpwire(spark)
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") % 7 == 0)
+    payload = [
+        r.request for r in otlp_request_json(ev).collect()
+    ]  # client side
+    spool = tempfile.mkdtemp(prefix="mps_otlp_live_")
+    with HttpIngestListener(spool) as lis:
+        conn = http.client.HTTPConnection(lis.host, lis.port, timeout=30)
+        for i, raw in enumerate(payload):
+            body = raw.encode()
+            headers = {"Content-Type": "application/json"}
+            if i % 2 == 0:
+                body = _gzip.compress(body)
+                headers["Content-Encoding"] = "gzip"
+            conn.request("POST", "/v1/metrics", body=body, headers=headers)
+            resp = conn.getresponse()
+            assert resp.status == 200
+            resp.read()
+        conn.close()
+    reqs = spark.read.format("httpwire").option("path", spool).load()
+    return aggregate_otlp(
+        parse_otlp_requests(reqs.select(F.col("body").alias("request")))
+    )

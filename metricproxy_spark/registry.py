@@ -90,6 +90,7 @@ _PRIORITY = (
     "text_collocations_pmi",
     "text_readability",
     "dedup_containment",
+    "ingest_otlp_http_live",
 )
 
 _QUERY_MODULES = (

@@ -35,7 +35,13 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from pyspark.sql import DataFrame, SparkSession
 
-INGEST_PATHS = ("/v2/datapoint", "/v1/datapoint", "/post-collectd")
+# sfx v2/v1 + collectd write_http + the OTLP/HTTP metrics binding
+INGEST_PATHS = (
+    "/v2/datapoint",
+    "/v1/datapoint",
+    "/post-collectd",
+    "/v1/metrics",
+)
 
 
 class _IngestHandler(BaseHTTPRequestHandler):

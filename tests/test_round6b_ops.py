@@ -434,3 +434,32 @@ class TestHoltWinters:
             ORACLES["events_holt_winters"],
             sf_dir,
         )
+
+
+class TestOtlpHttpLive:
+    def test_listener_accepts_v1_metrics_and_rejects_unknown(self, tmp_path):
+        import http.client
+
+        from metricproxy_spark.streaming.httplistener import (
+            HttpIngestListener,
+        )
+
+        with HttpIngestListener(str(tmp_path)) as lis:
+            conn = http.client.HTTPConnection(lis.host, lis.port, timeout=10)
+            conn.request(
+                "POST",
+                "/v1/metrics",
+                body=b'{"resourceMetrics":[]}',
+                headers={"Content-Type": "application/json"},
+            )
+            r = conn.getresponse()
+            assert r.status == 200
+            r.read()
+            conn.request("POST", "/v1/traces", body=b"{}")
+            r = conn.getresponse()
+            assert r.status == 404
+            r.read()
+            conn.close()
+        import os
+
+        assert len(os.listdir(tmp_path)) == 1  # only the accepted request
