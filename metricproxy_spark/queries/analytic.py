@@ -1072,3 +1072,113 @@ def analytic_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionByName(merged)
     )
+
+
+@register(
+    "analytic_audience_overlap",
+    oracle="""
+    WITH ut AS (
+        SELECT DISTINCT user_id, event_type FROM events
+    ), per_type AS (
+        SELECT event_type, count(*) AS n_users FROM ut GROUP BY 1
+    ), pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               count(*) AS n_both
+        FROM ut a JOIN ut b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b,
+           pa.n_users AS n_users_a, pb.n_users AS n_users_b, p.n_both,
+           round(CAST(p.n_both AS DOUBLE)
+                 / CAST(pa.n_users + pb.n_users - p.n_both AS DOUBLE), 6)
+             AS jaccard
+    FROM pairs p
+    JOIN per_type pa ON pa.event_type = p.type_a
+    JOIN per_type pb ON pb.event_type = p.type_b
+    """,
+)
+def analytic_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X12-ext: exact pairwise audience overlap — for every ordered
+    event-type pair, how many distinct users did BOTH, plus the
+    audience Jaccard. The segmentation/overlap staple (and the exact
+    twin the HLL sibling `analytic_hll_audience_overlap` is bounded
+    against in tests).
+
+    Scale shape: one distinct over (user, type) — the only data-sized
+    shuffle — then a self-join keyed on user whose fan-out per user is
+    type-count (bounded, here <= 5); per-type audience sizes are a
+    5-row dim broadcast onto the pair counts. The jaccard is integer
+    counts and one rounded IEEE division."""
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    per_type = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_users"))
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, ["user_id"])
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    pa = per_type.select(
+        F.col("event_type").alias("type_a"), F.col("n_users").alias("n_users_a")
+    )
+    pb = per_type.select(
+        F.col("event_type").alias("type_b"), F.col("n_users").alias("n_users_b")
+    )
+    out = pairs.join(F.broadcast(pa), "type_a").join(F.broadcast(pb), "type_b")
+    jac = F.col("n_both").cast("double") / (
+        F.col("n_users_a") + F.col("n_users_b") - F.col("n_both")
+    ).cast("double")
+    return out.select(
+        "type_a",
+        "type_b",
+        "n_users_a",
+        "n_users_b",
+        "n_both",
+        F.round(jac, 6).alias("jaccard"),
+    )
+
+
+@register("analytic_hll_audience_overlap")
+def analytic_hll_audience_overlap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X12-ext (sketch flavor): the same pairwise audience overlap via
+    DataSketches HLL set algebra — est(|A n B|) = est(A) + est(B) -
+    est(A u B) by inclusion-exclusion over merged sketches
+    (``hll_union``). This is the 100 TB path: per-type sketches are
+    built in ONE scan (mergeable partial agg), and every pairwise
+    union happens on the 5-row sketch dim, never re-scanning data —
+    exact distinct intersection cannot be pre-aggregated this way.
+    Registered rows-only (DataSketches has no DuckDB twin); bounded
+    against the exact twin in tests/test_round6b_ops.py. Estimates
+    round-trip as DOUBLE; intersection estimates of small overlaps
+    carry the known inclusion-exclusion error amplification, which the
+    test bound reflects."""
+    ev = load_table(spark, sf_dir, "events")
+    # Materialize the (tiny) sketch dim once: without this the
+    # self-join's two sides each re-run the full scan+agg — harmless
+    # at test SF, two redundant 100 TB scans at scale.
+    per_type = (
+        ev.groupBy("event_type")
+        .agg(F.hll_sketch_agg("user_id", 14).alias("sk"))
+        .localCheckpoint(eager=True)
+    )
+    a = per_type.select(F.col("event_type").alias("type_a"), F.col("sk").alias("sk_a"))
+    b = per_type.select(F.col("event_type").alias("type_b"), F.col("sk").alias("sk_b"))
+    pairs = F.broadcast(a).crossJoin(F.broadcast(b)).where(
+        F.col("type_a") < F.col("type_b")
+    )
+    est_a = F.hll_sketch_estimate("sk_a")
+    est_b = F.hll_sketch_estimate("sk_b")
+    est_u = F.hll_sketch_estimate(F.hll_union("sk_a", "sk_b"))
+    return pairs.select(
+        "type_a",
+        "type_b",
+        est_a.cast("bigint").alias("est_users_a"),
+        est_b.cast("bigint").alias("est_users_b"),
+        est_u.cast("bigint").alias("est_union"),
+        (est_a + est_b - est_u).cast("bigint").alias("est_both"),
+    )

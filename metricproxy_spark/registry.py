@@ -91,6 +91,8 @@ _PRIORITY = (
     "text_readability",
     "dedup_containment",
     "ingest_otlp_http_live",
+    "analytic_audience_overlap",
+    "analytic_hll_audience_overlap",
 )
 
 _QUERY_MODULES = (

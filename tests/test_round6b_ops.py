@@ -463,3 +463,35 @@ class TestOtlpHttpLive:
         import os
 
         assert len(os.listdir(tmp_path)) == 1  # only the accepted request
+
+
+class TestAudienceOverlap:
+    def test_hll_estimates_track_exact_within_bound(self, spark, sf_dir):
+        exact = {
+            (r.type_a, r.type_b): (r.n_users_a, r.n_users_b, r.n_both)
+            for r in _q("analytic_audience_overlap")(spark, sf_dir).collect()
+        }
+        est = {
+            (r.type_a, r.type_b): (r.est_users_a, r.est_users_b, r.est_both)
+            for r in _q("analytic_hll_audience_overlap")(
+                spark, sf_dir
+            ).collect()
+        }
+        assert set(exact) == set(est)
+        for k, (na, nb, nboth) in exact.items():
+            ea, eb, eboth = est[k]
+            # lgK=14 => ~0.8% standard error per sketch
+            assert abs(ea - na) <= max(2, 0.04 * na)
+            assert abs(eb - nb) <= max(2, 0.04 * nb)
+            # inclusion-exclusion compounds three estimates: allow
+            # 3 sketches' worth of relative error on the UNION size
+            union = na + nb - nboth
+            assert abs(eboth - nboth) <= max(4, 0.12 * union), (k, nboth, eboth)
+
+    def test_sketch_build_is_single_scan_partial_agg(self, spark, sf_dir):
+        df = _q("analytic_hll_audience_overlap")(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # the sketch dim is checkpoint-materialized ONCE: the pair
+        # join reads ExistingRDD and re-scans no parquet at all
+        assert plan.lower().count("filescan") == 0
+        assert "ExistingRDD" in plan
