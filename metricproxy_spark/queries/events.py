@@ -1866,3 +1866,107 @@ def events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min("hw.s").alias("season_lo"),
         F.array_max("hw.s").alias("season_hi"),
     )
+
+
+@register(
+    "events_seasonal_outliers",
+    oracle="""
+    WITH prof AS (
+        SELECT event_type, CAST(hour(ts) AS INT) AS hod,
+               count(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) AS mean,
+               CAST(SUM(CAST(value * value AS DECIMAL(27,8))) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) AS msq
+        FROM events GROUP BY 1, 2
+    ), scored AS (
+        SELECT e.event_type, CAST(hour(e.ts) AS INT) AS hod,
+               CASE WHEN abs(e.value - p.mean)
+                         > 3.0 * sqrt(greatest(p.msq - p.mean * p.mean,
+                                               CAST(0 AS DOUBLE)))
+                    THEN 1 ELSE 0 END AS is_out
+        FROM events e
+        JOIN prof p ON p.event_type = e.event_type
+                   AND p.hod = CAST(hour(e.ts) AS INT)
+    )
+    SELECT p.event_type, p.hod, p.n,
+           round(p.mean, 6) AS mean_value,
+           round(sqrt(greatest(p.msq - p.mean * p.mean,
+                               CAST(0 AS DOUBLE))), 6) AS std_value,
+           CAST(s.n_outliers AS BIGINT) AS n_outliers
+    FROM prof p
+    JOIN (SELECT event_type, hod, SUM(is_out) AS n_outliers
+          FROM scored GROUP BY 1, 2) s
+      ON s.event_type = p.event_type AND s.hod = p.hod
+    """,
+)
+def events_seasonal_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2-ext: seasonal (hour-of-day) profile outlier detection — the
+    deseasonalized 3-sigma rule behind Twitter's S-H-ESD family: build
+    a per (event_type, hour-of-day) mean/std profile over the whole
+    window, then flag events more than 3 sigma from THEIR hour's
+    profile (a 3 a.m. spike is judged against 3 a.m. traffic, not the
+    daily blend). Complements `events_anomaly_mad` (global robust) and
+    `events_holt_winters` (model-based).
+
+    Exactness: mean and the second moment ride exact DECIMAL sums
+    (value^2 has 4 true decimals -> scale 8), variance/sigma are then
+    a fixed IEEE chain (guarded non-negative) identical in both
+    engines, so every outlier flag lands on the same side of the
+    threshold. Scale shape: one scan builds the 120-row profile
+    (types x 24), broadcast back onto the stream for the flag pass —
+    two scans total, no data-sized shuffle beyond the profile agg."""
+    ev = load_table(spark, sf_dir, "events")
+    hod = F.hour("ts").cast("int")
+    prof = ev.groupBy(F.col("event_type"), hod.alias("hod")).agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum(F.col("value").cast("decimal(27,4)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("mean"),
+        (
+            F.sum(
+                (F.col("value") * F.col("value")).cast("decimal(27,8)")
+            ).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("msq"),
+    )
+    std = F.sqrt(
+        F.greatest(
+            F.col("mean_msq") - F.col("mean_mean") * F.col("mean_mean"),
+            F.lit(0.0),
+        )
+    )
+    p = prof.select(
+        F.col("event_type"),
+        F.col("hod"),
+        F.col("n"),
+        F.col("mean").alias("mean_mean"),
+        F.col("msq").alias("mean_msq"),
+    )
+    scored = (
+        ev.select("event_type", hod.alias("hod"), "value")
+        .join(F.broadcast(p), ["event_type", "hod"])
+        .select(
+            "event_type",
+            "hod",
+            F.when(
+                F.abs(F.col("value") - F.col("mean_mean")) > 3.0 * std, 1
+            )
+            .otherwise(0)
+            .alias("is_out"),
+        )
+        .groupBy("event_type", "hod")
+        .agg(F.sum("is_out").cast("bigint").alias("n_outliers"))
+    )
+    return (
+        p.join(scored, ["event_type", "hod"])
+        .select(
+            "event_type",
+            "hod",
+            "n",
+            F.round(F.col("mean_mean"), 6).alias("mean_value"),
+            F.round(std, 6).alias("std_value"),
+            "n_outliers",
+        )
+    )

@@ -93,6 +93,7 @@ _PRIORITY = (
     "ingest_otlp_http_live",
     "analytic_audience_overlap",
     "analytic_hll_audience_overlap",
+    "events_seasonal_outliers",
 )
 
 _QUERY_MODULES = (

@@ -495,3 +495,52 @@ class TestAudienceOverlap:
         # join reads ExistingRDD and re-scans no parquet at all
         assert plan.lower().count("filescan") == 0
         assert "ExistingRDD" in plan
+
+
+class TestSeasonalOutliers:
+    def test_planted_seasonal_spike_flagged(self, spark):
+        """A value normal globally but 5-sigma for ITS hour must be
+        flagged; the same value at a noisy hour must not be."""
+        import duckdb
+        import pandas as pd
+
+        from metricproxy_spark.registry import ORACLES
+
+        rows = []
+        eid = 0
+        # hour 3: tight around 10 +/- 1; hour 12: wide around 10 +/- 50
+        for day in range(1, 21):
+            for hod, spread_v in ((3, 1.0), (12, 50.0)):
+                for k in (-1, 1):
+                    rows.append(
+                        (eid, f"2024-01-{day:02d} {hod:02d}:00:00", "api",
+                         10.0 + k * spread_v)
+                    )
+                    eid += 1
+        # the probe value 40 at both hours
+        rows.append((eid, "2024-01-21 03:00:00", "api", 40.0))
+        rows.append((eid + 1, "2024-01-21 12:00:00", "api", 40.0))
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "event_type", "value"]
+        )
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        con = duckdb.connect()
+        con.register("events", pdf)
+        out = {
+            (r.event_type, r.hod): r.n_outliers
+            for _, r in con.execute(ORACLES["events_seasonal_outliers"])
+            .df()
+            .iterrows()
+        }
+        assert out[("api", 3)] == 1  # probe is ~30 sigma at 03:00
+        assert out[("api", 12)] == 0  # same value unremarkable at noon
+
+    def test_query_matches_oracle(self, spark, sf_dir):
+        from metricproxy_spark.registry import ORACLES
+        from tests.oracle_utils import assert_matches_oracle
+
+        assert_matches_oracle(
+            _q("events_seasonal_outliers")(spark, sf_dir),
+            ORACLES["events_seasonal_outliers"],
+            sf_dir,
+        )
