@@ -1770,7 +1770,7 @@ _OTLP_LIVE_ORACLE = """
                epoch_us(ts) * 1000 AS ts_ns,
                CAST(CAST(CAST(value AS DECIMAL(27,4)) AS VARCHAR)
                     AS DOUBLE) AS val
-        FROM events WHERE user_id % 7 = 0
+        FROM events WHERE user_id % 13 = 0
     )
     SELECT name, mtype, host,
            count(*) AS n_points,
@@ -1795,7 +1795,7 @@ def ingest_otlp_http_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     are all value-checked end to end.
 
     The posting loop is the CLIENT side of the wire (a bounded load
-    generator, one series subset: user_id % 7 = 0); the engine side
+    generator, one series subset: user_id % 13 = 0); the engine side
     (spool scan -> from_json -> explode -> agg) stays distributed."""
     import gzip as _gzip
     import http.client
@@ -1811,7 +1811,7 @@ def ingest_otlp_http_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_package_on_workers(spark)
     register_httpwire(spark)
-    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") % 7 == 0)
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") % 13 == 0)
     payload = [
         r.request for r in otlp_request_json(ev).collect()
     ]  # client side

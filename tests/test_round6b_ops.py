@@ -79,21 +79,22 @@ class TestOtlpJson:
                 {"key": "service.name", "value": {"stringValue": "mps-synth"}}
             ]
             (sm,) = rm["scopeMetrics"]
-            (metric,) = sm["metrics"]
-            assert ("gauge" in metric) != ("sum" in metric)  # strict oneof
-            if "gauge" in metric:
-                saw_gauge = True
-                dps = metric["gauge"]["dataPoints"]
-            else:
-                saw_sum = True
-                assert metric["sum"]["aggregationTemporality"] == 2
-                assert metric["sum"]["isMonotonic"] is True
-                dps = metric["sum"]["dataPoints"]
-            for dp in dps:
-                # proto3 JSON: uint64 timeUnixNano is a STRING
-                assert isinstance(dp["timeUnixNano"], str)
-                assert isinstance(dp["asDouble"], (int, float))
-                assert dp["attributes"][0]["key"] == "host"
+            assert sm["metrics"]  # batched: many series per request
+            for metric in sm["metrics"]:
+                assert ("gauge" in metric) != ("sum" in metric)  # oneof
+                if "gauge" in metric:
+                    saw_gauge = True
+                    dps = metric["gauge"]["dataPoints"]
+                else:
+                    saw_sum = True
+                    assert metric["sum"]["aggregationTemporality"] == 2
+                    assert metric["sum"]["isMonotonic"] is True
+                    dps = metric["sum"]["dataPoints"]
+                for dp in dps:
+                    # proto3 JSON: uint64 timeUnixNano is a STRING
+                    assert isinstance(dp["timeUnixNano"], str)
+                    assert isinstance(dp["asDouble"], (int, float))
+                    assert dp["attributes"][0]["key"] == "host"
         assert saw_gauge and saw_sum
 
     def test_parses_foreign_collector_payload(self, spark):
@@ -544,3 +545,42 @@ class TestSeasonalOutliers:
             ORACLES["events_seasonal_outliers"],
             sf_dir,
         )
+
+
+class TestRound6bPlanDiscipline:
+    def test_wire_parse_aggs_have_single_exchange(self, spark, sf_dir):
+        """graphite/otlp at-rest ingest: map-only parse + ONE hash agg
+        shuffle — no extra exchange may creep in (the OTLP batching
+        group-by is part of synthesis, not parse, and is exempt)."""
+        from metricproxy_spark.io import load_table
+        from metricproxy_spark.sources.graphite import (
+            aggregate_graphite,
+            graphite_wire_lines,
+            parse_graphite_lines,
+        )
+
+        ev = load_table(spark, sf_dir, "events")
+        lines = ev.select(graphite_wire_lines(ev).alias("line"))
+        plan = (
+            aggregate_graphite(parse_graphite_lines(lines))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("Exchange") == 1
+        assert "BatchScan" in plan or "FileScan" in plan
+
+    def test_apdex_and_seasonal_push_column_pruning(self, spark, sf_dir):
+        for name, need in (
+            ("events_apdex", {"ts", "value", "event_type"}),
+            ("events_seasonal_outliers", {"ts", "value", "event_type"}),
+        ):
+            df = _q(name)(spark, sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            import re
+
+            schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+            assert schemas
+            for sch in schemas:
+                cols = {c.split(":")[0] for c in sch.split(",") if c}
+                assert cols <= need, (name, cols)
