@@ -1833,3 +1833,88 @@ def ingest_otlp_http_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     return aggregate_otlp(
         parse_otlp_requests(reqs.select(F.col("body").alias("request")))
     )
+
+
+_DOGSTATSD_ORACLE = """
+    WITH wire AS (
+        SELECT event_type || '.dd' AS name,
+               CASE event_id % 4 WHEN 0 THEN 'c' WHEN 1 THEN 'g'
+                                 WHEN 2 THEN 'ms' ELSE 'h' END AS mtype,
+               CASE WHEN event_id % 8 = 0 THEN 0.5 ELSE 1.0 END AS rate,
+               CASE WHEN event_id % 7 = 0 THEN NULL
+                    ELSE 'e' || CAST(user_id % 2 AS VARCHAR) END AS env,
+               CAST(CAST(CAST(value AS DECIMAL(27,4)) AS VARCHAR)
+                    AS DOUBLE) AS val
+        FROM events
+    )
+    SELECT name, mtype, env,
+           count(*) AS n_lines,
+           CAST(SUM(CAST(val / rate AS DECIMAL(27,6))) AS DOUBLE) AS total
+    FROM wire GROUP BY 1, 2, 3
+    """
+
+
+@register("ingest_dogstatsd_tags", oracle=_DOGSTATSD_ORACLE)
+def ingest_dogstatsd_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DogStatsD tagged-datagram ingest
+    (`name:value|type[|@rate][|#tag:v,...]` — public spec:
+    docs.datadoghq.com DogStatsD datagram format), the dominant statsd
+    dialect in the wild: plain statsd plus an inline tag section and
+    the ``|h`` histogram type. One JVM regexp + ``str_to_map(',',':')``
+    over the tag block; rollup keyed on (name, type, env-tag) —
+    untagged traffic (every 7th line, the plain-statsd compatibility
+    branch) lands in the env-NULL bucket the oracle models. Counter
+    sample-rate correction identical to `ingest_statsd`.
+
+    Scale shape: map-only parse in whole-stage codegen + one hash agg
+    with map-side combine."""
+    from metricproxy_spark.sources.dogstatsd import (
+        aggregate_dogstatsd,
+        dogstatsd_wire_lines,
+        parse_dogstatsd_lines,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    lines = ev.select(dogstatsd_wire_lines(ev).alias("line"))
+    return aggregate_dogstatsd(parse_dogstatsd_lines(lines))
+
+
+_GRAPHITE_PICKLE_ORACLE = """
+    SELECT event_type || '.latency.h' || CAST(user_id % 5 AS VARCHAR)
+             AS path,
+           count(*) AS n_points,
+           CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS sum_value,
+           min(CAST(epoch(date_trunc('second', ts)) AS BIGINT))
+             AS min_ts_sec,
+           max(CAST(epoch(date_trunc('second', ts)) AS BIGINT))
+             AS max_ts_sec
+    FROM events GROUP BY 1
+    """
+
+
+@register("ingest_graphite_pickle", oracle=_GRAPHITE_PICKLE_ORACLE)
+def ingest_graphite_pickle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graphite PICKLE protocol ingest (port 2004's batched wire —
+    public spec: graphite docs "the pickle protocol": frames of
+    ``[(path, (timestamp, value)), ...]``), the carbon-relay batch
+    companion to the plaintext line. Frames synthesized per relay
+    flush (user_id % 17 batches, applyInPandas), decoded with a
+    RESTRICTED unpickler (``find_class`` refuses everything — the
+    wire is pure containers/scalars, so gadget payloads fail instead
+    of executing) inside Arrow-batched ``mapInPandas``, then rolled
+    up per path.
+
+    Exactness: pickle carries float64 verbatim (binary float8
+    opcode), so the oracle aggregates the raw source column — no
+    text-repr modeling. Scale shape: frame build/decode are the
+    sfx-protobuf codec shape (Python, but Arrow-batched over opaque
+    blobs that have no JVM form); the rollup is one hash agg."""
+    from metricproxy_spark.sources.graphite_pickle import (
+        aggregate_graphite_pickle,
+        decode_graphite_pickle,
+        graphite_pickle_frames,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    frames = graphite_pickle_frames(ev)
+    return aggregate_graphite_pickle(decode_graphite_pickle(frames))

@@ -1130,3 +1130,88 @@ def _share_influx_oracle() -> None:
 
 
 _share_influx_oracle()
+
+
+@register(
+    "stream_graphite_pipeline",
+    oracle=None,  # set just below to share the batch twin's SQL
+)
+def stream_graphite_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graphite tagged-carbon fully STREAMED (the transport chain of
+    stream_statsd_pipeline): wire lines over real loopback TCP into
+    the line-socket spool, consumed exactly-once through the
+    carbonwire STREAMING connector, parsed by the shared graphite
+    parser, complete-mode rollup per (name, host-tag) with
+    decimal-exact sums — hash-matches the same oracle as the at-rest
+    twin (`ingest_graphite_tags`) on the deterministic 1/3 subset.
+    One parser, two transports, one oracle."""
+    from metricproxy_spark.io import ensure_package_on_workers, load_table
+    from metricproxy_spark.sources.graphite import (
+        graphite_wire_lines,
+        parse_graphite_lines,
+    )
+    from metricproxy_spark.sources.pyds import register_carbonwire
+    from metricproxy_spark.streaming.socketlistener import (
+        LineSocketListener,
+        send_lines_tcp,
+    )
+
+    ensure_package_on_workers(spark)
+    register_carbonwire(spark)
+    wd = _workdir()
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") % 3 == 0)
+    payload = [
+        r.line
+        for r in ev.select(graphite_wire_lines(ev).alias("line")).collect()
+    ]
+    spool = os.path.join(wd, "spool")
+    os.makedirs(spool, exist_ok=True)
+    with LineSocketListener(spool, mode="tcp", lines_per_file=50_000) as lis:
+        send_lines_tcp(lis.host, lis.port, payload)
+    lines = (
+        spark.readStream.format("carbonwire")
+        .option("path", spool)
+        .load()
+        .select("line")
+    )
+    parsed = parse_graphite_lines(lines)
+    pre = parsed.groupBy(
+        "name", F.col("tags").getItem("host").alias("host")
+    ).agg(
+        F.count(F.lit(1)).alias("n_p"),
+        F.sum(F.col("value").cast("decimal(27,4)")).alias("sum_dec"),
+        F.min("ts_sec").alias("min_t"),
+        F.max("ts_sec").alias("max_t"),
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        out = _run_to_memory(pre, os.path.join(wd, "ckpt"))
+        result = spark.createDataFrame(
+            out.select(
+                "name",
+                "host",
+                F.col("n_p").cast("bigint").alias("n_points"),
+                F.col("sum_dec").cast("double").alias("sum_value"),
+                F.col("min_t").alias("min_ts_sec"),
+                F.col("max_t").alias("max_ts_sec"),
+            ).collect(),
+            "name string, host string, n_points bigint, sum_value double,"
+            " min_ts_sec bigint, max_ts_sec bigint",
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    shutil.rmtree(wd, ignore_errors=True)
+    return result
+
+
+def _share_graphite_oracle() -> None:
+    from metricproxy_spark.queries.ingest import _GRAPHITE_ORACLE
+    from metricproxy_spark.registry import ORACLES
+
+    ORACLES["stream_graphite_pipeline"] = _GRAPHITE_ORACLE.replace(
+        "FROM events", "FROM events WHERE event_id % 3 = 0"
+    )
+
+
+_share_graphite_oracle()

@@ -94,6 +94,9 @@ _PRIORITY = (
     "analytic_audience_overlap",
     "analytic_hll_audience_overlap",
     "events_seasonal_outliers",
+    "ingest_dogstatsd_tags",
+    "ingest_graphite_pickle",
+    "stream_graphite_pipeline",
 )
 
 _QUERY_MODULES = (

@@ -584,3 +584,85 @@ class TestRound6bPlanDiscipline:
             for sch in schemas:
                 cols = {c.split(":")[0] for c in sch.split(",") if c}
                 assert cols <= need, (name, cols)
+
+
+class TestDogStatsd:
+    def test_grammar_branches(self, spark):
+        from metricproxy_spark.sources.dogstatsd import parse_dogstatsd_lines
+
+        lines = spark.createDataFrame(
+            [
+                ("api.lat:12.5|ms|#env:prod,host:web1",),
+                ("hits:3|c|@0.25|#env:prod",),
+                ("plain:1|g",),
+                ("broken line",),
+            ],
+            "line string",
+        )
+        rows = {r.name: r for r in parse_dogstatsd_lines(lines).collect()}
+        assert set(rows) == {"api.lat", "hits", "plain"}
+        assert rows["api.lat"].tags == {"env": "prod", "host": "web1"}
+        assert float(rows["hits"].scaled) == 12.0  # 3 / 0.25
+        assert rows["plain"].tags == {}
+
+    def test_query_matches_oracle(self, spark, sf_dir):
+        from metricproxy_spark.registry import ORACLES
+        from tests.oracle_utils import assert_matches_oracle
+
+        assert_matches_oracle(
+            _q("ingest_dogstatsd_tags")(spark, sf_dir),
+            ORACLES["ingest_dogstatsd_tags"],
+            sf_dir,
+        )
+
+
+class TestGraphitePickle:
+    def test_restricted_unpickler_refuses_gadgets(self):
+        import pickle
+
+        import pytest
+
+        from metricproxy_spark.sources.graphite_pickle import _safe_loads
+
+        class Evil:
+            def __reduce__(self):
+                return (print, ("pwned",))
+
+        hostile = pickle.dumps([("a.path", (1, Evil()))])
+        with pytest.raises(pickle.UnpicklingError):
+            _safe_loads(hostile)
+        # the legitimate wire shape decodes fine
+        ok = pickle.dumps([("a.path", (1700000000, 1.5))], protocol=2)
+        assert _safe_loads(ok) == [("a.path", (1700000000, 1.5))]
+
+    def test_doubles_survive_verbatim(self, spark):
+        """pickle carries float64 bit-for-bit — no text-repr loss."""
+        import math
+
+        from metricproxy_spark.sources.graphite_pickle import (
+            decode_graphite_pickle,
+            graphite_pickle_frames,
+        )
+
+        vals = [0.1, 1 / 3, math.pi, 185.22]
+        rows = [
+            (i, "2024-01-01 00:00:%02d" % i, i, "t", v)
+            for i, v in enumerate(vals)
+        ]
+        ev = spark.createDataFrame(
+            rows,
+            "event_id long, ts string, user_id long,"
+            " event_type string, value double",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        back = decode_graphite_pickle(graphite_pickle_frames(ev)).collect()
+        assert sorted(r.value for r in back) == sorted(vals)
+
+    def test_query_matches_oracle(self, spark, sf_dir):
+        from metricproxy_spark.registry import ORACLES
+        from tests.oracle_utils import assert_matches_oracle
+
+        assert_matches_oracle(
+            _q("ingest_graphite_pickle")(spark, sf_dir),
+            ORACLES["ingest_graphite_pickle"],
+            sf_dir,
+        )
