@@ -178,3 +178,23 @@ def test_exact_sweep_shuffle_linear_in_rows_times_blocks(
     # replication scaling: doubling the block count roughly doubles
     # shuffle volume (allow wide slack; quadratic would blow past it)
     assert b8 <= 3.2 * b4, (b4, b8)
+
+
+def test_containment_join_bitmask_regime_shuffles_masks_not_text(
+    spark, sf_correctness_dir, queries
+):
+    """dedup_containment on the small-vocab corpus runs the bitmask
+    regime: what shuffles is one (id, block, int64 mask, n) row per
+    corpus document — never word arrays or text. Bound: ≤ 96B per
+    corpus doc (2 masks frames + the planted-union overhead), checked
+    against the raw text volume it must NOT approach."""
+    n_docs = _table_count(sf_correctness_dir, "documents")
+    text_bytes = duckdb.sql(
+        f"SELECT sum(n_chars) FROM '{sf_correctness_dir}/documents.parquet'"
+    ).fetchone()[0]
+    n_corpus = n_docs + (n_docs + 10) // 11  # planted quote docs
+    b = total_shuffle_bytes_written(
+        queries["dedup_containment"](spark, sf_correctness_dir)
+    )
+    assert 0 < b <= 96 * n_corpus, (b, n_corpus)
+    assert b <= 0.5 * text_bytes, (b, text_bytes)
