@@ -3013,3 +3013,118 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@register(
+    "multimodal_decode_gif",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id,
+               16 + doc_id % 16 AS w,
+               12 + doc_id % 8  AS h,
+               CASE WHEN doc_id % 5 = 0 THEN 3 ELSE 1 END AS nf
+        FROM documents
+    ), sums AS (
+        SELECT doc_id, w, h, nf,
+               h * ((w * (w - 1)) // 2) + 2 * w * ((h * (h - 1)) // 2)
+                 AS base
+        FROM dims
+    )
+    SELECT doc_id,
+           'gif' AS fmt,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           128 AS n_colors,
+           CAST(nf AS INT) AS n_frames,
+           CAST(CASE WHEN nf = 3 THEN 60 ELSE 0 END AS BIGINT)
+             AS sum_delays_cs,
+           CAST(CASE WHEN nf = 3 THEN 3 * base + 3 * w * h
+                     ELSE base END AS BIGINT) AS idx_sum,
+           CAST(4 * 8128 + 40 * 128 AS BIGINT) AS pal_sum
+    FROM sums
+    """,
+)
+def multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5, fourth REAL compressed codec: per-doc GIFs — 128-color
+    palette, every 5th doc a 3-frame GIF89a animation with Graphic
+    Control delays — ENCODED executor-side (GIF-flavor LZW: variable
+    3..12-bit codes, LSB-first packing, CLEAR/EOI, 255-byte
+    sub-blocks) and DECODED back by
+    :mod:`metricproxy_spark.operators.gif`. Frame k's indices are the
+    linear ramp x + 2y + k (max 69 < 128, never wrapping) and the
+    palette is j -> (j, 2j, j+40) (no wrap at 128 colors), so frame
+    index sums, palette checksum, frame count and summed delays are
+    all closed-form integers the oracle re-derives — the whole LZW
+    bit path is value-checked with no tolerance. GIF is lossless for
+    paletted images, so unlike JPEG no special flat-block regime is
+    needed. Both halves run in Arrow batches via mapInPandas — the
+    map-only decode stage of a multimodal curation pipeline.
+
+    Driver-evidence note: registered UNPINNED (the round-6 window is
+    full at 50); queued for the round-7 `_PRIORITY` rotation."""
+    import numpy as np
+    import pandas as pd
+
+    from metricproxy_spark.operators.gif import decode_gif, encode_gif
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    palette = np.stack(
+        [
+            np.arange(128, dtype=np.uint8),
+            (2 * np.arange(128)).astype(np.uint8),
+            (np.arange(128) + 40).astype(np.uint8),
+        ],
+        axis=1,
+    )
+
+    def synth_and_decode(batches):
+        for pdf in batches:
+            out = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w, h = 16 + i % 16, 12 + i % 8
+                x = np.arange(w, dtype=np.int32)[None, :]
+                y = np.arange(h, dtype=np.int32)[:, None]
+                base = (x + 2 * y).astype(np.uint8)
+                if i % 5 == 0:
+                    blob = encode_gif(
+                        [base + k for k in range(3)],
+                        palette,
+                        delays_cs=[10, 20, 30],
+                    )
+                else:
+                    blob = encode_gif(base, palette)
+                meta, frames, pal = decode_gif(blob)
+                out.append(
+                    (
+                        i,
+                        meta["format"],
+                        meta["width"],
+                        meta["height"],
+                        meta["n_colors"],
+                        meta["n_frames"],
+                        int(sum(meta["delays_cs"])),
+                        int(sum(f.sum(dtype=np.int64) for f in frames)),
+                        int(pal.sum(dtype=np.int64)),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id",
+                    "fmt",
+                    "width",
+                    "height",
+                    "n_colors",
+                    "n_frames",
+                    "sum_delays_cs",
+                    "idx_sum",
+                    "pal_sum",
+                ],
+            )
+
+    return docs.mapInPandas(
+        synth_and_decode,
+        "doc_id long, fmt string, width int, height int, n_colors int,"
+        " n_frames int, sum_delays_cs long, idx_sum long, pal_sum long",
+    )
