@@ -1215,3 +1215,96 @@ def _share_graphite_oracle() -> None:
 
 
 _share_graphite_oracle()
+
+
+@register(
+    "stream_otlp_pipeline",
+    oracle=None,  # set just below to share the live-batch twin's SQL
+)
+def stream_otlp_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OTLP fully STREAMED: the OTLP/JSON requests of the live twin
+    POSTed over real loopback HTTP to `/v1/metrics`, the accepted
+    spool consumed EXACTLY ONCE through the httpwire STREAMING
+    connector, decoded by the shared OTLP parser (explicit from_json
+    schema + explodes) and rolled up per (name, type, host) with
+    decimal-exact sums in complete mode — hash-matches the SAME
+    DuckDB oracle as `ingest_otlp_json`-family on the deterministic
+    user_id % 13 subset. One parser, three transports (at-rest,
+    live-batch, streamed), one oracle.
+
+    Driver-evidence note: registered UNPINNED (round-6 window full);
+    queued for the round-7 `_PRIORITY` rotation."""
+    import http.client
+
+    from metricproxy_spark.io import ensure_package_on_workers, load_table
+    from metricproxy_spark.sources.otlp import (
+        otlp_request_json,
+        parse_otlp_requests,
+    )
+    from metricproxy_spark.streaming.httplistener import (
+        HttpIngestListener,
+        http_spool_stream,
+    )
+
+    ensure_package_on_workers(spark)
+    wd = _workdir()
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id") % 13 == 0
+    )
+    payload = [r.request for r in otlp_request_json(ev).collect()]
+    spool = os.path.join(wd, "spool")
+    with HttpIngestListener(spool) as lis:
+        conn = http.client.HTTPConnection(lis.host, lis.port, timeout=30)
+        for raw in payload:
+            conn.request(
+                "POST",
+                "/v1/metrics",
+                body=raw.encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            resp = conn.getresponse()
+            assert resp.status == 200
+            resp.read()
+        conn.close()
+    points = parse_otlp_requests(
+        http_spool_stream(spark, spool).select(
+            F.col("body").alias("request")
+        )
+    )
+    agg = points.groupBy("name", "mtype", "host").agg(
+        F.count(F.lit(1)).alias("n_p"),
+        F.sum(F.col("value").cast("decimal(27,4)")).alias("sum_dec"),
+        F.min("ts_ns").alias("min_t"),
+        F.max("ts_ns").alias("max_t"),
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        out = _run_to_memory(agg, os.path.join(wd, "ckpt"))
+        result = spark.createDataFrame(
+            out.select(
+                "name",
+                "mtype",
+                "host",
+                F.col("n_p").cast("bigint").alias("n_points"),
+                F.col("sum_dec").cast("double").alias("sum_value"),
+                F.col("min_t").alias("min_ts_ns"),
+                F.col("max_t").alias("max_ts_ns"),
+            ).collect(),
+            "name string, mtype string, host string, n_points bigint,"
+            " sum_value double, min_ts_ns bigint, max_ts_ns bigint",
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    shutil.rmtree(wd, ignore_errors=True)
+    return result
+
+
+def _share_otlp_oracle() -> None:
+    from metricproxy_spark.queries.ingest import _OTLP_LIVE_ORACLE
+    from metricproxy_spark.registry import ORACLES
+
+    ORACLES["stream_otlp_pipeline"] = _OTLP_LIVE_ORACLE
+
+
+_share_otlp_oracle()
