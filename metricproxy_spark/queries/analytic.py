@@ -1182,3 +1182,53 @@ def analytic_hll_audience_overlap(
         est_u.cast("bigint").alias("est_union"),
         (est_a + est_b - est_u).cast("bigint").alias("est_both"),
     )
+
+
+@register("analytic_theta_set_algebra")
+def analytic_theta_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X12-ext (Theta flavor): full audience SET ALGEBRA on Apache
+    DataSketches Theta sketches — per-type user sketches built in one
+    scan, then pairwise ``theta_intersection`` (a DIRECT estimate, no
+    inclusion-exclusion error amplification like the HLL sibling),
+    ``theta_difference`` (A-but-never-B — not expressible with HLL at
+    all) and ``theta_union``. The complete mergeable-sketch family:
+    HLL (cardinality), CMS (frequency), KLL (quantiles), bloom
+    (membership), Theta (set algebra).
+
+    Rows-only (DataSketches has no DuckDB twin); bounded against the
+    exact `analytic_audience_overlap` twin in
+    tests/test_round6b_ops.py. Scale: the sketch dim is built once and
+    checkpoint-materialized (5 rows); all algebra happens on the dim,
+    never re-scanning data.
+
+    Driver-evidence note: registered UNPINNED (round-6 window full);
+    queued for the round-7 `_PRIORITY` rotation."""
+    ev = load_table(spark, sf_dir, "events")
+    per_type = (
+        ev.groupBy("event_type")
+        .agg(F.theta_sketch_agg("user_id").alias("sk"))
+        .localCheckpoint(eager=True)
+    )
+    a = per_type.select(
+        F.col("event_type").alias("type_a"), F.col("sk").alias("sk_a")
+    )
+    b = per_type.select(
+        F.col("event_type").alias("type_b"), F.col("sk").alias("sk_b")
+    )
+    pairs = F.broadcast(a).crossJoin(F.broadcast(b)).where(
+        F.col("type_a") < F.col("type_b")
+    )
+    est = F.theta_sketch_estimate
+    return pairs.select(
+        "type_a",
+        "type_b",
+        est(F.col("sk_a")).cast("bigint").alias("est_users_a"),
+        est(F.col("sk_b")).cast("bigint").alias("est_users_b"),
+        est(F.theta_intersection("sk_a", "sk_b"))
+        .cast("bigint")
+        .alias("est_both"),
+        est(F.theta_difference("sk_a", "sk_b"))
+        .cast("bigint")
+        .alias("est_only_a"),
+        est(F.theta_union("sk_a", "sk_b")).cast("bigint").alias("est_union"),
+    )

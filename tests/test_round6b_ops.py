@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import json
 
+import pytest
 from pyspark.sql import functions as F
 
 from metricproxy_spark.registry import QUERIES, load_all
@@ -666,3 +667,40 @@ class TestGraphitePickle:
             ORACLES["ingest_graphite_pickle"],
             sf_dir,
         )
+
+
+class TestThetaSetAlgebra:
+    def test_estimates_track_exact_set_algebra(self, spark, sf_dir):
+        exact = {
+            (r.type_a, r.type_b): (r.n_users_a, r.n_users_b, r.n_both)
+            for r in _q("analytic_audience_overlap")(spark, sf_dir).collect()
+        }
+        theta = {
+            (r.type_a, r.type_b): r
+            for r in _q("analytic_theta_set_algebra")(
+                spark, sf_dir
+            ).collect()
+        }
+        assert set(exact) == set(theta)
+        for k, (na, nb, nboth) in exact.items():
+            t = theta[k]
+            union = na + nb - nboth
+            only_a = na - nboth
+            # default lgK=12 theta: <1% std err; intersections inherit
+            # the union's absolute error — allow 5% of the union + 2
+            tol = max(2, 0.05 * union)
+            assert abs(t.est_users_a - na) <= tol
+            assert abs(t.est_users_b - nb) <= tol
+            assert abs(t.est_both - nboth) <= tol, (k, nboth, t.est_both)
+            assert abs(t.est_only_a - only_a) <= tol
+            assert abs(t.est_union - union) <= tol
+            # algebra consistency of the estimates themselves
+            assert t.est_both + t.est_only_a == pytest.approx(
+                t.est_users_a, abs=2
+            )
+
+    def test_sketch_dim_is_materialized_once(self, spark, sf_dir):
+        df = _q("analytic_theta_set_algebra")(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.lower().count("filescan") == 0
+        assert "ExistingRDD" in plan
