@@ -15,8 +15,8 @@ position of the stream. At 4096 entries the encoder emits CLEAR and
 resets; the decoder also tolerates foreign "deferred clear" streams by
 freezing its table instead of overflowing.
 
-Interlaced images and sort-flagged palettes raise NotImplementedError
-honestly (same policy as the PNG/JPEG codecs' unsupported profiles).
+The 4-pass interlace scheme is supported on both encode and decode
+(spec appendix E row schedule).
 Indices are encoded losslessly — GIF is a lossless format for <=256
 colors — so integer-exact oracles need no special construction.
 """
@@ -28,6 +28,16 @@ import struct
 import numpy as np
 
 _MAX_CODE = 4096
+
+# GIF 4-pass interlace row schedule (spec appendix E): pass starts/steps
+_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _interlace_order(h: int) -> np.ndarray:
+    """Row indices in on-wire order for an interlaced frame."""
+    return np.concatenate(
+        [np.arange(start, h, step) for start, step in _INTERLACE]
+    ).astype(np.int64)
 
 
 class _BitWriter:
@@ -160,6 +170,7 @@ def encode_gif(
     frames: list[np.ndarray] | np.ndarray,
     palette: np.ndarray,
     delays_cs: list[int] | None = None,
+    interlace: bool = False,
 ) -> bytes:
     """Encode index frame(s) + palette to GIF bytes.
 
@@ -167,7 +178,9 @@ def encode_gif(
     same shape — an animation); ``palette``: (n, 3) uint8 with n a
     power of two in 4..256; ``delays_cs``: per-frame delay in
     centiseconds (GIF89a Graphic Control Extension) — required for
-    multi-frame, optional for single."""
+    multi-frame, optional for single; ``interlace``: write rows in
+    the spec's 4-pass order (progressive rendering era; decoders must
+    still honor it)."""
     if isinstance(frames, np.ndarray):
         frames = [frames]
     n_colors = len(palette)
@@ -192,10 +205,12 @@ def encode_gif(
             out += b"\x21\xf9\x04\x00"  # GCE, block size, no disposal
             out += struct.pack("<H", delays_cs[k] if animated else delays_cs[0])
             out += b"\x00\x00"  # no transparency, terminator
-        out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h)
+        out.append(0x40 if interlace else 0x00)
         mcs = max(2, bits)
         out.append(mcs)
-        out += _sub_blocks(lzw_encode(fr.reshape(-1), mcs))
+        wire = fr[_interlace_order(h)] if interlace else fr
+        out += _sub_blocks(lzw_encode(wire.reshape(-1), mcs))
     out.append(0x3B)
     return bytes(out)
 
@@ -246,11 +261,7 @@ def decode_gif(content: bytes) -> tuple[dict, list[np.ndarray], np.ndarray]:
         _, _, fw, fh = struct.unpack_from("<HHHH", content, pos)
         ipacked = content[pos + 8]
         pos += 9
-        if ipacked & 0x40:
-            raise NotImplementedError(
-                "interlaced GIF frames not supported (row re-ordering "
-                "pass not implemented; sequential decode only)"
-            )
+        interlaced = bool(ipacked & 0x40)
         if ipacked & 0x80:  # local color table
             n = 2 << (ipacked & 0x07)
             palette = np.frombuffer(
@@ -267,9 +278,13 @@ def decode_gif(content: bytes) -> tuple[dict, list[np.ndarray], np.ndarray]:
                 break
             raw += content[pos : pos + size]
             pos += size
-        frames.append(
-            lzw_decode(bytes(raw), mcs, fw * fh).reshape(fh, fw)
-        )
+        fr = lzw_decode(bytes(raw), mcs, fw * fh).reshape(fh, fw)
+        if interlaced:
+            # invert the 4-pass row schedule back to scanline order
+            deinter = np.empty_like(fr)
+            deinter[_interlace_order(fh)] = fr
+            fr = deinter
+        frames.append(fr)
         delays.append(pending_delay or 0)
         pending_delay = None
     if palette is None:

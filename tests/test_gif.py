@@ -90,10 +90,23 @@ class TestGifContainer:
         with pytest.raises(ValueError):
             decode_gif(b"NOTAGIF")
 
-    def test_interlace_raises_honestly(self):
-        blob = bytearray(encode_gif(np.zeros((2, 2), np.uint8), np.zeros((4, 3), np.uint8)))
-        # image descriptor is right after header+LSD+GCT: set interlace bit
-        idx = blob.index(0x2C, 13)
-        blob[idx + 9] |= 0x40
-        with pytest.raises(NotImplementedError):
-            decode_gif(bytes(blob))
+    def test_interlace_roundtrip_all_heights(self):
+        """The 4-pass row schedule must invert exactly for every
+        height mod 8 (each pass's row set shifts with h)."""
+        rng = np.random.default_rng(3)
+        pal = rng.integers(0, 256, (16, 3)).astype(np.uint8)
+        for h in range(1, 18):
+            img = rng.integers(0, 16, (h, 9)).astype(np.uint8)
+            blob = encode_gif(img, pal, interlace=True)
+            meta, frames, _ = decode_gif(blob)
+            assert np.array_equal(frames[0], img), h
+            # and the wire really is interlaced: progressive decode of
+            # the raw stream differs from scanline order for h >= 3
+            if h >= 3:
+                from metricproxy_spark.operators.gif import (
+                    _interlace_order,
+                )
+
+                assert not np.array_equal(
+                    _interlace_order(h), np.arange(h)
+                )
