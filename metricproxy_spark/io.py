@@ -69,6 +69,11 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+# GC grace period for superseded staged artifacts: siblings younger
+# than this are presumed live in another process and left alone.
+_GC_AGE_S = 6 * 3600
+
+
 def sf_fingerprint(sf_dir: str) -> str:
     """Short content fingerprint of an sf testdata directory.
 
@@ -104,17 +109,23 @@ def staged_artifact_dir(tag: str, sf_dir: str) -> str:
     concurrent losers delete their copy — identical by construction.
 
     Superseded generations are garbage-collected here: a sibling
-    ``mps_{tag}_{sf}_<other-fp>`` dir belongs to REGENERATED testdata
-    (its fingerprint can never come back) and is best-effort removed,
-    so /tmp doesn't accumulate one orphan per generation. In-flight
-    ``*.staging.*`` dirs are never touched.
+    ``mps_{tag}_{sf}_<other-fp>`` dir usually belongs to REGENERATED
+    testdata and is best-effort removed so /tmp doesn't accumulate one
+    orphan per generation. But the sf BASENAME is not unique across
+    checkouts — a second process whose different ``sf0.1`` dataset is
+    live right now would lose its artifact mid-read. So only siblings
+    whose mtime is older than ``_GC_AGE_S`` are removed; anything
+    younger is presumed live. In-flight ``*.staging.*`` dirs are never
+    touched (length filter).
     """
     sf = os.path.basename(sf_dir.rstrip("/"))
     fp = sf_fingerprint(sf_dir)
     prefix = f"mps_{tag}_{sf}_"
     tmp = tempfile.gettempdir()
     import shutil
+    import time
 
+    now = time.time()
     try:
         for name in os.listdir(tmp):
             if (
@@ -122,7 +133,13 @@ def staged_artifact_dir(tag: str, sf_dir: str) -> str:
                 and name != prefix + fp
                 and len(name) == len(prefix) + len(fp)
             ):
-                shutil.rmtree(os.path.join(tmp, name), ignore_errors=True)
+                p = os.path.join(tmp, name)
+                try:
+                    if now - os.stat(p).st_mtime < _GC_AGE_S:
+                        continue
+                except OSError:
+                    continue
+                shutil.rmtree(p, ignore_errors=True)
     except OSError:
         pass
     return os.path.join(tmp, prefix + fp)

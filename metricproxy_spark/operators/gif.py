@@ -220,7 +220,8 @@ def decode_gif(content: bytes) -> tuple[dict, list[np.ndarray], np.ndarray]:
 
     meta: format/width/height/n_colors/n_frames/delays_cs. Local color
     tables are honored per frame (last one wins in the returned
-    palette); interlaced frames raise NotImplementedError."""
+    palette); interlaced frames are de-interlaced back to scanline
+    order via the 4-pass GIF89a row schedule."""
     if content[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF stream")
     w, h = struct.unpack_from("<HH", content, 6)

@@ -32,71 +32,80 @@ ORACLES: dict[str, str] = {}
 
 # Registration order = the order a row-capped driver verifies queries
 # (r1-r4 CORRECTNESS files each stopped at exactly 50 rows).
-# _PRIORITY pins specific names to the FRONT of the registry. Round-6
-# rotation: first analytic_json_funcs (the ONE name whose only driver
-# row is r02's env-era failure — r5 VERDICT task 2), then every query
-# whose semantics or plan changed this round (the two distributed
-# window rewrites, the statsd sampling fix, the CMS left-join fix),
-# then queries newly added in round 6. Union across r1-r6 then covers
-# every query. Everything else keeps module order behind them.
+# _PRIORITY pins specific names to the FRONT of the registry. Round-7
+# rotation: first the three round-6 queries that landed after the
+# window filled (implemented + judge-verified but zero driver rows),
+# then queries newly added in round 7, then the full r1-only-evidence
+# cohort (their last green driver row is CORRECTNESS_r01 — five rounds
+# of churn ago). The list intentionally exceeds 50: the driver records
+# the first 50 registry rows, and the overflow rotates into round 8.
+# Everything else keeps module order behind them.
 _PRIORITY = (
-    # --- evidence gap: only driver row is an r02 env-era failure ---
-    "analytic_json_funcs",
-    # --- changed in round 6, need re-verification ---
-    "pipeline_pack_sequences",
-    "analytic_skyline_frontier",
-    "ingest_statsd",
-    "analytic_cms_heavy_hitters",
-    # --- changed in round 6 (guarded_series rewiring) ---
-    "events_ema",
-    "events_holt_trend",
-    "events_cusum_score",
-    # --- changed in round 6 (bench-tail staging/bucketing) ---
-    "dedup_semantic",
-    "dedup_semantic_prune",
-    "ingest_carbon_connector_sink",
-    # --- round-6 additions (new queries land here, inside the 50) ---
-    "ingest_statsd_live",
-    "ingest_influx_live",
-    "graph_khop_reach_approx",
-    "sim_pca_variance_check",
-    "multimodal_decode_png",
-    "multimodal_decode_jpeg",
-    "stream_statsd_pipeline",
-    "stream_influx_pipeline",
-    "multimodal_decode_video",
-    "ingest_avro_datasource",
-    "layout_runtime_bloom_filter",
-    "analytic_mad_outliers",
-    "pipeline_pack_greedy",
-    "dedup_image_dhash",
-    "multimodal_resize",
-    "multimodal_resample_audio",
-    "text_html_extract",
-    "pipeline_url_canonicalize",
-    "cdc_scd2_asof_enrich",
-    # --- round-6 continuation (streaming-runner fix re-drive + new) ---
-    "stream_http_live_pipeline",
-    "ingest_warc_records",
-    "analytic_interval_overlap",
-    "events_kalman_level",
-    "text_boolean_retrieval",
-    "analytic_kll_quantiles",
-    # --- round-6 continuation, second batch ---
-    "ingest_graphite_tags",
-    "ingest_otlp_json",
-    "events_apdex",
-    "events_holt_winters",
-    "text_collocations_pmi",
-    "text_readability",
-    "dedup_containment",
-    "ingest_otlp_http_live",
-    "analytic_audience_overlap",
-    "analytic_hll_audience_overlap",
-    "events_seasonal_outliers",
-    "ingest_dogstatsd_tags",
-    "ingest_graphite_pickle",
-    "stream_graphite_pipeline",
+    # --- implemented+green in round 6 but registered after the 50-row
+    # --- window filled: zero driver rows yet (r6 VERDICT task 1) ---
+    "multimodal_decode_gif",
+    "stream_otlp_pipeline",
+    "analytic_theta_set_algebra",
+    # --- new in round 7 ---
+    "pipeline_web_curation_end2end",
+    "stream_collectd_pipeline",
+    "stream_sfx_v1_pipeline",
+    "events_theta_rollup",
+    "text_minhash_content_defined",
+    "pipeline_quality_dedup_join",
+    # --- evidence rotation: the r1-only cohort (latest green row is
+    # --- CORRECTNESS_r01, five rounds of churn ago). Listed in full;
+    # --- the driver records the first 50 registry rows, so whatever
+    # --- overflows this round rotates into round 8's window. ---
+    "ingest_carbon_parse",
+    "ingest_carbon_commakeys",
+    "ingest_carbon_roundtrip",
+    "ingest_collectd_explode",
+    "ingest_sfx_v2_unpivot",
+    "ingest_sfx_v1_registry",
+    "ingest_sanitize",
+    "ingest_delimiter_rules",
+    "ingest_ts_normalize",
+    "ingest_sfx_protobuf_roundtrip",
+    "ingest_variant_props",
+    "ingest_carbon_datasource",
+    "ingest_schema_evolution",
+    "events_hourly_stats",
+    "events_type_totals",
+    "events_multires_rollup",
+    "events_gapfill_ffill",
+    "events_interpolate_linear",
+    "events_series_correlation",
+    "events_hll_rollup",
+    "analytic_pricing_summary",
+    "analytic_rollup",
+    "analytic_cube",
+    "analytic_grouping_sets",
+    "analytic_setops",
+    "analytic_scalar_subquery",
+    "analytic_orderby_limit",
+    "analytic_approx_distinct",
+    "analytic_salted_agg",
+    "analytic_salted_join",
+    "analytic_pivot",
+    "analytic_unpivot",
+    "analytic_percentiles",
+    "analytic_exact_moments",
+    "analytic_pandas_median",
+    "analytic_table_profile",
+    "analytic_histogram",
+    "analytic_regional_revenue",
+    "analytic_left_join_coverage",
+    "analytic_semi_join",
+    "analytic_anti_join",
+    "analytic_range_join",
+    "analytic_asof_join",
+    "analytic_topk_per_group",
+    "analytic_window_analytic",
+    "analytic_ranking",
+    "analytic_sessionize",
+    "analytic_range_frame",
+    "analytic_ntile_cume",
 )
 
 _QUERY_MODULES = (

@@ -249,6 +249,10 @@ def _read_header(fh) -> tuple[dict, bytes, int]:
         n, pos = _dec_long(buf, pos)
         if n == 0:
             break
+        if n < 0:
+            # Avro spec: a negative block count is followed by the
+            # block's byte size (a long); decode and discard it.
+            _, pos = _dec_long(buf, pos)
         for _ in range(abs(n)):
             klen, pos = _dec_long(buf, pos)
             k = buf[pos : pos + klen].decode()

@@ -174,6 +174,8 @@ def send_lines_tcp(
     real TCP connections (contiguous chunks, so per-connection order
     is the synthesized order). Client side of the wire — holds its
     own payload by definition, like every load generator."""
+    if not lines:
+        return
     n = max(1, connections)
     chunk = (len(lines) + n - 1) // n
     for i in range(0, len(lines), chunk):

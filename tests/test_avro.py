@@ -166,3 +166,44 @@ class TestStreaming:
         assert (
             len([r.a for r in out2.collect() if r.a >= 1000]) == 7
         )
+
+
+class TestForeignHeaderShapes:
+    def test_negative_metadata_map_count(self, tmp_path):
+        """The Avro spec allows map blocks with a NEGATIVE count, in
+        which case the count is followed by the block's byte size (a
+        long). Foreign writers use this; the header parser must skip
+        the size long before reading abs(n) key/value pairs."""
+        import io as _io
+        import json
+
+        from metricproxy_spark.sources.avro import (
+            AVRO_MAGIC,
+            _enc_long,
+            _read_header,
+        )
+
+        schema = json.dumps(
+            {
+                "type": "record",
+                "name": "r",
+                "fields": [{"name": "a", "type": "long"}],
+            }
+        ).encode()
+        entries = [(b"avro.schema", schema), (b"avro.codec", b"null")]
+        body = b"".join(
+            _enc_long(len(k)) + k + _enc_long(len(v)) + v for k, v in entries
+        )
+        buf = (
+            AVRO_MAGIC
+            + _enc_long(-len(entries))  # negative count form
+            + _enc_long(len(body))  # block byte size (must be skipped)
+            + body
+            + _enc_long(0)  # end of map
+            + b"S" * 16  # sync marker
+        )
+        meta, sync, pos = _read_header(_io.BytesIO(buf))
+        assert meta["schema"]["name"] == "r"
+        assert meta["codec"] == "null"
+        assert sync == b"S" * 16
+        assert pos == len(buf)

@@ -65,31 +65,43 @@ def test_morton_interleave_matches_reference():
 
 
 def test_staged_artifact_gc_removes_stale_fingerprints(sf_dir, tmp_path):
-    """A sibling mps_{tag}_{sf}_<old-fp> dir from regenerated testdata
-    is swept on the next staged_artifact_dir call; in-flight
-    *.staging.* dirs and other tags are never touched."""
+    """An AGED sibling mps_{tag}_{sf}_<old-fp> dir from regenerated
+    testdata is swept on the next staged_artifact_dir call; a YOUNG
+    sibling (possibly another live process whose different dataset
+    shares the sf basename), in-flight *.staging.* dirs and other tags
+    are never touched."""
     import os
     import tempfile
+    import time
 
-    from metricproxy_spark.io import sf_fingerprint, staged_artifact_dir
+    from metricproxy_spark.io import (
+        _GC_AGE_S,
+        sf_fingerprint,
+        staged_artifact_dir,
+    )
 
     tmp = tempfile.gettempdir()
     sf = os.path.basename(sf_dir.rstrip("/"))
     fp = sf_fingerprint(sf_dir)
     stale_fp = ("0" * 10) if fp != "0" * 10 else ("1" * 10)
+    young_fp = ("2" * 10) if fp != "2" * 10 else ("3" * 10)
     stale = os.path.join(tmp, f"mps_gctest_{sf}_{stale_fp}")
+    young = os.path.join(tmp, f"mps_gctest_{sf}_{young_fp}")
     staging = os.path.join(tmp, f"mps_gctest_{sf}_{stale_fp}.staging.999")
     other_tag = os.path.join(tmp, f"mps_gctestx_{sf}_{stale_fp}")
-    for d in (stale, staging, other_tag):
+    for d in (stale, young, staging, other_tag):
         os.makedirs(d, exist_ok=True)
+    old = time.time() - _GC_AGE_S - 60
+    os.utime(stale, (old, old))
     try:
         got = staged_artifact_dir("gctest", sf_dir)
         assert got.endswith(fp)
-        assert not os.path.isdir(stale), "stale generation not swept"
+        assert not os.path.isdir(stale), "aged stale generation not swept"
+        assert os.path.isdir(young), "young sibling (maybe live) was swept"
         assert os.path.isdir(staging), "in-flight staging dir was swept"
         assert os.path.isdir(other_tag), "foreign tag was swept"
     finally:
         import shutil
 
-        for d in (stale, staging, other_tag):
+        for d in (stale, young, staging, other_tag):
             shutil.rmtree(d, ignore_errors=True)

@@ -95,3 +95,13 @@ class TestConnectorRoundTrip:
         )
         got = [r.line for r in back.collect()]
         assert collections.Counter(got) == collections.Counter(payload)
+
+
+def test_send_lines_tcp_empty_is_noop():
+    """An empty synthesized subset must no-op, not crash on
+    range(0, 0, 0) (round-6 ADVICE)."""
+    from metricproxy_spark.streaming.socketlistener import send_lines_tcp
+
+    # No listener at this port: a non-empty send would ConnectionError,
+    # so returning silently proves the early-out path.
+    send_lines_tcp("127.0.0.1", 1, [])
