@@ -3128,3 +3128,223 @@ def multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, fmt string, width int, height int, n_colors int,"
         " n_frames int, sum_delays_cs long, idx_sum long, pal_sum long",
     )
+
+
+@register(
+    "pipeline_web_curation_end2end",
+    oracle=r"""
+    WITH base AS (
+        SELECT doc_id, lang, source, text,
+               'https://WWW.Site' || CAST(doc_id % 7 AS VARCHAR)
+               || '.COM/' || lang || '/' || source || '/'
+               || CAST(doc_id AS VARCHAR)
+               || '?utm_source=feed&id=' || CAST(doc_id % 50 AS VARCHAR)
+               || '&utm_campaign=x'
+               || CASE WHEN doc_id % 2 = 0 THEN '#frag' ELSE '' END AS url
+        FROM documents
+        UNION ALL
+        SELECT doc_id, lang, source, text,
+               'https://CDN.Mirror.NET/' || lang || '/' || source || '/'
+               || CAST(doc_id AS VARCHAR) || '/?utm_medium=mirror'
+        FROM documents WHERE doc_id % 4 = 0
+    ), ok AS (
+        SELECT * FROM base WHERE doc_id % 17 <> 0
+    ), page AS (
+        SELECT url,
+               '<html><head><title>' || lang || ' '
+               || CAST(doc_id AS VARCHAR) || '</title><script>var t='
+               || CAST(doc_id AS VARCHAR)
+               || ';</script><style>a{x:y}</style></head>'
+               || '<body><nav>home</nav><p>' || text
+               || '</p><!-- end --></body></html>' AS html
+        FROM ok
+    ), canon AS (
+        SELECT
+            regexp_replace(regexp_replace(regexp_replace(
+                lower(regexp_extract(url, '^https?://[^/]+'))
+                || regexp_replace(regexp_replace(regexp_replace(
+                       regexp_replace(url, '^https?://[^/]+', ''),
+                       '#.*', ''), '\?', '?&'),
+                   '&utm_[^&]*', '', 'g'),
+                '\?&', '?'), '\?$', ''), '/$', '') AS canon_url,
+            lower(trim(regexp_replace(regexp_replace(regexp_replace(
+                regexp_replace(regexp_replace(html,
+                '<script>.*?</script>', '', 'g'),
+                '<style>.*?</style>', '', 'g'),
+                '<!--.*?-->', '', 'g'),
+                '<[^>]+>', ' ', 'g'),
+                ' +', ' ', 'g'))) AS key
+        FROM page
+    ), uniq AS (
+        SELECT key, count(*) AS n_copies,
+               min(canon_url) AS rep_url,
+               min(regexp_extract(canon_url,
+                   '^https?://[^/]+/([^/]+)/', 1)) AS lang
+        FROM canon GROUP BY key
+    ), q AS (
+        SELECT *,
+               len(string_split(key, ' ')) AS nw,
+               length(replace(key, ' ', '')) AS nns,
+               length(key) AS nc
+        FROM uniq
+    ), kept AS (
+        SELECT * FROM q
+        WHERE nw BETWEEN 15 AND 90
+          AND 10 * nns BETWEEN 40 * nw AND 52 * nw
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(n_copies) AS BIGINT) AS n_pages,
+           CAST(sum(nc) AS BIGINT) AS sum_chars
+    FROM kept GROUP BY lang
+    """,
+)
+def pipeline_web_curation_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete web-corpus front door in ONE plan (r6 VERDICT task
+    3) — every stage is a query that already has its own exact oracle,
+    composed end to end the way a Common-Crawl-class pretraining build
+    actually runs: WARC archive (warcwire connector, gzip members) →
+    HTTP-status filter → URL canonicalization (lowercase host, drop
+    fragment, strip utm_* tracking) → HTML text extraction (strip
+    script/style/comments, flatten tags) → exact dedup on extracted
+    text (crawl mirrors collapse; every doc_id % 4 == 0 page is
+    archived twice under a CDN mirror host) → absolute quality gate
+    (Gopher-style word-count and mean-word-length bands, evaluated
+    with INTEGER cross-multiplication so the band edges are exact in
+    both engines) → per-language manifest.
+
+    The staged WARC is the pipeline's only input; the oracle re-derives
+    every stage from ``documents`` with the IDENTICAL regexp chains, so
+    the whole composition — archive framing round-trip included — is
+    value-checked as one unit.
+
+    Scale shape: the WARC read partitions per file (gzip members are
+    not splittable; crawls ship ~64k files per snapshot), everything
+    through the quality gate is map-only whole-stage codegen, and the
+    plan's ONLY wide operators are the two content-keyed hash aggs
+    (dedup key, language manifest) — asserted by the plan-discipline
+    test. No stage materializes to the driver."""
+    import os
+    import shutil
+
+    from metricproxy_spark.io import ensure_package_on_workers, staged_artifact_dir
+    from metricproxy_spark.sources.warc import register_warcwire
+
+    ensure_package_on_workers(spark)
+    register_warcwire(spark)
+    out_dir = staged_artifact_dir("warc_html", sf_dir)
+    if not os.path.isdir(out_dir):
+        staging = out_dir + f".staging.{os.getpid()}"
+        docs = load_table(spark, sf_dir, "documents")
+        messy_url = F.concat(
+            F.lit("https://WWW.Site"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".COM/"),
+            F.col("lang"),
+            F.lit("/"),
+            F.col("source"),
+            F.lit("/"),
+            F.col("doc_id").cast("string"),
+            F.lit("?utm_source=feed&id="),
+            (F.col("doc_id") % 50).cast("string"),
+            F.lit("&utm_campaign=x"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("#frag")).otherwise(
+                F.lit("")
+            ),
+        )
+        mirror_url = F.concat(
+            F.lit("https://CDN.Mirror.NET/"),
+            F.col("lang"),
+            F.lit("/"),
+            F.col("source"),
+            F.lit("/"),
+            F.col("doc_id").cast("string"),
+            F.lit("/?utm_medium=mirror"),
+        )
+        html = F.concat(
+            F.lit("<html><head><title>"),
+            F.col("lang"),
+            F.lit(" "),
+            F.col("doc_id").cast("string"),
+            F.lit("</title><script>var t="),
+            F.col("doc_id").cast("string"),
+            F.lit(";</script><style>a{x:y}</style></head>"),
+            F.lit("<body><nav>home</nav><p>"),
+            F.col("text"),
+            F.lit("</p><!-- end --></body></html>"),
+        )
+        common = [
+            F.date_format(
+                F.timestamp_micros(F.col("doc_id") * 41 * 1_000_000),
+                "yyyy-MM-dd'T'HH:mm:ss'Z'",
+            ).alias("warc_date"),
+            F.when(F.col("doc_id") % 17 == 0, F.lit(404))
+            .otherwise(F.lit(200))
+            .cast("long")
+            .alias("status"),
+            F.lit("text/html; charset=utf-8").alias("content_type"),
+            html.alias("payload"),
+        ]
+        originals = docs.select(messy_url.alias("url"), *common)
+        mirrors = docs.where(F.col("doc_id") % 4 == 0).select(
+            mirror_url.alias("url"), *common
+        )
+        pages = originals.unionAll(mirrors)
+        n_parts = min(16, max(2, spark.sparkContext.defaultParallelism))
+        (
+            pages.repartition(n_parts)
+            .write.format("warcwire")
+            .mode("overwrite")
+            .save(staging)
+        )
+        try:
+            os.rename(staging, out_dir)
+        except OSError:  # lost the publish race; winner is identical
+            shutil.rmtree(staging, ignore_errors=True)
+    recs = (
+        spark.read.format("warcwire")
+        .option("path", out_dir)
+        .load()
+        .where(
+            (F.col("rec_type") == "response") & (F.col("http_status") == 200)
+        )
+    )
+    host = F.lower(F.regexp_extract("url", r"^https?://[^/]+", 0))
+    rest = F.regexp_replace("url", r"^https?://[^/]+", "")
+    rest = F.regexp_replace(rest, r"#.*", "")
+    rest = F.regexp_replace(rest, r"\?", "?&")
+    rest = F.regexp_replace(rest, r"&utm_[^&]*", "")
+    canon = F.concat(host, rest)
+    canon = F.regexp_replace(canon, r"\?&", "?")
+    canon = F.regexp_replace(canon, r"\?$", "")
+    canon = F.regexp_replace(canon, r"/$", "")
+    extracted = F.col("payload")
+    for pat, rep in _HTML_STRIP_STEPS:
+        extracted = F.regexp_replace(extracted, pat, rep)
+    key = F.lower(F.trim(extracted))
+    uniq = (
+        recs.select(canon.alias("canon_url"), key.alias("key"))
+        .groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("canon_url").alias("rep_url"),
+            F.min(
+                F.regexp_extract("canon_url", r"^https?://[^/]+/([^/]+)/", 1)
+            ).alias("lang"),
+        )
+    )
+    q = uniq.select(
+        "*",
+        F.size(F.split("key", " ")).alias("nw"),
+        F.length(F.replace(F.col("key"), F.lit(" "), F.lit(""))).alias("nns"),
+        F.length("key").alias("nc"),
+    )
+    kept = q.where(
+        F.col("nw").between(15, 90)
+        & (10 * F.col("nns")).between(40 * F.col("nw"), 52 * F.col("nw"))
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_copies").cast("bigint").alias("n_pages"),
+        F.sum("nc").cast("bigint").alias("sum_chars"),
+    )

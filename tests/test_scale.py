@@ -776,3 +776,26 @@ class TestRound6PlanDiscipline:
         assert "Exchange SinglePartition" not in plan, plan
         assert "Join" not in plan, plan
         assert "Window" not in plan, plan
+
+
+class TestRound7PlanDiscipline:
+    """Plan assertions for the round-7 compositions."""
+
+    def _plan(self, spark, sf_dir, name):
+        from metricproxy_spark.registry import QUERIES, load_all
+
+        load_all()
+        return _executed_plan(QUERIES[name](spark, sf_dir))
+
+    def test_web_curation_only_two_key_shuffles(self, spark, sf_dir):
+        """WARC read → canonicalize → extract → dedup → quality →
+        manifest composes with exactly the two content-keyed hash
+        exchanges its stages own (dedup key, language manifest): no
+        single-partition exchange, no join, no window — everything
+        else is map-only over the per-file WARC partitions."""
+        plan = self._plan(spark, sf_dir, "pipeline_web_curation_end2end")
+        assert "Exchange SinglePartition" not in plan, plan
+        assert "Join" not in plan, plan
+        assert "Window" not in plan, plan
+        n_hash_exchanges = plan.count("Exchange hashpartitioning")
+        assert n_hash_exchanges == 2, f"{n_hash_exchanges}\n{plan}"
