@@ -1201,8 +1201,9 @@ def analytic_theta_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpoint-materialized (5 rows); all algebra happens on the dim,
     never re-scanning data.
 
-    Driver-evidence note: registered UNPINNED (round-6 window full);
-    queued for the round-7 `_PRIORITY` rotation."""
+    Driver-evidence note: pinned at the head of the round-7
+    _PRIORITY window.
+    """
     ev = load_table(spark, sf_dir, "events")
     per_type = (
         ev.groupBy("event_type")

@@ -474,6 +474,42 @@ def events_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("events_theta_rollup")
+def events_theta_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable Theta-sketch rollup (r6 VERDICT task 5) — the same
+    re-aggregation design as ``events_hll_rollup``, proving Theta gets
+    the identical monoid property the other sketch families have:
+    per-day Theta sketches of user_id are built once, then
+    ``theta_union_agg`` rolls them to weekly distinct-user estimates
+    without re-touching raw data. Unlike HLL, the SAME day partials
+    also answer intersections/differences later
+    (``analytic_theta_set_algebra``) — one pre-aggregated sketch
+    column serves the whole audience algebra at 100 TB.
+
+    Approximate by nature -> rows-only check; the estimate-vs-exact
+    weekly bound is unit-tested in tests/test_llm_ops.py."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("mp_events_theta")
+    return spark.sql(
+        """
+        WITH daily AS (
+            SELECT event_type, date_trunc('day', ts) AS day,
+                   theta_sketch_agg(user_id, 12) AS sk,
+                   count(DISTINCT user_id) AS exact_day
+            FROM mp_events_theta
+            GROUP BY 1, 2
+        )
+        SELECT event_type,
+               date_trunc('week', day) AS week,
+               count(*) AS n_days,
+               theta_sketch_estimate(theta_union_agg(sk, 12)) AS est_users,
+               CAST(sum(exact_day) AS BIGINT) AS sum_daily_exact
+        FROM daily
+        GROUP BY 1, 2
+        """
+    )
+
+
 @register(
     "events_funnel",
     oracle="""

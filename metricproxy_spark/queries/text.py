@@ -3060,8 +3060,9 @@ def multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     needed. Both halves run in Arrow batches via mapInPandas — the
     map-only decode stage of a multimodal curation pipeline.
 
-    Driver-evidence note: registered UNPINNED (the round-6 window is
-    full at 50); queued for the round-7 `_PRIORITY` rotation."""
+    Driver-evidence note: pinned at the head of the round-7
+    _PRIORITY window.
+    """
     import numpy as np
     import pandas as pd
 

@@ -514,3 +514,32 @@ def test_kgram_vectorized_equals_hof_spec(spark, sf_dir):
     hof = docs.select("doc_id", F.explode(kgram_hashes("text", k=5)).alias("fp"))
     vec = kgram_hashes_vectorized(docs, k=5)
     assert sorted(map(tuple, hof.collect())) == sorted(map(tuple, vec.collect()))
+
+
+def test_theta_rollup_estimates_within_bound(spark, sf_dir):
+    """Weekly Theta-union estimates must sit within the sketch's rated
+    error of the exact weekly distinct counts (lgK=12 -> ~1.6% rse;
+    allow 5% slack on small fixtures) — the mergeability evidence that
+    day partials roll up, mirroring the HLL twin."""
+    from pyspark.sql import functions as F
+
+    from metricproxy_spark.io import load_table
+    from metricproxy_spark.registry import QUERIES, load_all
+
+    load_all()
+    est = {
+        (r.event_type, r.week): r.est_users
+        for r in QUERIES["events_theta_rollup"](spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    exact = {
+        (r.event_type, r.week): r.n
+        for r in ev.groupBy(
+            "event_type", F.date_trunc("week", "ts").alias("week")
+        )
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for k, e in est.items():
+        assert abs(e - exact[k]) <= max(2, 0.05 * exact[k]), (k, e, exact[k])
