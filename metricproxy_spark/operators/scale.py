@@ -159,3 +159,39 @@ def guarded_series(
             )
         ),
     )
+
+
+def guarded_wire_payload(df, guard_rows: int = 100_000):
+    """Driver-side LOAD-GENERATOR guard (r6 VERDICT task 6): the
+    live-listener queries synthesize their wire payload on the client
+    side of the socket — a documented, intentionally driver-local
+    collect. Nothing bounded it, though: a future caller pointing one
+    at a fact table would OOM the driver silently. This collects
+    through ``limit(guard_rows + 1)`` — the scan stops at the bound,
+    so even the failure path moves O(guard_rows), not the table — and
+    raises loudly past the guard instead of materializing further.
+
+    Returns the collected rows (callers pick their column)."""
+    rows = df.limit(guard_rows + 1).collect()
+    if len(rows) > guard_rows:
+        raise ValueError(
+            f"wire-payload synthesis exceeds guard_rows={guard_rows}: "
+            "load generators are driver-local by design; point the "
+            "listener pipeline at a bounded subset, or raise the guard "
+            "deliberately"
+        )
+    return rows
+
+
+def guarded_wire_pandas(df, guard_rows: int = 100_000):
+    """``guarded_wire_payload`` for the toPandas-shaped synthesis
+    sites (HTTP request bodies grouped client-side)."""
+    pdf = df.limit(guard_rows + 1).toPandas()
+    if len(pdf) > guard_rows:
+        raise ValueError(
+            f"wire-payload synthesis exceeds guard_rows={guard_rows}: "
+            "load generators are driver-local by design; point the "
+            "listener pipeline at a bounded subset, or raise the guard "
+            "deliberately"
+        )
+    return pdf

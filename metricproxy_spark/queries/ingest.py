@@ -1428,9 +1428,13 @@ def ingest_statsd_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = load_table(spark, sf_dir, "events")
+    from metricproxy_spark.operators.scale import guarded_wire_payload
+
     payload = [
         r.line
-        for r in ev.select(statsd_wire_lines(ev).alias("line")).collect()
+        for r in guarded_wire_payload(
+            ev.select(statsd_wire_lines(ev).alias("line"))
+        )
     ]
     spool = tempfile.mkdtemp(prefix="mps_statsd_live_")
     with LineSocketListener(spool, mode="tcp") as lis:
@@ -1493,9 +1497,13 @@ def ingest_influx_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = load_table(spark, sf_dir, "events")
+    from metricproxy_spark.operators.scale import guarded_wire_payload
+
     payload = [
         r.line
-        for r in ev.select(influx_wire_lines(ev).alias("line")).collect()
+        for r in guarded_wire_payload(
+            ev.select(influx_wire_lines(ev).alias("line"))
+        )
     ]
     spool = tempfile.mkdtemp(prefix="mps_influx_live_")
     with LineSocketListener(spool, mode="tcp") as lis:
@@ -1812,8 +1820,10 @@ def ingest_otlp_http_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_package_on_workers(spark)
     register_httpwire(spark)
     ev = load_table(spark, sf_dir, "events").where(F.col("user_id") % 13 == 0)
+    from metricproxy_spark.operators.scale import guarded_wire_payload
+
     payload = [
-        r.request for r in otlp_request_json(ev).collect()
+        r.request for r in guarded_wire_payload(otlp_request_json(ev))
     ]  # client side
     spool = tempfile.mkdtemp(prefix="mps_otlp_live_")
     with HttpIngestListener(spool) as lis:

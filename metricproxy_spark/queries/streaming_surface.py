@@ -899,9 +899,11 @@ def stream_http_live_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         http_spool_stream,
     )
 
+    from metricproxy_spark.operators.scale import guarded_wire_pandas
+
     ensure_package_on_workers(spark)
     wd = _workdir()
-    pdf = (
+    pdf = guarded_wire_pandas(
         load_table(spark, sf_dir, "events")
         .where(F.col("event_id") % 7 == 0)
         .select(
@@ -911,7 +913,6 @@ def stream_http_live_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_millis("ts").alias("ts_ms"),
             (F.col("user_id") % 11).alias("req"),
         )
-        .toPandas()
     )
     spool = os.path.join(wd, "spool")
     with HttpIngestListener(spool) as lis:
@@ -993,9 +994,13 @@ def stream_statsd_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").where(
         F.col("event_id") % 3 == 0
     )
+    from metricproxy_spark.operators.scale import guarded_wire_payload
+
     payload = [
         r.line
-        for r in ev.select(statsd_wire_lines(ev).alias("line")).collect()
+        for r in guarded_wire_payload(
+            ev.select(statsd_wire_lines(ev).alias("line"))
+        )
     ]
     spool = os.path.join(wd, "spool")
     os.makedirs(spool, exist_ok=True)
@@ -1087,9 +1092,13 @@ def stream_influx_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").where(
         F.col("event_id") % 3 == 0
     )
+    from metricproxy_spark.operators.scale import guarded_wire_payload
+
     payload = [
         r.line
-        for r in ev.select(influx_wire_lines(ev).alias("line")).collect()
+        for r in guarded_wire_payload(
+            ev.select(influx_wire_lines(ev).alias("line"))
+        )
     ]
     spool = os.path.join(wd, "spool")
     os.makedirs(spool, exist_ok=True)
@@ -1160,9 +1169,13 @@ def stream_graphite_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_carbonwire(spark)
     wd = _workdir()
     ev = load_table(spark, sf_dir, "events").where(F.col("event_id") % 3 == 0)
+    from metricproxy_spark.operators.scale import guarded_wire_payload
+
     payload = [
         r.line
-        for r in ev.select(graphite_wire_lines(ev).alias("line")).collect()
+        for r in guarded_wire_payload(
+            ev.select(graphite_wire_lines(ev).alias("line"))
+        )
     ]
     spool = os.path.join(wd, "spool")
     os.makedirs(spool, exist_ok=True)
@@ -1252,7 +1265,11 @@ def stream_otlp_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").where(
         F.col("user_id") % 13 == 0
     )
-    payload = [r.request for r in otlp_request_json(ev).collect()]
+    from metricproxy_spark.operators.scale import guarded_wire_payload
+
+    payload = [
+        r.request for r in guarded_wire_payload(otlp_request_json(ev))
+    ]
     spool = os.path.join(wd, "spool")
     with HttpIngestListener(spool) as lis:
         conn = http.client.HTTPConnection(lis.host, lis.port, timeout=30)
@@ -1388,11 +1405,15 @@ def stream_collectd_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("type_instance"),
         )
     )
-    pdf = ev.select(
-        F.col("event_id"),
-        elem.alias("elem"),
-        (F.col("user_id") % 11).alias("req"),
-    ).toPandas()
+    from metricproxy_spark.operators.scale import guarded_wire_pandas
+
+    pdf = guarded_wire_pandas(
+        ev.select(
+            F.col("event_id"),
+            elem.alias("elem"),
+            (F.col("user_id") % 11).alias("req"),
+        )
+    )
     spool = os.path.join(wd, "spool")
     with HttpIngestListener(spool) as lis:
         conn = http.client.HTTPConnection(lis.host, lis.port, timeout=30)
@@ -1479,7 +1500,12 @@ def stream_sfx_v1_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("source"),
         )
     )
-    payload = [r.line for r in ev.select(line.alias("line")).collect()]
+    from metricproxy_spark.operators.scale import guarded_wire_payload
+
+    payload = [
+        r.line
+        for r in guarded_wire_payload(ev.select(line.alias("line")))
+    ]
     spool = os.path.join(wd, "spool")
     os.makedirs(spool, exist_ok=True)
     with LineSocketListener(spool, mode="tcp", lines_per_file=50_000) as lis:
