@@ -728,3 +728,199 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "id_a", "id_b", F.round("containment", 6).alias("containment")
     )
+
+
+@register(
+    "dedup_cdc_chunks",
+    oracle="""
+    WITH corpus AS (
+        SELECT doc_id, lang, lower(trim(text)) AS t, 1 AS is_orig
+        FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, lang, 'xshift ' || lower(trim(text)), 0
+        FROM documents WHERE doc_id % 5 = 0
+    ), w AS (
+        SELECT doc_id, lang, is_orig, u.word AS word, u.pos AS pos
+        FROM corpus,
+             unnest(list_transform(string_split(t, ' '),
+                    (x, i) -> struct_pack(word := x, pos := i))) AS s(u)
+    ), f AS (
+        SELECT *, CASE WHEN substring(md5(word), 1, 1) IN ('0', '1')
+                       THEN 1 ELSE 0 END AS b
+        FROM w
+    ), c AS (
+        SELECT doc_id, lang, is_orig, word, pos,
+               COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS chunk_id
+        FROM f
+    ), chunks AS (
+        SELECT doc_id, lang, is_orig, chunk_id,
+               md5(string_agg(word, ' ' ORDER BY pos)) AS chash
+        FROM c GROUP BY doc_id, lang, is_orig, chunk_id
+    ), by_hash AS (
+        SELECT lang, chash, count(*) AS n_occ,
+               max(is_orig) AS in_orig, max(1 - is_orig) AS in_twin
+        FROM chunks GROUP BY lang, chash
+    )
+    SELECT lang,
+           CAST(sum(n_occ) AS BIGINT) AS n_chunks,
+           count(*) AS n_distinct,
+           CAST(sum(CASE WHEN in_orig = 1 AND in_twin = 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+    FROM by_hash GROUP BY lang
+    """,
+)
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (CDC) — the rsync/LBFS boundary trick
+    (Muthitacharoen et al., SOSP'01) at corpus scale: documents split
+    into variable-size chunks at CONTENT-derived boundaries (a word is
+    a boundary iff its md5 starts with one of 2 of 16 hex digits —
+    expected chunk length 8 words), so an insertion shifts only the
+    chunk it lands in and every later chunk still hashes identically.
+    The planted proof: every 5th document gets a twin with one word
+    PREPENDED — under fixed-width shingling every window would shift;
+    under CDC the twin re-shares almost all its chunk hashes with the
+    original (``n_shared`` per language counts them).
+
+    Exact oracle: md5 is the same function in both engines, so the
+    boundary rule, the chunk strings and their digests are
+    value-checked end to end. Spark runs the chunker as a pure array
+    fold (``F.aggregate`` — map-only, no per-word explode, no window);
+    DuckDB re-derives the same chunks with a positional window. The
+    only shuffles are the two content-keyed aggs (chunk hash, language
+    rollup) — at 100 TB the chunk table is the dedup catalog every
+    incremental crawl diff joins against."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "lang",
+        F.lower(F.trim("text")).alias("t"),
+        F.lit(1).alias("is_orig"),
+    )
+    twins = docs.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        "lang",
+        F.concat(F.lit("xshift "), F.lower(F.trim("text"))).alias("t"),
+        F.lit(0).alias("is_orig"),
+    )
+    corpus = base.unionAll(twins)
+
+    def _boundary(w):
+        return F.substring(F.md5(F.encode(w, "UTF-8")), 1, 1).isin("0", "1")
+
+    def _step(acc, w):
+        new_cur = F.when(acc["cur"] == "", w).otherwise(
+            F.concat(acc["cur"], F.lit(" "), w)
+        )
+        return F.struct(
+            F.when(
+                _boundary(w), F.concat(acc["done"], F.array(new_cur))
+            )
+            .otherwise(acc["done"])
+            .alias("done"),
+            F.when(_boundary(w), F.lit("")).otherwise(new_cur).alias("cur"),
+        )
+
+    chunks = F.aggregate(
+        F.split("t", " "),
+        F.struct(
+            F.array().cast("array<string>").alias("done"),
+            F.lit("").alias("cur"),
+        ),
+        _step,
+        lambda acc: F.when(acc["cur"] == "", acc["done"]).otherwise(
+            F.concat(acc["done"], F.array(acc["cur"]))
+        ),
+    )
+    exploded = corpus.select(
+        "lang", "is_orig", F.explode(chunks).alias("chunk")
+    ).select(
+        "lang", "is_orig", F.md5(F.encode("chunk", "UTF-8")).alias("chash")
+    )
+    by_hash = exploded.groupBy("lang", "chash").agg(
+        F.count(F.lit(1)).alias("n_occ"),
+        F.max("is_orig").alias("in_orig"),
+        F.max(1 - F.col("is_orig")).alias("in_twin"),
+    )
+    return by_hash.groupBy("lang").agg(
+        F.sum("n_occ").cast("bigint").alias("n_chunks"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(
+            F.when((F.col("in_orig") == 1) & (F.col("in_twin") == 1), 1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_shared"),
+    )
+
+
+@register(
+    "dedup_incremental_ingest",
+    oracle="""
+    WITH catalog AS (
+        SELECT DISTINCT md5(lower(trim(text))) AS fp
+        FROM documents WHERE doc_id % 3 <> 0
+    ), batch AS (
+        SELECT doc_id, lang, md5(lower(trim(text))) AS fp
+        FROM documents WHERE doc_id % 3 = 0
+        UNION ALL
+        SELECT doc_id + 1000000, lang, md5(lower(trim(text)))
+        FROM documents WHERE doc_id % 3 <> 0 AND doc_id % 6 = 1
+    ), flagged AS (
+        SELECT b.lang,
+               CASE WHEN c.fp IS NULL THEN 0 ELSE 1 END AS is_dup
+        FROM batch b LEFT JOIN catalog c ON b.fp = c.fp
+    )
+    SELECT lang,
+           count(*) AS n_new,
+           CAST(sum(is_dup) AS BIGINT) AS n_dup_vs_corpus,
+           CAST(sum(1 - is_dup) AS BIGINT) AS n_kept
+    FROM flagged GROUP BY lang
+    """,
+)
+def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup — the operational shape of corpus
+    refresh: a NEW crawl batch is deduplicated against the
+    ALREADY-CURATED corpus without re-reading the corpus text, by
+    anti-joining the batch's content fingerprints (md5 of normalized
+    text, 16 bytes/doc) against the stored fingerprint CATALOG. The
+    fixture splits documents into corpus (doc_id % 3 != 0) and batch
+    (doc_id % 3 == 0), and plants re-crawled copies: every doc_id %
+    6 == 1 corpus document reappears in the batch under a new id and
+    must be flagged as a duplicate.
+
+    Exact oracle (md5 agrees across engines). Scale shape: the catalog
+    is fingerprint-only — at 100 TB it's ~0.02% of corpus bytes, a
+    bucketed table in practice; the join shuffles 16-byte keys, and a
+    bloom pre-filter (``layout_runtime_bloom_filter`` pattern) drops
+    the non-duplicate majority before the shuffle. Left-join with an
+    explicit dup flag here so kept AND flagged counts are both
+    value-checked (an anti-join alone would only evidence the kept
+    side)."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.encode(F.lower(F.trim("text")), "UTF-8"))
+    catalog = (
+        docs.where(F.col("doc_id") % 3 != 0).select(fp.alias("fp")).distinct()
+    )
+    batch = (
+        docs.where(F.col("doc_id") % 3 == 0)
+        .select("doc_id", "lang", fp.alias("fp"))
+        .unionAll(
+            docs.where(
+                (F.col("doc_id") % 3 != 0) & (F.col("doc_id") % 6 == 1)
+            ).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                "lang",
+                fp.alias("fp"),
+            )
+        )
+    )
+    flagged = batch.join(
+        catalog.withColumn("is_dup", F.lit(1)), "fp", "left"
+    ).select("lang", F.coalesce("is_dup", F.lit(0)).alias("is_dup"))
+    return flagged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_new"),
+        F.sum("is_dup").cast("bigint").alias("n_dup_vs_corpus"),
+        F.sum(1 - F.col("is_dup")).cast("bigint").alias("n_kept"),
+    )

@@ -51,8 +51,8 @@ _PRIORITY = (
     "stream_collectd_pipeline",
     "stream_sfx_v1_pipeline",
     "events_theta_rollup",
-    "text_minhash_content_defined",
-    "pipeline_quality_dedup_join",
+    "dedup_cdc_chunks",
+    "dedup_incremental_ingest",
     # --- evidence rotation: the r1-only cohort (latest green row is
     # --- CORRECTNESS_r01, five rounds of churn ago). Listed in full;
     # --- the driver records the first 50 registry rows, so whatever
