@@ -94,49 +94,37 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
-def encode_png(pixels, row_filters=None, palette=None) -> bytes:
-    """numpy uint8 array → 8-bit PNG (RFC 2083 / ISO 15948 subset).
+# Adam7 pass geometry (ISO/IEC 15948 §8.2): (x_start, y_start, x_step, y_step)
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
 
-    Shapes: (H, W) gray; (H, W, 2) gray+alpha; (H, W, 3) RGB;
-    (H, W, 4) RGBA; (H, W) index array with ``palette`` (P×3 uint8) →
-    color type 3. ``row_filters``: per-row filter ids 0–4 (default all
-    0) — the encoder applies the REAL filter math, so a decoder
-    round-trip exercises Sub/Up/Average/Paeth, not just None."""
-    import struct
-    import zlib
 
+def _filter_scanlines(byte_rows, byte_bpp: int, filters) -> bytes:
+    """(rows, stride) uint8 byte image → PNG filtered scanline stream
+    (one filter-id byte + ``stride`` filtered bytes per row). Filter
+    math is byte-wise per the spec — the same code serves 8-bit and
+    16-bit images because ``byte_bpp`` is the BYTES-per-pixel offset."""
     import numpy as np
 
-    px = np.asarray(pixels, dtype=np.uint8)
-    if palette is not None:
-        color_type, data = 3, px[:, :, None]
-    elif px.ndim == 2:
-        color_type, data = 0, px[:, :, None]
-    else:
-        color_type = {2: 4, 3: 2, 4: 6}[px.shape[2]]
-        data = px
-    h, w = data.shape[:2]
-    bpp = data.shape[2]
-    filters = row_filters or [0] * h
-    if len(filters) != h:
-        raise ValueError("row_filters must have one entry per row")
+    h, stride = byte_rows.shape
     if not any(filters):  # all-None rows: one vectorized prepend
-        flat = data.reshape(h, w * bpp)
-        scan = np.hstack([np.zeros((h, 1), np.uint8), flat]).tobytes()
-        ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
-        body = _png_chunk(b"IHDR", ihdr)
-        if palette is not None:
-            body += _png_chunk(b"PLTE", np.asarray(palette, np.uint8).tobytes())
-        body += _png_chunk(b"IDAT", zlib.compress(scan))
-        body += _png_chunk(b"IEND", b"")
-        return PNG_MAGIC + body
-    raw = data.reshape(h, w * bpp).astype(np.int16)
-    prev = np.zeros(w * bpp, dtype=np.int16)
+        return np.hstack(
+            [np.zeros((h, 1), np.uint8), byte_rows]
+        ).tobytes()
+    raw = byte_rows.astype(np.int16)
+    prev = np.zeros(stride, dtype=np.int16)
     out = bytearray()
     for y in range(h):
         cur = raw[y]
-        left = np.concatenate([np.zeros(bpp, np.int16), cur[:-bpp]])
-        upleft = np.concatenate([np.zeros(bpp, np.int16), prev[:-bpp]])
+        left = np.concatenate([np.zeros(byte_bpp, np.int16), cur[:-byte_bpp]])
+        upleft = np.concatenate([np.zeros(byte_bpp, np.int16), prev[:-byte_bpp]])
         f = int(filters[y])
         if f == 0:
             filt = cur
@@ -153,34 +141,152 @@ def encode_png(pixels, row_filters=None, palette=None) -> bytes:
                     for a, b, c in zip(left, prev, upleft)
                 ),
                 dtype=np.int16,
-                count=w * bpp,
+                count=stride,
             )
             filt = cur - pred
         else:
             raise ValueError(f"bad PNG filter {f}")
         out += bytes([f]) + (filt % 256).astype(np.uint8).tobytes()
         prev = cur
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return bytes(out)
+
+
+def _pass_filters(filters, ph: int, base: int):
+    """Resolve the per-pass filter list for interlaced encode: None →
+    all 0, int → that id everywhere, "cycle" → 0..4 cycling by global
+    pass-row index (so a round-trip exercises every filter)."""
+    if filters is None:
+        return [0] * ph
+    if filters == "cycle":
+        return [(base + i) % 5 for i in range(ph)]
+    return [int(filters)] * ph
+
+
+def encode_png(pixels, row_filters=None, palette=None, interlace=False) -> bytes:
+    """numpy array → PNG (RFC 2083 / ISO 15948 subset).
+
+    Shapes: (H, W) gray; (H, W, 2) gray+alpha; (H, W, 3) RGB;
+    (H, W, 4) RGBA; (H, W) index array with ``palette`` (P×3 uint8) →
+    color type 3. dtype uint16 writes a 16-bit-per-sample PNG
+    (big-endian sample bytes); anything else is taken as 8-bit.
+    ``row_filters``: per-row filter ids 0–4 (default all 0) — the
+    encoder applies the REAL filter math, so a decoder round-trip
+    exercises Sub/Up/Average/Paeth, not just None. ``interlace=True``
+    writes Adam7: seven per-pass sub-images, each filtered as its own
+    image (row_filters then takes None, an int, or "cycle")."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(pixels)
+    depth = 16 if px.dtype == np.uint16 else 8
+    px = px.astype(np.uint16 if depth == 16 else np.uint8)
+    if palette is not None:
+        if depth == 16:
+            raise ValueError("palette PNG is 8-bit only")
+        color_type, data = 3, px[:, :, None]
+    elif px.ndim == 2:
+        color_type, data = 0, px[:, :, None]
+    else:
+        color_type = {2: 4, 3: 2, 4: 6}[px.shape[2]]
+        data = px
+    h, w = data.shape[:2]
+    channels = data.shape[2]
+    if depth == 16:  # big-endian sample bytes, per the spec
+        byte_img = (
+            np.stack([(data >> 8) & 0xFF, data & 0xFF], axis=-1)
+            .astype(np.uint8)
+            .reshape(h, w * channels * 2)
+        )
+    else:
+        byte_img = data.astype(np.uint8).reshape(h, w * channels)
+    byte_bpp = channels * (depth // 8)
+    if not interlace:
+        filters = row_filters if row_filters is not None else [0] * h
+        if isinstance(filters, (int, str)):
+            filters = _pass_filters(filters, h, 0)
+        if len(filters) != h:
+            raise ValueError("row_filters must have one entry per row")
+        scan = _filter_scanlines(byte_img, byte_bpp, filters)
+    else:
+        view = byte_img.reshape(h, w, byte_bpp)
+        parts, base = [], 0
+        for x0, y0, xs, ys in _ADAM7:
+            sub = view[y0::ys, x0::xs]
+            ph, pw = sub.shape[:2]
+            if ph == 0 or pw == 0:
+                continue
+            sub2 = np.ascontiguousarray(sub).reshape(ph, pw * byte_bpp)
+            parts.append(
+                _filter_scanlines(sub2, byte_bpp, _pass_filters(row_filters, ph, base))
+            )
+            base += ph
+        scan = b"".join(parts)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, int(bool(interlace)))
     body = _png_chunk(b"IHDR", ihdr)
     if palette is not None:
-        body += _png_chunk(
-            b"PLTE", np.asarray(palette, np.uint8).tobytes()
-        )
-    body += _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+        body += _png_chunk(b"PLTE", np.asarray(palette, np.uint8).tobytes())
+    body += _png_chunk(b"IDAT", zlib.compress(scan))
     body += _png_chunk(b"IEND", b"")
     return PNG_MAGIC + body
+
+
+def _defilter_scanlines(rows, byte_bpp: int):
+    """(h, stride+1) uint8 filtered scanlines → (h, stride) uint8
+    reconstructed bytes. Sub defilters via modular uint8 cumsum per
+    byte lane; Average/Paeth run the sequential recurrence the spec
+    demands."""
+    import numpy as np
+
+    h = rows.shape[0]
+    stride = rows.shape[1] - 1
+    if not rows[:, 0].any():  # every row filter 0: pure slice
+        return np.ascontiguousarray(rows[:, 1:])
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        f = int(rows[y, 0])
+        cur = rows[y, 1:].copy()
+        prev = out[y - 1] if y else np.zeros(stride, np.uint8)
+        if f == 0:
+            rec = cur
+        elif f == 1:  # Sub: per-lane modular prefix sum
+            rec = cur
+            for lane in range(byte_bpp):
+                rec[lane::byte_bpp] = np.cumsum(
+                    cur[lane::byte_bpp], dtype=np.uint8
+                )
+        elif f == 2:
+            rec = cur + prev  # uint8 wraps mod 256
+        elif f == 3:
+            rec = np.zeros(stride, np.uint8)
+            for i in range(stride):
+                left = int(rec[i - byte_bpp]) if i >= byte_bpp else 0
+                rec[i] = (int(cur[i]) + (left + int(prev[i])) // 2) % 256
+        elif f == 4:
+            rec = np.zeros(stride, np.uint8)
+            for i in range(stride):
+                left = int(rec[i - byte_bpp]) if i >= byte_bpp else 0
+                ul = int(prev[i - byte_bpp]) if i >= byte_bpp else 0
+                rec[i] = (int(cur[i]) + _paeth(left, int(prev[i]), ul)) % 256
+        else:
+            raise ValueError(f"bad PNG row filter {f}")
+        out[y] = rec
+    return out
 
 
 def decode_png(content: bytes):
     """REAL PNG decode, stdlib-only: chunk walk → zlib inflate →
     per-row defilter (None/Sub/Up/Average/Paeth) → channel reshape;
-    palette images expand through PLTE to RGB. Supports the 8-bit
-    non-interlaced profile (all five color types); 16-bit and Adam7
-    raise. Sub defilters via modular uint8 cumsum per byte lane;
-    Average/Paeth run the sequential recurrence the spec demands.
+    palette images expand through PLTE to RGB. Supports 8- AND 16-bit
+    depths (all five color types) and BOTH interlace methods — Adam7
+    streams decode as seven independently-filtered sub-images scattered
+    back on the pass grid (ISO 15948 §8.2). Sub-byte depths (1/2/4-bit)
+    raise. Filtering is byte-wise regardless of depth, so one defilter
+    serves both; 16-bit samples reassemble big-endian afterward.
 
-    Returns (meta, uint8 array): (H, W) for gray, (H, W, C)
-    otherwise."""
+    Returns (meta, array): (H, W) for gray, (H, W, C) otherwise;
+    uint8 for 8-bit, uint16 for 16-bit."""
     import struct
     import zlib
 
@@ -208,62 +314,64 @@ def decode_png(content: bytes):
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     w, h, depth, color_type, comp, filt_method, interlace = ihdr
-    if depth != 8 or comp != 0 or filt_method != 0:
-        raise NotImplementedError("only 8-bit depth PNG decodes in-container")
-    if interlace != 0:
-        raise NotImplementedError("Adam7 interlace not supported")
+    if depth not in (8, 16) or comp != 0 or filt_method != 0:
+        raise NotImplementedError(
+            "sub-byte PNG depths (1/2/4-bit) do not decode in-container"
+        )
     if color_type not in _PNG_CHANNELS:
         raise ValueError(f"bad PNG color type {color_type}")
-    bpp = _PNG_CHANNELS[color_type]
-    stride = w * bpp
+    if depth == 16 and color_type == 3:
+        raise ValueError("16-bit palette PNG is not legal")
+    if interlace not in (0, 1):
+        raise ValueError(f"bad PNG interlace method {interlace}")
+    channels = _PNG_CHANNELS[color_type]
+    byte_bpp = channels * (depth // 8)
     raw = zlib.decompress(bytes(idat))
-    if len(raw) != h * (stride + 1):
-        raise ValueError("PNG IDAT length mismatch")
-    rows = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
-    if not rows[:, 0].any():  # every row filter 0: pure slice
-        out = np.ascontiguousarray(rows[:, 1:])
-        return _png_reshape(out, color_type, plte, h, w, bpp)
-    out = np.zeros((h, stride), dtype=np.uint8)
-    for y in range(h):
-        f = int(rows[y, 0])
-        cur = rows[y, 1:].copy()
-        prev = out[y - 1] if y else np.zeros(stride, np.uint8)
-        if f == 0:
-            rec = cur
-        elif f == 1:  # Sub: per-lane modular prefix sum
-            rec = cur
-            for lane in range(bpp):
-                rec[lane::bpp] = np.cumsum(cur[lane::bpp], dtype=np.uint8)
-        elif f == 2:
-            rec = cur + prev  # uint8 wraps mod 256
-        elif f == 3:
-            rec = np.zeros(stride, np.uint8)
-            for i in range(stride):
-                left = int(rec[i - bpp]) if i >= bpp else 0
-                rec[i] = (int(cur[i]) + (left + int(prev[i])) // 2) % 256
-        elif f == 4:
-            rec = np.zeros(stride, np.uint8)
-            for i in range(stride):
-                left = int(rec[i - bpp]) if i >= bpp else 0
-                ul = int(prev[i - bpp]) if i >= bpp else 0
-                rec[i] = (int(cur[i]) + _paeth(left, int(prev[i]), ul)) % 256
-        else:
-            raise ValueError(f"bad PNG row filter {f}")
-        out[y] = rec
-    return _png_reshape(out, color_type, plte, h, w, bpp)
+    if interlace == 0:
+        stride = w * byte_bpp
+        if len(raw) != h * (stride + 1):
+            raise ValueError("PNG IDAT length mismatch")
+        rows = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+        img = _defilter_scanlines(rows, byte_bpp)
+    else:
+        img = np.zeros((h, w * byte_bpp), np.uint8)
+        view = img.reshape(h, w, byte_bpp)
+        off = 0
+        for x0, y0, xs, ys in _ADAM7:
+            pw = (w - x0 + xs - 1) // xs if w > x0 else 0
+            ph = (h - y0 + ys - 1) // ys if h > y0 else 0
+            if pw == 0 or ph == 0:
+                continue
+            stride_p = pw * byte_bpp
+            n = ph * (stride_p + 1)
+            if off + n > len(raw):
+                raise ValueError("PNG IDAT length mismatch (interlaced)")
+            rows = np.frombuffer(raw, np.uint8, n, off).reshape(ph, stride_p + 1)
+            off += n
+            view[y0::ys, x0::xs] = _defilter_scanlines(rows, byte_bpp).reshape(
+                ph, pw, byte_bpp
+            )
+        if off != len(raw):
+            raise ValueError("PNG IDAT length mismatch (interlaced)")
+    if depth == 16:  # big-endian byte pairs → uint16 samples
+        b = img.reshape(h, w, channels, 2).astype(np.uint16)
+        samples = (b[..., 0] << 8) | b[..., 1]
+    else:
+        samples = img.reshape(h, w, channels)
+    return _png_reshape(samples, color_type, plte, h, w)
 
 
-def _png_reshape(out, color_type, plte, h, w, bpp):
+def _png_reshape(samples, color_type, plte, h, w):
     import numpy as np
 
     if color_type == 3:
         if plte is None:
             raise ValueError("palette PNG missing PLTE")
-        px = plte[out.reshape(h, w)]
-    elif bpp == 1:
-        px = out.reshape(h, w)
+        px = plte[samples.reshape(h, w)]
+    elif samples.shape[2] == 1:
+        px = samples.reshape(h, w)
     else:
-        px = out.reshape(h, w, bpp)
+        px = samples
     meta = {
         "media_type": "image",
         "format": "png",
