@@ -5,9 +5,10 @@ needs (r5 VERDICT "What's missing" #4). Implements the baseline DCT
 profile of ITU-T T.81 (public spec): SOI/APP0/DQT/SOF0/DHT/SOS/EOI
 marker framing, 8×8 forward/inverse DCT, quantization, zigzag, DC
 DPCM + AC run-length over canonical Huffman codes, 0xFF byte
-stuffing, grayscale and YCbCr 4:4:4 / 4:2:0. NOT supported (raise):
-progressive (SOF2), arithmetic coding, restart intervals (DRI),
-12-bit precision.
+stuffing, restart intervals (DRI + RSTn resync with DC-predictor
+reset, both directions), grayscale and YCbCr 4:4:4 / 4:2:0. NOT
+supported (raise): progressive (SOF2), arithmetic coding, 12-bit
+precision.
 
 The encoder declares its OWN canonical Huffman tables in DHT (one
 4-bit-code table for the 12 DC size classes, one 8-bit-code table
@@ -179,12 +180,18 @@ def encode_jpeg(
     quant_luma=None,
     quant_chroma=None,
     subsampling: str = "444",
+    restart_interval: int = 0,
 ) -> bytes:
     """numpy uint8 (H, W) gray or (H, W, 3) RGB → baseline JFIF bytes.
 
     Default quant tables are ALL ONES (maximum fidelity; flat blocks
     become bit-exact). Pass 8×8 integer tables for real compression.
-    ``subsampling``: '444' or '420' (RGB only)."""
+    ``subsampling``: '444' or '420' (RGB only). ``restart_interval``
+    > 0 writes a DRI segment and splits the entropy stream with RSTn
+    markers every that-many MCUs (T.81 §B.2.4.4 / §E.1.4): each
+    segment byte-aligns with 1-padding, the marker index cycles D0–D7,
+    and DC predictors reset — the resync structure real encoders emit
+    so corrupt streams lose one interval, not the image."""
     px = np.asarray(pixels, dtype=np.uint8)
     gray = px.ndim == 2
     ql = np.ones((8, 8), np.uint16) if quant_luma is None else np.asarray(
@@ -238,6 +245,8 @@ def encode_jpeg(
     out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
     out += _dht_segment(0, 0, _DC_BITS, _DC_VALS)
     out += _dht_segment(1, 0, _AC_BITS, _AC_VALS)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     sos = bytes([ncomp])
     for ci in range(ncomp):
         sos += bytes([ci + 1, 0x00])  # DC table 0, AC table 0 for all
@@ -260,8 +269,17 @@ def encode_jpeg(
         )
     writer = _BitWriter()
     prev_dc = [0] * len(planes)
+    mcu_i = 0
+    n_restarts = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                out += writer.flush()  # byte-align with 1-padding
+                out += bytes([0xFF, 0xD0 + n_restarts % 8])
+                n_restarts += 1
+                writer = _BitWriter()
+                prev_dc = [0] * len(planes)
+            mcu_i += 1
             for ci, plane in enumerate(padded):
                 hs, vs = sampling[ci]
                 for by in range(vs):
@@ -322,6 +340,20 @@ class _BitReader:
         self._acc &= (1 << self._nbits) - 1
         return v
 
+    def restart(self, expect_m: int) -> None:
+        """Byte-align (discard the segment's 1-padding bits — always
+        < 8 remain buffered) and consume the RSTn marker, checking its
+        index cycles as T.81 §E.1.4 requires."""
+        self._acc = 0
+        self._nbits = 0
+        if (
+            self.pos + 2 > len(self.data)
+            or self.data[self.pos] != 0xFF
+            or self.data[self.pos + 1] != 0xD0 + expect_m
+        ):
+            raise ValueError("expected RST marker at restart interval")
+        self.pos += 2
+
 
 class _HuffTable:
     """Canonical Huffman decode table. Single-length tables (what our
@@ -378,13 +410,15 @@ def decode_jpeg(content: bytes):
 
     Parses whatever DQT/DHT tables the stream declares (Annex K or
     otherwise); supports grayscale and 3-component YCbCr with 4:4:4 or
-    4:2:0 sampling. Progressive, arithmetic, DRI and 12-bit raise."""
+    4:2:0 sampling, and restart intervals (DRI → RSTn resync with DC
+    reset). Progressive, arithmetic and 12-bit raise."""
     if content[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}
     frame = None
+    restart_interval = 0
     n = len(content)
     while pos + 4 <= n:
         if content[pos] != 0xFF:
@@ -443,8 +477,8 @@ def decode_jpeg(content: bytes):
             frame = (fh, fw, comps)
         elif marker == 0xC2:
             raise NotImplementedError("progressive JPEG not supported")
-        elif marker == 0xDD:
-            raise NotImplementedError("restart intervals not supported")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("SOS before SOF")
@@ -454,13 +488,14 @@ def decode_jpeg(content: bytes):
                 cs, tdta = body[1 + 2 * si], body[2 + 2 * si]
                 scan_tables[cs] = (tdta >> 4, tdta & 0xF)
             return _decode_scan(
-                content, pos, frame, scan_tables, qt, huff
+                content, pos, frame, scan_tables, qt, huff,
+                restart_interval,
             )
         # all other markers (APPn, COM): skipped
     raise ValueError("no SOS marker found")
 
 
-def _decode_scan(content, pos, frame, scan_tables, qt, huff):
+def _decode_scan(content, pos, frame, scan_tables, qt, huff, restart_interval=0):
     fh, fw, comps = frame
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
@@ -480,8 +515,15 @@ def _decode_scan(content, pos, frame, scan_tables, qt, huff):
         )
     reader = _BitReader(content, pos)
     prev_dc = [0] * len(comps)
+    mcu_i = 0
+    n_restarts = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                reader.restart(n_restarts % 8)
+                n_restarts += 1
+                prev_dc = [0] * len(comps)
+            mcu_i += 1
             for ci, (cid, hs, vs, tq) in enumerate(comps):
                 td, ta = scan_tables[cid]
                 dc_tab, ac_tab = huff[(0, td)], huff[(1, ta)]

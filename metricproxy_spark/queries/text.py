@@ -432,6 +432,110 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_decode_png16",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id,
+               4 + doc_id % 13 AS w,
+               3 + doc_id % 7  AS h,
+               doc_id % 50     AS c
+        FROM documents
+    ), sums AS (
+        SELECT doc_id, w, h, c,
+               (w * (w - 1)) // 2 AS sx,
+               (h * (h - 1)) // 2 AS sy
+        FROM dims
+    )
+    SELECT doc_id,
+           'png' AS fmt,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN h * w
+                     ELSE 3 * h * w END AS BIGINT) AS n_samples,
+           CAST(256 * h * sx + 513 * w * sy + 1000 * w * h * c
+                + CASE WHEN doc_id % 2 = 0 THEN 0
+                       ELSE 655 * w * h * c
+                            + 4000 * w * h + 3 * h * sx + 7 * w * sy
+                  END AS BIGINT) AS px_sum
+    FROM sums
+    """,
+)
+def multimodal_decode_png16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5, the round-7 PNG profile widening driven end-to-end: per-doc
+    16-BIT PNGs written with ADAM7 INTERLACE and row filters cycling
+    all five types per pass sub-image, then decoded by the stdlib-only
+    decoder (seven independently-defiltered passes scattered on the
+    ISO 15948 §8.2 grid, big-endian sample reassembly). Sample values
+    are the 16-bit ramp 256·x + 513·y + 1000·c — far past uint8 range,
+    so a decoder that truncated to 8 bits or mis-ordered sample bytes
+    CANNOT reproduce the sum — and the oracle re-derives the exact
+    integer pixel sum in closed form (gray for even doc_ids; odd adds
+    RGB channels 655·c and 4000 + 3·x + 7·y). Same map-only
+    mapInPandas shape as `multimodal_decode_png`; at 100 TB this is
+    the decode stage over archival/scientific imagery, where 16-bit
+    and interlaced files are common."""
+    import numpy as np
+    import pandas as pd
+
+    from metricproxy_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth_and_decode(batches):
+        for pdf in batches:
+            out = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w, h, c = 4 + i % 13, 3 + i % 7, i % 50
+                x = np.arange(w, dtype=np.int64)[None, :]
+                y = np.arange(h, dtype=np.int64)[:, None]
+                ramp = (256 * x + 513 * y + 1000 * c).astype(np.uint16)
+                if i % 2 == 0:
+                    px = ramp
+                else:
+                    px = np.stack(
+                        [
+                            ramp,
+                            np.full((h, w), 655 * c, np.uint16),
+                            (4000 + 3 * x + 7 * y).astype(np.uint16),
+                        ],
+                        axis=2,
+                    )
+                blob = encode_png(px, row_filters="cycle", interlace=True)
+                meta, back = decode_png(blob)
+                out.append(
+                    (
+                        i,
+                        meta["format"],
+                        meta["width"],
+                        meta["height"],
+                        int(back.size),
+                        int(back.sum(dtype=np.int64)),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id",
+                    "fmt",
+                    "width",
+                    "height",
+                    "n_samples",
+                    "px_sum",
+                ],
+            )
+
+    return docs.mapInPandas(
+        synth_and_decode,
+        "doc_id long, fmt string, width int, height int,"
+        " n_samples long, px_sum long",
+    )
+
+
+@register(
     "multimodal_decode_jpeg",
     oracle="""
     WITH dims AS (
@@ -512,6 +616,91 @@ def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_and_decode,
         "doc_id long, fmt string, width int, height int,"
         " n_samples long, px_sum long",
+    )
+
+
+@register(
+    "multimodal_decode_jpeg_dri",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id,
+               2 + doc_id % 5 AS wb,
+               2 + doc_id % 3 AS hb,
+               doc_id % 100   AS c,
+               1 + doc_id % 5 AS ri
+        FROM documents
+        WHERE doc_id % 3 = 0
+    )
+    SELECT doc_id,
+           CAST(8 * wb AS INT) AS width,
+           CAST(8 * hb AS INT) AS height,
+           CAST((wb * hb - 1) // ri AS INT) AS n_rst,
+           CAST(64 * (hb * ((wb * (wb - 1)) // 2)
+                      + 2 * wb * ((hb * (hb - 1)) // 2)
+                      + wb * hb * c) AS BIGINT) AS px_sum
+    FROM dims
+    """,
+)
+def multimodal_decode_jpeg_dri(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5, round-7 JPEG profile widening: restart intervals (DRI +
+    RSTn, T.81 §B.2.4.4/§E.1.4) driven end-to-end. Per-doc baseline
+    JPEGs in the bit-exact piecewise-flat regime are encoded with a
+    PER-DOC restart interval (1 + doc_id % 5 MCUs), decoded back, and
+    the query emits BOTH the exact integer pixel sum (proves resync +
+    DC-predictor reset decode the stream correctly — a decoder that
+    missed the reset would corrupt every post-RST DC level) AND the
+    RST-marker count literally scanned from the wire bytes after SOS
+    (proves the encoder really segments the stream; the oracle derives
+    it as ⌊(MCUs−1)/interval⌋ in closed form). Map-only mapInPandas,
+    same 100 TB shape as the other codec stages."""
+    import numpy as np
+    import pandas as pd
+
+    from metricproxy_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") % 3 == 0)
+    )
+
+    def synth_and_decode(batches):
+        for pdf in batches:
+            out = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                wb, hb, c = 2 + i % 5, 2 + i % 3, i % 100
+                ri = 1 + i % 5
+                px = np.zeros((8 * hb, 8 * wb), np.uint8)
+                for by in range(hb):
+                    for bx in range(wb):
+                        px[
+                            8 * by : 8 * by + 8, 8 * bx : 8 * bx + 8
+                        ] = bx + 2 * by + c
+                blob = encode_jpeg(px, restart_interval=ri)
+                meta, back = decode_jpeg(blob)
+                scan = blob[blob.index(b"\xff\xda") :]
+                n_rst = sum(
+                    scan[k] == 0xFF and 0xD0 <= scan[k + 1] <= 0xD7
+                    for k in range(len(scan) - 1)
+                )
+                out.append(
+                    (
+                        i,
+                        meta["width"],
+                        meta["height"],
+                        int(n_rst),
+                        int(back.sum(dtype=np.int64)),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "width", "height", "n_rst", "px_sum"],
+            )
+
+    return docs.mapInPandas(
+        synth_and_decode,
+        "doc_id long, width int, height int, n_rst int, px_sum long",
     )
 
 

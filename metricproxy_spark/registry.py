@@ -53,6 +53,8 @@ _PRIORITY = (
     "events_theta_rollup",
     "dedup_cdc_chunks",
     "dedup_incremental_ingest",
+    "multimodal_decode_png16",
+    "multimodal_decode_jpeg_dri",
     # --- evidence rotation: the r1-only cohort (latest green row is
     # --- CORRECTNESS_r01, five rounds of churn ago). Listed in full;
     # --- the driver records the first 50 registry rows, so whatever

@@ -81,12 +81,59 @@ class TestProfileErrors:
         with pytest.raises(NotImplementedError):
             decode_jpeg(bytes(blob))
 
-    def test_dri_raises(self):
-        blob = encode_jpeg(np.zeros((8, 8), np.uint8))
+    def test_foreign_dri_with_no_rst_decodes(self):
+        # a foreign stream may declare DRI but fit inside one interval
+        # (no RST markers ever emitted) — must decode, not raise
+        blob = encode_jpeg(np.full((8, 8), 55, np.uint8))
         i = blob.find(b"\xff\xda")
         dri = b"\xff\xdd\x00\x04\x00\x08"
-        with pytest.raises(NotImplementedError):
-            decode_jpeg(blob[:i] + dri + blob[i:])
+        _, px = decode_jpeg(blob[:i] + dri + blob[i:])
+        assert (px == 55).all()
+
+
+class TestRestartIntervals:
+    """DRI/RSTn (T.81 §B.2.4.4, §E.1.4): encoder splits the entropy
+    stream every N MCUs with byte-aligned RST markers + DC-predictor
+    reset; decoder resyncs and verifies the D0–D7 cycle."""
+
+    def test_flat_regime_bit_exact_across_intervals(self):
+        for wb, hb in [(4, 3), (1, 1), (5, 2)]:
+            px = np.zeros((8 * hb, 8 * wb), np.uint8)
+            for by in range(hb):
+                for bx in range(wb):
+                    px[8 * by : 8 * by + 8, 8 * bx : 8 * bx + 8] = (
+                        10 * bx + 20 * by + 30
+                    )
+            for ri in (0, 1, 2, 3, 7, 100):
+                blob = encode_jpeg(px, restart_interval=ri)
+                _, back = decode_jpeg(blob)
+                assert np.array_equal(back, px), (wb, hb, ri)
+                if ri and wb * hb > ri:
+                    assert b"\xff\xdd" in blob and b"\xff\xd0" in blob
+
+    def test_restarts_do_not_change_decoded_pixels(self):
+        rng = np.random.default_rng(3)
+        px = rng.integers(0, 256, (24, 40, 3), dtype=np.uint8)
+        for sub in ("444", "420"):
+            base = decode_jpeg(encode_jpeg(px, subsampling=sub))[1]
+            for ri in (1, 2, 5):
+                seg = decode_jpeg(
+                    encode_jpeg(px, subsampling=sub, restart_interval=ri)
+                )[1]
+                assert np.array_equal(base, seg), (sub, ri)
+
+    def test_rst_index_cycles_past_d7(self):
+        px = np.full((8, 8 * 20), 77, np.uint8)  # 20 MCUs, 19 restarts
+        blob = encode_jpeg(px, restart_interval=1)
+        assert blob.count(b"\xff\xd0") >= 2  # D0 again after D7
+        assert np.array_equal(decode_jpeg(blob)[1], px)
+
+    def test_out_of_sequence_rst_raises(self):
+        px = np.full((8, 8 * 20), 77, np.uint8)
+        blob = encode_jpeg(px, restart_interval=1)
+        i = blob.index(b"\xff\xd3")
+        with pytest.raises(ValueError):
+            decode_jpeg(blob[:i] + b"\xff\xd5" + blob[i + 2 :])
 
 
 class TestStreamTables:
