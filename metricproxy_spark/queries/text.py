@@ -705,6 +705,98 @@ def multimodal_decode_jpeg_dri(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_decode_jpeg_progressive",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id,
+               1 + doc_id % 4 AS wb,
+               1 + doc_id % 3 AS hb,
+               doc_id % 100   AS c
+        FROM documents
+        WHERE doc_id % 4 = 1
+    )
+    SELECT doc_id,
+           CAST(8 * wb AS INT) AS width,
+           CAST(8 * hb AS INT) AS height,
+           CAST(4 + 2 * CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 0 END
+                AS INT) AS n_scans,
+           CAST(64 * (hb * ((wb * (wb - 1)) // 2)
+                      + 2 * wb * ((hb * (hb - 1)) // 2)
+                      + wb * hb * c) AS BIGINT) AS px_sum
+    FROM dims
+    """,
+)
+def multimodal_decode_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5, round-7: PROGRESSIVE JPEG (SOF2, T.81 Annex G) driven
+    end-to-end. Per-doc piecewise-flat images are encoded with the
+    four-stage progressive scan script (interleaved DC first at Al=1
+    → per-component AC first → DC refinement → AC refinement, i.e.
+    spectral selection AND successive approximation, EOBRUN and
+    correction bits all on the wire) and decoded by the
+    scan-accumulating decoder. In the flat + unit-quant regime the
+    quantized coefficients are identical to baseline's, so the decode
+    is bit-exact and the oracle re-derives the integer pixel sum in
+    closed form; the query also emits the SOS count scanned from the
+    wire (4 scans for gray, 8 = 2 + 3·2 for three-component YCbCr)
+    proving the stream really is multi-scan. Map-only mapInPandas."""
+    import numpy as np
+    import pandas as pd
+
+    from metricproxy_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") % 4 == 1)
+    )
+
+    def synth_and_decode(batches):
+        for pdf in batches:
+            out = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                wb, hb, c = 1 + i % 4, 1 + i % 3, i % 100
+                flat = np.zeros((8 * hb, 8 * wb), np.uint8)
+                for by in range(hb):
+                    for bx in range(wb):
+                        flat[
+                            8 * by : 8 * by + 8, 8 * bx : 8 * bx + 8
+                        ] = bx + 2 * by + c
+                if i % 2 == 0:
+                    px = np.stack([flat, flat, flat], axis=2)
+                else:
+                    px = flat
+                blob = encode_jpeg_progressive(px)
+                meta, back = decode_jpeg(blob)
+                gray_sum = (
+                    int(back.sum(dtype=np.int64)) // 3
+                    if back.ndim == 3
+                    else int(back.sum(dtype=np.int64))
+                )
+                out.append(
+                    (
+                        i,
+                        meta["width"],
+                        meta["height"],
+                        int(blob.count(b"\xff\xda")),
+                        gray_sum,
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "width", "height", "n_scans", "px_sum"],
+            )
+
+    return docs.mapInPandas(
+        synth_and_decode,
+        "doc_id long, width int, height int, n_scans int, px_sum long",
+    )
+
+
+@register(
     "multimodal_decode_video",
     oracle="""
     WITH dims AS (

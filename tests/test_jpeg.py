@@ -74,11 +74,14 @@ class TestProfileErrors:
         with pytest.raises(ValueError):
             decode_jpeg(b"\x89PNG")
 
-    def test_progressive_raises(self):
+    def test_baseline_scan_header_invalid_for_progressive(self):
+        # rewriting SOF0 → SOF2 leaves a baseline scan header
+        # (Ss=0, Se=63) that is illegal in progressive mode — the
+        # decoder must reject it rather than desync
         blob = bytearray(encode_jpeg(np.zeros((8, 8), np.uint8)))
         i = bytes(blob).find(b"\xff\xc0")
-        blob[i + 1] = 0xC2  # rewrite SOF0 → SOF2
-        with pytest.raises(NotImplementedError):
+        blob[i + 1] = 0xC2
+        with pytest.raises(ValueError):
             decode_jpeg(bytes(blob))
 
     def test_foreign_dri_with_no_rst_decodes(self):
@@ -232,3 +235,60 @@ class TestAviMjpeg:
         assert m1["media_type"] == "video"
         m2, _ = decode_media(encode_wav(np.zeros(100, np.int16)))
         assert m2["media_type"] == "audio"
+
+
+class TestProgressive:
+    """SOF2 progressive (T.81 Annex G). The load-bearing invariant:
+    progressive and baseline encode the SAME quantized coefficients,
+    so their decoded pixels must be bit-identical — any defect in the
+    spectral-selection / successive-approximation scan machinery
+    (EOBRUN, correction bits, DC bit planes) breaks the equality."""
+
+    def test_progressive_equals_baseline_gray_and_color(self):
+        from metricproxy_spark.operators.jpeg import encode_jpeg_progressive
+
+        rng = np.random.default_rng(5)
+        for shape in [(8, 8), (16, 24), (13, 19), (24, 40, 3), (17, 9, 3)]:
+            px = rng.integers(0, 256, shape).astype(np.uint8)
+            for q in (None, np.arange(64).reshape(8, 8) % 16 + 1):
+                base = decode_jpeg(encode_jpeg(px, quant_luma=q))[1]
+                prog = decode_jpeg(
+                    encode_jpeg_progressive(px, quant_luma=q)
+                )[1]
+                assert np.array_equal(base, prog), (shape, q is not None)
+
+    def test_progressive_equals_baseline_420(self):
+        from metricproxy_spark.operators.jpeg import encode_jpeg_progressive
+
+        rng = np.random.default_rng(9)
+        px = rng.integers(0, 256, (24, 40, 3)).astype(np.uint8)
+        base = decode_jpeg(encode_jpeg(px, subsampling="420"))[1]
+        prog = decode_jpeg(encode_jpeg_progressive(px, subsampling="420"))[1]
+        assert np.array_equal(base, prog)
+
+    def test_flat_regime_stays_bit_exact(self):
+        from metricproxy_spark.operators.jpeg import encode_jpeg_progressive
+
+        px = np.zeros((24, 32), np.uint8)
+        for by in range(3):
+            for bx in range(4):
+                px[8 * by : 8 * by + 8, 8 * bx : 8 * bx + 8] = (
+                    10 * bx + 20 * by + 30
+                )
+        assert np.array_equal(decode_jpeg(encode_jpeg_progressive(px))[1], px)
+
+    def test_wire_really_is_progressive(self):
+        from metricproxy_spark.operators.jpeg import encode_jpeg_progressive
+
+        blob = encode_jpeg_progressive(np.full((16, 16), 200, np.uint8))
+        assert b"\xff\xc2" in blob and b"\xff\xc0" not in blob
+        # gray: 4 scans (DC first, AC first, DC refine, AC refine)
+        assert blob.count(b"\xff\xda") == 4
+
+    def test_decode_media_dispatches_progressive(self):
+        from metricproxy_spark.operators.jpeg import encode_jpeg_progressive
+        from metricproxy_spark.operators.multimodal import decode_media
+
+        px = np.full((8, 8), 42, np.uint8)
+        meta, back = decode_media(encode_jpeg_progressive(px))
+        assert meta["format"] == "jpeg" and np.array_equal(back, px)
