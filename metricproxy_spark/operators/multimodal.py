@@ -432,14 +432,32 @@ def decode_bmp(content: bytes):
     return meta, np.ascontiguousarray(px)
 
 
-def encode_wav(samples, sample_rate: int = 8000) -> bytes:
-    """numpy int16 mono samples → PCM-16 WAV container."""
+def encode_wav(samples, sample_rate: int = 8000, codec: str = "pcm16") -> bytes:
+    """numpy int16 mono samples → WAV container.
+
+    codec: ``pcm16`` (WAVE_FORMAT_PCM=1, 16-bit), ``mulaw``
+    (WAVE_FORMAT_MULAW=7) or ``alaw`` (WAVE_FORMAT_ALAW=6) — the
+    G.711 paths compand the int16 samples to 8-bit codes
+    (`operators/g711.py`), the layout telephony corpora ship in.
+    """
     import struct
 
     import numpy as np
 
-    data = np.asarray(samples, dtype="<i2").tobytes()
-    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    if codec == "pcm16":
+        data = np.asarray(samples, dtype="<i2").tobytes()
+        tag, width = 1, 2
+    elif codec in ("mulaw", "alaw"):
+        from metricproxy_spark.operators import g711
+
+        enc = g711.mulaw_encode if codec == "mulaw" else g711.alaw_encode
+        data = enc(samples).tobytes()
+        tag, width = (7 if codec == "mulaw" else 6), 1
+    else:
+        raise ValueError(f"unknown WAV codec {codec!r}")
+    fmt = struct.pack(
+        "<HHIIHH", tag, 1, sample_rate, sample_rate * width, width, width * 8
+    )
     return (
         b"RIFF"
         + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
@@ -454,7 +472,12 @@ def encode_wav(samples, sample_rate: int = 8000) -> bytes:
 
 
 def decode_wav(content: bytes):
-    """PCM-16 WAV → (meta, int16 sample array); walks RIFF chunks."""
+    """WAV → (meta, int16 sample array); walks RIFF chunks.
+
+    Accepts PCM-16 (fmt tag 1) plus the two G.711 telephony layouts —
+    µ-law (tag 7) and A-law (tag 6), 8-bit codes expanded to linear
+    int16 through `operators/g711.py`.
+    """
     import struct
 
     import numpy as np
@@ -463,6 +486,7 @@ def decode_wav(content: bytes):
         raise ValueError("not a WAV payload")
     pos, end = 12, len(content)
     sample_rate = channels = bits = None
+    audio_fmt = 1
     data = b""
     while pos + 8 <= end:
         cid, size = content[pos : pos + 4], struct.unpack_from("<I", content, pos + 4)[0]
@@ -471,18 +495,29 @@ def decode_wav(content: bytes):
             audio_fmt, channels, sample_rate, _, _, bits = struct.unpack_from(
                 "<HHIIHH", body
             )
-            if audio_fmt != 1 or bits != 16:
-                raise NotImplementedError("only PCM-16 WAV decodes in-container")
+            if not (
+                (audio_fmt == 1 and bits == 16)
+                or (audio_fmt in (6, 7) and bits == 8)
+            ):
+                raise NotImplementedError(
+                    "only PCM-16 / G.711 (mu-law, A-law) WAV decodes in-container"
+                )
         elif cid == b"data":
             data = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if sample_rate is None:
         raise ValueError("WAV missing fmt chunk")
-    samples = np.frombuffer(data, "<i2")
+    if audio_fmt == 1:
+        samples = np.frombuffer(data, "<i2")
+    else:
+        from metricproxy_spark.operators import g711
+
+        dec = g711.mulaw_decode if audio_fmt == 7 else g711.alaw_decode
+        samples = dec(np.frombuffer(data, np.uint8))
     n_frames = len(samples) // (channels or 1)
     meta = {
         "media_type": "audio",
-        "format": "wav",
+        "format": {1: "wav", 6: "wav/alaw", 7: "wav/mulaw"}[audio_fmt],
         "width": None,
         "height": None,
         "duration_ms": n_frames * 1000 // sample_rate,

@@ -3630,3 +3630,90 @@ def pipeline_web_curation_end2end(spark: SparkSession, sf_dir: str) -> DataFrame
         F.sum("n_copies").cast("bigint").alias("n_pages"),
         F.sum("nc").cast("bigint").alias("sum_chars"),
     )
+
+
+@register(
+    "multimodal_decode_g711",
+    oracle="""
+    WITH codes AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'mulaw' ELSE 'alaw' END AS codec,
+               unnest(generate_series(0, 63 + 16 * CAST(doc_id % 4 AS INT))) AS j
+        FROM documents
+    ), dec AS (
+        SELECT doc_id, codec,
+               CAST((7 * doc_id + 13 * j) % 256 AS BIGINT) AS c
+        FROM codes
+    ), v AS (
+        -- closed-form G.711 DECODE per ITU-T G.711: mu-law (after the
+        -- spec's ones-complement) mag = (mant*8+132)*2^exp - 132;
+        -- A-law (after the 0x55 toggle) seg0 mag = mant*16+8, else
+        -- (mant*16+264)*2^(exp-1); A-law sign bit SET = positive.
+        SELECT doc_id, codec,
+               CASE WHEN codec = 'mulaw' THEN
+                 CASE WHEN (255 - c) >= 128
+                      THEN -(((255 - c) % 16) * 8 + 132)
+                           * (1 << (((255 - c) % 128) // 16)) + 132
+                      ELSE (((255 - c) % 16) * 8 + 132)
+                           * (1 << (((255 - c) % 128) // 16)) - 132 END
+               ELSE
+                 CASE WHEN xor(c, 85) >= 128 THEN
+                   CASE WHEN (xor(c, 85) % 128) // 16 = 0
+                        THEN (xor(c, 85) % 16) * 16 + 8
+                        ELSE ((xor(c, 85) % 16) * 16 + 264)
+                             * (1 << ((xor(c, 85) % 128) // 16 - 1)) END
+                 ELSE
+                   -(CASE WHEN (xor(c, 85) % 128) // 16 = 0
+                          THEN (xor(c, 85) % 16) * 16 + 8
+                          ELSE ((xor(c, 85) % 16) * 16 + 264)
+                               * (1 << ((xor(c, 85) % 128) // 16 - 1)) END)
+                 END
+               END AS pcm
+        FROM dec
+    )
+    SELECT doc_id, codec, CAST(COUNT(*) AS INT) AS n_samples,
+           CAST(SUM(pcm) AS BIGINT) AS sum_pcm,
+           CAST(MAX(ABS(pcm)) AS INT) AS peak
+    FROM v GROUP BY doc_id, codec
+    """,
+)
+def multimodal_decode_g711(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5 telephony audio: G.711 mu-law/A-law WAV decode
+    (`operators/g711.py`, WAVE_FORMAT_MULAW=7 / ALAW=6 containers) —
+    the layout call-center / speech corpora ship in. Per doc a code
+    stream (7*doc_id + 13*j) % 256 is expanded to linear PCM, run
+    through the FULL chain encode_wav(codec) -> RIFF parse ->
+    G.711 expand, and summed. Exactness lever: G.711 is IDEMPOTENT
+    (decode(encode(decode(c))) == decode(c), pytest-exhaustive over
+    all 256 codes), so starting from decoded code values makes the
+    whole lossy chain bit-exact, and the oracle reduces decode to its
+    integer closed form in SQL. Map-only Arrow batches at any scale;
+    the decoded sums are pure integers (no float discipline needed).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from metricproxy_spark.operators.g711 import alaw_decode, mulaw_decode
+    from metricproxy_spark.operators.multimodal import decode_wav, encode_wav
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def work(batches):
+        for pdf in batches:
+            out = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                codec = "mulaw" if i % 2 == 0 else "alaw"
+                n = 64 + 16 * (i % 4)
+                codes = ((7 * i + 13 * np.arange(n)) % 256).astype(np.uint8)
+                sig = (mulaw_decode if codec == "mulaw" else alaw_decode)(codes)
+                _meta, s = decode_wav(encode_wav(sig, sample_rate=8000, codec=codec))
+                s64 = s.astype(np.int64)
+                out.append((i, codec, len(s), int(s64.sum()), int(np.abs(s64).max())))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "codec", "n_samples", "sum_pcm", "peak"]
+            )
+
+    return docs.mapInPandas(
+        work, "doc_id long, codec string, n_samples int, sum_pcm long, peak int"
+    )

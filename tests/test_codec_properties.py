@@ -72,3 +72,54 @@ class TestAvroVarint:
             v, pos = _dec_long(buf, pos)
             out.append(v)
         assert out == ns and pos == len(buf)
+
+
+class TestG711Properties:
+    """ITU-T G.711 companding invariants — exhaustive over the full
+    code/sample spaces (they're tiny), plus the WAV container path."""
+
+    def test_mulaw_exhaustive_idempotent(self):
+        from metricproxy_spark.operators.g711 import mulaw_decode, mulaw_encode
+
+        codes = np.arange(256, dtype=np.uint8)
+        v = mulaw_decode(codes)
+        assert int(v.min()) == -32124 and int(v.max()) == 32124
+        assert np.array_equal(mulaw_decode(mulaw_encode(v)), v)
+
+    def test_alaw_exhaustive_idempotent(self):
+        from metricproxy_spark.operators.g711 import alaw_decode, alaw_encode
+
+        codes = np.arange(256, dtype=np.uint8)
+        v = alaw_decode(codes)
+        assert int(v.min()) == -32256 and int(v.max()) == 32256
+        assert np.array_equal(alaw_decode(alaw_encode(v)), v)
+
+    def test_full_range_error_bound_and_monotone(self):
+        from metricproxy_spark.operators import g711
+
+        x = np.arange(-32767, 32768, dtype=np.int32)
+        for enc, dec in (
+            (g711.mulaw_encode, g711.mulaw_decode),
+            (g711.alaw_encode, g711.alaw_decode),
+        ):
+            y = dec(enc(x)).astype(np.int64)
+            err = np.abs(y - x)
+            # segmented quantizer: ~6% relative past the small-signal floor
+            assert (err <= np.maximum(np.abs(x), 1) / 16 + 40).all()
+            xm = np.arange(0, 32768)
+            dm = dec(enc(xm)).astype(np.int64)
+            assert (np.diff(dm) >= 0).all()
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.integers(0, 2**31 - 1), st.sampled_from(["mulaw", "alaw"]))
+    def test_wav_container_roundtrip(self, seed, codec):
+        from metricproxy_spark.operators import g711
+        from metricproxy_spark.operators.multimodal import decode_wav, encode_wav
+
+        dec = g711.mulaw_decode if codec == "mulaw" else g711.alaw_decode
+        rng = np.random.default_rng(seed)
+        sig = dec(rng.integers(0, 256, rng.integers(1, 400), dtype=np.uint8))
+        meta, s = decode_wav(encode_wav(sig, sample_rate=8000, codec=codec))
+        assert np.array_equal(s, sig)
+        assert meta["format"] == f"wav/{codec}"
+        assert meta["duration_ms"] == len(sig) * 1000 // 8000
