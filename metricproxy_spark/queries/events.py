@@ -2006,3 +2006,100 @@ def events_seasonal_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_outliers",
         )
     )
+
+
+@register(
+    "events_autocorrelation",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               {dsum_sql('value')} AS v
+        FROM events GROUP BY 1, 2
+    ), lagged AS (
+        SELECT event_type, v,
+               lag(v, 1) OVER w AS l1,
+               lag(v, 2) OVER w AS l2,
+               lag(v, 3) OVER w AS l3
+        FROM hourly
+        WINDOW w AS (PARTITION BY event_type ORDER BY h)
+    ), pairs AS (
+        SELECT event_type, 1 AS lag_hours, v AS x, l1 AS y
+        FROM lagged WHERE l1 IS NOT NULL
+        UNION ALL
+        SELECT event_type, 2, v, l2 FROM lagged WHERE l2 IS NOT NULL
+        UNION ALL
+        SELECT event_type, 3, v, l3 FROM lagged WHERE l3 IS NOT NULL
+    ), sums AS (
+        SELECT event_type, lag_hours, count(*) AS n,
+               CAST(SUM(CAST(x AS DECIMAL(27,4))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(y AS DECIMAL(27,4))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(x AS DECIMAL(27,4)) * CAST(y AS DECIMAL(27,4))) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(x AS DECIMAL(27,4)) * CAST(x AS DECIMAL(27,4))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(y AS DECIMAL(27,4)) * CAST(y AS DECIMAL(27,4))) AS DOUBLE) AS syy
+        FROM pairs GROUP BY 1, 2
+    )
+    SELECT event_type, CAST(lag_hours AS INT) AS lag_hours,
+           CAST(n AS BIGINT) AS n,
+           (n * sxy - sx * sy)
+           / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS acf
+    FROM sums
+    """,
+)
+def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function (lags 1-3 h) of each per-type hourly
+    series — the seasonality/memory diagnostic behind "is this metric
+    periodic, trending, or white noise" and the standard pre-check
+    before fitting the Holt/Holt-Winters family. Defined over the
+    OBSERVED hourly sequence (row-based lag, identical ordering in
+    both engines), correlating (x_t, x_{{t-k}}) as a Pearson over the
+    five decimal-exact power sums — same exactness machinery as
+    `events_series_correlation`: the hourly inputs are 4dp-exact
+    doubles, products are 8dp-exact decimals, and the final acf is one
+    fixed IEEE expression over identical operands. Scale: one hourly
+    rollup bounds everything downstream to |types|·hours rows; the lag
+    window partitions by type (no global sort) and the final agg is
+    map-side combinable."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(dsum("value").alias("v"))
+    w = Window.partitionBy("event_type").orderBy("h")
+    lagged = hourly.select(
+        "event_type",
+        "v",
+        F.lag("v", 1).over(w).alias("l1"),
+        F.lag("v", 2).over(w).alias("l2"),
+        F.lag("v", 3).over(w).alias("l3"),
+    )
+    pairs = None
+    for k in (1, 2, 3):
+        p = lagged.where(F.col(f"l{k}").isNotNull()).select(
+            "event_type",
+            F.lit(k).alias("lag_hours"),
+            F.col("v").alias("x"),
+            F.col(f"l{k}").alias("y"),
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    dec = lambda c: F.col(c).cast("decimal(27,4)")
+    sums = pairs.groupBy("event_type", "lag_hours").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("x")).cast("double").alias("sx"),
+        F.sum(dec("y")).cast("double").alias("sy"),
+        F.sum(dec("x") * dec("y")).cast("double").alias("sxy"),
+        F.sum(dec("x") * dec("x")).cast("double").alias("sxx"),
+        F.sum(dec("y") * dec("y")).cast("double").alias("syy"),
+    )
+    acf = (
+        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ) / F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return sums.select(
+        "event_type",
+        F.col("lag_hours").cast("int").alias("lag_hours"),
+        F.col("n").cast("bigint").alias("n"),
+        acf.alias("acf"),
+    )

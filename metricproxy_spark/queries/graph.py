@@ -370,3 +370,89 @@ def graph_khop_reach_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             "est_peer_suppliers"
         ),
     )
+
+
+_SSSP_HOPS = 3
+
+
+def _sssp_oracle() -> str:
+    hop = """
+    d{n} AS (
+        SELECT node, CAST(MIN(dist) AS BIGINT) AS dist FROM (
+            SELECT node, dist FROM d{p}
+            UNION ALL
+            SELECT e.dst AS node, d.dist + 1 AS dist
+            FROM edges e JOIN d{p} d ON e.src = d.node
+        ) GROUP BY node
+    )"""
+    chain = ",".join(hop.format(n=i + 1, p=i) for i in range(_SSSP_HOPS))
+    return f"""
+    WITH half AS (
+        SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ), edges AS (
+        SELECT src, dst FROM half
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM half
+    ), d0 AS (
+        SELECT DISTINCT dst AS node, CAST(0 AS BIGINT) AS dist
+        FROM half WHERE (dst - 1) // 2 % 10 = 1
+    ), {chain}
+    SELECT node AS node_id,
+           CAST(node % 2 AS INT) AS is_supplier,
+           CAST(dist AS INT) AS hops
+    FROM d{_SSSP_HOPS}
+    """
+
+
+@register("graph_sssp_hops", oracle=_sssp_oracle())
+def graph_sssp_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distance (unweighted SSSP) on the
+    customer<->supplier trade graph — the frontier-expansion primitive
+    under reachability audits and blast-radius queries. Seeds are the
+    suppliers with suppkey % 10 == 1; each of the 3 bounded rounds
+    relaxes dist(v) = min(dist(v), min over in-edges of dist(u)+1) as
+    one edge⋈dist join plus one MIN agg — the Pregel iteration shape
+    expressed as vanilla DataFrame ops. Distances are small integers,
+    so the per-node result is oracle-EXACT (chained CTEs replay the
+    same rounds in DuckDB).
+
+    Scale shape: the edge list is shuffled ONCE into its join layout
+    and persisted; every round touches it with a single hash join
+    against the node-sized dist table and a map-side-combinable MIN —
+    no collect, no per-node adjacency lists, frontier never leaves the
+    cluster. Shuffle-partition scope pinned for the ~node-sized loop
+    stages (same rationale as `graph_pagerank`)."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        half = _khop_half(spark, sf_dir).select(
+            (F.col("cust") * 2).alias("src"),
+            (F.col("supp") * 2 + 1).alias("dst"),
+        )
+        sym = half.unionByName(
+            half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        edges = sym.persist()
+        dist = (
+            half.where(F.expr("((dst - 1) div 2) % 10 = 1"))
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .select("node", F.lit(0).cast("bigint").alias("dist"))
+        )
+        for _ in range(_SSSP_HOPS):
+            relaxed = edges.join(dist, edges.src == dist.node).select(
+                F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist")
+            )
+            dist = (
+                dist.unionByName(relaxed)
+                .groupBy("node")
+                .agg(F.min("dist").alias("dist"))
+            )
+        return dist.select(
+            F.col("node").alias("node_id"),
+            (F.col("node") % 2).cast("int").alias("is_supplier"),
+            F.col("dist").cast("int").alias("hops"),
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)

@@ -57,6 +57,8 @@ _PRIORITY = (
     "multimodal_decode_jpeg_dri",
     "multimodal_decode_jpeg_progressive",
     "multimodal_decode_g711",
+    "graph_sssp_hops",
+    "events_autocorrelation",
     # --- evidence rotation: the r1-only cohort (latest green row is
     # --- CORRECTNESS_r01, five rounds of churn ago). Listed in full;
     # --- the driver records the first 50 registry rows, so whatever
