@@ -451,3 +451,55 @@ def analytic_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(olap).alias("sum_overlap_days"),
         F.max(olap).alias("max_overlap_days"),
     )
+
+
+@register(
+    "analytic_fuzzy_join",
+    oracle="""
+    WITH master AS (
+        SELECT p_name AS mname, MIN(p_partkey) AS seed FROM part GROUP BY 1
+    ), dirty AS (
+        SELECT substring(mname, 1, (1 + seed % length(mname)) - 1)
+               || 'q' ||
+               substring(mname, (1 + seed % length(mname)) + 1) AS dname
+        FROM master
+    )
+    SELECT d.dname, m.mname,
+           CAST(levenshtein(d.dname, m.mname) AS INT) AS distance
+    FROM dirty d JOIN master m
+      ON abs(length(d.dname) - length(m.mname)) <= 1
+     AND levenshtein(d.dname, m.mname) <= 1
+    """,
+)
+def analytic_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy join (entity resolution): a "dirty" feed of
+    part names (one deterministic character substitution per distinct
+    name, seeded by its min partkey) matched back to the clean
+    vocabulary within levenshtein <= 1 — the dedupe-against-master
+    shape behind product/entity matching. The engine side runs
+    `operators/fuzzyjoin.py`'s prefix-filtered q-gram blocking
+    (globally-rarest k*q+1 gram signatures, multiset-safe occurrence
+    annotation, short-string length-band fallback) + exact confirm —
+    provably complete, no cross product — while the ORACLE is the
+    quadratic within-length-band definition, so the driver check
+    proves the blocking loses nothing. ASCII inputs (TPC-H names):
+    the engines' levenshtein agree on ASCII and diverge on non-ASCII
+    (bytes vs codepoints) — documented operator constraint."""
+    from metricproxy_spark.operators.fuzzyjoin import edit_distance_join
+
+    part = load_table(spark, sf_dir, "part")
+    master = part.groupBy(F.col("p_name").alias("mname")).agg(
+        F.min("p_partkey").alias("seed")
+    )
+    dirty = master.select(
+        F.concat(
+            F.expr("substring(mname, 1, (1 + seed % length(mname)) - 1)"),
+            F.lit("q"),
+            F.expr("substring(mname, (1 + seed % length(mname)) + 1)"),
+        ).alias("dname")
+    )
+    return edit_distance_join(dirty, master, "dname", "mname", k=1).select(
+        F.col("lname").alias("dname"),
+        F.col("rname").alias("mname"),
+        "distance",
+    )
