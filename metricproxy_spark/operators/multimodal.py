@@ -58,6 +58,10 @@ def decode_media(content: bytes, media_type: str | None = None):
         from metricproxy_spark.operators.jpeg import decode_jpeg
 
         return decode_jpeg(content)
+    if content[:4] == b"fLaC":
+        from metricproxy_spark.operators.flac import decode_flac
+
+        return decode_flac(content)
     raise NotImplementedError(
         "media decode stub: BMP/WAV (struct), PNG (zlib inflate + "
         "defilter), baseline JPEG (operators/jpeg.py) and MJPEG AVI "

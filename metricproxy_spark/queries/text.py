@@ -3717,3 +3717,64 @@ def multimodal_decode_g711(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(
         work, "doc_id long, codec string, n_samples int, sum_pcm long, peak int"
     )
+
+
+@register(
+    "multimodal_decode_flac",
+    oracle="""
+    WITH sig AS (
+        SELECT doc_id,
+               1 + doc_id % 3 AS a,
+               (doc_id % 50) - 25 AS b,
+               unnest(generate_series(0, 511 + 128 * CAST(doc_id % 3 AS INT))) AS j
+        FROM documents
+    ), v AS (
+        SELECT doc_id,
+               CAST(a * j + b + (j * doc_id) % 7 - 3 AS BIGINT) AS x,
+               j
+        FROM sig
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS INT) AS n_samples,
+           CAST(SUM(x) AS BIGINT) AS sum_pcm,
+           CAST(SUM(j * x) AS BIGINT) AS weighted_sum
+    FROM v GROUP BY doc_id
+    """,
+)
+def multimodal_decode_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5 lossless audio: FLAC encode -> decode roundtrip
+    (`operators/flac.py`, the fifth REAL codec — RFC 9639 frame sync,
+    CRC-8/CRC-16 verified, fixed predictors + Rice residuals). Per doc
+    a ramp-plus-wiggle int16 signal (a*j + b + (j*doc_id)%7 - 3; the
+    wiggle keeps the Rice coder honest — a pure ramp has all-zero
+    order-2 residuals) runs the full chain and is summed. FLAC is
+    LOSSLESS, so the oracle is simply the closed form of the input
+    signal — no special exactness regime needed; the position-weighted
+    sum pins sample ORDER, not just the multiset. Map-only Arrow
+    batches; integer outputs."""
+    import numpy as np
+    import pandas as pd
+
+    from metricproxy_spark.operators.flac import decode_flac, encode_flac
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def work(batches):
+        for pdf in batches:
+            out = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                n = 512 + 128 * (i % 3)
+                j = np.arange(n, dtype=np.int64)
+                a, b = 1 + i % 3, (i % 50) - 25
+                sig = (a * j + b + (j * i) % 7 - 3).astype(np.int16)
+                _meta, s = decode_flac(encode_flac(sig, sample_rate=8000))
+                s64 = s.astype(np.int64)
+                out.append((i, len(s), int(s64.sum()), int((j * s64).sum())))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "n_samples", "sum_pcm", "weighted_sum"]
+            )
+
+    return docs.mapInPandas(
+        work, "doc_id long, n_samples int, sum_pcm long, weighted_sum long"
+    )
