@@ -3778,3 +3778,73 @@ def multimodal_decode_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(
         work, "doc_id long, n_samples int, sum_pcm long, weighted_sum long"
     )
+
+
+@register(
+    "multimodal_edge_detect",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id,
+               16 + CAST(doc_id % 3 AS INT) * 8 AS h,
+               20 + CAST(doc_id % 4 AS INT) * 8 AS w,
+               2 + doc_id % 5 AS a,
+               3 + doc_id % 7 AS b,
+               500 + (doc_id % 10) * 50 AS s
+        FROM documents
+    )
+    SELECT doc_id, w, h,
+           -- linear image ax+by+c has constant Sobel response
+           -- (Gx,Gy) = (8a,8b) on the (h-2)(w-2) interior; the
+           -- planted step of height s at column x0 adds 4s to Gx on
+           -- exactly two interior columns (the Sobel x-kernel's
+           -- column sums are -4,0,+4)
+           CAST((h - 2) * ((w - 4) * (64*a*a + 64*b*b)
+                + 2 * ((8*a + 4*s) * (8*a + 4*s) + 64*b*b)) AS BIGINT)
+             AS sum_sq_grad
+    FROM dims
+    """,
+)
+def multimodal_edge_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5 image feature extraction: Sobel edge response over REAL
+    16-bit PNG decode. Per doc a linear-intensity image (a*x + b*y + c,
+    16-bit so no uint8 wraparound fakes edges) with one planted
+    vertical step edge round-trips the PNG codec, then a vectorized
+    3x3 Sobel convolution (pure numpy slicing — the mapInPandas batch
+    IS the vector unit) produces the squared-gradient-magnitude sum
+    over the valid interior. All integer arithmetic, and both the
+    constant-gradient plane AND the step response have closed forms,
+    so the oracle value-checks the convolution itself — an off-by-one
+    in any kernel tap cannot reproduce the sum. Map-only at any
+    scale."""
+    import numpy as np
+    import pandas as pd
+
+    from metricproxy_spark.operators.multimodal import decode_png, encode_png
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def work(batches):
+        for pdf in batches:
+            out = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                h, w = 16 + (i % 3) * 8, 20 + (i % 4) * 8
+                a, b, c = 2 + i % 5, 3 + i % 7, i % 100
+                s, x0 = 500 + (i % 10) * 50, 4 + i % (w - 8)
+                x = np.arange(w)[None, :]
+                y = np.arange(h)[:, None]
+                px = (a * x + b * y + c + s * (x >= x0)).astype(np.uint16)
+                _meta, p = decode_png(encode_png(px))
+                p = p.astype(np.int64)
+                gx = (p[:-2, 2:] + 2 * p[1:-1, 2:] + p[2:, 2:]) - (
+                    p[:-2, :-2] + 2 * p[1:-1, :-2] + p[2:, :-2]
+                )
+                gy = (p[2:, :-2] + 2 * p[2:, 1:-1] + p[2:, 2:]) - (
+                    p[:-2, :-2] + 2 * p[:-2, 1:-1] + p[:-2, 2:]
+                )
+                out.append((i, w, h, int((gx * gx + gy * gy).sum())))
+            yield pd.DataFrame(out, columns=["doc_id", "w", "h", "sum_sq_grad"])
+
+    return docs.mapInPandas(
+        work, "doc_id long, w int, h int, sum_sq_grad long"
+    )

@@ -61,6 +61,7 @@ _PRIORITY = (
     "events_autocorrelation",
     "analytic_fuzzy_join",
     "multimodal_decode_flac",
+    "multimodal_edge_detect",
     # --- evidence rotation: the r1-only cohort (latest green row is
     # --- CORRECTNESS_r01, five rounds of churn ago). Listed in full;
     # --- the driver records the first 50 registry rows, so whatever
