@@ -1233,3 +1233,79 @@ def analytic_theta_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("est_only_a"),
         est(F.theta_union("sk_a", "sk_b")).cast("bigint").alias("est_union"),
     )
+
+
+# Benford first-digit probabilities log10(1 + 1/d) as 8dp LITERALS so
+# both engines compute the chi-square from bit-identical doubles (libm
+# log10 may differ in the last ulp between engines).
+_BENFORD_P = {
+    1: 0.30103000, 2: 0.17609126, 3: 0.12493874, 4: 0.09691001,
+    5: 0.07918125, 6: 0.06694679, 7: 0.05799195, 8: 0.05115252,
+    9: 0.04575749,
+}
+
+
+def _benford_case_sql() -> str:
+    return "CASE digit " + " ".join(
+        f"WHEN {d} THEN {p!r}" for d, p in _BENFORD_P.items()
+    ) + " END"
+
+
+@register(
+    "analytic_benford_profile",
+    oracle=f"""
+    WITH cents AS (
+        SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+        FROM lineitem
+    ), digits AS (
+        SELECT CAST(substring(CAST(c AS VARCHAR), 1, 1) AS INT) AS digit
+        FROM cents WHERE c > 0
+    ), counts AS (
+        SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs FROM digits GROUP BY 1
+    ), tot AS (
+        SELECT CAST(SUM(n_obs) AS BIGINT) AS total FROM counts
+    )
+    SELECT digit, n_obs,
+           CAST(n_obs AS DOUBLE) / total AS observed_p,
+           {_benford_case_sql()} AS benford_p,
+           (n_obs - total * ({_benford_case_sql()}))
+           * (n_obs - total * ({_benford_case_sql()}))
+           / (total * ({_benford_case_sql()})) AS chi_term
+    FROM counts, tot
+    """,
+)
+def analytic_benford_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law data-quality profile over invoice amounts: the
+    first-significant-digit histogram of l_extendedprice vs the
+    log10(1+1/d) expectation, with per-digit chi-square terms — the
+    standard forensic screen for fabricated or truncated financial
+    feeds. Digits are extracted in INTEGER space (price -> exact
+    cents -> leading digit of the decimal string) so no float-repr
+    divergence exists, counts are exact, and the expectations are
+    shared 8dp literals — making even the chi-square terms
+    bit-identical IEEE. Scale: one map-side digit projection + a
+    9-bucket hash agg; the 1-row total broadcasts back."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("c")
+    )
+    digits = li.where(F.col("c") > 0).select(
+        F.substring(F.col("c").cast("string"), 1, 1).cast("int").alias("digit")
+    )
+    counts = digits.groupBy("digit").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs")
+    )
+    total = counts.agg(F.sum("n_obs").cast("bigint").alias("total"))
+    p = F.create_map(
+        *[F.lit(x) for kv in _BENFORD_P.items() for x in kv]
+    )[F.col("digit")]
+    j = counts.crossJoin(F.broadcast(total))
+    exp_n = F.col("total") * p
+    return j.select(
+        "digit",
+        "n_obs",
+        (F.col("n_obs").cast("double") / F.col("total")).alias("observed_p"),
+        p.alias("benford_p"),
+        ((F.col("n_obs") - exp_n) * (F.col("n_obs") - exp_n) / exp_n).alias(
+            "chi_term"
+        ),
+    )

@@ -2103,3 +2103,137 @@ def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n"),
         acf.alias("acf"),
     )
+
+
+@register(
+    "events_rolling_median",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               {dsum_sql('value')} AS v
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, h, v,
+           median(v) OVER (PARTITION BY event_type ORDER BY h
+                           ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+             AS rolling_median
+    FROM hourly
+    """,
+)
+def events_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling median smoother (25-hour centered window) per stream —
+    the robust-to-spikes trend line dashboards overlay where a moving
+    AVERAGE would chase outliers. Median is a SELECTION, not
+    arithmetic: over 4dp-exact decimal-sum inputs the picked element
+    (or the midpoint of the middle two — exact binary halving) is
+    bit-identical across engines, so the whole smoothed series
+    hash-matches with no rounding discipline. DOUBLE inputs on the
+    oracle side are load-bearing: DuckDB's DECIMAL median takes the
+    lower-middle instead of interpolating. One hourly rollup bounds
+    the window input to |types|x|hours| rows; the window partitions by
+    type — no global sort."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(dsum("value").alias("v"))
+    w = Window.partitionBy("event_type").orderBy("h").rowsBetween(-12, 12)
+    return hourly.select(
+        "event_type",
+        "h",
+        "v",
+        F.expr("percentile(v, 0.5)").over(w).alias("rolling_median"),
+    )
+
+
+@register(
+    "events_changepoint",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               SUM(CAST(value AS DECIMAL(27,4))) AS vd
+        FROM events GROUP BY 1, 2
+    ), seq AS (
+        SELECT event_type, h,
+               CAST(row_number() OVER w AS BIGINT) AS t,
+               CAST(SUM(vd) OVER (PARTITION BY event_type ORDER BY h
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS DOUBLE) AS c,
+               CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+               CAST(SUM(vd) OVER (PARTITION BY event_type) AS DOUBLE) AS s
+        FROM hourly
+        WINDOW w AS (PARTITION BY event_type ORDER BY h)
+    ), gains AS (
+        SELECT event_type, h, t, n,
+               c*c/t + (s-c)*(s-c)/(n-t) - s*s/n AS gain
+        FROM seq WHERE t < n
+    ), ranked AS (
+        SELECT event_type, h, t, n, gain,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY gain DESC, t) AS rk
+        FROM gains
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_hours,
+           CAST(t AS BIGINT) AS split_t, h AS split_hour, gain
+    FROM ranked WHERE rk = 1
+    """,
+)
+def events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changepoint detection — one round of binary segmentation per
+    stream: the split hour k maximizing the variance-reduction gain
+    S1²/n1 + S2²/n2 − S²/n (the CUSUM-of-squares / PELT unit cost),
+    computed entirely from prefix sums. Exactness: the hourly values
+    and their running prefix sums are DECIMAL (order-independent,
+    bit-identical across engines, cast to double exactly), and the
+    gain is one fixed IEEE expression over those identical operands —
+    so the per-split gains, their ordering, and the argmax all agree
+    without rounding discipline (ties break on earliest split). Scale:
+    one hourly rollup, one partitioned window pass for prefix sums
+    (no global sort), one window argmax over |types|·hours rows —
+    the raw table is touched once."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.sum(F.col("value").cast("decimal(27,4)")).alias("vd"))
+    wo = Window.partitionBy("event_type").orderBy("h")
+    wall = Window.partitionBy("event_type")
+    seq = hourly.select(
+        "event_type",
+        "h",
+        F.row_number().over(wo).cast("bigint").alias("t"),
+        F.sum("vd")
+        .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double")
+        .alias("c"),
+        F.count(F.lit(1)).over(wall).cast("bigint").alias("n"),
+        F.sum("vd").over(wall).cast("double").alias("s"),
+    )
+    gains = seq.where(F.col("t") < F.col("n")).select(
+        "event_type",
+        "h",
+        "t",
+        "n",
+        (
+            F.col("c") * F.col("c") / F.col("t")
+            + (F.col("s") - F.col("c")) * (F.col("s") - F.col("c"))
+            / (F.col("n") - F.col("t"))
+            - F.col("s") * F.col("s") / F.col("n")
+        ).alias("gain"),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("event_type").orderBy(F.desc("gain"), "t")
+    )
+    return (
+        gains.withColumn("rk", rk)
+        .where(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("n").alias("n_hours"),
+            F.col("t").alias("split_t"),
+            F.col("h").alias("split_hour"),
+            "gain",
+        )
+    )

@@ -62,6 +62,9 @@ _PRIORITY = (
     "analytic_fuzzy_join",
     "multimodal_decode_flac",
     "multimodal_edge_detect",
+    "events_rolling_median",
+    "events_changepoint",
+    "analytic_benford_profile",
     # --- evidence rotation: the r1-only cohort (latest green row is
     # --- CORRECTNESS_r01, five rounds of churn ago). Listed in full;
     # --- the driver records the first 50 registry rows, so whatever
