@@ -1309,3 +1309,73 @@ def analytic_benford_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chi_term"
         ),
     )
+
+
+@register(
+    "analytic_market_basket",
+    oracle="""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ), n_orders AS (
+        SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS total FROM items
+    ), item_n AS (
+        SELECT p, CAST(COUNT(*) AS BIGINT) AS n FROM items GROUP BY 1
+    ), pairs AS (
+        SELECT a.p AS p1, b.p AS p2, CAST(COUNT(*) AS BIGINT) AS pair_n
+        FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 2
+    )
+    SELECT p1, p2, pair_n,
+           CAST(pair_n AS DOUBLE) / total AS support,
+           CAST(pair_n AS DOUBLE) / i1.n AS confidence,
+           CAST(pair_n AS DOUBLE) * total / (i1.n * i2.n) AS lift
+    FROM pairs
+    JOIN item_n i1 ON i1.p = p1
+    JOIN item_n i2 ON i2.p = p2
+    CROSS JOIN n_orders
+    """,
+)
+def analytic_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining (a-priori 2-itemsets): parts that
+    co-occur in the same order with support >= 2, scored by support,
+    confidence P(p2|p1) and lift — the classic market-basket shape.
+    Counts are exact integers and the three ratios are fixed IEEE
+    expressions over them, so the full rule table hash-matches.
+    Scale: the pair stream is Σ basket_size² (baskets are small and
+    bounded — TPC-H ≤ 13, retail carts similar), generated by one
+    self-join co-partitioned on the order key; item totals join back
+    keyed on part. No all-pairs over the catalog — only observed
+    co-occurrences materialize."""
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    total = items.agg(F.count_distinct("o").cast("bigint").alias("total"))
+    item_n = items.groupBy("p").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    a = items.select("o", F.col("p").alias("p1"))
+    b = items.select("o", F.col("p").alias("p2"))
+    pairs = (
+        a.join(b, "o")
+        .where(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("pair_n"))
+        .where(F.col("pair_n") >= 2)
+    )
+    j = (
+        pairs.join(item_n.select(F.col("p").alias("p1"), F.col("n").alias("n1")), "p1")
+        .join(item_n.select(F.col("p").alias("p2"), F.col("n").alias("n2")), "p2")
+        .crossJoin(F.broadcast(total))
+    )
+    return j.select(
+        "p1",
+        "p2",
+        "pair_n",
+        (F.col("pair_n").cast("double") / F.col("total")).alias("support"),
+        (F.col("pair_n").cast("double") / F.col("n1")).alias("confidence"),
+        (
+            F.col("pair_n").cast("double") * F.col("total")
+            / (F.col("n1") * F.col("n2"))
+        ).alias("lift"),
+    )

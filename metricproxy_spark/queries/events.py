@@ -2237,3 +2237,66 @@ def events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             "gain",
         )
     )
+
+
+@register(
+    "events_theil_sen",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               {dsum_sql('value')} AS v
+        FROM events GROUP BY 1, 2
+    ), seq AS (
+        SELECT event_type, v,
+               CAST(row_number() OVER (PARTITION BY event_type ORDER BY h)
+                    AS BIGINT) AS t
+        FROM hourly
+    ), slopes AS (
+        SELECT a.event_type,
+               (b.v - a.v) / CAST(b.t - a.t AS DOUBLE) AS slope
+        FROM seq a JOIN seq b
+          ON a.event_type = b.event_type AND a.t < b.t
+    )
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           median(slope) AS theil_sen_slope
+    FROM slopes GROUP BY event_type
+    """,
+)
+def events_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend estimator per stream: the median of all
+    pairwise slopes of the hourly series — the breakdown-resistant
+    alternative to least-squares `events_trend_slope` (tolerates ~29%
+    outliers). Slopes divide decimal-exact doubles by exact integer
+    hour-steps (identical IEEE in both engines) and the median is a
+    selection/midpoint over those identical values — hash-exact with
+    no rounding discipline. Scale honesty: the pair join is O(H²) in
+    the HOURLY ROLLUP (H = hours per stream, growing with wall time,
+    not data volume) and partitions by stream — the same bounded
+    regime as the recurrence family; the raw table is touched once by
+    the rollup."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(dsum("value").alias("v"))
+    seq = hourly.select(
+        "event_type",
+        "v",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("h"))
+        .cast("bigint")
+        .alias("t"),
+    )
+    a = seq.select("event_type", F.col("v").alias("v1"), F.col("t").alias("t1"))
+    b = seq.select("event_type", F.col("v").alias("v2"), F.col("t").alias("t2"))
+    slopes = a.join(b, "event_type").where(F.col("t1") < F.col("t2")).select(
+        "event_type",
+        ((F.col("v2") - F.col("v1")) / (F.col("t2") - F.col("t1")).cast("double")).alias(
+            "slope"
+        ),
+    )
+    return slopes.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.expr("percentile(slope, 0.5)").alias("theil_sen_slope"),
+    )

@@ -65,6 +65,8 @@ _PRIORITY = (
     "events_rolling_median",
     "events_changepoint",
     "analytic_benford_profile",
+    "events_theil_sen",
+    "analytic_market_basket",
     # --- evidence rotation: the r1-only cohort (latest green row is
     # --- CORRECTNESS_r01, five rounds of churn ago). Listed in full;
     # --- the driver records the first 50 registry rows, so whatever
