@@ -1379,3 +1379,76 @@ def analytic_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n1") * F.col("n2"))
         ).alias("lift"),
     )
+
+
+@register(
+    "analytic_spatial_join",
+    oracle="""
+    WITH pts AS (
+        SELECT c_custkey AS id,
+               (c_custkey * 48271) % 40000 AS x,
+               (c_custkey * 69621) % 40000 AS y
+        FROM customer
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS BIGINT)
+             AS dist_sq
+    FROM pts a JOIN pts b
+      ON a.id < b.id
+     AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 360000
+    """,
+)
+def analytic_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial radius self-join (all point pairs within R = 600 on a
+    deterministic integer scatter of customers) via GRID BLOCKING —
+    the geospatial "find nearby" primitive. Each point hashes to its
+    R-sized grid cell; one side replicates into its 3x3 neighbor
+    cells (9x, bounded), candidates are the cell equi-join, and the
+    exact integer distance-squared test confirms. A true pair's cell
+    coordinates differ by at most 1 in each axis, so the neighborhood
+    join finds every pair EXACTLY once — the oracle is the quadratic
+    definition, proving the blocking loses nothing (same proof shape
+    as `analytic_fuzzy_join`). Integer coordinates keep the whole
+    thing hash-exact with no trig/float discipline. Scale: shuffle is
+    9x the point count on cell keys, candidates are density-bounded
+    per cell — no all-pairs; skewed hot cells split by AQE."""
+    R = 600
+    pts = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        ((F.col("c_custkey") * 48271) % 40000).alias("x"),
+        ((F.col("c_custkey") * 69621) % 40000).alias("y"),
+    )
+    a = pts.select(
+        F.col("id").alias("id_a"),
+        F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+        F.expr(f"x div {R}").alias("cx"),
+        F.expr(f"y div {R}").alias("cy"),
+    )
+    b = (
+        pts.select(
+            F.col("id").alias("id_b"),
+            F.col("x").alias("xb"),
+            F.col("y").alias("yb"),
+            F.explode(
+                F.expr(f"transform(sequence(-1, 1), d -> x div {R} + d)")
+            ).alias("cx"),
+        )
+        .select(
+            "id_b",
+            "xb",
+            "yb",
+            "cx",
+            F.explode(
+                F.expr(f"transform(sequence(-1, 1), d -> yb div {R} + d)")
+            ).alias("cy"),
+        )
+    )
+    dsq = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
+        F.col("ya") - F.col("yb")
+    ) * (F.col("ya") - F.col("yb"))
+    return (
+        a.join(b, ["cx", "cy"])
+        .where((F.col("id_a") < F.col("id_b")) & (dsq <= R * R))
+        .select("id_a", "id_b", dsq.cast("bigint").alias("dist_sq"))
+    )

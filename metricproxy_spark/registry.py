@@ -67,6 +67,7 @@ _PRIORITY = (
     "analytic_benford_profile",
     "events_theil_sen",
     "analytic_market_basket",
+    "analytic_spatial_join",
     # --- evidence rotation: the r1-only cohort (latest green row is
     # --- CORRECTNESS_r01, five rounds of churn ago). Listed in full;
     # --- the driver records the first 50 registry rows, so whatever

@@ -832,3 +832,43 @@ class TestWirePayloadGuard:
             guarded_wire_payload(df, guard_rows=100)
         with pytest.raises(ValueError, match="guard_rows=100"):
             guarded_wire_pandas(df, guard_rows=100)
+
+
+class TestRound7bPlanDiscipline:
+    """Plan assertions for the round-7 session-2 additions: the two
+    blocked joins must not degenerate into cross products, and the
+    iterative BFS must reuse its persisted edge layout."""
+
+    def _plan(self, spark, sf_dir, name):
+        from metricproxy_spark.registry import QUERIES, load_all
+
+        load_all()
+        return _executed_plan(QUERIES[name](spark, sf_dir))
+
+    def test_spatial_join_is_cell_hash_join(self, spark, sf_dir):
+        """Grid blocking = one hash join on (cx, cy); the quadratic
+        definition lives only in the oracle. No cross product."""
+        plan = self._plan(spark, sf_dir, "analytic_spatial_join")
+        assert "CartesianProduct" not in plan, plan
+        assert "cx" in plan and "cy" in plan, plan
+
+    def test_fuzzy_join_candidates_shuffle_on_gram(self, spark, sf_dir):
+        """The signature candidate join shuffles on the gram key; the
+        only nested-loop shapes allowed are the (empty at this data's
+        name lengths) short-string band fallbacks."""
+        plan = self._plan(spark, sf_dir, "analytic_fuzzy_join")
+        assert "hashpartitioning(gram" in plan or "gram#" in plan, plan
+
+    def test_sssp_reuses_persisted_edges(self, spark, sf_dir):
+        """Each BFS round re-joins the SAME persisted edge layout —
+        the edge list is scanned from cache, not re-derived, and
+        nothing cross-joins."""
+        plan = self._plan(spark, sf_dir, "graph_sssp_hops")
+        assert "InMemoryTableScan" in plan, plan
+        assert "CartesianProduct" not in plan, plan
+
+    def test_market_basket_no_cartesian(self, spark, sf_dir):
+        """Pairs come from the order-key self-join; the only
+        broadcast-nested-loop is the 1-row totals attach."""
+        plan = self._plan(spark, sf_dir, "analytic_market_basket")
+        assert "CartesianProduct" not in plan, plan
