@@ -3757,7 +3757,13 @@ def multimodal_decode_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from metricproxy_spark.operators.flac import decode_flac, encode_flac
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # the codec work (not the id scan) is the cost: spread the Arrow
+    # batches across the cluster — a single source file must not serialize
+    # 5k encode+decode chains through one task
+    n_parts = min(32, max(2, spark.sparkContext.defaultParallelism))
+    docs = (
+        load_table(spark, sf_dir, "documents").select("doc_id").repartition(n_parts)
+    )
 
     def work(batches):
         for pdf in batches:
