@@ -1452,3 +1452,55 @@ def analytic_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("id_a") < F.col("id_b")) & (dsq <= R * R))
         .select("id_a", "id_b", dsq.cast("bigint").alias("dist_sq"))
     )
+
+
+@register(
+    "analytic_hierarchy_rollup",
+    oracle="""
+    WITH RECURSIVE closure AS (
+        SELECT c_custkey AS node, c_custkey AS anc FROM customer
+        UNION ALL
+        SELECT node, anc // 10 FROM closure WHERE anc >= 10
+    )
+    SELECT anc, CAST(COUNT(*) AS BIGINT) AS n_desc,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(27,2))) AS DOUBLE)
+             AS subtree_total
+    FROM closure JOIN customer c ON c.c_custkey = closure.node
+    GROUP BY anc
+    """,
+)
+def analytic_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical (org-chart / bill-of-materials) subtree rollup:
+    account balances aggregated up a customer tree where
+    parent(c) = c div 10 — every node's total covers ALL transitive
+    descendants including itself, the query a recursive CTE answers in
+    a warehouse. The ORACLE is exactly that recursive CTE; the engine
+    side expands the ancestor closure as a bounded EXPLODE (depth
+    log10(maxkey) ≤ 5 here — computable parent functions need no
+    joins; pointer-style parents would use the iterated self-join /
+    path-doubling form, same downstream agg). Decimal-exact sums.
+    Scale: closure is ≤ depth× the table, one hash agg on the ancestor
+    key — no recursion state on the driver."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_acctbal").cast("decimal(27,2)").alias("bal")
+    )
+    closure = cust.select(
+        "bal",
+        F.explode(
+            F.expr(
+                """
+                filter(
+                  transform(sequence(0, 5), k -> CASE
+                    WHEN k = 0 THEN c_custkey
+                    WHEN c_custkey div cast(pow(10, k - 1) as bigint) >= 10
+                      THEN c_custkey div cast(pow(10, k) as bigint)
+                    ELSE NULL END),
+                  x -> x IS NOT NULL)
+                """
+            )
+        ).alias("anc"),
+    )
+    return closure.groupBy("anc").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_desc"),
+        F.sum("bal").cast("double").alias("subtree_total"),
+    )

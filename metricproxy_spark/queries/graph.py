@@ -456,3 +456,82 @@ def graph_sssp_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+_LPA_ROUNDS = 2
+
+
+def _lpa_oracle() -> str:
+    rnd = """
+    r{n} AS (
+        SELECT e.dst AS node, l.label, count(*) AS n
+        FROM edges e JOIN l{p} l ON e.src = l.node GROUP BY 1, 2
+    ), l{n} AS (
+        SELECT node, label FROM (
+            SELECT node, label,
+                   row_number() OVER (PARTITION BY node
+                                      ORDER BY n DESC, label) AS rk
+            FROM r{n}) WHERE rk = 1
+    )"""
+    chain = ",".join(rnd.format(n=i + 1, p=i) for i in range(_LPA_ROUNDS))
+    return f"""
+    WITH half AS (
+        SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ), edges AS (
+        SELECT src, dst FROM half UNION ALL SELECT dst, src FROM half
+    ), l0 AS (
+        SELECT DISTINCT src AS node, CAST(src AS BIGINT) AS label FROM edges
+    ), {chain}
+    SELECT label, CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(SUM(node) AS BIGINT) AS node_checksum
+    FROM l{_LPA_ROUNDS} GROUP BY label
+    """
+
+
+@register("graph_label_propagation", oracle=_lpa_oracle())
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label propagation community detection (synchronous LPA) on the
+    trade graph: every node starts as its own label; each round it
+    adopts the MODE of its neighbors' labels (ties -> smallest label,
+    making the rounds fully deterministic and oracle-EXACT — textbook
+    async LPA is order-dependent; the synchronous+tie-broken variant
+    is the one a distributed engine can honestly offer). Two rounds;
+    complements `dedup_components` (min-label = connectivity) by
+    propagating the MAJORITY signal instead. Per round: one edge⋈label
+    hash join, one (node,label) count agg, one per-node argmax window
+    — all partitioned by node, edges persisted once, no collect."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        from pyspark.sql import Window
+
+        half = _khop_half(spark, sf_dir).select(
+            (F.col("cust") * 2).alias("src"),
+            (F.col("supp") * 2 + 1).alias("dst"),
+        )
+        edges = half.unionByName(
+            half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).persist()
+        labels = edges.select(F.col("src").alias("node")).distinct().select(
+            "node", F.col("node").cast("bigint").alias("label")
+        )
+        w = Window.partitionBy("node").orderBy(F.desc("n"), "label")
+        for _ in range(_LPA_ROUNDS):
+            counted = (
+                edges.join(labels, edges.src == labels.node)
+                .groupBy(F.col("dst").alias("node2"), "label")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .select(F.col("node2").alias("node"), "label", "n")
+            )
+            labels = (
+                counted.withColumn("rk", F.row_number().over(w))
+                .where(F.col("rk") == 1)
+                .select("node", "label")
+            )
+        return labels.groupBy("label").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.sum("node").cast("bigint").alias("node_checksum"),
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)

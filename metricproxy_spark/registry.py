@@ -68,6 +68,8 @@ _PRIORITY = (
     "events_theil_sen",
     "analytic_market_basket",
     "analytic_spatial_join",
+    "graph_label_propagation",
+    "analytic_hierarchy_rollup",
     # --- evidence rotation: the r1-only cohort (latest green row is
     # --- CORRECTNESS_r01, five rounds of churn ago). Listed in full;
     # --- the driver records the first 50 registry rows, so whatever
