@@ -2300,3 +2300,91 @@ def events_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
         F.expr("percentile(slope, 0.5)").alias("theil_sen_slope"),
     )
+
+
+@register(
+    "events_forecast_backtest",
+    oracle="""
+    WITH series AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               list(value ORDER BY ts, event_id) AS vals
+        FROM events
+        GROUP BY 1, 2
+    ), fitted AS (
+        -- positional list accumulator [l, b, sae, npred] (see
+        -- events_holt_trend's aliasing note); each step scores the
+        -- PRE-update one-step forecast l+b against the arriving x
+        SELECT event_type, day, len(vals) AS n,
+               list_reduce(
+                   list_prepend(
+                       [vals[1], vals[2] - vals[1],
+                        CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)],
+                       list_transform(
+                           list_slice(vals, 2, len(vals)),
+                           x -> [x, CAST(0 AS DOUBLE),
+                                 CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)]
+                       )
+                   ),
+                   (acc, e) -> [
+                       0.5 * e[1] + 0.5 * (acc[1] + acc[2]),
+                       0.5 * ((0.5 * e[1] + 0.5 * (acc[1] + acc[2]))
+                              - acc[1]) + 0.5 * acc[2],
+                       acc[3] + abs(e[1] - (acc[1] + acc[2])),
+                       acc[4] + 1
+                   ]
+               ) AS hw
+        FROM series
+    )
+    SELECT event_type, day, CAST(n AS BIGINT) AS n,
+           CAST(hw[4] AS BIGINT) AS n_preds,
+           hw[3] AS sum_abs_err,
+           hw[3] / hw[4] AS mae
+    FROM fitted WHERE n >= 2
+    """,
+)
+def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Walk-forward forecast evaluation (backtest) of the Holt
+    smoother: at every step the PRE-update one-step forecast l+b is
+    scored against the sample that actually arrives, accumulating the
+    absolute error inside the same sequential fold that fits the model
+    — the honest way to evaluate a forecaster (no lookahead; each
+    prediction uses only prior samples). The fold's accumulator grows
+    to [l, b, sum_abs_err, n_preds]; every operation is the same
+    multiply-add/abs chain in both engines, so per-day MAE is
+    bit-identical. Same guarded_series bounded-group contract as the
+    rest of the recurrence family."""
+    from metricproxy_spark.operators.scale import guarded_series
+
+    events = load_table(spark, sf_dir, "events")
+    series = guarded_series(
+        events,
+        ["event_type", F.date_trunc("day", "ts").alias("day")],
+        ["ts", "event_id", "value"],
+    )
+    staged = series.select(
+        "event_type",
+        "day",
+        F.expr("transform(rows, r -> r.value)").alias("vals"),
+    )
+    hw = F.expr(
+        "aggregate(slice(vals, 2, size(vals) - 1),"
+        " struct(vals[0] AS l, vals[1] - vals[0] AS b,"
+        "        0.0D AS sae, 0.0D AS np),"
+        " (acc, x) -> struct("
+        "   0.5D * x + 0.5D * (acc.l + acc.b) AS l,"
+        "   0.5D * ((0.5D * x + 0.5D * (acc.l + acc.b)) - acc.l)"
+        "     + 0.5D * acc.b AS b,"
+        "   acc.sae + abs(x - (acc.l + acc.b)) AS sae,"
+        "   acc.np + 1.0D AS np))"
+    )
+    return (
+        staged.where(F.size("vals") >= 2)
+        .select(
+            "event_type",
+            "day",
+            F.size("vals").cast("bigint").alias("n"),
+            hw["np"].cast("bigint").alias("n_preds"),
+            hw["sae"].alias("sum_abs_err"),
+            (hw["sae"] / hw["np"]).alias("mae"),
+        )
+    )

@@ -1928,3 +1928,100 @@ def ingest_graphite_pickle(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     frames = graphite_pickle_frames(ev)
     return aggregate_graphite_pickle(decode_graphite_pickle(frames))
+
+
+@register(
+    "ingest_msgpack_roundtrip",
+    oracle="""
+    SELECT concat('events.', event_type) AS metric,
+           value,
+           epoch_ms(ts) AS timestamp_ms,
+           CAST(user_id AS VARCHAR) AS dim_user_id,
+           CAST(event_id % 3 AS BIGINT) AS n_tags,
+           (event_id % 2 = 0) AS flagged
+    FROM events
+    """,
+)
+def ingest_msgpack_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-ext wire format: MessagePack (msgpack.org — fluentd-forward's
+    frame encoding), encode -> decode round trip. Events pack into
+    back-to-back msgpack maps (~500/blob) carrying every scalar shape
+    the wire has — str metric, float64 value, int64 millis, a nested
+    dims map with a nil field, a variable-length tag array, a bool —
+    then the pure-Python decoder (`sources/msgpack.py`, Arrow-batched
+    like the protobuf codec) recovers the rows. The oracle is the
+    plain SQL projection of the source columns: agreement proves
+    byte-level wire fidelity across the full type palette. Both legs
+    map-only; `spread()` keeps the single-file scan from serializing
+    through one Python worker."""
+    import pandas as pd
+
+    from metricproxy_spark.io import ensure_package_on_workers, spread
+
+    ensure_package_on_workers(spark)
+    events = spread(load_table(spark, sf_dir, "events"), spark).select(
+        F.concat(F.lit("events."), F.col("event_type")).alias("metric"),
+        F.col("value"),
+        F.unix_millis("ts").alias("ts_ms"),
+        F.col("user_id").cast("string").alias("user_id"),
+        F.col("event_id").alias("eid"),
+    )
+
+    def encode(batches):
+        from metricproxy_spark.sources.msgpack import encode_msgpack
+
+        for pdf in batches:
+            blobs = []
+            for start in range(0, len(pdf), 500):
+                chunk = pdf.iloc[start : start + 500]
+                buf = bytearray()
+                for m, v, t, u, e in zip(
+                    chunk["metric"], chunk["value"], chunk["ts_ms"],
+                    chunk["user_id"], chunk["eid"],
+                ):
+                    e = int(e)
+                    buf += encode_msgpack(
+                        {
+                            "metric": str(m),
+                            "value": float(v),
+                            "ts": int(t),
+                            "dims": {"user_id": str(u), "az": None},
+                            "tags": [f"t{i}" for i in range(e % 3)],
+                            "flagged": e % 2 == 0,
+                        }
+                    )
+                blobs.append(bytes(buf))
+            yield pd.DataFrame({"body": [bytearray(b) for b in blobs]})
+
+    payloads = events.mapInPandas(encode, "body binary")
+
+    def decode(batches):
+        from metricproxy_spark.sources.msgpack import decode_msgpack_stream
+
+        for pdf in batches:
+            rows = []
+            for body in pdf["body"]:
+                for o in decode_msgpack_stream(bytes(body)):
+                    rows.append(
+                        (
+                            o["metric"],
+                            o["value"],
+                            o["ts"],
+                            o["dims"]["user_id"],
+                            len(o["tags"]),
+                            o["flagged"],
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "metric", "value", "timestamp_ms",
+                    "dim_user_id", "n_tags", "flagged",
+                ],
+            )
+
+    return payloads.mapInPandas(
+        decode,
+        "metric string, value double, timestamp_ms long,"
+        " dim_user_id string, n_tags long, flagged boolean",
+    )
