@@ -72,6 +72,7 @@ _PRIORITY = (
     "analytic_hierarchy_rollup",
     "events_forecast_backtest",
     "ingest_msgpack_roundtrip",
+    "stream_msgpack_pipeline",
     # --- evidence rotation: the r1-only cohort (latest green row is
     # --- CORRECTNESS_r01, five rounds of churn ago). Listed in full;
     # --- the driver records the first 50 registry rows, so whatever
