@@ -496,6 +496,8 @@ def decode_wav(content: bytes):
         cid, size = content[pos : pos + 4], struct.unpack_from("<I", content, pos + 4)[0]
         body = content[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("truncated WAV fmt chunk")
             audio_fmt, channels, sample_rate, _, _, bits = struct.unpack_from(
                 "<HHIIHH", body
             )

@@ -111,19 +111,29 @@ def _enc(o, out: bytearray) -> None:
 
 
 def decode_msgpack(buf: bytes):
-    """Decode one msgpack object; raises on trailing garbage."""
-    obj, pos = _dec(buf, 0)
+    """Decode one msgpack object; raises ValueError on trailing
+    garbage and on ANY malformed input (truncation, invalid UTF-8,
+    unhashable map keys) — foreign wire bytes must fail cleanly, never
+    leak IndexError/UnicodeDecodeError into a tolerant-decode path."""
+    try:
+        obj, pos = _dec(buf, 0)
+    except (IndexError, UnicodeDecodeError, TypeError, struct.error) as e:
+        raise ValueError(f"malformed msgpack: {e}") from e
     if pos != len(buf):
         raise ValueError(f"trailing bytes after msgpack object at {pos}")
     return obj
 
 
 def decode_msgpack_stream(buf: bytes) -> list:
-    """Decode back-to-back msgpack objects (fluentd-forward framing)."""
+    """Decode back-to-back msgpack objects (fluentd-forward framing).
+    Same clean-ValueError contract as :func:`decode_msgpack`."""
     out, pos = [], 0
-    while pos < len(buf):
-        obj, pos = _dec(buf, pos)
-        out.append(obj)
+    try:
+        while pos < len(buf):
+            obj, pos = _dec(buf, pos)
+            out.append(obj)
+    except (IndexError, UnicodeDecodeError, TypeError, struct.error) as e:
+        raise ValueError(f"malformed msgpack at object {len(out)}: {e}") from e
     return out
 
 

@@ -181,3 +181,22 @@ class TestFlacForeignFrames:
         r = lambda b: FL._BitReader(b)
         for n in (0, 0x7F, 0x80, 0x7FF, 0x800, 0xFFFF, 0x1FFFFF, 2**35):
             assert FL._utf8_decode(r(FL._utf8_code(n))) == n
+
+
+class TestFlacWavForeignBytes:
+    def test_truncations_raise_valueerror_only(self):
+        """Every prefix of a valid stream must fail with a clean
+        ValueError (or decode, for whole-frame prefixes) — never leak
+        IndexError/struct.error into tolerant count-and-drop paths."""
+        from metricproxy_spark.operators.multimodal import decode_wav, encode_wav
+
+        sig = (np.arange(300) % 50).astype(np.int16)
+        for enc, dec in (
+            (FL.encode_flac(sig), FL.decode_flac),
+            (encode_wav(sig), decode_wav),
+        ):
+            for cut in range(0, len(enc), 3):
+                try:
+                    dec(enc[:cut])
+                except (ValueError, NotImplementedError):
+                    pass

@@ -57,3 +57,17 @@ class TestMsgpack:
     def test_unsupported_ext_type_rejected(self):
         with pytest.raises(ValueError, match="0xd4"):
             decode_msgpack(b"\xd4\x01\x00")  # fixext1
+
+    def test_fuzz_malformed_raises_valueerror_only(self):
+        import random
+
+        from metricproxy_spark.sources.msgpack import decode_msgpack_stream
+
+        rng = random.Random(1)
+        for _ in range(3000):
+            b = bytes(rng.randrange(256) for _ in range(rng.randint(0, 60)))
+            try:
+                decode_msgpack(b)
+                decode_msgpack_stream(b)
+            except ValueError:
+                pass  # the ONLY permitted failure for foreign bytes
