@@ -2388,3 +2388,108 @@ def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             (hw["sae"] / hw["np"]).alias("mae"),
         )
     )
+
+
+@register(
+    "events_rate_limit_audit",
+    oracle="""
+    WITH per_step AS (
+        SELECT event_type, CAST(user_id % 4 AS BIGINT) AS shard,
+               CAST(floor(epoch(ts) / 600) AS BIGINT) AS step,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2, 3
+    ), series AS (
+        SELECT event_type, shard, list([step, n] ORDER BY step) AS steps
+        FROM per_step GROUP BY 1, 2
+    ), folded AS (
+        -- positional accumulator [prev_step, tokens, dropped, consumed];
+        -- bucket: cap 6, refill 2 per elapsed step, consume up to the
+        -- available tokens, count the overflow as dropped
+        SELECT event_type, shard, len(steps) AS n_steps,
+               list_reduce(
+                   list_prepend(
+                       [steps[1][1],
+                        2 - least(steps[1][2], CAST(2 AS BIGINT)),
+                        steps[1][2] - least(steps[1][2], CAST(2 AS BIGINT)),
+                        least(steps[1][2], CAST(2 AS BIGINT))],
+                       list_slice(steps, 2, len(steps))
+                   ),
+                   (acc, e) -> [
+                       e[1],
+                       least(acc[2] + 1 * (e[1] - acc[1]), CAST(2 AS BIGINT))
+                         - least(e[2], least(acc[2] + 1 * (e[1] - acc[1]),
+                                             CAST(2 AS BIGINT))),
+                       acc[3] + e[2]
+                         - least(e[2], least(acc[2] + 1 * (e[1] - acc[1]),
+                                             CAST(2 AS BIGINT))),
+                       acc[4] + least(e[2], least(acc[2] + 1 * (e[1] - acc[1]),
+                                                  CAST(2 AS BIGINT)))
+                   ]
+               ) AS st
+        FROM series
+    )
+    SELECT event_type, shard, CAST(n_steps AS BIGINT) AS n_steps,
+           st[4] AS total_consumed, st[3] AS total_dropped,
+           st[2] AS final_tokens
+    FROM folded
+    """,
+)
+def events_rate_limit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-bucket rate-limit audit — the proxy's throttling
+    semantics replayed over history: per (stream, client shard), a
+    bucket of capacity 2 refilling 1 token per elapsed 10-minute
+    step admits requests and counts the overflow as DROPPED. The
+    bucket is a sequential integer fold (state = [prev_step, tokens,
+    dropped, consumed]) over the per-step request counts — pure
+    integer min/add arithmetic, so the fold is bit-identical in both
+    engines via the positional list_reduce twin (the recurrence-family
+    pattern, cf. events_holt_trend). Answers "which clients would a
+    given policy throttle, and by how much" before deploying the
+    policy. Scale: one (type,shard,step) rollup bounds the fold input;
+    guarded_series caps group memory."""
+    from metricproxy_spark.operators.scale import guarded_series
+
+    CAP, REFILL = 2, 1
+    events = load_table(spark, sf_dir, "events")
+    per_step = events.groupBy(
+        "event_type",
+        (F.col("user_id") % 4).cast("bigint").alias("shard"),
+        F.floor(F.unix_timestamp("ts") / 600).cast("bigint").alias("step"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    series = guarded_series(
+        per_step, ["event_type", "shard"], ["step", "n"]
+    )
+    staged = series.select(
+        "event_type",
+        "shard",
+        F.size("rows").cast("bigint").alias("n_steps"),
+        F.expr("transform(rows, r -> struct(r.step AS s, r.n AS n))").alias(
+            "steps"
+        ),
+    )
+    st = F.expr(
+        f"""aggregate(
+            slice(steps, 2, size(steps) - 1),
+            struct(steps[0].s AS p,
+                   {CAP}L - least(steps[0].n, {CAP}L) AS tok,
+                   steps[0].n - least(steps[0].n, {CAP}L) AS drp,
+                   least(steps[0].n, {CAP}L) AS con),
+            (acc, e) -> struct(
+                e.s AS p,
+                least(acc.tok + {REFILL} * (e.s - acc.p), {CAP}L)
+                  - least(e.n, least(acc.tok + {REFILL} * (e.s - acc.p),
+                                     {CAP}L)) AS tok,
+                acc.drp + e.n
+                  - least(e.n, least(acc.tok + {REFILL} * (e.s - acc.p),
+                                     {CAP}L)) AS drp,
+                acc.con + least(e.n, least(acc.tok + {REFILL} * (e.s - acc.p),
+                                           {CAP}L)) AS con))"""
+    )
+    return staged.select(
+        "event_type",
+        "shard",
+        "n_steps",
+        st["con"].alias("total_consumed"),
+        st["drp"].alias("total_dropped"),
+        st["tok"].alias("final_tokens"),
+    )

@@ -73,6 +73,7 @@ _PRIORITY = (
     "events_forecast_backtest",
     "ingest_msgpack_roundtrip",
     "stream_msgpack_pipeline",
+    "events_rate_limit_audit",
     # --- evidence rotation: the r1-only cohort (latest green row is
     # --- CORRECTNESS_r01, five rounds of churn ago). Listed in full;
     # --- the driver records the first 50 registry rows, so whatever
