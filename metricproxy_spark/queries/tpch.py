@@ -25,8 +25,10 @@ adaptation), q10 (returned revenue), q12 (fact⋈fact conditional
 counts), q13 (outer-join count histogram), q15 (CTE consumed twice +
 scalar max), q19 (OR-of-ANDs partial pushdown), q21 (EXISTS/NOT-EXISTS
 decorrelated into one per-order aggregate pass). q1 lives as
-``analytic_pricing_summary``; q2/q11/q16/q20 need the partsupp table
-the reduced schema omits.
+``analytic_pricing_summary``. Round 7 completes all 22: q2/q11/q16/q20
+run against a DETERMINISTICALLY DERIVED partsupp (see the round-7
+section below) since the reduced schema omits the physical table —
+the query shapes, and their exact oracles, are the point.
 
 Scale notes: fact tables only ever join dim tables (broadcast) or
 aggregate on their own keys (partial combine); the q17 avg-by-part
@@ -915,4 +917,257 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("total_revenue") == F.col("mx"))
         .join(F.broadcast(supp), F.col("s_suppkey") == F.col("supplier_no"))
         .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 7: the four queries previously blocked on the omitted partsupp
+# table (q2/q11/q16/q20). partsupp is DERIVED deterministically from
+# part x supplier-count — 4 suppliers per part on a stride of
+# S div 4 + 1 (distinct for i in 0..3 at every shipped SF), integer
+# formulas for availqty, 2dp-exact supplycost — identically in both
+# engines, so the canonical query SHAPES run with exact oracles.
+
+_PARTSUPP_SQL = """
+    scnt AS (SELECT count(*) AS s FROM supplier),
+    partsupp AS (
+        SELECT p_partkey AS ps_partkey,
+               (p_partkey + i * (s // 4 + 1)) % s AS ps_suppkey,
+               CAST((p_partkey * 13 + ((p_partkey + i * (s // 4 + 1)) % s) * 17)
+                    % 9999 + 1 AS INT) AS ps_availqty,
+               CAST(CAST((p_partkey * 31 + ((p_partkey + i * (s // 4 + 1)) % s) * 7)
+                    % 100000 AS DOUBLE) / 100 + 1.0 AS DOUBLE) AS ps_supplycost
+        FROM part, scnt, (SELECT unnest(generate_series(0, 3)) AS i)
+    )
+"""
+
+
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived partsupp (module comment above): 4 rows per part."""
+    part = load_table(spark, sf_dir, "part").select("p_partkey")
+    scnt = load_table(spark, sf_dir, "supplier").agg(
+        F.count(F.lit(1)).alias("s")
+    )
+    sk = (F.col("p_partkey") + F.col("i") * (F.expr("s div 4") + 1)) % F.col("s")
+    return (
+        part.crossJoin(F.broadcast(scnt))
+        .select(
+            "p_partkey", "s", F.explode(F.expr("sequence(0, 3)")).alias("i")
+        )
+        .select(
+            F.col("p_partkey").alias("ps_partkey"),
+            sk.alias("ps_suppkey"),
+            ((F.col("p_partkey") * 13 + sk * 17) % 9999 + 1)
+            .cast("int")
+            .alias("ps_availqty"),
+            (
+                ((F.col("p_partkey") * 31 + sk * 7) % 100000).cast("double")
+                / 100
+                + 1.0
+            ).alias("ps_supplycost"),
+        )
+    )
+
+
+@register(
+    "tpch_q2_min_cost_supplier",
+    oracle=f"""
+    WITH {_PARTSUPP_SQL}
+    SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, ps.ps_supplycost
+    FROM part p
+    JOIN partsupp ps ON ps.ps_partkey = p.p_partkey
+    JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE p.p_size BETWEEN 10 AND 20 AND r.r_name = 'EUROPE'
+      AND ps.ps_supplycost = (
+          SELECT min(ps2.ps_supplycost) FROM partsupp ps2
+          JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+          JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+          JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+          WHERE ps2.ps_partkey = p.p_partkey AND r2.r_name = 'EUROPE')
+    """,
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q2 (minimum-cost supplier): for each mid-size part, the
+    EUROPE supplier(s) quoting the per-part minimum supply cost. The
+    oracle keeps the CORRELATED scalar subquery; the engine side runs
+    the decorrelated form — one keyed MIN aggregate over the
+    region-filtered partsupp, re-joined on (part, cost) — the
+    magic-set rewrite Catalyst itself applies to such subqueries.
+    Dims broadcast; the only big join is partsupp⋈supplier keyed on
+    the derived suppkey."""
+    ps = _partsupp(spark, sf_dir)
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    part = load_table(spark, sf_dir, "part").where(
+        F.col("p_size").between(10, 20)
+    )
+    euro_ps = (
+        ps.join(F.broadcast(supp), ps.ps_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    mins = (
+        euro_ps.groupBy("ps_partkey")
+        .agg(F.min("ps_supplycost").alias("min_cost"))
+        .select(F.col("ps_partkey").alias("mk"), "min_cost")
+    )
+    return (
+        euro_ps.join(
+            mins,
+            (euro_ps.ps_partkey == mins.mk)
+            & (euro_ps.ps_supplycost == mins.min_cost),
+        )
+        .join(part, euro_ps.ps_partkey == part.p_partkey)
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "ps_supplycost")
+    )
+
+
+@register(
+    "tpch_q11_important_stock",
+    oracle=f"""
+    WITH {_PARTSUPP_SQL},
+    vals AS (
+        SELECT ps.ps_partkey,
+               CAST(SUM(CAST(ps.ps_supplycost AS DECIMAL(27,2))
+                        * ps.ps_availqty) AS DOUBLE) AS value
+        FROM partsupp ps JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE n.n_name = 'NATION_7' GROUP BY 1
+    ), tot AS (
+        SELECT CAST(SUM(CAST(ps.ps_supplycost AS DECIMAL(27,2))
+                        * ps.ps_availqty) AS DOUBLE) AS t
+        FROM partsupp ps JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE n.n_name = 'NATION_7'
+    )
+    SELECT ps_partkey, value FROM vals, tot WHERE value > 0.003 * t
+    """,
+)
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q11 (important stock identification): per-part inventory
+    value held by one nation's suppliers, kept where it exceeds a
+    fraction of that nation's total — the global-scalar-subquery +
+    HAVING shape. Decimal-exact value sums; the 1-row total broadcasts
+    back for the threshold filter."""
+    ps = _partsupp(spark, sf_dir)
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation").where(
+        F.col("n_name") == "NATION_7"
+    )
+    base = (
+        ps.join(F.broadcast(supp), ps.ps_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "ps_partkey",
+            (F.col("ps_supplycost").cast("decimal(27,2)") * F.col("ps_availqty")).alias("v"),
+        )
+    )
+    vals = base.groupBy("ps_partkey").agg(
+        F.sum("v").cast("double").alias("value")
+    )
+    tot = base.agg(F.sum("v").cast("double").alias("t"))
+    return (
+        vals.crossJoin(F.broadcast(tot))
+        .where(F.col("value") > 0.003 * F.col("t"))
+        .select("ps_partkey", "value")
+    )
+
+
+@register(
+    "tpch_q16_supplier_count",
+    oracle=f"""
+    WITH {_PARTSUPP_SQL}
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(count(DISTINCT ps.ps_suppkey) AS BIGINT) AS supplier_cnt
+    FROM partsupp ps JOIN part p ON p.p_partkey = ps.ps_partkey
+    WHERE p.p_brand <> 'Brand#15' AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+      AND ps.ps_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    """,
+)
+def tpch_q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q16 (parts/supplier relationship): distinct suppliers per
+    (brand, type, size) bucket, excluding a supplier blacklist (the
+    negative-balance set stands in for the comment-LIKE filter the
+    reduced schema omits) — the NOT IN → broadcast anti-join +
+    count-distinct shape."""
+    ps = _partsupp(spark, sf_dir)
+    part = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#15")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+    )
+    excl = load_table(spark, sf_dir, "supplier").where(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        ps.join(F.broadcast(part), ps.ps_partkey == part.p_partkey)
+        .join(
+            F.broadcast(excl),
+            ps.ps_suppkey == excl.s_suppkey,
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("ps_suppkey").cast("bigint").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "tpch_q20_potential_promotion",
+    oracle=f"""
+    WITH {_PARTSUPP_SQL},
+    shipped AS (
+        SELECT l_partkey, l_suppkey,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE) AS qty
+        FROM lineitem
+        WHERE l_shipdate >= DATE '1995-01-01'
+          AND l_shipdate < DATE '1996-01-01'
+        GROUP BY 1, 2
+    )
+    SELECT DISTINCT s.s_suppkey, s.s_name
+    FROM supplier s
+    JOIN partsupp ps ON ps.ps_suppkey = s.s_suppkey
+    JOIN part p ON p.p_partkey = ps.ps_partkey AND p.p_name LIKE 'red%'
+    JOIN shipped sh ON sh.l_partkey = ps.ps_partkey
+                   AND sh.l_suppkey = ps.ps_suppkey
+    WHERE ps.ps_availqty > 0.5 * sh.qty
+    """,
+)
+def tpch_q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q20 (potential part promotion): suppliers holding excess
+    stock (availqty > half of what they actually shipped in 1995) of
+    'red' parts — the nested-IN chain decorrelated into one shipped-
+    quantity aggregate joined on (part, supplier), then a DISTINCT
+    supplier projection. The lineitem agg is the only fact-sized
+    stage; everything else is dim-bounded."""
+    ps = _partsupp(spark, sf_dir)
+    supp = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part").where(
+        F.col("p_name").startswith("red")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("date"))
+    )
+    shipped = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(27,2)"))
+        .cast("double")
+        .alias("qty")
+    )
+    return (
+        ps.join(F.broadcast(part), ps.ps_partkey == part.p_partkey)
+        .join(
+            shipped,
+            (ps.ps_partkey == shipped.l_partkey)
+            & (ps.ps_suppkey == shipped.l_suppkey),
+        )
+        .where(F.col("ps_availqty") > 0.5 * F.col("qty"))
+        .join(F.broadcast(supp), ps.ps_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name")
+        .distinct()
     )

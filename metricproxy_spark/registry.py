@@ -74,6 +74,10 @@ _PRIORITY = (
     "ingest_msgpack_roundtrip",
     "stream_msgpack_pipeline",
     "events_rate_limit_audit",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q11_important_stock",
+    "tpch_q16_supplier_count",
+    "tpch_q20_potential_promotion",
     # --- evidence rotation: the r1-only cohort (latest green row is
     # --- CORRECTNESS_r01, five rounds of churn ago). Listed in full;
     # --- the driver records the first 50 registry rows, so whatever
