@@ -872,3 +872,15 @@ class TestRound7bPlanDiscipline:
         broadcast-nested-loop is the 1-row totals attach."""
         plan = self._plan(spark, sf_dir, "analytic_market_basket")
         assert "CartesianProduct" not in plan, plan
+
+    def test_tpch_partsupp_queries_broadcast_dims(self, spark, sf_dir):
+        """q2/q16/q20: dims broadcast, no cartesian beyond the 1-row
+        supplier-count attach that derives partsupp."""
+        for name in (
+            "tpch_q2_min_cost_supplier",
+            "tpch_q16_supplier_count",
+            "tpch_q20_potential_promotion",
+        ):
+            plan = self._plan(spark, sf_dir, name)
+            assert "CartesianProduct" not in plan, f"{name}\n{plan}"
+            assert "BroadcastHashJoin" in plan, f"{name}\n{plan}"
