@@ -40,6 +40,11 @@ ORACLES: dict[str, str] = {}
 # of churn ago). The list intentionally exceeds 50: the driver records
 # the first 50 registry rows, and the overflow rotates into round 8.
 # Everything else keeps module order behind them.
+#
+# ROUND-8 NOTE: round 7 grew to 38 new names, so the r1-cohort tail
+# from events_gapfill_ffill through analytic_ntile_cume (33 names)
+# overflowed this round's window. Round 8's rotation: any r8 additions
+# first, then that overflowed tail.
 _PRIORITY = (
     # --- implemented+green in round 6 but registered after the 50-row
     # --- window filled: zero driver rows yet (r6 VERDICT task 1) ---
