@@ -2493,3 +2493,49 @@ def events_rate_limit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         st["drp"].alias("total_dropped"),
         st["tok"].alias("final_tokens"),
     )
+
+
+@register(
+    "events_absence_alerts",
+    oracle="""
+    WITH last AS (
+        SELECT event_type, user_id, max(ts) AS last_seen
+        FROM events GROUP BY 1, 2
+    ), now_t AS (
+        SELECT max(ts) AS now FROM events
+    )
+    SELECT event_type, user_id, last_seen,
+           CAST(date_diff('microsecond', last_seen, now)
+                // 3600000000 AS BIGINT) AS silent_hours
+    FROM last, now_t
+    WHERE date_diff('microsecond', last_seen, now) >= 7 * 24 * 3600000000
+    """,
+)
+def events_absence_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Absence / heartbeat alerting — the dead-man's-switch the proxy's
+    alert engine fires when a stream STOPS reporting: per (stream,
+    client), the last-seen timestamp vs the corpus "now" (its global
+    max ts, for determinism), alerting where the silence is >= 7 days.
+    Durations are computed in MICROSECONDS then floor-divided to hours
+    — both engines count elapsed time, not calendar boundary crossings
+    (DuckDB's date_diff('hour') counts crossings; the micros form
+    sidesteps it). One keyed max agg + a broadcast 1-row now; exact
+    integers throughout."""
+    events = load_table(spark, sf_dir, "events")
+    last = events.groupBy("event_type", "user_id").agg(
+        F.max("ts").alias("last_seen")
+    )
+    now_t = events.agg(F.max("ts").alias("now"))
+    silent_us = F.unix_micros("now") - F.unix_micros("last_seen")
+    return (
+        last.crossJoin(F.broadcast(now_t))
+        .where(silent_us >= 7 * 24 * 3600 * 1_000_000)
+        .select(
+            "event_type",
+            "user_id",
+            "last_seen",
+            F.expr(
+                "(unix_micros(now) - unix_micros(last_seen)) div 3600000000"
+            ).alias("silent_hours"),
+        )
+    )

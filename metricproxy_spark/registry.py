@@ -83,6 +83,7 @@ _PRIORITY = (
     "tpch_q11_important_stock",
     "tpch_q16_supplier_count",
     "tpch_q20_potential_promotion",
+    "events_absence_alerts",
     # --- evidence rotation: the r1-only cohort (latest green row is
     # --- CORRECTNESS_r01, five rounds of churn ago). Listed in full;
     # --- the driver records the first 50 registry rows, so whatever
