@@ -303,9 +303,15 @@ def decode_flac(content: bytes):
     streaminfo = None
     while True:
         hdr = content[pos : pos + 4]
+        if len(hdr) < 4:
+            # foreign-bytes contract: truncation raises a clean
+            # ValueError, never IndexError (e.g. decode_flac(b"fLaC"))
+            raise ValueError("FLAC stream truncated in metadata block header")
         last, btype = hdr[0] >> 7, hdr[0] & 0x7F
         size = int.from_bytes(hdr[1:4], "big")
         body = content[pos + 4 : pos + 4 + size]
+        if len(body) < size:
+            raise ValueError("FLAC stream truncated in metadata block body")
         if btype == 0:
             r = _BitReader(body)
             r.read(16)
@@ -400,6 +406,8 @@ def _decode_frame(buf: bytes, pos: int, rate: int, nch: int, bps: int):
         sub = [(m2 + side) >> 1, (m2 - side) >> 1]
     r.align()
     end = r.bytepos
+    if end + 2 > len(buf):
+        raise ValueError("FLAC stream truncated before frame CRC-16")
     if _crc16(buf[pos:end]) != struct.unpack(">H", buf[end : end + 2])[0]:
         raise ValueError("FLAC frame CRC-16 mismatch")
     return end + 2, sub

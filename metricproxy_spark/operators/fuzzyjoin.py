@@ -20,9 +20,11 @@ Correctness details that matter:
   multiset overlap, so repeated-gram strings ("aaaa...") cannot slip
   through a set-semantics filter.
 - Strings too short to carry a discriminating signature
-  (``|G| <= k*q``, i.e. the overlap lower bound is vacuous) fall back
-  to pairing against the other side's length band — the band
-  ``|len(a) - len(b)| <= k`` is itself implied by edit distance.
+  (``|G| <= k*q``, i.e. the overlap lower bound is vacuous) pair via a
+  length-bucket EQUI-join: each short name explodes into its 2k+1
+  admissible partner lengths and hash-joins the other side on exact
+  length — the band ``|len(a) - len(b)| <= k`` is itself implied by
+  edit distance, so this is complete, and there is no nested loop.
 - The global gram order (frequency, then gram, then occurrence) is
   Spark-internal: any consistent total order is valid, nothing about
   it must match another engine.
@@ -32,9 +34,9 @@ Correctness details that matter:
 
 Scale shape: gram explode is map-side (×~len per string), the
 frequency agg and signature build are one shuffle each on gram/name,
-the candidate join shuffles signature rows (≤ k·q+1 per string), and
-the confirm is candidate-bounded. No cross product anywhere except
-the short-string band, which is the degenerate regime by definition.
+the candidate join shuffles signature rows (≤ k·q+1 per string), the
+short-string branch is a (2k+1)-replicated equi-join on length, and
+the confirm is candidate-bounded. No cross product anywhere.
 
 Parity loci: SURVEY §3 row X8-ext (join family); [P: Gravano et al.
 2001, "Approximate String Joins in a Database (Almost) for Free"].
@@ -118,17 +120,35 @@ def edit_distance_join(
     )
     cand = sig_l.join(sig_r, ["gram", "occ"]).select("lname", "rname")
 
-    # short strings: signature bound is vacuous -> length-band pairing
+    # short strings: signature bound is vacuous -> length-BUCKET
+    # equi-join (not a nested loop): each short name explodes into its
+    # 2k+1 admissible partner lengths and equi-joins the other side on
+    # exact length. The length band |len(a)-len(b)| <= k is implied by
+    # edit distance, so this is complete; replication is 2k+1 on the
+    # short side only, and the plan is a hash/sort-merge join — at
+    # 100 TB a short-name-heavy corpus pays |short|x(2k+1) join rows,
+    # never |short|x|R| comparisons (r7 VERDICT task 4).
     short_l = lnames.where(F.length("name") <= short_len).select(
-        F.col("name").alias("lname")
+        F.col("name").alias("lname"),
+        F.explode(
+            F.sequence(F.length("name") - k, F.length("name") + k)
+        ).alias("blen"),
     )
     short_r = rnames.where(F.length("name") <= short_len).select(
-        F.col("name").alias("rname")
+        F.col("name").alias("rname"),
+        F.explode(
+            F.sequence(F.length("name") - k, F.length("name") + k)
+        ).alias("blen"),
     )
-    band = F.abs(F.length("lname") - F.length("rname")) <= k
+    r_by_len = rnames.select(
+        F.col("name").alias("rname"), F.length("name").alias("blen")
+    )
+    l_by_len = lnames.select(
+        F.col("name").alias("lname"), F.length("name").alias("blen")
+    )
     cand = (
-        cand.unionByName(short_l.crossJoin(rnames.select(F.col("name").alias("rname"))).where(band))
-        .unionByName(lnames.select(F.col("name").alias("lname")).crossJoin(short_r).where(band))
+        cand.unionByName(short_l.join(r_by_len, "blen").select("lname", "rname"))
+        .unionByName(l_by_len.join(short_r, "blen").select("lname", "rname"))
         .distinct()
     )
 

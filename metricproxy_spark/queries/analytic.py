@@ -1475,9 +1475,12 @@ def analytic_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     parent(c) = c div 10 — every node's total covers ALL transitive
     descendants including itself, the query a recursive CTE answers in
     a warehouse. The ORACLE is exactly that recursive CTE; the engine
-    side expands the ancestor closure as a bounded EXPLODE (depth
-    log10(maxkey) ≤ 5 here — computable parent functions need no
-    joins; pointer-style parents would use the iterated self-join /
+    side expands the ancestor closure as a bounded EXPLODE whose depth
+    is derived PER ROW from the key's digit count (length of the
+    decimal string), so scale-up can never silently drop deep
+    ancestors (r7 ADVICE: a fixed sequence(0,5) under-rolled at
+    c_custkey >= 10^6 — computable parent functions need no joins;
+    pointer-style parents would use the iterated self-join /
     path-doubling form, same downstream agg). Decimal-exact sums.
     Scale: closure is ≤ depth× the table, one hash agg on the ancestor
     key — no recursion state on the driver."""
@@ -1490,7 +1493,7 @@ def analytic_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(
                 """
                 filter(
-                  transform(sequence(0, 5), k -> CASE
+                  transform(sequence(0, length(cast(c_custkey as string)) - 1), k -> CASE
                     WHEN k = 0 THEN c_custkey
                     WHEN c_custkey div cast(pow(10, k - 1) as bigint) >= 10
                       THEN c_custkey div cast(pow(10, k) as bigint)

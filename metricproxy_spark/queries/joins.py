@@ -459,7 +459,12 @@ def analytic_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH master AS (
         SELECT p_name AS mname, MIN(p_partkey) AS seed FROM part GROUP BY 1
     ), dirty AS (
-        SELECT substring(mname, 1, (1 + seed % length(mname)) - 1)
+        -- DISTINCT matches the operator's distinct-names contract:
+        -- edit_distance_join dedupes internally, so if two master
+        -- names ever collide to one dname the bag form would emit the
+        -- pair twice while the engine emits it once (r7 ADVICE)
+        SELECT DISTINCT
+               substring(mname, 1, (1 + seed % length(mname)) - 1)
                || 'q' ||
                substring(mname, (1 + seed % length(mname)) + 1) AS dname
         FROM master

@@ -137,6 +137,18 @@ def decode_msgpack_stream(buf: bytes) -> list:
     return out
 
 
+def _need(buf: bytes, pos: int, n: int) -> None:
+    """Raise ValueError when fewer than ``n`` bytes remain at ``pos``.
+
+    int.from_bytes / bytes slicing silently accept short slices, so every
+    fixed-width read must bounds-check first or a truncated suffix decodes
+    to a WRONG value instead of raising (the module contract is that ANY
+    malformed input raises a clean ValueError).
+    """
+    if pos + n > len(buf):
+        raise ValueError(f"truncated msgpack: need {n} bytes at {pos}, have {len(buf) - pos}")
+
+
 def _dec(buf: bytes, pos: int):
     t = buf[pos]
     pos += 1
@@ -150,6 +162,7 @@ def _dec(buf: bytes, pos: int):
         return _dec_arr(buf, pos, t & 0xF)
     if 0xA0 <= t <= 0xBF:
         n = t & 0x1F
+        _need(buf, pos, n)
         return buf[pos : pos + n].decode("utf-8"), pos + n
     if t == 0xC0:
         return None, pos
@@ -159,8 +172,10 @@ def _dec(buf: bytes, pos: int):
         return True, pos
     if t in (0xC4, 0xC5, 0xC6):
         w = {0xC4: 1, 0xC5: 2, 0xC6: 4}[t]
+        _need(buf, pos, w)
         n = int.from_bytes(buf[pos : pos + w], "big")
         pos += w
+        _need(buf, pos, n)
         return bytes(buf[pos : pos + n]), pos + n
     if t == 0xCA:
         return struct.unpack_from(">f", buf, pos)[0], pos + 4
@@ -168,21 +183,27 @@ def _dec(buf: bytes, pos: int):
         return struct.unpack_from(">d", buf, pos)[0], pos + 8
     if t in (0xCC, 0xCD, 0xCE, 0xCF):
         w = 1 << (t - 0xCC)
+        _need(buf, pos, w)
         return int.from_bytes(buf[pos : pos + w], "big"), pos + w
     if t in (0xD0, 0xD1, 0xD2, 0xD3):
         w = 1 << (t - 0xD0)
+        _need(buf, pos, w)
         return int.from_bytes(buf[pos : pos + w], "big", signed=True), pos + w
     if t in (0xD9, 0xDA, 0xDB):
         w = {0xD9: 1, 0xDA: 2, 0xDB: 4}[t]
+        _need(buf, pos, w)
         n = int.from_bytes(buf[pos : pos + w], "big")
         pos += w
+        _need(buf, pos, n)
         return buf[pos : pos + n].decode("utf-8"), pos + n
     if t in (0xDC, 0xDD):
         w = 2 if t == 0xDC else 4
+        _need(buf, pos, w)
         n = int.from_bytes(buf[pos : pos + w], "big")
         return _dec_arr(buf, pos + w, n)
     if t in (0xDE, 0xDF):
         w = 2 if t == 0xDE else 4
+        _need(buf, pos, w)
         n = int.from_bytes(buf[pos : pos + w], "big")
         return _dec_map(buf, pos + w, n)
     raise ValueError(f"unsupported msgpack type byte 0x{t:02x}")

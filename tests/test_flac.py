@@ -195,7 +195,9 @@ class TestFlacWavForeignBytes:
             (FL.encode_flac(sig), FL.decode_flac),
             (encode_wav(sig), decode_wav),
         ):
-            for cut in range(0, len(enc), 3):
+            # step 1, not 3: r7 ADVICE found the 3-step grid skipped
+            # offsets 4-5 where decode_flac(b"fLaC") leaked IndexError
+            for cut in range(0, len(enc)):
                 try:
                     dec(enc[:cut])
                 except (ValueError, NotImplementedError):

@@ -71,3 +71,18 @@ class TestMsgpack:
                 decode_msgpack_stream(b)
             except ValueError:
                 pass  # the ONLY permitted failure for foreign bytes
+
+    def test_every_truncated_suffix_raises(self):
+        # A truncated PREFIX of a valid encoding must never decode to a
+        # wrong value (short int.from_bytes slices succeed silently);
+        # r7 ADVICE: decode_msgpack_stream(b'\xa5ab') returned ['ab'].
+        for obj in _CASES:
+            enc = encode_msgpack(obj)
+            for cut in range(len(enc)):
+                with pytest.raises(ValueError):
+                    decode_msgpack(enc[:cut])
+        # the reported cases, verbatim
+        for bad in (b"\xa5ab", b"\xce", b"\xce\x00\x00", b"\xc4\x05ab",
+                    b"\xdb\x00\x00", b"\xd3\x01"):
+            with pytest.raises(ValueError):
+                decode_msgpack_stream(bad)

@@ -853,11 +853,14 @@ class TestRound7bPlanDiscipline:
         assert "cx" in plan and "cy" in plan, plan
 
     def test_fuzzy_join_candidates_shuffle_on_gram(self, spark, sf_dir):
-        """The signature candidate join shuffles on the gram key; the
-        only nested-loop shapes allowed are the (empty at this data's
-        name lengths) short-string band fallbacks."""
+        """The signature candidate join shuffles on the gram key, and
+        since round 8 the short-string branch is a length-bucket
+        equi-join — NO nested-loop shape anywhere in the plan."""
         plan = self._plan(spark, sf_dir, "analytic_fuzzy_join")
         assert "hashpartitioning(gram" in plan or "gram#" in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
+        assert "blen" in plan, plan
 
     def test_sssp_reuses_persisted_edges(self, spark, sf_dir):
         """Each BFS round re-joins the SAME persisted edge layout —
