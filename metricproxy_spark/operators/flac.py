@@ -11,13 +11,17 @@ Scope (the honest subset, mirrored by the other codecs' contracts):
   per frame by minimum absolute residual sum, CONSTANT detection,
   single Rice partition with exact-cost parameter search, real MD5 in
   STREAMINFO. Always bit-valid FLAC a foreign decoder can read.
+  :func:`encode_flac_lpc` additionally emits LPC subframes with
+  caller-chosen quantized coefficients (the foreign-encoder fixture
+  path).
 - DECODE: all block-size/sample-rate/sample-size codes, fixed orders
-  0-4, any Rice partition order, both Rice methods + escape codes,
-  wasted bits, stereo decorrelation (left-side / right-side /
-  mid-side), CRC-8 and CRC-16 VERIFIED. LPC subframes (types 32-63)
-  raise NotImplementedError — the encoder never emits them and
-  foreign-LPC support is declared out of subset, like arithmetic
-  JPEG.
+  0-4, LPC subframes (§9.2.5) of order 1-8 with full qlp
+  precision/shift/coefficient arithmetic (round 8 — covers what real
+  encoders emit at default compression levels), any Rice partition
+  order, both Rice methods + escape codes, wasted bits, stereo
+  decorrelation (left-side / right-side / mid-side), CRC-8 and CRC-16
+  VERIFIED. LPC orders > 8 raise NotImplementedError — declared out
+  of subset, like arithmetic JPEG.
 
 Lossless means the roundtrip is bit-exact by construction, so any
 integer test signal gives an integer-exact oracle with no special
@@ -184,8 +188,20 @@ def _zigzag(res: np.ndarray) -> np.ndarray:
     return np.where(res >= 0, res << 1, ((-res) << 1) - 1).astype(np.int64)
 
 
-def encode_flac(samples, sample_rate: int = 8000, block_size: int = 4096) -> bytes:
-    """int16 samples (1-D mono, or 2-D (n, channels)) → FLAC stream."""
+def encode_flac(
+    samples,
+    sample_rate: int = 8000,
+    block_size: int = 4096,
+    *,
+    _lpc: tuple | None = None,
+) -> bytes:
+    """int16 samples (1-D mono, or 2-D (n, channels)) → FLAC stream.
+
+    ``_lpc`` (internal; use :func:`encode_flac_lpc`) is a
+    ``(coefs, shift)`` pair forcing every subframe to be encoded as an
+    LPC subframe with those quantized coefficients — the fixture path
+    for exercising the §9.2.5 decoder against streams a foreign
+    LPC-emitting encoder would produce."""
     x = np.asarray(samples, np.int64)
     if x.ndim == 1:
         x = x[:, None]
@@ -216,11 +232,39 @@ def encode_flac(samples, sample_rate: int = 8000, block_size: int = 4096) -> byt
 
     for fi, start in enumerate(range(0, n, block_size)):
         blk = x[start : start + block_size]
-        out += _encode_frame(blk, fi, sample_rate, block_size)
+        out += _encode_frame(blk, fi, sample_rate, block_size, _lpc)
     return bytes(out)
 
 
-def _encode_frame(blk: np.ndarray, fi: int, sample_rate: int, nominal: int) -> bytes:
+def encode_flac_lpc(
+    samples,
+    coefs: tuple[int, ...],
+    shift: int,
+    sample_rate: int = 8000,
+    block_size: int = 4096,
+) -> bytes:
+    """FLAC stream whose every subframe is an LPC subframe (§9.2.5)
+    with the given integer quantized coefficients (coef[0] multiplies
+    the most recent sample) and right-shift. Lossless like every FLAC
+    predictor — the residual stores exactly what the predictor misses
+    — so any integer signal still gives an integer-exact oracle.
+    Orders 1-8 (the decoder's declared subset)."""
+    if not (1 <= len(coefs) <= 8):
+        raise ValueError("LPC order 1..8 in-subset")
+    if not (0 <= shift <= 15):
+        raise ValueError("qlp shift 0..15")
+    return encode_flac(
+        samples, sample_rate, block_size, _lpc=(tuple(int(c) for c in coefs), shift)
+    )
+
+
+def _encode_frame(
+    blk: np.ndarray,
+    fi: int,
+    sample_rate: int,
+    nominal: int,
+    lpc: tuple | None = None,
+) -> bytes:
     nsamp, nch = blk.shape
     hdr = _BitWriter()
     hdr.write(_SYNC, 14)
@@ -239,7 +283,10 @@ def _encode_frame(blk: np.ndarray, fi: int, sample_rate: int, nominal: int) -> b
     for b in head:
         w.write(b, 8)
     for c in range(nch):
-        _encode_subframe(w, blk[:, c])
+        if lpc is not None:
+            _encode_subframe_lpc(w, blk[:, c], *lpc)
+        else:
+            _encode_subframe(w, blk[:, c])
     w.align()
     frame = w.bytes()
     return frame + struct.pack(">H", _crc16(frame))
@@ -277,6 +324,47 @@ def _encode_subframe(w: _BitWriter, x: np.ndarray) -> None:
     w.write(0, 1)  # no wasted bits
     for v in x[:best_order]:
         w.write(int(v), 16)  # warmup
+    w.write(0, 2)  # residual method: rice 4-bit (§9.2.7)
+    w.write(0, 4)  # partition order 0
+    w.write(k, 4)
+    for q, rem in zip((u >> k).tolist(), (u & ((1 << k) - 1)).tolist()):
+        w.write_unary(q)
+        if k:
+            w.write(rem, k)
+
+
+def _encode_subframe_lpc(
+    w: _BitWriter, x: np.ndarray, coefs: tuple[int, ...], shift: int
+) -> None:
+    """LPC subframe (§9.2.5): warmup, qlp precision/shift, quantized
+    coefficients (coef[0] x most-recent), then the same Rice residual
+    coding the fixed path uses. Residual stores exactly what the
+    predictor misses, so the roundtrip stays lossless for ANY integer
+    coefficients."""
+    n = len(x)
+    order = len(coefs)
+    if n <= order:  # tail block too short to warm up: plain subframe
+        _encode_subframe(w, x)
+        return
+    precision = max(2, max(abs(int(c)).bit_length() + 1 for c in coefs))
+    if precision > 15:
+        raise ValueError("qlp coefficients wider than 15 bits")
+    res = np.empty(n - order, np.int64)
+    xi = x.astype(np.int64)
+    for i in range(order, n):
+        pred = sum(c * int(xi[i - 1 - j]) for j, c in enumerate(coefs)) >> shift
+        res[i - order] = int(xi[i]) - pred
+    u = _zigzag(res)
+    k = int(np.argmin([_rice_cost(u, kk) for kk in range(15)]))
+    w.write(0, 1)
+    w.write(32 + order - 1, 6)  # LPC subframe type (§9.2.2)
+    w.write(0, 1)  # no wasted bits
+    for v in x[:order]:
+        w.write(int(v), 16)  # warmup
+    w.write(precision - 1, 4)
+    w.write(shift, 5)
+    for c in coefs:
+        w.write(int(c), precision)
     w.write(0, 2)  # residual method: rice 4-bit (§9.2.7)
     w.write(0, 4)  # partition order 0
     w.write(k, 4)
@@ -436,8 +524,31 @@ def _decode_subframe(r: _BitReader, n: int, bits: int) -> np.ndarray:
             out[i] = res[i - order] + sum(
                 c * out[i - 1 - j] for j, c in enumerate(coefs)
             )
-    elif stype >= 32:
-        raise NotImplementedError("LPC subframes out of FLAC subset")
+    elif stype >= 32:  # LPC, order 1-32 (§9.2.5)
+        order = stype - 31
+        if order > 8:
+            raise NotImplementedError(
+                "LPC subframes of order > 8 out of FLAC subset"
+            )
+        warm = [r.read_signed(bits) for _ in range(order)]
+        prec = r.read(4)
+        if prec == 0b1111:
+            raise ValueError("invalid qlp precision code")
+        prec += 1
+        shift = r.read_signed(5)
+        if shift < 0:
+            raise ValueError("negative qlp shift")
+        coefs = [r.read_signed(prec) for _ in range(order)]
+        res = _decode_residual(r, n, order)
+        out = np.empty(n, np.int64)
+        out[:order] = warm
+        # out[i] = res + (sum_j coef[j]*out[i-1-j]) >> shift; Python's
+        # >> is the arithmetic (floor) shift the spec requires (§9.2.5)
+        for i in range(order, n):
+            out[i] = res[i - order] + (
+                sum(c * int(out[i - 1 - j]) for j, c in enumerate(coefs))
+                >> shift
+            )
     else:
         raise ValueError("reserved subframe type")
     return out << wasted

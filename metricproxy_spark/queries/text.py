@@ -3787,6 +3787,90 @@ def multimodal_decode_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_decode_flac_lpc",
+    oracle="""
+    WITH sig AS (
+        SELECT doc_id,
+               CASE CAST(doc_id % 5 AS INT)
+                    WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 2
+                    WHEN 3 THEN 4 ELSE 8 END AS lpc_order,
+               1 + doc_id % 3 AS a,
+               (doc_id % 50) - 25 AS b,
+               unnest(generate_series(0, 511 + 128 * CAST(doc_id % 3 AS INT))) AS j
+        FROM documents
+    ), v AS (
+        SELECT doc_id, lpc_order,
+               CAST(a * j + b + (j * doc_id) % 7 - 3 AS BIGINT) AS x,
+               j
+        FROM sig
+    )
+    SELECT doc_id,
+           CAST(lpc_order AS INT) AS lpc_order,
+           CAST(COUNT(*) AS INT) AS n_samples,
+           CAST(SUM(x) AS BIGINT) AS sum_pcm,
+           CAST(SUM(j * x) AS BIGINT) AS weighted_sum
+    FROM v GROUP BY doc_id, lpc_order
+    """,
+)
+def multimodal_decode_flac_lpc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5 lossless audio, LPC flavor (round 8): the same FLAC chain as
+    `multimodal_decode_flac` but every stream is encoded with LPC
+    subframes (RFC 9639 §9.2.5 — quantized-coefficient linear
+    prediction, the subframe type real encoders emit at default
+    compression) across a palette of orders 1/2/4/8 with non-trivial
+    qlp shifts, exercising the full precision/shift/coefficient decode
+    arithmetic. FLAC stays LOSSLESS under ANY predictor — the residual
+    stores exactly what the predictor misses — so the oracle is still
+    just the closed form of the input signal; the position-weighted sum
+    pins sample order. Map-only Arrow batches; integer outputs."""
+    import numpy as np
+    import pandas as pd
+
+    from metricproxy_spark.operators.flac import decode_flac, encode_flac_lpc
+
+    palette = [
+        ((1,), 0),
+        ((2, -1), 0),
+        ((58, -27), 5),
+        ((104, -61, 22, -5), 6),
+        ((31, -12, 7, -3, 1, 2, -1, 1), 5),
+    ]
+    n_parts = min(32, max(2, spark.sparkContext.defaultParallelism))
+    docs = (
+        load_table(spark, sf_dir, "documents").select("doc_id").repartition(n_parts)
+    )
+
+    def work(batches):
+        for pdf in batches:
+            out = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                coefs, shift = palette[i % 5]
+                n = 512 + 128 * (i % 3)
+                j = np.arange(n, dtype=np.int64)
+                a, b = 1 + i % 3, (i % 50) - 25
+                sig = (a * j + b + (j * i) % 7 - 3).astype(np.int16)
+                _meta, s = decode_flac(
+                    encode_flac_lpc(sig, coefs, shift, sample_rate=8000)
+                )
+                s64 = s.astype(np.int64)
+                out.append(
+                    (i, len(coefs), len(s), int(s64.sum()), int((j * s64).sum()))
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "lpc_order", "n_samples", "sum_pcm", "weighted_sum",
+                ],
+            )
+
+    return docs.mapInPandas(
+        work,
+        "doc_id long, lpc_order int, n_samples int, sum_pcm long, weighted_sum long",
+    )
+
+
+@register(
     "multimodal_edge_detect",
     oracle="""
     WITH dims AS (

@@ -166,16 +166,98 @@ class TestFlacForeignFrames:
         with pytest.raises(ValueError, match="CRC-16"):
             FL.decode_flac(bytes(bad))
 
-    def test_lpc_raises_honestly(self):
+    def test_lpc_order_gt8_raises_honestly(self):
+        # orders 1-8 decode since round 8; the honest raise narrows to >8
         w = FL._BitWriter()
-        for b in _frame_header(4, 0):
+        for b in _frame_header(16, 0):
+            w.write(b, 8)
+        w.write(0, 1)
+        w.write(32 + 8, 6)  # LPC order 9
+        w.write(0, 1)
+        stream = _build_stream(_finish(w), 16, 1)
+        with pytest.raises(NotImplementedError, match="order > 8"):
+            FL.decode_flac(stream)
+
+
+_LPC_PALETTE = [
+    ((1,), 0),
+    ((2, -1), 0),
+    ((58, -27), 5),
+    ((104, -61, 22, -5), 6),
+    ((31, -12, 7, -3, 1, 2, -1, 1), 5),
+]
+
+
+class TestFlacLpc:
+    """§9.2.5 LPC subframes: encode_flac_lpc emits them with chosen
+    quantized coefficients; decode reconstructs bit-exactly (lossless
+    holds under ANY integer predictor)."""
+
+    @pytest.mark.parametrize("coefs,shift", _LPC_PALETTE)
+    def test_lpc_roundtrip_exact(self, coefs, shift):
+        rng = np.random.default_rng(7)
+        for sig in (
+            (np.arange(1000) % 97).astype(np.int16),
+            (1000 * np.sin(np.arange(3000) / 10)).astype(np.int16),
+            rng.integers(-32768, 32767, 500).astype(np.int16),
+            np.zeros(10, np.int16),
+        ):
+            _meta, out = FL.decode_flac(
+                FL.encode_flac_lpc(sig, coefs, shift, block_size=256)
+            )
+            flat = out if out.ndim == 1 else out[:, 0]
+            assert (flat == sig).all()
+
+    def test_lpc_stereo(self):
+        st = np.stack(
+            [(np.arange(800) % 50), (np.arange(800) % 31)], axis=1
+        ).astype(np.int16)
+        _meta, out = FL.decode_flac(
+            FL.encode_flac_lpc(st, (58, -27), 5, block_size=300)
+        )
+        assert (out == st).all()
+
+    def test_lpc_encoder_order_guard(self):
+        with pytest.raises(ValueError, match="1..8"):
+            FL.encode_flac_lpc(np.zeros(32, np.int16), tuple(range(1, 10)), 0)
+
+    def test_negative_shift_rejected(self):
+        # hand-built frame whose qlp shift field is -1 (two's
+        # complement 0b11111): decoder must reject, not mis-predict
+        w = FL._BitWriter()
+        for b in _frame_header(16, 0):
             w.write(b, 8)
         w.write(0, 1)
         w.write(32, 6)  # LPC order 1
         w.write(0, 1)
-        stream = _build_stream(_finish(w), 4, 1)
-        with pytest.raises(NotImplementedError, match="LPC"):
+        w.write(5, 16)  # warmup sample
+        w.write(11, 4)  # precision 12
+        w.write(0b11111, 5)  # shift = -1
+        stream = _build_stream(_finish(w), 16, 1)
+        with pytest.raises(ValueError, match="negative qlp shift"):
             FL.decode_flac(stream)
+
+    def test_invalid_precision_rejected(self):
+        w = FL._BitWriter()
+        for b in _frame_header(16, 0):
+            w.write(b, 8)
+        w.write(0, 1)
+        w.write(32, 6)  # LPC order 1
+        w.write(0, 1)
+        w.write(5, 16)  # warmup sample
+        w.write(0b1111, 4)  # invalid precision code (§9.2.5)
+        stream = _build_stream(_finish(w), 16, 1)
+        with pytest.raises(ValueError, match="qlp precision"):
+            FL.decode_flac(stream)
+
+    def test_lpc_truncations_raise_valueerror_only(self):
+        sig = (np.arange(300) % 50).astype(np.int16)
+        enc = FL.encode_flac_lpc(sig, (104, -61, 22, -5), 6, block_size=128)
+        for cut in range(0, len(enc)):
+            try:
+                FL.decode_flac(enc[:cut])
+            except (ValueError, NotImplementedError):
+                pass
 
     def test_utf8_coded_numbers(self):
         r = lambda b: FL._BitReader(b)
