@@ -3938,3 +3938,70 @@ def multimodal_edge_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(
         work, "doc_id long, w int, h int, sum_sq_grad long"
     )
+
+
+@register(
+    "text_language_id",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, lang, lower(text) AS txt FROM documents
+    ), g0 AS (
+        SELECT doc_id, lang, txt,
+               unnest(generate_series(1, CAST(length(txt) AS INT) - 2)) AS j
+        FROM base
+    ), grams AS (
+        SELECT doc_id, lang, substring(txt, j, 3) AS gram FROM g0
+    ), model AS (
+        SELECT lang, gram, COUNT(*) AS c FROM grams GROUP BY 1, 2
+    ), tot AS (
+        SELECT lang, SUM(c) AS t FROM model GROUP BY 1
+    ), wt AS (
+        SELECT m.lang, m.gram, CAST(m.c * 1000000 // t.t AS BIGINT) AS r
+        FROM model m JOIN tot t ON m.lang = t.lang
+    ), docg AS (
+        SELECT doc_id, gram, COUNT(*) AS n FROM grams GROUP BY 1, 2
+    ), scores AS (
+        SELECT d.doc_id, w.lang AS cand,
+               CAST(SUM(d.n * w.r) AS BIGINT) AS score
+        FROM docg d JOIN wt w ON d.gram = w.gram
+        GROUP BY 1, 2
+    ), ranked AS (
+        SELECT doc_id, cand, score,
+               row_number() OVER (
+                   PARTITION BY doc_id ORDER BY score DESC, cand ASC
+               ) AS rk
+        FROM scores
+    )
+    SELECT r.doc_id, b.lang AS lang_given, r.cand AS lang_pred,
+           r.score AS top_score
+    FROM ranked r JOIN base b USING (doc_id)
+    WHERE rk = 1
+    """,
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4 in-pipeline language identification (round 8): train
+    char-trigram per-million frequency profiles over `documents` in
+    one pass, then score and argmax every document against them —
+    `operators/langid.py`, the Cavnar-Trenkle frequency-profile family
+    kept FULLY INTEGER (per-million weights via integer division,
+    integer score sums, lang-ascending tie-break) so train + score +
+    argmax is hash-exact against the same arithmetic in SQL. NOTE the
+    testdata `lang` labels are statistically independent of the text
+    (all labels draw from one vocabulary — measured in round 8), so
+    accuracy vs `lang_given` sits near the class prior by
+    construction; the discriminative-capability proof lives in
+    tests/test_langid.py on a corpus with real per-language character
+    signal. Scale: map-side trigram explode, two hash aggs for the
+    model (bounded by |charset|^3 x L -> broadcast), one broadcast
+    join + hash agg + 5-row argmax window per doc."""
+    from metricproxy_spark.operators.langid import (
+        classify_language,
+        train_trigram_profiles,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    model = train_trigram_profiles(docs, "text", "lang")
+    pred = classify_language(docs, model, "doc_id", "text")
+    return pred.join(docs.select("doc_id", F.col("lang").alias("lang_given")), "doc_id").select(
+        "doc_id", "lang_given", "lang_pred", "top_score"
+    )
