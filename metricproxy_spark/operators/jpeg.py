@@ -428,7 +428,20 @@ def decode_jpeg(content: bytes):
     4:2:0 sampling, restart intervals (DRI → RSTn resync with DC
     reset), and PROGRESSIVE streams (SOF2, T.81 Annex G: spectral
     selection + successive approximation, DC/AC first and refinement
-    scans with EOBRUN). Arithmetic coding and 12-bit raise."""
+    scans with EOBRUN). Arithmetic coding and 12-bit raise.
+
+    Foreign-bytes contract (round 8): ANY malformed/truncated input
+    raises a clean ValueError (or NotImplementedError for declared
+    out-of-subset features) — low-level IndexError/struct.error from
+    short segment reads are wrapped at this boundary so tolerant
+    count-and-drop pipelines never see them."""
+    try:
+        return _decode_jpeg_inner(content)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"JPEG stream truncated or malformed: {e}") from e
+
+
+def _decode_jpeg_inner(content: bytes):
     if content[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
@@ -469,8 +482,12 @@ def decode_jpeg(content: bytes):
             while off < len(body):
                 tc, th = body[off] >> 4, body[off] & 0xF
                 bits = list(body[off + 1 : off + 17])
+                if len(bits) < 16:
+                    raise ValueError("JPEG DHT segment truncated")
                 nv = sum(bits)
                 vals = list(body[off + 17 : off + 17 + nv])
+                if len(vals) < nv:
+                    raise ValueError("JPEG DHT segment truncated")
                 huff[(tc, th)] = _build_decode_table(bits, vals)
                 off += 17 + nv
         elif marker == 0xC0:  # SOF0 baseline

@@ -290,7 +290,22 @@ def decode_png(content: bytes):
     serves both; 16-bit samples reassemble big-endian afterward.
 
     Returns (meta, array): (H, W) for gray, (H, W, C) otherwise;
-    uint8 for 8-bit, uint16 for 16-bit."""
+    uint8 for 8-bit, uint16 for 16-bit.
+
+    Foreign-bytes contract (round 8): ANY malformed/truncated input
+    raises a clean ValueError — zlib/struct/index errors from short
+    chunks are wrapped at this boundary so tolerant count-and-drop
+    pipelines never see them."""
+    import struct
+    import zlib
+
+    try:
+        return _decode_png_inner(content)
+    except (IndexError, struct.error, zlib.error) as e:
+        raise ValueError(f"PNG stream truncated or malformed: {e}") from e
+
+
+def _decode_png_inner(content: bytes):
     import struct
     import zlib
 
@@ -509,6 +524,11 @@ def decode_wav(content: bytes):
                     "only PCM-16 / G.711 (mu-law, A-law) WAV decodes in-container"
                 )
         elif cid == b"data":
+            if len(body) < size:
+                # a data chunk shorter than its declared size is a
+                # truncated file — decoding the partial tail would
+                # silently return WRONG sample counts (round 8)
+                raise ValueError("WAV data chunk truncated")
             data = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if sample_rate is None:

@@ -4005,3 +4005,380 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pred.join(docs.select("doc_id", F.col("lang").alias("lang_given")), "doc_id").select(
         "doc_id", "lang_given", "lang_pred", "top_score"
     )
+
+
+@register(
+    "pipeline_multimodal_curation_end2end",
+    oracle="""
+    WITH png AS (
+        SELECT doc_id AS d,
+               CASE WHEN doc_id % 11 = 0 THEN 8
+                    ELSE 16 + 8 * CAST((doc_id // 4) % 3 AS INT) END AS h,
+               CASE WHEN doc_id % 11 = 0 THEN 8
+                    ELSE 24 + 8 * CAST((doc_id // 4) % 4 AS INT) END AS w,
+               2 + doc_id % 5 AS a, 3 + doc_id % 7 AS b, doc_id % 997 AS c,
+               CASE WHEN doc_id % 11 = 0 THEN 0
+                    ELSE 500 + (doc_id % 10) * 50 END AS s
+        FROM documents WHERE doc_id % 4 = 0 AND doc_id % 13 <> 0
+    ), png_g AS (
+        SELECT 'image' AS modality, 'png' AS codec,
+               CASE WHEN d % 5 = 0 THEN 2 ELSE 1 END AS copies,
+               w AS dim1, h AS dim2,
+               h * (a * (w * (w - 1) // 2)) + w * (b * (h * (h - 1) // 2))
+                 + h * w * c
+                 + CASE WHEN s = 0 THEN 0
+                        ELSE s * h * (w - (4 + d % (w - 8))) END AS content,
+               (h - 2) * ((w - 4) * (64*a*a + 64*b*b)
+                          + 2 * ((8*a + 4*s)*(8*a + 4*s) + 64*b*b)) AS feature
+        FROM png
+    ), jpg AS (
+        SELECT doc_id AS d,
+               CASE WHEN doc_id % 11 = 0 THEN 1
+                    ELSE 2 + CAST(doc_id % 5 AS INT) END AS wb,
+               CASE WHEN doc_id % 11 = 0 THEN 1
+                    ELSE 2 + CAST(doc_id % 3 AS INT) END AS hb,
+               doc_id % 241 AS c
+        FROM documents WHERE doc_id % 4 = 2 AND doc_id % 13 <> 0
+    ), jpg_g AS (
+        SELECT 'image' AS modality, 'jpeg' AS codec,
+               CASE WHEN d % 5 = 0 THEN 2 ELSE 1 END AS copies,
+               8 * wb AS dim1, 8 * hb AS dim2,
+               64 * (hb * (wb * (wb - 1) // 2)
+                     + 2 * wb * (hb * (hb - 1) // 2) + wb * hb * c) AS content,
+               32 * (8*hb - 2) * (wb - 1) + 128 * (8*wb - 2) * (hb - 1) AS feature
+        FROM jpg
+    ), flac0 AS (
+        SELECT doc_id AS d,
+               CASE WHEN doc_id % 11 = 0 THEN 32
+                    ELSE 512 + 128 * CAST(doc_id % 3 AS INT) END AS n,
+               1 + doc_id % 3 AS a, (doc_id % 499) - 249 AS b
+        FROM documents WHERE doc_id % 4 = 1 AND doc_id % 13 <> 0
+    ), flacj AS (
+        SELECT d, n, a, b,
+               unnest(generate_series(0, CAST(n - 1 AS INT))) AS j
+        FROM flac0
+    ), flacv AS (
+        SELECT d, n, j, CAST(a*j + b + (j*d) % 7 - 3 AS BIGINT) AS x FROM flacj
+    ), flac_g AS (
+        SELECT 'audio' AS modality, 'flac' AS codec,
+               CASE WHEN d % 5 = 0 THEN 2 ELSE 1 END AS copies,
+               n AS dim1, 0 AS dim2,
+               SUM(x) AS content, SUM(j * x) AS feature
+        FROM flacv GROUP BY d, n
+    ), g0 AS (
+        SELECT doc_id AS d,
+               CASE WHEN doc_id % 11 = 0 THEN 32
+                    ELSE 64 + 8 * CAST((doc_id // 4) % 63 AS INT) END AS n,
+               CASE WHEN (doc_id // 4) % 2 = 0 THEN 'mulaw' ELSE 'alaw' END AS gc
+        FROM documents WHERE doc_id % 4 = 3 AND doc_id % 13 <> 0
+    ), gj AS (
+        SELECT d, n, gc,
+               unnest(generate_series(0, CAST(n - 1 AS INT))) AS j
+        FROM g0
+    ), gd AS (
+        SELECT d, n, gc, j, CAST((7*d + 13*j) % 256 AS BIGINT) AS cde FROM gj
+    ), gv AS (
+        -- closed-form G.711 decode, same derivation as the
+        -- multimodal_decode_g711 oracle (ITU-T G.711 tables)
+        SELECT d, n, j,
+               CASE WHEN gc = 'mulaw' THEN
+                 CASE WHEN (255 - cde) >= 128
+                      THEN -(((255 - cde) % 16) * 8 + 132)
+                           * (1 << (((255 - cde) % 128) // 16)) + 132
+                      ELSE (((255 - cde) % 16) * 8 + 132)
+                           * (1 << (((255 - cde) % 128) // 16)) - 132 END
+               ELSE
+                 CASE WHEN xor(cde, 85) >= 128 THEN
+                   CASE WHEN (xor(cde, 85) % 128) // 16 = 0
+                        THEN (xor(cde, 85) % 16) * 16 + 8
+                        ELSE ((xor(cde, 85) % 16) * 16 + 264)
+                             * (1 << ((xor(cde, 85) % 128) // 16 - 1)) END
+                 ELSE
+                   -(CASE WHEN (xor(cde, 85) % 128) // 16 = 0
+                          THEN (xor(cde, 85) % 16) * 16 + 8
+                          ELSE ((xor(cde, 85) % 16) * 16 + 264)
+                               * (1 << ((xor(cde, 85) % 128) // 16 - 1)) END)
+                 END
+               END AS pcm
+        FROM gd
+    ), g_g AS (
+        SELECT 'audio' AS modality, 'g711' AS codec,
+               CASE WHEN d % 5 = 0 THEN 2 ELSE 1 END AS copies,
+               n AS dim1, 0 AS dim2,
+               SUM(pcm) AS content, SUM(j * pcm) AS feature
+        FROM gv GROUP BY d, n
+    ), kept AS (
+        SELECT * FROM png_g UNION ALL SELECT * FROM jpg_g
+        UNION ALL SELECT * FROM flac_g UNION ALL SELECT * FROM g_g
+    ), gated AS (
+        SELECT * FROM kept
+        WHERE (modality = 'image' AND dim1 * dim2 >= 200)
+           OR (modality = 'audio' AND dim1 >= 64)
+    ), m1 AS (
+        SELECT modality, codec,
+               CAST(COUNT(*) AS BIGINT) AS n_groups,
+               CAST(SUM(copies) AS BIGINT) AS n_assets,
+               CAST(SUM(dim1) AS BIGINT) AS sum_dim1,
+               CAST(SUM(content) AS BIGINT) AS sum_content,
+               CAST(SUM(feature) AS BIGINT) AS sum_feature
+        FROM gated GROUP BY 1, 2
+    ), drops AS (
+        SELECT modality, codec, CAST(COUNT(*) AS BIGINT) AS n_dropped FROM (
+            SELECT CASE WHEN doc_id % 4 IN (0, 2) THEN 'image'
+                        ELSE 'audio' END AS modality,
+                   CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'png'
+                        WHEN 1 THEN 'flac' WHEN 2 THEN 'jpeg'
+                        ELSE 'g711' END AS codec
+            FROM documents WHERE doc_id % 13 = 0
+            UNION ALL
+            SELECT CASE WHEN doc_id % 4 IN (0, 2) THEN 'image'
+                        ELSE 'audio' END,
+                   CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'png'
+                        WHEN 1 THEN 'flac_lpc' WHEN 2 THEN 'png'
+                        ELSE 'flac' END
+            FROM documents WHERE doc_id % 13 = 0 AND doc_id % 5 = 0
+        ) GROUP BY 1, 2
+    )
+    SELECT COALESCE(m.modality, dr.modality) AS modality,
+           COALESCE(m.codec, dr.codec) AS codec,
+           COALESCE(m.n_groups, 0) AS n_groups,
+           COALESCE(m.n_assets, 0) AS n_assets,
+           COALESCE(dr.n_dropped, 0) AS n_dropped,
+           COALESCE(m.sum_dim1, 0) AS sum_dim1,
+           COALESCE(m.sum_content, 0) AS sum_content,
+           COALESCE(m.sum_feature, 0) AS sum_feature
+    FROM m1 m FULL OUTER JOIN drops dr
+      ON m.modality = dr.modality AND m.codec = dr.codec
+    """,
+)
+def pipeline_multimodal_curation_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audio/image twin of `pipeline_web_curation_end2end` (r7
+    VERDICT task 2): a staged mixed-media corpus — 16-bit PNG ramps,
+    piecewise-flat JPEGs, fixed-predictor FLAC, G.711 mu/A-law WAV —
+    flows through ONE plan: tolerant decode with count-and-drop
+    (doc_id % 13 assets are byte-truncated; every codec raises a clean
+    ValueError and the asset lands in n_dropped under its own codec)
+    → per-modality features (Sobel gradient energy for images,
+    position-weighted sample sum for audio — both closed-form exact)
+    → decoded-content fingerprint collapse (doc_id % 5 docs ship a
+    MIRROR asset with identical decoded content in different bytes:
+    identical-byte PNG re-crawls, PNG re-encodes of JPEG pixels, LPC
+    re-encodes of fixed-predictor FLAC, FLAC wraps of G.711 PCM — the
+    cross-container dedup a real multimodal crawl needs; the
+    perceptual dHash flavor lives in `dedup_image_dhash`) → quality
+    gates in integer space (min pixel count 200, min 64 samples;
+    doc_id % 11 plants tiny/short assets that gate out) → per
+    (modality, codec-of-representative) manifest.
+
+    Exactness levers reused: lossless PNG/FLAC, the piecewise-flat +
+    unit-quant JPEG regime, G.711 idempotence — so every manifest cell
+    is an integer the oracle re-derives in closed form (the blocky
+    JPEG Sobel energy closes to 32(h-2)(wb-1) + 128(w-2)(hb-1)).
+
+    Scale shape: staged parquet partitions the binary assets; decode +
+    feature + fingerprint are ONE map-only Arrow stage; the plan's
+    only wide operators are the two content-keyed hash aggs
+    (fingerprint collapse, manifest) — plan-asserted. The oracle's
+    per-doc group accounting assumes the synthetic parameter tuple
+    does not repeat across docs, which holds through sf>=1 (first
+    repeat at 16.8k docs); the engine's md5-content collapse itself is
+    scale-correct regardless. No driver materialization."""
+    import hashlib
+    import os
+    import shutil
+
+    import numpy as np
+    import pandas as pd
+
+    from metricproxy_spark.io import ensure_package_on_workers, staged_artifact_dir
+
+    ensure_package_on_workers(spark)
+    out_dir = staged_artifact_dir("media_corpus", sf_dir)
+    if not os.path.isdir(out_dir):
+        staging = out_dir + f".staging.{os.getpid()}"
+        docs = load_table(spark, sf_dir, "documents").select("doc_id")
+        n_parts = min(32, max(2, spark.sparkContext.defaultParallelism))
+
+        def synth(batches):
+            from metricproxy_spark.operators.flac import (
+                encode_flac,
+                encode_flac_lpc,
+            )
+            from metricproxy_spark.operators.g711 import alaw_decode, mulaw_decode
+            from metricproxy_spark.operators.jpeg import encode_jpeg
+            from metricproxy_spark.operators.multimodal import encode_png, encode_wav
+
+            lpc_palette = [
+                ((1,), 0),
+                ((2, -1), 0),
+                ((58, -27), 5),
+                ((104, -61, 22, -5), 6),
+                ((31, -12, 7, -3, 1, 2, -1, 1), 5),
+            ]
+            for pdf in batches:
+                rows = []
+                for d in pdf["doc_id"]:
+                    d = int(d)
+                    fam, tiny = d % 4, d % 11 == 0
+                    assets = []
+                    if fam == 0:
+                        h = 8 if tiny else 16 + 8 * ((d // 4) % 3)
+                        w = 8 if tiny else 24 + 8 * ((d // 4) % 4)
+                        a, b, c = 2 + d % 5, 3 + d % 7, d % 997
+                        s = 0 if tiny else 500 + (d % 10) * 50
+                        x0 = 4 if tiny else 4 + d % (w - 8)
+                        x = np.arange(w)[None, :]
+                        y = np.arange(h)[:, None]
+                        px = (a * x + b * y + c + s * (x >= x0)).astype(np.uint16)
+                        blob = encode_png(px)
+                        assets.append(("png", "image", blob))
+                        if d % 5 == 0:  # identical-byte re-crawl
+                            assets.append(("png", "image", blob))
+                    elif fam == 2:
+                        wb = 1 if tiny else 2 + d % 5
+                        hb = 1 if tiny else 2 + d % 3
+                        c = d % 241
+                        px = np.zeros((8 * hb, 8 * wb), np.uint8)
+                        for by in range(hb):
+                            for bx in range(wb):
+                                px[8*by:8*by+8, 8*bx:8*bx+8] = bx + 2 * by + c
+                        assets.append(("jpeg", "image", encode_jpeg(px)))
+                        if d % 5 == 0:  # same pixels, PNG container
+                            assets.append(("png", "image", encode_png(px)))
+                    elif fam == 1:
+                        n = 32 if tiny else 512 + 128 * (d % 3)
+                        j = np.arange(n, dtype=np.int64)
+                        a, b = 1 + d % 3, (d % 499) - 249
+                        sig = (a * j + b + (j * d) % 7 - 3).astype(np.int16)
+                        assets.append(("flac", "audio", encode_flac(sig)))
+                        if d % 5 == 0:  # same samples, LPC subframes
+                            coefs, shift = lpc_palette[(d // 5) % 5]
+                            assets.append(
+                                ("flac_lpc", "audio", encode_flac_lpc(sig, coefs, shift))
+                            )
+                    else:
+                        n = 32 if tiny else 64 + 8 * ((d // 4) % 63)
+                        codes = ((7 * d + 13 * np.arange(n)) % 256).astype(np.uint8)
+                        gc = "mulaw" if (d // 4) % 2 == 0 else "alaw"
+                        sig = (mulaw_decode if gc == "mulaw" else alaw_decode)(codes)
+                        assets.append(
+                            ("g711", "audio", encode_wav(sig, sample_rate=8000, codec=gc))
+                        )
+                        if d % 5 == 0:  # same samples, lossless wrap
+                            assets.append(
+                                ("flac", "audio", encode_flac(np.asarray(sig, np.int16)))
+                            )
+                    for k, (codec, modality, blob) in enumerate(assets):
+                        if d % 13 == 0:
+                            blob = blob[: len(blob) // 3]
+                        rows.append((2 * d + k, d, modality, codec, bytes(blob)))
+                yield pd.DataFrame(
+                    rows,
+                    columns=["asset_id", "doc_id", "modality", "codec", "content"],
+                )
+
+        (
+            docs.repartition(n_parts)
+            .mapInPandas(
+                synth,
+                "asset_id long, doc_id long, modality string, codec string,"
+                " content binary",
+            )
+            .write.mode("overwrite")
+            .parquet(staging)
+        )
+        try:
+            os.rename(staging, out_dir)
+        except OSError:  # lost the publish race; winner is identical
+            shutil.rmtree(staging, ignore_errors=True)
+
+    assets = spark.read.parquet(out_dir)
+
+    def decode(batches):
+        from metricproxy_spark.operators.flac import decode_flac
+        from metricproxy_spark.operators.jpeg import decode_jpeg
+        from metricproxy_spark.operators.multimodal import decode_png, decode_wav
+
+        for pdf in batches:
+            rows = []
+            for aid, modality, codec, blob in zip(
+                pdf["asset_id"], pdf["modality"], pdf["codec"], pdf["content"]
+            ):
+                aid, blob = int(aid), bytes(blob)
+                try:
+                    if codec == "png":
+                        _m, arr = decode_png(blob)
+                    elif codec == "jpeg":
+                        _m, arr = decode_jpeg(blob)
+                    elif codec in ("flac", "flac_lpc"):
+                        _m, arr = decode_flac(blob)
+                    else:
+                        _m, arr = decode_wav(blob)
+                except (ValueError, NotImplementedError):
+                    rows.append(
+                        (f"fail:{aid}", aid, modality, codec, 0, 0, 0, 0, 0)
+                    )
+                    continue
+                if modality == "image":
+                    p = np.asarray(arr, np.int64)
+                    h, w = p.shape
+                    gx = (p[:-2, 2:] + 2*p[1:-1, 2:] + p[2:, 2:]) - (
+                        p[:-2, :-2] + 2*p[1:-1, :-2] + p[2:, :-2]
+                    )
+                    gy = (p[2:, :-2] + 2*p[2:, 1:-1] + p[2:, 2:]) - (
+                        p[:-2, :-2] + 2*p[:-2, 1:-1] + p[:-2, 2:]
+                    )
+                    feat = int((gx * gx + gy * gy).sum())
+                    fp = hashlib.md5(
+                        b"img%d,%d;" % (w, h) + p.tobytes()
+                    ).hexdigest()
+                    rows.append(
+                        (fp, aid, modality, codec, 1, w, h, int(p.sum()), feat)
+                    )
+                else:
+                    sarr = np.asarray(arr, np.int64).reshape(-1)
+                    n = len(sarr)
+                    jj = np.arange(n, dtype=np.int64)
+                    fp = hashlib.md5(b"aud%d;" % n + sarr.tobytes()).hexdigest()
+                    rows.append(
+                        (
+                            fp, aid, modality, codec, 1, n, 0,
+                            int(sarr.sum()), int((jj * sarr).sum()),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "fingerprint", "asset_id", "modality", "codec", "okk",
+                    "dim1", "dim2", "content_sum", "feature",
+                ],
+            )
+
+    feats = assets.mapInPandas(
+        decode,
+        "fingerprint string, asset_id long, modality string, codec string,"
+        " okk int, dim1 long, dim2 long, content_sum long, feature long",
+    )
+    groups = feats.groupBy("fingerprint").agg(
+        F.count(F.lit(1)).alias("copies"),
+        F.min_by("codec", "asset_id").alias("codec"),
+        F.min("modality").alias("modality"),
+        F.min("okk").alias("okk"),
+        F.min("dim1").alias("dim1"),
+        F.min("dim2").alias("dim2"),
+        F.min("content_sum").alias("content_sum"),
+        F.min("feature").alias("feature"),
+    )
+    survivors = groups.where(
+        (F.col("okk") == 0)
+        | ((F.col("modality") == "image") & (F.col("dim1") * F.col("dim2") >= 200))
+        | ((F.col("modality") == "audio") & (F.col("dim1") >= 64))
+    )
+    return survivors.groupBy("modality", "codec").agg(
+        F.sum("okk").cast("bigint").alias("n_groups"),
+        F.sum(F.col("okk") * F.col("copies")).cast("bigint").alias("n_assets"),
+        F.sum((1 - F.col("okk")) * F.col("copies")).cast("bigint").alias("n_dropped"),
+        F.sum(F.col("okk") * F.col("dim1")).cast("bigint").alias("sum_dim1"),
+        F.sum(F.col("okk") * F.col("content_sum")).cast("bigint").alias("sum_content"),
+        F.sum(F.col("okk") * F.col("feature")).cast("bigint").alias("sum_feature"),
+    )

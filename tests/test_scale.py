@@ -887,3 +887,37 @@ class TestRound7bPlanDiscipline:
             plan = self._plan(spark, sf_dir, name)
             assert "CartesianProduct" not in plan, f"{name}\n{plan}"
             assert "BroadcastHashJoin" in plan, f"{name}\n{plan}"
+
+
+class TestRound8PlanDiscipline:
+    """Plan assertions for the round-8 compositions."""
+
+    def _plan(self, spark, sf_dir, name):
+        from metricproxy_spark.registry import QUERIES, load_all
+
+        load_all()
+        return _executed_plan(QUERIES[name](spark, sf_dir))
+
+    def test_multimodal_curation_only_two_key_shuffles(self, spark, sf_dir):
+        """staged assets → tolerant decode + features + fingerprint
+        (ONE map-only Arrow stage) → fingerprint collapse → manifest:
+        exactly the two content-keyed hash exchanges the two groupBys
+        own; no join, no window, no cartesian anywhere."""
+        plan = self._plan(
+            spark, sf_dir, "pipeline_multimodal_curation_end2end"
+        )
+        assert "Exchange SinglePartition" not in plan, plan
+        assert "Join" not in plan, plan
+        assert "Window" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
+        n_hash_exchanges = plan.count("Exchange hashpartitioning")
+        assert n_hash_exchanges == 2, f"{n_hash_exchanges}\n{plan}"
+
+    def test_language_id_model_broadcasts(self, spark, sf_dir):
+        """Trigram model + totals both broadcast into the scoring
+        joins — scoring stays map-side; the only hash exchanges are
+        the model/doc-gram aggs and the per-doc argmax window."""
+        plan = self._plan(spark, sf_dir, "text_language_id")
+        assert plan.count("BroadcastHashJoin") >= 3, plan
+        assert "SortMergeJoin" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
