@@ -2539,3 +2539,160 @@ def events_absence_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("silent_hours"),
         )
     )
+
+
+def _lttb_exprs(t_pts: int = 12):
+    """Shared structure of the LTTB fold for both engines (Spark SQL
+    expression, DuckDB SQL expression), parameterized on the target
+    point count. All arithmetic is INTEGER (indices as time axis,
+    decimal-scaled values), so the triangle-area argmax is exact and
+    engine-identical."""
+    nb = t_pts - 2  # middle buckets
+    # Spark side: n = size(vals), k = bucket, acc = selected indices
+    lo = f"(1 + (k * (n - 2)) div {nb})"
+    hi = f"(((k + 1) * (n - 2)) div {nb})"
+    nlo = f"(CASE WHEN k = {nb - 1} THEN n - 1 ELSE 1 + ((k + 1) * (n - 2)) div {nb} END)"
+    nhi = f"(CASE WHEN k = {nb - 1} THEN n - 1 ELSE ((k + 2) * (n - 2)) div {nb} END)"
+    m = f"({nhi} - {nlo} + 1)"
+    sum_t = f"(({m} * ({nlo} + {nhi})) div 2)"
+    sum_v = f"aggregate(slice(vals, int({nlo} + 1), int({m})), 0L, (a, x) -> a + x)"
+    p = "element_at(acc, -1)"
+    pv = f"element_at(vals, int({p} + 1))"
+    cv = "element_at(vals, int(i + 1))"
+    score = (
+        f"abs(({p} * {m} - {sum_t}) * ({cv} - {pv})"
+        f" - ({p} - i) * ({sum_v} - {m} * {pv}))"
+    )
+    spark_expr = f"""
+    aggregate(
+      sequence(0L, {nb - 1}L),
+      array(0L),
+      (acc, k) -> concat(acc, array(element_at(
+        aggregate(
+          sequence({lo}, {hi}),
+          array(-1L, -1L),
+          (b, i) -> if({score} > element_at(b, 2), array(i, {score}), b)
+        ), 1))),
+      acc -> concat(acc, array(n - 1))
+    )
+    """
+    # DuckDB side: same fold with positional-list accumulators.
+    # GOTCHA (round 8): a list_reduce NESTED inside another
+    # list_reduce's lambda returns nondeterministic garbage when the
+    # query processes more than one row (even at threads=1) — the
+    # inner argmax therefore uses list_transform + list_position(
+    # list_max(...)) (first-max = earlier-index tie-break, matching
+    # the Spark fold's strict >), which captures the outer acc safely.
+    dlo = f"(1 + (e[1] * (n - 2)) // {nb})"
+    dhi = f"(((e[1] + 1) * (n - 2)) // {nb})"
+    dnlo = f"(CASE WHEN e[1] = {nb - 1} THEN n - 1 ELSE 1 + ((e[1] + 1) * (n - 2)) // {nb} END)"
+    dnhi = f"(CASE WHEN e[1] = {nb - 1} THEN n - 1 ELSE ((e[1] + 2) * (n - 2)) // {nb} END)"
+    dm = f"({dnhi} - {dnlo} + 1)"
+    dsum_t = f"(({dm} * ({dnlo} + {dnhi})) // 2)"
+    dsum_v = f"CAST(list_sum(list_slice(vals, {dnlo} + 1, {dnhi} + 1)) AS BIGINT)"
+    dp = "acc[-1]"
+    dpv = f"vals[{dp} + 1]"
+    dcv = "vals[i + 1]"
+    dscore = (
+        f"abs(({dp} * {dm} - {dsum_t}) * ({dcv} - {dpv})"
+        f" - ({dp} - i) * ({dsum_v} - {dm} * {dpv}))"
+    )
+    dscores = f"list_transform(generate_series({dlo}, {dhi}), i -> {dscore})"
+    dinner = f"CAST({dlo} - 1 + list_position({dscores}, list_max({dscores})) AS BIGINT)"
+    duck_expr = f"""
+    list_append(
+      list_reduce(
+        list_prepend([CAST(0 AS BIGINT)],
+          list_transform(generate_series(0, {nb - 1}), k -> [CAST(k AS BIGINT)])),
+        (acc, e) -> list_append(acc, {dinner})
+      ),
+      n - 1)
+    """
+    return spark_expr, duck_expr
+
+
+_LTTB_SPARK, _LTTB_DUCK = _lttb_exprs(12)
+
+
+@register(
+    "events_lttb_exact",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               CAST(SUM(CAST(value AS DECIMAL(27,4))) * 10000 AS BIGINT) AS v
+        FROM events GROUP BY 1, 2
+    ), series AS (
+        SELECT event_type,
+               list(v ORDER BY h) AS vals,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM hourly GROUP BY event_type
+    ), sel AS (
+        SELECT event_type, n, vals,
+               {_LTTB_DUCK} AS picks
+        FROM series WHERE n >= 12
+    )
+    SELECT event_type, n_hours, t_idx,
+           CAST(vals[t_idx + 1] AS BIGINT) AS v_scaled
+    FROM (
+        -- single unnest only: two unnest() calls in one projection
+        -- (one wrapped in an expression) silently mis-zip in DuckDB
+        SELECT event_type, CAST(n AS BIGINT) AS n_hours, vals,
+               CAST(unnest(picks) AS BIGINT) AS t_idx
+        FROM sel
+    )
+    """,
+)
+def events_lttb_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTTB downsampling, ORACLE-EXACT flavor (round 8) — the
+    value-checked twin of the rows-only `events_downsample_lttb`
+    (applyInPandas over raw events): each per-type hourly series
+    reduces to 12 points — endpoints fixed, each middle bucket contributing the
+    point forming the largest triangle with the PREVIOUSLY selected
+    point and the next bucket's average. The selection is inherently
+    sequential (prev feeds the next triangle), so it runs as the
+    recurrence family's fold: an integer-only `aggregate` whose
+    accumulator is the selected-index list, with a nested argmax fold
+    per bucket. Exactness levers: time axis = row index (integer),
+    values = decimal-hourly-sums scaled x10^4 to BIGINT, bucket edges
+    by integer division, and the triangle areas cleared of
+    denominators (x|next bucket|), so every comparison is exact
+    integer arithmetic in BOTH engines — ties break on the earlier
+    index identically. Scale: one hourly rollup shuffle + one
+    guarded_series collect per (type) group; the fold is
+    O(series length) per group with bounded memory."""
+    from metricproxy_spark.operators.scale import guarded_series
+
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(
+        (F.sum(F.col("value").cast("decimal(27,4)")) * 10000)
+        .cast("bigint")
+        .alias("v")
+    )
+    series = guarded_series(hourly, ["event_type"], ["h", "v"])
+    sel = (
+        series.select(
+            "event_type",
+            F.expr("transform(rows, r -> r.v)").alias("vals"),
+            F.col("group_n").cast("bigint").alias("n"),
+        )
+        .where(F.col("n") >= 12)
+        .select(
+            "event_type",
+            "n",
+            "vals",
+            F.expr(_LTTB_SPARK).alias("picks"),
+        )
+    )
+    return sel.select(
+        "event_type",
+        F.col("n").alias("n_hours"),
+        F.explode("picks").alias("t_idx"),
+        "vals",
+    ).select(
+        "event_type",
+        "n_hours",
+        "t_idx",
+        F.expr("element_at(vals, int(t_idx) + 1)").alias("v_scaled"),
+    )

@@ -2025,3 +2025,131 @@ def ingest_msgpack_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metric string, value double, timestamp_ms long,"
         " dim_user_id string, n_tags long, flagged boolean",
     )
+
+
+@register(
+    "ingest_rendezvous_route",
+    oracle="""
+    WITH series AS (
+        SELECT DISTINCT event_type || '/' || CAST(user_id AS VARCHAR) AS skey
+        FROM events
+    ), backends AS (
+        SELECT unnest(['shard-0','shard-1','shard-2','shard-3',
+                       'shard-4','shard-5','shard-6','shard-7']) AS backend
+    ), scored AS (
+        SELECT s.skey, b.backend, md5(s.skey || '|' || b.backend) AS w
+        FROM series s CROSS JOIN backends b
+    ), route8 AS (
+        SELECT skey, max_by(backend, w) AS backend FROM scored GROUP BY skey
+    ), route7 AS (
+        SELECT skey, max_by(backend, w) AS backend
+        FROM scored WHERE backend <> 'shard-7' GROUP BY skey
+    )
+    SELECT r8.backend,
+           CAST(COUNT(*) AS BIGINT) AS n_series,
+           CAST(SUM(CASE WHEN r7.backend <> r8.backend THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_moved_without_shard7,
+           min(r8.skey) AS first_series
+    FROM route8 r8 JOIN route7 r7 ON r8.skey = r7.skey
+    GROUP BY r8.backend
+    """,
+)
+def ingest_rendezvous_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) routing — the consistent
+    sharding a metric proxy / carbon relay uses to spread series
+    across backends with MINIMAL disruption on membership change
+    (Thaler & Ravishankar 1996): each series key goes to the backend
+    maximizing md5(key | backend). md5 is bit-identical in Spark and
+    DuckDB, so the full route — and the HRW guarantee itself — is
+    value-checked: the query routes against 8 shards AND against the
+    7 surviving shards with shard-7 removed, counting per-backend how
+    many series move. HRW's property: ONLY series owned by the
+    removed shard move (n_moved = 0 on every surviving backend's row).
+    Scale: |backends| is a literal array → the explode is a map-side
+    x8 flatmap, then two hash aggs on the series key; no join against
+    a ring table, no shuffle beyond the key aggs."""
+    events = load_table(spark, sf_dir, "events")
+    series = events.select(
+        F.concat_ws("/", "event_type", F.col("user_id").cast("string")).alias(
+            "skey"
+        )
+    ).distinct()
+    backends = [f"shard-{i}" for i in range(8)]
+    scored = series.select(
+        "skey",
+        F.explode(F.array(*[F.lit(b) for b in backends])).alias("backend"),
+    ).withColumn("w", F.md5(F.concat_ws("|", "skey", "backend")))
+    route8 = scored.groupBy("skey").agg(F.max_by("backend", "w").alias("b8"))
+    route7 = (
+        scored.where(F.col("backend") != "shard-7")
+        .groupBy("skey")
+        .agg(F.max_by("backend", "w").alias("b7"))
+    )
+    return (
+        route8.join(route7, "skey")
+        .groupBy(F.col("b8").alias("backend"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_series"),
+            F.sum((F.col("b7") != F.col("b8")).cast("int"))
+            .cast("bigint")
+            .alias("n_moved_without_shard7"),
+            F.min("skey").alias("first_series"),
+        )
+    )
+
+
+@register(
+    "ingest_deterministic_sample",
+    oracle="""
+    WITH keyed AS (
+        SELECT l_orderkey, l_linenumber,
+               md5(CAST(l_orderkey AS VARCHAR) || ':'
+                   || CAST(l_linenumber AS VARCHAR)) AS h,
+               CAST(l_quantity AS DECIMAL(27,2)) AS qty
+        FROM lineitem
+    ), picked AS (
+        SELECT * FROM keyed ORDER BY h LIMIT 500
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           min(h) AS min_hash, max(h) AS max_hash,
+           CAST(SUM(qty) AS DOUBLE) AS sum_qty,
+           CAST(SUM(l_orderkey) AS BIGINT) AS sum_orderkey
+    FROM picked
+    """,
+)
+def ingest_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic distributed sampling — bottom-k by a shared
+    content hash (the mergeable uniform-sample technique: the k
+    smallest md5(key) values form a uniform sample that is identical
+    on ANY engine, any partitioning, any run — unlike rand()-based
+    sampling, which is irreproducible, and unlike LIMIT, which is
+    partition-order biased). Both engines compute the same 500-row
+    sample of lineitem and summarize it; the hashes, decimal quantity
+    sum, and key sum all value-check. Scale: ORDER BY hash LIMIT k
+    plans as TakeOrderedAndProject — per-partition top-k then a
+    k-row merge on one reducer; nothing resembling a full sort
+    shuffle, and bottom-k sets MERGE, so per-partition samples
+    compose (the reservoir alternative without coordination)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("decimal(27,2)").alias("qty"),
+    )
+    keyed = li.withColumn(
+        "h",
+        F.md5(
+            F.concat_ws(
+                ":",
+                F.col("l_orderkey").cast("string"),
+                F.col("l_linenumber").cast("string"),
+            )
+        ),
+    )
+    picked = keyed.orderBy("h").limit(500)
+    return picked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min("h").alias("min_hash"),
+        F.max("h").alias("max_hash"),
+        F.sum("qty").cast("double").alias("sum_qty"),
+        F.sum("l_orderkey").cast("bigint").alias("sum_orderkey"),
+    )

@@ -441,3 +441,56 @@ class TestKllQuantiles:
         # sketch agg must combine map-side (ObjectHashAggregate partial)
         # so the shuffle moves one sketch per (partition, key), not rows
         assert "partial_kll_sketch_agg_double" in plan, plan[:4000]
+
+
+class TestLttbExactFold:
+    """events_lttb_exact's integer LTTB fold (round 8): the Spark
+    `aggregate` expression matches a plain-python reference on random
+    series — endpoints fixed, one pick per bucket, picks strictly
+    increasing."""
+
+    @staticmethod
+    def _ref(vals, T):
+        N, nb, sel = len(vals), T - 2, [0]
+        for k in range(nb):
+            lo, hi = 1 + (k * (N - 2)) // nb, ((k + 1) * (N - 2)) // nb
+            if k == nb - 1:
+                nlo = nhi = N - 1
+            else:
+                nlo = 1 + ((k + 1) * (N - 2)) // nb
+                nhi = ((k + 2) * (N - 2)) // nb
+            m = nhi - nlo + 1
+            st = (m * (nlo + nhi)) // 2
+            sv = sum(vals[nlo : nhi + 1])
+            p, best = sel[-1], (-1, -1)
+            for i in range(lo, hi + 1):
+                sc = abs(
+                    (p * m - st) * (vals[i] - vals[p])
+                    - (p - i) * (sv - m * vals[p])
+                )
+                if sc > best[1]:
+                    best = (i, sc)
+            sel.append(best[0])
+        sel.append(N - 1)
+        return sel
+
+    def test_spark_fold_matches_reference(self, spark):
+        import random
+
+        from metricproxy_spark.queries.events import _lttb_exprs
+
+        spark_e, _ = _lttb_exprs(12)
+        rng = random.Random(11)
+        cases = [
+            [rng.randrange(0, 10_000_000) for _ in range(n)]
+            for n in (12, 13, 50, 681)
+        ]
+        df = spark.createDataFrame(
+            [(v,) for v in cases], "vals array<long>"
+        ).selectExpr("cast(size(vals) as long) as n", "vals")
+        got = [r.picks for r in df.selectExpr(f"{spark_e} as picks").collect()]
+        for vals, picks in zip(cases, got):
+            ref = self._ref(vals, 12)
+            assert list(picks) == ref
+            assert picks[0] == 0 and picks[-1] == len(vals) - 1
+            assert all(a < b for a, b in zip(picks, picks[1:]))
