@@ -2102,9 +2102,14 @@ def ingest_rendezvous_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ingest_deterministic_sample",
     oracle="""
     WITH keyed AS (
+        -- (l_orderkey, l_linenumber) is NOT unique in this testdata;
+        -- the quantity joins the hash input so rows tied at the LIMIT
+        -- boundary are identical in every aggregated column and the
+        -- arbitrary tie-break cannot change the answer
         SELECT l_orderkey, l_linenumber,
                md5(CAST(l_orderkey AS VARCHAR) || ':'
-                   || CAST(l_linenumber AS VARCHAR)) AS h,
+                   || CAST(l_linenumber AS VARCHAR) || ':'
+                   || CAST(CAST(l_quantity AS BIGINT) AS VARCHAR)) AS h,
                CAST(l_quantity AS DECIMAL(27,2)) AS qty
         FROM lineitem
     ), picked AS (
@@ -2142,6 +2147,7 @@ def ingest_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ":",
                 F.col("l_orderkey").cast("string"),
                 F.col("l_linenumber").cast("string"),
+                F.col("qty").cast("bigint").cast("string"),
             )
         ),
     )

@@ -41,68 +41,30 @@ ORACLES: dict[str, str] = {}
 # the first 50 registry rows, and the overflow rotates into round 8.
 # Everything else keeps module order behind them.
 #
-# ROUND-8 NOTE: round 7 grew to 38 new names, so the r1-cohort tail
-# from events_gapfill_ffill through analytic_ntile_cume (33 names)
-# overflowed this round's window. Round 8's rotation: any r8 additions
-# first, then that overflowed tail.
+# ROUND-8 rotation (r7 VERDICT task 1 + ADVICE note fix): the round-7
+# window covered through events_type_totals (registry position 50), so
+# the r1-cohort tail from events_multires_rollup through
+# analytic_ntile_cume (34 names) overflowed with r1-only evidence.
+# This round pins: 6 r8 additions + 2 r8-changed queries
+# (analytic_fuzzy_join oracle DISTINCT fix, analytic_hierarchy_rollup
+# digit-derived depth) + that 34-name tail + the first 8 of the
+# 15-name r2-evidence cohort = exactly the 50-row driver window.
+# ROUND-9 NOTE: pin any r9 additions first, then the remaining 7
+# r2-evidence names (analytic_array_funcs, analytic_datetime_funcs,
+# analytic_math_funcs, analytic_string_funcs, text_ngram_udtf_analyze,
+# text_shingle_udtf, text_topk_sketch).
 _PRIORITY = (
-    # --- implemented+green in round 6 but registered after the 50-row
-    # --- window filled: zero driver rows yet (r6 VERDICT task 1) ---
-    "multimodal_decode_gif",
-    "stream_otlp_pipeline",
-    "analytic_theta_set_algebra",
-    # --- new in round 7 ---
-    "pipeline_web_curation_end2end",
-    "stream_collectd_pipeline",
-    "stream_sfx_v1_pipeline",
-    "events_theta_rollup",
-    "dedup_cdc_chunks",
-    "dedup_incremental_ingest",
-    "multimodal_decode_png16",
-    "multimodal_decode_jpeg_dri",
-    "multimodal_decode_jpeg_progressive",
-    "multimodal_decode_g711",
-    "graph_sssp_hops",
-    "events_autocorrelation",
+    # --- new in round 8 ---
+    "pipeline_multimodal_curation_end2end",
+    "multimodal_decode_flac_lpc",
+    "text_language_id",
+    "events_lttb_exact",
+    "ingest_rendezvous_route",
+    "ingest_deterministic_sample",
+    # --- changed in round 8 (oracle/engine edits -> fresh evidence) ---
     "analytic_fuzzy_join",
-    "multimodal_decode_flac",
-    "multimodal_edge_detect",
-    "events_rolling_median",
-    "events_changepoint",
-    "analytic_benford_profile",
-    "events_theil_sen",
-    "analytic_market_basket",
-    "analytic_spatial_join",
-    "graph_label_propagation",
     "analytic_hierarchy_rollup",
-    "events_forecast_backtest",
-    "ingest_msgpack_roundtrip",
-    "stream_msgpack_pipeline",
-    "events_rate_limit_audit",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q11_important_stock",
-    "tpch_q16_supplier_count",
-    "tpch_q20_potential_promotion",
-    "events_absence_alerts",
-    # --- evidence rotation: the r1-only cohort (latest green row is
-    # --- CORRECTNESS_r01, five rounds of churn ago). Listed in full;
-    # --- the driver records the first 50 registry rows, so whatever
-    # --- overflows this round rotates into round 8's window. ---
-    "ingest_carbon_parse",
-    "ingest_carbon_commakeys",
-    "ingest_carbon_roundtrip",
-    "ingest_collectd_explode",
-    "ingest_sfx_v2_unpivot",
-    "ingest_sfx_v1_registry",
-    "ingest_sanitize",
-    "ingest_delimiter_rules",
-    "ingest_ts_normalize",
-    "ingest_sfx_protobuf_roundtrip",
-    "ingest_variant_props",
-    "ingest_carbon_datasource",
-    "ingest_schema_evolution",
-    "events_hourly_stats",
-    "events_type_totals",
+    # --- r1-only-evidence cohort, overflowed from round 7's window ---
     "events_multires_rollup",
     "events_gapfill_ffill",
     "events_interpolate_linear",
@@ -137,6 +99,15 @@ _PRIORITY = (
     "analytic_sessionize",
     "analytic_range_frame",
     "analytic_ntile_cume",
+    # --- first 8 of the r2-evidence cohort ---
+    "text_tfidf",
+    "pipeline_training_data",
+    "pipeline_decontaminate",
+    "pipeline_train_test_split",
+    "pipeline_lang_balance",
+    "cdc_incremental_agg",
+    "layout_stratified_sample",
+    "layout_zorder_stats",
 )
 
 _QUERY_MODULES = (
