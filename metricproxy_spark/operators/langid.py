@@ -112,3 +112,53 @@ def classify_language(
             F.col("score").alias("top_score"),
         )
     )
+
+
+def langid_end_to_end(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "lang",
+) -> DataFrame:
+    """Train-on-self + classify in ONE trigram pass — the shape the
+    registered query runs (train corpus == scoring corpus): the
+    (doc, gram) counts are computed once and the per-language model is
+    DERIVED from them via a broadcast doc->label join, instead of
+    exploding the corpus a second time. Output matches
+    train_trigram_profiles + classify_language exactly."""
+    docg = (
+        _trigrams(
+            docs.select(F.col(id_col), F.col(text_col).alias("t")),
+            [id_col],
+            "t",
+        )
+        .groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    labels = docs.select(id_col, F.col(label_col).alias("lang"))
+    counts = (
+        docg.join(F.broadcast(labels), id_col)
+        .groupBy("lang", "gram")
+        .agg(F.sum("n").alias("c"))
+    )
+    totals = counts.groupBy("lang").agg(F.sum("c").alias("t"))
+    model = counts.join(F.broadcast(totals), "lang").select(
+        "lang", "gram", F.expr(f"CAST(c * {SCALE} DIV t AS BIGINT)").alias("r")
+    )
+    scores = (
+        docg.join(F.broadcast(model), "gram")
+        .groupBy(id_col, "lang")
+        .agg(F.sum(F.col("n") * F.col("r")).cast("bigint").alias("score"))
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("lang").asc()
+    )
+    return (
+        scores.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            id_col,
+            F.col("lang").alias("lang_pred"),
+            F.col("score").alias("top_score"),
+        )
+    )

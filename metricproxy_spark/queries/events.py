@@ -2696,3 +2696,254 @@ def events_lttb_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "t_idx",
         F.expr("element_at(vals, int(t_idx) + 1)").alias("v_scaled"),
     )
+
+
+@register(
+    "events_promql_rate",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               SUM(CAST(value AS DECIMAL(27,4))) AS inc
+        FROM events GROUP BY 1, 2
+    ), idx AS (
+        SELECT event_type, h, inc,
+               CAST(row_number() OVER (PARTITION BY event_type ORDER BY h)
+                    - 1 AS BIGINT) AS hidx
+        FROM hourly
+    ), ctr AS (
+        SELECT event_type, h, hidx // 37 AS seg,
+               SUM(inc) OVER (PARTITION BY event_type, hidx // 37
+                              ORDER BY h) AS v
+        FROM idx
+    ), lagged AS (
+        SELECT event_type, h, v,
+               date_trunc('day', h) AS day,
+               CAST(epoch(h) AS BIGINT) AS t,
+               lag(v) OVER (PARTITION BY event_type, date_trunc('day', h)
+                            ORDER BY h) AS v_prev
+        FROM ctr
+    ), win AS (
+        SELECT event_type, day,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               min(t) AS t_first, max(t) AS t_last,
+               min_by(v, t) AS v_first, max_by(v, t) AS v_last,
+               SUM(CASE WHEN v < v_prev THEN v_prev
+                        ELSE CAST(0 AS DECIMAL(38,4)) END) AS corr
+        FROM lagged GROUP BY 1, 2
+    ), calc AS (
+        SELECT event_type, day, n,
+               CAST(v_last - v_first + corr AS DOUBLE) AS delta,
+               CAST(t_last - t_first AS DOUBLE) AS sampled,
+               CAST(t_first - epoch(day) AS DOUBLE) AS dur_start0,
+               CAST(epoch(day) + 86400 - t_last AS DOUBLE) AS dur_end,
+               CAST(v_first AS DOUBLE) AS vf
+        FROM win WHERE n >= 2
+    ), calc2 AS (
+        SELECT *,
+               sampled / (n - 1) AS avg_dur,
+               CASE WHEN delta > 0 AND vf >= 0
+                    THEN least(dur_start0, sampled * (vf / delta))
+                    ELSE dur_start0 END AS dur_start
+        FROM calc
+    )
+    SELECT event_type, day, n AS n_samples, delta,
+           delta * ((sampled
+                + CASE WHEN dur_start < avg_dur * 1.1
+                       THEN dur_start ELSE avg_dur / 2 END
+                + CASE WHEN dur_end < avg_dur * 1.1
+                       THEN dur_end ELSE avg_dur / 2 END)
+               / sampled) / 86400.0 AS rate_per_s
+    FROM calc2
+    """,
+)
+def events_promql_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``rate()`` — the single most-used function of the
+    dominant open metrics query language, with its REAL semantics, not
+    the naive (last-first)/dt: per evaluation window, the increase is
+    reset-corrected (a counter dropping below its predecessor
+    contributes the predecessor, the monotonic-counter reconstruction),
+    then EXTRAPOLATED to the window edges — each edge gap is added in
+    full when smaller than 1.1x the average sample spacing, else half
+    an average interval, and the start-side extrapolation is capped at
+    the counter's zero-crossing estimate (delta>0 branch). Public
+    algorithm: prometheus/promql functions.go extrapolatedRate.
+    Synthetic counters: per-type hourly increment sums accumulated
+    into segments that reset every 37 hours; windows = UTC days.
+    Exactness: increments/counter/delta stay DECIMAL through every
+    sum (order-independent), timestamps are integer seconds, and the
+    extrapolation is one fixed IEEE expression over those identical
+    operands — bit-equal across engines, no rounding discipline.
+    Scale: one hourly rollup, two partitioned windows (segment cumsum,
+    within-day lag), one hash agg per (type, day); the raw table is
+    scanned once and nothing is driver-side."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.sum(F.col("value").cast("decimal(27,4)")).alias("inc"))
+    wo = Window.partitionBy("event_type").orderBy("h")
+    idx = hourly.withColumn(
+        "hidx", (F.row_number().over(wo) - 1).cast("bigint")
+    ).withColumn("seg", F.expr("hidx div 37"))
+    wseg = (
+        Window.partitionBy("event_type", "seg")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ctr = idx.withColumn("v", F.sum("inc").over(wseg)).withColumn(
+        "day", F.date_trunc("day", "h")
+    )
+    wday = Window.partitionBy("event_type", "day").orderBy("h")
+    lagged = ctr.select(
+        "event_type",
+        "day",
+        F.unix_timestamp("h").alias("t"),
+        "v",
+        F.lag("v").over(wday).alias("v_prev"),
+    )
+    win = lagged.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min("t").alias("t_first"),
+        F.max("t").alias("t_last"),
+        F.min_by("v", "t").alias("v_first"),
+        F.max_by("v", "t").alias("v_last"),
+        F.sum(
+            F.when(F.col("v") < F.col("v_prev"), F.col("v_prev")).otherwise(
+                F.lit(0).cast("decimal(38,4)")
+            )
+        ).alias("corr"),
+    )
+    calc = win.where(F.col("n") >= 2).select(
+        "event_type",
+        "day",
+        "n",
+        (F.col("v_last") - F.col("v_first") + F.col("corr"))
+        .cast("double")
+        .alias("delta"),
+        (F.col("t_last") - F.col("t_first")).cast("double").alias("sampled"),
+        (F.col("t_first") - F.unix_timestamp("day"))
+        .cast("double")
+        .alias("dur_start0"),
+        (F.unix_timestamp("day") + 86400 - F.col("t_last"))
+        .cast("double")
+        .alias("dur_end"),
+        F.col("v_first").cast("double").alias("vf"),
+    )
+    calc2 = calc.withColumn(
+        "avg_dur", F.col("sampled") / (F.col("n") - 1)
+    ).withColumn(
+        "dur_start",
+        F.when(
+            (F.col("delta") > 0) & (F.col("vf") >= 0),
+            F.least(
+                F.col("dur_start0"),
+                F.col("sampled") * (F.col("vf") / F.col("delta")),
+            ),
+        ).otherwise(F.col("dur_start0")),
+    )
+    extrap = (
+        F.col("sampled")
+        + F.when(
+            F.col("dur_start") < F.col("avg_dur") * 1.1, F.col("dur_start")
+        ).otherwise(F.col("avg_dur") / 2)
+        + F.when(
+            F.col("dur_end") < F.col("avg_dur") * 1.1, F.col("dur_end")
+        ).otherwise(F.col("avg_dur") / 2)
+    )
+    return calc2.select(
+        "event_type",
+        "day",
+        F.col("n").alias("n_samples"),
+        "delta",
+        (F.col("delta") * (extrap / F.col("sampled")) / F.lit(86400.0)).alias(
+            "rate_per_s"
+        ),
+    )
+
+
+@register(
+    "events_histogram_quantile",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               CAST(floor(value / 5.0) AS BIGINT) AS bin,
+               count(*) AS cnt
+        FROM events GROUP BY 1, 2, 3
+    ), weekly AS (
+        SELECT event_type, date_trunc('week', day) AS week, bin,
+               CAST(sum(cnt) AS BIGINT) AS cnt
+        FROM daily GROUP BY 1, 2, 3
+    ), cum AS (
+        SELECT event_type, week, bin, cnt,
+               CAST(sum(cnt) OVER (PARTITION BY event_type, week
+                                   ORDER BY bin) AS BIGINT) AS cum,
+               CAST(sum(cnt) OVER (PARTITION BY event_type, week)
+                    AS BIGINT) AS total
+        FROM weekly
+    ), phis AS (
+        SELECT unnest([0.5, 0.9, 0.99]) AS phi
+    ), hit AS (
+        SELECT c.event_type, c.week, p.phi, c.total, c.bin, c.cnt, c.cum
+        FROM cum c CROSS JOIN phis p
+        WHERE c.cum >= p.phi * c.total
+    )
+    SELECT event_type, week, phi,
+           CAST(max(total) AS BIGINT) AS n_events,
+           min_by(bin * 5.0 + 5.0 * (phi * total - (cum - cnt)) / cnt, bin)
+             AS q
+    FROM hit GROUP BY 1, 2, 3
+    """,
+)
+def events_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``histogram_quantile`` with in-bucket LINEAR INTERPOLATION —
+    the PromQL/classic-histogram estimator, complementing
+    `events_histogram_rollup`'s conservative lower-bin-edge flavor:
+    within the first bucket whose cumulative count reaches rank =
+    phi*total, the quantile interpolates q = lo + width*(rank -
+    cum_prev)/cnt. Exactness: counts/cumulative counts are integers,
+    bucket bounds are multiples of 5 — so q is ONE float expression
+    over identical integer operands in both engines, bit-equal with
+    no rounding discipline. Evaluated at phi in {0.5, 0.9, 0.99} per
+    (type, week) over day->week MERGED histograms (histograms are
+    monoids — the rollup never revisits raw data). Scale: the phi
+    explode is a 3x literal flatmap; everything else is the histogram
+    family's hash aggs + one bin-ordered window per (type, week)."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type",
+        F.date_trunc("day", "ts").alias("day"),
+        F.floor(F.col("value") / 5.0).cast("bigint").alias("bin"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    weekly = daily.groupBy(
+        "event_type", F.date_trunc("week", "day").alias("week"), "bin"
+    ).agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    wb = Window.partitionBy("event_type", "week").orderBy("bin")
+    wall = Window.partitionBy("event_type", "week")
+    cum = weekly.select(
+        "event_type",
+        "week",
+        "bin",
+        "cnt",
+        F.sum("cnt").over(wb).cast("bigint").alias("cum"),
+        F.sum("cnt").over(wall).cast("bigint").alias("total"),
+    )
+    hit = cum.crossJoin(
+        F.broadcast(
+            events.sparkSession.createDataFrame(
+                [(0.5,), (0.9,), (0.99,)], "phi double"
+            )
+        )
+    ).where(F.col("cum") >= F.col("phi") * F.col("total"))
+    interp = (
+        F.col("bin") * 5.0
+        + 5.0
+        * (F.col("phi") * F.col("total") - (F.col("cum") - F.col("cnt")))
+        / F.col("cnt")
+    )
+    return hit.groupBy("event_type", "week", "phi").agg(
+        F.max("total").cast("bigint").alias("n_events"),
+        F.min_by(interp, F.col("bin")).alias("q"),
+    )

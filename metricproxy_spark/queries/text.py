@@ -3994,14 +3994,15 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     signal. Scale: map-side trigram explode, two hash aggs for the
     model (bounded by |charset|^3 x L -> broadcast), one broadcast
     join + hash agg + 5-row argmax window per doc."""
-    from metricproxy_spark.operators.langid import (
-        classify_language,
-        train_trigram_profiles,
-    )
+    from metricproxy_spark.operators.langid import langid_end_to_end
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
-    model = train_trigram_profiles(docs, "text", "lang")
-    pred = classify_language(docs, model, "doc_id", "text")
+    # single parquet file = one scan split: spread before the
+    # CPU-heavy trigram explode (same lever as the codec queries)
+    docs = spread(
+        load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text"),
+        spark,
+    )
+    pred = langid_end_to_end(docs, "doc_id", "text", "lang")
     return pred.join(docs.select("doc_id", F.col("lang").alias("lang_given")), "doc_id").select(
         "doc_id", "lang_given", "lang_pred", "top_score"
     )
