@@ -2947,3 +2947,101 @@ def events_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("total").cast("bigint").alias("n_events"),
         F.min_by(interp, F.col("bin")).alias("q"),
     )
+
+
+@register(
+    "events_predict_linear",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               date_trunc('day', ts) AS day,
+               SUM(CAST(value AS DECIMAL(27,4))) AS v
+        FROM events GROUP BY 1, 2, 3
+    ), rel AS (
+        -- time axis relative to the window END (the PromQL
+        -- evaluation-time reference): small integers, exact products
+        SELECT event_type, day, v,
+               CAST(epoch(h) - (epoch(day) + 86400) AS BIGINT) AS t
+        FROM hourly
+    ), sums AS (
+        SELECT event_type, day,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(t) AS st,
+               SUM(t * t) AS stt,
+               SUM(v) AS sv,
+               SUM(CAST(t AS DECIMAL(38,4)) * v) AS stv
+        FROM rel GROUP BY 1, 2
+    ), fit AS (
+        SELECT event_type, day, n,
+               CAST(n * stv - st * sv AS DOUBLE)
+                 / CAST(n * stt - st * st AS DOUBLE) AS slope,
+               CAST(sv AS DOUBLE) AS svd, CAST(st AS DOUBLE) AS std
+        FROM sums WHERE n >= 2 AND n * stt - st * st <> 0
+    )
+    SELECT event_type, day, n AS n_samples, slope,
+           (svd - slope * std) / n + slope * 3600.0 AS predicted_1h
+    FROM fit
+    """,
+)
+def events_predict_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``predict_linear`` — simple least squares per evaluation
+    window, extrapolated one hour past the window end (the capacity-
+    planning / disk-will-fill alert primitive). Exactness: with the
+    time axis recentered on the window END (PromQL's evaluation-time
+    reference) every regression sum is EXACT — t, t² are integers, v
+    and t·v are decimals — so slope is one division of identical
+    operands and the prediction is one fixed IEEE chain: bit-equal in
+    both engines with no tolerance. Degenerate windows (n<2 or zero
+    time variance) are excluded on both sides. Scale: one hourly
+    rollup + one hash agg per (type, day); sums are map-combinable, so
+    the regression state per group is five numbers regardless of
+    window length."""
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("h"),
+        F.date_trunc("day", "ts").alias("day"),
+    ).agg(F.sum(F.col("value").cast("decimal(27,4)")).alias("v"))
+    rel = hourly.select(
+        "event_type",
+        "day",
+        "v",
+        (F.unix_timestamp("h") - (F.unix_timestamp("day") + 86400))
+        .cast("bigint")
+        .alias("t"),
+    )
+    sums = rel.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("t").alias("st"),
+        F.sum(F.col("t") * F.col("t")).alias("stt"),
+        F.sum("v").alias("sv"),
+        F.sum(F.col("t").cast("decimal(38,4)") * F.col("v")).alias("stv"),
+    )
+    fit = sums.where(
+        (F.col("n") >= 2)
+        & (F.col("n") * F.col("stt") - F.col("st") * F.col("st") != 0)
+    ).select(
+        "event_type",
+        "day",
+        "n",
+        (
+            (F.col("n") * F.col("stv") - F.col("st") * F.col("sv")).cast(
+                "double"
+            )
+            / (F.col("n") * F.col("stt") - F.col("st") * F.col("st")).cast(
+                "double"
+            )
+        ).alias("slope"),
+        F.col("sv").cast("double").alias("svd"),
+        F.col("st").cast("double").alias("std"),
+    )
+    return fit.select(
+        "event_type",
+        "day",
+        F.col("n").alias("n_samples"),
+        "slope",
+        (
+            (F.col("svd") - F.col("slope") * F.col("std")) / F.col("n")
+            + F.col("slope") * F.lit(3600.0)
+        ).alias("predicted_1h"),
+    )

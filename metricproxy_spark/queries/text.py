@@ -4383,3 +4383,76 @@ def pipeline_multimodal_curation_end2end(spark: SparkSession, sf_dir: str) -> Da
         F.sum(F.col("okk") * F.col("content_sum")).cast("bigint").alias("sum_content"),
         F.sum(F.col("okk") * F.col("feature")).cast("bigint").alias("sum_feature"),
     )
+
+
+@register(
+    "pipeline_proportional_allocation",
+    oracle="""
+    WITH strata AS (
+        SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY 1, 2
+    ), tot AS (
+        SELECT SUM(n_docs) AS big_n FROM strata
+    ), quota AS (
+        SELECT s.source, s.lang, s.n_docs,
+               (1000 * s.n_docs) // t.big_n AS base,
+               (1000 * s.n_docs) % t.big_n AS rem,
+               t.big_n AS big_n
+        FROM strata s CROSS JOIN tot t
+    ), ranked AS (
+        SELECT *,
+               row_number() OVER (ORDER BY rem DESC, source, lang) AS rk,
+               CAST(1000 - SUM(base) OVER () AS BIGINT) AS leftover
+        FROM quota
+    )
+    SELECT source, lang, n_docs,
+           CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc
+    FROM ranked
+    """,
+)
+def pipeline_proportional_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-mixture apportionment — largest-remainder (Hare quota)
+    allocation of a 1000-sample budget across (source, lang) strata,
+    the deterministic integer core of training-data mixing: every
+    stratum gets floor(T·n_i/N), and the K = T − Σfloor leftover
+    samples go to the largest fractional remainders. Remainders
+    compare as INTEGER residues (T·n_i mod N) — no floats anywhere —
+    and ties break (source, lang)-ascending, so the allocation is
+    exact and engine-identical, and Σalloc == T by construction
+    (apportionment's defining invariant; pinned in tests). Scale: one
+    hash agg over the corpus, then window ranking over |strata| rows —
+    the corpus is touched once, the allocation logic runs on
+    stratum-count-sized data."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    strata = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    tot = strata.agg(F.sum("n_docs").alias("big_n"))
+    quota = strata.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "lang",
+        "n_docs",
+        F.expr("(1000 * n_docs) div big_n").alias("base"),
+        F.expr("(1000 * n_docs) % big_n").alias("rem"),
+    )
+    w = Window.orderBy(F.desc("rem"), "source", "lang")
+    wall = Window.partitionBy()
+    ranked = quota.select(
+        "*",
+        F.row_number().over(w).alias("rk"),
+        (1000 - F.sum("base").over(wall)).cast("bigint").alias("leftover"),
+    )
+    return ranked.select(
+        "source",
+        "lang",
+        "n_docs",
+        (
+            F.col("base")
+            + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("alloc"),
+    )

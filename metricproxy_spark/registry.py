@@ -45,15 +45,15 @@ ORACLES: dict[str, str] = {}
 # window covered through events_type_totals (registry position 50), so
 # the r1-cohort tail from events_multires_rollup through
 # analytic_ntile_cume (34 names) overflowed with r1-only evidence.
-# This round pins: 8 r8 additions + 2 r8-changed queries
+# This round pins: 10 r8 additions + 2 r8-changed queries
 # (analytic_fuzzy_join oracle DISTINCT fix, analytic_hierarchy_rollup
-# digit-derived depth) + that 34-name tail + the first 6 of the
+# digit-derived depth) + that 34-name tail + the first 4 of the
 # 15-name r2-evidence cohort = exactly the 50-row driver window.
-# ROUND-9 NOTE: pin any r9 additions first, then the remaining 9
-# r2-evidence names (layout_stratified_sample, layout_zorder_stats,
-# analytic_array_funcs, analytic_datetime_funcs, analytic_math_funcs,
-# analytic_string_funcs, text_ngram_udtf_analyze, text_shingle_udtf,
-# text_topk_sketch).
+# ROUND-9 NOTE: pin any r9 additions first, then the remaining 11
+# r2-evidence names (pipeline_lang_balance, cdc_incremental_agg,
+# layout_stratified_sample, layout_zorder_stats, analytic_array_funcs,
+# analytic_datetime_funcs, analytic_math_funcs, analytic_string_funcs,
+# text_ngram_udtf_analyze, text_shingle_udtf, text_topk_sketch).
 _PRIORITY = (
     # --- new in round 8 ---
     "pipeline_multimodal_curation_end2end",
@@ -62,6 +62,8 @@ _PRIORITY = (
     "events_lttb_exact",
     "events_promql_rate",
     "events_histogram_quantile",
+    "events_predict_linear",
+    "pipeline_proportional_allocation",
     "ingest_rendezvous_route",
     "ingest_deterministic_sample",
     # --- changed in round 8 (oracle/engine edits -> fresh evidence) ---
@@ -107,8 +109,6 @@ _PRIORITY = (
     "pipeline_training_data",
     "pipeline_decontaminate",
     "pipeline_train_test_split",
-    "pipeline_lang_balance",
-    "cdc_incremental_agg",
 )
 
 _QUERY_MODULES = (

@@ -133,3 +133,21 @@ class TestLangId:
         assert {r.lang_pred for r in rows} <= langs
         acc = sum(r.lang_pred == r.lang for r in rows) / len(rows)
         assert acc >= 0.10  # >= chance-ish; labels carry no signal
+
+
+class TestProportionalAllocation:
+    def test_alloc_sums_to_budget_and_bounds(self, spark, sf_dir):
+        """Largest-remainder apportionment invariants: Σalloc == T
+        exactly, and every stratum gets floor or floor+1 of its
+        exact quota."""
+        from metricproxy_spark.registry import QUERIES, load_all
+
+        load_all()
+        rows = QUERIES["pipeline_proportional_allocation"](
+            spark, sf_dir
+        ).collect()
+        total_docs = sum(r.n_docs for r in rows)
+        assert sum(r.alloc for r in rows) == 1000
+        for r in rows:
+            base = (1000 * r.n_docs) // total_docs
+            assert r.alloc in (base, base + 1), r
