@@ -221,7 +221,16 @@ def decode_gif(content: bytes) -> tuple[dict, list[np.ndarray], np.ndarray]:
     meta: format/width/height/n_colors/n_frames/delays_cs. Local color
     tables are honored per frame (last one wins in the returned
     palette); interlaced frames are de-interlaced back to scanline
-    order via the 4-pass GIF89a row schedule."""
+    order via the 4-pass GIF89a row schedule. Foreign-bytes contract:
+    malformed/truncated input raises a clean ValueError (struct/index
+    errors wrapped at this boundary)."""
+    try:
+        return _decode_gif_inner(content)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"GIF stream truncated or malformed: {e}") from e
+
+
+def _decode_gif_inner(content: bytes) -> tuple[dict, list[np.ndarray], np.ndarray]:
     if content[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF stream")
     w, h = struct.unpack_from("<HH", content, 6)

@@ -421,7 +421,18 @@ def encode_bmp(pixels) -> bytes:
 
 
 def decode_bmp(content: bytes):
-    """24bpp uncompressed BMP → (meta, (H, W, 3) uint8 RGB array)."""
+    """24bpp uncompressed BMP → (meta, (H, W, 3) uint8 RGB array).
+    Foreign-bytes contract: malformed/truncated input raises a clean
+    ValueError (struct/index errors wrapped at this boundary)."""
+    import struct
+
+    try:
+        return _decode_bmp_inner(content)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"BMP stream truncated or malformed: {e}") from e
+
+
+def _decode_bmp_inner(content: bytes):
     import struct
 
     import numpy as np
@@ -943,7 +954,18 @@ def decode_avi_mjpeg(content: bytes):
     chunk with the baseline JPEG decoder; fps comes from the stream
     header's rate/scale (falling back to avih µs-per-frame). Only the
     MJPG fourcc decodes — any other codec raises (honestly) rather
-    than returning garbage."""
+    than returning garbage. Foreign-bytes contract: malformed or
+    truncated input raises a clean ValueError (struct/index errors
+    wrapped at this boundary)."""
+    import struct
+
+    try:
+        return _decode_avi_mjpeg_inner(content)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"AVI stream truncated or malformed: {e}") from e
+
+
+def _decode_avi_mjpeg_inner(content: bytes):
     import struct
 
     from metricproxy_spark.operators.jpeg import decode_jpeg

@@ -123,3 +123,80 @@ class TestG711Properties:
         assert np.array_equal(s, sig)
         assert meta["format"] == f"wav/{codec}"
         assert meta["duration_ms"] == len(sig) * 1000 // 8000
+
+
+class TestForeignBytesContract:
+    """Round 8: EVERY media decoder raises a clean ValueError (or
+    NotImplementedError for out-of-subset features) on EVERY truncated
+    prefix of a valid stream — never IndexError/struct.error/zlib.error
+    — so tolerant count-and-drop pipelines can catch narrowly."""
+
+    def _scan(self, enc, dec):
+        for cut in range(len(enc)):
+            try:
+                dec(enc[:cut])
+            except (ValueError, NotImplementedError):
+                pass
+            # any other exception propagates and fails the test
+
+    def test_gif_every_prefix(self):
+        import numpy as np
+
+        from metricproxy_spark.operators.gif import decode_gif, encode_gif
+
+        px = (np.arange(192).reshape(12, 16) % 64).astype(np.uint8)
+        pal = [(i, i, i) for i in range(256)]
+        self._scan(encode_gif([px, px + 1], pal, delays_cs=[10, 10]), decode_gif)
+
+    def test_bmp_every_prefix(self):
+        import numpy as np
+
+        from metricproxy_spark.operators.multimodal import decode_bmp, encode_bmp
+
+        px = (np.arange(192).reshape(12, 16) % 64).astype(np.uint8)
+        self._scan(encode_bmp(np.stack([px] * 3, axis=2)), decode_bmp)
+
+    def test_avi_every_prefix(self):
+        import numpy as np
+
+        from metricproxy_spark.operators.multimodal import (
+            decode_avi_mjpeg,
+            encode_avi_mjpeg,
+        )
+
+        frames = [
+            ((np.arange(256).reshape(16, 16) % 50) + k).astype(np.uint8)
+            for k in range(3)
+        ]
+        self._scan(encode_avi_mjpeg(frames, fps=5), decode_avi_mjpeg)
+
+    def test_jpeg_every_prefix_all_modes(self):
+        import numpy as np
+
+        from metricproxy_spark.operators.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+            encode_jpeg_progressive,
+        )
+
+        px = np.zeros((16, 16), np.uint8)
+        for by in range(2):
+            for bx in range(2):
+                px[8 * by : 8 * by + 8, 8 * bx : 8 * bx + 8] = bx + 2 * by + 40
+        for enc in (
+            encode_jpeg(px),
+            encode_jpeg(px, restart_interval=2),
+            encode_jpeg_progressive(px),
+        ):
+            self._scan(enc, decode_jpeg)
+
+    def test_png_every_prefix_8_and_16_bit(self):
+        import numpy as np
+
+        from metricproxy_spark.operators.multimodal import decode_png, encode_png
+
+        for px in (
+            (np.arange(64).reshape(8, 8) * 7 + 300).astype(np.uint16),
+            (np.arange(64).reshape(8, 8)).astype(np.uint8),
+        ):
+            self._scan(encode_png(px), decode_png)
