@@ -924,3 +924,267 @@ def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("is_dup").cast("bigint").alias("n_dup_vs_corpus"),
         F.sum(1 - F.col("is_dup")).cast("bigint").alias("n_kept"),
     )
+
+
+@register(
+    "dedup_minhash_exact",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS ws
+        FROM documents WHERE length(text) > 0
+    ), words AS (
+        -- 3-word shingles: discriminative sets even over a shared
+        -- vocabulary (unigram sets made ~70% of all pairs "dups")
+        SELECT DISTINCT doc_id,
+               ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS w
+        FROM toks, unnest(generate_series(1, len(ws) - 2)) AS u(i)
+    ), sigs AS (
+        SELECT doc_id,
+               min(md5('0:' || w)) AS s0, min(md5('1:' || w)) AS s1,
+               min(md5('2:' || w)) AS s2, min(md5('3:' || w)) AS s3,
+               min(md5('4:' || w)) AS s4, min(md5('5:' || w)) AS s5,
+               min(md5('6:' || w)) AS s6, min(md5('7:' || w)) AS s7
+        FROM words GROUP BY doc_id
+    ), bands AS (
+        SELECT doc_id, b, CASE b WHEN 0 THEN s0 || s1 WHEN 1 THEN s2 || s3
+                                 WHEN 2 THEN s4 || s5 ELSE s6 || s7 END AS bk
+        FROM sigs, unnest(generate_series(0, 3)) AS u(b)
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b ON a.b = b.b AND a.bk = b.bk
+        WHERE a.doc_id < b.doc_id
+    ), nsz AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM words GROUP BY doc_id
+    ), inter AS (
+        SELECT c.id_a, c.id_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+        FROM cand c
+        JOIN words wa ON wa.doc_id = c.id_a
+        JOIN words wb ON wb.doc_id = c.id_b AND wb.w = wa.w
+        GROUP BY 1, 2
+    )
+    SELECT i.id_a, i.id_b, i.n_inter,
+           CAST(na.n + nb.n - i.n_inter AS BIGINT) AS n_union
+    FROM inter i
+    JOIN nsz na ON na.doc_id = i.id_a
+    JOIN nsz nb ON nb.doc_id = i.id_b
+    WHERE 2 * i.n_inter >= na.n + nb.n - i.n_inter
+    """,
+)
+def dedup_minhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding with a FULL exact oracle (round 8) — the
+    value-checked twin of the rows-only `dedup_minhash_lsh`: signatures
+    are md5-based (min over words of md5(seed:word) — md5 is
+    bit-identical in Spark and DuckDB, so the whole banded pipeline,
+    not just its planted-pair recall, is hash-verified end to end).
+    8 signatures in ONE map-combinable agg (8 min() expressions over
+    the distinct (doc, word) explode — no seed explode), 4 bands of 2,
+    candidate pairs from the band equi-join, then the exact word-set
+    Jaccard confirm emitted as the INTEGER pair (n_inter, n_union)
+    with the 0.5 threshold as 2·inter >= union — zero floats anywhere,
+    so there is no rounding-boundary hazard at all (1/128-style
+    power-of-two ratios hit the 6dp half-up/half-even divergence).
+    Scale: same shape as the production flavor — banded buckets bound
+    the pair space to Σ|bucket|²; the Jaccard confirm joins word sets
+    only for candidates."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.length("text") > 0
+    )
+    words = (
+        docs.select("doc_id", F.split("text", " ").alias("ws"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, greatest(size(ws) - 2, 0)),"
+                    " i -> concat_ws(' ', ws[i - 1], ws[i], ws[i + 1]))"
+                )
+            ).alias("w"),
+        )
+        .distinct()
+    )
+    sigs = words.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("w")))).alias(f"s{s}")
+            for s in range(8)
+        ]
+    )
+    bands = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                F.concat("s0", "s1"),
+                F.concat("s2", "s3"),
+                F.concat("s4", "s5"),
+                F.concat("s6", "s7"),
+            )
+        ).alias("b", "bk"),
+    )
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("bb"), ["b", "bk"])
+        .where(F.col("a.doc_id") < F.col("bb.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("bb.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    nsz = words.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    wa = words.select(F.col("doc_id").alias("id_a"), "w")
+    wb = words.select(F.col("doc_id").alias("id_b"), "w")
+    inter = (
+        cand.join(wa, "id_a")
+        .join(wb, ["id_b", "w"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_inter"))
+    )
+    return (
+        inter.join(nsz.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na")), "id_a")
+        .join(nsz.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb")), "id_b")
+        .where(2 * F.col("n_inter") >= F.col("na") + F.col("nb") - F.col("n_inter"))
+        .select(
+            "id_a",
+            "id_b",
+            "n_inter",
+            (F.col("na") + F.col("nb") - F.col("n_inter"))
+            .cast("bigint")
+            .alias("n_union"),
+        )
+    )
+
+
+def _simhash_bit_sql(k: int, engine: str) -> str:
+    """Per-bit +/-1 vote for bit k of the 60-bit md5-derived token
+    hash (shared structure for both engines)."""
+    if engine == "spark":
+        h = "CAST(conv(substring(md5(w), 1, 15), 16, 10) AS BIGINT)"
+    else:
+        h = "CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT)"
+    return f"SUM(2 * (({h} >> {k}) & 1) - 1)"
+
+
+@register(
+    "dedup_simhash_exact",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, string_split(text, ' ') AS ws
+        FROM documents WHERE length(text) > 0
+    ), corpus AS (
+        SELECT doc_id, ws FROM base
+        UNION ALL
+        -- planted near-dup twins: one word swapped at a seeded
+        -- position -> shingle sets differ locally -> small hamming
+        SELECT doc_id + 1000000,
+               list_concat(list_concat(
+                   ws[1:(1 + doc_id % len(ws)) - 1], ['qq']),
+                   ws[(1 + doc_id % len(ws)) + 1:len(ws)])
+        FROM base WHERE doc_id % 7 = 0 AND len(ws) >= 3
+    ), shingles AS (
+        SELECT DISTINCT doc_id,
+               ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS w
+        FROM corpus, unnest(generate_series(1, len(ws) - 2)) AS u(i)
+    ), votes AS (
+        SELECT doc_id, {duck_bits}
+        FROM shingles GROUP BY doc_id
+    ), hashes AS (
+        SELECT doc_id, {duck_pack} AS h60
+        FROM votes
+    ), bands AS (
+        SELECT doc_id, h60, b, (h60 >> (15 * b)) & 32767 AS bk
+        FROM hashes, unnest(generate_series(0, 3)) AS u(b)
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.h60 AS ha, b.h60 AS hb
+        FROM bands a JOIN bands b ON a.b = b.b AND a.bk = b.bk
+        WHERE a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(ha, hb)) <= 8
+    """.format(
+        duck_bits=", ".join(
+            f"{_simhash_bit_sql(k, 'duck')} AS c{k}" for k in range(60)
+        ),
+        duck_pack=" + ".join(
+            f"(CASE WHEN c{k} > 0 THEN CAST(1 AS BIGINT) << {k} ELSE 0 END)"
+            for k in range(60)
+        ),
+    ),
+)
+def dedup_simhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup detection with a FULL exact oracle (round 8)
+    — the value-checked twin of the rows-only `dedup_simhash`: token
+    hashes are the first 60 bits of md5 (bit-identical cross-engine,
+    BIGINT-safe), the 60 per-bit +/-1 votes are 60 map-combinable SUM
+    expressions in one hash agg (no bit explode), the fingerprint
+    packs votes > 0, and candidates come from 4 x 15-bit band buckets
+    confirmed by bit_count(xor) <= 8 — every step integer, the WHOLE
+    banded pipeline hash-verified. The corpus plants near-dup twins
+    (doc_id % 7: one word swapped at a seeded position) so the pair
+    set is non-trivial; an unplanted random pair lands within
+    hamming 8 of 60 bits with probability ~C(60,8)/2^60. Scale: same
+    banded shape as production simhash; the 60-column agg state is
+    480 bytes/doc."""
+    docs = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    base = docs.select("doc_id", F.split("text", " ").alias("ws"))
+    twins = (
+        base.where((F.col("doc_id") % 7 == 0) & (F.size("ws") >= 3))
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.expr(
+                "concat(slice(ws, 1, (1 + doc_id % size(ws)) - 1),"
+                " array('qq'),"
+                " slice(ws, (1 + doc_id % size(ws)) + 1,"
+                "       size(ws) - (1 + doc_id % size(ws))))"
+            ).alias("ws"),
+        )
+    )
+    corpus = base.unionByName(twins)
+    shingles = (
+        corpus.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, greatest(size(ws) - 2, 0)),"
+                    " i -> concat_ws(' ', ws[i - 1], ws[i], ws[i + 1]))"
+                )
+            ).alias("w"),
+        )
+        .distinct()
+    )
+    votes = shingles.groupBy("doc_id").agg(
+        *[
+            F.expr(_simhash_bit_sql(k, "spark")).alias(f"c{k}")
+            for k in range(60)
+        ]
+    )
+    pack = " + ".join(
+        f"(CASE WHEN c{k} > 0 THEN CAST(1 AS BIGINT) << {k} ELSE CAST(0 AS BIGINT) END)"
+        for k in range(60)
+    )
+    hashes = votes.select("doc_id", F.expr(pack).alias("h60"))
+    bands = hashes.select(
+        "doc_id",
+        "h60",
+        F.explode(F.array(*[F.lit(b) for b in range(4)])).alias("b"),
+    ).withColumn(
+        "bk", F.expr("(h60 >> (15 * b)) & 32767")
+    )
+    a = bands.select(
+        F.col("doc_id").alias("id_a"), F.col("h60").alias("ha"), "b", "bk"
+    )
+    bb = bands.select(
+        F.col("doc_id").alias("id_b"), F.col("h60").alias("hb"), "b", "bk"
+    )
+    cand = (
+        a.join(bb, ["b", "bk"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "ha", "hb")
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("int")
+        )
+        .where(F.col("hamming") <= 8)
+        .select("id_a", "id_b", "hamming")
+    )

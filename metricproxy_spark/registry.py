@@ -45,15 +45,16 @@ ORACLES: dict[str, str] = {}
 # window covered through events_type_totals (registry position 50), so
 # the r1-cohort tail from events_multires_rollup through
 # analytic_ntile_cume (34 names) overflowed with r1-only evidence.
-# This round pins: 10 r8 additions + 2 r8-changed queries
+# This round pins: 12 r8 additions + 2 r8-changed queries
 # (analytic_fuzzy_join oracle DISTINCT fix, analytic_hierarchy_rollup
-# digit-derived depth) + that 34-name tail + the first 4 of the
+# digit-derived depth) + that 34-name tail + the first 2 of the
 # 15-name r2-evidence cohort = exactly the 50-row driver window.
-# ROUND-9 NOTE: pin any r9 additions first, then the remaining 11
-# r2-evidence names (pipeline_lang_balance, cdc_incremental_agg,
-# layout_stratified_sample, layout_zorder_stats, analytic_array_funcs,
-# analytic_datetime_funcs, analytic_math_funcs, analytic_string_funcs,
-# text_ngram_udtf_analyze, text_shingle_udtf, text_topk_sketch).
+# ROUND-9 NOTE: pin any r9 additions first, then the remaining 13
+# r2-evidence names (pipeline_decontaminate, pipeline_train_test_split,
+# pipeline_lang_balance, cdc_incremental_agg, layout_stratified_sample,
+# layout_zorder_stats, analytic_array_funcs, analytic_datetime_funcs,
+# analytic_math_funcs, analytic_string_funcs, text_ngram_udtf_analyze,
+# text_shingle_udtf, text_topk_sketch).
 _PRIORITY = (
     # --- new in round 8 ---
     "pipeline_multimodal_curation_end2end",
@@ -64,6 +65,8 @@ _PRIORITY = (
     "events_histogram_quantile",
     "events_predict_linear",
     "pipeline_proportional_allocation",
+    "dedup_minhash_exact",
+    "dedup_simhash_exact",
     "ingest_rendezvous_route",
     "ingest_deterministic_sample",
     # --- changed in round 8 (oracle/engine edits -> fresh evidence) ---
@@ -107,8 +110,6 @@ _PRIORITY = (
     # --- first 8 of the r2-evidence cohort ---
     "text_tfidf",
     "pipeline_training_data",
-    "pipeline_decontaminate",
-    "pipeline_train_test_split",
 )
 
 _QUERY_MODULES = (
