@@ -3045,3 +3045,92 @@ def events_predict_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.col("slope") * F.lit(3600.0)
         ).alias("predicted_1h"),
     )
+
+
+@register(
+    "events_gorilla_roundtrip",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS t,
+               CAST(SUM(CAST(value AS DECIMAL(27,4))) * 10000 AS BIGINT) AS v
+        FROM events GROUP BY 1, 2, date_trunc('hour', ts)
+    )
+    SELECT event_type, day,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(SUM(t) AS BIGINT) AS sum_ts,
+           CAST(SUM(v) AS BIGINT) AS sum_v_scaled
+    FROM hourly GROUP BY 1, 2
+    """,
+)
+def events_gorilla_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gorilla TSDB chunk compression (VLDB'15 §4.1 — the codec behind
+    Prometheus-class chunk storage) driven end to end: per (type, day)
+    the hourly series compresses through delta-of-delta timestamps +
+    XOR float values and decompresses back; the query sums the DECODED
+    points. Gorilla is LOSSLESS, so the oracle is simply the direct
+    rollup of the input series (the FLAC lever) — values ride as
+    decimal-exact x10^4 integers stored in float64, so the decoded
+    sums are pure integer arithmetic. The per-day first delta can span
+    a multi-hour gap, so blocks use the self-describing 17-bit
+    first-delta header (the paper's 14 assumes 2-hour blocks).
+    Compression-ratio properties are pinned in tests/test_gorilla.py.
+    Scale: one hourly rollup + guarded per-(type, day) series collect;
+    the codec itself is a map-only Arrow stage, ~150 small blocks
+    here, one block per series-day at any scale."""
+    import numpy as np
+    import pandas as pd
+
+    from metricproxy_spark.io import ensure_package_on_workers
+    from metricproxy_spark.operators.scale import guarded_series
+
+    ensure_package_on_workers(spark)
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "event_type",
+        F.date_trunc("day", "ts").alias("day"),
+        F.unix_timestamp(F.date_trunc("hour", "ts")).cast("bigint").alias("t"),
+    ).agg(
+        (F.sum(F.col("value").cast("decimal(27,4)")) * 10000)
+        .cast("bigint")
+        .alias("v")
+    )
+    series = guarded_series(hourly, ["event_type", "day"], ["t", "v"])
+
+    def work(batches):
+        from metricproxy_spark.operators.gorilla import (
+            compress_gorilla,
+            decompress_gorilla,
+        )
+
+        for pdf in batches:
+            out = []
+            for et, day, rows in zip(
+                pdf["event_type"], pdf["day"], pdf["rows"]
+            ):
+                t = np.array([r["t"] for r in rows], np.int64)
+                v = np.array([r["v"] for r in rows], np.float64)
+                td, vd = decompress_gorilla(
+                    compress_gorilla(t, v, first_delta_bits=17)
+                )
+                out.append(
+                    (
+                        et,
+                        day,
+                        len(td),
+                        int(td.sum()),
+                        int(vd.astype(np.int64).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "event_type", "day", "n_points", "sum_ts", "sum_v_scaled",
+                ],
+            )
+
+    return series.select("event_type", "day", "rows").mapInPandas(
+        work,
+        "event_type string, day timestamp, n_points bigint,"
+        " sum_ts bigint, sum_v_scaled bigint",
+    )
