@@ -921,3 +921,49 @@ class TestRound8PlanDiscipline:
         assert plan.count("BroadcastHashJoin") >= 3, plan
         assert "SortMergeJoin" not in plan, plan
         assert "CartesianProduct" not in plan, plan
+
+    def test_promql_rate_no_join_two_windows_one_agg(self, spark, sf_dir):
+        """rate() = hourly rollup + segment-cumsum window + within-day
+        lag window + one (type, day) agg: no join anywhere, no
+        cartesian, no single-partition exchange."""
+        plan = self._plan(spark, sf_dir, "events_promql_rate")
+        assert "Join" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
+        assert "Exchange SinglePartition" not in plan, plan
+
+    def test_predict_linear_map_combinable_sums(self, spark, sf_dir):
+        """The regression state is five map-combinable sums: partial
+        aggregation must appear below the (type, day) exchange."""
+        plan = self._plan(spark, sf_dir, "events_predict_linear")
+        assert "partial_" in plan.lower() or "HashAggregate" in plan, plan
+        assert "Join" not in plan, plan
+
+    def test_rendezvous_no_cartesian_beyond_literal_explode(self, spark, sf_dir):
+        """HRW routing explodes a literal 8-element backend array —
+        a map-side flatmap, not a join against a ring table."""
+        plan = self._plan(spark, sf_dir, "ingest_rendezvous_route")
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert "Generate explode" in plan, plan
+
+    def test_deterministic_sample_is_take_ordered(self, spark, sf_dir):
+        """bottom-k by hash plans as TakeOrderedAndProject — per-
+        partition top-k + k-row merge, never a full sort shuffle."""
+        plan = self._plan(spark, sf_dir, "ingest_deterministic_sample")
+        assert "TakeOrderedAndProject" in plan, plan
+        assert "Exchange rangepartitioning" not in plan, plan
+
+    def test_minhash_exact_signature_agg_is_partial(self, spark, sf_dir):
+        """The 8 min-of-md5 signatures compute as ONE hash agg with
+        map-side combine; candidates join on (band, key) — no
+        cartesian."""
+        plan = self._plan(spark, sf_dir, "dedup_minhash_exact")
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+
+    def test_gorilla_is_map_only_after_series_collect(self, spark, sf_dir):
+        """Gorilla roundtrip = hourly rollup + per-(type, day) series
+        collect + one Arrow map stage: no join, no window."""
+        plan = self._plan(spark, sf_dir, "events_gorilla_roundtrip")
+        assert "Join" not in plan, plan
+        assert "MapInPandas" in plan, plan
