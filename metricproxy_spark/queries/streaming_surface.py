@@ -1658,3 +1658,147 @@ def stream_msgpack_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     shutil.rmtree(wd, ignore_errors=True)
     return result
+
+
+@register(
+    "stream_gorilla_pipeline",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS t,
+               CAST(SUM(CAST(value AS DECIMAL(27,4))) * 10000 AS BIGINT) AS v
+        FROM events GROUP BY 1, 2, date_trunc('hour', ts)
+    )
+    SELECT event_type,
+           CAST(COUNT(DISTINCT day) AS BIGINT) AS n_blocks,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(SUM(t) AS BIGINT) AS sum_ts,
+           CAST(SUM(v) AS BIGINT) AS sum_v_scaled
+    FROM hourly GROUP BY 1
+    """,
+)
+def stream_gorilla_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gorilla chunks fully STREAMED — the storage-format member of
+    the streamed-twin family: per-(type, day) hourly series compress
+    into Gorilla blocks staged as one BINARY FILE each (the chunk-file
+    layout a Prometheus-class TSDB ships), consumed exactly once
+    through the `binaryFile` streaming source (explicit schema — the
+    source cannot infer one), decompressed IN the stream by an Arrow
+    map stage, and rolled up per type in complete mode. Losslessness
+    makes the oracle the direct SQL rollup of the raw events — the
+    whole compress → file → stream → decompress → aggregate chain is
+    value-checked. Scale: blocks are series-day-sized (the driver
+    stages ~|types|x|days| small files under the wire-payload guard;
+    a real deployment writes them executor-side), the stream stage is
+    map-only per file, and the final agg is |types|-keyed."""
+    import numpy as np
+    import pandas as pd
+
+    from metricproxy_spark.io import (
+        ensure_package_on_workers,
+        load_table,
+        staged_artifact_dir,
+    )
+    from metricproxy_spark.operators.scale import guarded_wire_pandas
+    from metricproxy_spark.operators.scale import guarded_series
+
+    ensure_package_on_workers(spark)
+    chunk_dir = staged_artifact_dir("gorilla_chunks", sf_dir)
+    if not os.path.isdir(chunk_dir):
+        staging = chunk_dir + f".staging.{os.getpid()}"
+        os.makedirs(staging, exist_ok=True)
+        events = load_table(spark, sf_dir, "events")
+        hourly = events.groupBy(
+            "event_type",
+            F.date_format(F.date_trunc("day", "ts"), "yyyyMMdd").alias("day"),
+            F.unix_timestamp(F.date_trunc("hour", "ts"))
+            .cast("bigint")
+            .alias("t"),
+        ).agg(
+            (F.sum(F.col("value").cast("decimal(27,4)")) * 10000)
+            .cast("bigint")
+            .alias("v")
+        )
+        series = guarded_series(hourly, ["event_type", "day"], ["t", "v"])
+
+        def pack(batches):
+            from metricproxy_spark.operators.gorilla import compress_gorilla
+
+            for pdf in batches:
+                out = []
+                for et, day, rows in zip(
+                    pdf["event_type"], pdf["day"], pdf["rows"]
+                ):
+                    t = np.array([r["t"] for r in rows], np.int64)
+                    v = np.array([r["v"] for r in rows], np.float64)
+                    out.append(
+                        (f"{et}__{day}", compress_gorilla(t, v, first_delta_bits=17))
+                    )
+                yield pd.DataFrame(out, columns=["name", "block"])
+
+        blocks = guarded_wire_pandas(
+            series.select("event_type", "day", "rows").mapInPandas(
+                pack, "name string, block binary"
+            )
+        )
+        for name, block in zip(blocks["name"], blocks["block"]):
+            with open(os.path.join(staging, f"{name}.gor"), "wb") as f:
+                f.write(bytes(block))
+        try:
+            os.rename(staging, chunk_dir)
+        except OSError:  # lost the publish race; winner is identical
+            shutil.rmtree(staging, ignore_errors=True)
+
+    sdf = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp,"
+            " length long, content binary"
+        )
+        .load(chunk_dir)
+    )
+
+    def unpack(batches):
+        from metricproxy_spark.operators.gorilla import decompress_gorilla
+
+        for pdf in batches:
+            out = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                et = os.path.basename(path).split("__")[0]
+                td, vd = decompress_gorilla(bytes(content))
+                out.append(
+                    (et, len(td), int(td.sum()), int(vd.astype(np.int64).sum()))
+                )
+            yield pd.DataFrame(
+                out, columns=["event_type", "n_p", "s_t", "s_v"]
+            )
+
+    per_block = sdf.mapInPandas(
+        unpack, "event_type string, n_p long, s_t long, s_v long"
+    )
+    agg = per_block.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.sum("n_p").alias("n_points"),
+        F.sum("s_t").alias("sum_ts"),
+        F.sum("s_v").alias("sum_v_scaled"),
+    )
+    wd = _workdir()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        out = _run_to_memory(agg, os.path.join(wd, "ckpt"))
+        result = spark.createDataFrame(
+            out.select(
+                "event_type",
+                F.col("n_blocks").cast("bigint"),
+                F.col("n_points").cast("bigint"),
+                F.col("sum_ts").cast("bigint"),
+                F.col("sum_v_scaled").cast("bigint"),
+            ).collect(),
+            "event_type string, n_blocks bigint, n_points bigint,"
+            " sum_ts bigint, sum_v_scaled bigint",
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    shutil.rmtree(wd, ignore_errors=True)
+    return result
