@@ -3134,3 +3134,80 @@ def events_gorilla_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type string, day timestamp, n_points bigint,"
         " sum_ts bigint, sum_v_scaled bigint",
     )
+
+
+@register(
+    "events_promql_changes",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               SUM(CAST(value AS DECIMAL(27,4))) AS inc
+        FROM events GROUP BY 1, 2
+    ), idx AS (
+        SELECT event_type, h, inc,
+               CAST(row_number() OVER (PARTITION BY event_type ORDER BY h)
+                    - 1 AS BIGINT) AS hidx
+        FROM hourly
+    ), ctr AS (
+        SELECT event_type, h, date_trunc('day', h) AS day,
+               SUM(inc) OVER (PARTITION BY event_type, hidx // 37
+                              ORDER BY h) AS v
+        FROM idx
+    ), lagged AS (
+        SELECT event_type, day, v,
+               lag(v) OVER (PARTITION BY event_type, day ORDER BY h) AS vp
+        FROM ctr
+    )
+    SELECT event_type, day,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM(CASE WHEN vp IS NOT NULL AND v <> vp
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
+           CAST(SUM(CASE WHEN v < vp THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_resets
+    FROM lagged GROUP BY 1, 2
+    """,
+)
+def events_promql_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``changes()`` and ``resets()`` — the counter-health
+    diagnostics beside `events_promql_rate` (same synthetic counters,
+    same windows): per (type, day), changes counts consecutive-sample
+    value changes and resets counts drops below the predecessor (the
+    restart detector alerting keys on). Pure integer comparisons over
+    DECIMAL counter levels — exact with no discipline. Scale: shares
+    rate()'s shape — one hourly rollup, two partitioned windows, one
+    hash agg; the comparisons add nothing wide."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.sum(F.col("value").cast("decimal(27,4)")).alias("inc"))
+    wo = Window.partitionBy("event_type").orderBy("h")
+    idx = hourly.withColumn(
+        "hidx", (F.row_number().over(wo) - 1).cast("bigint")
+    ).withColumn("seg", F.expr("hidx div 37"))
+    wseg = (
+        Window.partitionBy("event_type", "seg")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ctr = idx.withColumn("v", F.sum("inc").over(wseg)).withColumn(
+        "day", F.date_trunc("day", "h")
+    )
+    wday = Window.partitionBy("event_type", "day").orderBy("h")
+    lagged = ctr.select(
+        "event_type", "day", "v", F.lag("v").over(wday).alias("vp")
+    )
+    return lagged.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_samples"),
+        F.sum(
+            F.when(
+                F.col("vp").isNotNull() & (F.col("v") != F.col("vp")), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_changes"),
+        F.sum(F.when(F.col("v") < F.col("vp"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_resets"),
+    )

@@ -2159,3 +2159,120 @@ def ingest_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("qty").cast("double").alias("sum_qty"),
         F.sum("l_orderkey").cast("bigint").alias("sum_orderkey"),
     )
+
+
+@register(
+    "ingest_hashring_route",
+    oracle="""
+    WITH series AS (
+        SELECT DISTINCT event_type || '/' || CAST(user_id AS VARCHAR) AS skey
+        FROM events
+    ), ring AS (
+        SELECT b.backend, v.i, md5(b.backend || ':' || CAST(v.i AS VARCHAR)) AS pos
+        FROM (SELECT unnest(['shard-0','shard-1','shard-2','shard-3',
+                             'shard-4','shard-5','shard-6','shard-7',
+                             'shard-8']) AS backend) b
+        CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i) v
+    ), keyed AS (
+        SELECT skey, md5(skey) AS kh FROM series
+    ), r8 AS (
+        -- circular min: '0'-prefixed positions >= kh sort before all
+        -- '1'-prefixed wrapped positions, so ONE min_by finds the
+        -- clockwise successor with no NULL-ordering edge cases
+        SELECT k.skey,
+               min_by(r.backend,
+                      CASE WHEN r.pos >= k.kh THEN '0' ELSE '1' END || r.pos)
+                 AS owner
+        FROM keyed k CROSS JOIN ring r
+        WHERE r.backend <> 'shard-8'
+        GROUP BY k.skey
+    ), r9 AS (
+        SELECT k.skey,
+               min_by(r.backend,
+                      CASE WHEN r.pos >= k.kh THEN '0' ELSE '1' END || r.pos)
+                 AS owner
+        FROM keyed k CROSS JOIN ring r
+        GROUP BY k.skey
+    )
+    SELECT r8.owner AS backend,
+           CAST(COUNT(*) AS BIGINT) AS n_series,
+           CAST(SUM(CASE WHEN r9.owner <> r8.owner THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_moved_with_shard8,
+           CAST(SUM(CASE WHEN r9.owner <> r8.owner
+                          AND r9.owner <> 'shard-8' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_moved_elsewhere
+    FROM r8 JOIN r9 ON r8.skey = r9.skey
+    GROUP BY 1
+    """,
+)
+def ingest_hashring_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent-hash RING routing with virtual nodes — the
+    carbon-relay default sharding (Karger et al. 1997 rings; 16 vnodes
+    per backend smooth the load): a key goes to the first vnode
+    clockwise from md5(key), wrapping past the top of the ring. The
+    clockwise successor is ONE null-free min_by via the circular-min
+    trick ('0'+pos for pos >= kh sorts before '1'+pos wraps), and md5
+    is bit-identical cross-engine, so the whole ring — and the ring
+    guarantee itself — is value-checked: routing against 8 backends
+    AND against 9 (shard-8 added), the oracle pins that keys only
+    ever move TO the new node (n_moved_elsewhere = 0 on every row) —
+    the complement of `ingest_rendezvous_route`'s removal check.
+    Scale: the ring is a 144-row literal (broadcast); routing is a
+    map-side x144 compare + one hash agg per key — a real deployment
+    binary-searches the sorted ring, same answers."""
+    events = load_table(spark, sf_dir, "events")
+    series = events.select(
+        F.concat_ws("/", "event_type", F.col("user_id").cast("string")).alias(
+            "skey"
+        )
+    ).distinct()
+    backends = [f"shard-{i}" for i in range(9)]
+    ring = (
+        spark.createDataFrame(
+            [(b, i) for b in backends for i in range(16)],
+            "backend string, i int",
+        )
+        .select(
+            "backend",
+            F.md5(
+                F.concat_ws(":", "backend", F.col("i").cast("string"))
+            ).alias("pos"),
+        )
+    )
+    keyed = series.select("skey", F.md5("skey").alias("kh"))
+
+    def route(ring_df):
+        eff = F.concat(
+            F.when(F.col("pos") >= F.col("kh"), F.lit("0")).otherwise(
+                F.lit("1")
+            ),
+            F.col("pos"),
+        )
+        return (
+            keyed.crossJoin(F.broadcast(ring_df))
+            .groupBy("skey")
+            .agg(F.min_by("backend", eff).alias("owner"))
+        )
+
+    r8 = route(ring.where(F.col("backend") != "shard-8")).withColumnRenamed(
+        "owner", "o8"
+    )
+    r9 = route(ring).withColumnRenamed("owner", "o9")
+    return (
+        r8.join(r9, "skey")
+        .groupBy(F.col("o8").alias("backend"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_series"),
+            F.sum((F.col("o9") != F.col("o8")).cast("int"))
+            .cast("bigint")
+            .alias("n_moved_with_shard8"),
+            F.sum(
+                (
+                    (F.col("o9") != F.col("o8"))
+                    & (F.col("o9") != "shard-8")
+                ).cast("int")
+            )
+            .cast("bigint")
+            .alias("n_moved_elsewhere"),
+        )
+    )

@@ -45,17 +45,21 @@ ORACLES: dict[str, str] = {}
 # window covered through events_type_totals (registry position 50), so
 # the r1-cohort tail from events_multires_rollup through
 # analytic_ntile_cume (34 names) overflowed with r1-only evidence.
-# This round pins: 14 r8 additions + 2 r8-changed queries
+# This round pins: 16 r8 additions + 2 r8-changed queries
 # (analytic_fuzzy_join oracle DISTINCT fix, analytic_hierarchy_rollup
-# digit-derived depth) + the 34-name r1-cohort tail = exactly the
-# 50-row driver window.
-# ROUND-9 NOTE: pin any r9 additions first, then the FULL 15-name
-# r2-evidence cohort (text_tfidf, pipeline_training_data,
-# pipeline_decontaminate, pipeline_train_test_split,
-# pipeline_lang_balance, cdc_incremental_agg, layout_stratified_sample,
-# layout_zorder_stats, analytic_array_funcs, analytic_datetime_funcs,
-# analytic_math_funcs, analytic_string_funcs, text_ngram_udtf_analyze,
-# text_shingle_udtf, text_topk_sketch).
+# digit-derived depth) + the first 32 of the 34-name r1-cohort tail =
+# exactly the 50-row driver window (zero-evidence names outrank stale
+# ones, the r6->r7 precedent; two-round cohort completion is the
+# accepted fallback).
+# ROUND-9 NOTE: pin any r9 additions first, then the 2 overflowed
+# r1-cohort names (analytic_range_frame, analytic_ntile_cume), then
+# the FULL 15-name r2-evidence cohort (text_tfidf,
+# pipeline_training_data, pipeline_decontaminate,
+# pipeline_train_test_split, pipeline_lang_balance,
+# cdc_incremental_agg, layout_stratified_sample, layout_zorder_stats,
+# analytic_array_funcs, analytic_datetime_funcs, analytic_math_funcs,
+# analytic_string_funcs, text_ngram_udtf_analyze, text_shingle_udtf,
+# text_topk_sketch).
 _PRIORITY = (
     # --- new in round 8 ---
     "pipeline_multimodal_curation_end2end",
@@ -70,6 +74,8 @@ _PRIORITY = (
     "dedup_simhash_exact",
     "events_gorilla_roundtrip",
     "stream_gorilla_pipeline",
+    "events_promql_changes",
+    "ingest_hashring_route",
     "ingest_rendezvous_route",
     "ingest_deterministic_sample",
     # --- changed in round 8 (oracle/engine edits -> fresh evidence) ---
@@ -108,8 +114,6 @@ _PRIORITY = (
     "analytic_window_analytic",
     "analytic_ranking",
     "analytic_sessionize",
-    "analytic_range_frame",
-    "analytic_ntile_cume",
 )
 
 _QUERY_MODULES = (

@@ -99,3 +99,29 @@ class TestGorillaForeignBytes:
     def test_not_gorilla(self):
         with pytest.raises(ValueError, match="not a gorilla"):
             decompress_gorilla(b"XXXX\x00\x00\x00\x00\x0e")
+
+
+class TestGorillaHypothesis:
+    def test_roundtrip_arbitrary_floats_hypothesis(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=60, deadline=None)
+        @given(
+            st.lists(
+                st.floats(allow_nan=True, allow_infinity=True, width=64),
+                min_size=0,
+                max_size=50,
+            ),
+            st.lists(st.integers(0, 5000), min_size=0, max_size=50),
+        )
+        def roundtrip(vals, deltas):
+            n = min(len(vals), len(deltas))
+            t = np.cumsum(np.asarray(deltas[:n], np.int64))
+            v = np.asarray(vals[:n], np.float64)
+            # strictly ordered but possibly zero deltas are fine;
+            # first delta must fit the header width
+            blob = compress_gorilla(t, v, first_delta_bits=14)
+            _assert_same(*decompress_gorilla(blob), t, v)
+
+        roundtrip()
