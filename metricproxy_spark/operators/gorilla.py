@@ -131,6 +131,11 @@ def compress_gorilla(ts, values, first_delta_bits: int = 14) -> bytes:
                     w.write(dod + bias, width)
                     break
             else:
+                if not (-(1 << 31) <= dod < (1 << 31)):
+                    # The 32-bit escape bucket cannot represent this
+                    # delta-of-delta; truncating would silently corrupt
+                    # timestamps, so refuse (mirrors first-delta check).
+                    raise ValueError("timestamp delta-of-delta exceeds 32-bit escape range")
                 w.write(0b1111, 4)
                 w.write(dod & 0xFFFFFFFF, 32)
         _write_value(w, int(np.float64(v[i]).view(np.int64)),
@@ -181,6 +186,13 @@ def decompress_gorilla(blob: bytes):
     n, first_delta_bits = struct.unpack_from(">IB", blob, 4)
     if not (1 <= first_delta_bits <= 32):
         raise ValueError("bad gorilla first-delta width")
+    # Bound the declared count against the payload BEFORE allocating:
+    # every point past the first costs >= 2 bits, so a malformed header
+    # claiming n=2^32-1 over a 9-byte blob must not attempt a 64 GB
+    # np.empty. (First point alone costs 128 bits.)
+    payload_bits = 8 * (len(blob) - 9)
+    if n > 0 and payload_bits < 128 + 2 * (n - 1):
+        raise ValueError("gorilla header count exceeds payload capacity")
     r = _BitReader(blob[9:])
     ts = np.empty(n, np.int64)
     vals = np.empty(n, np.int64)
@@ -190,27 +202,33 @@ def decompress_gorilla(blob: bytes):
     ts[0] = t0 - (1 << 64) if t0 >> 63 else t0
     vals[0] = _signed64(r.read(64))
     if n > 1:
-        delta = r.read(first_delta_bits)
-        ts[1] = ts[0] + delta
-        win = _Window()
-        vals[1] = _read_value(r, int(vals[0]), win)
-        for i in range(2, n):
-            if r.read(1) == 0:
-                dod = 0
-            else:
-                matched = False
-                for (code, cbits), width, bias in _TS_BUCKETS:
-                    # prefix already consumed one '1'; read remaining
-                    if r.read(1) == 0:
-                        dod = r.read(width) - bias
-                        matched = True
-                        break
-                if not matched:
-                    raw = r.read(32)
-                    dod = raw - (1 << 32) if raw >> 31 else raw
-            delta += dod
-            ts[i] = ts[i - 1] + delta
-            vals[i] = _read_value(r, int(vals[i - 1]), win)
+        try:
+            delta = r.read(first_delta_bits)
+            ts[1] = ts[0] + delta
+            win = _Window()
+            vals[1] = _read_value(r, int(vals[0]), win)
+            for i in range(2, n):
+                if r.read(1) == 0:
+                    dod = 0
+                else:
+                    matched = False
+                    for (code, cbits), width, bias in _TS_BUCKETS:
+                        # prefix already consumed one '1'; read remaining
+                        if r.read(1) == 0:
+                            dod = r.read(width) - bias
+                            matched = True
+                            break
+                    if not matched:
+                        raw = r.read(32)
+                        dod = raw - (1 << 32) if raw >> 31 else raw
+                delta += dod
+                ts[i] = ts[i - 1] + delta
+                vals[i] = _read_value(r, int(vals[i - 1]), win)
+        except OverflowError as exc:
+            # Adversarial deltas can walk the running timestamp outside
+            # int64; numpy raises OverflowError on assignment — surface
+            # it under the foreign-bytes clean-ValueError contract.
+            raise ValueError("gorilla timestamp overflows int64") from exc
     return ts, vals.view(np.float64)
 
 

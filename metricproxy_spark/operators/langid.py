@@ -51,7 +51,9 @@ def _trigrams(df: DataFrame, id_cols: list[str], text_col: str) -> DataFrame:
         *id_cols,
         F.explode(
             F.expr(
-                f"transform(sequence(1, greatest(length(lower({text_col})) - 2, 0)),"
+                f"transform(CASE WHEN length(lower({text_col})) >= 3"
+                f" THEN sequence(1, length(lower({text_col})) - 2)"
+                f" ELSE array() END,"
                 f" i -> substring(lower({text_col}), i, 3))"
             )
         ).alias("gram"),

@@ -20,6 +20,17 @@ from metricproxy_spark.operators.dedup import (
 )
 from metricproxy_spark.registry import register
 
+# 3-word shingles over a pre-split ``ws`` array column. The explicit
+# size guard matters: Spark's sequence(1, 0) is the DESCENDING [1, 0],
+# so greatest(size-2, 0) would index ws out of bounds for 1-2-word
+# docs (INVALID_ARRAY_INDEX under ANSI) while DuckDB's
+# generate_series(1, -1) is empty — guard to match the oracle exactly.
+_WORD_SHINGLE_EXPR = (
+    "transform(CASE WHEN size(ws) >= 3"
+    " THEN sequence(1, size(ws) - 2) ELSE array() END,"
+    " i -> concat_ws(' ', ws[i - 1], ws[i], ws[i + 1]))"
+)
+
 
 @register(
     "dedup_exact",
@@ -993,12 +1004,7 @@ def dedup_minhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", F.split("text", " ").alias("ws"))
         .select(
             "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, greatest(size(ws) - 2, 0)),"
-                    " i -> concat_ws(' ', ws[i - 1], ws[i], ws[i + 1]))"
-                )
-            ).alias("w"),
+            F.explode(F.expr(_WORD_SHINGLE_EXPR)).alias("w"),
         )
         .distinct()
     )
@@ -1142,12 +1148,7 @@ def dedup_simhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles = (
         corpus.select(
             "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, greatest(size(ws) - 2, 0)),"
-                    " i -> concat_ws(' ', ws[i - 1], ws[i], ws[i + 1]))"
-                )
-            ).alias("w"),
+            F.explode(F.expr(_WORD_SHINGLE_EXPR)).alias("w"),
         )
         .distinct()
     )

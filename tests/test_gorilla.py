@@ -100,6 +100,28 @@ class TestGorillaForeignBytes:
         with pytest.raises(ValueError, match="not a gorilla"):
             decompress_gorilla(b"XXXX\x00\x00\x00\x00\x0e")
 
+    def test_header_count_bounded_before_alloc(self):
+        # n = 2^32-1 over a 9-byte payload must refuse BEFORE the
+        # ~64 GB np.empty, with the contract's clean ValueError.
+        import struct
+
+        blob = b"GOR1" + struct.pack(">IB", (1 << 32) - 1, 14)
+        with pytest.raises(ValueError, match="exceeds payload"):
+            decompress_gorilla(blob)
+
+    def test_dod_escape_overflow_refused(self):
+        # |dod| >= 2^31 cannot ride the 32-bit escape bucket; encoding
+        # must raise rather than silently truncate (round-9 ADVICE).
+        t = np.array([0, 100, 100 + (1 << 35)], np.int64)
+        v = np.arange(3.0)
+        with pytest.raises(ValueError, match="escape range"):
+            compress_gorilla(t, v)
+
+    def test_large_but_representable_dod_roundtrips(self):
+        t = np.array([0, 100, 100 + (1 << 31) + 99], np.int64)  # dod=2^31-1
+        v = np.arange(3.0)
+        _assert_same(*decompress_gorilla(compress_gorilla(t, v)), t, v)
+
 
 class TestGorillaHypothesis:
     def test_roundtrip_arbitrary_floats_hypothesis(self):

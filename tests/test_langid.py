@@ -114,6 +114,24 @@ class TestLangId:
         )
         assert classify_language(short, model).count() == 0
 
+    def test_sub3_char_texts_emit_zero_grams(self, spark):
+        """Regression (round-9 ADVICE): sequence(1, greatest(n-2, 0))
+        yields Spark's descending [1, 0] for n <= 2 and emitted two
+        phantom sub-3-char 'trigrams' ('ab' -> ['ab', 'ab']); the
+        explicit empty-array guard must emit none, and training on a
+        short-doc corpus must not corrupt model counts."""
+        from metricproxy_spark.operators.langid import _trigrams
+
+        df = spark.createDataFrame(
+            [(0, "en", ""), (1, "en", "a"), (2, "en", "ab"), (3, "en", "abc")],
+            "doc_id long, lang string, text string",
+        )
+        grams = _trigrams(df.selectExpr("doc_id", "text as t"), ["doc_id"], "t")
+        rows = grams.collect()
+        assert [(r.doc_id, r.gram) for r in rows] == [(3, "abc")]
+        model = train_trigram_profiles(df)
+        assert [(r.lang, r.gram) for r in model.collect()] == [("en", "abc")]
+
     def test_testdata_sanity(self, spark, sf_dir):
         """On the synthetic testdata the lang labels are independent
         of the text (single shared vocabulary — verified in round 8),

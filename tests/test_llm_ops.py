@@ -60,6 +60,34 @@ class TestMinHashLSH:
         assert {(r.id_a, r.id_b) for r in pairs} == {(1, 4)}
 
 
+class TestWordShingleGuard:
+    def test_short_docs_safe_under_ansi(self, spark):
+        """Regression (round-9 ADVICE): the exact-twin shingle
+        expression must emit ZERO shingles for 0/1/2-word docs instead
+        of indexing ws out of bounds (ANSI INVALID_ARRAY_INDEX) — the
+        DuckDB oracle's generate_series(1, -1) is empty."""
+        from pyspark.sql import functions as F
+
+        from metricproxy_spark.queries.dedup import _WORD_SHINGLE_EXPR
+
+        df = spark.createDataFrame(
+            [(0, ""), (1, "one"), (2, "one two"), (3, "one two three"),
+             (4, "a b c d")],
+            "doc_id long, text string",
+        )
+        out = (
+            df.select("doc_id", F.split("text", " ").alias("ws"))
+            .select("doc_id", F.explode(F.expr(_WORD_SHINGLE_EXPR)).alias("w"))
+            .collect()
+        )
+        got = sorted((r.doc_id, r.w) for r in out)
+        assert got == [
+            (3, "one two three"),
+            (4, "a b c"),
+            (4, "b c d"),
+        ]
+
+
 class TestSimHash:
     def test_guaranteed_properties(self, spark):
         """One-word edits on SHORT unweighted docs flip ~n/5 bits —
