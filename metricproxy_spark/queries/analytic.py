@@ -1507,3 +1507,51 @@ def analytic_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_desc"),
         F.sum("bal").cast("double").alias("subtree_total"),
     )
+
+
+@register(
+    "analytic_hierarchy_recursive",
+    oracle="""
+    WITH RECURSIVE closure AS (
+        SELECT c_custkey AS node, c_custkey AS anc FROM customer
+        UNION ALL
+        SELECT node, anc // 10 FROM closure WHERE anc >= 10
+    )
+    SELECT anc, CAST(COUNT(*) AS BIGINT) AS n_desc,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(27,2))) AS DOUBLE)
+             AS subtree_total
+    FROM closure JOIN customer c ON c.c_custkey = closure.node
+    GROUP BY anc
+    """,
+)
+def analytic_hierarchy_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATIVE recursive-CTE twin of `analytic_hierarchy_rollup`: the
+    same ancestor-closure subtree rollup written as Spark 4's
+    `WITH RECURSIVE` (probed supported on PySpark 4.1.2 this round —
+    round-9 VERDICT task 3), mirroring the DuckDB oracle text
+    one-for-one instead of the bounded-explode closure. True
+    recursion: no depth parameter anywhere — the fixpoint terminates
+    when `anc >= 10` stops producing rows, at ANY key magnitude.
+    Decimal-exact sums as in the twin. Scale: each recursion level is
+    one distributed UNION step (closure rows ≤ depth x |customer|),
+    followed by one hash agg on the ancestor key; recursion depth =
+    digit count (~7 at 100 TB keys), far under Spark's recursion
+    level limit (default 100)."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_acctbal").cast("decimal(27,2)").alias("bal")
+    )
+    cust.createOrReplaceTempView("mp_hier_cust")
+    return spark.sql(
+        """
+        WITH RECURSIVE closure AS (
+            SELECT c_custkey AS node, c_custkey AS anc FROM mp_hier_cust
+            UNION ALL
+            SELECT node, anc div 10 FROM closure WHERE anc >= 10
+        )
+        SELECT anc,
+               CAST(COUNT(*) AS BIGINT) AS n_desc,
+               CAST(SUM(c.bal) AS DOUBLE) AS subtree_total
+        FROM closure JOIN mp_hier_cust c ON c.c_custkey = closure.node
+        GROUP BY anc
+        """
+    )

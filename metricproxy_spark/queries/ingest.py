@@ -2217,9 +2217,18 @@ def ingest_hashring_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     AND against 9 (shard-8 added), the oracle pins that keys only
     ever move TO the new node (n_moved_elsewhere = 0 on every row) —
     the complement of `ingest_rendezvous_route`'s removal check.
-    Scale: the ring is a 144-row literal (broadcast); routing is a
-    map-side x144 compare + one hash agg per key — a real deployment
-    binary-searches the sorted ring, same answers."""
+    Scale: the ring is a SORTED 144-element array literal baked into
+    the plan; the clockwise successor is a higher-order-function scan
+    per key (`filter(ring, x -> x.pos >= kh)[first]`, wrap to
+    ring[0]) — a PURE MAP with ZERO row expansion, the DataFrame
+    analogue of the sorted-ring binary search a real relay runs
+    (round-9 VERDICT task 4 replaced the former x144
+    crossJoin+min_by). Both the 8- and 9-backend routings are
+    per-row expressions over ONE scan of the key set, so the whole
+    query is scan -> distinct -> map -> one hash agg: no join at
+    all."""
+    import hashlib
+
     events = load_table(spark, sf_dir, "events")
     series = events.select(
         F.concat_ws("/", "event_type", F.col("user_id").cast("string")).alias(
@@ -2227,39 +2236,34 @@ def ingest_hashring_route(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).distinct()
     backends = [f"shard-{i}" for i in range(9)]
-    ring = (
-        spark.createDataFrame(
-            [(b, i) for b in backends for i in range(16)],
-            "backend string, i int",
-        )
-        .select(
-            "backend",
-            F.md5(
-                F.concat_ws(":", "backend", F.col("i").cast("string"))
-            ).alias("pos"),
-        )
+    # Driver-side ring construction: md5 hex here is bit-identical to
+    # both engines' md5(), so the literal IS the oracle's ring table.
+    vnodes = sorted(
+        (hashlib.md5(f"{b}:{i}".encode()).hexdigest(), b)
+        for b in backends
+        for i in range(16)
     )
+
+    def ring_owner(entries, out: str):
+        arr = "array(" + ",".join(
+            f"named_struct('pos','{pos}','backend','{b}')"
+            for pos, b in entries
+        ) + ")"
+        # Sorted ascending by pos -> the first entry with pos >= kh is
+        # the clockwise successor; empty filter result wraps to the
+        # ring's first entry (try_element_at is NULL-safe under ANSI).
+        return F.expr(
+            f"coalesce(try_element_at(filter({arr}, x -> x.pos >= kh), 1)"
+            f".backend, try_element_at({arr}, 1).backend)"
+        ).alias(out)
+
     keyed = series.select("skey", F.md5("skey").alias("kh"))
-
-    def route(ring_df):
-        eff = F.concat(
-            F.when(F.col("pos") >= F.col("kh"), F.lit("0")).otherwise(
-                F.lit("1")
-            ),
-            F.col("pos"),
-        )
-        return (
-            keyed.crossJoin(F.broadcast(ring_df))
-            .groupBy("skey")
-            .agg(F.min_by("backend", eff).alias("owner"))
-        )
-
-    r8 = route(ring.where(F.col("backend") != "shard-8")).withColumnRenamed(
-        "owner", "o8"
+    routed = keyed.select(
+        ring_owner([e for e in vnodes if e[1] != "shard-8"], "o8"),
+        ring_owner(vnodes, "o9"),
     )
-    r9 = route(ring).withColumnRenamed("owner", "o9")
     return (
-        r8.join(r9, "skey")
+        routed
         .groupBy(F.col("o8").alias("backend"))
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_series"),

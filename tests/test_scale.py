@@ -967,3 +967,30 @@ class TestRound8PlanDiscipline:
         plan = self._plan(spark, sf_dir, "events_gorilla_roundtrip")
         assert "Join" not in plan, plan
         assert "MapInPandas" in plan, plan
+
+
+class TestRound9PlanDiscipline:
+    """Plan assertions for the round-9 rewrites and additions."""
+
+    def _plan(self, spark, sf_dir, name):
+        from metricproxy_spark.registry import QUERIES, load_all
+
+        load_all()
+        return _executed_plan(QUERIES[name](spark, sf_dir))
+
+    def test_hashring_route_is_pure_map_no_join(self, spark, sf_dir):
+        """Round-9 VERDICT task 4: the sorted-ring HOF scan replaced
+        the x144 crossJoin+min_by AND the r8/r9 key self-join — the
+        whole query must plan as scan -> distinct -> map -> one hash
+        agg with NO join of any kind and no row expansion."""
+        plan = self._plan(spark, sf_dir, "ingest_hashring_route")
+        assert "Join" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
+        assert "Generate explode" not in plan, plan
+
+    def test_hierarchy_recursive_native_union_loop(self, spark, sf_dir):
+        """The native WITH RECURSIVE twin must not collect or
+        cartesian; the recursion is a distributed union loop feeding
+        one hash agg."""
+        plan = self._plan(spark, sf_dir, "analytic_hierarchy_recursive")
+        assert "CartesianProduct" not in plan, plan
