@@ -3211,3 +3211,209 @@ def events_promql_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_resets"),
     )
+
+
+@register(
+    "events_promql_over_time",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               SUM(CAST(value AS DECIMAL(27,4))) AS v
+        FROM events GROUP BY 1, 2
+    ), win AS (
+        SELECT event_type, date_trunc('day', h) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(v) AS s,
+               SUM(CAST(CAST(v AS DECIMAL(18,4)) * CAST(v AS DECIMAL(18,4))
+                        AS DECIMAL(38,8))) AS s2,
+               MIN(v) AS mn, MAX(v) AS mx,
+               max_by(v, h) AS lst
+        FROM hourly GROUP BY 1, 2
+    )
+    SELECT event_type, day,
+           n AS n_samples,
+           CAST(s AS DOUBLE) AS sum_ot,
+           CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS avg_ot,
+           CAST(mn AS DOUBLE) AS min_ot,
+           CAST(mx AS DOUBLE) AS max_ot,
+           CAST(lst AS DOUBLE) AS last_ot,
+           (CAST(s2 AS DOUBLE)
+              - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+             / CAST(n AS DOUBLE) AS stdvar_ot
+    FROM win
+    """,
+)
+def events_promql_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``*_over_time`` gauge aggregations — the family a real
+    PromQL user hits daily (`avg_over_time`, `min/max_over_time`,
+    `sum/count_over_time`, `last_over_time`, `stdvar_over_time`), per
+    (series, window) with series = event_type hourly gauge and window
+    = UTC day, completing the round-8 counter family
+    (`events_promql_rate`). Public algorithm: prometheus/promql
+    functions.go (funcAvgOverTime et al.; stdvar is POPULATION
+    variance). Exactness: every statistic is either a DECIMAL sum /
+    selection cast to double, or ONE fixed IEEE expression over those
+    exact operands — avg = s/n, stdvar = (s2 - s*s/n)/n with the
+    second moment accumulated in DECIMAL(38,8) — bit-equal across
+    engines with no rounding discipline. Scale: one hourly rollup +
+    one (type, day) hash agg, both map-side combinable; the raw table
+    is scanned once, nothing driver-side."""
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.sum(F.col("value").cast("decimal(27,4)")).alias("v"))
+    v18 = F.col("v").cast("decimal(18,4)")
+    win = hourly.groupBy(
+        "event_type", F.date_trunc("day", "h").alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("v").alias("s"),
+        F.sum((v18 * v18).cast("decimal(38,8)")).alias("s2"),
+        F.min("v").alias("mn"),
+        F.max("v").alias("mx"),
+        F.max_by("v", "h").alias("lst"),
+    )
+    sd = F.col("s").cast("double")
+    nd = F.col("n").cast("double")
+    return win.select(
+        "event_type",
+        "day",
+        F.col("n").alias("n_samples"),
+        sd.alias("sum_ot"),
+        (sd / nd).alias("avg_ot"),
+        F.col("mn").cast("double").alias("min_ot"),
+        F.col("mx").cast("double").alias("max_ot"),
+        F.col("lst").cast("double").alias("last_ot"),
+        (
+            (F.col("s2").cast("double") - sd * sd / nd) / nd
+        ).alias("stdvar_ot"),
+    )
+
+
+@register(
+    "events_promql_quantile_over_time",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS vd
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, date_trunc('day', h) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           quantile_cont(vd, 0.5) AS q50,
+           quantile_cont(vd, 0.9) AS q90,
+           quantile_cont(vd, 0.99) AS q99
+    FROM hourly GROUP BY 1, 2
+    """,
+)
+def events_promql_quantile_over_time(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PromQL ``quantile_over_time(q, ...)`` at q = 0.5/0.9/0.99 per
+    (series, window) — the latency-SLO workhorse. Both engines define
+    the continuous quantile identically (sorted samples, linear
+    interpolation at rank q*(n-1): Spark `percentile`, DuckDB
+    `quantile_cont`), and the interpolation is one fixed IEEE
+    expression over the same float64 samples, so the result is
+    bit-equal cross-engine — probed on awkward irrational-ish values
+    this round, 6/6 quantiles identical. The gauge samples are the
+    hourly DECIMAL sums cast to double (exact cast, 4dp). Public
+    algorithm: prometheus/promql functions.go funcQuantileOverTime.
+    Scale: one hourly rollup + one (type, day) agg; percentile's
+    per-group state is the 24-sample window — bounded by the window
+    width, not the table."""
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(27,4)"))
+        .cast("double")
+        .alias("vd")
+    )
+    return hourly.groupBy(
+        "event_type", F.date_trunc("day", "h").alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_samples"),
+        F.percentile("vd", F.lit(0.5)).alias("q50"),
+        F.percentile("vd", F.lit(0.9)).alias("q90"),
+        F.percentile("vd", F.lit(0.99)).alias("q99"),
+    )
+
+
+@register(
+    "events_promql_topk",
+    oracle="""
+    WITH daily AS (
+        SELECT date_trunc('day', ts) AS day, event_type,
+               SUM(CAST(value AS DECIMAL(27,4))) AS s
+        FROM events GROUP BY 1, 2
+    ), ranked AS (
+        SELECT day, event_type, s,
+               row_number() OVER (PARTITION BY day
+                                  ORDER BY s DESC, event_type) AS rt,
+               row_number() OVER (PARTITION BY day
+                                  ORDER BY s ASC, event_type) AS rb
+        FROM daily
+    )
+    SELECT day, 'top' AS direction, CAST(rt AS INT) AS rnk,
+           event_type, CAST(s AS DOUBLE) AS val
+    FROM ranked WHERE rt <= 3
+    UNION ALL
+    SELECT day, 'bottom' AS direction, CAST(rb AS INT) AS rnk,
+           event_type, CAST(s AS DOUBLE) AS val
+    FROM ranked WHERE rb <= 3
+    """,
+)
+def events_promql_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``topk(3, ...)`` and ``bottomk(3, ...)`` over the
+    instant vector `sum by (event_type)` at each day boundary — the
+    dashboard "noisiest/quietest series" selector. Ranking compares
+    DECIMAL daily sums (exact, order-independent) with the series
+    label as deterministic tie-break, so the selection is value-exact
+    cross-engine; both directions rank the SAME aggregated frame, so
+    the daily rollup computes once. Public algorithm:
+    prometheus/promql engine.go (topk/bottomk heaps). Scale: one
+    (day, type) hash agg, two row_number windows partitioned by day
+    over the tiny aggregate, never the raw table."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.date_trunc("day", "ts").alias("day"),
+        "event_type",
+    ).agg(F.sum(F.col("value").cast("decimal(27,4)")).alias("s"))
+    ranked = daily.select(
+        "day",
+        "event_type",
+        "s",
+        F.row_number()
+        .over(
+            Window.partitionBy("day").orderBy(
+                F.col("s").desc(), F.col("event_type")
+            )
+        )
+        .alias("rt"),
+        F.row_number()
+        .over(
+            Window.partitionBy("day").orderBy(
+                F.col("s").asc(), F.col("event_type")
+            )
+        )
+        .alias("rb"),
+    )
+    val = F.col("s").cast("double").alias("val")
+    top = ranked.where(F.col("rt") <= 3).select(
+        "day",
+        F.lit("top").alias("direction"),
+        F.col("rt").cast("int").alias("rnk"),
+        "event_type",
+        val,
+    )
+    bot = ranked.where(F.col("rb") <= 3).select(
+        "day",
+        F.lit("bottom").alias("direction"),
+        F.col("rb").cast("int").alias("rnk"),
+        "event_type",
+        val,
+    )
+    return top.unionByName(bot)
