@@ -4456,3 +4456,139 @@ def pipeline_proportional_allocation(spark: SparkSession, sf_dir: str) -> DataFr
         .cast("bigint")
         .alias("alloc"),
     )
+
+
+@register(
+    "pipeline_training_shard_manifest",
+    oracle="""
+    WITH strata AS (
+        SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY 1, 2
+    ), tot AS (
+        SELECT SUM(n_docs) AS big_n FROM strata
+    ), quota AS (
+        SELECT s.source, s.lang, s.n_docs,
+               (200 * s.n_docs) // t.big_n AS base,
+               (200 * s.n_docs) % t.big_n AS rem
+        FROM strata s CROSS JOIN tot t
+    ), alloc AS (
+        SELECT source, lang,
+               CAST(base + CASE WHEN
+                   row_number() OVER (ORDER BY rem DESC, source, lang)
+                     <= 200 - SUM(base) OVER ()
+                   THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        FROM quota
+    ), keyed AS (
+        SELECT doc_id, source, lang,
+               md5('shard:' || CAST(doc_id AS VARCHAR)) AS h,
+               md5('assign:' || CAST(doc_id AS VARCHAR)) AS ah
+        FROM documents
+    ), ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY source, lang
+                                     ORDER BY h) AS rk
+        FROM keyed
+    ), selected AS (
+        SELECT r.doc_id, r.source, r.lang, r.h, r.ah,
+               CAST(('0x' || substr(r.ah, 1, 15)) AS BIGINT) % 8 AS shard
+        FROM ranked r JOIN alloc a
+          ON r.source = a.source AND r.lang = a.lang
+        WHERE r.rk <= a.alloc
+    )
+    SELECT CAST(shard AS INT) AS shard, source, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+           min(h) AS min_sample_hash,
+           min_by(doc_id, ah) AS first_doc_id
+    FROM selected GROUP BY 1, 2, 3
+    """,
+)
+def pipeline_training_shard_manifest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Training-shard manifest — the step between mixture
+    apportionment and sequence packing that a real pretraining build
+    runs: (1) Hare largest-remainder allocation of a 200-doc budget
+    across (source, lang) strata (the `pipeline_proportional_
+    allocation` core inlined), (2) DETERMINISTIC per-stratum selection
+    of exactly its allocation via bottom-k by a seeded content hash
+    (md5('shard:'||doc_id) — engine/partitioning/run-reproducible,
+    unlike rand()), (3) seeded HASH-BUCKETED shard assignment
+    (md5('assign:'||doc_id) 60-bit prefix mod 8 — an independent seed
+    so shard placement is uncorrelated with selection rank), and (4)
+    the value-checked manifest: per (shard, source, lang) doc counts,
+    key sums, the selection-identity min hash, and the first document
+    each shard would stream under the deterministic hash-order
+    interleave (min_by over the assign hash). Σ n_docs = 200 = the
+    budget whenever every stratum holds at least its allocation
+    (guaranteed for budget <= corpus size); undersized strata cap at
+    their full contents (pinned in tests). Scale: one corpus scan
+    feeds both the strata agg and the keyed frame; selection is a
+    per-stratum window rank (shuffle keyed by stratum, never global);
+    the allocation table is |strata| rows broadcast into the rank
+    filter; shard assignment is a pure map — NO global sort anywhere
+    (plan-asserted), so shards stay balanced-by-hash at any corpus
+    size."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    strata = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    tot = strata.agg(F.sum("n_docs").alias("big_n"))
+    quota = strata.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "lang",
+        F.expr("(200 * n_docs) div big_n").alias("base"),
+        F.expr("(200 * n_docs) % big_n").alias("rem"),
+    )
+    wrk = Window.orderBy(F.desc("rem"), "source", "lang")
+    wall = Window.partitionBy()
+    alloc = quota.select(
+        "source",
+        "lang",
+        (
+            F.col("base")
+            + F.when(
+                F.row_number().over(wrk)
+                <= 200 - F.sum("base").over(wall),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("alloc"),
+    )
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.md5(F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))).alias(
+            "h"
+        ),
+        F.md5(
+            F.concat(F.lit("assign:"), F.col("doc_id").cast("string"))
+        ).alias("ah"),
+    )
+    ranked = keyed.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("source", "lang").orderBy("h")
+        ),
+    )
+    selected = ranked.join(F.broadcast(alloc), ["source", "lang"]).where(
+        F.col("rk") <= F.col("alloc")
+    )
+    shard = (
+        F.expr("CAST(conv(substring(ah, 1, 15), 16, 10) AS BIGINT) % 8")
+        .cast("int")
+        .alias("shard")
+    )
+    return (
+        selected.select("doc_id", "source", "lang", "h", "ah", shard)
+        .groupBy("shard", "source", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("doc_id").cast("bigint").alias("sum_doc_id"),
+            F.min("h").alias("min_sample_hash"),
+            F.min_by("doc_id", "ah").alias("first_doc_id"),
+        )
+    )

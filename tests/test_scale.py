@@ -994,3 +994,32 @@ class TestRound9PlanDiscipline:
         one hash agg."""
         plan = self._plan(spark, sf_dir, "analytic_hierarchy_recursive")
         assert "CartesianProduct" not in plan, plan
+
+    def test_shard_manifest_no_global_sort(self, spark, sf_dir):
+        """Selection ranks within strata and shards are hash-bucketed:
+        the plan must contain NO range partitioning (global sort) and
+        no cartesian; the allocation table broadcasts into the rank
+        filter."""
+        plan = self._plan(spark, sf_dir, "pipeline_training_shard_manifest")
+        assert "Exchange rangepartitioning" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastHashJoin" in plan, plan
+
+    def test_shard_manifest_budget_invariant(self, spark, sf_dir):
+        """Apportionment's defining invariant survives the composition:
+        the manifest's doc counts sum to exactly the 200-doc budget
+        (capped at the corpus size when the corpus is smaller — Hare
+        allocations can then exceed stratum sizes and selection takes
+        the whole stratum), and every (shard, stratum) count is
+        positive."""
+        from metricproxy_spark.io import load_table
+        from metricproxy_spark.registry import QUERIES, load_all
+
+        load_all()
+        n_corpus = load_table(spark, sf_dir, "documents").count()
+        rows = QUERIES["pipeline_training_shard_manifest"](
+            spark, sf_dir
+        ).collect()
+        assert sum(r.n_docs for r in rows) == min(200, n_corpus)
+        assert all(r.n_docs > 0 for r in rows)
+        assert {r.shard for r in rows} <= set(range(8))
