@@ -166,13 +166,46 @@ def _pass_filters(filters, ph: int, base: int):
     return [int(filters)] * ph
 
 
-def encode_png(pixels, row_filters=None, palette=None, interlace=False) -> bytes:
+def _pack_sub_byte(samples, depth: int):
+    """(H, W) integer samples in [0, 2^depth) → (H, stride) packed
+    scanline bytes, MSB-first with zero-padded row tails (ISO 15948
+    §7.2: scanlines are byte-aligned, pixels never span rows)."""
+    import numpy as np
+
+    s = np.asarray(samples, np.uint8)
+    if s.size and int(s.max()) >= (1 << depth):
+        raise ValueError(f"sample out of range for {depth}-bit PNG")
+    h, w = s.shape
+    shifts = np.arange(depth - 1, -1, -1, dtype=np.uint8)
+    bits = ((s[:, :, None] >> shifts) & 1).reshape(h, w * depth)
+    return np.packbits(bits, axis=1)  # zero-pads the row tail
+
+
+def _unpack_sub_byte(rows, width: int, depth: int):
+    """(H, stride) packed scanline bytes → (H, width) uint8 samples
+    (MSB-first; row-tail padding bits dropped)."""
+    import numpy as np
+
+    h = rows.shape[0]
+    bits = np.unpackbits(rows, axis=1)[:, : width * depth]
+    bits = bits.reshape(h, width, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    return (bits * weights).sum(axis=2).astype(np.uint8)
+
+
+def encode_png(
+    pixels, row_filters=None, palette=None, interlace=False, depth=None
+) -> bytes:
     """numpy array → PNG (RFC 2083 / ISO 15948 subset).
 
     Shapes: (H, W) gray; (H, W, 2) gray+alpha; (H, W, 3) RGB;
     (H, W, 4) RGBA; (H, W) index array with ``palette`` (P×3 uint8) →
     color type 3. dtype uint16 writes a 16-bit-per-sample PNG
     (big-endian sample bytes); anything else is taken as 8-bit.
+    ``depth`` of 1/2/4 writes a SUB-BYTE PNG (gray or palette only,
+    per the spec's allowed combinations) — samples pack MSB-first
+    into byte-aligned scanlines and filtering stays byte-wise with a
+    1-byte pixel offset.
     ``row_filters``: per-row filter ids 0–4 (default all 0) — the
     encoder applies the REAL filter math, so a decoder round-trip
     exercises Sub/Up/Average/Paeth, not just None. ``interlace=True``
@@ -184,6 +217,14 @@ def encode_png(pixels, row_filters=None, palette=None, interlace=False) -> bytes
     import numpy as np
 
     px = np.asarray(pixels)
+    if depth in (1, 2, 4):
+        if px.ndim != 2:
+            raise ValueError("sub-byte PNG is gray or palette only")
+        return _encode_png_sub_byte(
+            px.astype(np.uint8), depth, row_filters, palette, interlace
+        )
+    if depth not in (None, 8, 16):
+        raise ValueError(f"bad PNG bit depth {depth}")
     depth = 16 if px.dtype == np.uint16 else 8
     px = px.astype(np.uint16 if depth == 16 else np.uint8)
     if palette is not None:
@@ -228,6 +269,51 @@ def encode_png(pixels, row_filters=None, palette=None, interlace=False) -> bytes
             base += ph
         scan = b"".join(parts)
     ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, int(bool(interlace)))
+    body = _png_chunk(b"IHDR", ihdr)
+    if palette is not None:
+        body += _png_chunk(b"PLTE", np.asarray(palette, np.uint8).tobytes())
+    body += _png_chunk(b"IDAT", zlib.compress(scan))
+    body += _png_chunk(b"IEND", b"")
+    return PNG_MAGIC + body
+
+
+def _encode_png_sub_byte(px, depth, row_filters, palette, interlace) -> bytes:
+    """(H, W) samples → 1/2/4-bit gray (type 0) or palette (type 3)
+    PNG. Each (sub-)image's scanlines pack independently (Adam7
+    passes are their own images, so their rows re-align to byte
+    boundaries), then run through the SAME byte-wise filter machinery
+    with a 1-byte pixel offset."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w = px.shape
+    color_type = 0 if palette is None else 3
+    if not interlace:
+        packed = _pack_sub_byte(px, depth)
+        filters = row_filters if row_filters is not None else [0] * h
+        if isinstance(filters, (int, str)):
+            filters = _pass_filters(filters, h, 0)
+        if len(filters) != h:
+            raise ValueError("row_filters must have one entry per row")
+        scan = _filter_scanlines(packed, 1, filters)
+    else:
+        parts, base = [], 0
+        for x0, y0, xs, ys in _ADAM7:
+            sub = px[y0::ys, x0::xs]
+            ph, pw = sub.shape
+            if ph == 0 or pw == 0:
+                continue
+            packed = _pack_sub_byte(np.ascontiguousarray(sub), depth)
+            parts.append(
+                _filter_scanlines(packed, 1, _pass_filters(row_filters, ph, base))
+            )
+            base += ph
+        scan = b"".join(parts)
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, depth, color_type, 0, 0, int(bool(interlace))
+    )
     body = _png_chunk(b"IHDR", ihdr)
     if palette is not None:
         body += _png_chunk(b"PLTE", np.asarray(palette, np.uint8).tobytes())
@@ -282,15 +368,20 @@ def _defilter_scanlines(rows, byte_bpp: int):
 def decode_png(content: bytes):
     """REAL PNG decode, stdlib-only: chunk walk → zlib inflate →
     per-row defilter (None/Sub/Up/Average/Paeth) → channel reshape;
-    palette images expand through PLTE to RGB. Supports 8- AND 16-bit
-    depths (all five color types) and BOTH interlace methods — Adam7
-    streams decode as seven independently-filtered sub-images scattered
-    back on the pass grid (ISO 15948 §8.2). Sub-byte depths (1/2/4-bit)
-    raise. Filtering is byte-wise regardless of depth, so one defilter
-    serves both; 16-bit samples reassemble big-endian afterward.
+    palette images expand through PLTE to RGB. Supports ALL legal bit
+    depths — 8- and 16-bit across all five color types, AND the
+    sub-byte 1/2/4-bit gray and palette forms (round-9 VERDICT task
+    6: MSB-first bit unpack over byte-aligned scanlines) — and BOTH
+    interlace methods: Adam7 streams decode as seven independently-
+    filtered sub-images scattered back on the pass grid (ISO 15948
+    §8.2; sub-byte passes re-align each pass's rows to byte
+    boundaries). Filtering is byte-wise regardless of depth, so one
+    defilter serves every depth; 16-bit samples reassemble big-endian
+    and sub-byte samples bit-unpack afterward.
 
     Returns (meta, array): (H, W) for gray, (H, W, C) otherwise;
-    uint8 for 8-bit, uint16 for 16-bit.
+    uint8 for 8-bit and below (sub-byte gray keeps RAW sample values
+    0..2^depth-1), uint16 for 16-bit.
 
     Foreign-bytes contract (round 8): ANY malformed/truncated input
     raises a clean ValueError — zlib/struct/index errors from short
@@ -333,19 +424,55 @@ def _decode_png_inner(content: bytes):
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     w, h, depth, color_type, comp, filt_method, interlace = ihdr
-    if depth not in (8, 16) or comp != 0 or filt_method != 0:
-        raise NotImplementedError(
-            "sub-byte PNG depths (1/2/4-bit) do not decode in-container"
-        )
+    if depth not in (1, 2, 4, 8, 16) or comp != 0 or filt_method != 0:
+        raise ValueError(f"bad PNG depth/compression ({depth}/{comp})")
     if color_type not in _PNG_CHANNELS:
         raise ValueError(f"bad PNG color type {color_type}")
     if depth == 16 and color_type == 3:
         raise ValueError("16-bit palette PNG is not legal")
+    if depth in (1, 2, 4) and color_type not in (0, 3):
+        raise ValueError(
+            f"sub-byte depth {depth} is gray/palette only (type {color_type})"
+        )
     if interlace not in (0, 1):
         raise ValueError(f"bad PNG interlace method {interlace}")
+    raw = zlib.decompress(bytes(idat))
+    if depth in (1, 2, 4):
+        # Sub-byte path: byte-wise defilter (1-byte pixel offset per
+        # the spec), then MSB-first bit unpack per (sub-)image row.
+        if interlace == 0:
+            stride = (w * depth + 7) // 8
+            if len(raw) != h * (stride + 1):
+                raise ValueError("PNG IDAT length mismatch")
+            rows = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+            samples = _unpack_sub_byte(_defilter_scanlines(rows, 1), w, depth)
+        else:
+            samples = np.zeros((h, w), np.uint8)
+            off = 0
+            for x0, y0, xs, ys in _ADAM7:
+                pw = (w - x0 + xs - 1) // xs if w > x0 else 0
+                ph = (h - y0 + ys - 1) // ys if h > y0 else 0
+                if pw == 0 or ph == 0:
+                    continue
+                stride_p = (pw * depth + 7) // 8
+                n = ph * (stride_p + 1)
+                if off + n > len(raw):
+                    raise ValueError("PNG IDAT length mismatch (interlaced)")
+                rows = np.frombuffer(raw, np.uint8, n, off).reshape(
+                    ph, stride_p + 1
+                )
+                off += n
+                samples[y0::ys, x0::xs] = _unpack_sub_byte(
+                    _defilter_scanlines(rows, 1), pw, depth
+                )
+            if off != len(raw):
+                raise ValueError("PNG IDAT length mismatch (interlaced)")
+        # Gray returns RAW sample values (0..2^depth-1), matching the
+        # raw-sample convention of the 16-bit path; palette indexes
+        # expand through PLTE as usual.
+        return _png_reshape(samples[:, :, None], color_type, plte, h, w)
     channels = _PNG_CHANNELS[color_type]
     byte_bpp = channels * (depth // 8)
-    raw = zlib.decompress(bytes(idat))
     if interlace == 0:
         stride = w * byte_bpp
         if len(raw) != h * (stride + 1):

@@ -4592,3 +4592,126 @@ def pipeline_training_shard_manifest(
             F.min_by("doc_id", "ah").alias("first_doc_id"),
         )
     )
+
+
+@register(
+    "multimodal_decode_png_subbyte",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id,
+               CASE doc_id % 3 WHEN 0 THEN 2 WHEN 1 THEN 4
+                    ELSE 16 END AS m,
+               5 + doc_id % 17 AS w,
+               3 + doc_id % 9  AS h,
+               doc_id % 31     AS c
+        FROM documents
+    ), xs AS (
+        SELECT doc_id, m, w, h, c,
+               unnest(generate_series(0, CAST(w - 1 AS INT))) AS x
+        FROM dims
+    ), pxs AS (
+        SELECT doc_id, m, w, h, c, x,
+               unnest(generate_series(0, CAST(h - 1 AS INT))) AS y
+        FROM xs
+    ), sums AS (
+        SELECT doc_id, w, h,
+               SUM((x + 2 * y + c) % m) AS s
+        FROM pxs GROUP BY 1, 2, 3
+    )
+    SELECT doc_id,
+           'png' AS fmt,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN w * h
+                     ELSE 3 * w * h END AS BIGINT) AS n_samples,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN s
+                     ELSE 15 * s + 6 * w * h END AS BIGINT) AS px_sum
+    FROM sums
+    """,
+)
+def multimodal_decode_png_subbyte(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """L5, round-9: SUB-BYTE PNG depths (1/2/4-bit — the codec's last
+    honest raise, now implemented): per-doc images at depth cycling
+    1/2/4 bits, written gray (even ids) or PALETTE (odd ids, entries
+    (3p+1, 5p+2, 7p+3) so the RGB channel-sum is the linear 15p + 6),
+    half Adam7-interlaced, row filters cycling all five types —
+    MSB-first bit packing over byte-aligned scanlines through the
+    same byte-wise filter machinery, decoded back by the stdlib-only
+    decoder. Samples are (x + 2y + c) mod 2^depth, and the oracle
+    re-derives the exact integer pixel sum per pixel in DuckDB
+    (images are <= 21x11, so the oracle's generate_series expansion
+    is tiny); a decoder that mis-unpacked bit order, row padding, or
+    pass alignment CANNOT reproduce the sum. Same map-only
+    mapInPandas shape as the other codec queries; at 100 TB this is
+    the decode stage over scanned-document/fax-style archives where
+    bilevel and 4-bit palette files dominate."""
+    import numpy as np
+    import pandas as pd
+
+    from metricproxy_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth_and_decode(batches):
+        for pdf in batches:
+            out = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                depth = {0: 1, 1: 2, 2: 4}[i % 3]
+                w, h, c = 5 + i % 17, 3 + i % 9, i % 31
+                x = np.arange(w, dtype=np.int64)[None, :]
+                y = np.arange(h, dtype=np.int64)[:, None]
+                px = ((x + 2 * y + c) % (1 << depth)).astype(np.uint8)
+                interlace = i % 4 < 2
+                if i % 2 == 0:
+                    blob = encode_png(
+                        px,
+                        row_filters="cycle",
+                        interlace=interlace,
+                        depth=depth,
+                    )
+                else:
+                    p = np.arange(1 << depth, dtype=np.int64)
+                    pal = np.stack(
+                        [3 * p + 1, 5 * p + 2, 7 * p + 3], axis=1
+                    ).astype(np.uint8)
+                    blob = encode_png(
+                        px,
+                        row_filters="cycle",
+                        palette=pal,
+                        interlace=interlace,
+                        depth=depth,
+                    )
+                meta, back = decode_png(blob)
+                out.append(
+                    (
+                        i,
+                        meta["format"],
+                        meta["width"],
+                        meta["height"],
+                        int(back.size),
+                        int(back.sum(dtype=np.int64)),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id",
+                    "fmt",
+                    "width",
+                    "height",
+                    "n_samples",
+                    "px_sum",
+                ],
+            )
+
+    return docs.mapInPandas(
+        synth_and_decode,
+        "doc_id long, fmt string, width int, height int,"
+        " n_samples long, px_sum long",
+    )

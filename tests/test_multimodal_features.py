@@ -168,15 +168,34 @@ class TestPngCodec:
             encode_png,
         )
 
-        # sub-byte depth (4-bit) is the remaining honest boundary
+        # sub-byte gray decodes as of round 9 (was the honest raise)
         ihdr = struct.pack(">IIBBBBB", 1, 1, 4, 0, 0, 0, 0)
+        blob = (
+            PNG_MAGIC
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(b"\x00\x07"))
+            + _png_chunk(b"IEND", b"")
+        )
+        meta, px = decode_png(blob)
+        assert px.shape == (1, 1) and int(px[0, 0]) == 0  # MSB nibble
+        # ... but an illegal depth and a sub-byte TRUECOLOR combo raise
+        ihdr = struct.pack(">IIBBBBB", 1, 1, 3, 0, 0, 0, 0)
         blob = (
             PNG_MAGIC
             + _png_chunk(b"IHDR", ihdr)
             + _png_chunk(b"IDAT", zlib.compress(b"\x00\x00"))
             + _png_chunk(b"IEND", b"")
         )
-        with pytest.raises(NotImplementedError):
+        with pytest.raises(ValueError):
+            decode_png(blob)
+        ihdr = struct.pack(">IIBBBBB", 1, 1, 4, 2, 0, 0, 0)
+        blob = (
+            PNG_MAGIC
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(b"\x00\x00\x00"))
+            + _png_chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError, match="gray/palette only"):
             decode_png(blob)
         # 16-bit palette is illegal per the spec
         ihdr = struct.pack(">IIBBBBB", 1, 1, 16, 3, 0, 0, 0)
@@ -294,3 +313,93 @@ class TestPngAdam7And16Bit:
                 np.zeros((2, 2), np.uint16),
                 palette=np.zeros((2, 3), np.uint8),
             )
+
+
+class TestSubBytePNG:
+    """Round-9 VERDICT task 6: 1/2/4-bit PNG depths — bit unpacking
+    over the existing byte-wise filter machinery."""
+
+    def test_roundtrip_matrix(self):
+        import numpy as np
+
+        from metricproxy_spark.operators.multimodal import (
+            decode_png,
+            encode_png,
+        )
+
+        rng = np.random.default_rng(42)
+        for depth in (1, 2, 4):
+            for w in (1, 7, 8, 9, 40):  # byte-aligned and ragged rows
+                for h in (1, 5, 16):
+                    for filt in (None, 1, 4, "cycle"):
+                        for inter in (False, True):
+                            px = rng.integers(
+                                0, 1 << depth, (h, w)
+                            ).astype(np.uint8)
+                            blob = encode_png(
+                                px,
+                                row_filters=filt,
+                                interlace=inter,
+                                depth=depth,
+                            )
+                            meta, out = decode_png(blob)
+                            ctx = (depth, w, h, filt, inter)
+                            assert out.shape == (h, w), ctx
+                            assert (out == px).all(), ctx
+                            pal = rng.integers(
+                                0, 256, ((1 << depth), 3)
+                            ).astype(np.uint8)
+                            blob = encode_png(
+                                px,
+                                row_filters=filt,
+                                palette=pal,
+                                interlace=inter,
+                                depth=depth,
+                            )
+                            meta, out = decode_png(blob)
+                            assert (out == pal[px]).all(), ctx
+
+    def test_row_padding_bits_are_dropped(self):
+        """A 3-pixel 1-bit row occupies one byte with 5 padding bits;
+        the decoder must not leak them as pixels."""
+        import numpy as np
+
+        from metricproxy_spark.operators.multimodal import (
+            decode_png,
+            encode_png,
+        )
+
+        px = np.array([[1, 0, 1]], np.uint8)
+        meta, out = decode_png(encode_png(px, depth=1))
+        assert out.shape == (1, 3)
+        assert out.tolist() == [[1, 0, 1]]
+
+    def test_sample_out_of_range_refused(self):
+        import numpy as np
+        import pytest
+
+        from metricproxy_spark.operators.multimodal import encode_png
+
+        with pytest.raises(ValueError, match="out of range"):
+            encode_png(np.array([[4]], np.uint8), depth=2)
+
+    def test_every_prefix_raises_cleanly(self):
+        import numpy as np
+
+        from metricproxy_spark.operators.multimodal import (
+            decode_png,
+            encode_png,
+        )
+
+        rng = np.random.default_rng(7)
+        blob = encode_png(
+            rng.integers(0, 4, (9, 13)).astype(np.uint8),
+            depth=2,
+            row_filters="cycle",
+            interlace=True,
+        )
+        for cut in range(len(blob)):
+            try:
+                decode_png(blob[:cut])
+            except ValueError:
+                pass
