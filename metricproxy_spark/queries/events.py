@@ -3417,3 +3417,215 @@ def events_promql_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         val,
     )
     return top.unionByName(bot)
+
+
+@register(
+    "events_promql_delta",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               date_trunc('day', ts) AS day,
+               SUM(CAST(value AS DECIMAL(27,4))) AS v
+        FROM events GROUP BY 1, 2, 3
+    ), lagged AS (
+        SELECT event_type, day, v,
+               CAST(epoch(h) AS BIGINT) AS t,
+               lag(v) OVER (PARTITION BY event_type, day ORDER BY h) AS vp
+        FROM hourly
+    ), win AS (
+        SELECT event_type, day,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               min(t) AS t_first, max(t) AS t_last,
+               min_by(v, t) AS v_first, max_by(v, t) AS v_last,
+               max_by(vp, t) AS v_prev_of_last
+        FROM lagged GROUP BY 1, 2
+    ), calc AS (
+        SELECT event_type, day, n,
+               CAST(v_last - v_first AS DOUBLE) AS dv,
+               CAST(v_last - v_prev_of_last AS DOUBLE) AS idelta_v,
+               CAST(t_last - t_first AS DOUBLE) AS sampled,
+               CAST(t_first - epoch(day) AS DOUBLE) AS dur_start,
+               CAST(epoch(day) + 86400 - t_last AS DOUBLE) AS dur_end
+        FROM win WHERE n >= 2
+    ), calc2 AS (
+        SELECT *, sampled / (n - 1) AS avg_dur FROM calc
+    )
+    SELECT event_type, day, n AS n_samples, idelta_v,
+           dv * ((sampled
+                + CASE WHEN dur_start < avg_dur * 1.1
+                       THEN dur_start ELSE avg_dur / 2 END
+                + CASE WHEN dur_end < avg_dur * 1.1
+                       THEN dur_end ELSE avg_dur / 2 END)
+               / sampled) AS delta_v
+    FROM calc2
+    """,
+)
+def events_promql_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``delta()`` and ``idelta()`` on GAUGES — the
+    first-vs-last window difference with rate()'s edge extrapolation
+    but WITHOUT the counter machinery (no reset correction, no
+    zero-crossing cap: gauges go down legitimately), and the
+    instantaneous last-minus-previous-sample difference. Public
+    algorithm: prometheus/promql functions.go extrapolatedRate with
+    isCounter=false, isRate=false (delta) and funcIdelta. Series =
+    per-type hourly DECIMAL gauge; windows = UTC days. Exactness:
+    differences are DECIMAL selections, timestamps integer seconds,
+    and the extrapolation is one fixed IEEE expression over those
+    exact operands — bit-equal cross-engine. Scale: one hourly
+    rollup, one within-day lag window, one (type, day) hash agg."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("h"),
+        F.date_trunc("day", "ts").alias("day"),
+    ).agg(F.sum(F.col("value").cast("decimal(27,4)")).alias("v"))
+    wday = Window.partitionBy("event_type", "day").orderBy("h")
+    lagged = hourly.select(
+        "event_type",
+        "day",
+        "v",
+        F.unix_timestamp("h").cast("bigint").alias("t"),
+        F.lag("v").over(wday).alias("vp"),
+    )
+    win = lagged.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min("t").alias("t_first"),
+        F.max("t").alias("t_last"),
+        F.min_by("v", "t").alias("v_first"),
+        F.max_by("v", "t").alias("v_last"),
+        F.max_by("vp", "t").alias("v_prev_of_last"),
+    )
+    calc = win.where(F.col("n") >= 2).select(
+        "event_type",
+        "day",
+        "n",
+        (F.col("v_last") - F.col("v_first")).cast("double").alias("dv"),
+        (F.col("v_last") - F.col("v_prev_of_last"))
+        .cast("double")
+        .alias("idelta_v"),
+        (F.col("t_last") - F.col("t_first")).cast("double").alias("sampled"),
+        (F.col("t_first") - F.unix_timestamp("day"))
+        .cast("double")
+        .alias("dur_start"),
+        (F.unix_timestamp("day") + 86400 - F.col("t_last"))
+        .cast("double")
+        .alias("dur_end"),
+    )
+    calc2 = calc.withColumn("avg_dur", F.col("sampled") / (F.col("n") - 1))
+    extrap = (
+        F.col("sampled")
+        + F.when(
+            F.col("dur_start") < F.col("avg_dur") * 1.1, F.col("dur_start")
+        ).otherwise(F.col("avg_dur") / 2)
+        + F.when(
+            F.col("dur_end") < F.col("avg_dur") * 1.1, F.col("dur_end")
+        ).otherwise(F.col("avg_dur") / 2)
+    )
+    return calc2.select(
+        "event_type",
+        "day",
+        F.col("n").alias("n_samples"),
+        "idelta_v",
+        (F.col("dv") * (extrap / F.col("sampled"))).alias("delta_v"),
+    )
+
+
+@register(
+    "events_promql_irate",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               SUM(CAST(value AS DECIMAL(27,4))) AS inc
+        FROM events GROUP BY 1, 2
+    ), idx AS (
+        SELECT event_type, h, inc,
+               CAST(row_number() OVER (PARTITION BY event_type ORDER BY h)
+                    - 1 AS BIGINT) AS hidx
+        FROM hourly
+    ), ctr AS (
+        SELECT event_type, h, date_trunc('day', h) AS day,
+               CAST(epoch(h) AS BIGINT) AS t,
+               SUM(inc) OVER (PARTITION BY event_type, hidx // 37
+                              ORDER BY h) AS v
+        FROM idx
+    ), lagged AS (
+        SELECT event_type, day, t, v,
+               lag(v) OVER (PARTITION BY event_type, day ORDER BY h) AS vp,
+               lag(t) OVER (PARTITION BY event_type, day ORDER BY h) AS tp
+        FROM ctr
+    ), last2 AS (
+        SELECT event_type, day,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               max_by(v, t) AS v_last, max_by(vp, t) AS v_prev,
+               max(t) AS t_last, max_by(tp, t) AS t_prev
+        FROM lagged GROUP BY 1, 2
+    )
+    SELECT event_type, day, n AS n_samples,
+           CAST(CASE WHEN v_last >= v_prev THEN v_last - v_prev
+                     ELSE v_last END AS DOUBLE)
+             / CAST(t_last - t_prev AS DOUBLE) AS irate_per_s
+    FROM last2 WHERE n >= 2
+    """,
+)
+def events_promql_irate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``irate()`` — the instant rate from the LAST TWO counter
+    samples of each window (the fast-moving-counter companion to
+    `events_promql_rate`, same synthetic 37-hour-reset counters, same
+    UTC-day windows), with the counter-reset rule: a drop below the
+    previous sample means the counter restarted, so the increase is
+    the raw new value. Public algorithm: prometheus/promql
+    functions.go instantValue. Exactness: the last two samples are
+    selections (max_by over integer timestamps), the increase is a
+    DECIMAL subtraction, and the rate is one division of exact
+    operands. Scale: shares rate()'s shape — one hourly rollup, two
+    partitioned windows, one hash agg; only two samples per group
+    survive the agg."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.sum(F.col("value").cast("decimal(27,4)")).alias("inc"))
+    wo = Window.partitionBy("event_type").orderBy("h")
+    idx = hourly.withColumn(
+        "hidx", (F.row_number().over(wo) - 1).cast("bigint")
+    ).withColumn("seg", F.expr("hidx div 37"))
+    wseg = (
+        Window.partitionBy("event_type", "seg")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ctr = idx.withColumn("v", F.sum("inc").over(wseg)).withColumn(
+        "day", F.date_trunc("day", "h")
+    ).withColumn("t", F.unix_timestamp("h").cast("bigint"))
+    wday = Window.partitionBy("event_type", "day").orderBy("h")
+    lagged = ctr.select(
+        "event_type",
+        "day",
+        "t",
+        "v",
+        F.lag("v").over(wday).alias("vp"),
+        F.lag("t").over(wday).alias("tp"),
+    )
+    last2 = lagged.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.max_by("v", "t").alias("v_last"),
+        F.max_by("vp", "t").alias("v_prev"),
+        F.max("t").alias("t_last"),
+        F.max_by("tp", "t").alias("t_prev"),
+    )
+    inc = F.when(
+        F.col("v_last") >= F.col("v_prev"),
+        F.col("v_last") - F.col("v_prev"),
+    ).otherwise(F.col("v_last"))
+    return last2.where(F.col("n") >= 2).select(
+        "event_type",
+        "day",
+        F.col("n").alias("n_samples"),
+        (
+            inc.cast("double")
+            / (F.col("t_last") - F.col("t_prev")).cast("double")
+        ).alias("irate_per_s"),
+    )
