@@ -3629,3 +3629,87 @@ def events_promql_irate(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("t_last") - F.col("t_prev")).cast("double")
         ).alias("irate_per_s"),
     )
+
+
+@register(
+    "events_sax_symbols",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               CAST(EXTRACT(hour FROM ts) AS BIGINT) // 4 AS seg,
+               SUM(CAST(value AS DECIMAL(27,4))) AS v
+        FROM events GROUP BY 1, 2, 3
+    ), segs AS (
+        SELECT event_type, day, seg, SUM(v) AS sv,
+               SUM(SUM(v)) OVER (PARTITION BY event_type, day) AS total,
+               SUM(CAST(1 AS BIGINT))
+                 OVER (PARTITION BY event_type, day) AS n_segs
+        FROM hourly GROUP BY 1, 2, 3
+    ), sym AS (
+        SELECT event_type, day, seg, total, n_segs,
+               CASE WHEN 12 * sv < total THEN 'a'
+                    WHEN 6 * sv < total THEN 'b'
+                    WHEN 4 * sv < total THEN 'c'
+                    ELSE 'd' END AS s
+        FROM segs
+    )
+    SELECT event_type, day,
+           string_agg(s, '' ORDER BY seg) AS sax,
+           CAST(max(n_segs) AS BIGINT) AS n_segments,
+           CAST(max(total) AS DOUBLE) AS day_total
+    FROM sym GROUP BY 1, 2
+    """,
+)
+def events_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX-style symbolization (Lin et al. 2003 "Symbolic Aggregate
+    approXimation") — each day's series reduces to Piecewise Aggregate
+    Approximation segments (6 four-hour buckets) and each segment
+    quantizes to a letter by its share of the day's mass: the
+    dimensionality-reduction front-end of symbolic motif/anomaly
+    search over TSDB archives. Quantization thresholds are the
+    share-of-mean bands 0.5x/1.0x/1.5x, evaluated as pure DECIMAL
+    integer-multiple comparisons (12·seg < total etc. — no division,
+    no floats), so the symbol strings are hash-exact cross-engine.
+    Scale: two nested hash aggs (hour -> segment) + one per-(type,
+    day) window over 6-row groups + an ordered string fold — the raw
+    table is scanned once; the output is ~|series|x|days| short
+    strings, the index a motif store would ingest."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "event_type",
+        F.date_trunc("day", "ts").alias("day"),
+        F.expr("CAST(hour(ts) AS BIGINT) div 4").alias("seg"),
+    ).agg(F.sum(F.col("value").cast("decimal(27,4)")).alias("v"))
+    wday = Window.partitionBy("event_type", "day")
+    segs = hourly.groupBy("event_type", "day", "seg").agg(
+        F.sum("v").alias("sv")
+    ).select(
+        "event_type",
+        "day",
+        "seg",
+        "sv",
+        F.sum("sv").over(wday).alias("total"),
+        F.count(F.lit(1)).over(wday).cast("bigint").alias("n_segs"),
+    )
+    sym = segs.withColumn(
+        "s",
+        F.when(12 * F.col("sv") < F.col("total"), "a")
+        .when(6 * F.col("sv") < F.col("total"), "b")
+        .when(4 * F.col("sv") < F.col("total"), "c")
+        .otherwise("d"),
+    )
+    return sym.groupBy("event_type", "day").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("seg", "s"))
+                ),
+                lambda x: x["s"],
+            ),
+        ).alias("sax"),
+        F.max("n_segs").cast("bigint").alias("n_segments"),
+        F.max("total").cast("double").alias("day_total"),
+    )

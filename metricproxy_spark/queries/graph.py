@@ -535,3 +535,130 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def _kcore_oracle(k: int, rounds: int) -> str:
+    """Chained-CTE oracle replaying the SAME bounded peel rounds (the
+    `graph_sssp_hops` proof shape: both engines run identical rounds,
+    so the per-node result is exact whether or not the peel has
+    converged)."""
+    step = """
+    a{n} AS (
+        SELECT src FROM e{p} GROUP BY src HAVING COUNT(*) >= {k}
+    ), e{n} AS (
+        SELECT e.src, e.dst FROM e{p} e
+        JOIN a{n} s ON e.src = s.src
+        JOIN a{n} d ON e.dst = d.src
+    )"""
+    chain = ",".join(
+        step.format(n=i + 1, p=i, k=k) for i in range(rounds)
+    )
+    return f"""
+    WITH nodes AS (
+        SELECT c_custkey AS u,
+               (SELECT MAX(c_custkey) + 1 FROM customer) AS m
+        FROM customer
+    ), half AS (
+        SELECT u AS src, (2 * u + 7) % m AS dst FROM nodes
+        UNION ALL
+        SELECT u AS src, (3 * u + 11) % m AS dst FROM nodes
+    ), valid AS (
+        SELECT DISTINCT h.src, h.dst FROM half h
+        JOIN customer c ON c.c_custkey = h.dst
+        WHERE h.src <> h.dst
+    ), e0 AS (
+        SELECT src, dst FROM valid
+        UNION
+        SELECT dst AS src, src AS dst FROM valid
+    ), {chain}
+    SELECT src AS node_id,
+           CAST(COUNT(*) AS BIGINT) AS core_degree
+    FROM e{rounds} GROUP BY src
+    """
+
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 4
+
+
+@register("graph_kcore", oracle=_kcore_oracle(_KCORE_K, _KCORE_ROUNDS))
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition by iterative PEELING — repeatedly delete
+    nodes of degree < k until the maximal subgraph with all degrees
+    >= k remains (the community-density / graph-sparsification
+    primitive; Matula-Beck 1983 peeling expressed as bounded Pregel
+    rounds). Graph: a deterministic chord graph over customer keys
+    (u -> (2u+7) mod M and u -> (3u+11) mod M, symmetrized, self-loops
+    dropped, endpoints both present) — average degree ~4, so peeling
+    at k = 3 CASCADES across rounds rather than converging trivially.
+    Each round is one degree agg (HAVING >= k) plus two semi-join
+    filters of the edge list against the survivor set; 4 bounded
+    rounds replayed identically by the chained-CTE oracle, so every
+    (node, degree) row is hash-exact regardless of convergence. Scale:
+    the SYMMETRIZED edge list persists ONCE as the static layout (the
+    `graph_pagerank` discipline) and the loop state is the NODE-sized
+    survivor set, eagerly localCheckpointed per round to cut lineage
+    — never a re-derived edge list, whose per-round recompute made the
+    first cut of this query 20x slower; no collect, no per-node
+    adjacency state, rounds are data-parallel joins all the way down
+    (shuffle partitions scoped like the other iterative graph
+    queries)."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        cust = load_table(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("u")
+        )
+        m = cust.agg((F.max("u") + 1).alias("m"))
+        nodes = cust.crossJoin(F.broadcast(m))
+        half = nodes.select(
+            F.col("u").alias("src"),
+            ((2 * F.col("u") + 7) % F.col("m")).alias("dst"),
+        ).unionByName(
+            nodes.select(
+                F.col("u").alias("src"),
+                ((3 * F.col("u") + 11) % F.col("m")).alias("dst"),
+            )
+        )
+        valid = (
+            half.join(
+                cust.select(F.col("u").alias("dst")), "dst"
+            )
+            .where(F.col("src") != F.col("dst"))
+            .select("src", "dst")
+            .distinct()
+        )
+        edges = (
+            valid.unionByName(
+                valid.select(
+                    F.col("dst").alias("src"), F.col("src").alias("dst")
+                )
+            )
+            .distinct()
+            .persist()
+        )
+        alive = None  # None = all nodes alive (round 0 skips the filter)
+        for _ in range(_KCORE_ROUNDS):
+            cur = edges
+            if alive is not None:
+                cur = cur.join(alive, "src").join(
+                    alive.select(F.col("src").alias("dst")), "dst"
+                )
+            alive = (
+                cur.groupBy("src")
+                .agg(F.count(F.lit(1)).alias("deg"))
+                .where(F.col("deg") >= _KCORE_K)
+                .select("src")
+                .localCheckpoint()  # eager node-sized lineage cut
+            )
+        core = edges.join(alive, "src").join(
+            alive.select(F.col("src").alias("dst")), "dst"
+        )
+        out = core.groupBy(F.col("src").alias("node_id")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("core_degree")
+        )
+        out = out.localCheckpoint()
+        edges.unpersist()
+        return out
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)

@@ -2280,3 +2280,70 @@ def ingest_hashring_route(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_moved_elsewhere"),
         )
     )
+
+
+@register(
+    "ingest_cardinality_limit",
+    oracle="""
+    WITH series AS (
+        SELECT DISTINCT event_type, user_id FROM events
+    ), keyed AS (
+        SELECT event_type, user_id,
+               md5(event_type || '/' || CAST(user_id AS VARCHAR)) AS h
+        FROM series
+    ), ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY event_type
+                                     ORDER BY h) AS rk
+        FROM keyed
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_series,
+           CAST(SUM(CASE WHEN rk <= 50 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(SUM(CASE WHEN rk > 50 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dropped,
+           CAST(SUM(CASE WHEN rk <= 50 THEN user_id ELSE 0 END) AS BIGINT)
+             AS kept_checksum,
+           min(h) AS first_kept_hash
+    FROM ranked GROUP BY event_type
+    """,
+)
+def ingest_cardinality_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-metric series-cardinality LIMITING — the guard every real
+    metrics proxy enforces (a runaway label explosion on one metric
+    must not evict every other tenant's series from the index): each
+    metric keeps at most 50 series, chosen by DETERMINISTIC md5 hash
+    order rather than arrival order, so the kept set is identical on
+    any engine, any partitioning, any replay — the admission analogue
+    of `ingest_deterministic_sample`'s bottom-k. Output per metric:
+    total/kept/dropped series counts plus a kept-set checksum and the
+    first admitted hash, all value-checked. Scale: one distinct over
+    (metric, series), one per-metric window rank (shuffle keyed by
+    metric; a skewed hot metric is exactly the case the cap exists
+    for, and its rank input is already deduped to series level), one
+    hash agg — the raw event stream is touched once."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    series = events.select("event_type", "user_id").distinct()
+    keyed = series.select(
+        "event_type",
+        "user_id",
+        F.md5(
+            F.concat_ws("/", "event_type", F.col("user_id").cast("string"))
+        ).alias("h"),
+    )
+    ranked = keyed.withColumn(
+        "rk",
+        F.row_number().over(Window.partitionBy("event_type").orderBy("h")),
+    )
+    kept = F.col("rk") <= 50
+    return ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_series"),
+        F.sum(kept.cast("int")).cast("bigint").alias("n_kept"),
+        F.sum((~kept).cast("int")).cast("bigint").alias("n_dropped"),
+        F.sum(F.when(kept, F.col("user_id")).otherwise(0))
+        .cast("bigint")
+        .alias("kept_checksum"),
+        F.min("h").alias("first_kept_hash"),
+    )
