@@ -2347,3 +2347,108 @@ def ingest_cardinality_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("kept_checksum"),
         F.min("h").alias("first_kept_hash"),
     )
+
+
+@register(
+    "ingest_cbor_roundtrip",
+    oracle="""
+    SELECT concat('events.', event_type) AS metric,
+           value,
+           epoch_ms(ts) AS timestamp_ms,
+           CAST(user_id AS VARCHAR) AS dim_user_id,
+           CAST(event_id % 3 AS BIGINT) AS n_tags,
+           (event_id % 2 = 0) AS flagged,
+           (event_id % 5 = 0) AS indefinite_framed
+    FROM events
+    """,
+)
+def ingest_cbor_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-ext wire format: CBOR (RFC 8949 — the IETF-standard compact
+    binary JSON of CoAP/SenML telemetry), encode -> decode round trip.
+    Events pack into a CBOR Sequence (RFC 8742 back-to-back items,
+    ~500/blob) carrying the full type palette — str metric, float64
+    value, int64 millis, a nested dims map with a null field, a
+    variable-length tag array, a bool — and every 5th datapoint is
+    framed in the INDEFINITE-LENGTH form (RFC 8949 §3.2, the CoAP
+    streaming framing), so the decoder's chunked/bounded-count paths
+    are wire-verified, not just unit-tested. The oracle is the plain
+    SQL projection of the source columns: agreement proves byte-level
+    fidelity across both framings. Both legs map-only Arrow batches;
+    `spread()` keeps the single-file scan parallel. Twin of
+    `ingest_msgpack_roundtrip` (`sources/msgpack.py`)."""
+    import pandas as pd
+
+    from metricproxy_spark.io import ensure_package_on_workers, spread
+
+    ensure_package_on_workers(spark)
+    events = spread(load_table(spark, sf_dir, "events"), spark).select(
+        F.concat(F.lit("events."), F.col("event_type")).alias("metric"),
+        F.col("value"),
+        F.unix_millis("ts").alias("ts_ms"),
+        F.col("user_id").cast("string").alias("user_id"),
+        F.col("event_id").alias("eid"),
+    )
+
+    def encode(batches):
+        from metricproxy_spark.sources.cbor import encode_cbor
+
+        for pdf in batches:
+            blobs = []
+            for start in range(0, len(pdf), 500):
+                chunk = pdf.iloc[start : start + 500]
+                buf = bytearray()
+                for m, v, t, u, e in zip(
+                    chunk["metric"], chunk["value"], chunk["ts_ms"],
+                    chunk["user_id"], chunk["eid"],
+                ):
+                    e = int(e)
+                    buf += encode_cbor(
+                        {
+                            "metric": str(m),
+                            "value": float(v),
+                            "ts": int(t),
+                            "dims": {"user_id": str(u), "az": None},
+                            "tags": [f"t{i}" for i in range(e % 3)],
+                            "flagged": e % 2 == 0,
+                            "indef": e % 5 == 0,
+                        },
+                        indefinite=e % 5 == 0,
+                    )
+                blobs.append(bytes(buf))
+            yield pd.DataFrame({"body": [bytearray(b) for b in blobs]})
+
+    payloads = events.mapInPandas(encode, "body binary")
+
+    def decode(batches):
+        from metricproxy_spark.sources.cbor import decode_cbor_sequence
+
+        for pdf in batches:
+            rows = []
+            for body in pdf["body"]:
+                for o in decode_cbor_sequence(bytes(body)):
+                    rows.append(
+                        (
+                            o["metric"],
+                            o["value"],
+                            o["ts"],
+                            o["dims"]["user_id"],
+                            len(o["tags"]),
+                            o["flagged"],
+                            o["indef"],
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "metric", "value", "timestamp_ms",
+                    "dim_user_id", "n_tags", "flagged",
+                    "indefinite_framed",
+                ],
+            )
+
+    return payloads.mapInPandas(
+        decode,
+        "metric string, value double, timestamp_ms long,"
+        " dim_user_id string, n_tags long, flagged boolean,"
+        " indefinite_framed boolean",
+    )

@@ -1802,3 +1802,125 @@ def stream_gorilla_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     shutil.rmtree(wd, ignore_errors=True)
     return result
+
+
+@register(
+    "stream_cbor_pipeline",
+    oracle="""
+    SELECT concat('events.', event_type) AS metric,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS sum_value,
+           MIN(epoch_ms(ts)) AS min_ts_ms,
+           MAX(epoch_ms(ts)) AS max_ts_ms
+    FROM events WHERE event_id % 5 = 1
+    GROUP BY 1
+    """,
+)
+def stream_cbor_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CBOR fully STREAMED: RFC 8742 CBOR Sequence frames POSTed over
+    real loopback HTTP to `/v1/cbor` as base64 text (the httpwire
+    spool's binary-over-text seam), consumed exactly once through the
+    httpwire streaming connector, unbase64'd IN the stream, decoded by
+    the `sources/cbor.py` sequence framer in Arrow batches (every
+    third datapoint indefinite-framed, so the streaming decode path
+    covers RFC 8949 §3.2 too), and rolled up per metric with
+    decimal-exact sums in complete mode — the streamed member of the
+    CBOR transport family (`ingest_cbor_roundtrip` is the at-rest
+    twin). Oracle is the direct SQL rollup of the deterministic
+    event_id % 5 = 1 subset."""
+    import base64
+    import http.client
+
+    import pandas as pd
+
+    from metricproxy_spark.io import ensure_package_on_workers, load_table
+    from metricproxy_spark.operators.scale import guarded_wire_pandas
+    from metricproxy_spark.streaming.httplistener import (
+        HttpIngestListener,
+        http_spool_stream,
+    )
+
+    ensure_package_on_workers(spark)
+    wd = _workdir()
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") % 5 == 1)
+    src = guarded_wire_pandas(
+        ev.select(
+            F.concat(F.lit("events."), F.col("event_type")).alias("metric"),
+            "value",
+            F.unix_millis("ts").alias("ts_ms"),
+            F.col("event_id").alias("eid"),
+        )
+    )
+
+    from metricproxy_spark.sources.cbor import encode_cbor
+
+    frames = []
+    for start in range(0, len(src), 200):
+        chunk = src.iloc[start : start + 200]
+        buf = bytearray()
+        for m, v, t, e in zip(
+            chunk["metric"], chunk["value"], chunk["ts_ms"], chunk["eid"]
+        ):
+            buf += encode_cbor(
+                {"metric": str(m), "value": float(v), "ts": int(t)},
+                indefinite=int(e) % 3 == 0,
+            )
+        frames.append(bytes(buf))
+
+    spool = os.path.join(wd, "spool")
+    with HttpIngestListener(spool) as lis:
+        conn = http.client.HTTPConnection(lis.host, lis.port, timeout=30)
+        for blob in frames:
+            conn.request(
+                "POST",
+                "/v1/cbor",
+                body=base64.b64encode(blob),
+                headers={"Content-Type": "application/cbor-seq;base64"},
+            )
+            resp = conn.getresponse()
+            assert resp.status == 200
+            resp.read()
+        conn.close()
+
+    bodies = http_spool_stream(spark, spool).select(
+        F.unbase64(F.col("body")).alias("frame")
+    )
+
+    def decode(batches):
+        from metricproxy_spark.sources.cbor import decode_cbor_sequence
+
+        for pdf in batches:
+            rows = []
+            for frame in pdf["frame"]:
+                for o in decode_cbor_sequence(bytes(frame)):
+                    rows.append((o["metric"], o["value"], o["ts"]))
+            yield pd.DataFrame(rows, columns=["metric", "value", "ts_ms"])
+
+    points = bodies.mapInPandas(
+        decode, "metric string, value double, ts_ms long"
+    )
+    agg = points.groupBy("metric").agg(
+        F.count(F.lit(1)).alias("n_p"),
+        F.sum(F.col("value").cast("decimal(27,4)")).alias("sum_dec"),
+        F.min("ts_ms").alias("min_t"),
+        F.max("ts_ms").alias("max_t"),
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        out = _run_to_memory(agg, os.path.join(wd, "ckpt"))
+        result = spark.createDataFrame(
+            out.select(
+                "metric",
+                F.col("n_p").cast("bigint").alias("n_points"),
+                F.col("sum_dec").cast("double").alias("sum_value"),
+                F.col("min_t").alias("min_ts_ms"),
+                F.col("max_t").alias("max_ts_ms"),
+            ).collect(),
+            "metric string, n_points bigint, sum_value double,"
+            " min_ts_ms bigint, max_ts_ms bigint",
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    shutil.rmtree(wd, ignore_errors=True)
+    return result

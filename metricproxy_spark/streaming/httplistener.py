@@ -36,13 +36,14 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pyspark.sql import DataFrame, SparkSession
 
 # sfx v2/v1 + collectd write_http + the OTLP/HTTP metrics binding
-# + msgpack frames (base64 text bodies: the spool is string-typed)
+# + msgpack/cbor frames (base64 text bodies: the spool is string-typed)
 INGEST_PATHS = (
     "/v2/datapoint",
     "/v1/datapoint",
     "/post-collectd",
     "/v1/metrics",
     "/v1/msgpack",
+    "/v1/cbor",
 )
 
 
