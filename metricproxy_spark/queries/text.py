@@ -4715,3 +4715,102 @@ def multimodal_decode_png_subbyte(
         "doc_id long, fmt string, width int, height int,"
         " n_samples long, px_sum long",
     )
+
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_SSN = r"\b\d{3}-\d{2}-\d{4}\b"
+_PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+@register(
+    "text_pii_scrub_corpus",
+    oracle=f"""
+    WITH aug AS (
+        SELECT doc_id,
+               text || ' Contact u' || CAST(doc_id AS VARCHAR)
+                    || '@example.com or call 555-'
+                    || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                    || ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                    || '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+                    || ' ssn 123-45-'
+                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '.'
+                 AS t
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS BIGINT)
+             AS n_email,
+           CAST(len(regexp_extract_all(t, '{_PII_SSN}')) AS BIGINT)
+             AS n_ssn,
+           CAST(len(regexp_extract_all(t, '{_PII_PHONE}')) AS BIGINT)
+             AS n_phone,
+           CAST(len(regexp_extract_all(t, '{_PII_IP}')) AS BIGINT)
+             AS n_ip,
+           md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                 t, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                 '{_PII_SSN}', '<SSN>', 'g'),
+                 '{_PII_PHONE}', '<PHONE>', 'g'),
+                 '{_PII_IP}', '<IP>', 'g')) AS redacted_md5
+    FROM aug
+    """,
+)
+def text_pii_scrub_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide PII scrub over documents — the richer sibling of
+    `text_pii_redact` (SSN/IPv4 word-boundary patterns, md5
+    redaction check): the pass every training-data
+    pipeline runs before a corpus ships: emails, SSN-shaped ids,
+    phone numbers and IPv4 addresses detected and replaced with typed
+    placeholders. Testdata text carries no PII, so each document is
+    AUGMENTED with deterministic doc_id-derived PII (one email, one
+    phone, one SSN, two IPs) in BOTH engines — counts are non-trivial
+    and the md5 of the fully-redacted text value-checks that every
+    replacement span and placeholder is byte-identical. The four
+    patterns live in the Java-regex ∩ RE2 dialect intersection
+    (classes, \\d, \\b, bounded quantifiers — probed identical this
+    round; Spark replaces globally by default, DuckDB needs the 'g'
+    flag). Scale: pure map — narrow projection, no shuffle at all;
+    regex scans are the canonical CPU-bound curation stage and
+    parallelize per split."""
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" Contact u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or call 555-"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" from 10."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0."),
+            ((F.col("doc_id") * 7) % 256).cast("string"),
+            F.lit(" ssn 123-45-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit("."),
+        ).alias("t"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.col("t"), _PII_EMAIL, "<EMAIL>"),
+                _PII_SSN,
+                "<SSN>",
+            ),
+            _PII_PHONE,
+            "<PHONE>",
+        ),
+        _PII_IP,
+        "<IP>",
+    )
+    return aug.select(
+        "doc_id",
+        F.regexp_count("t", F.lit(_PII_EMAIL)).cast("bigint").alias("n_email"),
+        F.regexp_count("t", F.lit(_PII_SSN)).cast("bigint").alias("n_ssn"),
+        F.regexp_count("t", F.lit(_PII_PHONE)).cast("bigint").alias("n_phone"),
+        F.regexp_count("t", F.lit(_PII_IP)).cast("bigint").alias("n_ip"),
+        F.md5(redacted.cast("binary")).alias("redacted_md5"),
+    )
