@@ -3713,3 +3713,80 @@ def events_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_segs").cast("bigint").alias("n_segments"),
         F.max("total").cast("double").alias("day_total"),
     )
+
+
+@register(
+    "events_exp_histogram",
+    oracle="""
+    WITH pts AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               CAST(CAST(value AS DECIMAL(27,4)) * 10000 AS BIGINT) AS v
+        FROM events
+    ), daily AS (
+        SELECT event_type, day,
+               CAST(length(bin(v)) - 1 AS BIGINT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM pts WHERE v > 0 GROUP BY 1, 2, 3
+    ), weekly AS (
+        SELECT event_type, date_trunc('week', day) AS week, bucket,
+               CAST(SUM(cnt) AS BIGINT) AS cnt
+        FROM daily GROUP BY 1, 2, 3
+    )
+    SELECT event_type, week, bucket, cnt,
+           CAST(SUM(cnt) OVER (PARTITION BY event_type, week
+                               ORDER BY bucket) AS BIGINT) AS cum,
+           CAST((CAST(1 AS BIGINT) << bucket) AS BIGINT) AS bucket_lo,
+           CAST((CAST(1 AS BIGINT) << (bucket + 1)) AS BIGINT) AS bucket_hi
+    FROM weekly
+    """,
+)
+def events_exp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OTLP EXPONENTIAL histogram (OpenTelemetry metrics data model
+    §ExponentialHistogram at scale 0) — base-2 buckets whose index is
+    floor(log2(v)), the histogram type OTLP agents negotiate for
+    latency distributions because bucket boundaries need no
+    configuration and merge across scales. Values land in integer
+    space (x10000 via DECIMAL — exact) and the bucket index is
+    length(bin(v)) - 1, i.e. bit-length minus one: floor(log2) with
+    ZERO floating-point anywhere, so the whole histogram — daily
+    build, day -> week monoid merge, cumulative counts, power-of-two
+    bucket bounds via integer shifts — is hash-exact cross-engine.
+    (A float log2 would disagree at bucket boundaries; the bit-length
+    trick is the exactness lever.) Complements the fixed-width
+    `events_histogram_rollup` and the interpolating
+    `events_histogram_quantile`. Scale: two nested hash aggs + one
+    bucket-ordered window per (type, week) over ~20-row groups."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    pts = events.select(
+        "event_type",
+        F.date_trunc("day", "ts").alias("day"),
+        (F.col("value").cast("decimal(27,4)") * 10000)
+        .cast("bigint")
+        .alias("v"),
+    ).where(F.col("v") > 0)
+    daily = pts.groupBy(
+        "event_type",
+        "day",
+        (F.length(F.bin("v")) - 1).cast("bigint").alias("bucket"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    weekly = daily.groupBy(
+        "event_type", F.date_trunc("week", "day").alias("week"), "bucket"
+    ).agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    wb = Window.partitionBy("event_type", "week").orderBy("bucket")
+    return weekly.select(
+        "event_type",
+        "week",
+        "bucket",
+        "cnt",
+        F.sum("cnt").over(wb).cast("bigint").alias("cum"),
+        F.expr(
+            "CAST(shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT))"
+            " AS BIGINT)"
+        ).alias("bucket_lo"),
+        F.expr(
+            "CAST(shiftleft(CAST(1 AS BIGINT), CAST(bucket + 1 AS INT))"
+            " AS BIGINT)"
+        ).alias("bucket_hi"),
+    )

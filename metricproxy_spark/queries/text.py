@@ -4814,3 +4814,80 @@ def text_pii_scrub_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count("t", F.lit(_PII_IP)).cast("bigint").alias("n_ip"),
         F.md5(redacted.cast("binary")).alias("redacted_md5"),
     )
+
+
+@register(
+    "text_unicode_nfc",
+    oracle="""
+    WITH synth AS (
+        SELECT doc_id,
+               'u' || CAST(doc_id AS VARCHAR) || ' caf'
+                 || CASE doc_id % 4 WHEN 0 THEN 'a' || chr(776)
+                                    WHEN 1 THEN 'e' || chr(769)
+                                    WHEN 2 THEN 'o' || chr(771)
+                                    ELSE 'c' || chr(807) END
+                 || ' fia' || chr(110) || chr(771) || 'ce'
+                 || CASE WHEN doc_id % 5 = 0
+                         THEN ' ' || chr(233) ELSE '' END
+                 AS s
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(length(s) AS BIGINT) AS n_chars_before,
+           CAST(length(nfc_normalize(s)) AS BIGINT) AS n_chars_after,
+           (s <> nfc_normalize(s)) AS changed,
+           nfc_normalize(s) AS nfc
+    FROM synth
+    """,
+)
+def text_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization — the canonicalization pass a corpus
+    needs before dedup/tokenization (the same text arrives composed
+    from one crawler and decomposed from another; without NFC they
+    hash apart). Each doc gets a deterministic string holding REAL
+    decomposed sequences (base letter + combining diaeresis/acute/
+    tilde/cedilla, plus an already-composed é every 5th doc), and the
+    value check pits TWO INDEPENDENT NFC implementations against each
+    other: Python's unicodedata (Arrow-batched mapInPandas) versus
+    DuckDB's utf8proc-backed nfc_normalize — agreement on the
+    normalized strings, codepoint counts and changed flags means the
+    canonical composition is implemented per UAX #15, not merely
+    consistently. (Spark's own char() is ASCII-mod-256, so the
+    combining marks enter the engine side as Python literals; the
+    oracle builds the identical bytes with chr().) Scale: pure map —
+    construct + normalize per row, no shuffle anywhere."""
+    import unicodedata
+
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    combos = {0: "a\u0308", 1: "e\u0301", 2: "o\u0303", 3: "c\u0327"}
+
+    def synth_and_normalize(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                s = (
+                    f"u{i} caf{combos[i % 4]}"
+                    + " fian\u0303ce"
+                    + (" \u00e9" if i % 5 == 0 else "")
+                )
+                nfc = unicodedata.normalize("NFC", s)
+                rows.append((i, len(s), len(nfc), s != nfc, nfc))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "n_chars_before",
+                    "n_chars_after",
+                    "changed",
+                    "nfc",
+                ],
+            )
+
+    return docs.mapInPandas(
+        synth_and_normalize,
+        "doc_id long, n_chars_before long, n_chars_after long,"
+        " changed boolean, nfc string",
+    )
