@@ -2452,3 +2452,166 @@ def ingest_cbor_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         " dim_user_id string, n_tags long, flagged boolean,"
         " indefinite_framed boolean",
     )
+
+
+@register(
+    "ingest_carbon_aggregation_rules",
+    oracle="""
+    WITH pts AS (
+        SELECT 'events.' || event_type || '.' ||
+               CAST(user_id AS VARCHAR) AS metric,
+               CAST(value AS DECIMAL(27,4)) AS v,
+               date_trunc('hour', ts) AS h
+        FROM events
+    ), rewritten AS (
+        SELECT regexp_replace(metric, '^events\\.([a-z]+)\\.[0-9]+$',
+                              'events.\\1.all') AS agg_metric,
+               v, h
+        FROM pts
+    )
+    SELECT agg_metric, h AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(SUM(v) AS DOUBLE) AS sum_value,
+           CAST(MAX(v) AS DOUBLE) AS max_value
+    FROM rewritten GROUP BY 1, 2
+    """,
+)
+def ingest_carbon_aggregation_rules(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """carbon-aggregator semantics — the graphite-stack daemon that
+    sits beside the relay: a RULE pattern rewrites incoming metric
+    names (`events.<type>.<user> -> events.<type>.all`) and every
+    point falling into the same (rewritten name, time bucket) folds
+    under the rule's method before storage ever sees it — the
+    cardinality-collapsing pre-aggregation every large graphite
+    deployment runs. The rewrite is a capture-group regexp_replace in
+    the Java-regex/RE2 intersection (anchors, classes, group ref —
+    Spark `$1` vs DuckDB `\\1` backreference spelling, same
+    semantics), buckets are truncated hours, and sum/max/count fold
+    DECIMAL-exact, so every output row value-checks. Scale: pure map
+    rewrite + one hash agg — exactly the aggregator's shape, and the
+    collapse is the 100 TB lever (per-user series never reach the
+    store)."""
+    events = load_table(spark, sf_dir, "events")
+    pts = events.select(
+        F.concat(
+            F.lit("events."),
+            F.col("event_type"),
+            F.lit("."),
+            F.col("user_id").cast("string"),
+        ).alias("metric"),
+        F.col("value").cast("decimal(27,4)").alias("v"),
+        F.date_trunc("hour", "ts").alias("h"),
+    )
+    rewritten = pts.select(
+        F.regexp_replace(
+            "metric", r"^events\.([a-z]+)\.[0-9]+$", r"events.$1.all"
+        ).alias("agg_metric"),
+        "v",
+        "h",
+    )
+    return rewritten.groupBy("agg_metric", F.col("h").alias("bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        F.sum("v").cast("double").alias("sum_value"),
+        F.max("v").cast("double").alias("max_value"),
+    )
+
+
+@register(
+    "events_series_churn",
+    oracle="""
+    WITH active AS (
+        SELECT DISTINCT date_trunc('day', ts) AS day,
+               event_type || '/' || CAST(user_id AS VARCHAR) AS skey
+        FROM events
+    ), firstseen AS (
+        SELECT skey, MIN(day) AS first_day FROM active GROUP BY skey
+    ), marked AS (
+        SELECT a.day, a.skey, (a.day = f.first_day) AS is_new
+        FROM active a JOIN firstseen f ON a.skey = f.skey
+    ), days AS (
+        SELECT day,
+               CAST(COUNT(*) AS BIGINT) AS n_active,
+               CAST(SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_new
+        FROM marked GROUP BY day
+    ), gone AS (
+        SELECT day + INTERVAL 1 DAY AS day,
+               CAST(COUNT(*) AS BIGINT) AS n_gone
+        FROM (
+            SELECT a.day, a.skey FROM active a
+            WHERE NOT EXISTS (
+                SELECT 1 FROM active b
+                WHERE b.skey = a.skey
+                  AND b.day = a.day + INTERVAL 1 DAY
+            )
+              AND a.day < (SELECT MAX(day) FROM active)
+        ) GROUP BY 1
+    )
+    SELECT d.day, d.n_active, d.n_new,
+           COALESCE(g.n_gone, 0) AS n_gone
+    FROM days d LEFT JOIN gone g ON d.day = g.day
+    """,
+)
+def events_series_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Series CHURN — the TSDB capacity-ops metric behind every index
+    sizing decision: per day, how many series were active, how many
+    are NEW (first time ever seen), and how many CHURNED AWAY (active
+    yesterday, absent today — attributed to today). High churn with
+    flat active count is the classic label-explosion signature the
+    cardinality limiter (`ingest_cardinality_limit`) guards against.
+    Pure set algebra over integer day/series keys: first-seen via one
+    MIN per series, gone via an anti-join against the next day —
+    every count exact. Scale: one distinct (day, series) projection
+    (the atom all three counts derive from — the raw table is scanned
+    once), then series-keyed aggs and one day-shifted self-anti-join
+    of the day-level atom; everything post-distinct is
+    |series|x|days|-sized, not event-sized."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        events = load_table(spark, sf_dir, "events")
+        active = events.select(
+            F.date_trunc("day", "ts").alias("day"),
+            F.concat_ws(
+                "/", "event_type", F.col("user_id").cast("string")
+            ).alias("skey"),
+        ).distinct()
+        # |series| x |days| atom: eager localCheckpoint materializes it
+        # once for the three derived counts without leaking cache
+        active = active.localCheckpoint()
+        firstseen = active.groupBy("skey").agg(
+            F.min("day").alias("first_day")
+        )
+        marked = active.join(firstseen, "skey").select(
+            "day",
+            "skey",
+            (F.col("day") == F.col("first_day")).alias("is_new"),
+        )
+        days = marked.groupBy("day").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_active"),
+            F.sum(F.col("is_new").cast("int")).cast("bigint").alias("n_new"),
+        )
+        max_day = active.agg(F.max("day").alias("max_day"))
+        nxt = active.select(
+            (F.col("day") - F.expr("INTERVAL 1 DAY")).alias("day"),
+            F.col("skey"),
+        )
+        gone = (
+            active.crossJoin(F.broadcast(max_day))
+            .where(F.col("day") < F.col("max_day"))
+            .join(nxt, ["day", "skey"], "left_anti")
+            .groupBy((F.col("day") + F.expr("INTERVAL 1 DAY")).alias("day"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_gone"))
+        )
+        out = days.join(gone, "day", "left").select(
+            "day",
+            "n_active",
+            "n_new",
+            F.coalesce("n_gone", F.lit(0).cast("bigint")).alias("n_gone"),
+        )
+        # day-count-sized result: materialize under the scoped conf
+        return out.localCheckpoint()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)

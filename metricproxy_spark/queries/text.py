@@ -4891,3 +4891,99 @@ def text_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, n_chars_before long, n_chars_after long,"
         " changed boolean, nfc string",
     )
+
+
+@register(
+    "pipeline_dataset_card",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, source, lang,
+               lower(trim(text)) AS norm,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+               CAST(length(text) AS BIGINT) AS n_chars
+        FROM documents
+    ), dupes AS (
+        SELECT source, norm, COUNT(*) AS c
+        FROM base GROUP BY 1, 2
+    ), dupstats AS (
+        SELECT source,
+               CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+                 AS n_dup_docs,
+               CAST(COUNT(*) AS BIGINT) AS n_unique_texts
+        FROM dupes GROUP BY 1
+    ), agg AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(SUM(n_words) AS BIGINT) AS n_words,
+               CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+               CAST(MAX(n_words) AS BIGINT) AS max_doc_words,
+               CAST(MIN(n_words) AS BIGINT) AS min_doc_words
+        FROM base GROUP BY 1
+    )
+    SELECT a.source, a.n_docs, a.n_langs, a.n_words, a.n_chars,
+           a.max_doc_words, a.min_doc_words,
+           d.n_unique_texts, d.n_dup_docs,
+           CAST(a.n_words AS DOUBLE) / CAST(a.n_docs AS DOUBLE)
+             AS mean_doc_words,
+           CAST(a.n_chars AS DOUBLE) / CAST(a.n_words AS DOUBLE)
+             AS mean_word_len
+    FROM agg a JOIN dupstats d ON a.source = d.source
+    """,
+)
+def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATASET CARD — the per-source manifest a corpus release ships
+    (Datasheets for Datasets, Gebru et al. 2021): document/language/
+    token-proxy counts, size extremes, exact-duplicate exposure
+    (documents whose normalized text collides within the source —
+    the number dedup would remove), and the derived density ratios a
+    reviewer sanity-checks before training. Every statistic is an
+    integer count or ONE division of exact integer operands, so the
+    whole card value-checks. This is the composition endpoint of the
+    curation family: the numbers `pipeline_training_data` /
+    `dedup_exact` / `text_language_id` act on, summarized per source.
+    Scale: one corpus scan feeding two hash aggs (per-source, and
+    per-(source, normalized-text) for the dup exposure) + a
+    |sources|-row join — nothing above stratum size leaves the
+    scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.lower(F.trim("text")).alias("norm"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_words"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+    dupes = base.groupBy("source", "norm").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    dupstats = dupes.groupBy("source").agg(
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("n_dup_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_unique_texts"),
+    )
+    agg = base.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.sum("n_words").cast("bigint").alias("n_words"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+        F.max("n_words").cast("bigint").alias("max_doc_words"),
+        F.min("n_words").cast("bigint").alias("min_doc_words"),
+    )
+    return agg.join(dupstats, "source").select(
+        "source",
+        "n_docs",
+        "n_langs",
+        "n_words",
+        "n_chars",
+        "max_doc_words",
+        "min_doc_words",
+        "n_unique_texts",
+        "n_dup_docs",
+        (F.col("n_words").cast("double") / F.col("n_docs").cast("double"))
+        .alias("mean_doc_words"),
+        (F.col("n_chars").cast("double") / F.col("n_words").cast("double"))
+        .alias("mean_word_len"),
+    )
