@@ -51,69 +51,74 @@ ORACLES: dict[str, str] = {}
 # exactly the 50-row driver window (zero-evidence names outrank stale
 # ones, the r6->r7 precedent; two-round cohort completion is the
 # accepted fallback).
-# ROUND-9 NOTE: pin any r9 additions first, then the 2 overflowed
-# r1-cohort names (analytic_range_frame, analytic_ntile_cume), then
-# the FULL 15-name r2-evidence cohort (text_tfidf,
-# pipeline_training_data, pipeline_decontaminate,
-# pipeline_train_test_split, pipeline_lang_balance,
-# cdc_incremental_agg, layout_stratified_sample, layout_zorder_stats,
-# analytic_array_funcs, analytic_datetime_funcs, analytic_math_funcs,
-# analytic_string_funcs, text_ngram_udtf_analyze, text_shingle_udtf,
-# text_topk_sketch).
+# ROUND-9 EXECUTED (this round): 19 r9 additions + 6 r9-changed
+# (hashring HOF rewrite; gorilla bounds-hardening touched both gorilla
+# queries; the shingle/trigram ANSI guards touched the minhash/simhash
+# exact twins and language ID) + the 2 overflowed r1 names + the FULL
+# 15-name r2 cohort + the first 8 of the 42-name r3-latest cohort =
+# exactly the 50-row driver window. After CORRECTNESS_r09 lands, every
+# registered name has r3+ evidence and the r3 cohort (34 left:
+# events_funnel .. tpch_q22_idle_customers, see git history of this
+# note) rotates next.
+# ROUND-10 NOTE: pin r10 additions first, then the remaining 34
+# r3-latest names (compute with the CORRECTNESS_r* union script in
+# SURVEY §5), then r4-latest names as space allows.
 _PRIORITY = (
-    # --- new in round 8 ---
-    "pipeline_multimodal_curation_end2end",
-    "multimodal_decode_flac_lpc",
-    "text_language_id",
-    "events_lttb_exact",
-    "events_promql_rate",
-    "events_histogram_quantile",
-    "events_predict_linear",
-    "pipeline_proportional_allocation",
+    # --- new in round 9 ---
+    "analytic_hierarchy_recursive",
+    "events_promql_over_time",
+    "events_promql_quantile_over_time",
+    "events_promql_topk",
+    "events_promql_delta",
+    "events_promql_irate",
+    "events_exp_histogram",
+    "events_sax_symbols",
+    "events_series_churn",
+    "graph_kcore",
+    "ingest_cardinality_limit",
+    "ingest_cbor_roundtrip",
+    "stream_cbor_pipeline",
+    "ingest_carbon_aggregation_rules",
+    "pipeline_training_shard_manifest",
+    "pipeline_dataset_card",
+    "multimodal_decode_png_subbyte",
+    "text_pii_scrub_corpus",
+    "text_unicode_nfc",
+    # --- changed in round 9 (engine edits -> fresh evidence) ---
+    "ingest_hashring_route",
     "dedup_minhash_exact",
     "dedup_simhash_exact",
+    "text_language_id",
     "events_gorilla_roundtrip",
     "stream_gorilla_pipeline",
-    "events_promql_changes",
-    "ingest_hashring_route",
-    "ingest_rendezvous_route",
-    "ingest_deterministic_sample",
-    # --- changed in round 8 (oracle/engine edits -> fresh evidence) ---
-    "analytic_fuzzy_join",
-    "analytic_hierarchy_rollup",
-    # --- r1-only-evidence cohort, overflowed from round 7's window ---
-    "events_multires_rollup",
-    "events_gapfill_ffill",
-    "events_interpolate_linear",
-    "events_series_correlation",
-    "events_hll_rollup",
-    "analytic_pricing_summary",
-    "analytic_rollup",
-    "analytic_cube",
-    "analytic_grouping_sets",
-    "analytic_setops",
-    "analytic_scalar_subquery",
-    "analytic_orderby_limit",
-    "analytic_approx_distinct",
-    "analytic_salted_agg",
-    "analytic_salted_join",
-    "analytic_pivot",
-    "analytic_unpivot",
-    "analytic_percentiles",
-    "analytic_exact_moments",
-    "analytic_pandas_median",
-    "analytic_table_profile",
-    "analytic_histogram",
-    "analytic_regional_revenue",
-    "analytic_left_join_coverage",
-    "analytic_semi_join",
-    "analytic_anti_join",
-    "analytic_range_join",
-    "analytic_asof_join",
-    "analytic_topk_per_group",
-    "analytic_window_analytic",
-    "analytic_ranking",
-    "analytic_sessionize",
+    # --- r1-only-evidence names (overflowed from rounds 7 and 8) ---
+    "analytic_range_frame",
+    "analytic_ntile_cume",
+    # --- the full r2-only-evidence cohort ---
+    "text_tfidf",
+    "pipeline_training_data",
+    "pipeline_decontaminate",
+    "pipeline_train_test_split",
+    "pipeline_lang_balance",
+    "cdc_incremental_agg",
+    "layout_stratified_sample",
+    "layout_zorder_stats",
+    "analytic_array_funcs",
+    "analytic_datetime_funcs",
+    "analytic_math_funcs",
+    "analytic_string_funcs",
+    "text_ngram_udtf_analyze",
+    "text_shingle_udtf",
+    "text_topk_sketch",
+    # --- head of the r3-latest cohort (oldest remaining evidence) ---
+    "analytic_lateral_topn",
+    "analytic_map_funcs",
+    "cdc_scd2_history",
+    "cdc_upsert_snapshot",
+    "dedup_exact_spans",
+    "events_alert_rules",
+    "events_anomaly_mad",
+    "events_cohort_retention",
 )
 
 _QUERY_MODULES = (
