@@ -92,6 +92,90 @@ class TestAgreements:
         assert tuple(s) == tuple(d)
 
 
+    def test_percentile_quantile_cont_identical_on_double(self, spark, duck):
+        """Lever for events_promql_quantile_over_time: Spark
+        `percentile` and DuckDB `quantile_cont` implement the same
+        sorted-samples linear interpolation over DOUBLE and agree
+        bit-for-bit (probed round 9 on awkward operands). NB the
+        agreement holds for DOUBLE inputs only — see the DECIMAL
+        divergence test below."""
+        vals = [1.37, 2.91, 5.03, 7.77, 11.113, 13.0001, 17.5,
+                23.23, 0.013, 42.42, 3.14159, 2.71828]
+        arr = "ARRAY(" + ",".join(f"CAST({v} AS DOUBLE)" for v in vals) + ")"
+        for q in (0.5, 0.9, 0.95, 0.99, 0.1, 0.37):
+            s_val = spark.sql(
+                f"SELECT percentile(v, CAST({q} AS DOUBLE))"
+                f" FROM (SELECT explode({arr}) AS v)"
+            ).first()[0]
+            d_val = duck.execute(
+                f"SELECT quantile_cont(CAST(v AS DOUBLE), {q}) FROM"
+                f" (SELECT unnest({vals}) AS v)"
+            ).fetchone()[0]
+            assert s_val == d_val, (q, s_val, d_val)
+
+    def test_bin_bit_length_identical(self, spark, duck):
+        """Lever for events_exp_histogram: length(bin(v)) - 1 is the
+        exact floor(log2) both engines compute identically (no
+        leading zeros in either bin())."""
+        for v in (1, 2, 3, 7, 8, 100, 65535, 65536, 4900200, 2**62):
+            s_val = spark.sql(
+                f"SELECT length(bin(CAST({v} AS BIGINT))) - 1"
+            ).first()[0]
+            d_val = duck.execute(
+                f"SELECT length(bin(CAST({v} AS BIGINT))) - 1"
+            ).fetchone()[0]
+            assert s_val == d_val == v.bit_length() - 1, v
+
+    def test_regexp_backreference_spelling_same_semantics(self, spark, duck):
+        """Lever for ingest_carbon_aggregation_rules /
+        text_pii_scrub_corpus: capture-group rewrite agrees although
+        the backreference SPELLING differs (Spark/Java `$1`, DuckDB
+        RE2 `\\1`), and DuckDB needs the explicit 'g' flag for
+        global replacement while Spark is global by default."""
+        src = "events.click.123 events.view.9"
+        pat = r"events\.([a-z]+)\.[0-9]+"
+        s_val = spark.sql(
+            f"SELECT regexp_replace('{src}', r'{pat}', 'events.$1.all')"
+        ).first()[0]
+        d_val = duck.execute(
+            f"SELECT regexp_replace('{src}', '{pat}', 'events.\\1.all', 'g')"
+        ).fetchone()[0]
+        assert s_val == d_val == "events.click.all events.view.all"
+
+    def test_nfc_normalize_matches_python_unicodedata(self, duck):
+        """Lever for text_unicode_nfc: DuckDB's utf8proc NFC and
+        Python's unicodedata NFC agree on composition (two
+        independent UAX #15 implementations)."""
+        import unicodedata
+
+        cases = [
+            "a\u0308", "e\u0301", "o\u0303", "c\u0327",
+            "fian\u0303ce", "\u00e9 composed", "plain ascii",
+            "x\u0301\u0308 stacked",
+        ]
+        for c in cases:
+            d_val = duck.execute(
+                "SELECT nfc_normalize(?)", [c]
+            ).fetchone()[0]
+            assert d_val == unicodedata.normalize("NFC", c), repr(c)
+
+    def test_string_agg_order_matches_sorted_collect(self, spark, duck):
+        """Lever for events_sax_symbols: DuckDB string_agg(s, ''
+        ORDER BY k) equals Spark's concat_ws over array_sort of
+        (k, s) structs."""
+        rows = [(3, "c"), (1, "a"), (2, "b"), (0, "z")]
+        s_val = spark.sql(
+            "SELECT concat_ws('', transform(array_sort(collect_list("
+            "struct(k, s))), x -> x.s)) FROM VALUES (3,'c'),(1,'a'),"
+            "(2,'b'),(0,'z') AS t(k, s)"
+        ).first()[0]
+        d_val = duck.execute(
+            "SELECT string_agg(s, '' ORDER BY k) FROM (VALUES (3,'c'),"
+            "(1,'a'),(2,'b'),(0,'z')) t(k, s)"
+        ).fetchone()[0]
+        assert s_val == d_val == "zabc"
+
+
 class TestDivergences:
     """Facts the oracles must WORK AROUND — pinned so an engine
     upgrade that silently 'fixes' one is noticed (the workaround can
@@ -121,6 +205,19 @@ class TestDivergences:
         assert s == 1  # one codepoint substitution
         assert d == 2  # é is two UTF-8 bytes
         assert s != d
+
+    def test_quantile_cont_decimal_diverges(self, duck):
+        """quantile_cont over DECIMAL truncates to the decimal scale
+        (round-9 probe: q=0.95 over 4dp values gave 31.86549 vs
+        DOUBLE's 31.865499999999987) — quantile oracles must CAST TO
+        DOUBLE first, same rule as the median pin below."""
+        d_dec, d_dbl = duck.execute(
+            "SELECT quantile_cont(CAST(v AS DECIMAL(18,5)), 0.95),"
+            " quantile_cont(CAST(v AS DOUBLE), 0.95) FROM"
+            " (SELECT unnest([1.37, 2.91, 5.03, 7.77, 11.113, 13.0001,"
+            " 17.5, 23.23, 0.013, 42.42, 3.14159, 2.71828]) AS v)"
+        ).fetchone()
+        assert float(d_dec) != d_dbl
 
     def test_median_decimal_diverges_from_double(self, duck):
         """DuckDB median over DECIMAL takes the lower middle; over
