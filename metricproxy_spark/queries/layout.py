@@ -463,3 +463,117 @@ def layout_runtime_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+_HILBERT_ORDER = 8  # 8-bit grid: 256x256 cells, d in [0, 65536)
+
+
+def _hilbert_level_sql(s: int) -> dict[str, str]:
+    """One Hilbert xy->d refinement level (the classic public-domain
+    d2xy/xy2d loop body, Wikipedia "Hilbert curve" convert routines)
+    as engine-portable SQL snippets over columns (hx, hy, hd):
+
+        rx = (x & s) > 0; ry = (y & s) > 0
+        d += s*s * ((3*rx) XOR ry)
+        if ry == 0: { if rx == 1: x = s-1-x; y = s-1-y }; swap(x, y)
+
+    The quadrant term (3*rx) XOR ry is spelled as a CASE over the four
+    (rx, ry) combinations because `^` means XOR in Spark but POWER in
+    DuckDB — the CASE text is identical in both."""
+    rx = f"CASE WHEN (hx & {s}) > 0 THEN 1 ELSE 0 END"
+    ry = f"CASE WHEN (hy & {s}) > 0 THEN 1 ELSE 0 END"
+    quad = (
+        f"CASE WHEN ({rx}) = 0 AND ({ry}) = 0 THEN 0"
+        f" WHEN ({rx}) = 0 THEN 1"
+        f" WHEN ({ry}) = 0 THEN 3 ELSE 2 END"
+    )
+    flip = f"CASE WHEN ({rx}) = 1 THEN {s} - 1 - "
+    new_x = (
+        f"CASE WHEN ({ry}) = 0 THEN ({flip}hy ELSE hy END)"
+        f" ELSE hx END"
+    )
+    new_y = (
+        f"CASE WHEN ({ry}) = 0 THEN ({flip}hx ELSE hx END)"
+        f" ELSE hy END"
+    )
+    return {
+        "hd": f"hd + {s * s} * ({quad})",
+        "hx": new_x,
+        "hy": new_y,
+    }
+
+
+@register(
+    "layout_hilbert_stats",
+    oracle=(
+        """
+    WITH ext AS (
+        SELECT max(l_partkey) + 1 AS pmax, max(l_suppkey) + 1 AS smax
+        FROM lineitem
+    ), l0 AS (
+        SELECT (l_partkey * 256) // pmax AS hx,
+               (l_suppkey * 256) // smax AS hy,
+               CAST(0 AS BIGINT) AS hd
+        FROM lineitem, ext
+    )"""
+        + "".join(
+            ", l{n} AS (SELECT {hd} AS hd, {hx} AS hx, {hy} AS hy"
+            " FROM l{p})".format(
+                n=i + 1,
+                p=i,
+                **_hilbert_level_sql(1 << (_HILBERT_ORDER - 1 - i)),
+            )
+            for i in range(_HILBERT_ORDER)
+        )
+        + f"""
+    SELECT CAST(hd >> 10 AS BIGINT) AS h_bucket,
+           count(*) AS n,
+           min(hx) AS min_x, max(hx) AS max_x,
+           min(hy) AS min_y, max(hy) AS max_y
+    FROM l{_HILBERT_ORDER}
+    GROUP BY 1
+    """
+    ),
+)
+def layout_hilbert_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HILBERT-curve clustering codes over (l_partkey, l_suppkey) —
+    the locality-superior alternative to `layout_zorder_stats`'s
+    Morton codes (the Hilbert curve never makes the long diagonal
+    jumps Z-order does, so consecutive file buckets cover tighter key
+    rectangles; it is what Databricks liquid clustering moved to).
+    Keys quantize onto an 8-bit grid, then 8 unrolled xy->d
+    refinement levels run as chained projections — the IDENTICAL
+    per-level CASE text executes as CTE stages in DuckDB, so the
+    curve positions themselves (not just the bucket shape) are
+    value-checked; note the rotation state threads through levels,
+    which is why Hilbert needs the chain while Morton is a stateless
+    interleave. Per-bucket (top 6 bits) min/max bounds are the
+    row-group stats a Hilbert-sorted writer would produce. Scale:
+    pure map chain (whole-stage codegen, no Python) + one small hash
+    agg; the quantization extents ride one broadcast scalar row."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ext = li.agg(
+        (F.max("l_partkey") + 1).alias("pmax"),
+        (F.max("l_suppkey") + 1).alias("smax"),
+    )
+    cur = li.crossJoin(F.broadcast(ext)).selectExpr(
+        "(l_partkey * 256) div pmax AS hx",
+        "(l_suppkey * 256) div smax AS hy",
+        "CAST(0 AS BIGINT) AS hd",
+    )
+    for i in range(_HILBERT_ORDER):
+        lvl = _hilbert_level_sql(1 << (_HILBERT_ORDER - 1 - i))
+        cur = cur.selectExpr(
+            f"{lvl['hd']} AS hd",
+            f"{lvl['hx']} AS hx",
+            f"{lvl['hy']} AS hy",
+        )
+    return cur.groupBy(
+        F.expr("hd >> 10").cast("bigint").alias("h_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("hx").alias("min_x"),
+        F.max("hx").alias("max_x"),
+        F.min("hy").alias("min_y"),
+        F.max("hy").alias("max_y"),
+    )

@@ -105,3 +105,63 @@ def test_staged_artifact_gc_removes_stale_fingerprints(sf_dir, tmp_path):
 
         for d in (stale, young, staging, other_tag):
             shutil.rmtree(d, ignore_errors=True)
+
+
+class TestHilbert:
+    """The SQL Hilbert chain vs an independent Python xy2d reference
+    (the oracle alone cannot catch a shared bug — both engines run
+    the identical CASE text)."""
+
+    @staticmethod
+    def _xy2d_ref(order, x, y):
+        # Wikipedia "Hilbert curve" xy2d, public-domain convert loop
+        d = 0
+        s = 1 << (order - 1)
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x = s - 1 - x
+                    y = s - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    def test_sql_chain_matches_reference(self, spark):
+        from metricproxy_spark.queries.layout import (
+            _HILBERT_ORDER,
+            _hilbert_level_sql,
+        )
+
+        pts = [(x, y) for x in range(0, 256, 17) for y in range(0, 256, 23)]
+        pts += [(0, 0), (255, 255), (255, 0), (0, 255), (1, 0), (0, 1)]
+        cur = spark.createDataFrame(
+            [(x, y) for x, y in pts], "hx long, hy long"
+        ).selectExpr("hx", "hy", "CAST(0 AS BIGINT) AS hd", "hx AS ox", "hy AS oy")
+        for i in range(_HILBERT_ORDER):
+            lvl = _hilbert_level_sql(1 << (_HILBERT_ORDER - 1 - i))
+            cur = cur.selectExpr(
+                f"{lvl['hd']} AS hd",
+                f"{lvl['hx']} AS hx",
+                f"{lvl['hy']} AS hy",
+                "ox",
+                "oy",
+            )
+        got = {(r.ox, r.oy): r.hd for r in cur.collect()}
+        for x, y in pts:
+            assert got[(x, y)] == self._xy2d_ref(8, x, y), (x, y)
+
+    def test_curve_is_a_bijection_with_unit_steps(self, spark):
+        """Full 16x16 grid at order 4: d is a bijection onto [0, 256)
+        and consecutive d values are GRID-ADJACENT (|dx|+|dy| = 1) —
+        the locality property that beats Z-order's diagonal jumps."""
+        ref = {}
+        for x in range(16):
+            for y in range(16):
+                ref[self._xy2d_ref(4, x, y)] = (x, y)
+        assert sorted(ref) == list(range(256))
+        for d in range(255):
+            (x1, y1), (x2, y2) = ref[d], ref[d + 1]
+            assert abs(x1 - x2) + abs(y1 - y2) == 1, d
