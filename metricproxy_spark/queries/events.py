@@ -3790,3 +3790,118 @@ def events_exp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("bucket_hi"),
     )
+
+
+@register(
+    "events_time_range_frame",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               SUM(CAST(value AS DECIMAL(27,4))) AS v
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, h,
+           CAST(SUM(v) OVER (PARTITION BY event_type ORDER BY h
+               RANGE BETWEEN INTERVAL 3 HOUR PRECEDING AND CURRENT ROW)
+             AS DOUBLE) AS rolling_4h_sum,
+           CAST(COUNT(*) OVER (PARTITION BY event_type ORDER BY h
+               RANGE BETWEEN INTERVAL 3 HOUR PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS n_in_frame,
+           CAST(MAX(v) OVER (PARTITION BY event_type ORDER BY h
+               RANGE BETWEEN INTERVAL 3 HOUR PRECEDING AND CURRENT ROW)
+             AS DOUBLE) AS rolling_4h_max
+    FROM hourly
+    """,
+)
+def events_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-RANGE window frames — `RANGE BETWEEN INTERVAL ... 
+    PRECEDING` over a timestamp ORDER BY, the sliding-window idiom
+    over IRREGULAR samples that row-count frames get wrong (a
+    3-hours-ago bound is a time predicate, not a row offset; both
+    engines probed this round: identical inclusive-bound semantics).
+    Rolling 4-hour decimal sum/count/max per series completes the X14
+    frame family beside the numeric `rangeBetween` query. Exactness:
+    DECIMAL sums + selections over an integer-hour axis. Scale: one
+    hourly rollup + one partitioned window — frame evaluation is a
+    per-partition ordered scan, never a self-join."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.sum(F.col("value").cast("decimal(27,4)")).alias("v"))
+    hourly.createOrReplaceTempView("mp_time_range_hourly")
+    return spark.sql(
+        """
+        SELECT event_type, h,
+               CAST(SUM(v) OVER (PARTITION BY event_type ORDER BY h
+                   RANGE BETWEEN INTERVAL '3' HOUR PRECEDING
+                   AND CURRENT ROW) AS DOUBLE) AS rolling_4h_sum,
+               CAST(COUNT(*) OVER (PARTITION BY event_type ORDER BY h
+                   RANGE BETWEEN INTERVAL '3' HOUR PRECEDING
+                   AND CURRENT ROW) AS BIGINT) AS n_in_frame,
+               CAST(MAX(v) OVER (PARTITION BY event_type ORDER BY h
+                   RANGE BETWEEN INTERVAL '3' HOUR PRECEDING
+                   AND CURRENT ROW) AS DOUBLE) AS rolling_4h_max
+        FROM mp_time_range_hourly
+        """
+    )
+
+
+@register(
+    "events_promql_label_ops",
+    oracle="""
+    WITH series AS (
+        SELECT DISTINCT event_type,
+               CAST(user_id AS VARCHAR) AS user_lbl
+        FROM events
+    ), replaced AS (
+        SELECT event_type, user_lbl,
+               CASE WHEN regexp_matches(event_type, '^(cl|si)(.*)$')
+                    THEN regexp_replace(event_type, '^(cl|si)(.*)$',
+                                        'grp-\\1', 'g')
+                    ELSE event_type END AS family,
+               event_type || '/' || user_lbl AS joined
+        FROM series
+    )
+    SELECT family,
+           CAST(COUNT(*) AS BIGINT) AS n_series,
+           min(joined) AS first_joined,
+           max(joined) AS last_joined
+    FROM replaced GROUP BY 1
+    """,
+)
+def events_promql_label_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``label_replace()`` and ``label_join()`` — the vector
+    label-manipulation pair dashboards lean on for regrouping:
+    label_replace writes capture-group expansions into a destination
+    label ONLY when the regex matches the source value IN FULL
+    (anchored — unmatched series pass through unchanged, the
+    documented no-op contract), and label_join concatenates label
+    values with a separator. Series whose type starts 'cl'/'si'
+    regroup under 'grp-<prefix>'; the rest keep their name. Public
+    algorithm: prometheus/promql functions.go funcLabelReplace /
+    funcLabelJoin. Exactness: pure string ops in the shared regex
+    dialect (full-anchor + capture; Spark `$1` / DuckDB `\\1`),
+    grouped counts + min/max joined labels value-check the rewrite.
+    Scale: map-side rewrite over the distinct series atom + one hash
+    agg."""
+    events = load_table(spark, sf_dir, "events")
+    series = events.select(
+        "event_type", F.col("user_id").cast("string").alias("user_lbl")
+    ).distinct()
+    pat = r"^(cl|si)(.*)$"
+    replaced = series.select(
+        F.when(
+            F.regexp_like("event_type", F.lit(pat)),
+            F.regexp_replace("event_type", pat, r"grp-$1"),
+        )
+        .otherwise(F.col("event_type"))
+        .alias("family"),
+        F.concat_ws("/", "event_type", "user_lbl").alias("joined"),
+    )
+    return replaced.groupBy("family").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_series"),
+        F.min("joined").alias("first_joined"),
+        F.max("joined").alias("last_joined"),
+    )

@@ -2615,3 +2615,57 @@ def events_series_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+@register(
+    "ingest_statsd_timer_digest",
+    oracle="""
+    WITH timers AS (
+        SELECT 'timers.' || event_type AS metric,
+               date_trunc('hour', ts) AS flush,
+               CAST(CAST(value AS DECIMAL(27,4)) AS DOUBLE) AS ms
+        FROM events
+    )
+    SELECT metric, flush,
+           CAST(COUNT(*) AS BIGINT) AS count,
+           CAST(SUM(CAST(ms AS DECIMAL(27,4))) AS DOUBLE) AS sum,
+           MIN(ms) AS lower,
+           MAX(ms) AS upper,
+           CAST(SUM(CAST(ms AS DECIMAL(27,4))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS mean,
+           quantile_cont(ms, 0.90) AS upper_90,
+           quantile_cont(ms, 0.50) AS median
+    FROM timers GROUP BY 1, 2
+    """,
+)
+def ingest_statsd_timer_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """statsd TIMER flush digest — the per-flush-interval statistics
+    the statsd daemon computes for every timer metric before
+    forwarding to graphite (count/sum/lower/upper/mean + the
+    configurable percentile thresholds, here upper_90 and median):
+    the server-side aggregation contract of the statsd protocol this
+    engine's statsd wire family feeds. Exactness: count/min/max are
+    selections, sum/mean go through DECIMAL with one final division,
+    and the percentiles are DOUBLE linear interpolation — probed
+    bit-identical between Spark `percentile` and DuckDB
+    `quantile_cont` this round. Scale: one hash agg per (metric,
+    flush window); percentile state is bounded by the flush interval's
+    sample count, and every other stat is map-combinable."""
+    events = load_table(spark, sf_dir, "events")
+    timers = events.select(
+        F.concat(F.lit("timers."), F.col("event_type")).alias("metric"),
+        F.date_trunc("hour", "ts").alias("flush"),
+        F.col("value").cast("decimal(27,4)").cast("double").alias("ms"),
+    )
+    return timers.groupBy("metric", "flush").agg(
+        F.count(F.lit(1)).cast("bigint").alias("count"),
+        F.sum(F.col("ms").cast("decimal(27,4)")).cast("double").alias("sum"),
+        F.min("ms").alias("lower"),
+        F.max("ms").alias("upper"),
+        (
+            F.sum(F.col("ms").cast("decimal(27,4)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("mean"),
+        F.percentile("ms", F.lit(0.90)).alias("upper_90"),
+        F.percentile("ms", F.lit(0.50)).alias("median"),
+    )
