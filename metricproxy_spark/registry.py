@@ -55,11 +55,11 @@ ORACLES: dict[str, str] = {}
 # (hashring HOF rewrite; gorilla bounds-hardening touched both gorilla
 # queries; the shingle/trigram ANSI guards touched the minhash/simhash
 # exact twins and language ID) + the 2 overflowed r1 names + the FULL
-# 15-name r2 cohort + the first 8 of the 42-name r3-latest cohort =
+# 15-name r2 cohort + the first 4 of the 42-name r3-latest cohort =
 # exactly the 50-row driver window. After CORRECTNESS_r09 lands, every
 # registered name has r3+ evidence and the r3 cohort (34 left:
 # events_funnel .. tpch_q22_idle_customers, see git history of this
-# note) rotates next.
+# note) rotates next (38 left after this window).
 # ROUND-10 NOTE: pin r10 additions first, then the remaining 34
 # r3-latest names (compute with the CORRECTNESS_r* union script in
 # SURVEY §5), then r4-latest names as space allows.
@@ -84,6 +84,10 @@ _PRIORITY = (
     "multimodal_decode_png_subbyte",
     "text_pii_scrub_corpus",
     "text_unicode_nfc",
+    "layout_hilbert_stats",
+    "events_time_range_frame",
+    "events_promql_label_ops",
+    "ingest_statsd_timer_digest",
     # --- changed in round 9 (engine edits -> fresh evidence) ---
     "ingest_hashring_route",
     "dedup_minhash_exact",
@@ -115,10 +119,6 @@ _PRIORITY = (
     "analytic_map_funcs",
     "cdc_scd2_history",
     "cdc_upsert_snapshot",
-    "dedup_exact_spans",
-    "events_alert_rules",
-    "events_anomaly_mad",
-    "events_cohort_retention",
 )
 
 _QUERY_MODULES = (
