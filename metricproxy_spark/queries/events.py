@@ -3905,3 +3905,100 @@ def events_promql_label_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("joined").alias("first_joined"),
         F.max("joined").alias("last_joined"),
     )
+
+
+@register(
+    "events_promql_absent",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT date_trunc('day', ts) AS day FROM events
+    ), types AS (
+        SELECT DISTINCT event_type FROM events
+    ), watched AS (
+        SELECT t.event_type, u.user_id, d.day
+        FROM types t
+        CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS user_id) u
+        CROSS JOIN days d
+    ), present AS (
+        SELECT DISTINCT event_type, user_id, date_trunc('day', ts) AS day
+        FROM events WHERE user_id <= 9
+    )
+    SELECT w.event_type, CAST(w.user_id AS BIGINT) AS user_id, w.day,
+           (p.event_type IS NULL) AS is_absent
+    FROM watched w LEFT JOIN present p
+      ON w.event_type = p.event_type AND w.user_id = p.user_id
+         AND w.day = p.day
+    """,
+)
+def events_promql_absent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``absent_over_time()`` — the alert primitive that fires
+    when a WATCHED series produces NO samples in the window (the only
+    way to alert on a dead exporter: every other function returns
+    nothing when the series vanishes). The watch list is the expected
+    grid (every type x users 0-9) crossed with every observed day;
+    absence = anti-membership of the per-day present set. Public
+    algorithm: prometheus/promql functions.go funcAbsentOverTime
+    (plus the absent-alert idiom). Pure set algebra over integer
+    keys — exact. Scale: the watch list is |types|x10 literal-sized
+    crossed with the day atom (both tiny, broadcast); presence is one
+    distinct over the filtered scan and a left join keyed by the
+    watch grid."""
+    events = load_table(spark, sf_dir, "events")
+    days = events.select(F.date_trunc("day", "ts").alias("day")).distinct()
+    types = events.select("event_type").distinct()
+    users = spark.range(0, 10).select(F.col("id").alias("user_id"))
+    watched = types.crossJoin(users).crossJoin(days)
+    present = (
+        events.where(F.col("user_id") <= 9)
+        .select(
+            "event_type",
+            "user_id",
+            F.date_trunc("day", "ts").alias("day"),
+        )
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return watched.join(
+        present, ["event_type", "user_id", "day"], "left"
+    ).select(
+        "event_type",
+        F.col("user_id").cast("bigint").alias("user_id"),
+        "day",
+        F.col("hit").isNull().alias("is_absent"),
+    )
+
+
+@register(
+    "events_activity_heatmap",
+    oracle="""
+    SELECT event_type,
+           CAST(EXTRACT(isodow FROM ts) AS BIGINT) AS dow,
+           CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hod,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS sum_value,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY 1, 2, 3
+    """,
+)
+def events_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day x day-of-week activity HEATMAP — the dashboard
+    grid behind every 'when is traffic hot' panel: per (series,
+    ISO weekday 1-7, hour 0-23) event counts, decimal-exact value
+    sums, and distinct-user cardinality. ISO weekday (Monday = 1) is
+    the cross-engine-stable day numbering (Spark `dayofweek` is
+    Sunday = 1 — use `EXTRACT(DAYOFWEEK_ISO)` / DuckDB isodow).
+    Scale: one hash agg straight off the scan; the distinct-user
+    count is the only expansion and is bounded by the grid x user
+    cardinality."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy(
+        "event_type",
+        F.expr("CAST(EXTRACT(DAYOFWEEK_ISO FROM ts) AS BIGINT)").alias("dow"),
+        F.hour("ts").cast("bigint").alias("hod"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(27,4)"))
+        .cast("double")
+        .alias("sum_value"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+    )
