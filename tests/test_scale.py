@@ -1023,3 +1023,32 @@ class TestRound9PlanDiscipline:
         assert sum(r.n_docs for r in rows) == min(200, n_corpus)
         assert all(r.n_docs > 0 for r in rows)
         assert {r.shard for r in rows} <= set(range(8))
+
+    def test_hashring_hof_scan_wraps_past_ring_top(self, spark):
+        """The filter-HOF clockwise-successor expression must WRAP to
+        the ring's first vnode when the key hashes above every ring
+        position — the case testdata only probabilistically exercises
+        (P ~ 0.7% per key). Mini-ring with two vnodes, keys on every
+        side."""
+        from pyspark.sql import functions as F
+
+        arr = (
+            "array(named_struct('pos','3333','backend','a'),"
+            "named_struct('pos','7777','backend','b'))"
+        )
+        owner = F.expr(
+            f"coalesce(try_element_at(filter({arr}, x -> x.pos >= kh), 1)"
+            f".backend, try_element_at({arr}, 1).backend)"
+        ).alias("owner")
+        df = spark.createDataFrame(
+            [("0001",), ("3333",), ("5000",), ("7777",), ("9999",)],
+            "kh string",
+        ).select("kh", owner)
+        got = {r.kh: r.owner for r in df.collect()}
+        assert got == {
+            "0001": "a",  # below both -> first vnode clockwise
+            "3333": "a",  # exactly on a vnode -> that vnode
+            "5000": "b",
+            "7777": "b",
+            "9999": "a",  # above the top -> WRAP to ring[0]
+        }
