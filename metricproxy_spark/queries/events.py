@@ -4002,3 +4002,67 @@ def events_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sum_value"),
         F.countDistinct("user_id").cast("bigint").alias("n_users"),
     )
+
+
+@register(
+    "events_quantile_disc",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               date_trunc('day', ts) AS day,
+               CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS vd
+        FROM events GROUP BY 1, 2, 3
+    )
+    SELECT event_type, day,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           quantile_disc(vd, 0.25) AS q25_disc,
+           quantile_disc(vd, 0.50) AS q50_disc,
+           quantile_disc(vd, 0.75) AS q75_disc
+    FROM hourly GROUP BY 1, 2
+    """,
+)
+def events_quantile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISCRETE quantiles (SQL `percentile_disc` semantics — the
+    answer must be an OBSERVED sample, the rule compliance/latency
+    reporting often mandates, vs the interpolating
+    `events_promql_quantile_over_time`): the element at 1-based rank
+    ceil(q*n) in sort order, probed this round as DuckDB
+    quantile_disc's exact rule. Spark side implements the rule
+    literally — one ordered row_number window + group size, then a
+    conditional selection per q — so the semantics are pinned by
+    construction, not by a black-box builtin. All three q values are
+    DYADIC (0.25/0.5/0.75), making ceil(q*n) float-hazard-free at any
+    n. Scale: one hourly rollup + one partitioned window + one hash
+    agg; the window input is day-sized per series."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("h"),
+        F.date_trunc("day", "ts").alias("day"),
+    ).agg(
+        F.sum(F.col("value").cast("decimal(27,4)"))
+        .cast("double")
+        .alias("vd")
+    )
+    wday = Window.partitionBy("event_type", "day").orderBy("vd", "h")
+    wall = Window.partitionBy("event_type", "day")
+    ranked = hourly.select(
+        "event_type",
+        "day",
+        "vd",
+        F.row_number().over(wday).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+
+    def disc(q: float, name: str):
+        rank = F.greatest(F.ceil(F.lit(q) * F.col("n")), F.lit(1))
+        return F.max(F.when(F.col("rn") == rank, F.col("vd"))).alias(name)
+
+    return ranked.groupBy("event_type", "day").agg(
+        F.max("n").cast("bigint").alias("n_samples"),
+        disc(0.25, "q25_disc"),
+        disc(0.50, "q50_disc"),
+        disc(0.75, "q75_disc"),
+    )
