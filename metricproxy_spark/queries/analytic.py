@@ -1555,3 +1555,103 @@ def analytic_hierarchy_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY anc
         """
     )
+
+
+@register(
+    "analytic_merge_intervals",
+    oracle="""
+    WITH spans AS (
+        SELECT event_type, user_id,
+               epoch_us(ts) AS s,
+               epoch_us(ts) + 2700000000 AS e
+        FROM events
+    ), marked AS (
+        SELECT event_type, user_id, s, e,
+               CASE WHEN s > COALESCE(MAX(e) OVER (
+                        PARTITION BY event_type, user_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), -1)
+                    THEN 1 ELSE 0 END AS is_new
+        FROM spans
+    ), islands AS (
+        SELECT event_type, user_id, s, e,
+               SUM(is_new) OVER (PARTITION BY event_type, user_id
+                                 ORDER BY s, e
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS island
+        FROM marked
+    ), merged AS (
+        SELECT event_type, user_id, island,
+               MIN(s) AS start_s, MAX(e) AS end_s,
+               CAST(COUNT(*) AS BIGINT) AS n_spans
+        FROM islands GROUP BY 1, 2, 3
+    )
+    SELECT event_type, user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(end_s - start_s) // 1000000 AS BIGINT)
+             AS covered_seconds,
+           CAST(SUM(n_spans) AS BIGINT) AS n_spans,
+           CAST(MAX(end_s - start_s) // 1000000 AS BIGINT)
+             AS longest_interval
+    FROM merged GROUP BY 1, 2
+    """,
+)
+def analytic_merge_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval COALESCING (merge overlapping spans) — the
+    gaps-and-islands variant `analytic_sessionize` does NOT cover:
+    each event carries a DURATION (45-minute activity span, tracked in
+    exact MICROSECONDS — epoch seconds diverge on fractional
+    timestamps: DuckDB's epoch cast rounds where Spark's
+    unix_timestamp truncates), and
+    overlapping or contained spans fuse into maximal covered
+    intervals — the utilization/on-call-coverage/downtime-merge
+    primitive. The classic two-window rewrite: a span starts a new
+    island iff its start exceeds the RUNNING MAX of all previous
+    ends (running max, not lag(e) — containment breaks the naive
+    lag form), then the island id is the running sum of those
+    flags; per-(series, user) interval counts, covered seconds and
+    longest run are all integer-exact. Scale: two windows + two hash
+    aggs, all partitioned by the (type, user) series key — no join,
+    no self-comparison; the running-max trick is what keeps 100 TB
+    of spans a linear per-partition scan instead of an
+    interval-overlap self-join."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    spans = events.select(
+        "event_type",
+        "user_id",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + 2700000000).alias("e"),
+    )
+    wprev = (
+        Window.partitionBy("event_type", "user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = spans.withColumn(
+        "is_new",
+        F.when(
+            F.col("s") > F.coalesce(F.max("e").over(wprev), F.lit(-1)),
+            1,
+        ).otherwise(0),
+    )
+    wcum = (
+        Window.partitionBy("event_type", "user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    islands = marked.withColumn("island", F.sum("is_new").over(wcum))
+    merged = islands.groupBy("event_type", "user_id", "island").agg(
+        F.min("s").alias("start_s"),
+        F.max("e").alias("end_s"),
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+    )
+    return merged.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+        F.expr("CAST(SUM(end_s - start_s) div 1000000 AS BIGINT)")
+        .alias("covered_seconds"),
+        F.sum("n_spans").cast("bigint").alias("n_spans"),
+        F.expr("CAST(MAX(end_s - start_s) div 1000000 AS BIGINT)")
+        .alias("longest_interval"),
+    )

@@ -55,11 +55,11 @@ ORACLES: dict[str, str] = {}
 # (hashring HOF rewrite; gorilla bounds-hardening touched both gorilla
 # queries; the shingle/trigram ANSI guards touched the minhash/simhash
 # exact twins and language ID) + the 2 overflowed r1 names + the FULL
-# 15-name r2 cohort + the first 1 of the 42-name r3-latest cohort =
+# 15-name r2 cohort =
 # exactly the 50-row driver window. After CORRECTNESS_r09 lands, every
 # registered name has r3+ evidence and the r3 cohort (34 left:
 # events_funnel .. tpch_q22_idle_customers, see git history of this
-# note) rotates next (41 left after this window).
+# note) rotates next (all 42 r3-latest names left).
 # ROUND-10 NOTE: pin r10 additions first, then the remaining 34
 # r3-latest names (compute with the CORRECTNESS_r* union script in
 # SURVEY §5), then r4-latest names as space allows.
@@ -91,6 +91,7 @@ _PRIORITY = (
     "events_promql_absent",
     "events_activity_heatmap",
     "events_quantile_disc",
+    "analytic_merge_intervals",
     # --- changed in round 9 (engine edits -> fresh evidence) ---
     "ingest_hashring_route",
     "dedup_minhash_exact",
@@ -117,8 +118,6 @@ _PRIORITY = (
     "text_ngram_udtf_analyze",
     "text_shingle_udtf",
     "text_topk_sketch",
-    # --- head of the r3-latest cohort (oldest remaining evidence) ---
-    "analytic_lateral_topn",
 )
 
 _QUERY_MODULES = (
