@@ -4066,3 +4066,205 @@ def events_quantile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
         disc(0.50, "q50_disc"),
         disc(0.75, "q75_disc"),
     )
+
+
+@register(
+    "events_promql_binop_ratio",
+    oracle="""
+    WITH errors AS (
+        SELECT user_id, date_trunc('day', ts) AS day,
+               CAST(COUNT(*) AS BIGINT) AS err_n
+        FROM events WHERE event_type = 'error' GROUP BY 1, 2
+    ), requests AS (
+        SELECT user_id, date_trunc('day', ts) AS day,
+               CAST(COUNT(*) AS BIGINT) AS req_n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT e.user_id, e.day, e.err_n, r.req_n,
+           CAST(e.err_n AS DOUBLE) / CAST(r.req_n AS DOUBLE)
+               AS error_ratio,
+           CAST(CASE WHEN CAST(e.err_n AS DOUBLE) / CAST(r.req_n AS DOUBLE)
+                          > 0.5 THEN 1 ELSE 0 END AS BIGINT) AS breach
+    FROM errors e JOIN requests r
+      ON e.user_id = r.user_id AND e.day = r.day
+    """,
+)
+def events_promql_binop_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL BINARY OPERATION with one-to-one vector matching — the
+    everyday alerting construct ``errors_total / on(user_id)
+    requests_total`` plus the comparison form ``... > bool 0.5``:
+    two instant vectors (per-(user, day) error count and request
+    count) match on their shared label set and divide; series present
+    in only ONE operand are DROPPED (PromQL inner-match semantics —
+    a user-day with zero errors emits no ratio at all, which is
+    exactly why naive conditional aggregation is the wrong rewrite),
+    and the ``bool`` modifier turns the comparison into a 0/1 sample
+    instead of a filter. Public algorithm: prometheus/promql engine.go
+    VectorBinop / VectorMatching (matching labels = the on() set,
+    one-to-one cardinality). Exactness: both operands are BIGINT
+    counts; the ratio is ONE IEEE division over identical integer
+    operands (bit-equal in both engines) and the 0.5 breach compare
+    reads that bit-identical double. Scale: two partial-agg rollups
+    of one scan + an equi-join on the (user, day) series atom — the
+    join is on pre-aggregated vectors (cardinality = active series,
+    not raw samples), the shape Prometheus itself evaluates."""
+    events = load_table(spark, sf_dir, "events")
+    errors = (
+        events.where(F.col("event_type") == "error")
+        .groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("err_n"))
+    )
+    requests = events.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("req_n"))
+    ratio = (
+        F.col("err_n").cast("double") / F.col("req_n").cast("double")
+    )
+    return errors.join(requests, ["user_id", "day"]).select(
+        "user_id",
+        "day",
+        "err_n",
+        "req_n",
+        ratio.alias("error_ratio"),
+        F.when(ratio > 0.5, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("breach"),
+    )
+
+
+@register(
+    "events_promql_binop_group_left",
+    oracle="""
+    WITH type_counts AS (
+        SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ), user_info AS (
+        SELECT DISTINCT user_id,
+               CAST(user_id % 7 + 1 AS BIGINT) AS weight,
+               'tier-' || CAST(user_id % 3 AS VARCHAR) AS tier
+        FROM events
+    )
+    SELECT t.event_type, t.user_id, u.tier,
+           t.n * u.weight AS weighted
+    FROM type_counts t JOIN user_info u ON t.user_id = u.user_id
+    """,
+)
+def events_promql_binop_group_left(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PromQL many-to-one vector matching with ``group_left`` — the
+    info-metric enrichment idiom ``type_counts * on(user_id)
+    group_left(tier) user_info``: many series on the left (one per
+    (event_type, user)) match ONE right-side series per user, the
+    arithmetic applies per match, and group_left copies the named
+    extra label (``tier``) from the "one" side onto every result
+    series — the standard way dashboards attach machine/tenant
+    metadata to high-cardinality metrics. The one-side is derived
+    from the distinct user atom (weight = user_id%7+1, tier =
+    user_id%3), unique on the matching label by construction — the
+    uniqueness PromQL enforces with its "many-to-one matching must be
+    explicit" error. Public algorithm: prometheus/promql engine.go
+    VectorMatching {Card: CardManyToOne, Include: [tier]}. Exactness:
+    all-BIGINT products. Scale: the one-side is series-cardinality
+    (distinct users) and BROADCAST to the many-side rollup — no
+    shuffle of the big operand, the exact join strategy a 100 TB
+    enrichment wants."""
+    events = load_table(spark, sf_dir, "events")
+    type_counts = events.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    user_info = (
+        events.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            (F.col("user_id") % 7 + 1).cast("bigint").alias("weight"),
+            F.concat(
+                F.lit("tier-"), (F.col("user_id") % 3).cast("string")
+            ).alias("tier"),
+        )
+    )
+    return type_counts.join(F.broadcast(user_info), "user_id").select(
+        "event_type",
+        "user_id",
+        "tier",
+        (F.col("n") * F.col("weight")).alias("weighted"),
+    )
+
+
+@register(
+    "events_promql_setops",
+    oracle="""
+    WITH atom AS (
+        SELECT event_type, user_id,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT date_trunc('day', ts)) AS BIGINT)
+                   AS n_days
+        FROM events GROUP BY 1, 2
+    ), a AS (
+        SELECT event_type, user_id, n FROM atom WHERE n >= 14
+    ), b AS (
+        SELECT event_type, user_id, n_days FROM atom WHERE n_days >= 12
+    )
+    SELECT 'and' AS op, a.event_type, a.user_id, a.n AS value
+    FROM a SEMI JOIN b ON a.event_type = b.event_type
+                      AND a.user_id = b.user_id
+    UNION ALL
+    SELECT 'unless' AS op, a.event_type, a.user_id, a.n AS value
+    FROM a ANTI JOIN b ON a.event_type = b.event_type
+                      AND a.user_id = b.user_id
+    UNION ALL
+    SELECT 'or' AS op, event_type, user_id, n AS value FROM a
+    UNION ALL
+    SELECT 'or' AS op, b.event_type, b.user_id, b.n_days AS value
+    FROM b ANTI JOIN a ON b.event_type = a.event_type
+                      AND b.user_id = a.user_id
+    """,
+)
+def events_promql_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL SET OPERATIONS between instant vectors — ``A and B``
+    (keep A's series whose label set also exists in B, with A's
+    value), ``A unless B`` (A's series with no match in B), and
+    ``A or B`` (all of A, plus B's series absent from A carrying B's
+    value) — the constructs that compose alert conditions ("high
+    volume AND sustained activity"). A = (type, user) series with
+    total count >= 14; B = the same atom filtered to >= 12 distinct
+    active days; both derive from one rollup so the label universe is
+    shared. Public algorithm: prometheus/promql engine.go
+    VectorAnd / VectorOr / VectorUnless (signature = matching-label
+    hash; here the full label set). Exactness: values are BIGINT
+    counts carried unchanged from the winning operand. Scale: one
+    hash-agg atom feeds all three ops; and/unless/or are
+    semi/anti-joins on series-cardinality vectors — never raw
+    samples, and never a shuffle wider than the series atom."""
+    events = load_table(spark, sf_dir, "events")
+    atom = events.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.countDistinct(F.date_trunc("day", "ts"))
+        .cast("bigint")
+        .alias("n_days"),
+    )
+    a = atom.where(F.col("n") >= 14).select("event_type", "user_id", "n")
+    b = atom.where(F.col("n_days") >= 12).select(
+        "event_type", "user_id", "n_days"
+    )
+    keys = ["event_type", "user_id"]
+    op_and = a.join(b, keys, "left_semi").select(
+        F.lit("and").alias("op"), "event_type", "user_id",
+        F.col("n").alias("value"),
+    )
+    op_unless = a.join(b, keys, "left_anti").select(
+        F.lit("unless").alias("op"), "event_type", "user_id",
+        F.col("n").alias("value"),
+    )
+    op_or = a.select(
+        F.lit("or").alias("op"), "event_type", "user_id",
+        F.col("n").alias("value"),
+    ).unionAll(
+        b.join(a, keys, "left_anti").select(
+            F.lit("or").alias("op"), "event_type", "user_id",
+            F.col("n_days").alias("value"),
+        )
+    )
+    return op_and.unionAll(op_unless).unionAll(op_or)

@@ -1132,7 +1132,9 @@ def ingest_http_listener_live(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("user_id") % 23).alias("req"),
         )
     )
-    pdf = ev.toPandas()  # client-side payload (bounded load generator)
+    from metricproxy_spark.operators.scale import guarded_wire_pandas
+
+    pdf = guarded_wire_pandas(ev)  # client-side payload, guard-bounded
     spool = tempfile.mkdtemp(prefix="mps_http_live_")
     with HttpIngestListener(spool) as lis:
         conn = http.client.HTTPConnection(lis.host, lis.port, timeout=30)

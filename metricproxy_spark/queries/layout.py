@@ -547,8 +547,11 @@ def layout_hilbert_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     curve positions themselves (not just the bucket shape) are
     value-checked; note the rotation state threads through levels,
     which is why Hilbert needs the chain while Morton is a stateless
-    interleave. Per-bucket (top 6 bits) min/max bounds are the
-    row-group stats a Hilbert-sorted writer would produce. Scale:
+    interleave. Per-bucket (top 6 bits) min/max bounds are taken over
+    the INTERNAL post-rotation working coordinates (which go negative
+    under the s-1-x reflections) — a value-check that pins the
+    rotation state itself across engines, not the writer row-group
+    stats of the original grid coordinates. Scale:
     pure map chain (whole-stage codegen, no Python) + one small hash
     agg; the quantization extents ride one broadcast scalar row."""
     li = load_table(spark, sf_dir, "lineitem")

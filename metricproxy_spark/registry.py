@@ -51,7 +51,7 @@ ORACLES: dict[str, str] = {}
 # exactly the 50-row driver window (zero-evidence names outrank stale
 # ones, the r6->r7 precedent; two-round cohort completion is the
 # accepted fallback).
-# ROUND-9 EXECUTED (this round): 19 r9 additions + 6 r9-changed
+# ROUND-9 EXECUTED (this round): 27 r9 additions + 6 r9-changed
 # (hashring HOF rewrite; gorilla bounds-hardening touched both gorilla
 # queries; the shingle/trigram ANSI guards touched the minhash/simhash
 # exact twins and language ID) + the 2 overflowed r1 names + the FULL

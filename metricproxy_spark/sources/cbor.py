@@ -205,7 +205,14 @@ def _dec(buf: bytes, pos: int, depth: int):
                 if cn is None:
                     raise ValueError("nested indefinite CBOR string chunk")
                 _need(buf, cpos, cn)
-                parts += buf[cpos : cpos + cn]
+                chunk = bytes(buf[cpos : cpos + cn])
+                if major == 3:
+                    # RFC 8949 §3.2.3: every text chunk must itself be a
+                    # well-formed text string — a codepoint split across
+                    # chunk boundaries is ill-formed CBOR, so validate
+                    # UTF-8 per chunk, not only on the concatenation.
+                    chunk.decode("utf-8")
+                parts += chunk
                 pos = cpos + cn
             data = bytes(parts)
         else:
@@ -251,7 +258,9 @@ def _dec(buf: bytes, pos: int, depth: int):
             _set_key(out, k, v)
         return out, pos
     if major == 6:  # tag: decode content transparently (RFC default)
-        _, pos = _read_len(buf, pos, info)
+        n, pos = _read_len(buf, pos, info)
+        if n is None:  # RFC 8949 §3.2: indefinite length ill-formed for tags
+            raise ValueError("indefinite length invalid for CBOR tag")
         return _dec(buf, pos, depth + 1)
     # major 7: simple values and floats
     if info == 20:

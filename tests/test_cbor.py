@@ -108,6 +108,22 @@ class TestCbor:
             with pytest.raises(ValueError):
                 decode_cbor(b)
 
+    def test_indefinite_tag_rejected(self):
+        # 0xDF = major 6 (tag) with info 31: RFC 8949 §3.2 makes
+        # indefinite length ill-formed for tags.
+        with pytest.raises(ValueError, match="tag"):
+            decode_cbor(b"\xdf\x01")
+
+    def test_text_chunk_split_codepoint_rejected(self):
+        # U+00E9 is 0xC3 0xA9; splitting it across two text chunks is
+        # ill-formed per RFC 8949 §3.2.3 even though the concatenation
+        # is valid UTF-8.
+        ill = b"\x7f\x61\xc3\x61\xa9\xff"
+        with pytest.raises(ValueError):
+            decode_cbor(ill)
+        # the same bytes as a single chunk decode fine
+        assert decode_cbor(b"\x7f\x62\xc3\xa9\xff") == "é"
+
     def test_huge_declared_count_bounded_before_loop(self):
         # 4-billion-element array/map headers over a 5-byte payload
         # must refuse up front, not append for minutes.
