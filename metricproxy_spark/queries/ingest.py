@@ -2671,3 +2671,106 @@ def ingest_statsd_timer_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("ms", F.lit(0.90)).alias("upper_90"),
         F.percentile("ms", F.lit(0.50)).alias("median"),
     )
+
+
+@register(
+    "ingest_remote_write",
+    oracle="""
+    SELECT 'events_value' AS metric,
+           event_type AS dim_type,
+           CAST(user_id AS VARCHAR) AS dim_user,
+           value,
+           epoch_ms(ts) AS timestamp_ms
+    FROM events
+    """,
+)
+def ingest_remote_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-ext wire format: Prometheus REMOTE WRITE — the modern metrics
+    push protocol (remote-write 1.0 spec: snappy-block-compressed
+    protobuf ``WriteRequest``), encode -> decode round trip, BOTH
+    layers from scratch (`sources/snappy.py`, `sources/remote_write.py`).
+    Each ~500-row blob groups its rows into real TimeSeries — labels
+    {__name__, type, user} with multiple samples per series, exactly
+    how a Prometheus sender batches — then compresses; the decode leg
+    snappy-decompresses and walks the protobuf back to flat samples.
+    The oracle is the plain SQL projection of the source columns:
+    agreement proves byte-level fidelity through BOTH codec layers
+    (float64 samples ride fixed64 bit-patterns, so even NaN-free
+    doubles need no rounding contract). Both legs are map-only Arrow
+    batches; `spread()` keeps the single-file scan parallel. Completes
+    the mainstream metrics wire matrix (carbon, sfx v1/v2, collectd,
+    statsd, influx, OTLP, remote write)."""
+    import pandas as pd
+
+    from metricproxy_spark.io import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
+    events = spread(load_table(spark, sf_dir, "events"), spark).select(
+        F.col("event_type"),
+        F.col("user_id").cast("string").alias("user"),
+        F.col("value"),
+        F.unix_millis("ts").alias("ts_ms"),
+    )
+
+    def encode(batches):
+        from metricproxy_spark.sources.remote_write import (
+            encode_remote_write_body,
+        )
+
+        for pdf in batches:
+            blobs = []
+            for start in range(0, len(pdf), 500):
+                chunk = pdf.iloc[start : start + 500]
+                series = [
+                    (
+                        {
+                            "__name__": "events_value",
+                            "type": str(et),
+                            "user": str(u),
+                        },
+                        [
+                            (float(v), int(t))
+                            for v, t in zip(grp["value"], grp["ts_ms"])
+                        ],
+                    )
+                    for (et, u), grp in chunk.groupby(
+                        ["event_type", "user"], sort=True
+                    )
+                ]
+                blobs.append(encode_remote_write_body(series))
+            yield pd.DataFrame({"body": [bytearray(b) for b in blobs]})
+
+    payloads = events.mapInPandas(encode, "body binary")
+
+    def decode(batches):
+        from metricproxy_spark.sources.remote_write import (
+            decode_remote_write_body,
+        )
+
+        for pdf in batches:
+            rows = []
+            for body in pdf["body"]:
+                for labels, samples in decode_remote_write_body(bytes(body)):
+                    for v, t in samples:
+                        rows.append(
+                            (
+                                labels["__name__"],
+                                labels["type"],
+                                labels["user"],
+                                v,
+                                t,
+                            )
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "metric", "dim_type", "dim_user",
+                    "value", "timestamp_ms",
+                ],
+            )
+
+    return payloads.mapInPandas(
+        decode,
+        "metric string, dim_type string, dim_user string,"
+        " value double, timestamp_ms long",
+    )

@@ -1924,3 +1924,138 @@ def stream_cbor_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     shutil.rmtree(wd, ignore_errors=True)
     return result
+
+
+@register(
+    "stream_remote_write_pipeline",
+    oracle="""
+    SELECT 'events_value' AS metric,
+           event_type AS dim_type,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS sum_value,
+           MIN(epoch_ms(ts)) AS min_ts_ms,
+           MAX(epoch_ms(ts)) AS max_ts_ms
+    FROM events WHERE event_id % 7 = 2
+    GROUP BY 1, 2
+    """,
+)
+def stream_remote_write_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prometheus remote write fully STREAMED: snappy-compressed
+    protobuf ``WriteRequest`` bodies POSTed over real loopback HTTP to
+    the listener's ``/api/v1/write`` route (the spec's mandatory
+    endpoint) as base64 text (the httpwire spool's binary-over-text
+    seam), consumed exactly once through the httpwire streaming
+    connector, unbase64'd IN the stream, decompressed + protobuf-walked
+    by the from-scratch codecs (`sources/snappy.py`,
+    `sources/remote_write.py`) in Arrow batches, and rolled up per
+    (metric, type-label) with decimal-exact sums in complete mode —
+    the streamed member of the remote-write transport family
+    (`ingest_remote_write` is the at-rest twin). Oracle is the direct
+    SQL rollup of the deterministic event_id % 7 = 2 subset."""
+    import base64
+    import http.client
+
+    import pandas as pd
+
+    from metricproxy_spark.io import ensure_package_on_workers, load_table
+    from metricproxy_spark.operators.scale import guarded_wire_pandas
+    from metricproxy_spark.streaming.httplistener import (
+        HttpIngestListener,
+        http_spool_stream,
+    )
+
+    ensure_package_on_workers(spark)
+    wd = _workdir()
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") % 7 == 2)
+    src = guarded_wire_pandas(
+        ev.select(
+            F.col("event_type"),
+            F.col("user_id").cast("string").alias("user"),
+            "value",
+            F.unix_millis("ts").alias("ts_ms"),
+        )
+    )
+
+    from metricproxy_spark.sources.remote_write import encode_remote_write_body
+
+    bodies64 = []
+    for start in range(0, len(src), 250):
+        chunk = src.iloc[start : start + 250]
+        series = [
+            (
+                {"__name__": "events_value", "type": str(et), "user": str(u)},
+                [
+                    (float(v), int(t))
+                    for v, t in zip(grp["value"], grp["ts_ms"])
+                ],
+            )
+            for (et, u), grp in chunk.groupby(["event_type", "user"], sort=True)
+        ]
+        bodies64.append(base64.b64encode(encode_remote_write_body(series)))
+
+    spool = os.path.join(wd, "spool")
+    with HttpIngestListener(spool) as lis:
+        conn = http.client.HTTPConnection(lis.host, lis.port, timeout=30)
+        for b64 in bodies64:
+            conn.request(
+                "POST",
+                "/api/v1/write",
+                body=b64,
+                headers={"Content-Type": "application/x-protobuf;base64",
+                         "Content-Encoding": "snappy"},
+            )
+            resp = conn.getresponse()
+            assert resp.status == 200
+            resp.read()
+        conn.close()
+
+    frames = http_spool_stream(spark, spool).select(
+        F.unbase64(F.col("body")).alias("body")
+    )
+
+    def decode(batches):
+        from metricproxy_spark.sources.remote_write import (
+            decode_remote_write_body,
+        )
+
+        for pdf in batches:
+            rows = []
+            for body in pdf["body"]:
+                for labels, samples in decode_remote_write_body(bytes(body)):
+                    for v, t in samples:
+                        rows.append(
+                            (labels["__name__"], labels["type"], v, t)
+                        )
+            yield pd.DataFrame(
+                rows, columns=["metric", "dim_type", "value", "ts_ms"]
+            )
+
+    points = frames.mapInPandas(
+        decode, "metric string, dim_type string, value double, ts_ms long"
+    )
+    agg = points.groupBy("metric", "dim_type").agg(
+        F.count(F.lit(1)).alias("n_s"),
+        F.sum(F.col("value").cast("decimal(27,4)")).alias("sum_dec"),
+        F.min("ts_ms").alias("min_t"),
+        F.max("ts_ms").alias("max_t"),
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        out = _run_to_memory(agg, os.path.join(wd, "ckpt"))
+        result = spark.createDataFrame(
+            out.select(
+                "metric",
+                "dim_type",
+                F.col("n_s").cast("bigint").alias("n_samples"),
+                F.col("sum_dec").cast("double").alias("sum_value"),
+                F.col("min_t").alias("min_ts_ms"),
+                F.col("max_t").alias("max_ts_ms"),
+            ).collect(),
+            "metric string, dim_type string, n_samples bigint,"
+            " sum_value double, min_ts_ms bigint, max_ts_ms bigint",
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    shutil.rmtree(wd, ignore_errors=True)
+    return result

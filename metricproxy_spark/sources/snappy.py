@@ -1,0 +1,185 @@
+"""Snappy BLOCK-format codec, from scratch (S-ext wire transport).
+
+Prometheus remote write (`sources/remote_write.py`) mandates snappy
+block compression of the protobuf body — the one mainstream metrics
+wire transport the engine still lacked. No snappy library ships in
+this environment, so this implements the public block format directly
+(google/snappy format_description.txt; the framing/stream format is a
+different, unused layer):
+
+- preamble: uncompressed length as a little-endian base-128 varint
+  (32-bit range);
+- then back-to-back elements, tag byte ``t`` with element type in the
+  low 2 bits:
+  - ``00`` literal — length-1 in the upper 6 bits when < 60, else tag
+    values 60..63 put the length-1 in the following 1..4 bytes LE;
+  - ``01`` copy, 1-byte offset — length 4..11 = 4 + bits 2..4, offset
+    0..2047 = bits 5..7 of the tag << 8 | next byte;
+  - ``10`` copy, 2-byte offset — length 1..64 = 1 + upper 6 bits,
+    offset = next 2 bytes LE;
+  - ``11`` copy, 4-byte offset — same lengths, 4-byte LE offset.
+- copies may overlap their own output (offset < length): the
+  byte-by-byte semantics that make snappy's RLE work.
+
+The decompressor is STRICT in this repo's codec discipline: any
+malformed input — truncated varint/element, zero offset, offset past
+the produced output, output over- or under-running the declared
+length — raises a clean ``ValueError`` (never IndexError/overrun),
+and every-prefix truncation scans in ``tests/test_remote_write.py``
+keep it honest. The compressor is a greedy 4-byte-hash matcher
+(literals + copy-1/copy-2 elements) — any spec-valid encoding is
+acceptable on the wire, and the roundtrip property tests pin this one
+against the decompressor.
+
+Pure Python, but it only ever runs inside Arrow-batched
+``mapInPandas`` over whole payload blobs (SURVEY §8 risk 3 isolation —
+same seam as `sources/sfx_protobuf.py`).
+"""
+
+from __future__ import annotations
+
+_MAX_LEN = 1 << 32  # preamble is a 32-bit length
+
+
+def _write_uvarint(out: bytearray, v: int) -> None:
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return
+
+
+def _read_uvarint32(buf: bytes, pos: int) -> tuple[int, int]:
+    result = 0
+    shift = 0
+    while True:
+        if pos >= len(buf) or shift > 31:
+            raise ValueError("truncated or oversized snappy length varint")
+        b = buf[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            if result >= _MAX_LEN:
+                raise ValueError("snappy uncompressed length out of range")
+            return result, pos
+        shift += 7
+
+
+def decompress_snappy(buf: bytes) -> bytes:
+    """Decode one snappy BLOCK; raise ``ValueError`` on any
+    malformation (the foreign-bytes contract)."""
+    declared, pos = _read_uvarint32(buf, 0)
+    out = bytearray()
+    n = len(buf)
+    while pos < n:
+        if len(out) >= declared and pos < n:
+            raise ValueError("snappy output exceeds declared length")
+        t = buf[pos]
+        pos += 1
+        typ = t & 3
+        if typ == 0:  # literal
+            ln = t >> 2
+            if ln >= 60:
+                nb = ln - 59  # 60..63 -> 1..4 extra length bytes
+                if pos + nb > n:
+                    raise ValueError("truncated snappy literal length")
+                ln = int.from_bytes(buf[pos : pos + nb], "little")
+                pos += nb
+            ln += 1
+            if pos + ln > n:
+                raise ValueError("truncated snappy literal")
+            out += buf[pos : pos + ln]
+            pos += ln
+        else:
+            if typ == 1:
+                ln = 4 + ((t >> 2) & 0x7)
+                if pos + 1 > n:
+                    raise ValueError("truncated snappy copy-1 offset")
+                off = ((t >> 5) << 8) | buf[pos]
+                pos += 1
+            elif typ == 2:
+                ln = 1 + (t >> 2)
+                if pos + 2 > n:
+                    raise ValueError("truncated snappy copy-2 offset")
+                off = int.from_bytes(buf[pos : pos + 2], "little")
+                pos += 2
+            else:
+                ln = 1 + (t >> 2)
+                if pos + 4 > n:
+                    raise ValueError("truncated snappy copy-4 offset")
+                off = int.from_bytes(buf[pos : pos + 4], "little")
+                pos += 4
+            if off == 0 or off > len(out):
+                raise ValueError("snappy copy offset outside output")
+            if ln <= off:  # non-overlapping: one slice
+                start = len(out) - off
+                out += out[start : start + ln]
+            else:  # overlapping copy: byte-by-byte semantics (RLE)
+                start = len(out) - off
+                for i in range(ln):
+                    out.append(out[start + i])
+        if len(out) > declared:
+            raise ValueError("snappy output exceeds declared length")
+    if len(out) != declared:
+        raise ValueError("snappy output shorter than declared length")
+    return bytes(out)
+
+
+def _emit_literal(out: bytearray, chunk: bytes) -> None:
+    i = 0
+    n = len(chunk)
+    while i < n:
+        ln = min(n - i, 65536)
+        lm1 = ln - 1
+        if lm1 < 60:
+            out.append(lm1 << 2)
+        elif lm1 < 256:
+            out.append(60 << 2)
+            out.append(lm1)
+        else:
+            out.append(61 << 2)
+            out += lm1.to_bytes(2, "little")
+        out += chunk[i : i + ln]
+        i += ln
+
+
+def _emit_copy(out: bytearray, off: int, ln: int) -> None:
+    if 4 <= ln <= 11 and off < 2048:
+        out.append(((off >> 8) << 5) | ((ln - 4) << 2) | 1)
+        out.append(off & 0xFF)
+    else:  # ln 1..64, off < 65536 by construction
+        out.append(((ln - 1) << 2) | 2)
+        out += off.to_bytes(2, "little")
+
+
+def compress_snappy(data: bytes) -> bytes:
+    """Encode one snappy BLOCK: greedy 4-byte-hash matching with
+    64 KiB max offset and 64-byte max copy length (spec-valid; not
+    byte-identical to C++ snappy output, which no consumer requires)."""
+    if len(data) >= _MAX_LEN:
+        raise ValueError("snappy block input too large")
+    out = bytearray()
+    _write_uvarint(out, len(data))
+    n = len(data)
+    table: dict[bytes, int] = {}
+    i = 0
+    lit_start = 0
+    while i + 4 <= n:
+        key = bytes(data[i : i + 4])
+        cand = table.get(key)
+        table[key] = i
+        if cand is not None and i - cand <= 65535:
+            mlen = 4
+            while i + mlen < n and mlen < 64 and data[cand + mlen] == data[i + mlen]:
+                mlen += 1
+            _emit_literal(out, data[lit_start:i])
+            _emit_copy(out, i - cand, mlen)
+            i += mlen
+            lit_start = i
+        else:
+            i += 1
+    _emit_literal(out, data[lit_start:n])
+    return bytes(out)

@@ -44,6 +44,7 @@ INGEST_PATHS = (
     "/v1/metrics",
     "/v1/msgpack",
     "/v1/cbor",
+    "/api/v1/write",
 )
 
 

@@ -1,0 +1,180 @@
+"""Snappy block codec + Prometheus remote-write wire codec tests."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from metricproxy_spark.sources.remote_write import (
+    decode_remote_write_body,
+    decode_write_request,
+    encode_remote_write_body,
+    encode_write_request,
+)
+from metricproxy_spark.sources.snappy import compress_snappy, decompress_snappy
+
+
+class TestSnappy:
+    def test_empty(self):
+        assert compress_snappy(b"") == b"\x00"
+        assert decompress_snappy(b"\x00") == b""
+
+    def test_tiny_literal(self):
+        # 2-byte input: varint(2) + literal tag ((2-1)<<2) + bytes
+        assert decompress_snappy(b"\x02\x04ab") == b"ab"
+        assert decompress_snappy(compress_snappy(b"ab")) == b"ab"
+
+    def test_hand_built_copy_elements(self):
+        # "abcd" literal then copy-1 (off=4, len=4) -> "abcdabcd"
+        blob = b"\x08" + b"\x0c" + b"abcd" + bytes([((4 >> 8) << 5) | 1, 4])
+        assert decompress_snappy(blob) == b"abcdabcd"
+        # copy-2 spelling of the same copy
+        blob2 = b"\x08" + b"\x0c" + b"abcd" + bytes([(3 << 2) | 2, 4, 0])
+        assert decompress_snappy(blob2) == b"abcdabcd"
+        # copy-4 spelling
+        blob4 = b"\x08" + b"\x0c" + b"abcd" + bytes([(3 << 2) | 3, 4, 0, 0, 0])
+        assert decompress_snappy(blob4) == b"abcdabcd"
+
+    def test_overlapping_copy_is_rle(self):
+        # literal "a" then copy off=1 len=7 -> "a" * 8
+        blob = b"\x08" + b"\x00a" + bytes([(6 << 2) | 2, 1, 0])
+        assert decompress_snappy(blob) == b"a" * 8
+
+    def test_rle_compresses(self):
+        data = b"x" * 10_000
+        enc = compress_snappy(data)
+        assert decompress_snappy(enc) == data
+        # ~156 copy-2 elements x 3 bytes: 20x+ smaller than the input
+        assert len(enc) < 500
+
+    def test_long_literal_forms(self):
+        for n in (60, 61, 100, 255, 256, 300, 5000):
+            data = bytes(random.Random(n).randrange(256) for _ in range(n))
+            assert decompress_snappy(compress_snappy(data)) == data
+
+    def test_seeded_random_roundtrips(self):
+        rng = random.Random(7)
+        for _ in range(50):
+            n = rng.randint(0, 4000)
+            # small alphabet -> plenty of matches (copy paths exercised)
+            data = bytes(rng.randrange(4) for _ in range(n))
+            assert decompress_snappy(compress_snappy(data)) == data
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.binary(max_size=2000))
+    def test_hypothesis_roundtrip(self, data):
+        assert decompress_snappy(compress_snappy(data)) == data
+
+    def test_zero_offset_rejected(self):
+        blob = b"\x08" + b"\x0c" + b"abcd" + bytes([(3 << 2) | 2, 0, 0])
+        with pytest.raises(ValueError, match="offset"):
+            decompress_snappy(blob)
+
+    def test_offset_past_output_rejected(self):
+        blob = b"\x08" + b"\x0c" + b"abcd" + bytes([(3 << 2) | 2, 5, 0])
+        with pytest.raises(ValueError, match="offset"):
+            decompress_snappy(blob)
+
+    def test_wrong_declared_length_rejected(self):
+        with pytest.raises(ValueError, match="shorter"):
+            decompress_snappy(b"\x03\x04ab")  # declares 3, produces 2
+        with pytest.raises(ValueError, match="exceeds"):
+            decompress_snappy(b"\x01\x04ab")  # declares 1, produces 2
+
+    def test_every_truncated_prefix_raises(self):
+        for seed in (1, 2, 3):
+            rng = random.Random(seed)
+            data = bytes(rng.randrange(8) for _ in range(rng.randint(1, 800)))
+            enc = compress_snappy(data)
+            for cut in range(len(enc)):
+                with pytest.raises(ValueError):
+                    decompress_snappy(enc[:cut])
+
+    def test_fuzz_malformed_raises_valueerror_only(self):
+        rng = random.Random(11)
+        for _ in range(3000):
+            b = bytes(rng.randrange(256) for _ in range(rng.randint(0, 80)))
+            try:
+                decompress_snappy(b)
+            except ValueError:
+                pass  # the ONLY permitted failure for foreign bytes
+
+
+_SERIES = [
+    (
+        {"__name__": "http_requests_total", "job": "api", "instance": "i-1"},
+        [(1.5, 1700000000000), (2.5, 1700000015000)],
+    ),
+    (
+        {"__name__": "up", "job": "api"},
+        [(1.0, 1700000000000)],
+    ),
+    ({"__name__": "empty_series"}, []),
+]
+
+
+class TestWriteRequest:
+    def test_roundtrip(self):
+        enc = encode_write_request(_SERIES)
+        assert decode_write_request(enc) == _SERIES
+
+    def test_full_body_roundtrip_via_snappy(self):
+        body = encode_remote_write_body(_SERIES)
+        assert decode_remote_write_body(body) == _SERIES
+
+    def test_special_values(self):
+        series = [
+            (
+                {"__name__": "m"},
+                [
+                    (float("inf"), -5),
+                    (float("-inf"), 0),
+                    (-0.0, 2**53),
+                    (1e-300, -(2**40)),
+                ],
+            )
+        ]
+        dec = decode_remote_write_body(encode_remote_write_body(series))
+        assert dec == series
+        nan_dec = decode_write_request(
+            encode_write_request([({"n": "v"}, [(float("nan"), 1)])])
+        )
+        assert math.isnan(nan_dec[0][1][0][0]) and nan_dec[0][1][0][1] == 1
+
+    def test_labels_emitted_sorted(self):
+        enc = encode_write_request([({"z": "1", "a": "2"}, [])])
+        # label "a" must serialize before label "z"
+        assert enc.find(b"\x01a") < enc.find(b"\x01z")
+
+    def test_unknown_fields_skipped(self):
+        # TimeSeries with an extra field 3 (varint) and field 4
+        # (length-delimited) interleaved: decoder must skip both.
+        inner = bytearray()
+        inner += b"\x0a\x06\x0a\x01n\x12\x01v"  # Label{name:"n",value:"v"}
+        inner += b"\x18\x2a"  # field 3 varint 42
+        inner += b"\x22\x03xyz"  # field 4 bytes "xyz"
+        msg = bytes([0x0A, len(inner)]) + bytes(inner)
+        assert decode_write_request(msg) == [({"n": "v"}, [])]
+
+    def test_every_truncated_body_prefix_raises_or_degrades_cleanly(self):
+        body = encode_remote_write_body(_SERIES)
+        for cut in range(len(body)):
+            with pytest.raises(ValueError):
+                decode_remote_write_body(body[:cut])
+
+    def test_fuzz_raises_valueerror_only(self):
+        rng = random.Random(13)
+        for _ in range(2000):
+            b = bytes(rng.randrange(256) for _ in range(rng.randint(0, 60)))
+            try:
+                decode_write_request(b)
+            except ValueError:
+                pass
+            try:
+                decode_remote_write_body(b)
+            except ValueError:
+                pass
