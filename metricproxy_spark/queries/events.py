@@ -4268,3 +4268,153 @@ def events_promql_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return op_and.unionAll(op_unless).unionAll(op_or)
+
+
+@register(
+    "events_alert_for_duration",
+    oracle="""
+    WITH hours AS (SELECT DISTINCT date_trunc('hour', ts) AS h FROM events),
+    idx AS (
+        SELECT h, CAST(row_number() OVER (ORDER BY h) - 1 AS BIGINT) AS hidx
+        FROM hours
+    ),
+    grid AS (
+        SELECT t.event_type, i.hidx
+        FROM (SELECT DISTINCT event_type FROM events) t CROSS JOIN idx i
+    ),
+    cnt AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    ci AS (SELECT c.event_type, i.hidx, c.n FROM cnt c JOIN idx i ON c.h = i.h),
+    ev AS (
+        SELECT g.event_type, g.hidx, COALESCE(c.n, 0) AS n
+        FROM grid g LEFT JOIN ci c USING (event_type, hidx)
+    ),
+    tr AS (
+        SELECT event_type, hidx,
+               hidx - row_number() OVER (PARTITION BY event_type
+                                         ORDER BY hidx) AS isl_key
+        FROM ev WHERE n >= 4
+    ),
+    isl AS (
+        SELECT event_type, isl_key, min(hidx) AS s, max(hidx) AS e,
+               CAST(count(*) AS BIGINT) AS len
+        FROM tr GROUP BY 1, 2
+    ),
+    w AS (
+        SELECT *, max(e) OVER (PARTITION BY event_type ORDER BY s
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING) AS prev_e
+        FROM isl
+    ),
+    f AS (
+        SELECT *, CASE WHEN prev_e IS NULL OR s - prev_e > 2
+                       THEN 1 ELSE 0 END AS new_c
+        FROM w
+    ),
+    cl AS (
+        SELECT *, sum(new_c) OVER (PARTITION BY event_type ORDER BY s
+                                   ROWS UNBOUNDED PRECEDING) AS cid
+        FROM f
+    )
+    SELECT event_type, CAST(cid AS BIGINT) AS incident_id,
+           min(s) AS cluster_start, max(e) AS cluster_end,
+           CAST(count(*) AS BIGINT) AS n_islands,
+           CAST(sum(len) AS BIGINT) AS n_true,
+           (min(CASE WHEN len >= 3 THEN s END) IS NOT NULL) AS fired,
+           min(CASE WHEN len >= 3 THEN s END) + 2 AS fired_at,
+           CASE WHEN min(CASE WHEN len >= 3 THEN s END) IS NOT NULL
+                THEN max(e) + 3 END AS resolved_at
+    FROM cl GROUP BY 1, 2
+    """,
+)
+def events_alert_for_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prometheus alert ``for:`` + ``keep_firing_for:`` duration
+    semantics — the state machine behind every production alert rule:
+    a breach condition (hourly samples >= 4 on the shared eval grid;
+    missing hours evaluate FALSE, the dense-grid contract) must hold
+    for THREE consecutive evaluations before the alert FIRES
+    (``for: 3h`` — pending resets on any false step, so only
+    per-island run length qualifies), and once firing it stays firing
+    through gaps of up to TWO false evaluations (``keep_firing_for:
+    2h`` — condition re-breaching inside the grace window continues
+    the same incident rather than opening a new pending cycle).
+    Built from two composed gap-and-island rewrites the engine already
+    proves: consecutive-true islands (hidx - row_number), then the
+    running-max-of-ends cluster merge from `analytic_merge_intervals`
+    with a KEEP-sized gap tolerance. Per (rule series = event_type,
+    incident cluster): bounds, island/true counts, whether any island
+    reached the for-duration, the fire step (qualifying island start
+    + for - 1) and the scheduled resolve step (last true + keep + 1).
+    Public algorithm: prometheus/rules alerting.go Rule.Eval
+    (StatePending -> StateFiring, keepFiringFor hold). Exactness: the
+    whole pipeline is integer eval-step arithmetic on BIGINT. Scale:
+    one hourly rollup + a series-cardinality grid join, then windows
+    partitioned per series — state is series-count-sized, never
+    sample-sized; at 100 TB this is the recording-rule shape (rollup
+    once, evaluate on the rollup)."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    hours = events.select(F.date_trunc("hour", "ts").alias("h")).distinct()
+    idx = hours.select(
+        "h",
+        (F.row_number().over(Window.orderBy("h")) - 1)
+        .cast("bigint")
+        .alias("hidx"),
+    )
+    types = events.select("event_type").distinct()
+    grid = types.crossJoin(idx.select("hidx"))
+    cnt = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ci = cnt.join(idx, "h").select("event_type", "hidx", "n")
+    ev = grid.join(ci, ["event_type", "hidx"], "left").select(
+        "event_type", "hidx", F.coalesce("n", F.lit(0)).alias("n")
+    )
+    wser = Window.partitionBy("event_type").orderBy("hidx")
+    tr = ev.where(F.col("n") >= 4).select(
+        "event_type",
+        "hidx",
+        (F.col("hidx") - F.row_number().over(wser)).alias("isl_key"),
+    )
+    isl = tr.groupBy("event_type", "isl_key").agg(
+        F.min("hidx").alias("s"),
+        F.max("hidx").alias("e"),
+        F.count(F.lit(1)).cast("bigint").alias("len"),
+    )
+    wprev = (
+        Window.partitionBy("event_type")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wrun = (
+        Window.partitionBy("event_type")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cl = (
+        isl.withColumn("prev_e", F.max("e").over(wprev))
+        .withColumn(
+            "new_c",
+            F.when(
+                F.col("prev_e").isNull() | (F.col("s") - F.col("prev_e") > 2),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("cid", F.sum("new_c").over(wrun))
+    )
+    fire_s = F.min(F.when(F.col("len") >= 3, F.col("s")))
+    return cl.groupBy(
+        "event_type", F.col("cid").cast("bigint").alias("incident_id")
+    ).agg(
+        F.min("s").alias("cluster_start"),
+        F.max("e").alias("cluster_end"),
+        F.count(F.lit(1)).cast("bigint").alias("n_islands"),
+        F.sum("len").cast("bigint").alias("n_true"),
+        fire_s.isNotNull().alias("fired"),
+        (fire_s + 2).alias("fired_at"),
+        F.when(fire_s.isNotNull(), F.max("e") + 3).alias("resolved_at"),
+    )
