@@ -60,64 +60,72 @@ ORACLES: dict[str, str] = {}
 # registered name has r3+ evidence and the r3 cohort (34 left:
 # events_funnel .. tpch_q22_idle_customers, see git history of this
 # note) rotates next (all 42 r3-latest names left).
-# ROUND-10 NOTE: pin r10 additions first, then the remaining 34
-# r3-latest names (compute with the CORRECTNESS_r* union script in
-# SURVEY §5), then r4-latest names as space allows.
+# ROUND-10 EXECUTED (this round): the prior note undercounted the
+# r3-latest cohort as 34; the CORRECTNESS_r* union script (SURVEY §5)
+# gives 42 (VERDICT r9 finding 3 — fixed here). This round pins:
+# 6 r10 additions (PromQL binary ops ×3, remote-write at-rest +
+# streamed, alert for:-duration) + 3 r10-changed queries (the CBOR
+# decoder grew two RFC-strictness raises -> both CBOR queries; the
+# http-listener live load generator now routes through
+# guarded_wire_pandas) + the first 41 of the 42 r3-latest names in
+# registry order = exactly the 50-row driver window.
+# ROUND-11 NOTE: pin r11 additions first, then analytic_lateral_topn
+# (the one r3 name that overflowed), then the r4-latest cohort
+# (41 names — recompute with the union script) as space allows.
 _PRIORITY = (
-    # --- new in round 9 ---
-    "analytic_hierarchy_recursive",
-    "events_promql_over_time",
-    "events_promql_quantile_over_time",
-    "events_promql_topk",
-    "events_promql_delta",
-    "events_promql_irate",
-    "events_exp_histogram",
-    "events_sax_symbols",
-    "events_series_churn",
-    "graph_kcore",
-    "ingest_cardinality_limit",
+    # --- new in round 10 ---
+    "events_promql_binop_ratio",
+    "events_promql_binop_group_left",
+    "events_promql_setops",
+    "ingest_remote_write",
+    "stream_remote_write_pipeline",
+    "events_alert_for_duration",
+    # --- changed in round 10 (engine edits -> fresh evidence) ---
     "ingest_cbor_roundtrip",
     "stream_cbor_pipeline",
-    "ingest_carbon_aggregation_rules",
-    "pipeline_training_shard_manifest",
-    "pipeline_dataset_card",
-    "multimodal_decode_png_subbyte",
-    "text_pii_scrub_corpus",
-    "text_unicode_nfc",
-    "layout_hilbert_stats",
-    "events_time_range_frame",
-    "events_promql_label_ops",
-    "ingest_statsd_timer_digest",
-    "events_promql_absent",
-    "events_activity_heatmap",
-    "events_quantile_disc",
-    "analytic_merge_intervals",
-    # --- changed in round 9 (engine edits -> fresh evidence) ---
-    "ingest_hashring_route",
-    "dedup_minhash_exact",
-    "dedup_simhash_exact",
-    "text_language_id",
-    "events_gorilla_roundtrip",
-    "stream_gorilla_pipeline",
-    # --- r1-only-evidence names (overflowed from rounds 7 and 8) ---
-    "analytic_range_frame",
-    "analytic_ntile_cume",
-    # --- the full r2-only-evidence cohort ---
-    "text_tfidf",
-    "pipeline_training_data",
-    "pipeline_decontaminate",
-    "pipeline_train_test_split",
-    "pipeline_lang_balance",
-    "cdc_incremental_agg",
-    "layout_stratified_sample",
-    "layout_zorder_stats",
-    "analytic_array_funcs",
-    "analytic_datetime_funcs",
-    "analytic_math_funcs",
-    "analytic_string_funcs",
-    "text_ngram_udtf_analyze",
-    "text_shingle_udtf",
-    "text_topk_sketch",
+    "ingest_http_listener_live",
+    # --- r3-latest evidence cohort (41 of 42; registry order) ---
+    "text_pii_redact",
+    "text_common_span_frac",
+    "pipeline_per_class_cap",
+    "dedup_exact_spans",
+    "pipeline_curation_end2end",
+    "pipeline_chunk_windows",
+    "pipeline_domain_mixture",
+    "pipeline_weighted_sample",
+    "analytic_map_funcs",
+    "cdc_upsert_snapshot",
+    "cdc_scd2_history",
+    "layout_skew_report",
+    "stream_tumbling_stats",
+    "stream_sliding_counts",
+    "stream_dedup",
+    "stream_counter_to_rate",
+    "stream_fanout_pipeline",
+    "stream_session_stats",
+    "stream_static_enrich",
+    "stream_stream_join",
+    "stream_stream_outer_join",
+    "stream_histogram_rollup",
+    "stream_topk_users",
+    "ingest_collectd_events",
+    "ingest_sfx_v2_datasource",
+    "ingest_xml_roundtrip",
+    "ingest_csv_permissive",
+    "events_funnel",
+    "events_cohort_retention",
+    "events_histogram_rollup",
+    "events_anomaly_mad",
+    "events_seasonality",
+    "events_transition_matrix",
+    "events_trend_slope",
+    "events_alert_rules",
+    "events_gap_report",
+    "graph_pagerank",
+    "tpch_q14_promo_share",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_orders",
+    "tpch_q22_idle_customers",
 )
 
 _QUERY_MODULES = (
