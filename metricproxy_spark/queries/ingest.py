@@ -2774,3 +2774,111 @@ def ingest_remote_write(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metric string, dim_type string, dim_user string,"
         " value double, timestamp_ms long",
     )
+
+
+@register(
+    "ingest_remote_write_v2",
+    oracle="""
+    SELECT 'events_value' AS metric,
+           event_type AS dim_type,
+           CAST(user_id AS VARCHAR) AS dim_user,
+           strftime(date_trunc('day', ts), '%Y-%m-%d') AS dim_day,
+           value,
+           epoch_ms(ts) AS timestamp_ms
+    FROM events
+    """,
+)
+def ingest_remote_write_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prometheus remote-write 2.0 round trip — the successor protocol
+    (io.prometheus.write.v2.Request): label names/values interned ONCE
+    per request in a symbol table, each TimeSeries carrying PACKED
+    varint refs into it (even index = name, odd = value; symbols[0]
+    = ""), still snappy-block-compressed on the wire. Packed fields
+    are the one protobuf wire shape the v1 codec never exercised —
+    here they're wire-verified end-to-end (and the decoder also
+    accepts the unpacked spelling, the protobuf-spec compatibility
+    rule, unit-pinned). Series carry FOUR labels (__name__, type,
+    user, day), so the symbol table's sharing is real: every blob
+    interns ~5 names + a handful of repeated values across ~hundreds
+    of series. Oracle = the plain SQL projection; agreement proves
+    fidelity through interning + packing + compression. Scale: same
+    map-only Arrow-batch seam as `ingest_remote_write`."""
+    import pandas as pd
+
+    from metricproxy_spark.io import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
+    events = spread(load_table(spark, sf_dir, "events"), spark).select(
+        F.col("event_type"),
+        F.col("user_id").cast("string").alias("user"),
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        F.col("value"),
+        F.unix_millis("ts").alias("ts_ms"),
+    )
+
+    def encode(batches):
+        from metricproxy_spark.sources.remote_write import (
+            encode_remote_write_body_v2,
+        )
+
+        for pdf in batches:
+            blobs = []
+            for start in range(0, len(pdf), 500):
+                chunk = pdf.iloc[start : start + 500]
+                series = [
+                    (
+                        {
+                            "__name__": "events_value",
+                            "type": str(et),
+                            "user": str(u),
+                            "day": str(d),
+                        },
+                        [
+                            (float(v), int(t))
+                            for v, t in zip(grp["value"], grp["ts_ms"])
+                        ],
+                    )
+                    for (et, u, d), grp in chunk.groupby(
+                        ["event_type", "user", "day"], sort=True
+                    )
+                ]
+                blobs.append(encode_remote_write_body_v2(series))
+            yield pd.DataFrame({"body": [bytearray(b) for b in blobs]})
+
+    payloads = events.mapInPandas(encode, "body binary")
+
+    def decode(batches):
+        from metricproxy_spark.sources.remote_write import (
+            decode_remote_write_body_v2,
+        )
+
+        for pdf in batches:
+            rows = []
+            for body in pdf["body"]:
+                for labels, samples in decode_remote_write_body_v2(
+                    bytes(body)
+                ):
+                    for v, t in samples:
+                        rows.append(
+                            (
+                                labels["__name__"],
+                                labels["type"],
+                                labels["user"],
+                                labels["day"],
+                                v,
+                                t,
+                            )
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "metric", "dim_type", "dim_user", "dim_day",
+                    "value", "timestamp_ms",
+                ],
+            )
+
+    return payloads.mapInPandas(
+        decode,
+        "metric string, dim_type string, dim_user string, dim_day string,"
+        " value double, timestamp_ms long",
+    )

@@ -178,3 +178,95 @@ class TestWriteRequest:
                 decode_remote_write_body(b)
             except ValueError:
                 pass
+
+
+class TestWriteRequestV2:
+    def _rt(self, series):
+        from metricproxy_spark.sources.remote_write import (
+            decode_write_request_v2,
+            encode_write_request_v2,
+        )
+
+        return decode_write_request_v2(encode_write_request_v2(series))
+
+    def test_roundtrip(self):
+        assert self._rt(_SERIES) == _SERIES
+
+    def test_symbol_table_interned_once(self):
+        from metricproxy_spark.sources.remote_write import (
+            encode_write_request,
+            encode_write_request_v2,
+        )
+
+        # 50 series sharing the same label names/values: v2 must be
+        # far smaller than v1's repeated Label messages.
+        series = [
+            (
+                {"__name__": "http_requests_total", "job": "api",
+                 "instance": f"i-{i % 3}"},
+                [(float(i), 1000 + i)],
+            )
+            for i in range(50)
+        ]
+        v1 = encode_write_request(series)
+        v2 = encode_write_request_v2(series)
+        assert self._rt(series) == series
+        assert len(v2) < len(v1) / 2
+        # the shared name appears exactly once in the v2 body
+        assert v2.count(b"http_requests_total") == 1
+
+    def test_unpacked_refs_accepted(self):
+        from metricproxy_spark.sources.remote_write import (
+            decode_write_request_v2,
+        )
+
+        # symbols ["", "n", "v"]; series with UNPACKED field-1 varints
+        body = (
+            b"\x22\x00" + b"\x22\x01n" + b"\x22\x01v"
+            + bytes([0x2A, 4, 0x08, 1, 0x08, 2])
+        )
+        assert decode_write_request_v2(body) == [({"n": "v"}, [])]
+
+    def test_bad_refs_rejected(self):
+        from metricproxy_spark.sources.remote_write import (
+            decode_write_request_v2,
+        )
+
+        # ref outside the symbol table
+        with pytest.raises(ValueError, match="symbol"):
+            decode_write_request_v2(
+                b"\x22\x00" + bytes([0x2A, 4, 0x0A, 2, 1, 9])
+            )
+        # odd ref count
+        with pytest.raises(ValueError, match="odd"):
+            decode_write_request_v2(
+                b"\x22\x00\x22\x01n" + bytes([0x2A, 3, 0x0A, 1, 1])
+            )
+        # non-empty symbols[0]
+        with pytest.raises(ValueError, match="empty"):
+            decode_write_request_v2(b"\x22\x01x")
+
+    def test_body_roundtrip_and_truncation(self):
+        from metricproxy_spark.sources.remote_write import (
+            decode_remote_write_body_v2,
+            encode_remote_write_body_v2,
+        )
+
+        body = encode_remote_write_body_v2(_SERIES)
+        assert decode_remote_write_body_v2(body) == _SERIES
+        for cut in range(len(body)):
+            with pytest.raises(ValueError):
+                decode_remote_write_body_v2(body[:cut])
+
+    def test_fuzz_raises_valueerror_only(self):
+        from metricproxy_spark.sources.remote_write import (
+            decode_write_request_v2,
+        )
+
+        rng = random.Random(17)
+        for _ in range(2000):
+            b = bytes(rng.randrange(256) for _ in range(rng.randint(0, 60)))
+            try:
+                decode_write_request_v2(b)
+            except ValueError:
+                pass
