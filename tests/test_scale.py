@@ -1052,3 +1052,48 @@ class TestRound9PlanDiscipline:
             "7777": "b",
             "9999": "a",  # above the top -> WRAP to ring[0]
         }
+
+
+class TestRound10PlanDiscipline:
+    """Plan assertions for the round-10 additions."""
+
+    def _plan(self, spark, sf_dir, name):
+        from metricproxy_spark.registry import QUERIES, load_all
+
+        load_all()
+        return _executed_plan(QUERIES[name](spark, sf_dir))
+
+    def test_group_left_one_side_broadcasts(self, spark, sf_dir):
+        """PromQL many-to-one matching: the 'one' side is
+        series-cardinality and must broadcast onto the many-side
+        rollup — no shuffle of the big operand, no cartesian."""
+        plan = self._plan(spark, sf_dir, "events_promql_binop_group_left")
+        assert "BroadcastHashJoin" in plan, plan
+        assert "CartesianProduct" not in plan, plan
+
+    def test_setops_are_semi_anti_joins(self, spark, sf_dir):
+        """and/unless/or must plan as semi/anti joins on the
+        pre-aggregated series atom, never a cartesian."""
+        plan = self._plan(spark, sf_dir, "events_promql_setops")
+        assert "LeftSemi" in plan, plan
+        assert "LeftAnti" in plan, plan
+        assert "CartesianProduct" not in plan, plan
+
+    def test_alert_for_duration_no_sample_sized_state(self, spark, sf_dir):
+        """The alert state machine runs on the series-grid rollup:
+        windows partition by event_type only AFTER the hourly hash
+        agg; the only row expansion is the tiny types x hours grid
+        (broadcast nested loop over 5 x ~720), never a sample-level
+        cartesian."""
+        plan = self._plan(spark, sf_dir, "events_alert_for_duration")
+        assert "CartesianProduct" not in plan, plan
+        assert "HashAggregate" in plan, plan
+
+    def test_remote_write_legs_are_map_only(self, spark, sf_dir):
+        """Both remote-write roundtrip legs are Arrow-batched
+        mapInPandas over whole blobs: no join, no shuffle exchange
+        anywhere in the plan (scan -> encode -> decode)."""
+        for name in ("ingest_remote_write", "ingest_remote_write_v2"):
+            plan = self._plan(spark, sf_dir, name)
+            assert "Join" not in plan, (name, plan)
+            assert "Exchange hashpartitioning" not in plan, (name, plan)
