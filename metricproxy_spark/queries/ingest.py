@@ -2882,3 +2882,83 @@ def ingest_remote_write_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metric string, dim_type string, dim_user string, dim_day string,"
         " value double, timestamp_ms long",
     )
+
+
+@register(
+    "ingest_snappy_framed_carbon",
+    oracle="""
+    SELECT 'events.' || event_type || '.' || CAST(user_id AS VARCHAR)
+               AS metric,
+           value,
+           epoch_ms(ts) AS timestamp_ms
+    FROM events
+    """,
+)
+def ingest_snappy_framed_carbon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snappy FRAMING-format transport (google/snappy
+    framing_format.txt — the chunked stream layer of Kafka snappy
+    and .sz files) composed with the existing carbon line parser:
+    events render as carbon plaintext lines, ~2000 lines concatenate
+    per payload, each payload rides a framed stream (identifier chunk
+    + 64 KiB-capped compressed-data chunks, each integrity-checked by
+    a masked CRC-32C over the uncompressed bytes — CRC table, masking
+    and framing all from scratch in `sources/snappy.py`), and the
+    decode leg verifies every CRC, reassembles the text, and hands the
+    lines to `parse_carbon_lines` (C1) — new transport, existing
+    parser, zero parser changes. Oracle is the plain projection;
+    agreement proves the frame layer is byte-faithful (Python repr ->
+    Spark try_cast(double) round-trips IEEE-exactly, the shortest-repr
+    contract). Scale: map-only Arrow batches both legs; the 64 KiB
+    chunk cap means decode memory is bounded per chunk regardless of
+    payload size."""
+    import pandas as pd
+
+    from metricproxy_spark.io import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
+    events = spread(load_table(spark, sf_dir, "events"), spark).select(
+        F.concat(
+            F.lit("events."),
+            F.col("event_type"),
+            F.lit("."),
+            F.col("user_id").cast("string"),
+        ).alias("metric"),
+        F.col("value"),
+        F.unix_millis("ts").alias("ts_ms"),
+    )
+
+    def encode(batches):
+        from metricproxy_spark.sources.snappy import compress_snappy_framed
+
+        for pdf in batches:
+            blobs = []
+            for start in range(0, len(pdf), 2000):
+                chunk = pdf.iloc[start : start + 2000]
+                text = "".join(
+                    f"{m} {v!r} {t}\n"
+                    for m, v, t in zip(
+                        chunk["metric"], chunk["value"], chunk["ts_ms"]
+                    )
+                )
+                blobs.append(compress_snappy_framed(text.encode()))
+            yield pd.DataFrame({"body": [bytearray(b) for b in blobs]})
+
+    payloads = events.mapInPandas(encode, "body binary")
+
+    def decode(batches):
+        from metricproxy_spark.sources.snappy import decompress_snappy_framed
+
+        for pdf in batches:
+            lines = []
+            for body in pdf["body"]:
+                text = decompress_snappy_framed(bytes(body)).decode()
+                lines.extend(ln for ln in text.split("\n") if ln)
+            yield pd.DataFrame({"line": lines})
+
+    lines = payloads.mapInPandas(decode, "line string")
+    parsed = parse_carbon_lines(lines)
+    return parsed.select(
+        "metric",
+        "value",
+        F.col("epoch_s").alias("timestamp_ms"),  # millis ride the int slot
+    )

