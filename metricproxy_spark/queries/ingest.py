@@ -2962,3 +2962,116 @@ def ingest_snappy_framed_carbon(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.col("epoch_s").alias("timestamp_ms"),  # millis ride the int slot
     )
+
+
+@register(
+    "ingest_otlp_protobuf",
+    oracle="""
+    SELECT 'events.' || event_type AS metric,
+           'gauge' AS kind,
+           CAST(user_id AS VARCHAR) AS dim_user,
+           value AS v_double,
+           CAST(NULL AS BIGINT) AS v_int,
+           epoch_us(ts) * 1000 AS t_ns
+    FROM events
+    UNION ALL
+    SELECT 'events.' || event_type || '.uid' AS metric,
+           'sum' AS kind,
+           CAST(user_id AS VARCHAR) AS dim_user,
+           CAST(NULL AS DOUBLE) AS v_double,
+           user_id AS v_int,
+           epoch_us(ts) * 1000 AS t_ns
+    FROM events
+    """,
+)
+def ingest_otlp_protobuf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OTLP/PROTOBUF metrics — the binary binding of the modern
+    telemetry protocol (what OTLP/gRPC and `application/x-protobuf`
+    OTLP/HTTP carry), encode -> decode round trip through the
+    from-scratch wire codec (`sources/otlp_protobuf.py`; the JVM-side
+    JSON binding is `ingest_otlp_json` — same logical model, two wire
+    forms). Each ~500-row blob becomes one ExportMetricsServiceRequest:
+    resource attrs + instrumentation scope, per-type GAUGE metrics
+    (fixed64 nanosecond timestamps, double values, per-point string
+    attributes) and per-type monotonic SUM metrics exercising the
+    sfixed64 as_int oneof arm. The oracle is a two-branch UNION of
+    plain projections: agreement proves byte fidelity through the full
+    resource/scope/metric/datapoint nesting, both value arms, and the
+    attribute AnyValue encoding. Scale: map-only Arrow batches both
+    legs."""
+    import pandas as pd
+
+    from metricproxy_spark.io import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
+    events = spread(load_table(spark, sf_dir, "events"), spark).select(
+        F.col("event_type"),
+        F.col("user_id"),
+        F.col("value"),
+        (F.unix_micros("ts") * 1000).alias("t_ns"),
+    )
+
+    def encode(batches):
+        from metricproxy_spark.sources.otlp_protobuf import (
+            GAUGE_KIND,
+            SUM_KIND,
+            encode_export_request,
+        )
+
+        for pdf in batches:
+            blobs = []
+            for start in range(0, len(pdf), 500):
+                chunk = pdf.iloc[start : start + 500]
+                metrics = []
+                for et, grp in chunk.groupby("event_type", sort=True):
+                    gauge_dps = [
+                        ({"user": str(int(u))}, int(t), float(v), None)
+                        for u, t, v in zip(
+                            grp["user_id"], grp["t_ns"], grp["value"]
+                        )
+                    ]
+                    sum_dps = [
+                        ({"user": str(int(u))}, int(t), None, int(u))
+                        for u, t in zip(grp["user_id"], grp["t_ns"])
+                    ]
+                    metrics.append((f"events.{et}", GAUGE_KIND, gauge_dps))
+                    metrics.append((f"events.{et}.uid", SUM_KIND, sum_dps))
+                blobs.append(
+                    encode_export_request(
+                        {"service.name": "events"},
+                        "metricproxy-spark",
+                        metrics,
+                    )
+                )
+            yield pd.DataFrame({"body": [bytearray(b) for b in blobs]})
+
+    payloads = events.mapInPandas(encode, "body binary")
+
+    def decode(batches):
+        from metricproxy_spark.sources.otlp_protobuf import (
+            decode_export_request,
+        )
+
+        for pdf in batches:
+            rows = []
+            for body in pdf["body"]:
+                _, _, metrics = decode_export_request(bytes(body))
+                for name, kind, dps in metrics:
+                    for attrs, t_ns, as_double, as_int in dps:
+                        rows.append(
+                            (name, kind, attrs["user"],
+                             as_double, as_int, t_ns)
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "metric", "kind", "dim_user",
+                    "v_double", "v_int", "t_ns",
+                ],
+            )
+
+    return payloads.mapInPandas(
+        decode,
+        "metric string, kind string, dim_user string,"
+        " v_double double, v_int bigint, t_ns long",
+    )
