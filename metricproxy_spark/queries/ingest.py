@@ -3075,3 +3075,73 @@ def ingest_otlp_protobuf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metric string, kind string, dim_user string,"
         " v_double double, v_int bigint, t_ns long",
     )
+
+
+@register(
+    "ingest_lz4_documents",
+    oracle="""
+    SELECT doc_id, source, lang,
+           md5(text) AS md5_hex,
+           length(text) AS n_chars_decoded
+    FROM documents
+    """,
+)
+def ingest_lz4_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LZ4 BLOCK-format transport (lz4_Block_format.md — Kafka
+    ``compression.type=lz4`` / parquet LZ4_RAW's codec), from scratch
+    (`sources/lz4.py`): every document's UTF-8 text compresses to a
+    raw LZ4 block and decompresses back in one Arrow-batched map pass;
+    fidelity is proven per document by md5 of the DECODED bytes
+    against the oracle's md5 of the source text (the divergence suite
+    pins Python hashlib ≡ DuckDB md5), plus the decoded codepoint
+    count. Raw blocks carry no length preamble, so the decoder runs
+    under its amplification-bomb ``max_out`` bound — exercised here on
+    real prose with full compress/decompress both ways. Completes the
+    fast-codec pair next to snappy (block + framed). Scale: map-only,
+    no shuffle; `spread()` keeps the single-file scan parallel."""
+    import hashlib
+
+    import pandas as pd
+
+    from metricproxy_spark.io import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
+    docs = spread(load_table(spark, sf_dir, "documents"), spark).select(
+        "doc_id", "source", "lang", "text"
+    )
+
+    def roundtrip(batches):
+        from metricproxy_spark.sources.lz4 import (
+            compress_lz4_block,
+            decompress_lz4_block,
+        )
+
+        for pdf in batches:
+            rows = []
+            for did, src, lang, text in zip(
+                pdf["doc_id"], pdf["source"], pdf["lang"], pdf["text"]
+            ):
+                blob = compress_lz4_block(str(text).encode("utf-8"))
+                back = decompress_lz4_block(blob)
+                rows.append(
+                    (
+                        int(did),
+                        str(src),
+                        str(lang),
+                        hashlib.md5(back).hexdigest(),
+                        len(back.decode("utf-8")),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "source", "lang",
+                    "md5_hex", "n_chars_decoded",
+                ],
+            )
+
+    return docs.mapInPandas(
+        roundtrip,
+        "doc_id bigint, source string, lang string,"
+        " md5_hex string, n_chars_decoded bigint",
+    )
