@@ -4418,3 +4418,105 @@ def events_alert_for_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
         (fire_s + 2).alias("fired_at"),
         F.when(fire_s.isNotNull(), F.max("e") + 3).alias("resolved_at"),
     )
+
+
+@register(
+    "events_slo_burn_rate",
+    oracle="""
+    WITH hourly AS (
+        SELECT user_id, date_trunc('hour', ts) AS h,
+               CAST(COUNT(*) AS BIGINT) AS req,
+               CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT)
+                   AS err
+        FROM events GROUP BY 1, 2
+    ), win AS (
+        SELECT user_id, h, req AS req_1h, err AS err_1h,
+               CAST(SUM(req) OVER w6 AS BIGINT) AS req_6h,
+               CAST(SUM(err) OVER w6 AS BIGINT) AS err_6h,
+               CAST(SUM(req) OVER w24 AS BIGINT) AS req_24h,
+               CAST(SUM(err) OVER w24 AS BIGINT) AS err_24h
+        FROM hourly
+        WINDOW w6 AS (PARTITION BY user_id ORDER BY h
+                      RANGE BETWEEN INTERVAL 5 HOUR PRECEDING
+                      AND CURRENT ROW),
+               w24 AS (PARTITION BY user_id ORDER BY h
+                       RANGE BETWEEN INTERVAL 23 HOUR PRECEDING
+                       AND CURRENT ROW)
+    ), rates AS (
+        SELECT *,
+               100.0 * CAST(err_1h AS DOUBLE) / CAST(req_1h AS DOUBLE)
+                   AS burn_1h,
+               100.0 * CAST(err_6h AS DOUBLE) / CAST(req_6h AS DOUBLE)
+                   AS burn_6h,
+               100.0 * CAST(err_24h AS DOUBLE) / CAST(req_24h AS DOUBLE)
+                   AS burn_24h
+        FROM win
+    )
+    SELECT user_id, h,
+           req_1h, err_1h, req_6h, err_6h, req_24h, err_24h,
+           burn_1h, burn_6h, burn_24h,
+           (burn_1h > 14.4 AND burn_6h > 6.0) AS page_fast_burn,
+           (burn_6h > 6.0 AND burn_24h > 3.0) AS ticket_slow_burn
+    FROM rates
+    """,
+)
+def events_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLO ERROR-BUDGET BURN-RATE with multiwindow multi-burn-rate
+    alerting — the SRE-workbook construct modern paging is built on
+    (public algorithm: Google SRE Workbook ch. 5, "Multiwindow,
+    Multi-Burn-Rate Alerts"): for a 99%-success SLO the burn rate is
+    error_ratio / (1 - SLO) = 100 x err/req; a PAGE requires the fast
+    pair to breach together (1 h > 14.4 AND 6 h > 6 — the long window
+    filters blips, the short window keeps detection fast) and a TICKET
+    the slow pair (6 h > 6 AND 24 h > 3). Windows are TIME-RANGE
+    frames over the per-(user, hour) rollup (`RANGE BETWEEN INTERVAL
+    ... PRECEDING` — missing hours contribute nothing, exactly the
+    time-predicate semantics row frames get wrong; inclusive bounds
+    probed identical cross-engine in round 9). Composes the engine's
+    rate + vector-ratio + range-frame primitives into the everyday
+    production alert. Exactness: BIGINT window sums; each burn rate is
+    ONE IEEE expression over identical integer operands, and the
+    threshold literals compare bit-identical doubles. Scale: one
+    hourly rollup shuffle + two frames over one per-series ordered
+    scan — state is series x window, never raw samples."""
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("req"),
+        F.count_if(F.col("event_type") == "error").cast("bigint").alias("err"),
+    )
+    hourly.createOrReplaceTempView("mp_slo_hourly")
+    return spark.sql(
+        """
+        WITH win AS (
+            SELECT user_id, h, req AS req_1h, err AS err_1h,
+                   CAST(SUM(req) OVER w6 AS BIGINT) AS req_6h,
+                   CAST(SUM(err) OVER w6 AS BIGINT) AS err_6h,
+                   CAST(SUM(req) OVER w24 AS BIGINT) AS req_24h,
+                   CAST(SUM(err) OVER w24 AS BIGINT) AS err_24h
+            FROM mp_slo_hourly
+            WINDOW w6 AS (PARTITION BY user_id ORDER BY h
+                          RANGE BETWEEN INTERVAL '5' HOUR PRECEDING
+                          AND CURRENT ROW),
+                   w24 AS (PARTITION BY user_id ORDER BY h
+                           RANGE BETWEEN INTERVAL '23' HOUR PRECEDING
+                           AND CURRENT ROW)
+        ), rates AS (
+            SELECT *,
+                   100.0 * CAST(err_1h AS DOUBLE) / CAST(req_1h AS DOUBLE)
+                       AS burn_1h,
+                   100.0 * CAST(err_6h AS DOUBLE) / CAST(req_6h AS DOUBLE)
+                       AS burn_6h,
+                   100.0 * CAST(err_24h AS DOUBLE) / CAST(req_24h AS DOUBLE)
+                       AS burn_24h
+            FROM win
+        )
+        SELECT user_id, h,
+               req_1h, err_1h, req_6h, err_6h, req_24h, err_24h,
+               burn_1h, burn_6h, burn_24h,
+               (burn_1h > 14.4 AND burn_6h > 6.0) AS page_fast_burn,
+               (burn_6h > 6.0 AND burn_24h > 3.0) AS ticket_slow_burn
+        FROM rates
+        """
+    )

@@ -2059,3 +2059,170 @@ def stream_remote_write_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     shutil.rmtree(wd, ignore_errors=True)
     return result
+
+
+@register(
+    "stream_otlp_protobuf_pipeline",
+    oracle="""
+    SELECT 'events.' || event_type AS metric,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE)
+               AS sum_gauge,
+           CAST(SUM(user_id) AS BIGINT) AS sum_counter,
+           MIN(epoch_us(ts) * 1000) AS min_t_ns,
+           MAX(epoch_us(ts) * 1000) AS max_t_ns
+    FROM events WHERE event_id % 9 = 4
+    GROUP BY 1
+    """,
+)
+def stream_otlp_protobuf_pipeline(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """OTLP/PROTOBUF fully STREAMED: binary ExportMetricsServiceRequest
+    bodies POSTed over real loopback HTTP to the listener's
+    ``/v1/metrics`` route (the OTLP/HTTP endpoint, here with the
+    `application/x-protobuf` binding its spec pairs with the JSON one)
+    as base64 text, consumed exactly once through the httpwire
+    streaming connector, decoded by the from-scratch wire codec
+    (`sources/otlp_protobuf.py`) in Arrow batches — per-type GAUGE
+    (double) and monotonic SUM (sfixed64) metrics in every request —
+    and rolled up per metric with decimal-exact sums in complete mode.
+    Completes the OTLP matrix: JSON at-rest + JSON live + protobuf
+    at-rest (`ingest_otlp_protobuf`) + protobuf streamed. Oracle is
+    the direct SQL rollup of the deterministic event_id % 9 = 4
+    subset."""
+    import base64
+    import http.client
+
+    import pandas as pd
+
+    from metricproxy_spark.io import ensure_package_on_workers, load_table
+    from metricproxy_spark.operators.scale import guarded_wire_pandas
+    from metricproxy_spark.streaming.httplistener import (
+        HttpIngestListener,
+        http_spool_stream,
+    )
+
+    ensure_package_on_workers(spark)
+    wd = _workdir()
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") % 9 == 4)
+    src = guarded_wire_pandas(
+        ev.select(
+            F.col("event_type"),
+            F.col("user_id"),
+            "value",
+            (F.unix_micros("ts") * 1000).alias("t_ns"),
+        )
+    )
+
+    from metricproxy_spark.sources.otlp_protobuf import (
+        GAUGE_KIND,
+        SUM_KIND,
+        encode_export_request,
+    )
+
+    bodies64 = []
+    for start in range(0, len(src), 250):
+        chunk = src.iloc[start : start + 250]
+        metrics = []
+        for et, grp in chunk.groupby("event_type", sort=True):
+            metrics.append(
+                (
+                    f"events.{et}",
+                    GAUGE_KIND,
+                    [
+                        ({"user": str(int(u))}, int(t), float(v), None)
+                        for u, t, v in zip(
+                            grp["user_id"], grp["t_ns"], grp["value"]
+                        )
+                    ],
+                )
+            )
+            metrics.append(
+                (
+                    f"events.{et}",
+                    SUM_KIND,
+                    [
+                        ({"user": str(int(u))}, int(t), None, int(u))
+                        for u, t in zip(grp["user_id"], grp["t_ns"])
+                    ],
+                )
+            )
+        body = encode_export_request(
+            {"service.name": "events"}, "metricproxy-spark", metrics
+        )
+        bodies64.append(base64.b64encode(body))
+
+    spool = os.path.join(wd, "spool")
+    with HttpIngestListener(spool) as lis:
+        conn = http.client.HTTPConnection(lis.host, lis.port, timeout=30)
+        for b64 in bodies64:
+            conn.request(
+                "POST",
+                "/v1/metrics",
+                body=b64,
+                headers={"Content-Type": "application/x-protobuf;base64"},
+            )
+            resp = conn.getresponse()
+            assert resp.status == 200
+            resp.read()
+        conn.close()
+
+    frames = http_spool_stream(spark, spool).select(
+        F.unbase64(F.col("body")).alias("body")
+    )
+
+    def decode(batches):
+        from metricproxy_spark.sources.otlp_protobuf import (
+            GAUGE_KIND as GK,
+            decode_export_request,
+        )
+
+        for pdf in batches:
+            rows = []
+            for body in pdf["body"]:
+                _, _, metrics = decode_export_request(bytes(body))
+                for name, kind, dps in metrics:
+                    for _attrs, t_ns, as_double, as_int in dps:
+                        rows.append(
+                            (
+                                name,
+                                as_double if kind == GK else None,
+                                as_int if kind != GK else None,
+                                t_ns,
+                            )
+                        )
+            yield pd.DataFrame(
+                rows, columns=["metric", "g", "c", "t_ns"]
+            )
+
+    points = frames.mapInPandas(
+        decode, "metric string, g double, c bigint, t_ns long"
+    )
+    agg = points.groupBy("metric").agg(
+        F.count(F.col("g")).alias("n_g"),
+        F.sum(F.col("g").cast("decimal(27,4)")).alias("sum_g"),
+        F.sum("c").alias("sum_c"),
+        F.min("t_ns").alias("min_t"),
+        F.max("t_ns").alias("max_t"),
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        out = _run_to_memory(agg, os.path.join(wd, "ckpt"))
+        result = spark.createDataFrame(
+            out.select(
+                "metric",
+                F.col("n_g").cast("bigint").alias("n_points"),
+                F.col("sum_g").cast("double").alias("sum_gauge"),
+                F.col("sum_c").cast("bigint").alias("sum_counter"),
+                F.col("min_t").alias("min_t_ns"),
+                F.col("max_t").alias("max_t_ns"),
+            ).collect(),
+            "metric string, n_points bigint, sum_gauge double,"
+            " sum_counter bigint, min_t_ns bigint, max_t_ns bigint",
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    shutil.rmtree(wd, ignore_errors=True)
+    return result

@@ -63,17 +63,19 @@ ORACLES: dict[str, str] = {}
 # ROUND-10 EXECUTED (this round): the prior note undercounted the
 # r3-latest cohort as 34; the CORRECTNESS_r* union script (SURVEY §5)
 # gives 42 (VERDICT r9 finding 3 — fixed here). This round pins:
-# 10 r10 additions (PromQL binary ops ×3, remote-write 1.0 at-rest +
-# streamed + 2.0, framed-snappy carbon transport, OTLP/protobuf,
-# LZ4 block documents roundtrip, alert for:-duration) + 3 r10-changed queries (the CBOR
+# 12 r10 additions (PromQL binary ops ×3, remote-write 1.0 at-rest +
+# streamed + 2.0, framed-snappy carbon transport, OTLP/protobuf
+# at-rest + streamed, LZ4 block documents roundtrip, SLO multiwindow
+# burn rate, alert for:-duration) + 3 r10-changed queries (the CBOR
 # decoder grew two RFC-strictness raises -> both CBOR queries; the
 # http-listener live load generator now routes through
-# guarded_wire_pandas) + the first 37 of the 42 r3-latest names in
+# guarded_wire_pandas) + the first 35 of the 42 r3-latest names in
 # registry order = exactly the 50-row driver window.
-# ROUND-11 NOTE: pin r11 additions first, then the five overflowed r3
-# names (tpch_q14_promo_share, tpch_q17_small_qty_revenue,
-# tpch_q18_large_orders, tpch_q22_idle_customers,
-# analytic_lateral_topn), then the r4-latest cohort
+# ROUND-11 NOTE: pin r11 additions first, then the seven overflowed r3
+# names (events_gap_report, graph_pagerank, tpch_q14_promo_share,
+# tpch_q17_small_qty_revenue, tpch_q18_large_orders,
+# tpch_q22_idle_customers, analytic_lateral_topn), then the r4-latest
+# cohort (41 names — recompute with the union script)
 # (41 names — recompute with the union script) as space allows.
 _PRIORITY = (
     # --- new in round 10 ---
@@ -86,12 +88,14 @@ _PRIORITY = (
     "ingest_snappy_framed_carbon",
     "ingest_otlp_protobuf",
     "ingest_lz4_documents",
+    "events_slo_burn_rate",
+    "stream_otlp_protobuf_pipeline",
     "events_alert_for_duration",
     # --- changed in round 10 (engine edits -> fresh evidence) ---
     "ingest_cbor_roundtrip",
     "stream_cbor_pipeline",
     "ingest_http_listener_live",
-    # --- r3-latest evidence cohort (37 of 42; registry order) ---
+    # --- r3-latest evidence cohort (35 of 42; registry order) ---
     "text_pii_redact",
     "text_common_span_frac",
     "pipeline_per_class_cap",
@@ -127,8 +131,6 @@ _PRIORITY = (
     "events_transition_matrix",
     "events_trend_slope",
     "events_alert_rules",
-    "events_gap_report",
-    "graph_pagerank",
 )
 
 _QUERY_MODULES = (
