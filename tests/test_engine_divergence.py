@@ -300,3 +300,86 @@ class TestDivergences:
             "SELECT element_at(array(1, 2), int(CAST(1 AS BIGINT) + 1))"
         ).first()[0]
         assert ok == 2
+
+
+class TestRound10Levers:
+    """Facts the round-10 wire-format oracles rely on."""
+
+    def test_python_repr_spark_cast_double_roundtrip(self, spark):
+        """Lever for ingest_snappy_framed_carbon (and every text wire
+        format that writes values with Python repr): repr(float) is
+        the shortest round-trip decimal, and Spark CAST(string AS
+        DOUBLE) restores the identical IEEE bits."""
+        import struct
+
+        vals = [
+            0.1, -2.5, 1e-300, 1.7976931348623157e308,
+            3.141592653589793, 123456.789012345, -0.0, 2.0**-40,
+        ]
+        exprs = ", ".join(f"cast('{v!r}' as double)" for v in vals)
+        got = spark.sql(f"SELECT {exprs}").first()
+        for v, g in zip(vals, got):
+            assert struct.pack("<d", v) == struct.pack("<d", g), (v, g)
+
+    def test_duckdb_varchar_cast_double_agrees(self, duck):
+        """The same repr strings parse to identical doubles in DuckDB
+        (the oracle side never parses in the framed-carbon query —
+        this pins that it COULD, i.e. the repr text is engine-neutral)."""
+        import struct
+
+        vals = [0.1, -2.5, 1e-300, 3.141592653589793, 2.0**-40]
+        exprs = ", ".join(f"CAST('{v!r}' AS DOUBLE)" for v in vals)
+        got = duck.execute(f"SELECT {exprs}").fetchone()
+        for v, g in zip(vals, got):
+            assert struct.pack("<d", v) == struct.pack("<d", g), (v, g)
+
+    def test_epoch_us_times_1000_agrees_with_unix_micros(self, spark, duck):
+        """Lever for ingest_otlp_protobuf / stream_otlp_protobuf_pipeline:
+        nanosecond timestamps derive as micros x 1000 on both sides."""
+        ts = "2026-03-01 12:34:56.789123"
+        s = spark.sql(
+            f"SELECT unix_micros(timestamp'{ts}') * 1000"
+        ).first()[0]
+        d = duck.execute(
+            f"SELECT epoch_us(TIMESTAMP '{ts}') * 1000"
+        ).fetchone()[0]
+        assert s == d == 1772368496789123000
+
+    def test_strftime_date_format_day_agrees(self, spark, duck):
+        """Lever for ingest_remote_write_v2's day label: DuckDB
+        strftime('%Y-%m-%d') ≡ Spark date_format('yyyy-MM-dd')."""
+        s = spark.sql(
+            "SELECT date_format(timestamp'2026-01-05 23:59:59',"
+            " 'yyyy-MM-dd')"
+        ).first()[0]
+        d = duck.execute(
+            "SELECT strftime(TIMESTAMP '2026-01-05 23:59:59', '%Y-%m-%d')"
+        ).fetchone()[0]
+        assert s == d == "2026-01-05"
+
+    def test_range_interval_frames_inclusive_both_engines(self, spark, duck):
+        """Lever for events_slo_burn_rate (and events_time_range_frame,
+        where this was first probed): RANGE BETWEEN INTERVAL n HOUR
+        PRECEDING AND CURRENT ROW includes a row exactly n hours back
+        in BOTH engines."""
+        q_spark = """
+        SELECT SUM(v) OVER (ORDER BY t
+            RANGE BETWEEN INTERVAL '5' HOUR PRECEDING AND CURRENT ROW)
+        FROM VALUES (timestamp'2026-01-01 00:00:00', 1),
+                    (timestamp'2026-01-01 05:00:00', 10),
+                    (timestamp'2026-01-01 11:00:00', 100) AS t(t, v)
+        ORDER BY t
+        """
+        q_duck = """
+        SELECT SUM(v) OVER (ORDER BY t
+            RANGE BETWEEN INTERVAL 5 HOUR PRECEDING AND CURRENT ROW)
+        FROM (VALUES (TIMESTAMP '2026-01-01 00:00:00', 1),
+                     (TIMESTAMP '2026-01-01 05:00:00', 10),
+                     (TIMESTAMP '2026-01-01 11:00:00', 100)) t(t, v)
+        ORDER BY t
+        """
+        s = [r[0] for r in spark.sql(q_spark).collect()]
+        d = [r[0] for r in duck.execute(q_duck).fetchall()]
+        # row 2 (t=05:00) includes row 1 (exactly 5h back); row 3
+        # (t=11:00) is 6h past row 2 -> alone
+        assert s == [1, 11, 100] and d == [1, 11, 100]
