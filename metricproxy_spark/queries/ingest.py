@@ -2935,7 +2935,9 @@ def ingest_snappy_framed_carbon(spark: SparkSession, sf_dir: str) -> DataFrame:
             for start in range(0, len(pdf), 2000):
                 chunk = pdf.iloc[start : start + 2000]
                 text = "".join(
-                    f"{m} {v!r} {t}\n"
+                    # float() first: numpy>=2 repr(np.float64) grows a
+                    # class wrapper that would cast to NULL downstream
+                    f"{m} {float(v)!r} {t}\n"
                     for m, v, t in zip(
                         chunk["metric"], chunk["value"], chunk["ts_ms"]
                     )

@@ -75,8 +75,7 @@ ORACLES: dict[str, str] = {}
 # names (events_gap_report, graph_pagerank, tpch_q14_promo_share,
 # tpch_q17_small_qty_revenue, tpch_q18_large_orders,
 # tpch_q22_idle_customers, analytic_lateral_topn), then the r4-latest
-# cohort (41 names — recompute with the union script)
-# (41 names — recompute with the union script) as space allows.
+# cohort (41 names — recompute with the union script) as space allows.
 _PRIORITY = (
     # --- new in round 10 ---
     "events_promql_binop_ratio",

@@ -63,7 +63,9 @@ def decompress_lz4_block(buf: bytes, max_out: int = 1 << 26) -> bytes:
     pos = 0
     n = len(buf)
     if n == 0:
-        return b""  # spec: the empty block decodes to empty output
+        # reference decoders reject srcSize=0; the minimal valid block
+        # is the single end-mark token 0x00 (empty literals)
+        raise ValueError("empty LZ4 block")
     while pos < n:
         token = buf[pos]
         pos += 1
@@ -144,11 +146,10 @@ def compress_lz4_block(data: bytes) -> bytes:
                 lit_start = i
                 continue
         i += 1
-    # final literals-only sequence (always present, even when empty —
-    # except for the empty input, which encodes as the empty block)
+    # final literals-only sequence — ALWAYS present, even when empty:
+    # the empty input encodes as the single end-mark token 0x00, the
+    # minimal block reference encoders emit
     tail = data[lit_start:n]
-    if n == 0:
-        return b""
     lit_len = len(tail)
     out.append(min(lit_len, 15) << 4)
     if lit_len >= 15:

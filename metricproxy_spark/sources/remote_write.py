@@ -35,6 +35,7 @@ import struct
 from metricproxy_spark.sources.sfx_protobuf import (
     _read_varint,
     _signed64,
+    _skip_field,  # one field-skipping contract, shared with every codec
     _tag,
     _write_bytes_field,
     _write_varint,
@@ -86,26 +87,6 @@ def encode_remote_write_body(
 
 
 # ------------------------------------------------------------- decoding
-
-
-def _skip_field(buf: bytes, pos: int, wire: int) -> int:
-    if wire == 0:
-        _, pos = _read_varint(buf, pos)
-        return pos
-    if wire == 1:
-        if pos + 8 > len(buf):
-            raise ValueError("truncated fixed64 field")
-        return pos + 8
-    if wire == 2:
-        ln, pos = _read_varint(buf, pos)
-        if pos + ln > len(buf):
-            raise ValueError("truncated length-delimited field")
-        return pos + ln
-    if wire == 5:
-        if pos + 4 > len(buf):
-            raise ValueError("truncated fixed32 field")
-        return pos + 4
-    raise ValueError(f"unsupported protobuf wire type {wire}")
 
 
 def _read_delimited(buf: bytes, pos: int) -> tuple[bytes, int]:

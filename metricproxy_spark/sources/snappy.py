@@ -203,16 +203,21 @@ def compress_snappy(data: bytes) -> bytes:
 # CRC table and masking are implemented here from the public spec —
 # same from-scratch discipline as the block layer above.
 
-_CRC32C_TABLE = []
+_CRC32C_TABLE: list[int] = []
 
 
 def _crc32c_table() -> list[int]:
+    global _CRC32C_TABLE
     if not _CRC32C_TABLE:
+        # build locally, assign in one step: concurrent first callers
+        # must never observe (or append into) a half-built table
+        tab = []
         for i in range(256):
             c = i
             for _ in range(8):
                 c = (c >> 1) ^ 0x82F63B78 if c & 1 else c >> 1
-            _CRC32C_TABLE.append(c)
+            tab.append(c)
+        _CRC32C_TABLE = tab
     return _CRC32C_TABLE
 
 
@@ -270,9 +275,17 @@ def decompress_snappy_framed(buf: bytes) -> bytes:
             if ln < 4:
                 raise ValueError("snappy data chunk shorter than its CRC")
             want = int.from_bytes(body[:4], "little")
-            data = (
-                decompress_snappy(body[4:]) if typ == 0x00 else bytes(body[4:])
-            )
+            if typ == 0x00:
+                # bound BEFORE decompressing: the block's declared
+                # length is right there in the preamble, and refusing
+                # an over-cap chunk in O(1) is what keeps a malicious
+                # 16 MB body from materializing hundreds of MB first
+                declared, _ = _read_uvarint32(body, 4)
+                if declared > _MAX_CHUNK_DATA:
+                    raise ValueError("snappy frame chunk exceeds 64 KiB cap")
+                data = decompress_snappy(body[4:])
+            else:
+                data = bytes(body[4:])
             if len(data) > _MAX_CHUNK_DATA:
                 raise ValueError("snappy frame chunk exceeds 64 KiB cap")
             if _mask_crc(crc32c(data)) != want:

@@ -16,8 +16,12 @@ from metricproxy_spark.sources.lz4 import (
 
 class TestLz4Block:
     def test_empty(self):
-        assert compress_lz4_block(b"") == b""
-        assert decompress_lz4_block(b"") == b""
+        # the minimal valid block is the lone end-mark token 0x00;
+        # srcSize=0 is rejected, matching reference decoders
+        assert compress_lz4_block(b"") == b"\x00"
+        assert decompress_lz4_block(b"\x00") == b""
+        with pytest.raises(ValueError, match="empty"):
+            decompress_lz4_block(b"")
 
     def test_small_inputs_are_all_literals(self):
         # inputs under the 12-byte end rule can never contain a match

@@ -300,9 +300,19 @@ class TestSnappyFramed:
         data = bytes(random.Random(3).randrange(16) for _ in range(200_000))
         enc = compress_snappy_framed(data)
         assert decompress_snappy_framed(enc) == data
-        # 200k/64k -> 4 compressed-data chunks after the identifier
-        assert enc.count(b"\x00", 0, 1) == 0 or True  # header check below
         assert enc.startswith(b"\xff\x06\x00\x00sNaPpY")
+        # walk the chunk headers: 200k/64k -> exactly 4 compressed-data
+        # chunks, each decoding to <= 64 KiB (the spec cap)
+        pos, kinds = 10, []
+        while pos < len(enc):
+            typ = enc[pos]
+            ln = int.from_bytes(enc[pos + 1 : pos + 4], "little")
+            kinds.append(typ)
+            if typ == 0x00:
+                body = enc[pos + 4 : pos + 4 + ln]
+                assert len(decompress_snappy(body[4:])) <= 65536
+            pos += 4 + ln
+        assert kinds == [0x00] * 4
 
     def test_identifier_required(self):
         from metricproxy_spark.sources.snappy import decompress_snappy_framed
@@ -380,3 +390,26 @@ class TestSnappyFramed:
                 decompress_snappy_framed(b)
             except ValueError:
                 pass
+
+
+class TestSnappyFramedBombGuard:
+    def test_over_cap_chunk_refused_before_materialization(self):
+        from metricproxy_spark.sources.snappy import (
+            _STREAM_ID,
+            _mask_crc,
+            compress_snappy,
+            crc32c,
+        )
+        from metricproxy_spark.sources.snappy import (
+            decompress_snappy_framed,
+        )
+
+        # a single chunk whose BLOCK declares ~1 MB (over the 64 KiB
+        # cap): the decoder must refuse from the declared length alone
+        big = b"b" * 1_000_000
+        body = _mask_crc(crc32c(big)).to_bytes(4, "little") + compress_snappy(
+            big
+        )
+        stream = _STREAM_ID + b"\x00" + len(body).to_bytes(3, "little") + body
+        with pytest.raises(ValueError, match="64 KiB"):
+            decompress_snappy_framed(stream)
