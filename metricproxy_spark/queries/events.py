@@ -4520,3 +4520,159 @@ def events_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM rates
         """
     )
+
+
+@register(
+    "events_promql_subquery",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               SUM(CAST(value AS DECIMAL(27,4))) AS v
+        FROM events GROUP BY 1, 2
+    ), inner_eval AS (
+        SELECT event_type, h,
+               CAST(SUM(v) OVER w3 AS DOUBLE)
+                 / CAST(COUNT(*) OVER w3 AS DOUBLE) AS avg3
+        FROM hourly
+        WINDOW w3 AS (PARTITION BY event_type ORDER BY h
+                      RANGE BETWEEN INTERVAL 2 HOUR PRECEDING
+                      AND CURRENT ROW)
+    )
+    SELECT event_type, date_trunc('day', h) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_evals,
+           MAX(avg3) AS max_inner,
+           MIN(avg3) AS min_inner,
+           max_by(avg3, h) AS last_inner
+    FROM inner_eval GROUP BY 1, 2
+    """,
+)
+def events_promql_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL SUBQUERY evaluation —
+    ``max_over_time(avg_over_time(x[3h])[1d:1h])``: a range selector
+    over a DERIVED series, the last uncovered core of PromQL after the
+    r8–r10 rate/over_time/binop families. Semantics (public algorithm:
+    prometheus/promql engine.go SubqueryExpr / evalSubquery): the inner
+    expression is evaluated at every subquery step inside the outer
+    range — materializing an intermediate series that never existed in
+    the TSDB — and the outer range function then aggregates those
+    synthetic samples per outer evaluation. Here the inner
+    ``avg_over_time(x[3h])`` evaluates on the series' own hourly grid
+    (step = the sample interval, the recording-rule materialization of
+    the same composition; PromQL range selection (t-3h, t] over hourly
+    samples = the 3-sample inclusive time-range frame, identical
+    RANGE INTERVAL bounds both engines, probed round 9) and the outer
+    ``max/min/last_over_time(...[1d:1h])`` aggregates the derived
+    per-hour values per UTC day. Exactness: the inner average is ONE
+    IEEE division over a DECIMAL window sum and a BIGINT count —
+    bit-equal operands cross-engine — and every outer function is a
+    SELECTION of those bit-identical doubles (max/min/last; no double
+    re-summation anywhere). Scale: one hourly rollup + one per-series
+    ordered window scan + one (type, day) hash agg — the derived
+    series is rollup-sized, never event-sized, exactly how a recording
+    rule keeps subqueries cheap on a 1000-executor cluster."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.sum(F.col("value").cast("decimal(27,4)")).alias("v"))
+    # RANGE INTERVAL '2' HOUR PRECEDING, spelled as an epoch-second
+    # range frame (hour timestamps are exact integer seconds, so the
+    # bounds are identical) — keeps the plan in the DataFrame API with
+    # no session-global temp view (the ADVICE-flagged hazard class).
+    w3 = (
+        Window.partitionBy("event_type")
+        .orderBy(F.unix_timestamp("h"))
+        .rangeBetween(-7200, 0)
+    )
+    inner = hourly.select(
+        "event_type",
+        "h",
+        (
+            F.sum("v").over(w3).cast("double")
+            / F.count(F.lit(1)).over(w3).cast("double")
+        ).alias("avg3"),
+    )
+    return inner.groupBy(
+        "event_type", F.date_trunc("day", "h").alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_evals"),
+        F.max("avg3").alias("max_inner"),
+        F.min("avg3").alias("min_inner"),
+        F.max_by("avg3", "h").alias("last_inner"),
+    )
+
+
+@register(
+    "events_promql_offset_at",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               SUM(CAST(value AS DECIMAL(27,4))) AS v
+        FROM events GROUP BY 1, 2
+    ), anchor AS (
+        SELECT event_type, CAST(max_by(v, h) AS DOUBLE) AS v_at_end
+        FROM hourly GROUP BY 1
+    )
+    SELECT cur.event_type, cur.h,
+           CAST(cur.v AS DOUBLE) AS v,
+           CAST(prev.v AS DOUBLE) AS v_offset_1d,
+           CAST(cur.v AS DOUBLE) / CAST(prev.v AS DOUBLE) AS dod_ratio,
+           a.v_at_end,
+           (CAST(cur.v AS DOUBLE) > a.v_at_end) AS above_end
+    FROM hourly cur
+    JOIN hourly prev
+      ON prev.event_type = cur.event_type
+     AND prev.h = cur.h - INTERVAL 24 HOUR
+    JOIN anchor a ON a.event_type = cur.event_type
+    """,
+)
+def events_promql_offset_at(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``offset`` and ``@`` MODIFIERS — the time-shift algebra
+    behind every week-over-week/day-over-day alert: ``x / (x offset
+    1d)`` pairs each sample with the sample exactly 24 h earlier (an
+    event-TIME shift resolved by a timestamp equi-join, not a row
+    lag — PromQL offset re-anchors the lookup instant, so irregular/
+    missing hours must drop the pair, which the INNER join's
+    vector-matching DROP semantics give for free, same contract as
+    `events_promql_binop_ratio`), and ``x @ end()`` pins the inner
+    evaluation to one fixed instant — the series' last sample —
+    turning a moving series into a constant vector that every current
+    sample compares against (the "how far are we from where we ended
+    up" idiom). Public algorithm: prometheus/promql ast.go
+    VectorSelector.Offset / StartOrEnd + engine.go timestamp
+    re-anchoring. Exactness: samples are DECIMAL hourly sums; the
+    shifted join key is integer-hour timestamp arithmetic; the ratio
+    is ONE IEEE division over exact casts and the @-comparison is a
+    selection + boolean over bit-identical doubles. Scale: one hourly
+    rollup, one shuffle-free-shaped self-join on (series, shifted
+    hour) over the rollup (co-partitioned on the same key), and a
+    series-cardinality anchor dim broadcast onto it — never the raw
+    table twice."""
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.sum(F.col("value").cast("decimal(27,4)")).alias("v"))
+    anchor = hourly.groupBy("event_type").agg(
+        F.max_by("v", "h").cast("double").alias("v_at_end")
+    )
+    prev = hourly.select(
+        "event_type",
+        (F.col("h") + F.expr("INTERVAL 24 HOUR")).alias("h"),
+        F.col("v").alias("v_prev"),
+    )
+    cur_d = F.col("v").cast("double")
+    prev_d = F.col("v_prev").cast("double")
+    return (
+        hourly.join(prev, ["event_type", "h"])
+        .join(F.broadcast(anchor), "event_type")
+        .select(
+            "event_type",
+            "h",
+            cur_d.alias("v"),
+            prev_d.alias("v_offset_1d"),
+            (cur_d / prev_d).alias("dod_ratio"),
+            "v_at_end",
+            (cur_d > F.col("v_at_end")).alias("above_end"),
+        )
+    )
