@@ -4676,3 +4676,151 @@ def events_promql_offset_at(spark: SparkSession, sf_dir: str) -> DataFrame:
             (cur_d > F.col("v_at_end")).alias("above_end"),
         )
     )
+
+
+@register(
+    "events_graphite_summarize",
+    oracle="""
+    WITH daily AS (
+        SELECT 'stats.' || event_type || '.value' AS path,
+               date_trunc('day', ts) AS day,
+               SUM(CAST(value AS DECIMAL(27,4))) AS s
+        FROM events GROUP BY 1, 2
+    ), cur AS (
+        SELECT path, max_by(s, day) AS current_v
+        FROM daily GROUP BY 1
+    ), ranked AS (
+        SELECT path, current_v,
+               row_number() OVER (ORDER BY current_v DESC, path) AS rnk
+        FROM cur
+    )
+    SELECT split_part(d.path, '.', 2) AS alias,
+           d.day,
+           CAST(d.s AS DOUBLE) AS v_sum,
+           CAST(r.current_v AS DOUBLE) AS current_v,
+           CAST(r.rnk AS INT) AS rnk
+    FROM daily d JOIN ranked r ON d.path = r.path
+    WHERE r.rnk <= 3
+    """,
+)
+def events_graphite_summarize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graphite RENDER-API function composition —
+    ``highestCurrent(aliasByNode(summarize(stats.*.value, "1day",
+    "sum"), 1), 3)``: the query-side half of the carbon family (the
+    engine already ingests/routes/aggregates the wire; these are the
+    functions a graphite-web user calls on the stored series). Public
+    algorithm: graphite-web render/functions.py — ``summarize``
+    re-buckets each series into fixed intervals with the named
+    aggregator (day buckets, sum); ``aliasByNode(1)`` renames each
+    series to the dot-split node at index 1 (here the metric's type
+    segment); ``highestCurrent(3)`` sorts series by their LAST
+    non-null value and keeps the top 3. Exactness: summarize sums in
+    DECIMAL; "current" is a max_by selection of those exact decimals;
+    the top-3 ranking tie-breaks on the path string; every DOUBLE in
+    the output is a straight cast of an exact decimal. Scale: one
+    (path, day) hash agg, a series-cardinality current/rank dim
+    (window over |series| rows, not samples) broadcast back onto the
+    daily rollup — at 100 TB the render layer only ever touches
+    rollup-sized frames."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.concat(
+            F.lit("stats."), F.col("event_type"), F.lit(".value")
+        ).alias("path"),
+        F.date_trunc("day", "ts").alias("day"),
+    ).agg(F.sum(F.col("value").cast("decimal(27,4)")).alias("s"))
+    cur = daily.groupBy("path").agg(F.max_by("s", "day").alias("current_v"))
+    ranked = cur.select(
+        "path",
+        "current_v",
+        F.row_number()
+        .over(Window.orderBy(F.col("current_v").desc(), F.col("path")))
+        .alias("rnk"),
+    ).where(F.col("rnk") <= 3)
+    return daily.join(F.broadcast(ranked), "path").select(
+        F.split_part(F.col("path"), F.lit("."), F.lit(2)).alias("alias"),
+        "day",
+        F.col("s").cast("double").alias("v_sum"),
+        F.col("current_v").cast("double").alias("current_v"),
+        F.col("rnk").cast("int").alias("rnk"),
+    )
+
+
+@register(
+    "events_graphite_moving",
+    oracle="""
+    WITH hourly AS (
+        SELECT 'stats.' || event_type || '.value' AS path,
+               date_trunc('hour', ts) AS h,
+               SUM(CAST(value AS DECIMAL(27,4))) AS v
+        FROM events GROUP BY 1, 2
+    ), lagged AS (
+        SELECT path, h, v,
+               lag(v, 3) OVER w AS l1,
+               lag(v, 2) OVER w AS l2,
+               lag(v, 1) OVER w AS l3
+        FROM hourly
+        WINDOW w AS (PARTITION BY path ORDER BY h)
+    )
+    SELECT path, h, CAST(v AS DOUBLE) AS v,
+           CAST(l1 + l2 + l3 AS DOUBLE) / 3.0 AS mov_avg_3,
+           greatest(least(CAST(l1 AS DOUBLE), CAST(l2 AS DOUBLE)),
+                    least(greatest(CAST(l1 AS DOUBLE), CAST(l2 AS DOUBLE)),
+                          CAST(l3 AS DOUBLE))) AS mov_median_3,
+           greatest(CAST(l1 AS DOUBLE), CAST(l2 AS DOUBLE),
+                    CAST(l3 AS DOUBLE)) AS mov_max_3
+    FROM lagged WHERE l1 IS NOT NULL
+    """,
+)
+def events_graphite_moving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graphite RENDER-API moving-window family — ``movingAverage``,
+    ``movingMedian``, ``movingMax`` with windowSize = 3 points over
+    the per-series hourly rollup. Public algorithm: graphite-web
+    render/functions.py movingAverage et al. — the window at point i
+    is the PREVIOUS windowSize points EXCLUDING i itself (graphite
+    pre-fetches windowSize extra points and emits nothing until the
+    window fills, hence the l1-IS-NOT-NULL gate), spelled here as
+    three explicit lags so both engines evaluate the identical
+    expression tree. Exactness: the average is a DECIMAL 3-term sum
+    cast to double with ONE IEEE division; the 3-point median is a
+    pure min/max SELECTION network (no interpolation, no engine median
+    semantics in play — sidesteps the DuckDB DECIMAL-median
+    divergence); max is a selection. Scale: one hourly rollup + one
+    per-series ordered window scan — lag frames never self-join, and
+    the render layer stays rollup-sized."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        F.concat(
+            F.lit("stats."), F.col("event_type"), F.lit(".value")
+        ).alias("path"),
+        F.date_trunc("hour", "ts").alias("h"),
+    ).agg(F.sum(F.col("value").cast("decimal(27,4)")).alias("v"))
+    w = Window.partitionBy("path").orderBy("h")
+    lagged = hourly.select(
+        "path",
+        "h",
+        "v",
+        F.lag("v", 3).over(w).alias("l1"),
+        F.lag("v", 2).over(w).alias("l2"),
+        F.lag("v", 1).over(w).alias("l3"),
+    ).where(F.col("l1").isNotNull())
+    d1 = F.col("l1").cast("double")
+    d2 = F.col("l2").cast("double")
+    d3 = F.col("l3").cast("double")
+    return lagged.select(
+        "path",
+        "h",
+        F.col("v").cast("double").alias("v"),
+        (
+            (F.col("l1") + F.col("l2") + F.col("l3")).cast("double")
+            / F.lit(3.0)
+        ).alias("mov_avg_3"),
+        F.greatest(
+            F.least(d1, d2), F.least(F.greatest(d1, d2), d3)
+        ).alias("mov_median_3"),
+        F.greatest(d1, d2, d3).alias("mov_max_3"),
+    )
