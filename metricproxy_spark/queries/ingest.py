@@ -3147,3 +3147,153 @@ def ingest_lz4_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id bigint, source string, lang string,"
         " md5_hex string, n_chars_decoded bigint",
     )
+
+
+@register(
+    "ingest_openmetrics",
+    oracle="""
+    WITH base AS (
+        SELECT event_type || '_items' AS metric,
+               CAST(user_id AS VARCHAR) AS label_user,
+               CAST(CAST(value AS DECIMAL(27,4)) AS DOUBLE) AS value,
+               epoch_ms(ts) AS ts_ms,
+               CASE WHEN event_id % 5 = 0
+                    THEN 't' || CAST(event_id AS VARCHAR) END
+                   AS exemplar_trace,
+               CASE WHEN event_id % 5 = 0
+                    THEN CAST(event_id % 997 AS DOUBLE) / 8.0 END
+                   AS exemplar_value,
+               CASE WHEN event_id % 5 = 0 THEN epoch_ms(ts) - 250 END
+                   AS exemplar_ts_ms
+        FROM events
+    )
+    SELECT metric, label_user, value, ts_ms,
+           exemplar_trace, exemplar_value, exemplar_ts_ms,
+           'gauge' AS prom_type, 'items' AS unit
+    FROM base
+    """,
+)
+def ingest_openmetrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenMetrics exposition ingest — the STRICT successor of the
+    classic Prometheus text format (public spec:
+    prometheus/OpenMetrics specification.md), exercising everything
+    OpenMetrics added: (1) EXEMPLARS — samples carry ``# {trace_id=
+    "..."} value ts`` attachments (the metrics→traces bridge), parsed
+    into typed exemplar columns; (2) ``# UNIT`` metadata joining
+    ``# TYPE`` in the broadcast registry; (3) SECOND-resolution
+    timestamps (classic used milliseconds) — emitted as exact
+    ``sec.mmm`` strings via integer div/mod and parsed back through
+    DECIMAL(20,3)x1000, so every millisecond survives; (4) the
+    ``# EOF`` framing rule — each of the 7 synthesized expositions is
+    terminated, the per-scrape max_by(line, lineno) gate asserts it
+    distributed-side, and a truncated exposition fails the whole
+    parse (unit-tested). Exemplar values are DYADIC rationals
+    (eighths — float-exact in any engine), sample values ride the
+    DECIMAL(27,4) rendering, and the oracle re-derives every field
+    independently. Scale: map-only line synthesis + parse, one
+    scrape-cardinality framing agg, one broadcast metadata join."""
+    from metricproxy_spark.sources.prometheus import (
+        openmetrics_eof_gate,
+        parse_openmetrics_lines,
+        parse_openmetrics_metadata,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    secs = F.expr("unix_millis(ts) div 1000").cast("string")
+    frac = F.lpad((F.expr("unix_millis(ts) % 1000")).cast("string"), 3, "0")
+    ts_txt = F.concat(secs, F.lit("."), frac)
+    ex_ms = F.expr("unix_millis(ts) - 250")
+    ex_secs = F.expr("(unix_millis(ts) - 250) div 1000").cast("string")
+    ex_frac = F.lpad(
+        F.expr("(unix_millis(ts) - 250) % 1000").cast("string"), 3, "0"
+    )
+    ex_val = (F.col("event_id") % 997).cast("decimal(20,3)") / 8
+    exemplar = F.when(
+        F.col("event_id") % 5 == 0,
+        F.concat(
+            F.lit(' # {trace_id="t'),
+            F.col("event_id").cast("string"),
+            F.lit('"} '),
+            ex_val.cast("string"),
+            F.lit(" "),
+            ex_secs,
+            F.lit("."),
+            ex_frac,
+        ),
+    ).otherwise(F.lit(""))
+    sample = F.concat(
+        F.col("event_type"),
+        F.lit('_items{user="'),
+        F.col("user_id").cast("string"),
+        F.lit('"} '),
+        F.col("value").cast("decimal(27,4)").cast("string"),
+        F.lit(" "),
+        ts_txt,
+        exemplar,
+    )
+    scrape = (F.col("user_id") % 7).alias("scrape")
+    samples_lines = ev.select(
+        scrape,
+        (F.col("event_id") + 1).cast("bigint").alias("lineno"),
+        sample.alias("line"),
+    )
+    scrapes = ev.select(scrape).distinct()
+    meta_lines = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(scrapes)
+        .select(
+            "scrape",
+            F.lit(0).cast("bigint").alias("lineno"),
+            F.explode(
+                F.array(
+                    F.concat(
+                        F.lit("# HELP "),
+                        F.col("event_type"),
+                        F.lit("_items Synthesized OpenMetrics fixture."),
+                    ),
+                    F.concat(
+                        F.lit("# TYPE "),
+                        F.col("event_type"),
+                        F.lit("_items gauge"),
+                    ),
+                    F.concat(
+                        F.lit("# UNIT "),
+                        F.col("event_type"),
+                        F.lit("_items items"),
+                    ),
+                )
+            ).alias("line"),
+        )
+    )
+    eof_lines = scrapes.select(
+        "scrape",
+        F.lit(10**15).cast("bigint").alias("lineno"),
+        F.lit("# EOF").alias("line"),
+    )
+    lines = samples_lines.unionByName(meta_lines).unionByName(eof_lines)
+    gate = openmetrics_eof_gate(lines, "scrape", "lineno")
+    samples = parse_openmetrics_lines(lines)
+    meta = parse_openmetrics_metadata(lines)
+    typed = samples.join(F.broadcast(meta), "metric", "left")
+    return (
+        typed.crossJoin(F.broadcast(gate))
+        .where(F.col("n_bad") == 0)
+        .select(
+            "metric",
+            F.try_element_at("labels", F.lit("user")).alias("label_user"),
+            "value",
+            "ts_ms",
+            F.try_element_at(
+                F.coalesce(
+                    "exemplar_labels",
+                    F.create_map().cast("map<string,string>"),
+                ),
+                F.lit("trace_id"),
+            ).alias("exemplar_trace"),
+            "exemplar_value",
+            "exemplar_ts_ms",
+            F.coalesce("prom_type", F.lit("untyped")).alias("prom_type"),
+            "unit",
+        )
+    )

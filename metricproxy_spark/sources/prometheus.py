@@ -86,3 +86,136 @@ def with_prometheus_types(
     return samples.join(F.broadcast(types), "metric", "left").withColumn(
         "prom_type", F.coalesce(F.col("prom_type"), F.lit("untyped"))
     )
+
+
+# --------------------------------------------------------------- OpenMetrics
+# Public spec: OpenMetrics (prometheus/OpenMetrics specification.md) —
+# the strict successor of the classic exposition format above. Deltas
+# this parser enforces / surfaces:
+#
+# - timestamps are SECONDS (optionally fractional), not milliseconds;
+# - a sample may carry an EXEMPLAR after ``# ``:
+#       name{l="v"} 17 1234.5 # {trace_id="abc"} 0.67 1234.1
+# - ``# UNIT name unit`` metadata joins ``# TYPE`` in the registry;
+# - an exposition MUST end with exactly ``# EOF`` — a missing/non-final
+#   EOF means the scrape was TRUNCATED and the whole exposition is
+#   malformed (enforced per exposition by :func:`openmetrics_eof_gate`).
+
+# name, {labels}?, value, ts-seconds?, then an optional exemplar block:
+# " # " + {labels} + value + ts-seconds?
+_OM_SAMPLE_RE = (
+    r"^([a-zA-Z_:][a-zA-Z0-9_:]*)(\{[^}]*\})?"
+    r"\s+([^\s#]+)(?:\s+([0-9]+(?:\.[0-9]+)?))?"
+    r"(?:\s+#\s+(\{[^}]*\})\s+([^\s#]+)(?:\s+([0-9]+(?:\.[0-9]+)?))?)?"
+    r"\s*$"
+)
+_OM_META_RE = r"^# (TYPE|UNIT|HELP) ([a-zA-Z_:][a-zA-Z0-9_:]*) (.*)$"
+
+
+def _om_label_map(raw: str):
+    """``{k="v",...}`` capture → MAP (same tolerated subset as the
+    classic parser: no escaped quotes/commas inside label values)."""
+    return F.when(
+        F.length(raw) > 2,
+        F.expr(
+            f"str_to_map(regexp_replace(substring({raw}, 2, "
+            f"length({raw}) - 2), '\"', ''), ',', '=')"
+        ),
+    ).otherwise(F.create_map().cast("map<string,string>"))
+
+
+def parse_openmetrics_metadata(
+    df: DataFrame, line_col: str = "line"
+) -> DataFrame:
+    """``# TYPE`` / ``# UNIT`` metadata lines → one registry row per
+    metric: (metric, prom_type, unit). HELP is recognized (so it never
+    leaks into samples) but not materialized — free-text is not a
+    dimension."""
+    kind = F.regexp_extract(F.col(line_col), _OM_META_RE, 1)
+    name = F.regexp_extract(F.col(line_col), _OM_META_RE, 2)
+    rest = F.regexp_extract(F.col(line_col), _OM_META_RE, 3)
+    meta = df.select(
+        kind.alias("_kind"), name.alias("metric"), rest.alias("_rest")
+    ).where(F.col("_kind").isin("TYPE", "UNIT"))
+    return meta.groupBy("metric").agg(
+        F.max(F.when(F.col("_kind") == "TYPE", F.col("_rest"))).alias(
+            "prom_type"
+        ),
+        F.max(F.when(F.col("_kind") == "UNIT", F.col("_rest"))).alias("unit"),
+    )
+
+
+def parse_openmetrics_lines(
+    df: DataFrame, line_col: str = "line"
+) -> DataFrame:
+    """OpenMetrics sample lines → (metric, labels MAP, value DOUBLE,
+    ts_ms BIGINT, exemplar_labels MAP, exemplar_value DOUBLE,
+    exemplar_ts_ms BIGINT).
+
+    Timestamps are SECONDS with an optional fraction (the OpenMetrics
+    rule; classic exposition used integer milliseconds) — converted to
+    integer milliseconds through DECIMAL(20,3) x 1000, so any
+    millisecond-resolution fraction round-trips exactly. Exemplar
+    fields are NULL when the sample carries none."""
+    c = F.col(line_col)
+    ext = {i: F.regexp_extract(c, _OM_SAMPLE_RE, i) for i in range(1, 8)}
+    ms = lambda s: (  # noqa: E731 — seconds-string -> exact millis
+        F.expr(f"try_cast({s} AS DECIMAL(20,3)) * 1000").cast("bigint")
+    )
+    out = (
+        df.select(
+            ext[1].alias("metric"),
+            ext[2].alias("_lab"),
+            ext[3].alias("_val"),
+            ext[4].alias("_ts"),
+            ext[5].alias("_exlab"),
+            ext[6].alias("_exval"),
+            ext[7].alias("_exts"),
+        )
+        .where(F.col("metric") != "")
+        .select(
+            "metric",
+            _om_label_map("_lab").alias("labels"),
+            F.expr("try_cast(_val AS DOUBLE)").alias("value"),
+            ms("_ts").alias("ts_ms"),
+            F.when(F.col("_exlab") != "", _om_label_map("_exlab")).alias(
+                "exemplar_labels"
+            ),
+            F.expr("try_cast(_exval AS DOUBLE)").alias("exemplar_value"),
+            ms("_exts").alias("exemplar_ts_ms"),
+        )
+        .where(F.col("value").isNotNull())
+    )
+    return out
+
+
+def openmetrics_eof_gate(
+    df: DataFrame, scrape_col: str, lineno_col: str, line_col: str = "line"
+) -> DataFrame:
+    """Per-exposition ``# EOF`` framing check → a 1-row gate frame
+    with a single column ``n_bad`` (always 0 when it survives).
+
+    The OpenMetrics spec requires the exposition to end with exactly
+    ``# EOF``; anything else means the scrape was truncated mid-body
+    and MUST be rejected as a whole. Cross-joining the (broadcast,
+    1-row) gate onto the parsed samples and FILTERING on ``n_bad``
+    makes the parse FAIL at execution time (``assert_true`` raises)
+    if any exposition is unterminated — distributed, no driver-side
+    action. The assertion is embedded INSIDE the ``n_bad`` expression
+    so column pruning can never optimize the check away. Scale: one
+    per-scrape max_by aggregation over line numbers, scrape-cardinality
+    sized."""
+    last = df.groupBy(scrape_col).agg(
+        F.max_by(F.col(line_col), F.col(lineno_col)).alias("_last")
+    )
+    return last.agg(
+        F.sum((F.col("_last") != "# EOF").cast("bigint")).alias("_n_bad0")
+    ).select(
+        F.when(
+            F.assert_true(
+                F.col("_n_bad0") == 0,
+                F.lit("OpenMetrics exposition not terminated by # EOF"),
+            ).isNull(),
+            F.col("_n_bad0"),
+        ).alias("n_bad")
+    )
