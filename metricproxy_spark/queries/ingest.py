@@ -3297,3 +3297,208 @@ def ingest_openmetrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             "unit",
         )
     )
+
+
+@register(
+    "ingest_remote_write_v2_histograms",
+    oracle="""
+    WITH pts AS (
+        SELECT event_type,
+               strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               epoch_ms(date_trunc('day', ts)) AS day_ms,
+               CAST(CAST(value AS DECIMAL(27,4)) * 10000 AS BIGINT) AS v,
+               CAST(value AS DECIMAL(27,4)) AS dv,
+               event_id, epoch_ms(ts) AS ts_ms
+        FROM events
+    ), ser AS (
+        SELECT event_type, day,
+               CAST(COUNT(*) AS BIGINT) AS count_int,
+               CAST(SUM(dv) AS DOUBLE) AS sum_v,
+               CAST(COUNT(*) FILTER (v <= 0) AS BIGINT) AS zero_count,
+               max(day_ms) AS hist_ts_ms,
+               't' || CAST(max(event_id) AS VARCHAR) AS exemplar_trace,
+               max_by(CAST(dv AS DOUBLE), event_id) AS exemplar_value,
+               max_by(ts_ms, event_id) AS exemplar_ts_ms
+        FROM pts GROUP BY 1, 2
+    ), buck AS (
+        SELECT event_type, day,
+               CASE WHEN v = 1 THEN 0
+                    ELSE CAST(length(bin(v - 1)) AS BIGINT) END AS bucket_idx,
+               CAST(COUNT(*) AS BIGINT) AS bucket_count
+        FROM pts WHERE v > 0 GROUP BY 1, 2, 3
+    )
+    SELECT 'events_value_hist' AS metric,
+           s.event_type AS dim_type, s.day AS dim_day,
+           s.count_int, s.sum_v, s.zero_count,
+           CAST(0 AS INT) AS schema_, s.hist_ts_ms,
+           b.bucket_idx, b.bucket_count,
+           s.exemplar_trace, s.exemplar_value, s.exemplar_ts_ms
+    FROM buck b JOIN ser s USING (event_type, day)
+    """,
+)
+def ingest_remote_write_v2_histograms(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Remote-write 2.0 NATIVE-HISTOGRAM + EXEMPLAR arms — the two v2
+    ``TimeSeries`` fields real senders increasingly populate beyond
+    plain samples (prompb io/prometheus/write/v2 types.proto):
+    per (type, day) the events build a schema-0 exponential histogram
+    — positive bucket i covers (2^(i-1), 2^i], index computed in
+    INTEGER space as bit_length(v-1) on x10^4-scaled decimals (the
+    `events_exp_histogram` exactness lever, here with prometheus's
+    upper-inclusive bound, hence ceil not floor) — encoded as
+    BucketSpan runs + sint64 zigzag DELTAS (a new span at every index
+    gap), with count_int/sum/zero_count/timestamp, plus the LATEST
+    sample as an exemplar whose trace_id label rides the SAME
+    request-wide symbol table as series labels. The wire then
+    snappy-compresses, decodes, and explodes back to one row per
+    bucket. Oracle = the independent SQL derivation of every field:
+    agreement proves span/delta reconstruction, zigzag, packing,
+    interning and compression are all lossless (sum and exemplar
+    doubles ride fixed64 bit-patterns). Scale: two rollup-sized hash
+    aggs + map-only Arrow codec legs; series state is |types|x|days|,
+    never event-sized."""
+    import pandas as pd
+
+    from metricproxy_spark.io import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
+    events = load_table(spark, sf_dir, "events")
+    pts = events.select(
+        "event_type",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        F.unix_millis(F.date_trunc("day", "ts")).alias("day_ms"),
+        (F.col("value").cast("decimal(27,4)") * 10000)
+        .cast("bigint")
+        .alias("v"),
+        F.col("value").cast("decimal(27,4)").alias("dv"),
+        "event_id",
+        F.unix_millis("ts").alias("ts_ms"),
+    )
+    ser = pts.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("count_int"),
+        F.sum("dv").cast("double").alias("sum_v"),
+        F.sum((F.col("v") <= 0).cast("int")).cast("bigint").alias(
+            "zero_count"
+        ),
+        F.max("day_ms").alias("hist_ts_ms"),
+        F.max("event_id").alias("ex_id"),
+        F.max_by(F.col("dv").cast("double"), "event_id").alias("ex_value"),
+        F.max_by("ts_ms", "event_id").alias("ex_ts_ms"),
+    )
+    bucket_idx = F.when(F.col("v") == 1, F.lit(0).cast("bigint")).otherwise(
+        F.length(F.bin(F.col("v") - 1)).cast("bigint")
+    )
+    buck = (
+        pts.where(F.col("v") > 0)
+        .groupBy("event_type", "day", bucket_idx.alias("bucket_idx"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("bucket_count"))
+        .groupBy("event_type", "day")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("bucket_idx", "bucket_count"))
+            ).alias("b")
+        )
+        .select(
+            "event_type",
+            "day",
+            F.expr("transform(b, x -> x.bucket_idx)").alias("bidx"),
+            F.expr("transform(b, x -> x.bucket_count)").alias("bcnt"),
+        )
+    )
+    rows = ser.join(buck, ["event_type", "day"])
+
+    def encode(batches):
+        from metricproxy_spark.sources.remote_write import (
+            encode_remote_write_body_v2_full,
+        )
+
+        for pdf in batches:
+            pdf = pdf.sort_values(["event_type", "day"])
+            blobs = []
+            for start in range(0, len(pdf), 50):
+                chunk = pdf.iloc[start : start + 50]
+                series = []
+                for r in chunk.itertuples(index=False):
+                    series.append(
+                        {
+                            "labels": {
+                                "__name__": "events_value_hist",
+                                "type": str(r.event_type),
+                                "day": str(r.day),
+                            },
+                            "histograms": [
+                                {
+                                    "count_int": int(r.count_int),
+                                    "sum": float(r.sum_v),
+                                    "schema": 0,
+                                    "zero_threshold": 0.0,
+                                    "zero_count_int": int(r.zero_count),
+                                    "positive_buckets": [
+                                        (int(i), int(c))
+                                        for i, c in zip(r.bidx, r.bcnt)
+                                    ],
+                                    "timestamp_ms": int(r.hist_ts_ms),
+                                }
+                            ],
+                            "exemplars": [
+                                (
+                                    {"trace_id": f"t{int(r.ex_id)}"},
+                                    float(r.ex_value),
+                                    int(r.ex_ts_ms),
+                                )
+                            ],
+                        }
+                    )
+                blobs.append(encode_remote_write_body_v2_full(series))
+            yield pd.DataFrame({"body": [bytearray(b) for b in blobs]})
+
+    payloads = rows.mapInPandas(encode, "body binary")
+
+    def decode(batches):
+        from metricproxy_spark.sources.remote_write import (
+            decode_remote_write_body_v2_full,
+        )
+
+        for pdf in batches:
+            out = []
+            for body in pdf["body"]:
+                for s in decode_remote_write_body_v2_full(bytes(body)):
+                    labels = s["labels"]
+                    (h,) = s["histograms"]
+                    ((elabels, ev, et),) = s["exemplars"]
+                    for idx, cnt in h["positive_buckets"]:
+                        out.append(
+                            (
+                                labels["__name__"],
+                                labels["type"],
+                                labels["day"],
+                                h["count_int"],
+                                h["sum"],
+                                h["zero_count_int"],
+                                h["schema"],
+                                h["timestamp_ms"],
+                                idx,
+                                cnt,
+                                elabels["trace_id"],
+                                ev,
+                                et,
+                            )
+                        )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "metric", "dim_type", "dim_day", "count_int", "sum_v",
+                    "zero_count", "schema_", "hist_ts_ms", "bucket_idx",
+                    "bucket_count", "exemplar_trace", "exemplar_value",
+                    "exemplar_ts_ms",
+                ],
+            )
+
+    return payloads.mapInPandas(
+        decode,
+        "metric string, dim_type string, dim_day string, count_int long,"
+        " sum_v double, zero_count long, schema_ int, hist_ts_ms long,"
+        " bucket_idx long, bucket_count long, exemplar_trace string,"
+        " exemplar_value double, exemplar_ts_ms long",
+    )

@@ -152,3 +152,186 @@ class TestOpenMetrics:
         )
         assert rows[0].ts_ms == 1700000000001
         assert rows[1].ts_ms == 1700000000000
+
+
+class TestRemoteWriteV2Histograms:
+    def _series(self):
+        return [
+            {
+                "labels": {"__name__": "lat", "type": "click"},
+                "samples": [(1.5, 1000)],
+                "histograms": [
+                    {
+                        "count_int": 10,
+                        "sum": 12.25,
+                        "schema": 0,
+                        "zero_threshold": 0.0,
+                        "zero_count_int": 2,
+                        "positive_buckets": [(0, 3), (1, 2), (5, 4), (6, 1)],
+                        "negative_buckets": [(-2, 1), (3, 2)],
+                        "timestamp_ms": 1700000000000,
+                    }
+                ],
+                "exemplars": [({"trace_id": "abc"}, 0.125, 1699999999750)],
+            },
+            {
+                "labels": {"__name__": "lat", "type": "error"},
+                "samples": [],
+                "histograms": [],
+                "exemplars": [],
+            },
+        ]
+
+    def test_roundtrip_full(self):
+        from metricproxy_spark.sources.remote_write import (
+            decode_remote_write_body_v2_full,
+            encode_remote_write_body_v2_full,
+        )
+
+        series = self._series()
+        assert (
+            decode_remote_write_body_v2_full(
+                encode_remote_write_body_v2_full(series)
+            )
+            == series
+        )
+
+    def test_exemplar_labels_share_symbol_table(self):
+        # 'trace_id'/'abc' must appear ONCE in the symbol table even
+        # when two series carry the same exemplar labels.
+        from metricproxy_spark.sources.remote_write import (
+            decode_write_request_v2_full,
+            encode_write_request_v2_full,
+        )
+
+        series = [
+            {
+                "labels": {"__name__": "a"},
+                "exemplars": [({"trace_id": "abc"}, 1.0, 1)],
+            },
+            {
+                "labels": {"__name__": "b"},
+                "exemplars": [({"trace_id": "abc"}, 2.0, 2)],
+            },
+        ]
+        one = encode_write_request_v2_full(series)
+        assert one.count(b"trace_id") == 1
+        out = decode_write_request_v2_full(one)
+        assert out[0]["exemplars"][0][0] == {"trace_id": "abc"}
+        assert out[1]["exemplars"][0][0] == {"trace_id": "abc"}
+
+    def test_every_prefix_truncation_raises_or_decodes(self):
+        # The strict-codec contract: every proper prefix either raises
+        # a clean ValueError or decodes (a prefix CAN be a valid
+        # shorter message) — never an unhandled exception type.
+        from metricproxy_spark.sources.remote_write import (
+            decode_write_request_v2_full,
+            encode_write_request_v2_full,
+        )
+
+        buf = encode_write_request_v2_full(self._series())
+        for n in range(len(buf)):
+            try:
+                decode_write_request_v2_full(buf[:n])
+            except ValueError:
+                pass
+
+    def test_histogram_unpacked_delta_spelling(self):
+        # Protobuf compatibility: repeated sint64 may arrive unpacked
+        # (one varint field per delta) — decoder must accept it.
+        from metricproxy_spark.sources.remote_write import (
+            _tag,
+            _write_bytes_field,
+            _write_varint,
+            _zigzag,
+            decode_histogram,
+            _encode_span,
+        )
+
+        out = bytearray()
+        _write_bytes_field(out, 11, _encode_span(2, 3))
+        for d in (5, -2, 1):  # counts 5, 3, 4 at indices 2, 3, 4
+            _write_varint(out, _tag(12, 0))
+            _write_varint(out, _zigzag(d))
+        h = decode_histogram(bytes(out))
+        assert h["positive_buckets"] == [(2, 5), (3, 3), (4, 4)]
+
+    def test_histogram_float_arms(self):
+        import struct as _s
+
+        from metricproxy_spark.sources.remote_write import (
+            _tag,
+            _write_varint,
+            decode_histogram,
+        )
+
+        out = bytearray()
+        _write_varint(out, _tag(2, 1))
+        out.extend(_s.pack("<d", 10.5))
+        _write_varint(out, _tag(7, 1))
+        out.extend(_s.pack("<d", 0.5))
+        h = decode_histogram(bytes(out))
+        assert h["count_float"] == 10.5
+        assert h["zero_count_float"] == 0.5
+
+    def test_histogram_span_delta_mismatch_raises(self):
+        from metricproxy_spark.sources.remote_write import (
+            _encode_span,
+            _tag,
+            _write_bytes_field,
+            _write_varint,
+            _zigzag,
+            decode_histogram,
+        )
+
+        out = bytearray()
+        _write_bytes_field(out, 11, _encode_span(0, 3))  # 3 buckets...
+        packed = bytearray()
+        for d in (1, 1):  # ...but only 2 deltas
+            _write_varint(packed, _zigzag(d))
+        _write_bytes_field(out, 12, bytes(packed))
+        with pytest.raises(ValueError, match="deltas"):
+            decode_histogram(bytes(out))
+
+    def test_histogram_negative_bucket_count_raises(self):
+        from metricproxy_spark.sources.remote_write import (
+            _encode_span,
+            _tag,
+            _write_bytes_field,
+            _write_varint,
+            _zigzag,
+            decode_histogram,
+        )
+
+        out = bytearray()
+        _write_bytes_field(out, 11, _encode_span(0, 2))
+        packed = bytearray()
+        for d in (1, -5):  # running count drops below zero
+            _write_varint(packed, _zigzag(d))
+        _write_bytes_field(out, 12, bytes(packed))
+        with pytest.raises(ValueError, match="negative"):
+            decode_histogram(bytes(out))
+
+    def test_spans_deltas_gap_and_negative_offset(self):
+        from metricproxy_spark.sources.remote_write import (
+            _buckets_from_spans,
+            _spans_deltas,
+        )
+
+        buckets = [(-3, 2), (-2, 1), (4, 7), (5, 7), (6, 1)]
+        spans, deltas = _spans_deltas(buckets)
+        assert spans == [(-3, 2), (5, 3)]
+        assert deltas == [2, -1, 6, 0, -6]
+        assert _buckets_from_spans(spans, deltas) == buckets
+
+    def test_v1_decoder_skips_v2_arms(self):
+        # A histogram-bearing series must not break the sample-only
+        # decoder — unknown fields are skipped per protobuf rules.
+        from metricproxy_spark.sources.remote_write import (
+            decode_write_request_v2,
+            encode_write_request_v2_full,
+        )
+
+        buf = encode_write_request_v2_full(self._series())
+        out = decode_write_request_v2(buf)
+        assert out[0] == ({"__name__": "lat", "type": "click"}, [(1.5, 1000)])
