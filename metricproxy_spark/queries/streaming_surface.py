@@ -2226,3 +2226,119 @@ def stream_otlp_protobuf_pipeline(
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     shutil.rmtree(wd, ignore_errors=True)
     return result
+
+
+@register(
+    "stream_alert_for_duration",
+    oracle="""
+    WITH hours AS (SELECT DISTINCT date_trunc('hour', ts) AS h FROM events),
+    idx AS (
+        SELECT h, CAST(row_number() OVER (ORDER BY h) - 1 AS BIGINT) AS hidx
+        FROM hours
+    ),
+    cnt AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    tr AS (
+        SELECT c.event_type, i.hidx,
+               i.hidx - row_number() OVER (PARTITION BY c.event_type
+                                           ORDER BY i.hidx) AS isl_key
+        FROM cnt c JOIN idx i ON c.h = i.h
+        WHERE c.n >= 4
+    ),
+    isl AS (
+        SELECT event_type, isl_key, min(hidx) AS s, max(hidx) AS e,
+               CAST(count(*) AS BIGINT) AS len
+        FROM tr GROUP BY 1, 2
+    ),
+    w AS (
+        SELECT *, max(e) OVER (PARTITION BY event_type ORDER BY s
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING) AS prev_e
+        FROM isl
+    ),
+    f AS (
+        SELECT *, CASE WHEN prev_e IS NULL OR s - prev_e > 2
+                       THEN 1 ELSE 0 END AS new_c
+        FROM w
+    ),
+    cl AS (
+        SELECT *, sum(new_c) OVER (PARTITION BY event_type ORDER BY s
+                                   ROWS UNBOUNDED PRECEDING) AS cid
+        FROM f
+    )
+    SELECT event_type, CAST(cid AS BIGINT) AS incident_id,
+           min(s) AS cluster_start, max(e) AS cluster_end,
+           CAST(count(*) AS BIGINT) AS n_islands,
+           CAST(sum(len) AS BIGINT) AS n_true,
+           (min(CASE WHEN len >= 3 THEN s END) IS NOT NULL) AS fired,
+           min(CASE WHEN len >= 3 THEN s END) + 2 AS fired_at,
+           CASE WHEN min(CASE WHEN len >= 3 THEN s END) IS NOT NULL
+                THEN max(e) + 3 END AS resolved_at
+    FROM cl GROUP BY 1, 2
+    """,
+)
+def stream_alert_for_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMED twin of ``events_alert_for_duration`` — the Prometheus
+    alert ``for:``/``keep_firing_for:`` state machine carried across
+    REAL micro-batches in applyInPandasWithState (the production form:
+    alert state must survive evaluation cycles, not be recomputed from
+    history). The TRUE-eval step series (hourly breach evals on the
+    shared grid, the recording-rule rollup) is staged as 2 time-ranged
+    files and replayed with maxFilesPerTrigger=1, so islands and
+    keep-firing clusters SPAN the batch boundary and must be stitched
+    from GroupState — batch 2's first eval can extend an island only
+    via batch 1's carried (island start, length, last step). Each
+    batch emits the full per-series incident snapshot stamped with a
+    monotone version (= last step folded); the final table takes each
+    series' max-version rows and hash-matches the one-shot batch
+    island-rewrite oracle — the strongest streaming-correctness
+    statement available (same convention as `stream_topk_users`).
+    Note the oracle needs no dense grid: false/missing evals are
+    implicit hidx gaps, so only TRUE evals flow (the stream stays
+    sparse). State is O(incidents) per series."""
+    from pyspark.sql import Window
+
+    from metricproxy_spark.streaming.stateful import alert_for_islands
+
+    wd = _workdir()
+    events = _load_events(spark, sf_dir)
+    hours = events.select(F.date_trunc("hour", "ts").alias("h")).distinct()
+    idx = hours.select(
+        "h",
+        (F.row_number().over(Window.orderBy("h")) - 1)
+        .cast("bigint")
+        .alias("hidx"),
+    )
+    cnt = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    true_evals = (
+        cnt.where(F.col("n") >= 4)
+        .join(idx, "h")
+        .select("event_type", "hidx")
+    )
+    src_dir = os.path.join(wd, "src")
+    os.makedirs(src_dir, exist_ok=True)
+    _write_range_split(true_evals, "hidx", src_dir, num_files=2)
+    stream = read_stream_table(spark, src_dir, max_files_per_trigger=1)
+    snapshots = alert_for_islands(stream)
+    # Key space is |series| (a handful): scope the state store like the
+    # sibling stateful queries so a vanilla 200-partition session does
+    # not spin 200 state dirs per micro-batch.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        out = _run_to_memory(
+            snapshots, os.path.join(wd, "ckpt"), mode="append"
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    w = Window.partitionBy("event_type")
+    return (
+        out.withColumn("_vmax", F.max("version").over(w))
+        .where(F.col("version") == F.col("_vmax"))
+        .drop("_vmax", "version")
+    )

@@ -27,6 +27,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    BooleanType,
     DoubleType,
     LongType,
     StringType,
@@ -235,6 +236,159 @@ def streaming_topk(
         _make_topk_fn(capacity, emit),
         outputStructType=TOPK_SCHEMA,
         stateStructType=_TOPK_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ------------------------------------------------- alert for:-duration
+# Streamed twin of queries/events.py events_alert_for_duration: the
+# Prometheus alert state machine (for: 3 evals, keep_firing_for: 2)
+# carried ACROSS MICRO-BATCHES — the production form of the batch
+# island rewrite. Public algorithm: prometheus/rules alerting.go
+# Rule.Eval (StatePending -> StateFiring, keepFiringFor hold).
+#
+# Each key's state is its INCIDENT LIST (one entry per cluster of
+# breach islands separated by gaps <= keep) plus the open island's
+# (start, length) and the last eval step seen. Every batch appends the
+# new TRUE eval steps (false/missing steps are implicit hidx gaps),
+# extends/opens islands and clusters incrementally, then emits the
+# full incident snapshot stamped with version = last step processed —
+# monotone per key, so the final answer is each key's max-version
+# rows (the streaming_topk convention). State is O(incidents) per
+# series, never O(evals): at 100 TB the eval series is itself a
+# recording-rule rollup, and incidents are sparser still.
+
+ALERT_FOR_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("version", LongType()),
+        StructField("incident_id", LongType()),
+        StructField("cluster_start", LongType()),
+        StructField("cluster_end", LongType()),
+        StructField("n_islands", LongType()),
+        StructField("n_true", LongType()),
+        StructField("fired", BooleanType()),
+        StructField("fired_at", LongType()),
+        StructField("resolved_at", LongType()),
+    ]
+)
+
+_ALERT_FOR_STATE_SCHEMA = StructType(
+    [
+        StructField("cs", ArrayType(LongType())),
+        StructField("ce", ArrayType(LongType())),
+        StructField("n_isl", ArrayType(LongType())),
+        StructField("n_true", ArrayType(LongType())),
+        StructField("fire_s", ArrayType(LongType())),  # -1 = not fired
+        StructField("isl_s", LongType()),
+        StructField("isl_len", LongType()),
+        StructField("max_h", LongType()),
+    ]
+)
+
+
+def _make_alert_for_fn(for_steps: int, keep_gap: int):
+    def _fn(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (etype,) = key
+        if state.exists:
+            cs, ce, n_isl, n_true, fire_s, isl_s, isl_len, max_h = state.get
+            clusters = [
+                list(t) for t in zip(cs, ce, n_isl, n_true, fire_s)
+            ]
+        else:
+            clusters, isl_s, isl_len, max_h = [], -1, 0, -1
+
+        for pdf in pdfs:
+            for t in sorted(int(h) for h in pdf["hidx"].to_numpy()):
+                if t <= max_h:
+                    continue  # replayed/out-of-order step: already folded
+                if not clusters or t - clusters[-1][1] > keep_gap:
+                    # gap beyond the keep-firing grace: NEW incident
+                    clusters.append([t, t, 1, 1, -1])
+                    isl_s, isl_len = t, 1
+                elif t == clusters[-1][1] + 1:
+                    # consecutive TRUE eval: current island extends
+                    clusters[-1][1] = t
+                    clusters[-1][3] += 1
+                    isl_len += 1
+                else:
+                    # short gap (<= keep): new island, same incident
+                    clusters[-1][1] = t
+                    clusters[-1][2] += 1
+                    clusters[-1][3] += 1
+                    isl_s, isl_len = t, 1
+                if isl_len >= for_steps and clusters[-1][4] < 0:
+                    # pending held for the full for: duration -> FIRING
+                    clusters[-1][4] = isl_s
+                max_h = t
+
+        state.update(
+            (
+                [c[0] for c in clusters],
+                [c[1] for c in clusters],
+                [c[2] for c in clusters],
+                [c[3] for c in clusters],
+                [c[4] for c in clusters],
+                isl_s,
+                isl_len,
+                max_h,
+            )
+        )
+        if clusters:
+            yield pd.DataFrame(
+                {
+                    "event_type": etype,
+                    "version": max_h,
+                    "incident_id": range(1, len(clusters) + 1),
+                    "cluster_start": [c[0] for c in clusters],
+                    "cluster_end": [c[1] for c in clusters],
+                    "n_islands": [c[2] for c in clusters],
+                    "n_true": [c[3] for c in clusters],
+                    "fired": [c[4] >= 0 for c in clusters],
+                    "fired_at": [
+                        c[4] + for_steps - 1 if c[4] >= 0 else None
+                        for c in clusters
+                    ],
+                    "resolved_at": [
+                        c[1] + keep_gap + 1 if c[4] >= 0 else None
+                        for c in clusters
+                    ],
+                }
+            )
+
+    return _fn
+
+
+def alert_for_islands(
+    df: DataFrame,
+    key_col: str = "event_type",
+    step_col: str = "hidx",
+    for_steps: int = 3,
+    keep_gap: int = 2,
+) -> DataFrame:
+    """Streamed Prometheus ``for:``/``keep_firing_for:`` incident fold
+    over a TRUE-eval step stream (key, step). Emits the per-key
+    incident snapshot each micro-batch stamped with a monotone
+    ``version``; take each key's max-version rows for the final table
+    — it hash-matches the batch island rewrite."""
+    from pyspark.sql import functions as F
+
+    from metricproxy_spark.io import ensure_package_on_workers
+
+    ensure_package_on_workers(df.sparkSession)
+    slim = df.select(
+        F.col(key_col).alias("event_type"),
+        F.col(step_col).cast("long").alias("hidx"),
+    )
+    return slim.groupBy("event_type").applyInPandasWithState(
+        _make_alert_for_fn(for_steps, keep_gap),
+        outputStructType=ALERT_FOR_SCHEMA,
+        stateStructType=_ALERT_FOR_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -335,3 +335,115 @@ class TestRemoteWriteV2Histograms:
         buf = encode_write_request_v2_full(self._series())
         out = decode_write_request_v2(buf)
         assert out[0] == ({"__name__": "lat", "type": "click"}, [(1.5, 1000)])
+
+
+class TestStreamAlertForIslands:
+    def test_islands_and_clusters_span_micro_batches(self, spark, tmp_path):
+        """for:=3, keep:=2 over a crafted 3-batch replay: an island
+        completing its for-duration ACROSS the batch-1/2 boundary, a
+        keep-gap cluster merge across batch 2/3, a far gap opening a
+        second incident, and a key silent for a whole middle batch."""
+        import os
+        import time
+
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from metricproxy_spark.streaming.source import read_stream_table
+        from metricproxy_spark.streaming.stateful import alert_for_islands
+
+        batches = [
+            [("a", 1), ("a", 2), ("b", 10)],
+            [("a", 3), ("a", 5)],
+            [("a", 6), ("a", 20), ("a", 21), ("b", 11), ("b", 12)],
+        ]
+        src = str(tmp_path / "src")
+        base = time.time() - 10_000
+        for i, rows in enumerate(batches):
+            path = os.path.join(src, f"part_{i:04d}")
+            spark.createDataFrame(
+                rows, "event_type string, hidx long"
+            ).coalesce(1).write.mode("overwrite").parquet(path)
+            for root, _dirs, files in os.walk(path):
+                for f in files:
+                    os.utime(os.path.join(root, f), (base + i, base + i))
+
+        stream = read_stream_table(spark, src, max_files_per_trigger=1)
+        q = (
+            alert_for_islands(stream)
+            .writeStream.format("memory")
+            .queryName("t_alert_for")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = spark.table("t_alert_for")
+        w = Window.partitionBy("event_type")
+        final = (
+            out.withColumn("_vmax", F.max("version").over(w))
+            .where(F.col("version") == F.col("_vmax"))
+            .drop("_vmax", "version")
+        )
+        got = {
+            (r.event_type, r.incident_id): (
+                r.cluster_start,
+                r.cluster_end,
+                r.n_islands,
+                r.n_true,
+                r.fired,
+                r.fired_at,
+                r.resolved_at,
+            )
+            for r in final.collect()
+        }
+        assert got == {
+            # island 1-3 stitched across batches 1/2 -> fires at step 3;
+            # islands {5} and {5,6} merge via the keep gap (5-3=2);
+            # resolved 2 steps after the last true eval + 1
+            ("a", 1): (1, 6, 2, 5, True, 3, 9),
+            # 20 is 14 steps past 6 -> a brand-new incident, never fires
+            ("a", 2): (20, 21, 1, 2, False, None, None),
+            # key b silent in batch 2; island 10-12 completes in batch 3
+            ("b", 1): (10, 12, 1, 3, True, 12, 15),
+        }
+
+    def test_mid_stream_snapshots_are_versioned(self, spark, tmp_path):
+        """Batch-1 snapshot rows (version 2) must survive in the sink
+        and lose to the final version on the max-version filter."""
+        import os
+        import time
+
+        from metricproxy_spark.streaming.source import read_stream_table
+        from metricproxy_spark.streaming.stateful import alert_for_islands
+
+        batches = [[("a", 1), ("a", 2)], [("a", 3)]]
+        src = str(tmp_path / "src")
+        base = time.time() - 10_000
+        for i, rows in enumerate(batches):
+            path = os.path.join(src, f"part_{i:04d}")
+            spark.createDataFrame(
+                rows, "event_type string, hidx long"
+            ).coalesce(1).write.mode("overwrite").parquet(path)
+            for root, _dirs, files in os.walk(path):
+                for f in files:
+                    os.utime(os.path.join(root, f), (base + i, base + i))
+
+        stream = read_stream_table(spark, src, max_files_per_trigger=1)
+        q = (
+            alert_for_islands(stream)
+            .writeStream.format("memory")
+            .queryName("t_alert_ver")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows = {
+            (r.version, r.fired): (r.cluster_end, r.n_true)
+            for r in spark.table("t_alert_ver").collect()
+        }
+        # batch 1: pending (len 2, not fired); batch 2: fired at step 3
+        assert rows == {(2, False): (2, 2), (3, True): (3, 3)}
