@@ -3826,25 +3826,27 @@ def events_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-partition ordered scan, never a self-join."""
     from pyspark.sql import Window
 
+    from pyspark.sql import Window
+
     events = load_table(spark, sf_dir, "events")
     hourly = events.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("h")
     ).agg(F.sum(F.col("value").cast("decimal(27,4)")).alias("v"))
-    hourly.createOrReplaceTempView("mp_time_range_hourly")
-    return spark.sql(
-        """
-        SELECT event_type, h,
-               CAST(SUM(v) OVER (PARTITION BY event_type ORDER BY h
-                   RANGE BETWEEN INTERVAL '3' HOUR PRECEDING
-                   AND CURRENT ROW) AS DOUBLE) AS rolling_4h_sum,
-               CAST(COUNT(*) OVER (PARTITION BY event_type ORDER BY h
-                   RANGE BETWEEN INTERVAL '3' HOUR PRECEDING
-                   AND CURRENT ROW) AS BIGINT) AS n_in_frame,
-               CAST(MAX(v) OVER (PARTITION BY event_type ORDER BY h
-                   RANGE BETWEEN INTERVAL '3' HOUR PRECEDING
-                   AND CURRENT ROW) AS DOUBLE) AS rolling_4h_max
-        FROM mp_time_range_hourly
-        """
+    # RANGE INTERVAL '3' HOUR PRECEDING as an epoch-second range frame
+    # (hour timestamps are exact integer seconds — identical bounds);
+    # pure DataFrame API, no session-global temp view (ADVICE r10's
+    # concurrent-invocation hazard class).
+    w3 = (
+        Window.partitionBy("event_type")
+        .orderBy(F.unix_timestamp("h"))
+        .rangeBetween(-3 * 3600, 0)
+    )
+    return hourly.select(
+        "event_type",
+        "h",
+        F.sum("v").over(w3).cast("double").alias("rolling_4h_sum"),
+        F.count(F.lit(1)).over(w3).cast("bigint").alias("n_in_frame"),
+        F.max("v").over(w3).cast("double").alias("rolling_4h_max"),
     )
 
 
@@ -4479,6 +4481,8 @@ def events_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold literals compare bit-identical doubles. Scale: one
     hourly rollup shuffle + two frames over one per-series ordered
     scan — state is series x window, never raw samples."""
+    from pyspark.sql import Window
+
     events = load_table(spark, sf_dir, "events")
     hourly = events.groupBy(
         "user_id", F.date_trunc("hour", "ts").alias("h")
@@ -4486,39 +4490,52 @@ def events_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("req"),
         F.count_if(F.col("event_type") == "error").cast("bigint").alias("err"),
     )
-    hourly.createOrReplaceTempView("mp_slo_hourly")
-    return spark.sql(
-        """
-        WITH win AS (
-            SELECT user_id, h, req AS req_1h, err AS err_1h,
-                   CAST(SUM(req) OVER w6 AS BIGINT) AS req_6h,
-                   CAST(SUM(err) OVER w6 AS BIGINT) AS err_6h,
-                   CAST(SUM(req) OVER w24 AS BIGINT) AS req_24h,
-                   CAST(SUM(err) OVER w24 AS BIGINT) AS err_24h
-            FROM mp_slo_hourly
-            WINDOW w6 AS (PARTITION BY user_id ORDER BY h
-                          RANGE BETWEEN INTERVAL '5' HOUR PRECEDING
-                          AND CURRENT ROW),
-                   w24 AS (PARTITION BY user_id ORDER BY h
-                           RANGE BETWEEN INTERVAL '23' HOUR PRECEDING
-                           AND CURRENT ROW)
-        ), rates AS (
-            SELECT *,
-                   100.0 * CAST(err_1h AS DOUBLE) / CAST(req_1h AS DOUBLE)
-                       AS burn_1h,
-                   100.0 * CAST(err_6h AS DOUBLE) / CAST(req_6h AS DOUBLE)
-                       AS burn_6h,
-                   100.0 * CAST(err_24h AS DOUBLE) / CAST(req_24h AS DOUBLE)
-                       AS burn_24h
-            FROM win
+    # RANGE INTERVAL '5'/'23' HOUR PRECEDING, spelled as epoch-second
+    # range frames (hour timestamps are exact integer seconds, so the
+    # bounds are identical) — pure DataFrame API, no session-global
+    # temp view to collide across concurrent invocations (ADVICE r10).
+    w6 = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("h"))
+        .rangeBetween(-5 * 3600, 0)
+    )
+    w24 = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("h"))
+        .rangeBetween(-23 * 3600, 0)
+    )
+    win = hourly.select(
+        "user_id",
+        "h",
+        F.col("req").alias("req_1h"),
+        F.col("err").alias("err_1h"),
+        F.sum("req").over(w6).cast("bigint").alias("req_6h"),
+        F.sum("err").over(w6).cast("bigint").alias("err_6h"),
+        F.sum("req").over(w24).cast("bigint").alias("req_24h"),
+        F.sum("err").over(w24).cast("bigint").alias("err_24h"),
+    )
+
+    def burn(err_c: str, req_c: str):
+        return (
+            F.lit(100.0)
+            * F.col(err_c).cast("double")
+            / F.col(req_c).cast("double")
         )
-        SELECT user_id, h,
-               req_1h, err_1h, req_6h, err_6h, req_24h, err_24h,
-               burn_1h, burn_6h, burn_24h,
-               (burn_1h > 14.4 AND burn_6h > 6.0) AS page_fast_burn,
-               (burn_6h > 6.0 AND burn_24h > 3.0) AS ticket_slow_burn
-        FROM rates
-        """
+
+    rates = win.select(
+        "*",
+        burn("err_1h", "req_1h").alias("burn_1h"),
+        burn("err_6h", "req_6h").alias("burn_6h"),
+        burn("err_24h", "req_24h").alias("burn_24h"),
+    )
+    return rates.select(
+        "*",
+        ((F.col("burn_1h") > 14.4) & (F.col("burn_6h") > 6.0)).alias(
+            "page_fast_burn"
+        ),
+        ((F.col("burn_6h") > 6.0) & (F.col("burn_24h") > 3.0)).alias(
+            "ticket_slow_burn"
+        ),
     )
 
 

@@ -3124,7 +3124,11 @@ def ingest_lz4_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                 pdf["doc_id"], pdf["source"], pdf["lang"], pdf["text"]
             ):
                 blob = compress_lz4_block(str(text).encode("utf-8"))
-                back = decompress_lz4_block(blob)
+                # explicit bound: block size x the format's max
+                # amplification (ADVICE r10) — a >64 MiB document no
+                # longer trips the default cap, while a crafted bomb
+                # still refuses in O(1) with the distinct bound error
+                back = decompress_lz4_block(blob, max_out=len(blob) * 255 + 64)
                 rows.append(
                     (
                         int(did),

@@ -58,7 +58,15 @@ def _read_count(buf: bytes, pos: int, base: int) -> tuple[int, int]:
 def decompress_lz4_block(buf: bytes, max_out: int = 1 << 26) -> bytes:
     """Decode one raw LZ4 block; ``ValueError`` on any malformation or
     on output exceeding ``max_out`` (no length preamble exists to
-    bound it otherwise)."""
+    bound it otherwise).
+
+    The bound refusal carries a DISTINCT message ("exceeds max_out
+    bound") from the malformation errors, so callers can tell a
+    legitimately-large block from a corrupt one. Callers that know
+    their payload should pass an explicit ``max_out`` sized to it —
+    e.g. ``len(buf) * 255`` (the format's maximum amplification: a
+    match copies at most 255+some bytes per 1-byte extension) rather
+    than relying on the 64 MiB default."""
     out = bytearray()
     pos = 0
     n = len(buf)

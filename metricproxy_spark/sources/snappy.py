@@ -241,7 +241,11 @@ def compress_snappy_framed(data: bytes) -> bytes:
     """Encode a framed snappy stream: identifier + one compressed-data
     chunk per 64 KiB of input (the spec's per-chunk cap)."""
     out = bytearray(_STREAM_ID)
-    for i in range(0, len(data), _MAX_CHUNK_DATA) or [0]:
+    # Empty input still emits ONE empty chunk — special-cased
+    # explicitly (the `range(...) or [0]` falsy-range trick this
+    # replaced was refactor-fragile; ADVICE r10).
+    starts = range(0, len(data), _MAX_CHUNK_DATA) if data else (0,)
+    for i in starts:
         chunk = data[i : i + _MAX_CHUNK_DATA]
         body = _mask_crc(crc32c(chunk)).to_bytes(4, "little") + compress_snappy(
             chunk
@@ -254,8 +258,16 @@ def compress_snappy_framed(data: bytes) -> bytes:
 
 def decompress_snappy_framed(buf: bytes) -> bytes:
     """Decode a framed snappy stream; ``ValueError`` on a missing or
-    malformed identifier, bad chunk CRC, truncation, or any reserved
-    unskippable chunk type."""
+    malformed identifier, bad chunk CRC, mid-chunk truncation, or any
+    reserved unskippable chunk type.
+
+    CAVEAT (inherent to the format, not this decoder): the framing
+    spec has no total-length or end-of-stream marker, so a stream
+    truncated EXACTLY at a chunk boundary is indistinguishable from a
+    complete shorter stream and decodes to a silent partial prefix.
+    Stream consumers needing completeness must carry their own check
+    (e.g. an expected sample/byte count), as the carbon transport
+    oracle does."""
     if not buf.startswith(_STREAM_ID):
         raise ValueError("missing snappy stream identifier")
     out = bytearray()
