@@ -4841,3 +4841,77 @@ def events_graphite_moving(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mov_median_3"),
         F.greatest(d1, d2, d3).alias("mov_max_3"),
     )
+
+
+@register(
+    "events_graphite_derivative",
+    oracle="""
+    WITH hourly AS (
+        SELECT 'stats.' || event_type || '.value' AS path,
+               date_trunc('hour', ts) AS h,
+               SUM(CAST(value AS DECIMAL(27,4))) AS v
+        FROM events GROUP BY 1, 2
+    ), lagged AS (
+        SELECT path, h, v,
+               lag(v) OVER w AS v_prev,
+               lag(h) OVER w AS h_prev,
+               SUM(v) OVER (PARTITION BY path ORDER BY h
+                            ROWS UNBOUNDED PRECEDING) AS cum
+        FROM hourly
+        WINDOW w AS (PARTITION BY path ORDER BY h)
+    )
+    SELECT path, h, CAST(v AS DOUBLE) AS v,
+           CAST(v - v_prev AS DOUBLE) AS derivative,
+           CAST(v - v_prev AS DOUBLE)
+             / CAST(epoch(h) - epoch(h_prev) AS DOUBLE) AS per_second,
+           CAST(cum AS DOUBLE) AS integral
+    FROM lagged WHERE v_prev IS NOT NULL
+    """,
+)
+def events_graphite_derivative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graphite RENDER-API rate/accumulation family — ``derivative``
+    (raw delta to the previous point, graphite's non-normalized form),
+    ``perSecond`` (delta divided by the actual inter-point seconds —
+    the counter-rate form dashboards use), and ``integral`` (running
+    cumulative sum from series start). Public algorithm: graphite-web
+    render/functions.py derivative / perSecond / integral; like
+    graphite, the first point of derivative/perSecond is dropped (no
+    predecessor — graphite emits None). Exactness: deltas and the
+    running sum stay DECIMAL end to end (order-independent by
+    construction: a window cumsum is a sequential fold); perSecond is
+    ONE IEEE division of those exact casts by integer seconds. Scale:
+    one hourly rollup + one per-series ordered window scan shared by
+    all three functions."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        F.concat(
+            F.lit("stats."), F.col("event_type"), F.lit(".value")
+        ).alias("path"),
+        F.date_trunc("hour", "ts").alias("h"),
+    ).agg(F.sum(F.col("value").cast("decimal(27,4)")).alias("v"))
+    w = Window.partitionBy("path").orderBy("h")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lagged = hourly.select(
+        "path",
+        "h",
+        "v",
+        F.lag("v").over(w).alias("v_prev"),
+        F.lag("h").over(w).alias("h_prev"),
+        F.sum("v").over(wcum).alias("cum"),
+    ).where(F.col("v_prev").isNotNull())
+    delta = (F.col("v") - F.col("v_prev")).cast("double")
+    return lagged.select(
+        "path",
+        "h",
+        F.col("v").cast("double").alias("v"),
+        delta.alias("derivative"),
+        (
+            delta
+            / (F.unix_timestamp("h") - F.unix_timestamp("h_prev")).cast(
+                "double"
+            )
+        ).alias("per_second"),
+        F.col("cum").cast("double").alias("integral"),
+    )

@@ -539,11 +539,16 @@ def _encode_exemplar_v2(
 
 
 def encode_write_request_v2_full(series: list[dict]) -> bytes:
-    """v2 ``Request`` with all three TimeSeries arms. Each series dict:
-    ``labels`` (name→value), optional ``samples`` [(value, ts_ms)],
-    optional ``histograms`` [histogram dict], optional ``exemplars``
-    [(labels dict, value, ts_ms)] — exemplar labels are interned in
-    the SAME request-wide symbol table as series labels."""
+    """v2 ``Request`` with the full TimeSeries surface. Each series
+    dict: ``labels`` (name→value), optional ``samples``
+    [(value, ts_ms)], optional ``histograms`` [histogram dict],
+    optional ``exemplars`` [(labels dict, value, ts_ms)], optional
+    ``metadata`` {"type": int enum, "help": str, "unit": str}
+    (help/unit strings are INTERNED — the v2 Metadata message carries
+    help_ref=3/unit_ref=4 symbol refs, field 2 skipped per the public
+    types.proto), and optional ``created_timestamp_ms`` (field 6, the
+    counter birth time). Exemplar and metadata strings share the SAME
+    request-wide symbol table as series labels."""
     symbols: list[str] = [""]
     interned: dict[str, int] = {"": 0}
 
@@ -574,6 +579,24 @@ def encode_write_request_v2_full(series: list[dict]) -> bytes:
         for elabels, ev, et in s.get("exemplars", ()):
             _write_bytes_field(
                 ts, 4, _encode_exemplar_v2(label_refs(elabels), ev, et)
+            )
+        md = s.get("metadata")
+        if md:
+            mbuf = bytearray()
+            if "type" in md:
+                _write_varint(mbuf, _tag(1, 0))
+                _write_varint(mbuf, md["type"])
+            if "help" in md:
+                _write_varint(mbuf, _tag(3, 0))
+                _write_varint(mbuf, ref(md["help"]))
+            if "unit" in md:
+                _write_varint(mbuf, _tag(4, 0))
+                _write_varint(mbuf, ref(md["unit"]))
+            _write_bytes_field(ts, 5, bytes(mbuf))
+        if "created_timestamp_ms" in s:
+            _write_varint(ts, _tag(6, 0))
+            _write_varint(
+                ts, _signed64(s["created_timestamp_ms"]) & ((1 << 64) - 1)
             )
         blobs.append(bytes(ts))
 
@@ -632,12 +655,19 @@ def decode_write_request_v2_full(buf: bytes) -> list[dict]:
             raise ValueError("bad wire type for labels_refs")
         return tpos
 
+    def sym(ref: int) -> str:
+        if ref >= len(symbols):
+            raise ValueError("v2 metadata ref outside symbol table")
+        return symbols[ref]
+
     out: list[dict] = []
     for raw in raw_series:
         refs: list[int] = []
         samples: list[tuple[float, int]] = []
         histograms: list[dict] = []
         exemplars: list[tuple[dict, float, int]] = []
+        metadata: dict | None = None
+        created_ms: int | None = None
         tpos = 0
         while tpos < len(raw):
             tkey, tpos = _read_varint(raw, tpos)
@@ -672,16 +702,39 @@ def decode_write_request_v2_full(buf: bytes) -> list[dict]:
                     else:
                         epos = _skip_field(eraw, epos, ewire)
                 exemplars.append((resolve(erefs), ev, et))
+            elif tfield == 5 and twire == 2:
+                mraw, tpos = _read_delimited(raw, tpos)
+                metadata = {}
+                mpos = 0
+                while mpos < len(mraw):
+                    mkey, mpos = _read_varint(mraw, mpos)
+                    mfield, mwire = mkey >> 3, mkey & 7
+                    if mfield == 1 and mwire == 0:
+                        metadata["type"], mpos = _read_varint(mraw, mpos)
+                    elif mfield == 3 and mwire == 0:
+                        r, mpos = _read_varint(mraw, mpos)
+                        metadata["help"] = sym(r)
+                    elif mfield == 4 and mwire == 0:
+                        r, mpos = _read_varint(mraw, mpos)
+                        metadata["unit"] = sym(r)
+                    else:
+                        mpos = _skip_field(mraw, mpos, mwire)
+            elif tfield == 6 and twire == 0:
+                raw_v, tpos = _read_varint(raw, tpos)
+                created_ms = _signed64(raw_v)
             else:
                 tpos = _skip_field(raw, tpos, twire)
-        out.append(
-            {
-                "labels": resolve(refs),
-                "samples": samples,
-                "histograms": histograms,
-                "exemplars": exemplars,
-            }
-        )
+        entry: dict = {
+            "labels": resolve(refs),
+            "samples": samples,
+            "histograms": histograms,
+            "exemplars": exemplars,
+        }
+        if metadata is not None:
+            entry["metadata"] = metadata
+        if created_ms is not None:
+            entry["created_timestamp_ms"] = created_ms
+        out.append(entry)
     return out
 
 

@@ -447,3 +447,86 @@ class TestStreamAlertForIslands:
         }
         # batch 1: pending (len 2, not fired); batch 2: fired at step 3
         assert rows == {(2, False): (2, 2), (3, True): (3, 3)}
+
+
+class TestRemoteWriteV2Metadata:
+    def test_metadata_and_created_timestamp_roundtrip(self):
+        from metricproxy_spark.sources.remote_write import (
+            decode_write_request_v2_full,
+            encode_write_request_v2_full,
+        )
+
+        series = [
+            {
+                "labels": {"__name__": "http_seconds"},
+                "samples": [(0.5, 1000)],
+                "histograms": [],
+                "exemplars": [],
+                "metadata": {
+                    "type": 3,  # METRIC_TYPE_HISTOGRAM per the enum
+                    "help": "Request latency.",
+                    "unit": "seconds",
+                },
+                "created_timestamp_ms": 1690000000000,
+            }
+        ]
+        out = decode_write_request_v2_full(
+            encode_write_request_v2_full(series)
+        )
+        assert out == series
+
+    def test_metadata_strings_are_interned(self):
+        from metricproxy_spark.sources.remote_write import (
+            encode_write_request_v2_full,
+        )
+
+        series = [
+            {
+                "labels": {"__name__": "a"},
+                "metadata": {"help": "same help", "unit": "seconds"},
+            },
+            {
+                "labels": {"__name__": "b"},
+                "metadata": {"help": "same help", "unit": "seconds"},
+            },
+        ]
+        buf = encode_write_request_v2_full(series)
+        assert buf.count(b"same help") == 1
+        assert buf.count(b"seconds") == 1
+
+    def test_metadata_ref_out_of_range_raises(self):
+        import pytest as _pytest
+
+        from metricproxy_spark.sources.remote_write import (
+            _tag,
+            _write_bytes_field,
+            _write_varint,
+            decode_write_request_v2_full,
+        )
+
+        # symbols = [""], one series whose metadata unit_ref points
+        # past the table
+        out = bytearray()
+        _write_bytes_field(out, 4, b"")
+        ts = bytearray()
+        _write_bytes_field(ts, 1, b"")
+        md = bytearray()
+        _write_varint(md, _tag(4, 0))
+        _write_varint(md, 99)
+        _write_bytes_field(ts, 5, bytes(md))
+        _write_bytes_field(out, 5, bytes(ts))
+        with _pytest.raises(ValueError, match="symbol table"):
+            decode_write_request_v2_full(bytes(out))
+
+    def test_series_without_metadata_has_no_key(self):
+        from metricproxy_spark.sources.remote_write import (
+            decode_write_request_v2_full,
+            encode_write_request_v2_full,
+        )
+
+        series = [{"labels": {"__name__": "a"}, "samples": [(1.0, 1)]}]
+        (out,) = decode_write_request_v2_full(
+            encode_write_request_v2_full(series)
+        )
+        assert "metadata" not in out
+        assert "created_timestamp_ms" not in out
