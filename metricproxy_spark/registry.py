@@ -71,65 +71,78 @@ ORACLES: dict[str, str] = {}
 # http-listener live load generator now routes through
 # guarded_wire_pandas) + the first 35 of the 42 r3-latest names in
 # registry order = exactly the 50-row driver window.
-# ROUND-11 NOTE: pin r11 additions first, then the seven overflowed r3
-# names (events_gap_report, graph_pagerank, tpch_q14_promo_share,
-# tpch_q17_small_qty_revenue, tpch_q18_large_orders,
-# tpch_q22_idle_customers, analytic_lateral_topn), then the r4-latest
-# cohort (41 names — recompute with the union script) as space allows.
+# ROUND-11 EXECUTED (this round): 8 r11 additions (PromQL subquery +
+# offset/@, graphite render summarize/moving/derivative families,
+# OpenMetrics strict ingest, remote-write 2.0 native histograms +
+# exemplars, streamed alert for:-duration twin) + 4 r11-changed
+# queries (slo burn rate + time-range frame respelled view-free per
+# ADVICE; lz4 documents' explicit max_out; framed-snappy carbon after
+# the empty-chunk respelling) + the 7 overflowed r3 names + the first
+# 31 of the 40-name r4-latest cohort (union-script truth — the prior
+# note's 41 counted ingest_http_listener_live before its r10 re-pin)
+# = exactly the 50-row driver window.
+# ROUND-12 NOTE: pin r12 additions first, then the NINE overflowed r4
+# names (tpch_q12_priority_lines, tpch_q15_top_supplier,
+# analytic_setops_all, analytic_conditional_aggs,
+# analytic_copurchase_lift, analytic_mode_per_group,
+# analytic_hll_sketch, analytic_asof_forward,
+# analytic_running_distinct), then the r5-latest cohort (recompute
+# with the union script).
 _PRIORITY = (
-    # --- new in round 10 ---
-    "events_promql_binop_ratio",
-    "events_promql_binop_group_left",
-    "events_promql_setops",
-    "ingest_remote_write",
-    "stream_remote_write_pipeline",
-    "ingest_remote_write_v2",
-    "ingest_snappy_framed_carbon",
-    "ingest_otlp_protobuf",
-    "ingest_lz4_documents",
+    # --- new in round 11 ---
+    "events_promql_subquery",
+    "events_promql_offset_at",
+    "events_graphite_summarize",
+    "events_graphite_moving",
+    "events_graphite_derivative",
+    "ingest_openmetrics",
+    "ingest_remote_write_v2_histograms",
+    "stream_alert_for_duration",
+    # --- changed in round 11 (engine edits -> fresh evidence) ---
     "events_slo_burn_rate",
-    "stream_otlp_protobuf_pipeline",
-    "events_alert_for_duration",
-    # --- changed in round 10 (engine edits -> fresh evidence) ---
-    "ingest_cbor_roundtrip",
-    "stream_cbor_pipeline",
-    "ingest_http_listener_live",
-    # --- r3-latest evidence cohort (35 of 42; registry order) ---
-    "text_pii_redact",
-    "text_common_span_frac",
-    "pipeline_per_class_cap",
-    "dedup_exact_spans",
-    "pipeline_curation_end2end",
-    "pipeline_chunk_windows",
-    "pipeline_domain_mixture",
-    "pipeline_weighted_sample",
-    "analytic_map_funcs",
-    "cdc_upsert_snapshot",
-    "cdc_scd2_history",
-    "layout_skew_report",
-    "stream_tumbling_stats",
-    "stream_sliding_counts",
-    "stream_dedup",
-    "stream_counter_to_rate",
-    "stream_fanout_pipeline",
-    "stream_session_stats",
-    "stream_static_enrich",
-    "stream_stream_join",
-    "stream_stream_outer_join",
-    "stream_histogram_rollup",
-    "stream_topk_users",
-    "ingest_collectd_events",
-    "ingest_sfx_v2_datasource",
-    "ingest_xml_roundtrip",
-    "ingest_csv_permissive",
-    "events_funnel",
-    "events_cohort_retention",
-    "events_histogram_rollup",
-    "events_anomaly_mad",
-    "events_seasonality",
-    "events_transition_matrix",
-    "events_trend_slope",
-    "events_alert_rules",
+    "events_time_range_frame",
+    "ingest_lz4_documents",
+    "ingest_snappy_framed_carbon",
+    # --- r3-latest evidence cohort (the 7 that overflowed round 10) ---
+    "events_gap_report",
+    "graph_pagerank",
+    "tpch_q14_promo_share",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_orders",
+    "tpch_q22_idle_customers",
+    "analytic_lateral_topn",
+    # --- r4-latest evidence cohort (31 of 40; registry order) ---
+    "pipeline_bpe_train",
+    "multimodal_audio_spectral",
+    "multimodal_image_stats",
+    "pipeline_tokenizer_report",
+    "text_bigram_coverage",
+    "analytic_bitwise_funcs",
+    "analytic_hash_funcs",
+    "layout_partition_pruning",
+    "layout_bucketed_join",
+    "stream_alert_rules",
+    "stream_downsample_m4",
+    "ingest_orc_roundtrip",
+    "ingest_prometheus_text",
+    "events_week_over_week",
+    "events_sessionize",
+    "events_concurrency",
+    "events_downsample_m4",
+    "events_counter_to_rate",
+    "events_downsample_lttb",
+    "graph_triangles",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q10_returned_items",
+    "tpch_q13_customer_distribution",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q21_waiting_supplier",
+    "tpch_q6_forecast_revenue",
+    "tpch_q9_product_profit",
 )
 
 _QUERY_MODULES = (

@@ -1097,3 +1097,63 @@ class TestRound10PlanDiscipline:
             plan = self._plan(spark, sf_dir, name)
             assert "Join" not in plan, (name, plan)
             assert "Exchange hashpartitioning" not in plan, (name, plan)
+
+
+class TestRound11PlanDiscipline:
+    """Plan assertions for the round-11 additions."""
+
+    def _plan(self, spark, sf_dir, name):
+        from metricproxy_spark.registry import QUERIES, load_all
+
+        load_all()
+        return _executed_plan(QUERIES[name](spark, sf_dir))
+
+    def test_subquery_is_join_free(self, spark, sf_dir):
+        """The PromQL subquery evaluates as rollup -> window -> agg:
+        the derived series never needs a join, and the raw table is
+        scanned exactly once."""
+        plan = self._plan(spark, sf_dir, "events_promql_subquery")
+        assert "Join" not in plan, plan
+        assert "HashAggregate" in plan, plan
+
+    def test_offset_at_broadcasts_anchor_only(self, spark, sf_dir):
+        """offset joins the rollup to itself on the shifted (series,
+        hour) key; the @-anchor is a series-cardinality dim and must
+        BROADCAST — and nothing may plan cartesian."""
+        plan = self._plan(spark, sf_dir, "events_promql_offset_at")
+        assert "BroadcastHashJoin" in plan, plan
+        assert "CartesianProduct" not in plan, plan
+
+    def test_graphite_summarize_broadcasts_rank_dim(self, spark, sf_dir):
+        """highestCurrent ranks a |series|-row dim; attaching it to the
+        daily rollup must be a broadcast join."""
+        plan = self._plan(spark, sf_dir, "events_graphite_summarize")
+        assert "BroadcastHashJoin" in plan, plan
+        assert "CartesianProduct" not in plan, plan
+
+    def test_graphite_window_functions_join_free(self, spark, sf_dir):
+        """movingAverage/Median/Max and derivative/perSecond/integral
+        are lag/cumsum windows over one rollup — never a self-join."""
+        for name in ("events_graphite_moving", "events_graphite_derivative"):
+            plan = self._plan(spark, sf_dir, name)
+            assert "Join" not in plan, (name, plan)
+            assert "HashAggregate" in plan, (name, plan)
+
+    def test_v2_histograms_rollup_before_codec(self, spark, sf_dir):
+        """The native-histogram leg encodes ROLLUP-sized rows (series
+        agg joined to its bucket arrays on the rollup key) — no
+        cartesian anywhere, and the map-only codec stages run after
+        the aggregation."""
+        plan = self._plan(spark, sf_dir, "ingest_remote_write_v2_histograms")
+        assert "CartesianProduct" not in plan, plan
+        assert "HashAggregate" in plan, plan
+        assert "MapInPandas" in plan, plan
+
+    def test_openmetrics_gate_is_one_row_broadcast(self, spark, sf_dir):
+        """The # EOF framing gate is a 1-row aggregate cross-joined as
+        a broadcast onto the parsed samples — the only acceptable
+        'cartesian' is the broadcast nested loop over exactly one
+        row."""
+        plan = self._plan(spark, sf_dir, "ingest_openmetrics")
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
