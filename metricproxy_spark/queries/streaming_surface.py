@@ -374,6 +374,13 @@ def _write_range_split(
     ordd = df.withColumn("_ord", F.col(order_col).cast("double")).cache()
     probs = [i / num_files for i in range(1, num_files)]
     cuts = ordd.approxQuantile("_ord", probs, 0.0)
+    if len(cuts) < num_files - 1:
+        # approxQuantile returns [] on EMPTY input (e.g. the alert
+        # true-eval series at sf0.001, where no hour breaches): stage
+        # the requested number of files anyway — each filter below
+        # passes everything through, and N copies of an empty frame
+        # are still empty, so replay order is all that remains.
+        cuts = [None] * (num_files - 1)
     bounds = [None, *cuts, None]
     base = _time.time() - 10_000
     for i in range(num_files):

@@ -209,7 +209,10 @@ def openmetrics_eof_gate(
         F.max_by(F.col(line_col), F.col(lineno_col)).alias("_last")
     )
     return last.agg(
-        F.sum((F.col("_last") != "# EOF").cast("bigint")).alias("_n_bad0")
+        F.coalesce(
+            F.sum((F.col("_last") != "# EOF").cast("bigint")),
+            F.lit(0).cast("bigint"),  # zero expositions = zero bad
+        ).alias("_n_bad0")
     ).select(
         F.when(
             F.assert_true(
