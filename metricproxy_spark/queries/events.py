@@ -4915,3 +4915,322 @@ def events_graphite_derivative(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("per_second"),
         F.col("cum").cast("double").alias("integral"),
     )
+
+
+@register(
+    "events_promql_subquery_rate",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               SUM(CAST(value AS DECIMAL(27,4))) AS inc
+        FROM events GROUP BY 1, 2
+    ), idx AS (
+        SELECT event_type, h, inc,
+               CAST(row_number() OVER (PARTITION BY event_type ORDER BY h)
+                    - 1 AS BIGINT) AS hidx
+        FROM hourly
+    ), ctr AS (
+        SELECT event_type, h,
+               SUM(inc) OVER (PARTITION BY event_type, hidx // 37
+                              ORDER BY h) AS v
+        FROM idx
+    ), lagged AS (
+        SELECT event_type, h, CAST(epoch(h) AS BIGINT) AS t, v,
+               lag(v) OVER (PARTITION BY event_type ORDER BY h) AS v_prev
+        FROM ctr
+    ), terms AS (
+        SELECT *, CASE WHEN v < v_prev THEN v_prev
+                       ELSE CAST(0 AS DECIMAL(38,4)) END AS term
+        FROM lagged
+    ), win AS (
+        SELECT event_type, h, t, v,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n,
+               min(t) OVER w AS t_first,
+               min_by(v, t) OVER w AS v_first,
+               SUM(term) OVER w AS corr_all,
+               min_by(term, t) OVER w AS term_first
+        FROM terms
+        WINDOW w AS (PARTITION BY event_type ORDER BY h
+                     RANGE BETWEEN INTERVAL 5 HOUR PRECEDING
+                     AND CURRENT ROW)
+    ), calc AS (
+        SELECT event_type, h, n,
+               CAST(v - v_first + corr_all - term_first AS DOUBLE) AS delta,
+               CAST(t - t_first AS DOUBLE) AS sampled,
+               CAST(t_first - (t - 21600) AS DOUBLE) AS dur_start0,
+               CAST(v_first AS DOUBLE) AS vf
+        FROM win WHERE n >= 2
+    ), calc2 AS (
+        SELECT *, sampled / (n - 1) AS avg_dur,
+               CASE WHEN delta > 0 AND vf >= 0
+                    THEN least(dur_start0, sampled * (vf / delta))
+                    ELSE dur_start0 END AS dur_start
+        FROM calc
+    ), rates AS (
+        SELECT event_type, h,
+               delta * ((sampled
+                    + CASE WHEN dur_start < avg_dur * 1.1
+                           THEN dur_start ELSE avg_dur / 2 END)
+                   / sampled) / 21600.0 AS r
+        FROM calc2
+    )
+    SELECT event_type, date_trunc('day', h) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_evals,
+           MAX(r) AS max_rate,
+           MIN(r) AS min_rate,
+           max_by(r, h) AS last_rate
+    FROM rates GROUP BY 1, 2
+    """,
+)
+def events_promql_subquery_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL subquery over a COUNTER function —
+    ``max_over_time(rate(x[6h])[1d:1h])``, the canonical subquery
+    idiom verbatim (a range function over rate's derived series; the
+    r11 gauge subquery's heavyweight sibling). The inner
+    ``rate(x[6h])`` runs the REAL extrapolatedRate at every hourly
+    grid point via sliding time-range frames: per eval window,
+    in-window reset correction (the reset term is precomputed per
+    sample from the GLOBAL per-series lag, frame-summed, then the
+    EARLIEST frame sample's term is subtracted — its predecessor
+    always lies outside the window, the frame-vs-pair off-by-one that
+    makes sliding-window counter rates subtle), extrapolation to the
+    window edges with the zero-crossing cap, and the trailing edge
+    contributing 0 because the eval grid IS the sample grid. Validated
+    this round against an independent Python transcription of
+    prometheus/promql functions.go extrapolatedRate (agreement to
+    float-association noise; the ORACLE comparison is over the
+    identical expression tree, hence bit-exact). Outer
+    ``max/min/last_over_time(...[1d:1h])`` are pure selections of the
+    bit-identical inner doubles per UTC day. Exactness: counter/terms/
+    delta stay DECIMAL through every frame sum; timestamps are integer
+    seconds; the extrapolation is one fixed IEEE chain. Scale: one
+    hourly rollup + per-series ordered window scans (never a
+    self-join) + one (type, day) hash agg — the recording-rule shape
+    that keeps subqueries cheap at 100 TB."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.sum(F.col("value").cast("decimal(27,4)")).alias("inc"))
+    wo = Window.partitionBy("event_type").orderBy("h")
+    idx = hourly.withColumn(
+        "hidx", (F.row_number().over(wo) - 1).cast("bigint")
+    ).withColumn("seg", F.expr("hidx div 37"))
+    wseg = (
+        Window.partitionBy("event_type", "seg")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ctr = idx.select(
+        "event_type", "h", F.sum("inc").over(wseg).alias("v")
+    )
+    lagged = ctr.select(
+        "event_type",
+        "h",
+        F.unix_timestamp("h").alias("t"),
+        "v",
+        F.lag("v").over(wo).alias("v_prev"),
+    )
+    terms = lagged.withColumn(
+        "term",
+        F.when(F.col("v") < F.col("v_prev"), F.col("v_prev")).otherwise(
+            F.lit(0).cast("decimal(38,4)")
+        ),
+    )
+    # RANGE INTERVAL '5' HOUR PRECEDING as an epoch-second range frame
+    # (view-free discipline; integer-second hour stamps => identical
+    # inclusive bounds) — the window is PromQL's (t-6h, t] on the
+    # hourly sample grid.
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.unix_timestamp("h"))
+        .rangeBetween(-5 * 3600, 0)
+    )
+    win = terms.select(
+        "event_type",
+        "h",
+        "t",
+        "v",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n"),
+        F.min("t").over(w).alias("t_first"),
+        F.min_by("v", "t").over(w).alias("v_first"),
+        F.sum("term").over(w).alias("corr_all"),
+        F.min_by("term", "t").over(w).alias("term_first"),
+    )
+    calc = win.where(F.col("n") >= 2).select(
+        "event_type",
+        "h",
+        "n",
+        (
+            F.col("v")
+            - F.col("v_first")
+            + F.col("corr_all")
+            - F.col("term_first")
+        )
+        .cast("double")
+        .alias("delta"),
+        (F.col("t") - F.col("t_first")).cast("double").alias("sampled"),
+        (F.col("t_first") - (F.col("t") - 21600))
+        .cast("double")
+        .alias("dur_start0"),
+        F.col("v_first").cast("double").alias("vf"),
+    )
+    calc2 = calc.withColumn(
+        "avg_dur", F.col("sampled") / (F.col("n") - 1)
+    ).withColumn(
+        "dur_start",
+        F.when(
+            (F.col("delta") > 0) & (F.col("vf") >= 0),
+            F.least(
+                F.col("dur_start0"),
+                F.col("sampled") * (F.col("vf") / F.col("delta")),
+            ),
+        ).otherwise(F.col("dur_start0")),
+    )
+    rates = calc2.select(
+        "event_type",
+        "h",
+        (
+            F.col("delta")
+            * (
+                (
+                    F.col("sampled")
+                    + F.when(
+                        F.col("dur_start") < F.col("avg_dur") * 1.1,
+                        F.col("dur_start"),
+                    ).otherwise(F.col("avg_dur") / 2)
+                )
+                / F.col("sampled")
+            )
+            / F.lit(21600.0)
+        ).alias("r"),
+    )
+    return rates.groupBy(
+        "event_type", F.date_trunc("day", "h").alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_evals"),
+        F.max("r").alias("max_rate"),
+        F.min("r").alias("min_rate"),
+        F.max_by("r", "h").alias("last_rate"),
+    )
+
+
+@register(
+    "events_native_histogram_quantile",
+    oracle="""
+    WITH pts AS (
+        SELECT event_type, date_trunc('week', ts) AS week,
+               CAST(CAST(value AS DECIMAL(27,4)) * 10000 AS BIGINT) AS v
+        FROM events
+    ), buck AS (
+        SELECT event_type, week,
+               CASE WHEN v = 1 THEN 0
+                    ELSE CAST(length(bin(v - 1)) AS BIGINT) END AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM pts WHERE v > 0 GROUP BY 1, 2, 3
+    ), cum AS (
+        SELECT event_type, week, bucket, cnt,
+               CAST(SUM(cnt) OVER (PARTITION BY event_type, week
+                                   ORDER BY bucket) AS BIGINT) AS cum,
+               CAST(SUM(cnt) OVER (PARTITION BY event_type, week)
+                    AS BIGINT) AS total
+        FROM buck
+    ), bounds AS (
+        SELECT *,
+               CASE WHEN bucket = 0 THEN 0.5
+                    ELSE CAST((CAST(1 AS BIGINT) << (bucket - 1)) AS DOUBLE)
+               END AS lo,
+               CAST((CAST(1 AS BIGINT) << bucket) AS DOUBLE) AS hi
+        FROM cum
+    ), phis AS (
+        SELECT unnest([0.5, 0.9, 0.99]) AS phi
+    ), hit AS (
+        SELECT b.event_type, b.week, p.phi, b.total,
+               b.bucket, b.cnt, b.cum, b.lo, b.hi
+        FROM bounds b CROSS JOIN phis p
+        WHERE CAST(b.cum AS DOUBLE) >= p.phi * b.total
+    )
+    SELECT event_type, week, phi,
+           CAST(max(total) AS BIGINT) AS n_events,
+           min(bucket) AS sel_bucket,
+           min_by((lo + (hi - lo) * (phi * total - (cum - cnt)) / cnt)
+                  / 10000.0, bucket) AS q
+    FROM hit GROUP BY 1, 2, 3
+    """,
+)
+def events_native_histogram_quantile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``histogram_quantile`` over NATIVE (exponential) histograms —
+    the query-side consumer of the schema-0 buckets the remote-write
+    2.0 wire leg ships (`ingest_remote_write_v2_histograms`):
+    prometheus's native-histogram quantile locates the bucket where
+    the cumulative count crosses phi*N and interpolates LINEARLY
+    within that bucket's exact bounds (2^(i-1), 2^i] — unlike the
+    classic fixed-width `events_histogram_quantile`, the bounds come
+    from the value itself, no configuration. Public algorithm:
+    prometheus/promql quantile.go histogramQuantile (native branch).
+    Exactness: bucket indices/counts/cumulatives are all integers
+    (the bit-length ceil indexing on x10^4-scaled decimals), the
+    rank phi*N is one IEEE product of exact operands, bucket bounds
+    are integer shifts cast to double (bucket 0's lower bound is the
+    exact dyadic 0.5), and the interpolation is ONE fixed IEEE chain —
+    bit-equal cross-engine, selection tie-broken on the bucket index.
+    Scale: one hash agg + two bucket-ordered windows per ~20-row
+    (type, week) group + a 3-row phi grid — rollup-sized end to end."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    pts = events.select(
+        "event_type",
+        F.date_trunc("week", "ts").alias("week"),
+        (F.col("value").cast("decimal(27,4)") * 10000)
+        .cast("bigint")
+        .alias("v"),
+    ).where(F.col("v") > 0)
+    bucket = F.when(F.col("v") == 1, F.lit(0).cast("bigint")).otherwise(
+        F.length(F.bin(F.col("v") - 1)).cast("bigint")
+    )
+    buck = pts.groupBy(
+        "event_type", "week", bucket.alias("bucket")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    wcum = Window.partitionBy("event_type", "week").orderBy("bucket")
+    wall = Window.partitionBy("event_type", "week")
+    bounds = buck.select(
+        "event_type",
+        "week",
+        "bucket",
+        "cnt",
+        F.sum("cnt").over(wcum).cast("bigint").alias("cum"),
+        F.sum("cnt").over(wall).cast("bigint").alias("total"),
+        F.when(F.col("bucket") == 0, F.lit(0.5))
+        .otherwise(
+            F.expr(
+                "CAST(shiftleft(CAST(1 AS BIGINT),"
+                " CAST(bucket - 1 AS INT)) AS DOUBLE)"
+            )
+        )
+        .alias("lo"),
+        F.expr(
+            "CAST(shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT))"
+            " AS DOUBLE)"
+        ).alias("hi"),
+    )
+    phis = spark.range(1).select(
+        F.explode(F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))).alias("phi")
+    )
+    hit = bounds.crossJoin(F.broadcast(phis)).where(
+        F.col("cum").cast("double") >= F.col("phi") * F.col("total")
+    )
+    q_expr = (
+        F.col("lo")
+        + (F.col("hi") - F.col("lo"))
+        * (F.col("phi") * F.col("total") - (F.col("cum") - F.col("cnt")))
+        / F.col("cnt")
+    ) / 10000.0
+    return hit.groupBy("event_type", "week", "phi").agg(
+        F.max("total").cast("bigint").alias("n_events"),
+        F.min("bucket").alias("sel_bucket"),
+        F.min_by(q_expr, F.col("bucket")).alias("q"),
+    )

@@ -71,18 +71,20 @@ ORACLES: dict[str, str] = {}
 # http-listener live load generator now routes through
 # guarded_wire_pandas) + the first 35 of the 42 r3-latest names in
 # registry order = exactly the 50-row driver window.
-# ROUND-11 EXECUTED (this round): 8 r11 additions (PromQL subquery +
-# offset/@, graphite render summarize/moving/derivative families,
-# OpenMetrics strict ingest, remote-write 2.0 native histograms +
-# exemplars, streamed alert for:-duration twin) + 4 r11-changed
+# ROUND-11 EXECUTED (this round): 10 r11 additions (PromQL subquery ×2
+# incl. the rate-inner canonical form + offset/@, graphite render
+# summarize/moving/derivative families, OpenMetrics strict ingest,
+# remote-write 2.0 native histograms + exemplars, native-histogram
+# quantile, streamed alert for:-duration twin) + 4 r11-changed
 # queries (slo burn rate + time-range frame respelled view-free per
 # ADVICE; lz4 documents' explicit max_out; framed-snappy carbon after
 # the empty-chunk respelling) + the 7 overflowed r3 names + the first
-# 31 of the 40-name r4-latest cohort (union-script truth — the prior
+# 29 of the 40-name r4-latest cohort (union-script truth — the prior
 # note's 41 counted ingest_http_listener_live before its r10 re-pin)
 # = exactly the 50-row driver window.
-# ROUND-12 NOTE: pin r12 additions first, then the NINE overflowed r4
-# names (tpch_q12_priority_lines, tpch_q15_top_supplier,
+# ROUND-12 NOTE: pin r12 additions first, then the ELEVEN overflowed
+# r4 names (tpch_q6_forecast_revenue, tpch_q9_product_profit,
+# tpch_q12_priority_lines, tpch_q15_top_supplier,
 # analytic_setops_all, analytic_conditional_aggs,
 # analytic_copurchase_lift, analytic_mode_per_group,
 # analytic_hll_sketch, analytic_asof_forward,
@@ -91,12 +93,14 @@ ORACLES: dict[str, str] = {}
 _PRIORITY = (
     # --- new in round 11 ---
     "events_promql_subquery",
+    "events_promql_subquery_rate",
     "events_promql_offset_at",
     "events_graphite_summarize",
     "events_graphite_moving",
     "events_graphite_derivative",
     "ingest_openmetrics",
     "ingest_remote_write_v2_histograms",
+    "events_native_histogram_quantile",
     "stream_alert_for_duration",
     # --- changed in round 11 (engine edits -> fresh evidence) ---
     "events_slo_burn_rate",
@@ -111,7 +115,7 @@ _PRIORITY = (
     "tpch_q18_large_orders",
     "tpch_q22_idle_customers",
     "analytic_lateral_topn",
-    # --- r4-latest evidence cohort (31 of 40; registry order) ---
+    # --- r4-latest evidence cohort (29 of 40; registry order) ---
     "pipeline_bpe_train",
     "multimodal_audio_spectral",
     "multimodal_image_stats",
@@ -141,8 +145,6 @@ _PRIORITY = (
     "tpch_q13_customer_distribution",
     "tpch_q19_disjunctive_revenue",
     "tpch_q21_waiting_supplier",
-    "tpch_q6_forecast_revenue",
-    "tpch_q9_product_profit",
 )
 
 _QUERY_MODULES = (

@@ -1157,3 +1157,20 @@ class TestRound11PlanDiscipline:
         plan = self._plan(spark, sf_dir, "ingest_openmetrics")
         assert "CartesianProduct" not in plan, plan
         assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+    def test_subquery_rate_is_join_free(self, spark, sf_dir):
+        """The counter subquery (rate inner) is rollup -> per-series
+        window scans -> day agg: sliding-window reset correction is a
+        frame sum, never a self-join."""
+        plan = self._plan(spark, sf_dir, "events_promql_subquery_rate")
+        assert "Join" not in plan, plan
+        assert "HashAggregate" in plan, plan
+
+    def test_native_quantile_broadcasts_phi_grid(self, spark, sf_dir):
+        """The 3-row phi grid attaches as a broadcast nested loop over
+        the rollup-sized bucket frame — the only acceptable cross
+        shape; the bucket math itself stays agg+window."""
+        plan = self._plan(spark, sf_dir, "events_native_histogram_quantile")
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" in plan, plan
+        assert "HashAggregate" in plan, plan
