@@ -3826,8 +3826,6 @@ def events_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-partition ordered scan, never a self-join."""
     from pyspark.sql import Window
 
-    from pyspark.sql import Window
-
     events = load_table(spark, sf_dir, "events")
     hourly = events.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("h")
@@ -5144,7 +5142,10 @@ def events_promql_subquery_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST((CAST(1 AS BIGINT) << bucket) AS DOUBLE) AS hi
         FROM cum
     ), phis AS (
-        SELECT unnest([0.5, 0.9, 0.99]) AS phi
+        -- DOUBLE phis: DuckDB would type the bare literals DECIMAL(3,2)
+        -- and compute phi*total EXACTLY in decimal, a 1-ulp divergence
+        -- from Spark's IEEE double product (found by exact-repr replay)
+        SELECT unnest(CAST([0.5, 0.9, 0.99] AS DOUBLE[])) AS phi
     ), hit AS (
         SELECT b.event_type, b.week, p.phi, b.total,
                b.bucket, b.cnt, b.cum, b.lo, b.hi

@@ -64,9 +64,9 @@ def decompress_lz4_block(buf: bytes, max_out: int = 1 << 26) -> bytes:
     bound") from the malformation errors, so callers can tell a
     legitimately-large block from a corrupt one. Callers that know
     their payload should pass an explicit ``max_out`` sized to it —
-    e.g. ``len(buf) * 255`` (the format's maximum amplification: a
-    match copies at most 255+some bytes per 1-byte extension) rather
-    than relying on the 64 MiB default."""
+    e.g. ``len(buf) * 255 + 64`` (the format's maximum amplification
+    plus base-length headroom — the bound the in-repo caller uses)
+    rather than relying on the 64 MiB default."""
     out = bytearray()
     pos = 0
     n = len(buf)

@@ -303,29 +303,37 @@ def _make_alert_for_fn(for_steps: int, keep_gap: int):
         else:
             clusters, isl_s, isl_len, max_h = [], -1, 0, -1
 
-        for pdf in pdfs:
-            for t in sorted(int(h) for h in pdf["hidx"].to_numpy()):
-                if t <= max_h:
-                    continue  # replayed/out-of-order step: already folded
-                if not clusters or t - clusters[-1][1] > keep_gap:
-                    # gap beyond the keep-firing grace: NEW incident
-                    clusters.append([t, t, 1, 1, -1])
-                    isl_s, isl_len = t, 1
-                elif t == clusters[-1][1] + 1:
-                    # consecutive TRUE eval: current island extends
-                    clusters[-1][1] = t
-                    clusters[-1][3] += 1
-                    isl_len += 1
-                else:
-                    # short gap (<= keep): new island, same incident
-                    clusters[-1][1] = t
-                    clusters[-1][2] += 1
-                    clusters[-1][3] += 1
-                    isl_s, isl_len = t, 1
-                if isl_len >= for_steps and clusters[-1][4] < 0:
-                    # pending held for the full for: duration -> FIRING
-                    clusters[-1][4] = isl_s
-                max_h = t
+        # Collect ACROSS Arrow chunks before sorting: a group's
+        # micro-batch rows can span multiple chunks (default
+        # maxRecordsPerBatch = 10k), and per-chunk sorting would let a
+        # later chunk's smaller steps trip the replay guard below and
+        # be silently dropped. Cross-BATCH ordering remains the staged
+        # files' contract, as for the sibling stateful operators.
+        steps = sorted(
+            int(h) for pdf in pdfs for h in pdf["hidx"].to_numpy()
+        )
+        for t in steps:
+            if t <= max_h:
+                continue  # replayed step from a restart: already folded
+            if not clusters or t - clusters[-1][1] > keep_gap:
+                # gap beyond the keep-firing grace: NEW incident
+                clusters.append([t, t, 1, 1, -1])
+                isl_s, isl_len = t, 1
+            elif t == clusters[-1][1] + 1:
+                # consecutive TRUE eval: current island extends
+                clusters[-1][1] = t
+                clusters[-1][3] += 1
+                isl_len += 1
+            else:
+                # short gap (<= keep): new island, same incident
+                clusters[-1][1] = t
+                clusters[-1][2] += 1
+                clusters[-1][3] += 1
+                isl_s, isl_len = t, 1
+            if isl_len >= for_steps and clusters[-1][4] < 0:
+                # pending held for the full for: duration -> FIRING
+                clusters[-1][4] = isl_s
+            max_h = t
 
         state.update(
             (
