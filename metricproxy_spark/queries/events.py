@@ -5235,3 +5235,404 @@ def events_native_histogram_quantile(
         F.min("bucket").alias("sel_bucket"),
         F.min_by(q_expr, F.col("bucket")).alias("q"),
     )
+
+
+@register(
+    "events_promql_predict_linear",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               CAST(COUNT(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ), xy AS (
+        SELECT event_type, date_trunc('day', h) AS day,
+               CAST(EXTRACT(hour FROM h) AS BIGINT) AS x, y
+        FROM hourly
+    ), sums AS (
+        SELECT event_type, day,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * y) AS sxy, SUM(x * x) AS sxx
+        FROM xy GROUP BY 1, 2
+        HAVING COUNT(*) >= 2
+    )
+    SELECT event_type, day, n,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE) AS deriv,
+           (CAST(sy AS DOUBLE)
+            + (CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE))
+              * CAST(n * 24 - sx AS DOUBLE))
+               / CAST(n AS DOUBLE) AS predict_next
+    FROM sums
+    """,
+)
+def events_promql_predict_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``deriv(x[1d])`` and ``predict_linear(x[1d], 3600)`` —
+    the least-squares pair behind disk-will-fill / quota-will-exhaust
+    alerts. Public algorithm: prometheus/promql functions.go
+    linearRegression — simple least squares over the samples in the
+    range window; deriv IS the slope, predict_linear extrapolates the
+    fit to a future instant (here the hour after the day window).
+    Spelled in closed form over ALL-INTEGER sums: x is the hour-of-day
+    index (0..23), y the hourly sample count, so n·Σxy−ΣxΣy and
+    n·Σx²−(Σx)² are exact BIGINTs and the slope is ONE IEEE division;
+    the prediction re-arranges a+b·T to (Σy + b·(n·T−Σx))/n so the
+    only inexact operands are one multiply/add/divide chain spelled
+    identically on both engines (same discipline as the binop family).
+    Days with a single sample drop (the fit is undefined; PromQL
+    likewise returns no sample). Scale: one hourly rollup + one
+    (series, day) hash agg — sums are map-combinable partials, the
+    regression state is 5 numbers per group, never the samples."""
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    xy = hourly.select(
+        "event_type",
+        F.date_trunc("day", "h").alias("day"),
+        F.hour("h").cast("bigint").alias("x"),
+        "y",
+    )
+    sums = (
+        xy.groupBy("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        )
+        .where(F.col("n") >= 2)
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    deriv = num / den
+    predict = (
+        F.col("sy").cast("double")
+        + deriv * (F.col("n") * F.lit(24) - F.col("sx")).cast("double")
+    ) / F.col("n").cast("double")
+    return sums.select(
+        "event_type",
+        "day",
+        "n",
+        deriv.alias("deriv"),
+        predict.alias("predict_next"),
+    )
+
+
+@register(
+    "events_promql_count_values",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               CAST(COUNT(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ), dist AS (
+        SELECT y AS sample_value,
+               CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+               CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_series
+        FROM hourly GROUP BY 1
+    )
+    SELECT sample_value, n_occurrences, n_series,
+           CAST(row_number() OVER (ORDER BY n_occurrences DESC,
+                                   sample_value) AS BIGINT) AS rnk
+    FROM dist
+    QUALIFY rnk <= 20
+    """,
+)
+def events_promql_count_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``topk(20, count_values("v", x))`` — the value-
+    distribution aggregator: count_values groups the instant vector BY
+    SAMPLE VALUE (the inverse of a normal agg — the value becomes the
+    label), the idiom for "how many targets report build_info version
+    N" / payload-size mode detection. Public algorithm:
+    prometheus/promql engine.go aggregation, parser.CountValues.
+    Evaluated over the hourly sample-count series so every grouped
+    value is an exact BIGINT (count_values on IEEE doubles groups by
+    bit pattern — both engines agree trivially on integers, and the
+    divergence suite needs no float-key pin). topk orders by
+    occurrence count with the deterministic value tiebreak. Scale: one
+    hourly rollup + one hash agg on the VALUE — output cardinality is
+    the number of DISTINCT values (bounded, the point of the
+    function), and the top-20 rank runs over that bounded frame, never
+    the samples."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    dist = hourly.groupBy(F.col("y").alias("sample_value")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+        F.countDistinct("event_type").cast("bigint").alias("n_series"),
+    )
+    return (
+        dist.select(
+            "sample_value",
+            "n_occurrences",
+            "n_series",
+            F.row_number()
+            .over(
+                Window.orderBy(
+                    F.col("n_occurrences").desc(), F.col("sample_value")
+                )
+            )
+            .cast("bigint")
+            .alias("rnk"),
+        )
+        .where(F.col("rnk") <= 20)
+    )
+
+
+@register(
+    "events_graphite_aspercent",
+    oracle="""
+    WITH hourly AS (
+        SELECT 'stats.' || event_type || '.value' AS path,
+               date_trunc('hour', ts) AS h,
+               SUM(CAST(value AS DECIMAL(27,4))) AS v
+        FROM events GROUP BY 1, 2
+    ), tot AS (
+        SELECT h, SUM(v) AS total FROM hourly GROUP BY 1
+    )
+    SELECT s.path, s.h,
+           CAST(s.v AS DOUBLE) AS v,
+           CAST(t.total AS DOUBLE) AS total,
+           (CAST(s.v AS DOUBLE) / CAST(t.total AS DOUBLE)) * 100.0
+               AS pct
+    FROM hourly s JOIN tot t ON t.h = s.h
+    """,
+)
+def events_graphite_aspercent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graphite RENDER-API ``asPercent(stats.*.value,
+    sumSeries(stats.*.value))`` — each series as a share of the
+    instant-wise total, the composition dashboards use for stacked
+    100% charts. Public algorithm: graphite-web render/functions.py
+    asPercent / sumSeries — the denominator series is the point-wise
+    sum across the wildcard, aligned by timestamp. Exactness: both
+    numerator and denominator are DECIMAL hourly sums (the total is a
+    sum of exact decimals, itself exact); the share is one IEEE
+    division then one multiply by the exact constant 100.0, spelled
+    identically on both engines. Scale: one hourly rollup, an
+    instant-keyed total (|hours| rows — broadcast back onto the
+    rollup), never the raw table twice; at 100 TB the render layer
+    only ever touches rollup-sized frames."""
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        F.concat(
+            F.lit("stats."), F.col("event_type"), F.lit(".value")
+        ).alias("path"),
+        F.date_trunc("hour", "ts").alias("h"),
+    ).agg(F.sum(F.col("value").cast("decimal(27,4)")).alias("v"))
+    tot = hourly.groupBy("h").agg(F.sum("v").alias("total"))
+    v_d = F.col("v").cast("double")
+    t_d = F.col("total").cast("double")
+    return hourly.join(F.broadcast(tot), "h").select(
+        "path",
+        "h",
+        v_d.alias("v"),
+        t_d.alias("total"),
+        ((v_d / t_d) * F.lit(100.0)).alias("pct"),
+    )
+
+
+@register(
+    "events_promql_holt_winters",
+    oracle="""
+    WITH RECURSIVE hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               CAST(COUNT(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ), numbered AS (
+        SELECT event_type, y,
+               CAST(row_number() OVER (PARTITION BY event_type
+                                       ORDER BY h) AS BIGINT) AS i
+        FROM hourly
+    ), hw AS (
+        SELECT a.event_type, CAST(1 AS BIGINT) AS i,
+               CAST(a.y AS DOUBLE) AS s,
+               CAST(b2.y AS DOUBLE) - CAST(a.y AS DOUBLE) AS b
+        FROM numbered a JOIN numbered b2
+          ON b2.event_type = a.event_type AND a.i = 1 AND b2.i = 2
+        UNION ALL
+        SELECT r.event_type, r.i + 1,
+               0.5e0 * CAST(n.y AS DOUBLE) + 0.5e0 * (r.s + r.b),
+               0.25e0 * ((0.5e0 * CAST(n.y AS DOUBLE)
+                          + 0.5e0 * (r.s + r.b)) - r.s)
+                 + 0.75e0 * r.b
+        FROM hw r JOIN numbered n
+          ON n.event_type = r.event_type AND n.i = r.i + 1
+    ), final AS (
+        SELECT event_type,
+               max(i) AS n_samples,
+               max_by(s, i) AS level_end,
+               max_by(b, i) AS trend_end
+        FROM hw GROUP BY 1
+    )
+    SELECT event_type, n_samples, level_end, trend_end,
+           level_end + trend_end AS forecast_next
+    FROM final
+    """,
+)
+def events_promql_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``holt_winters(x[30d], 0.5, 0.25)`` (renamed
+    ``double_exponential_smoothing`` in Prometheus 3.x) — Holt's
+    linear method: a level/trend recurrence over the per-series sample
+    stream, the trend-aware smoother behind capacity forecasting.
+    Public algorithm: prometheus/promql functions.go funcHoltWinters —
+    s_i = sf·y_i + (1−sf)·(s_{i−1}+b_{i−1}),
+    b_i = tf·(s_i−s_{i−1}) + (1−tf)·b_{i−1}, initialized s₁=y₁,
+    b₁=y₂−y₁. THE genuinely sequential operator in the PromQL surface
+    (each state depends on the last — no window spelling exists), so
+    the Spark side is an applyInPandas fold per series and the oracle
+    is a DuckDB RECURSIVE CTE stepping i→i+1 — two independent
+    engines walking the same recurrence. Exactness: y is the hourly
+    BIGINT sample count (exact as double); sf=0.5, tf=0.25 and their
+    complements are exact binary fractions; both engines evaluate the
+    identical IEEE expression tree per step, so 720 chained steps stay
+    bit-equal (verified exact at sf0.01, not just 12-digit-canon).
+    Scale: the fold state is O(1) per series and samples stream
+    through Arrow batches grouped by series — the shuffle is one
+    hash-partition of the ROLLUP by series key; 10M series × anything
+    parallelizes across executors, exactly how the streamed alert
+    twin's state machine shards."""
+    import pandas as pd
+
+    from metricproxy_spark.io import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("h")
+        ys = [float(v) for v in pdf["y"]]
+        if len(ys) < 2:
+            # PromQL returns no sample for a 1-point series
+            return pd.DataFrame(
+                columns=[
+                    "event_type", "n_samples",
+                    "level_end", "trend_end", "forecast_next",
+                ]
+            )
+        s = ys[0]
+        b = ys[1] - ys[0]
+        for y in ys[1:]:
+            s_new = 0.5 * y + 0.5 * (s + b)
+            b = 0.25 * (s_new - s) + 0.75 * b
+            s = s_new
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n_samples": [len(ys)],
+                "level_end": [s],
+                "trend_end": [b],
+                "forecast_next": [s + b],
+            }
+        )
+
+    return hourly.groupBy("event_type").applyInPandas(
+        fold,
+        "event_type string, n_samples bigint,"
+        " level_end double, trend_end double, forecast_next double",
+    )
+
+
+@register(
+    "events_promql_quantile_agg",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               SUM(CAST(value AS DECIMAL(27,4))) AS v
+        FROM events GROUP BY 1, 2
+    ), ranked AS (
+        SELECT h, v,
+               CAST(row_number() OVER (PARTITION BY h
+                                       ORDER BY v, event_type) - 1
+                    AS BIGINT) AS idx,
+               CAST(count(*) OVER (PARTITION BY h) AS BIGINT) AS n
+        FROM hourly
+    ), sel AS (
+        SELECT h, n,
+            max(CASE WHEN idx = CAST(floor(0.5e0 * (n - 1)) AS BIGINT)
+                     THEN CAST(v AS DOUBLE) END) AS lo50,
+            max(CASE WHEN idx = CAST(floor(0.5e0 * (n - 1)) AS BIGINT) + 1
+                     THEN CAST(v AS DOUBLE) END) AS hi50,
+            max(CASE WHEN idx = CAST(floor(0.9e0 * (n - 1)) AS BIGINT)
+                     THEN CAST(v AS DOUBLE) END) AS lo90,
+            max(CASE WHEN idx = CAST(floor(0.9e0 * (n - 1)) AS BIGINT) + 1
+                     THEN CAST(v AS DOUBLE) END) AS hi90
+        FROM ranked GROUP BY h, n
+    )
+    SELECT h, n,
+           lo50 + (coalesce(hi50, lo50) - lo50)
+               * (0.5e0 * (n - 1) - floor(0.5e0 * (n - 1))) AS q50,
+           lo90 + (coalesce(hi90, lo90) - lo90)
+               * (0.9e0 * (n - 1) - floor(0.9e0 * (n - 1))) AS q90
+    FROM sel
+    """,
+)
+def events_promql_quantile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``quantile(φ, x)`` AGGREGATION operator — the φ-quantile
+    ACROSS the instant vector (across series at one timestamp), the
+    missing sibling of the r8 `quantile_over_time` (which runs over
+    TIME per series). Public algorithm: prometheus/promql quantile.go
+    `quantile` — sort the values, rank = φ·(n−1), linearly interpolate
+    between the adjacent ranked values. Spelled rank-exactly: a
+    per-instant row_number over the DECIMAL rollup (value order with
+    series tiebreak), the lower/upper neighbors selected by
+    conditional aggregation on the integer index, then ONE identical
+    interpolation chain per φ on both engines (the hi neighbor
+    coalesces to lo when the rank lands on the top index). Evaluated
+    for φ=0.5 and φ=0.9 per hour. Scale: one hourly rollup + one
+    per-instant window over |series| rows + one hash agg — never the
+    raw table, no join; at 10M series the window is the shuffle and
+    the quantile state is two selected rows per (instant, φ)."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.sum(F.col("value").cast("decimal(27,4)")).alias("v"))
+    w = Window.partitionBy("h").orderBy("v", "event_type")
+    ranked = hourly.select(
+        "h",
+        "v",
+        (F.row_number().over(w) - 1).cast("bigint").alias("idx"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("h"))
+        .cast("bigint")
+        .alias("n"),
+    )
+
+    def pick(phi: float, which: str):
+        rank = F.lit(phi) * (F.col("n") - 1)
+        lo_idx = F.floor(rank).cast("bigint")
+        tgt = lo_idx if which == "lo" else lo_idx + 1
+        return F.max(
+            F.when(F.col("idx") == tgt, F.col("v").cast("double"))
+        )
+
+    sel = ranked.groupBy("h", "n").agg(
+        pick(0.5, "lo").alias("lo50"),
+        pick(0.5, "hi").alias("hi50"),
+        pick(0.9, "lo").alias("lo90"),
+        pick(0.9, "hi").alias("hi90"),
+    )
+
+    def interp(phi: float, lo: str, hi: str):
+        rank = F.lit(phi) * (F.col("n") - 1)
+        frac = rank - F.floor(rank)
+        return F.col(lo) + (
+            F.coalesce(F.col(hi), F.col(lo)) - F.col(lo)
+        ) * frac
+
+    return sel.select(
+        "h",
+        "n",
+        interp(0.5, "lo50", "hi50").alias("q50"),
+        interp(0.9, "lo90", "hi90").alias("q90"),
+    )

@@ -3154,6 +3154,86 @@ def ingest_lz4_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ingest_gzip_documents",
+    oracle="""
+    SELECT doc_id, source, lang,
+           md5(text) AS md5_gzip,
+           md5(text) AS md5_zlib,
+           length(text) AS n_chars_decoded
+    FROM documents
+    """,
+)
+def ingest_gzip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEFLATE-family transport (RFC 1951/1952/1950 — HTTP
+    ``Content-Encoding: gzip``, ``.jsonl.gz`` training shards, WARC
+    bodies), from scratch (`sources/deflate.py`): every document's
+    UTF-8 text compresses through the fixed-Huffman greedy encoder and
+    decodes back through BOTH container framings — the gzip member
+    (CRC-32 + ISIZE trailer verified inside the decoder) and the zlib
+    stream (Adler-32 verified) — in one Arrow-batched map pass.
+    Fidelity is proven per document by md5 of each DECODED byte stream
+    against the oracle's md5 of the source text; a gzip bit-flip or a
+    checksum bug surfaces as a hash mismatch, not a silent pass.
+    Unlike the other nine from-scratch codecs this one also has a
+    stdlib reference (zlib), pinned both directions in
+    ``tests/test_deflate.py``. Scale: map-only, no shuffle; `spread()`
+    keeps the single-file scan parallel; the ``max_out`` bound is
+    sized to the document (DEFLATE amplifies >1000:1 — the bound IS
+    the bomb guard)."""
+    import hashlib
+
+    import pandas as pd
+
+    from metricproxy_spark.io import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
+    docs = spread(load_table(spark, sf_dir, "documents"), spark).select(
+        "doc_id", "source", "lang", "text"
+    )
+
+    def roundtrip(batches):
+        from metricproxy_spark.sources.deflate import (
+            compress_gzip,
+            compress_zlib,
+            decompress_gzip,
+            decompress_zlib,
+        )
+
+        for pdf in batches:
+            rows = []
+            for did, src, lang, text in zip(
+                pdf["doc_id"], pdf["source"], pdf["lang"], pdf["text"]
+            ):
+                raw = str(text).encode("utf-8")
+                bound = len(raw) + 64
+                g = decompress_gzip(compress_gzip(raw), max_out=bound)
+                z = decompress_zlib(compress_zlib(raw), max_out=bound)
+                rows.append(
+                    (
+                        int(did),
+                        str(src),
+                        str(lang),
+                        hashlib.md5(g).hexdigest(),
+                        hashlib.md5(z).hexdigest(),
+                        len(g.decode("utf-8")),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "source", "lang",
+                    "md5_gzip", "md5_zlib", "n_chars_decoded",
+                ],
+            )
+
+    return docs.mapInPandas(
+        roundtrip,
+        "doc_id bigint, source string, lang string,"
+        " md5_gzip string, md5_zlib string, n_chars_decoded bigint",
+    )
+
+
+@register(
     "ingest_openmetrics",
     oracle="""
     WITH base AS (
@@ -3505,4 +3585,130 @@ def ingest_remote_write_v2_histograms(
         " sum_v double, zero_count long, schema_ int, hist_ts_ms long,"
         " bucket_idx long, bucket_count long, exemplar_trace string,"
         " exemplar_value double, exemplar_ts_ms long",
+    )
+
+
+@register(
+    "ingest_remote_read",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               CAST(COUNT(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    )
+    SELECT 'events_total' AS metric,
+           event_type AS dim_type,
+           CAST(y AS DOUBLE) AS value,
+           epoch_ms(h) AS timestamp_ms
+    FROM hourly
+    WHERE regexp_matches(event_type, '^(?:(click|error|s.*))$')
+      AND event_type <> 'error'
+      AND NOT regexp_matches(event_type, '^(?:(p.*))$')
+      AND epoch_ms(h) BETWEEN 1704412800000 AND 1705708800000
+    """,
+)
+def ingest_remote_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-ext wire format: Prometheus REMOTE READ — the query-side twin
+    of remote write, completing the remote pair (public spec: prompb
+    remote.proto ReadRequest/LabelMatcher/ReadResponse; transport =
+    snappy-compressed protobuf, `sources/remote_read.py`). The engine
+    plays BOTH roles end to end: a constant ReadRequest (time range
+    2024-01-05..2024-01-20 INCLUSIVE, matchers exercising all four
+    types — EQ __name__, RE type=(click|error|s.*), NEQ type=error,
+    NRE type=p.*) rides the wire snappy+protobuf; the SERVER leg
+    decodes it per Arrow batch, evaluates PromQL matcher semantics
+    (fully-anchored regexes, missing-label-is-empty) against the
+    hourly rollup series, assembles TimeSeries and encodes a
+    ReadResponse; the CLIENT leg decodes the response back to flat
+    samples. The oracle replicates matchers + range as anchored SQL
+    predicates — agreement proves request decode, matcher evaluation,
+    response encode AND decode in one pass (QueryResult is reused
+    byte-level from the WriteRequest codec — structurally identical
+    messages). Scale: the rollup is series-sized; request decode is
+    O(bytes) per batch; both codec legs are map-only Arrow passes with
+    no shuffle beyond the rollup's own hash agg."""
+    import pandas as pd
+
+    from metricproxy_spark.io import ensure_package_on_workers
+    from metricproxy_spark.sources.remote_read import (
+        encode_read_request_body,
+    )
+
+    ensure_package_on_workers(spark)
+    request_body = encode_read_request_body(
+        [
+            (
+                1704412800000,
+                1705708800000,
+                [
+                    (0, "__name__", "events_total"),
+                    (2, "type", "(click|error|s.*)"),
+                    (1, "type", "error"),
+                    (3, "type", "p.*"),
+                ],
+            )
+        ]
+    )
+    events = load_table(spark, sf_dir, "events")
+    hourly = spread(
+        events.groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("h")
+        ).agg(F.count(F.lit(1)).cast("bigint").alias("y")),
+        spark,
+    ).select("event_type", F.unix_millis("h").alias("ts_ms"), "y")
+
+    def serve(batches):
+        from metricproxy_spark.sources.remote_read import (
+            decode_read_request_body,
+            encode_read_response_body,
+            matcher_accepts,
+        )
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            queries = decode_read_request_body(request_body)
+            results = []
+            for start_ms, end_ms, matchers in queries:
+                series = []
+                for et, grp in pdf.groupby("event_type", sort=True):
+                    labels = {"__name__": "events_total", "type": str(et)}
+                    if not matcher_accepts(labels, matchers):
+                        continue
+                    samples = [
+                        (float(y), int(t))
+                        for t, y in zip(grp["ts_ms"], grp["y"])
+                        if start_ms <= int(t) <= end_ms
+                    ]
+                    if samples:
+                        series.append((labels, samples))
+                results.append(series)
+            yield pd.DataFrame(
+                {"body": [bytearray(encode_read_response_body(results))]}
+            )
+
+    responses = hourly.mapInPandas(serve, "body binary")
+
+    def client(batches):
+        from metricproxy_spark.sources.remote_read import (
+            decode_read_response_body,
+        )
+
+        for pdf in batches:
+            rows = []
+            for body in pdf["body"]:
+                for series_list in decode_read_response_body(bytes(body)):
+                    for labels, samples in series_list:
+                        for v, t in samples:
+                            rows.append(
+                                (labels["__name__"], labels["type"], v, t)
+                            )
+            yield pd.DataFrame(
+                rows,
+                columns=["metric", "dim_type", "value", "timestamp_ms"],
+            )
+
+    return responses.mapInPandas(
+        client,
+        "metric string, dim_type string, value double, timestamp_ms long",
     )

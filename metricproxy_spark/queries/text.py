@@ -4987,3 +4987,98 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_chars").cast("double") / F.col("n_words").cast("double"))
         .alias("mean_word_len"),
     )
+
+
+@register(
+    "text_eval_contamination",
+    oracle="""
+    WITH wds AS (
+        SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
+        FROM documents
+    ), kg AS (
+        SELECT doc_id,
+            list_transform(range(1, len(w) - 3),
+              i -> ((((CAST(ascii(w[i]) * 1024 + length(w[i]) AS BIGINT) * 131
+                     + CAST(ascii(w[i+1]) * 1024 + length(w[i+1]) AS BIGINT)) * 131
+                     + CAST(ascii(w[i+2]) * 1024 + length(w[i+2]) AS BIGINT)) * 131
+                     + CAST(ascii(w[i+3]) * 1024 + length(w[i+3]) AS BIGINT)) * 131
+                     + CAST(ascii(w[i+4]) * 1024 + length(w[i+4]) AS BIGINT))
+                   % 1000000000000037
+            ) AS kg
+        FROM wds
+    ), occ AS (
+        SELECT DISTINCT doc_id, unnest(kg) AS fp FROM kg
+    ), ev AS (
+        SELECT DISTINCT fp, doc_id AS eval_doc FROM occ
+        WHERE doc_id % 10 = 0
+    ), tr AS (
+        SELECT doc_id, fp FROM occ WHERE doc_id % 10 <> 0
+    ), tot AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+        FROM tr GROUP BY 1
+    ), hits AS (
+        SELECT t.doc_id,
+               CAST(count(DISTINCT t.fp) AS BIGINT) AS n_contaminated,
+               CAST(count(DISTINCT e.eval_doc) AS BIGINT) AS n_eval_docs
+        FROM tr t JOIN ev e ON e.fp = t.fp
+        GROUP BY 1
+    )
+    SELECT h.doc_id, tot.n_grams, h.n_contaminated, h.n_eval_docs,
+           round(CAST(h.n_contaminated AS DOUBLE)
+                 / CAST(tot.n_grams AS DOUBLE), 9) AS contaminated_frac
+    FROM hits h JOIN tot ON tot.doc_id = h.doc_id
+    """,
+)
+def text_eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4 TRAIN/EVAL CONTAMINATION detection — the release-gate check
+    every LLM training pipeline runs before shipping a dataset: find
+    training documents that share word-5-gram spans with the held-out
+    evaluation split (the n-gram-overlap decontamination method of
+    GPT-3 appendix C / PaLM / Llama: an eval example is "dirty" if any
+    its n-grams appear in training data — here inverted to flag the
+    TRAINING docs to drop, which is the actionable side). The split is
+    deterministic (doc_id % 10 = 0 ⇒ eval — in production a real
+    benchmark table sits on the eval side; the operator shape is
+    identical). Output: every contaminated train doc with its distinct
+    5-gram count, how many of those grams are contaminated, and how
+    many distinct eval docs it collides with. Scale shape: k-gram
+    fingerprints explode once (int64 hashes only, no text), the eval
+    side reduces to DISTINCT (fp, eval_doc) — in practice benchmark
+    corpora are tiny so this side is broadcast-small; the train-side
+    join is fp-key-hashed with partial-combine aggs, no all-pairs, no
+    driver state. Same fingerprint machinery as
+    `text_common_span_frac` (vectorized numpy twin, HOF-spec equality
+    pytest-asserted)."""
+    from metricproxy_spark.operators.text import kgram_hashes_vectorized
+
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
+    occ = kgram_hashes_vectorized(docs, k=5).select("doc_id", "fp").distinct()
+    is_eval = F.col("doc_id") % 10 == 0
+    ev = (
+        occ.where(is_eval)
+        .select("fp", F.col("doc_id").alias("eval_doc"))
+        .distinct()
+    )
+    tr = occ.where(~is_eval)
+    tot = tr.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_grams")
+    )
+    hits = (
+        tr.join(ev, "fp")
+        .groupBy("doc_id")
+        .agg(
+            F.count_distinct("fp").cast("bigint").alias("n_contaminated"),
+            F.count_distinct("eval_doc").cast("bigint").alias("n_eval_docs"),
+        )
+    )
+    return hits.join(tot, "doc_id").select(
+        "doc_id",
+        "n_grams",
+        "n_contaminated",
+        "n_eval_docs",
+        F.round(
+            F.col("n_contaminated").cast("double")
+            / F.col("n_grams").cast("double"),
+            9,
+        ).alias("contaminated_frac"),
+    )

@@ -82,15 +82,35 @@ ORACLES: dict[str, str] = {}
 # 29 of the 40-name r4-latest cohort (union-script truth — the prior
 # note's 41 counted ingest_http_listener_live before its r10 re-pin)
 # = exactly the 50-row driver window.
-# ROUND-12 NOTE: pin r12 additions first, then the ELEVEN overflowed
-# r4 names (tpch_q6_forecast_revenue, tpch_q9_product_profit,
+# ROUND-11b (continued, same round): 8 more additions (DEFLATE/gzip/
+# zlib transport, prometheus REMOTE READ completing the remote pair,
+# PromQL predict_linear + count_values + holt_winters + the
+# cross-series quantile aggregator, graphite asPercent, train/eval
+# contamination) pinned at the head; the r4 head shrinks 29 -> 21 to
+# keep the 50-row window exact.
+# ROUND-12 NOTE: pin r12 additions first, then the NINETEEN
+# overflowed r4 names (tpch_q4_order_priority,
+# tpch_q5_local_supplier_volume,
+# tpch_q7_volume_shipping, tpch_q8_market_share,
+# tpch_q10_returned_items, tpch_q13_customer_distribution,
+# tpch_q19_disjunctive_revenue, tpch_q21_waiting_supplier,
+# tpch_q6_forecast_revenue, tpch_q9_product_profit,
 # tpch_q12_priority_lines, tpch_q15_top_supplier,
 # analytic_setops_all, analytic_conditional_aggs,
 # analytic_copurchase_lift, analytic_mode_per_group,
 # analytic_hll_sketch, analytic_asof_forward,
-# analytic_running_distinct), then the r5-latest cohort (recompute
-# with the union script).
+# analytic_running_distinct -- recompute with the union script),
+# then the r5-latest cohort.
 _PRIORITY = (
+    # --- new in round 11 (second wave) ---
+    "ingest_gzip_documents",
+    "ingest_remote_read",
+    "events_promql_predict_linear",
+    "events_promql_count_values",
+    "events_promql_holt_winters",
+    "events_promql_quantile_agg",
+    "events_graphite_aspercent",
+    "text_eval_contamination",
     # --- new in round 11 ---
     "events_promql_subquery",
     "events_promql_subquery_rate",
@@ -115,7 +135,7 @@ _PRIORITY = (
     "tpch_q18_large_orders",
     "tpch_q22_idle_customers",
     "analytic_lateral_topn",
-    # --- r4-latest evidence cohort (29 of 40; registry order) ---
+    # --- r4-latest evidence cohort (21 of 40; registry order) ---
     "pipeline_bpe_train",
     "multimodal_audio_spectral",
     "multimodal_image_stats",
@@ -137,14 +157,6 @@ _PRIORITY = (
     "events_downsample_lttb",
     "graph_triangles",
     "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q10_returned_items",
-    "tpch_q13_customer_distribution",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q21_waiting_supplier",
 )
 
 _QUERY_MODULES = (

@@ -1,0 +1,140 @@
+"""Round-11b additions: DEFLATE-family transport, the PromQL
+forecasting trio (predict_linear/deriv, holt_winters, count_values),
+graphite asPercent, and train/eval contamination detection.
+
+Each query gets (a) the local replica of the driver's DuckDB-oracle
+check and (b) plan-discipline assertions (the plan we designed is the
+plan Catalyst runs). holt_winters additionally gets a hand-computed
+recurrence pin — the fold and the recursive CTE must both match it.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.oracle_utils import assert_matches_oracle, canon_rows, run_oracle
+
+NEW_ORACLED = (
+    "ingest_gzip_documents",
+    "ingest_remote_read",
+    "events_promql_predict_linear",
+    "events_promql_count_values",
+    "events_promql_holt_winters",
+    "events_promql_quantile_agg",
+    "events_graphite_aspercent",
+    "text_eval_contamination",
+)
+
+
+def _q(name):
+    from metricproxy_spark.registry import ORACLES, QUERIES, load_all
+
+    load_all()
+    return QUERIES[name], ORACLES[name]
+
+
+class TestRound11bOracles:
+    @pytest.mark.parametrize("name", NEW_ORACLED)
+    def test_matches_duckdb_oracle(self, spark, sf_dir, name):
+        fn, sql = _q(name)
+        assert_matches_oracle(fn(spark, sf_dir), sql, sf_dir)
+
+    def test_contamination_is_nonempty_and_flags_real_overlap(
+        self, spark, sf_dir
+    ):
+        fn, _ = _q("text_eval_contamination")
+        rows = fn(spark, sf_dir).collect()
+        assert len(rows) > 0  # the synthetic corpus has mirrored spans
+        for r in rows:
+            assert 0 < r["n_contaminated"] <= r["n_grams"]
+            assert r["n_eval_docs"] >= 1
+            assert 0.0 < r["contaminated_frac"] <= 1.0
+
+
+class TestHoltWintersRecurrence:
+    def test_hand_computed_pin(self):
+        # y = [2, 4, 3]: s1=2, b1=2; i=2: s=.5*4+.5*(2+2)=4,
+        # b=.25*(4-2)+.75*2=2; i=3: s=.5*3+.5*(4+2)=4.5,
+        # b=.25*(4.5-4)+.75*2=1.625; forecast=6.125
+        s, b = 2.0, 4.0 - 2.0
+        for y in (4.0, 3.0):
+            s_new = 0.5 * y + 0.5 * (s + b)
+            b = 0.25 * (s_new - s) + 0.75 * b
+            s = s_new
+        assert (s, b, s + b) == (4.5, 1.625, 6.125)
+
+    def test_fold_and_cte_agree_bitwise(self, spark, sf_dir):
+        """The driver canonicalizes; here we pin EXACT float equality
+        between the Python fold and the DuckDB recursive CTE — 720
+        chained IEEE steps must not drift an ulp."""
+        fn, sql = _q("events_promql_holt_winters")
+        pdf = fn(spark, sf_dir).toPandas()
+        opdf = run_oracle(sql, sf_dir)
+        cols = sorted(pdf.columns)
+        a = sorted(map(repr, pdf[cols].itertuples(index=False, name=None)))
+        b = sorted(map(repr, opdf[cols].itertuples(index=False, name=None)))
+        assert a == b
+
+
+class TestRound11bPlanDiscipline:
+    def _plan(self, spark, sf_dir, name):
+        fn, _ = _q(name)
+        df = fn(spark, sf_dir)
+        df.count()  # let AQE finalize
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    def test_gzip_leg_is_map_only(self, spark, sf_dir):
+        """Codec roundtrips are Arrow-batched map passes — no join, no
+        aggregation, nothing shuffled by key."""
+        plan = self._plan(spark, sf_dir, "ingest_gzip_documents")
+        assert "Join" not in plan, plan
+        assert "MapInPandas" in plan, plan
+
+    def test_predict_linear_join_free(self, spark, sf_dir):
+        """Least squares is two hash aggs over map-combinable integer
+        partials — the regression never joins or sorts the samples."""
+        plan = self._plan(spark, sf_dir, "events_promql_predict_linear")
+        assert "Join" not in plan, plan
+        assert "HashAggregate" in plan, plan
+
+    def test_count_values_join_free(self, spark, sf_dir):
+        plan = self._plan(spark, sf_dir, "events_promql_count_values")
+        assert "Join" not in plan, plan
+        assert "HashAggregate" in plan, plan
+
+    def test_aspercent_broadcasts_instant_totals(self, spark, sf_dir):
+        """The sumSeries denominator is an |hours|-row dim and must
+        BROADCAST back onto the rollup; nothing may plan cartesian."""
+        plan = self._plan(spark, sf_dir, "events_graphite_aspercent")
+        assert "BroadcastHashJoin" in plan, plan
+        assert "CartesianProduct" not in plan, plan
+
+    def test_holt_winters_state_is_per_series(self, spark, sf_dir):
+        """The fold runs as grouped-map Pandas over the rollup — one
+        hash partition by series key, no join, O(1) state per group."""
+        plan = self._plan(spark, sf_dir, "events_promql_holt_winters")
+        assert "FlatMapGroupsInPandas" in plan, plan
+        assert "Join" not in plan, plan
+
+    def test_contamination_never_cartesian(self, spark, sf_dir):
+        """Fingerprint joins are key-hashed equi-joins; no all-pairs
+        comparison anywhere in the contamination pipeline."""
+        plan = self._plan(spark, sf_dir, "text_eval_contamination")
+        assert "CartesianProduct" not in plan, plan
+
+    def test_remote_read_legs_are_map_only(self, spark, sf_dir):
+        """Request decode, matcher evaluation and both response codec
+        legs run as Arrow map passes over the rollup — the only
+        shuffle is the rollup's own hash agg, never a join."""
+        plan = self._plan(spark, sf_dir, "ingest_remote_read")
+        assert "Join" not in plan, plan
+        assert "MapInPandas" in plan, plan
+        assert "HashAggregate" in plan, plan
+
+    def test_quantile_agg_join_free(self, spark, sf_dir):
+        """The cross-series quantile is rollup -> per-instant window
+        -> hash agg: the ranked neighbors are selected by conditional
+        aggregation, never a self-join."""
+        plan = self._plan(spark, sf_dir, "events_promql_quantile_agg")
+        assert "Join" not in plan, plan
+        assert "HashAggregate" in plan, plan
