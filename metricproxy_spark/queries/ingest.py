@@ -3712,3 +3712,128 @@ def ingest_remote_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         client,
         "metric string, dim_type string, value double, timestamp_ms long",
     )
+
+
+@register(
+    "ingest_remote_read_live",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               CAST(COUNT(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    )
+    SELECT 'events_total' AS metric,
+           event_type AS dim_type,
+           CAST(y AS DOUBLE) AS value,
+           epoch_ms(h) AS timestamp_ms
+    FROM hourly
+    WHERE regexp_matches(event_type, '^(?:(click|error|s.*))$')
+      AND event_type <> 'error'
+      AND NOT regexp_matches(event_type, '^(?:(p.*))$')
+      AND epoch_ms(h) BETWEEN 1704412800000 AND 1705708800000
+    """,
+)
+def ingest_remote_read_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-ext LIVE: a real prometheus remote-read SERVER
+    (``streaming.httplistener.RemoteReadServer``) binds a loopback
+    port and ANSWERS ``POST /api/v1/read`` over actual TCP — the
+    pull-side twin of `ingest_http_listener_live`'s push door. Spark
+    builds the hourly rollup; the server holds it as its bounded
+    in-memory store (series-rollup-sized, the bounded-model-state
+    class — collected under the wire guard); a client sends the same
+    four-matcher request as `ingest_remote_read` with the spec's
+    ``application/x-protobuf`` + ``Content-Encoding: snappy`` headers
+    honored both ways; the response bytes are decoded back to flat
+    samples DISTRIBUTED (one Arrow map pass). The oracle re-derives
+    matchers + range as anchored SQL — value-checking the whole live
+    chain: HTTP accept, snappy+protobuf request decode, matcher
+    evaluation, response encode, client decode. At 100 TB the store
+    shards across replicas; Spark stays the engine that builds their
+    rollups."""
+    import http.client
+
+    import pandas as pd
+
+    from metricproxy_spark.io import ensure_package_on_workers
+    from metricproxy_spark.operators.scale import guarded_wire_pandas
+    from metricproxy_spark.sources.remote_read import (
+        encode_read_request_body,
+    )
+    from metricproxy_spark.streaming.httplistener import RemoteReadServer
+
+    ensure_package_on_workers(spark)
+    events = load_table(spark, sf_dir, "events")
+    rollup = guarded_wire_pandas(
+        events.groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("h")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+        .select("event_type", F.unix_millis("h").alias("ts_ms"), "y")
+    )
+    series = [
+        (
+            {"__name__": "events_total", "type": str(et)},
+            sorted(
+                (float(y), int(t))
+                for t, y in zip(grp["ts_ms"], grp["y"])
+            ),
+        )
+        for et, grp in rollup.groupby("event_type", sort=True)
+    ]
+    request_body = encode_read_request_body(
+        [
+            (
+                1704412800000,
+                1705708800000,
+                [
+                    (0, "__name__", "events_total"),
+                    (2, "type", "(click|error|s.*)"),
+                    (1, "type", "error"),
+                    (3, "type", "p.*"),
+                ],
+            )
+        ]
+    )
+    with RemoteReadServer(series) as srv:
+        conn = http.client.HTTPConnection(srv.host, srv.port, timeout=30)
+        conn.request(
+            "POST",
+            "/api/v1/read",
+            body=request_body,
+            headers={
+                "Content-Type": "application/x-protobuf",
+                "Content-Encoding": "snappy",
+            },
+        )
+        resp = conn.getresponse()
+        assert resp.status == 200
+        assert resp.getheader("Content-Encoding") == "snappy"
+        blob = resp.read()
+        conn.close()
+    payloads = spark.createDataFrame(
+        [(bytearray(blob),)], "body binary"
+    )
+
+    def client(batches):
+        from metricproxy_spark.sources.remote_read import (
+            decode_read_response_body,
+        )
+
+        for pdf in batches:
+            rows = []
+            for body in pdf["body"]:
+                for series_list in decode_read_response_body(bytes(body)):
+                    for labels, samples in series_list:
+                        for v, t in samples:
+                            rows.append(
+                                (labels["__name__"], labels["type"], v, t)
+                            )
+            yield pd.DataFrame(
+                rows,
+                columns=["metric", "dim_type", "value", "timestamp_ms"],
+            )
+
+    return payloads.mapInPandas(
+        client,
+        "metric string, dim_type string, value double, timestamp_ms long",
+    )

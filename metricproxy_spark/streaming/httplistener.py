@@ -181,3 +181,118 @@ def http_spool_stream(spark: SparkSession, spool_dir: str) -> DataFrame:
         .option("path", spool_dir)
         .load()
     )
+
+
+class RemoteReadServer:
+    """A LIVE prometheus remote-read SERVER (``POST /api/v1/read``).
+
+    The query-side twin of the ingest listener above: where the ingest
+    door ACCEPTS pushed samples, this door ANSWERS pull queries — a
+    real ``ThreadingHTTPServer`` speaking the public remote-read
+    protocol (prompb ReadRequest/ReadResponse over snappy-compressed
+    protobuf, ``Content-Type: application/x-protobuf`` +
+    ``Content-Encoding: snappy``), evaluating all four LabelMatcher
+    types with PromQL semantics against a bounded in-memory series
+    store (`sources/remote_read.py` owns codec + matcher logic).
+
+    The store is SERIES-ROLLUP-sized by design (the bounded-model-
+    state class, like k-means centroids): a production deployment
+    shards many such replicas behind the same route while Spark stays
+    the engine that builds their rollups. ``GET /healthz`` answers the
+    load balancer like the ingest listener (S7).
+    """
+
+    def __init__(
+        self,
+        series: list,
+        host: str = "127.0.0.1",
+        port: int = 0,
+    ):
+        # [(labels_dict, [(value, ts_ms), ...]), ...]
+        self.series = series
+        self.host, self.port = host, port
+        self._server: ThreadingHTTPServer | None = None
+        self._thread: threading.Thread | None = None
+        self.served = 0
+
+    def _answer(self, body: bytes) -> bytes:
+        from metricproxy_spark.sources.remote_read import (
+            decode_read_request_body,
+            encode_read_response_body,
+            matcher_accepts,
+        )
+
+        results = []
+        for start_ms, end_ms, matchers in decode_read_request_body(body):
+            hit = []
+            for labels, samples in self.series:
+                if not matcher_accepts(labels, matchers):
+                    continue
+                sel = [
+                    (v, t) for v, t in samples if start_ms <= t <= end_ms
+                ]
+                if sel:
+                    hit.append((labels, sel))
+            results.append(hit)
+        self.served += 1
+        return encode_read_response_body(results)
+
+    def start(self) -> tuple[str, int]:
+        server_ref = self
+
+        class _ReadHandler(BaseHTTPRequestHandler):
+            def log_message(self, *_a) -> None:
+                pass
+
+            def do_GET(self) -> None:
+                if self.path.split("?")[0] == "/healthz":
+                    body = b"OK"
+                    self.send_response(200)
+                    self.send_header("Content-Type", "text/plain")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                else:
+                    self.send_error(404)
+
+            def do_POST(self) -> None:
+                if self.path.split("?")[0] != "/api/v1/read":
+                    self.send_error(404)
+                    return
+                clen = int(self.headers.get("Content-Length") or 0)
+                raw = self.rfile.read(clen)
+                try:
+                    resp = server_ref._answer(raw)
+                except ValueError:
+                    self.send_error(400)  # malformed request body
+                    return
+                self.send_response(200)
+                self.send_header(
+                    "Content-Type", "application/x-protobuf"
+                )
+                self.send_header("Content-Encoding", "snappy")
+                self.send_header("Content-Length", str(len(resp)))
+                self.end_headers()
+                self.wfile.write(resp)
+
+        self._server = ThreadingHTTPServer((self.host, self.port), _ReadHandler)
+        self.port = self._server.server_address[1]
+        self._thread = threading.Thread(
+            target=self._server.serve_forever, daemon=True
+        )
+        self._thread.start()
+        return self.host, self.port
+
+    def stop(self) -> None:
+        if self._server is not None:
+            self._server.shutdown()
+            self._server.server_close()
+            self._thread.join(timeout=10)
+            self._server = None
+
+    def __enter__(self) -> "RemoteReadServer":
+        self.start()
+        return self
+
+    def __exit__(self, *_exc) -> None:
+        self.stop()

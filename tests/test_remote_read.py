@@ -144,3 +144,75 @@ class TestMatcherSemantics:
         assert matcher_accepts({}, [(NEQ, "job", "x")])
         assert not matcher_accepts({}, [(EQ, "job", "x")])
         assert matcher_accepts({}, [(NRE, "job", ".+")])
+
+
+class TestRemoteReadServer:
+    def _store(self):
+        return [
+            ({"__name__": "m", "type": "a"}, [(1.0, 100), (2.0, 200)]),
+            ({"__name__": "m", "type": "b"}, [(3.0, 150)]),
+        ]
+
+    def test_live_roundtrip_over_tcp(self):
+        import http.client
+
+        from metricproxy_spark.streaming.httplistener import (
+            RemoteReadServer,
+        )
+
+        with RemoteReadServer(self._store()) as srv:
+            conn = http.client.HTTPConnection(srv.host, srv.port, timeout=10)
+            body = encode_read_request_body(
+                [(100, 160, [(EQ, "__name__", "m")])]
+            )
+            conn.request("POST", "/api/v1/read", body=body)
+            resp = conn.getresponse()
+            assert resp.status == 200
+            assert resp.getheader("Content-Encoding") == "snappy"
+            results = decode_read_response_body(resp.read())
+            conn.close()
+        # time range [100,160] inclusive keeps (1.0,100) and (3.0,150)
+        assert results == [
+            [
+                ({"__name__": "m", "type": "a"}, [(1.0, 100)]),
+                ({"__name__": "m", "type": "b"}, [(3.0, 150)]),
+            ]
+        ]
+        assert srv.served == 1
+
+    def test_matcher_filtering_on_server(self):
+        import http.client
+
+        from metricproxy_spark.streaming.httplistener import (
+            RemoteReadServer,
+        )
+
+        with RemoteReadServer(self._store()) as srv:
+            conn = http.client.HTTPConnection(srv.host, srv.port, timeout=10)
+            body = encode_read_request_body(
+                [(0, 1000, [(NEQ, "type", "a")])]
+            )
+            conn.request("POST", "/api/v1/read", body=body)
+            results = decode_read_response_body(conn.getresponse().read())
+            conn.close()
+        assert [lbl["type"] for lbl, _ in results[0]] == ["b"]
+
+    def test_healthz_and_404_and_400(self):
+        import http.client
+
+        from metricproxy_spark.streaming.httplistener import (
+            RemoteReadServer,
+        )
+
+        with RemoteReadServer(self._store()) as srv:
+            conn = http.client.HTTPConnection(srv.host, srv.port, timeout=10)
+            conn.request("GET", "/healthz")
+            assert conn.getresponse().read() == b"OK"
+            conn.request("POST", "/nope", body=b"")
+            assert conn.getresponse().status == 404
+            conn.close()
+            # malformed (non-snappy) body -> 400, never a 500/crash
+            conn = http.client.HTTPConnection(srv.host, srv.port, timeout=10)
+            conn.request("POST", "/api/v1/read", body=b"\xff\xff garbage")
+            assert conn.getresponse().status == 400
+            conn.close()
