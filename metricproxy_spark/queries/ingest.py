@@ -3837,3 +3837,157 @@ def ingest_remote_read_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         client,
         "metric string, dim_type string, value double, timestamp_ms long",
     )
+
+
+@register(
+    "ingest_remote_read_chunked",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               CAST(COUNT(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    )
+    SELECT 'events_total' AS metric,
+           event_type AS dim_type,
+           CAST(y AS DOUBLE) AS value,
+           epoch_ms(h) AS timestamp_ms
+    FROM hourly
+    WHERE regexp_matches(event_type, '^(?:(view|purchase))$')
+    """,
+)
+def ingest_remote_read_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-ext wire format: STREAMED remote read — the production
+    response type (`STREAMED_XOR_CHUNKS`): instead of one giant
+    marshaled response, the server streams CRC-framed
+    ChunkedReadResponse messages whose payloads are prometheus TSDB
+    XOR CHUNKS, all three layers from scratch
+    (`sources/prom_chunks.py`: chunkenc bit layout with prometheus's
+    own dod prefix code and window-reuse value XOR; prompb
+    Chunk/ChunkedSeries/ChunkedReadResponse; uvarint+CRC-32C frame
+    envelope reusing snappy's from-scratch Castagnoli table). The
+    request negotiates the response type via packed
+    accepted_response_types; the SERVER leg checks it, evaluates the
+    RE matcher per Arrow batch and emits ONE frame per series (how
+    prometheus bounds server memory); the CLIENT leg CRC-verifies each
+    frame, validates chunk min/max bounds, bit-unpacks the XOR chunks
+    and flattens samples. Oracle agreement proves the whole tower —
+    float64 values survive bit-exactly because XOR compression is
+    lossless by construction (the Gorilla lever). Scale: chunks are
+    the unit of streaming — constant server memory per frame,
+    map-only codec legs, rollup-sized input."""
+    import pandas as pd
+
+    from metricproxy_spark.io import ensure_package_on_workers
+    from metricproxy_spark.sources.remote_read import (
+        STREAMED_XOR_CHUNKS,
+        encode_read_request,
+    )
+    from metricproxy_spark.sources.snappy import compress_snappy
+
+    ensure_package_on_workers(spark)
+    # full-january window; response type negotiated explicitly
+    request_body = compress_snappy(
+        encode_read_request(
+            [
+                (
+                    1704067200000,
+                    1706659200000,
+                    [
+                        (0, "__name__", "events_total"),
+                        (2, "type", "(view|purchase)"),
+                    ],
+                )
+            ],
+            accepted_response_types=[STREAMED_XOR_CHUNKS],
+        )
+    )
+    events = load_table(spark, sf_dir, "events")
+    hourly = spread(
+        events.groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("h")
+        ).agg(F.count(F.lit(1)).cast("bigint").alias("y")),
+        spark,
+    ).select("event_type", F.unix_millis("h").alias("ts_ms"), "y")
+
+    def serve(batches):
+        from metricproxy_spark.sources.prom_chunks import (
+            encode_chunked_read_response,
+            encode_chunked_stream,
+            encode_xor_chunk,
+        )
+        from metricproxy_spark.sources.remote_read import (
+            decode_read_request_full,
+            matcher_accepts,
+        )
+        from metricproxy_spark.sources.snappy import decompress_snappy
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            queries, accepted = decode_read_request_full(
+                decompress_snappy(request_body)
+            )
+            assert STREAMED_XOR_CHUNKS in accepted
+            frames = []
+            for qi, (start_ms, end_ms, matchers) in enumerate(queries):
+                for et, grp in pdf.groupby("event_type", sort=True):
+                    labels = {"__name__": "events_total", "type": str(et)}
+                    if not matcher_accepts(labels, matchers):
+                        continue
+                    samples = sorted(
+                        (int(t), float(y))
+                        for t, y in zip(grp["ts_ms"], grp["y"])
+                        if start_ms <= int(t) <= end_ms
+                    )
+                    if not samples:
+                        continue
+                    chunk = encode_xor_chunk(samples)
+                    # one frame per series: constant server memory
+                    frames.append(
+                        encode_chunked_read_response(
+                            [
+                                (
+                                    labels,
+                                    [
+                                        (
+                                            samples[0][0],
+                                            samples[-1][0],
+                                            chunk,
+                                        )
+                                    ],
+                                )
+                            ],
+                            query_index=qi,
+                        )
+                    )
+            yield pd.DataFrame(
+                {"body": [bytearray(encode_chunked_stream(frames))]}
+            )
+
+    responses = hourly.mapInPandas(serve, "body binary")
+
+    def client(batches):
+        from metricproxy_spark.sources.prom_chunks import (
+            decode_chunked_read_response,
+            decode_chunked_stream,
+        )
+
+        for pdf in batches:
+            rows = []
+            for body in pdf["body"]:
+                for msg in decode_chunked_stream(bytes(body)):
+                    series_list, _qi = decode_chunked_read_response(msg)
+                    for labels, samples in series_list:
+                        for t, v in samples:
+                            rows.append(
+                                (labels["__name__"], labels["type"], v, t)
+                            )
+            yield pd.DataFrame(
+                rows,
+                columns=["metric", "dim_type", "value", "timestamp_ms"],
+            )
+
+    return responses.mapInPandas(
+        client,
+        "metric string, dim_type string, value double, timestamp_ms long",
+    )

@@ -71,7 +71,13 @@ def _encode_matcher(mtype: int, name: str, value: str) -> bytes:
     return bytes(out)
 
 
-def encode_read_request(queries: list[Query]) -> bytes:
+SAMPLES, STREAMED_XOR_CHUNKS = 0, 1  # ReadRequest.ResponseType
+
+
+def encode_read_request(
+    queries: list[Query],
+    accepted_response_types: list[int] | None = None,
+) -> bytes:
     out = bytearray()
     for start_ms, end_ms, matchers in queries:
         q = bytearray()
@@ -82,6 +88,12 @@ def encode_read_request(queries: list[Query]) -> bytes:
         for mtype, name, value in matchers:
             _write_bytes_field(q, 3, _encode_matcher(mtype, name, value))
         _write_bytes_field(out, 1, bytes(q))
+    if accepted_response_types:
+        # proto3 repeated enum: packed varints
+        packed = bytearray()
+        for rt in accepted_response_types:
+            _write_varint(packed, rt)
+        _write_bytes_field(out, 2, bytes(packed))
     return bytes(out)
 
 
@@ -129,7 +141,15 @@ def _decode_query(buf: bytes) -> Query:
 
 
 def decode_read_request(buf: bytes) -> list[Query]:
+    queries, _ = decode_read_request_full(buf)
+    return queries
+
+
+def decode_read_request_full(buf: bytes) -> tuple[list[Query], list[int]]:
+    """→ (queries, accepted_response_types) — the latter decoded from
+    packed AND unpacked varint spellings (both are spec-valid)."""
     queries: list[Query] = []
+    accepted: list[int] = []
     pos = 0
     while pos < len(buf):
         key, pos = _read_varint(buf, pos)
@@ -137,9 +157,18 @@ def decode_read_request(buf: bytes) -> list[Query]:
         if field == 1 and wire == 2:
             raw, pos = _read_delimited(buf, pos)
             queries.append(_decode_query(raw))
+        elif field == 2 and wire == 2:  # packed repeated enum
+            raw, pos = _read_delimited(buf, pos)
+            p = 0
+            while p < len(raw):
+                rt, p = _read_varint(raw, p)
+                accepted.append(rt)
+        elif field == 2 and wire == 0:  # unpacked spelling
+            rt, pos = _read_varint(buf, pos)
+            accepted.append(rt)
         else:
             pos = _skip_field(buf, pos, wire)
-    return queries
+    return queries, accepted
 
 
 # ------------------------------------------------------------ response
