@@ -3991,3 +3991,66 @@ def ingest_remote_read_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
         client,
         "metric string, dim_type string, value double, timestamp_ms long",
     )
+
+
+@register(
+    "ingest_lz4_frame_shards",
+    oracle="""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           md5(string_agg(text, chr(30) ORDER BY doc_id)) AS md5_shard,
+           CAST(length(string_agg(text, chr(30) ORDER BY doc_id))
+                AS BIGINT) AS n_chars
+    FROM documents GROUP BY source
+    """,
+)
+def ingest_lz4_frame_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LZ4 FRAME-format transport (lz4_Frame_format.md — what `.lz4`
+    files actually carry), from scratch on top of the r10 block codec
+    plus from-scratch xxHash-32 (`sources/lz4.py`): per SOURCE, the
+    corpus builds one training-shard payload (texts joined by RS 0x1E
+    in doc_id order — the `.jsonl.lz4` shape), compresses it as a full
+    frame (magic, descriptor + xxh32 header-check byte, independent
+    64 KiB blocks each with its own xxh32, EndMark, whole-content
+    xxh32 + content size — ALL verified on decode) and round-trips it.
+    Fidelity is md5 of the decoded shard against the oracle's ordered
+    string_agg md5 — one flipped bit anywhere in a multi-block frame
+    fails three checksums deep. At sf0.1 shards exceed the 64 KiB
+    block max, so the multi-block path runs on real data. Scale:
+    shards are the groupBy(source) output — one Arrow group per shard,
+    map-only codec work, exactly how a corpus exporter writes
+    content-addressed training shards."""
+    import hashlib
+
+    import pandas as pd
+
+    from metricproxy_spark.io import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
+    docs = spread(load_table(spark, sf_dir, "documents"), spark).select(
+        "doc_id", "source", "text"
+    )
+
+    def shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        from metricproxy_spark.sources.lz4 import (
+            compress_lz4_frame,
+            decompress_lz4_frame,
+        )
+
+        pdf = pdf.sort_values("doc_id")
+        payload = "\x1e".join(str(t) for t in pdf["text"]).encode("utf-8")
+        blob = compress_lz4_frame(payload)
+        back = decompress_lz4_frame(blob, max_out=len(payload) + 64)
+        return pd.DataFrame(
+            {
+                "source": [str(pdf["source"].iloc[0])],
+                "n_docs": [len(pdf)],
+                "md5_shard": [hashlib.md5(back).hexdigest()],
+                "n_chars": [len(back.decode("utf-8"))],
+            }
+        )
+
+    return docs.groupBy("source").applyInPandas(
+        shard,
+        "source string, n_docs bigint, md5_shard string, n_chars bigint",
+    )

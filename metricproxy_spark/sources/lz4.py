@@ -1,4 +1,5 @@
-"""LZ4 BLOCK-format codec, from scratch (S-ext wire transport).
+"""LZ4 BLOCK + FRAME format codec and xxHash-32, from scratch (S-ext
+wire transport).
 
 The other mainstream fast-compression block format beside snappy
 (Kafka `compression.type=lz4`, parquet LZ4_RAW pages, journald). No
@@ -163,4 +164,184 @@ def compress_lz4_block(data: bytes) -> bytes:
     if lit_len >= 15:
         _write_count(out, lit_len - 15)
     out += tail
+    return bytes(out)
+
+
+# ====================================================================
+# LZ4 FRAME format (lz4_Frame_format.md) + xxHash-32 (from scratch)
+# ====================================================================
+#
+# The interchange container around raw blocks — what `.lz4` files and
+# streaming transports actually carry (magic, frame descriptor with
+# header checksum, length-prefixed data blocks with optional per-block
+# checksums, EndMark, optional whole-content checksum). Every checksum
+# in the spec is xxHash-32 (Cyan4973/xxHash XXH32 spec), implemented
+# from scratch below — the third checksum family in this engine next
+# to CRC-32 (deflate) and CRC-32C (snappy framing).
+
+_P1, _P2, _P3, _P4, _P5 = (
+    2654435761, 2246822519, 3266489917, 668265263, 374761393,
+)
+_M32 = 0xFFFFFFFF
+
+
+def _rotl32(x: int, r: int) -> int:
+    return ((x << r) | (x >> (32 - r))) & _M32
+
+
+def xxh32(data: bytes, seed: int = 0) -> int:
+    """XXH32 (public spec, Cyan4973/xxHash doc/xxhash_spec.md):
+    4-lane 16-byte stripes, 4-byte and 1-byte tails, avalanche."""
+    n = len(data)
+    pos = 0
+    if n >= 16:
+        v1 = (seed + _P1 + _P2) & _M32
+        v2 = (seed + _P2) & _M32
+        v3 = seed & _M32
+        v4 = (seed - _P1) & _M32
+        while pos + 16 <= n:
+            lane = int.from_bytes(data[pos : pos + 4], "little")
+            v1 = (_rotl32((v1 + lane * _P2) & _M32, 13) * _P1) & _M32
+            lane = int.from_bytes(data[pos + 4 : pos + 8], "little")
+            v2 = (_rotl32((v2 + lane * _P2) & _M32, 13) * _P1) & _M32
+            lane = int.from_bytes(data[pos + 8 : pos + 12], "little")
+            v3 = (_rotl32((v3 + lane * _P2) & _M32, 13) * _P1) & _M32
+            lane = int.from_bytes(data[pos + 12 : pos + 16], "little")
+            v4 = (_rotl32((v4 + lane * _P2) & _M32, 13) * _P1) & _M32
+            pos += 16
+        h = (
+            _rotl32(v1, 1) + _rotl32(v2, 7) + _rotl32(v3, 12) + _rotl32(v4, 18)
+        ) & _M32
+    else:
+        h = (seed + _P5) & _M32
+    h = (h + n) & _M32
+    while pos + 4 <= n:
+        lane = int.from_bytes(data[pos : pos + 4], "little")
+        h = (_rotl32((h + lane * _P3) & _M32, 17) * _P4) & _M32
+        pos += 4
+    while pos < n:
+        h = (_rotl32((h + data[pos] * _P5) & _M32, 11) * _P1) & _M32
+        pos += 1
+    h ^= h >> 15
+    h = (h * _P2) & _M32
+    h ^= h >> 13
+    h = (h * _P3) & _M32
+    h ^= h >> 16
+    return h
+
+
+_FRAME_MAGIC = b"\x04\x22\x4d\x18"
+_BLOCK_MAX = 64 * 1024  # BD block-max code 4
+_UNCOMPRESSED_BIT = 0x80000000
+
+
+def compress_lz4_frame(data: bytes) -> bytes:
+    """One LZ4 frame: magic + descriptor (version 01, independent
+    64 KiB blocks, block checksums, content size, content checksum —
+    FLG 0x7C / BD 0x40 / xxh32 header check byte) + blocks (raw blocks
+    from :func:`compress_lz4_block`; stored uncompressed with the high
+    bit when compression does not shrink, as the spec requires) +
+    EndMark + whole-content xxh32."""
+    desc = (
+        bytes((0x7C, 0x40))
+        + len(data).to_bytes(8, "little")
+    )
+    out = bytearray(_FRAME_MAGIC)
+    out += desc
+    out.append((xxh32(desc) >> 8) & 0xFF)
+    for start in range(0, len(data), _BLOCK_MAX):
+        chunk = data[start : start + _BLOCK_MAX]
+        enc = compress_lz4_block(chunk)
+        if len(enc) < len(chunk):
+            out += len(enc).to_bytes(4, "little")
+            block = enc
+        else:
+            out += (len(chunk) | _UNCOMPRESSED_BIT).to_bytes(4, "little")
+            block = chunk
+        out += block
+        out += xxh32(block).to_bytes(4, "little")
+    out += (0).to_bytes(4, "little")  # EndMark
+    out += xxh32(data).to_bytes(4, "little")  # content checksum
+    return bytes(out)
+
+
+def decompress_lz4_frame(buf: bytes, max_out: int = 1 << 26) -> bytes:
+    """Decode one LZ4 frame, strict: magic, version, reserved bits,
+    header-checksum byte, per-block xxh32 (when flagged), EndMark,
+    content size and content checksum (when flagged) are ALL verified;
+    trailing bytes after the frame are malformed. ``max_out`` bounds
+    the decoded output (distinct refusal message, the repo codec
+    contract)."""
+    if len(buf) < 7:
+        raise ValueError("lz4 frame: truncated header")
+    if buf[:4] != _FRAME_MAGIC:
+        raise ValueError("lz4 frame: bad magic")
+    flg = buf[4]
+    bd = buf[5]
+    if (flg >> 6) != 0b01:
+        raise ValueError("lz4 frame: unsupported version")
+    if flg & 0b10 or bd & 0b10001111:
+        raise ValueError("lz4 frame: reserved bits set")
+    has_bchk = bool(flg & 0x10)
+    has_csize = bool(flg & 0x08)
+    has_cchk = bool(flg & 0x04)
+    has_dict = bool(flg & 0x01)
+    if (bd >> 4) & 0x7 not in (4, 5, 6, 7):
+        raise ValueError("lz4 frame: invalid block max size")
+    block_max = 1 << (8 + 2 * ((bd >> 4) & 0x7))
+    pos = 6
+    content_size = None
+    if has_csize:
+        if pos + 8 > len(buf):
+            raise ValueError("lz4 frame: truncated content size")
+        content_size = int.from_bytes(buf[pos : pos + 8], "little")
+        pos += 8
+    if has_dict:
+        raise ValueError("lz4 frame: dictionaries not supported")
+    if pos >= len(buf):
+        raise ValueError("lz4 frame: truncated header checksum")
+    if buf[pos] != (xxh32(buf[4:pos]) >> 8) & 0xFF:
+        raise ValueError("lz4 frame: header checksum mismatch")
+    pos += 1
+    out = bytearray()
+    while True:
+        if pos + 4 > len(buf):
+            raise ValueError("lz4 frame: truncated block size")
+        size = int.from_bytes(buf[pos : pos + 4], "little")
+        pos += 4
+        if size == 0:  # EndMark
+            break
+        stored = bool(size & _UNCOMPRESSED_BIT)
+        size &= ~_UNCOMPRESSED_BIT
+        if size > block_max:
+            raise ValueError("lz4 frame: block exceeds declared maximum")
+        if pos + size > len(buf):
+            raise ValueError("lz4 frame: truncated block")
+        block = buf[pos : pos + size]
+        pos += size
+        if has_bchk:
+            if pos + 4 > len(buf):
+                raise ValueError("lz4 frame: truncated block checksum")
+            if int.from_bytes(buf[pos : pos + 4], "little") != xxh32(block):
+                raise ValueError("lz4 frame: block checksum mismatch")
+            pos += 4
+        if stored:
+            if len(out) + size > max_out:
+                raise ValueError("lz4 frame: output exceeds max_out bound")
+            out += block
+        else:
+            decoded = decompress_lz4_block(
+                block, max_out=min(block_max, max_out - len(out))
+            )
+            out += decoded
+    if has_cchk:
+        if pos + 4 > len(buf):
+            raise ValueError("lz4 frame: truncated content checksum")
+        if int.from_bytes(buf[pos : pos + 4], "little") != xxh32(bytes(out)):
+            raise ValueError("lz4 frame: content checksum mismatch")
+        pos += 4
+    if content_size is not None and len(out) != content_size:
+        raise ValueError("lz4 frame: content size mismatch")
+    if pos != len(buf):
+        raise ValueError("lz4 frame: trailing bytes after frame")
     return bytes(out)

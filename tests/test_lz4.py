@@ -113,3 +113,146 @@ class TestLz4Block:
                 decompress_lz4_block(b, max_out=1 << 20)
             except ValueError:
                 pass
+
+
+class TestXxh32:
+    def test_known_answer_vectors(self):
+        # public XXH32 test vectors (Cyan4973/xxHash)
+        from metricproxy_spark.sources.lz4 import xxh32
+
+        assert xxh32(b"") == 0x02CC5D05
+        assert xxh32(b"abc") == 0x32D153FF
+
+    def test_seed_changes_hash(self):
+        from metricproxy_spark.sources.lz4 import xxh32
+
+        assert xxh32(b"abc", 1) != xxh32(b"abc", 0)
+
+    def test_all_code_paths(self):
+        # <16 bytes (small path), 4-byte tail, 1-byte tail, stripes
+        from metricproxy_spark.sources.lz4 import xxh32
+
+        for n in (0, 1, 3, 4, 5, 15, 16, 17, 31, 32, 100):
+            data = bytes(range(n % 256))[:n] or b""
+            data = bytes((i * 7) % 256 for i in range(n))
+            h = xxh32(data)
+            assert 0 <= h <= 0xFFFFFFFF
+            assert h == xxh32(data)  # deterministic
+
+
+class TestLz4Frame:
+    def _rt(self, data, **kw):
+        from metricproxy_spark.sources.lz4 import (
+            compress_lz4_frame,
+            decompress_lz4_frame,
+        )
+
+        blob = compress_lz4_frame(data)
+        assert decompress_lz4_frame(blob, max_out=len(data) + 64, **kw) == data
+        return blob
+
+    def test_empty_and_small(self):
+        self._rt(b"")
+        self._rt(b"x")
+        self._rt(b"hello frame world")
+
+    def test_multi_block(self):
+        # >64 KiB forces multiple blocks
+        data = (b"abcdefgh" * 8192) + b"tail"
+        blob = self._rt(data)
+        assert len(blob) < len(data) // 4  # RLE-ish input compresses
+
+    def test_incompressible_blocks_stored_raw(self):
+        import random
+
+        from metricproxy_spark.sources.lz4 import compress_lz4_frame
+
+        rng = random.Random(9)
+        data = bytes(rng.randrange(256) for _ in range(70_000))
+        blob = self._rt(data)
+        # stored blocks carry the high-bit size flag; total overhead
+        # stays under header+checksums bounds
+        assert len(blob) < len(data) + 64
+
+    def test_bad_magic(self):
+        import pytest as _pytest
+
+        from metricproxy_spark.sources.lz4 import decompress_lz4_frame
+
+        with _pytest.raises(ValueError, match="magic"):
+            decompress_lz4_frame(b"\x00\x00\x00\x00" + b"\x00" * 8)
+
+    def test_header_checksum_enforced(self):
+        import pytest as _pytest
+
+        from metricproxy_spark.sources.lz4 import (
+            compress_lz4_frame,
+            decompress_lz4_frame,
+        )
+
+        blob = bytearray(compress_lz4_frame(b"payload"))
+        blob[14] ^= 0xFF  # the HC byte (magic4 + FLG/BD2 + size8)
+        with _pytest.raises(ValueError, match="header checksum"):
+            decompress_lz4_frame(bytes(blob))
+
+    def test_block_checksum_enforced(self):
+        import pytest as _pytest
+
+        from metricproxy_spark.sources.lz4 import (
+            compress_lz4_frame,
+            decompress_lz4_frame,
+        )
+
+        blob = bytearray(compress_lz4_frame(b"block checksum payload"))
+        blob[20] ^= 1  # inside the first block's bytes
+        with _pytest.raises(ValueError, match="checksum"):
+            decompress_lz4_frame(bytes(blob))
+
+    def test_content_size_and_checksum_enforced(self):
+        import pytest as _pytest
+
+        from metricproxy_spark.sources.lz4 import (
+            compress_lz4_frame,
+            decompress_lz4_frame,
+        )
+
+        blob = bytearray(compress_lz4_frame(b"content checks"))
+        blob[-1] ^= 1  # content checksum trailer
+        with _pytest.raises(ValueError, match="content checksum"):
+            decompress_lz4_frame(bytes(blob))
+
+    def test_trailing_bytes_rejected(self):
+        import pytest as _pytest
+
+        from metricproxy_spark.sources.lz4 import (
+            compress_lz4_frame,
+            decompress_lz4_frame,
+        )
+
+        with _pytest.raises(ValueError, match="trailing"):
+            decompress_lz4_frame(compress_lz4_frame(b"abc") + b"z")
+
+    def test_every_truncated_prefix_raises(self):
+        import pytest as _pytest
+
+        from metricproxy_spark.sources.lz4 import (
+            compress_lz4_frame,
+            decompress_lz4_frame,
+        )
+
+        blob = compress_lz4_frame(b"prefix discipline " * 30)
+        for cut in range(len(blob)):
+            with _pytest.raises(ValueError):
+                decompress_lz4_frame(blob[:cut])
+
+    def test_max_out_bound(self):
+        import pytest as _pytest
+
+        from metricproxy_spark.sources.lz4 import (
+            compress_lz4_frame,
+            decompress_lz4_frame,
+        )
+
+        blob = compress_lz4_frame(b"z" * 200_000)
+        with _pytest.raises(ValueError, match="max_out"):
+            decompress_lz4_frame(blob, max_out=1000)
