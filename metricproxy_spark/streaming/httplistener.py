@@ -44,6 +44,7 @@ INGEST_PATHS = (
     "/v1/metrics",
     "/v1/msgpack",
     "/v1/cbor",
+    "/v1/gzip",
     "/api/v1/write",
 )
 
