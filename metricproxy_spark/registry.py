@@ -82,17 +82,19 @@ ORACLES: dict[str, str] = {}
 # 29 of the 40-name r4-latest cohort (union-script truth — the prior
 # note's 41 counted ingest_http_listener_live before its r10 re-pin)
 # = exactly the 50-row driver window.
-# ROUND-11b (continued, same round): 12 more additions (DEFLATE/gzip/
+# ROUND-11b (continued, same round): 13 more additions (Kafka
+# RecordBatch v2 with cycling none/gzip/xerial-snappy/LZ4-frame
+# compression; DEFLATE/gzip/
 # zlib transport at-rest + STREAMED twin over live HTTP; prometheus
 # REMOTE READ at-rest + LIVE server + STREAMED_XOR_CHUNKS response
 # with from-scratch TSDB XOR chunks, completing the remote pair both
 # response types; LZ4 FRAME format with from-scratch xxHash-32;
 # PromQL predict_linear + count_values + holt_winters + the
 # cross-series quantile aggregator; graphite asPercent; train/eval
-# contamination) pinned at the head; the r4 head shrinks 29 -> 17 to
+# contamination) pinned at the head; the r4 head shrinks 29 -> 16 to
 # keep the 50-row window exact.
-# ROUND-12 NOTE: pin r12 additions first, then the TWENTY-THREE
-# overflowed r4 names (events_counter_to_rate,
+# ROUND-12 NOTE: pin r12 additions first, then the TWENTY-FOUR
+# overflowed r4 names (events_downsample_m4, events_counter_to_rate,
 # events_downsample_lttb, graph_triangles,
 # tpch_q3_shipping_priority,
 # tpch_q4_order_priority, tpch_q5_local_supplier_volume,
@@ -114,6 +116,7 @@ _PRIORITY = (
     "ingest_remote_read_chunked",
     "ingest_lz4_frame_shards",
     "stream_gzip_pipeline",
+    "ingest_kafka_recordbatch",
     "events_promql_predict_linear",
     "events_promql_count_values",
     "events_promql_holt_winters",
@@ -144,7 +147,7 @@ _PRIORITY = (
     "tpch_q18_large_orders",
     "tpch_q22_idle_customers",
     "analytic_lateral_topn",
-    # --- r4-latest evidence cohort (17 of 40; registry order) ---
+    # --- r4-latest evidence cohort (16 of 40; registry order) ---
     "pipeline_bpe_train",
     "multimodal_audio_spectral",
     "multimodal_image_stats",
@@ -161,7 +164,6 @@ _PRIORITY = (
     "events_week_over_week",
     "events_sessionize",
     "events_concurrency",
-    "events_downsample_m4",
 )
 
 _QUERY_MODULES = (
