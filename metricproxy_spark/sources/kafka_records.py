@@ -47,7 +47,11 @@ from metricproxy_spark.sources.lz4 import (
     compress_lz4_frame,
     decompress_lz4_frame,
 )
-from metricproxy_spark.sources.sfx_protobuf import _read_varint
+from metricproxy_spark.sources.sfx_protobuf import (
+    _read_varint,
+    _unzigzag,
+    _zigzag,
+)
 from metricproxy_spark.sources.snappy import (
     compress_snappy,
     crc32c,
@@ -90,14 +94,6 @@ def _xerial_unframe(buf: bytes) -> bytes:
         out += decompress_snappy(buf[pos : pos + ln])
         pos += ln
     return bytes(out)
-
-
-def _zigzag(v: int) -> int:
-    return (v << 1) ^ (v >> 63)
-
-
-def _unzigzag(u: int) -> int:
-    return (u >> 1) ^ -(u & 1)
 
 
 def _write_zigzag(out: bytearray, v: int) -> None:

@@ -51,8 +51,10 @@ from metricproxy_spark.sources.sfx_protobuf import (
     _signed64,
     _skip_field,
     _tag,
+    _unzigzag,
     _write_bytes_field,
     _write_varint,
+    _zigzag,
 )
 from metricproxy_spark.sources.snappy import crc32c
 
@@ -115,14 +117,6 @@ class _BitReader:
 
     def read_byte(self) -> int:
         return self.read(8)
-
-
-def _zigzag(v: int) -> int:
-    return (v << 1) ^ (v >> 63) if v >= 0 else ((-v) << 1) - 1
-
-
-def _unzigzag(u: int) -> int:
-    return (u >> 1) ^ -(u & 1)
 
 
 def _write_varint_bits(bw: _BitWriter, u: int) -> None:

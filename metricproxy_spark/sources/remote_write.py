@@ -37,8 +37,10 @@ from metricproxy_spark.sources.sfx_protobuf import (
     _signed64,
     _skip_field,  # one field-skipping contract, shared with every codec
     _tag,
+    _unzigzag,
     _write_bytes_field,
     _write_varint,
+    _zigzag,
 )
 from metricproxy_spark.sources.snappy import compress_snappy, decompress_snappy
 
@@ -326,15 +328,6 @@ def decode_remote_write_body_v2(
 # consecutive buckets; deltas are successive count differences, the
 # first delta being the first bucket's absolute count. At schema 0,
 # positive bucket i covers (2^(i-1), 2^i].
-
-
-def _zigzag(v: int) -> int:
-    """sint32/sint64 zigzag map (protobuf encoding spec)."""
-    return (v << 1) ^ (v >> 63) if v < 0 else v << 1
-
-
-def _unzigzag(v: int) -> int:
-    return (v >> 1) ^ -(v & 1)
 
 
 def _encode_span(offset: int, length: int) -> bytes:

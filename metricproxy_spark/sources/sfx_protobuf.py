@@ -84,6 +84,17 @@ def _signed64(v: int) -> int:
     return v - (1 << 64) if v >= (1 << 63) else v
 
 
+def _zigzag(v: int) -> int:
+    """sint32/sint64 zigzag map (protobuf encoding spec) — the ONE
+    spelling shared by every codec that needs it (remote-write
+    histogram deltas, prometheus XOR chunk t0, Kafka record framing)."""
+    return (v << 1) ^ (v >> 63)
+
+
+def _unzigzag(u: int) -> int:
+    return (u >> 1) ^ -(u & 1)
+
+
 # ------------------------------------------------------------- encoding
 # (needed for round-trip tests and the K1 forwarder's wire body)
 
