@@ -4160,3 +4160,117 @@ def ingest_kafka_recordbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode,
         "dim_type string, dim_user string, value double, timestamp_ms long",
     )
+
+
+@register(
+    "ingest_otlp_logs",
+    oracle="""
+    SELECT epoch_ns(ts) AS time_unix_nano,
+           CASE WHEN event_type = 'error' THEN 17 ELSE 9 END
+               AS severity_number,
+           CASE WHEN event_type = 'error' THEN 'ERROR' ELSE 'INFO' END
+               AS severity_text,
+           concat(event_type, ': value=',
+                  CAST(CAST(value AS DECIMAL(27,4)) AS VARCHAR))
+               AS body,
+           CAST(user_id AS VARCHAR) AS attr_user,
+           md5(CAST(event_id AS VARCHAR)) AS trace_id_hex
+    FROM events
+    """,
+)
+def ingest_otlp_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-ext wire format: OTLP/protobuf LOGS — the third OTLP signal
+    next to the metrics bindings, and the modern transport for the
+    reference domain's notification→event traffic (S6's collectd
+    notifications land on the events table; OTLP LogRecord is that
+    idea's successor). Each event becomes a LogRecord
+    (`sources/otlp_logs.py`): fixed64 nanosecond timestamp, severity
+    enum mapped from the event type (error→ERROR(17), else INFO(9)),
+    a body string carrying the typed value through the DECIMAL string
+    form (the cross-engine numeric-text pin), a user attribute
+    through the shared KeyValue/AnyValue arm, and a DETERMINISTIC
+    16-byte trace_id (md5 of the event id — the divergence suite pins
+    hashlib≡DuckDB md5), length-validated per spec. Full
+    encode→decode roundtrip per ~500-row blob; the oracle re-derives
+    every field from the source columns. Scale: map-only Arrow legs,
+    `spread()` keeps the scan parallel."""
+    import hashlib
+
+    import pandas as pd
+
+    from metricproxy_spark.io import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
+    events = spread(load_table(spark, sf_dir, "events"), spark).select(
+        "event_id",
+        "event_type",
+        F.col("user_id").cast("string").alias("user"),
+        F.col("value").cast("decimal(27,4)").cast("string").alias("val_s"),
+        (F.unix_micros("ts") * 1000).alias("t_ns"),
+    )
+
+    def encode(batches):
+        from metricproxy_spark.sources.otlp_logs import (
+            SEVERITY_ERROR,
+            SEVERITY_INFO,
+            encode_logs_request,
+        )
+
+        for pdf in batches:
+            blobs = []
+            for start in range(0, len(pdf), 500):
+                chunk = pdf.iloc[start : start + 500]
+                records = []
+                for eid, et, u, vs, t in zip(
+                    chunk["event_id"],
+                    chunk["event_type"],
+                    chunk["user"],
+                    chunk["val_s"],
+                    chunk["t_ns"],
+                ):
+                    err = str(et) == "error"
+                    records.append(
+                        (
+                            int(t),
+                            SEVERITY_ERROR if err else SEVERITY_INFO,
+                            "ERROR" if err else "INFO",
+                            f"{et}: value={vs}",
+                            {"user": str(u)},
+                            hashlib.md5(str(int(eid)).encode()).digest(),
+                            hashlib.md5(str(int(eid)).encode()).digest()[:8],
+                        )
+                    )
+                blobs.append(
+                    encode_logs_request(
+                        {"service.name": "events"}, "metricproxy-spark",
+                        records,
+                    )
+                )
+            yield pd.DataFrame({"body": [bytearray(b) for b in blobs]})
+
+    payloads = events.mapInPandas(encode, "body binary")
+
+    def decode(batches):
+        from metricproxy_spark.sources.otlp_logs import decode_logs_request
+
+        for pdf in batches:
+            rows = []
+            for body in pdf["body"]:
+                _ra, _sn, records = decode_logs_request(bytes(body))
+                for t_ns, sev, sev_text, text, attrs, tid, _sid in records:
+                    rows.append(
+                        (t_ns, sev, sev_text, text, attrs["user"], tid.hex())
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "time_unix_nano", "severity_number", "severity_text",
+                    "body", "attr_user", "trace_id_hex",
+                ],
+            )
+
+    return payloads.mapInPandas(
+        decode,
+        "time_unix_nano long, severity_number int, severity_text string,"
+        " body string, attr_user string, trace_id_hex string",
+    )
