@@ -82,8 +82,9 @@ ORACLES: dict[str, str] = {}
 # 29 of the 40-name r4-latest cohort (union-script truth — the prior
 # note's 41 counted ingest_http_listener_live before its r10 re-pin)
 # = exactly the 50-row driver window.
-# ROUND-11b (continued, same round): 15 more additions (OTLP/protobuf
-# LOGS signal; Arrow IPC stream+file interchange; Kafka
+# ROUND-11b (continued, same round): 16 more additions (OTLP/protobuf
+# LOGS signal; Arrow IPC stream+file interchange; Kafka RecordBatch
+# at-rest + STREAMED twins; Kafka
 # RecordBatch v2 with cycling none/gzip/xerial-snappy/LZ4-frame
 # compression; DEFLATE/gzip/
 # zlib transport at-rest + STREAMED twin over live HTTP; prometheus
@@ -92,11 +93,11 @@ ORACLES: dict[str, str] = {}
 # response types; LZ4 FRAME format with from-scratch xxHash-32;
 # PromQL predict_linear + count_values + holt_winters + the
 # cross-series quantile aggregator; graphite asPercent; train/eval
-# contamination) pinned at the head; the r4 head shrinks 29 -> 14 to
+# contamination) pinned at the head; the r4 head shrinks 29 -> 13 to
 # keep the 50-row window exact.
-# ROUND-12 NOTE: pin r12 additions first, then the TWENTY-SIX
-# overflowed r4 names (events_sessionize, events_concurrency,
-# events_downsample_m4, events_counter_to_rate,
+# ROUND-12 NOTE: pin r12 additions first, then the TWENTY-SEVEN
+# overflowed r4 names (events_week_over_week, events_sessionize,
+# events_concurrency, events_downsample_m4, events_counter_to_rate,
 # events_downsample_lttb, graph_triangles,
 # tpch_q3_shipping_priority,
 # tpch_q4_order_priority, tpch_q5_local_supplier_volume,
@@ -121,6 +122,7 @@ _PRIORITY = (
     "ingest_kafka_recordbatch",
     "ingest_otlp_logs",
     "ingest_arrow_ipc",
+    "stream_kafka_recordbatch_pipeline",
     "events_promql_predict_linear",
     "events_promql_count_values",
     "events_promql_holt_winters",
@@ -151,7 +153,7 @@ _PRIORITY = (
     "tpch_q18_large_orders",
     "tpch_q22_idle_customers",
     "analytic_lateral_topn",
-    # --- r4-latest evidence cohort (14 of 40; registry order) ---
+    # --- r4-latest evidence cohort (13 of 40; registry order) ---
     "pipeline_bpe_train",
     "multimodal_audio_spectral",
     "multimodal_image_stats",
@@ -165,7 +167,6 @@ _PRIORITY = (
     "stream_downsample_m4",
     "ingest_orc_roundtrip",
     "ingest_prometheus_text",
-    "events_week_over_week",
 )
 
 _QUERY_MODULES = (

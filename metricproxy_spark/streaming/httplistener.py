@@ -45,6 +45,7 @@ INGEST_PATHS = (
     "/v1/msgpack",
     "/v1/cbor",
     "/v1/gzip",
+    "/v1/kafka",
     "/api/v1/write",
 )
 
