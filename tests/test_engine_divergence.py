@@ -383,3 +383,83 @@ class TestRound10Levers:
         # row 2 (t=05:00) includes row 1 (exactly 5h back); row 3
         # (t=11:00) is 6h past row 2 -> alone
         assert s == [1, 11, 100] and d == [1, 11, 100]
+
+
+class TestRound11bLevers:
+    """Facts the round-11b additions rely on."""
+
+    def test_anchored_regexp_matches_python_fullmatch(self, duck):
+        """Lever for the remote-read oracles: DuckDB
+        regexp_matches(x, '^(?:P)$') must agree with Python
+        re.fullmatch(P, x) — PromQL matcher semantics — for the
+        pattern shapes the queries use."""
+        import re
+
+        patterns = ["(click|error|s.*)", "p.*", "(view|purchase)", "click"]
+        values = ["click", "clicked", "error", "signup", "purchase", "view", ""]
+        for p in patterns:
+            for v in values:
+                want = re.fullmatch(p, v) is not None
+                got = duck.execute(
+                    "SELECT regexp_matches(?, ?)", [v, f"^(?:{p})$"]
+                ).fetchone()[0]
+                assert got == want, (p, v, got, want)
+
+    def test_floor_of_double_rank_identical(self, spark, duck):
+        """Lever for events_promql_quantile_agg: floor(phi*(n-1)) on
+        IEEE doubles is identical cross-engine for the rank values in
+        play (phi in {0.5, 0.9}, n up to thousands)."""
+        for phi in (0.5, 0.9):
+            for n in (1, 2, 3, 5, 7, 10, 101, 4096):
+                s = spark.sql(
+                    f"SELECT floor({phi}d * ({n} - 1)),"
+                    f" {phi}d * ({n} - 1) - floor({phi}d * ({n} - 1))"
+                ).first()
+                d = duck.execute(
+                    f"SELECT floor({phi}e0 * ({n} - 1)),"
+                    f" {phi}e0 * ({n} - 1) - floor({phi}e0 * ({n} - 1))"
+                ).fetchone()
+                assert float(s[0]) == float(d[0]) and float(s[1]) == float(d[1])
+
+    def test_holt_winters_step_identical_python_vs_duckdb(self, duck):
+        """Lever for events_promql_holt_winters: one smoothing step —
+        0.5*y + 0.5*(s+b) then 0.25*(s'−s) + 0.75*b — is bit-identical
+        between Python floats and DuckDB doubles, so 720 chained steps
+        stay bit-equal (exactness verified end-to-end in
+        test_round11b_ops; this pins the primitive)."""
+        import struct
+
+        cases = [(3.0, 2.0, 1.0), (17.0, 4.5, 1.625), (1e15, 3.0, -2.0)]
+        for y, s, b in cases:
+            s_new = 0.5 * y + 0.5 * (s + b)
+            b_new = 0.25 * (s_new - s) + 0.75 * b
+            got = duck.execute(
+                "SELECT 0.5e0*?+0.5e0*(?+?),"
+                " 0.25e0*((0.5e0*?+0.5e0*(?+?))-?)+0.75e0*?",
+                [y, s, b, y, s, b, s, b],
+            ).fetchone()
+            assert struct.pack("<d", s_new) == struct.pack("<d", float(got[0]))
+            assert struct.pack("<d", b_new) == struct.pack("<d", float(got[1]))
+
+    def test_extract_hour_matches_spark_hour(self, spark, duck):
+        """Lever for events_promql_predict_linear: DuckDB
+        EXTRACT(hour FROM ts) == Spark hour(ts) on UTC timestamps."""
+        for ts in ("2024-01-05 00:30:00", "2024-01-05 13:59:59",
+                   "2024-01-31 23:00:01"):
+            s = spark.sql(f"SELECT hour(timestamp'{ts}')").first()[0]
+            d = duck.execute(
+                f"SELECT EXTRACT(hour FROM TIMESTAMP '{ts}')"
+            ).fetchone()[0]
+            assert int(s) == int(d), ts
+
+    def test_epoch_ns_matches_unix_micros_x1000(self, spark, duck):
+        """Lever for ingest_otlp_logs: DuckDB epoch_ns(ts) equals
+        Spark unix_micros(ts)*1000 on µs-precision timestamps."""
+        for ts in ("2024-01-05 00:30:00.123456", "1999-12-31 23:59:59.000001"):
+            s = spark.sql(
+                f"SELECT unix_micros(timestamp'{ts}') * 1000"
+            ).first()[0]
+            d = duck.execute(
+                f"SELECT epoch_ns(TIMESTAMP '{ts}')"
+            ).fetchone()[0]
+            assert int(s) == int(d), ts

@@ -17,6 +17,12 @@ from tests.oracle_utils import assert_matches_oracle, canon_rows, run_oracle
 NEW_ORACLED = (
     "ingest_gzip_documents",
     "ingest_remote_read",
+    "ingest_remote_read_live",
+    "ingest_remote_read_chunked",
+    "ingest_lz4_frame_shards",
+    "ingest_kafka_recordbatch",
+    "ingest_otlp_logs",
+    "ingest_arrow_ipc",
     "events_promql_predict_linear",
     "events_promql_count_values",
     "events_promql_holt_winters",
@@ -138,3 +144,29 @@ class TestRound11bPlanDiscipline:
         plan = self._plan(spark, sf_dir, "events_promql_quantile_agg")
         assert "Join" not in plan, plan
         assert "HashAggregate" in plan, plan
+
+    def test_codec_legs_are_map_only(self, spark, sf_dir):
+        """Kafka batches, OTLP logs and Arrow IPC are pure transport
+        roundtrips: Arrow map passes, no join, nothing shuffled."""
+        for name in (
+            "ingest_kafka_recordbatch",
+            "ingest_otlp_logs",
+            "ingest_arrow_ipc",
+        ):
+            plan = self._plan(spark, sf_dir, name)
+            assert "Join" not in plan, (name, plan)
+            assert "MapInPandas" in plan, (name, plan)
+
+    def test_chunked_read_rollup_before_codec(self, spark, sf_dir):
+        """The streamed-chunks server leg encodes ROLLUP-sized frames:
+        one hash agg, then map-only codec stages, never a join."""
+        plan = self._plan(spark, sf_dir, "ingest_remote_read_chunked")
+        assert "Join" not in plan, plan
+        assert "HashAggregate" in plan, plan
+        assert "MapInPandas" in plan, plan
+
+    def test_lz4_frame_shards_grouped_map(self, spark, sf_dir):
+        """Shard building is one grouped-map pass per source key."""
+        plan = self._plan(spark, sf_dir, "ingest_lz4_frame_shards")
+        assert "FlatMapGroupsInPandas" in plan, plan
+        assert "Join" not in plan, plan
