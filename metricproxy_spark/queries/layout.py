@@ -580,3 +580,68 @@ def layout_hilbert_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("hy").alias("min_y"),
         F.max("hy").alias("max_y"),
     )
+
+
+@register(
+    "layout_compaction_plan",
+    oracle="""
+    WITH files AS (
+        SELECT source, doc_id,
+               CAST(length(text) AS BIGINT) AS sz
+        FROM documents
+    ), placed AS (
+        SELECT source, doc_id, sz,
+               SUM(sz) OVER (PARTITION BY source
+                             ORDER BY sz DESC, doc_id) AS cum
+        FROM files
+    )
+    SELECT source,
+           CAST((cum - sz) // 2000 AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(sz) AS BIGINT) AS bin_bytes,
+           MAX(sz) AS max_file_bytes,
+           MIN(doc_id) AS first_doc
+    FROM placed
+    GROUP BY 1, 2
+    """,
+)
+def layout_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file COMPACTION planning — the lakehouse OPTIMIZE /
+    bin-packing step every 100 TB table needs (thousands of tiny
+    commit files → target-sized rewrite groups). Public algorithm:
+    the streaming coalesce planner Spark itself uses for
+    `spark.sql.files.maxPartitionBytes` (and Delta OPTIMIZE's
+    bin-packing): within each partition, order files largest-first
+    (FFD's sort step, deterministic doc_id tiebreak), take the
+    running byte cumsum, and assign each file to the bin its STARTING
+    offset falls in — ``(cum − size) // target``. Pure integer
+    arithmetic end to end (sizes are BIGINT char counts, the bin id
+    is exact integer division), so the plan is bit-identical
+    cross-engine. Output: one row per (partition, bin) with file
+    count, packed bytes and the largest member — exactly the rewrite
+    manifest a compactor executes. Scale: one window cumsum per
+    partition key + one hash agg — the planner never touches file
+    CONTENTS, only the size column of the catalog listing, so it runs
+    on a million-file table in seconds."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", F.length("text").cast("bigint").alias("sz")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("sz").desc(), F.col("doc_id")
+    )
+    placed = docs.select(
+        "source", "doc_id", "sz", F.sum("sz").over(w).alias("cum")
+    )
+    return placed.groupBy(
+        "source",
+        ((F.col("cum") - F.col("sz")) / F.lit(2000))
+        .cast("bigint")
+        .alias("bin"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_files"),
+        F.sum("sz").alias("bin_bytes"),
+        F.max("sz").alias("max_file_bytes"),
+        F.min("doc_id").alias("first_doc"),
+    )

@@ -82,7 +82,7 @@ ORACLES: dict[str, str] = {}
 # 29 of the 40-name r4-latest cohort (union-script truth — the prior
 # note's 41 counted ingest_http_listener_live before its r10 re-pin)
 # = exactly the 50-row driver window.
-# ROUND-11b (continued, same round): 16 more additions (OTLP/protobuf
+# ROUND-11b (continued, same round): 17 more additions (OTLP/protobuf
 # LOGS signal; Arrow IPC stream+file interchange; Kafka RecordBatch
 # at-rest + STREAMED twins; Kafka
 # RecordBatch v2 with cycling none/gzip/xerial-snappy/LZ4-frame
@@ -93,10 +93,11 @@ ORACLES: dict[str, str] = {}
 # response types; LZ4 FRAME format with from-scratch xxHash-32;
 # PromQL predict_linear + count_values + holt_winters + the
 # cross-series quantile aggregator; graphite asPercent; train/eval
-# contamination) pinned at the head; the r4 head shrinks 29 -> 13 to
-# keep the 50-row window exact.
-# ROUND-12 NOTE: pin r12 additions first, then the TWENTY-SEVEN
-# overflowed r4 names (events_week_over_week, events_sessionize,
+# contamination; lakehouse compaction planning) pinned at the head;
+# the r4 head shrinks 29 -> 12 to keep the 50-row window exact.
+# ROUND-12 NOTE: pin r12 additions first, then the TWENTY-EIGHT
+# overflowed r4 names (ingest_prometheus_text,
+# events_week_over_week, events_sessionize,
 # events_concurrency, events_downsample_m4, events_counter_to_rate,
 # events_downsample_lttb, graph_triangles,
 # tpch_q3_shipping_priority,
@@ -123,6 +124,7 @@ _PRIORITY = (
     "ingest_otlp_logs",
     "ingest_arrow_ipc",
     "stream_kafka_recordbatch_pipeline",
+    "layout_compaction_plan",
     "events_promql_predict_linear",
     "events_promql_count_values",
     "events_promql_holt_winters",
@@ -153,7 +155,7 @@ _PRIORITY = (
     "tpch_q18_large_orders",
     "tpch_q22_idle_customers",
     "analytic_lateral_topn",
-    # --- r4-latest evidence cohort (13 of 40; registry order) ---
+    # --- r4-latest evidence cohort (12 of 40; registry order) ---
     "pipeline_bpe_train",
     "multimodal_audio_spectral",
     "multimodal_image_stats",
@@ -166,7 +168,6 @@ _PRIORITY = (
     "stream_alert_rules",
     "stream_downsample_m4",
     "ingest_orc_roundtrip",
-    "ingest_prometheus_text",
 )
 
 _QUERY_MODULES = (
