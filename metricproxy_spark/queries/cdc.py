@@ -237,3 +237,114 @@ def cdc_scd2_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dim_type_asof").alias("dim_type"),
         F.col("dim_value_asof").alias("dim_value"),
     )
+
+
+@register(
+    "cdc_delta_log_snapshot",
+    oracle="""
+    SELECT event_id, event_type, user_id, value
+    FROM events WHERE event_type <> 'error'
+    """,
+)
+def cdc_delta_log_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-protocol TRANSACTION-LOG snapshot reconstruction — the
+    lakehouse mechanism under every ACID table (public spec:
+    delta-io/delta PROTOCOL.md — a ``_delta_log/`` of ordered JSON
+    commit files whose ``add``/``remove`` actions define the live
+    file set; the snapshot at version V is "adds not later removed").
+    The query builds a real table on disk: five commits each ADD one
+    parquet file-group per event type (commit i owns the
+    ``event_id % 5 = i`` slice), then a sixth commit REMOVES every
+    'error' file — the GDPR-delete / compaction shape. The reader is
+    the engine side under test: it loads ``_delta_log/*.json`` AS
+    DATA (Spark JSON scan, commit version parsed from the file name),
+    resolves live files with an add-vs-later-remove anti-join
+    (last-writer-wins on path), and scans exactly the surviving
+    parquet paths. The oracle states the algebraic result — all
+    non-error events — so a hash match proves the log replay
+    semantics, not just the file IO. Scale: the log is catalog
+    metadata (KB per commit); the path list is the one bounded
+    driver-side artifact, identical to any table catalog; data stays
+    in distributed parquet scans. Artifact staging is shared and
+    atomic (`staged_artifact_dir`)."""
+    import json as _json
+    import os
+    import shutil
+
+    from metricproxy_spark.io import staged_artifact_dir
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id", "value"
+    )
+    types = [r[0] for r in
+             events.select("event_type").distinct().orderBy("event_type").collect()]
+
+    root = staged_artifact_dir("deltalog", sf_dir)
+    if not os.path.isdir(root):
+        staging = root + f".staging.{os.getpid()}"
+        log_dir = os.path.join(staging, "_delta_log")
+        os.makedirs(log_dir, exist_ok=True)
+        for commit in range(5):
+            actions = []
+            if commit == 0:
+                actions.append({"protocol": {"minReaderVersion": 1}})
+                actions.append({"metaData": {"id": "mps-delta-demo"}})
+            for et in types:
+                rel = f"part-{commit:05d}-{et}"
+                part = events.where(
+                    (F.col("event_id") % 5 == commit)
+                    & (F.col("event_type") == et)
+                )
+                part.write.mode("overwrite").parquet(
+                    os.path.join(staging, rel)
+                )
+                actions.append(
+                    {"add": {"path": rel, "dataChange": True}}
+                )
+            with open(
+                os.path.join(log_dir, f"{commit:020d}.json"), "w"
+            ) as fh:
+                fh.write(
+                    "\n".join(_json.dumps(a) for a in actions) + "\n"
+                )
+        removes = [
+            {"remove": {"path": f"part-{c:05d}-error", "dataChange": True}}
+            for c in range(5)
+        ]
+        with open(os.path.join(log_dir, f"{5:020d}.json"), "w") as fh:
+            fh.write("\n".join(_json.dumps(a) for a in removes) + "\n")
+        try:
+            os.rename(staging, root)
+        except OSError:
+            shutil.rmtree(staging, ignore_errors=True)
+
+    # --- the reader under test ---
+    log = (
+        spark.read.json(os.path.join(root, "_delta_log", "*.json"))
+        .withColumn(
+            "version",
+            F.regexp_extract(
+                F.input_file_name(), r"(\d{20})\.json", 1
+            ).cast("bigint"),
+        )
+    )
+    adds = log.where(F.col("add").isNotNull()).select(
+        F.col("add.path").alias("path"), F.col("version").alias("add_v")
+    )
+    removes = log.where(F.col("remove").isNotNull()).select(
+        F.col("remove.path").alias("path"),
+        F.col("version").alias("rm_v"),
+    )
+    live = (
+        adds.join(
+            removes,
+            (adds.path == removes.path) & (F.col("rm_v") > F.col("add_v")),
+            "left_anti",
+        )
+        .select("path")
+        .collect()  # bounded: the catalog file list, like any table
+    )
+    paths = [os.path.join(root, r["path"]) for r in live]
+    return spark.read.parquet(*paths).select(
+        "event_id", "event_type", "user_id", "value"
+    )
