@@ -4350,3 +4350,74 @@ def ingest_arrow_ipc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id long, event_type string, user_id long,"
         " value double, ts_us long",
     )
+
+
+@register(
+    "ingest_parquet_footer",
+    oracle="""
+    SELECT 'events' AS tbl, CAST(count(*) AS BIGINT) AS num_rows,
+           (SELECT CAST(count(*) AS BIGINT)
+            FROM pragma_table_info('events')) AS n_columns
+    FROM events
+    UNION ALL
+    SELECT 'documents', CAST(count(*) AS BIGINT),
+           (SELECT CAST(count(*) AS BIGINT)
+            FROM pragma_table_info('documents'))
+    FROM documents
+    UNION ALL
+    SELECT 'lineitem', CAST(count(*) AS BIGINT),
+           (SELECT CAST(count(*) AS BIGINT)
+            FROM pragma_table_info('lineitem'))
+    FROM lineitem
+    UNION ALL
+    SELECT 'orders', CAST(count(*) AS BIGINT),
+           (SELECT CAST(count(*) AS BIGINT)
+            FROM pragma_table_info('orders'))
+    FROM orders
+    """,
+)
+def ingest_parquet_footer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet FOOTER introspection with a from-scratch Thrift
+    COMPACT-protocol decoder (`sources/parquet_footer.py`) — what a
+    catalog / compaction / pruning layer does at 100 TB: answer
+    "how many rows, which columns, how many row groups" from KILOBYTES
+    of footer instead of scanning data. The Thrift walker decodes ANY
+    compact struct (zigzag field deltas, packed bools, short/long list
+    headers) into field-id dicts, then the parquet framing (PAR1
+    magics + little-endian footer length) and FileMetaData field ids
+    extract num_rows, the leaf-column schema and per-row-group stats.
+    The oracle answers the same questions by actually AGGREGATING the
+    data (COUNT(*) + pragma_table_info) — two entirely different code
+    paths agreeing row-for-row. The pytest suite additionally pins the
+    decoder against DuckDB's own parquet_metadata() on every testdata
+    file. Scale: footers ride a tiny (tbl, path) frame through one
+    Arrow map pass; at a million files this is the footer-sweep job
+    every lakehouse runs, shuffle-free."""
+    import pandas as pd
+
+    from metricproxy_spark.io import ensure_package_on_workers, table_path
+
+    ensure_package_on_workers(spark)
+    tables = ["events", "documents", "lineitem", "orders"]
+    paths = spark.createDataFrame(
+        [(t, table_path(sf_dir, t)) for t in tables], "tbl string, path string"
+    ).repartition(len(tables))
+
+    def sweep(batches):
+        from metricproxy_spark.sources.parquet_footer import (
+            read_parquet_footer,
+        )
+
+        for pdf in batches:
+            rows = []
+            for t, p in zip(pdf["tbl"], pdf["path"]):
+                with open(str(p), "rb") as fh:
+                    meta = read_parquet_footer(fh.read())
+                rows.append((str(t), meta["num_rows"], len(meta["columns"])))
+            yield pd.DataFrame(
+                rows, columns=["tbl", "num_rows", "n_columns"]
+            )
+
+    return paths.mapInPandas(
+        sweep, "tbl string, num_rows bigint, n_columns bigint"
+    )

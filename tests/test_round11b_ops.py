@@ -170,3 +170,58 @@ class TestRound11bPlanDiscipline:
         plan = self._plan(spark, sf_dir, "ingest_lz4_frame_shards")
         assert "FlatMapGroupsInPandas" in plan, plan
         assert "Join" not in plan, plan
+
+
+class TestParquetFooterDecoder:
+    """The from-scratch Thrift compact decoder vs DuckDB's independent
+    parquet readers, over every real testdata file."""
+
+    def test_matches_duckdb_metadata_all_tables(self, sf_dir):
+        import duckdb
+
+        from metricproxy_spark.io import TABLES, table_path
+        from metricproxy_spark.sources.parquet_footer import (
+            read_parquet_footer,
+        )
+
+        for t in TABLES:
+            path = table_path(sf_dir, t)
+            with open(path, "rb") as fh:
+                meta = read_parquet_footer(fh.read())
+            want_rows, want_rg = duckdb.sql(
+                f"SELECT num_rows, num_row_groups"
+                f" FROM parquet_file_metadata('{path}')"
+            ).fetchone()
+            assert meta["num_rows"] == want_rows, t
+            assert len(meta["row_groups"]) == want_rg, t
+            n_leaves = duckdb.sql(
+                f"SELECT count(*) FROM parquet_schema('{path}')"
+                f" WHERE num_children IS NULL OR num_children = 0"
+            ).fetchone()[0]
+            assert len(meta["columns"]) == n_leaves, t
+            # per-row-group row counts sum to the file total
+            assert sum(rg[0] for rg in meta["row_groups"]) == want_rows
+
+    def test_bad_magic_and_truncation(self):
+        import pytest as _pytest
+
+        from metricproxy_spark.sources.parquet_footer import (
+            read_parquet_footer,
+        )
+
+        with _pytest.raises(ValueError, match="magic"):
+            read_parquet_footer(b"PAR2" + b"\x00" * 20 + b"PAR1")
+        with _pytest.raises(ValueError, match="framing|magic|range"):
+            read_parquet_footer(b"PAR1")
+
+    def test_footer_length_out_of_range(self):
+        import pytest as _pytest
+        import struct
+
+        from metricproxy_spark.sources.parquet_footer import (
+            read_parquet_footer,
+        )
+
+        blob = b"PAR1" + b"\x00" * 8 + struct.pack("<i", 9999) + b"PAR1"
+        with _pytest.raises(ValueError, match="range"):
+            read_parquet_footer(blob)
