@@ -1,6 +1,9 @@
-"""Round-11b additions: DEFLATE-family transport, the PromQL
-forecasting trio (predict_linear/deriv, holt_winters, count_values),
-graphite asPercent, and train/eval contamination detection.
+"""Round-11b additions: DEFLATE-family transport, the prometheus
+remote-read tower (at-rest / live server / streamed XOR chunks), LZ4
+frame shards, Kafka RecordBatch, OTLP logs, Arrow IPC, the PromQL
+forecasting family (predict_linear/deriv, holt_winters, count_values,
+cross-series quantile), graphite asPercent, train/eval contamination,
+and the parquet-footer Thrift decoder.
 
 Each query gets (a) the local replica of the driver's DuckDB-oracle
 check and (b) plan-discipline assertions (the plan we designed is the
