@@ -5238,90 +5238,6 @@ def events_native_histogram_quantile(
 
 
 @register(
-    "events_promql_predict_linear",
-    oracle="""
-    WITH hourly AS (
-        SELECT event_type, date_trunc('hour', ts) AS h,
-               CAST(COUNT(*) AS BIGINT) AS y
-        FROM events GROUP BY 1, 2
-    ), xy AS (
-        SELECT event_type, date_trunc('day', h) AS day,
-               CAST(EXTRACT(hour FROM h) AS BIGINT) AS x, y
-        FROM hourly
-    ), sums AS (
-        SELECT event_type, day,
-               CAST(COUNT(*) AS BIGINT) AS n,
-               SUM(x) AS sx, SUM(y) AS sy,
-               SUM(x * y) AS sxy, SUM(x * x) AS sxx
-        FROM xy GROUP BY 1, 2
-        HAVING COUNT(*) >= 2
-    )
-    SELECT event_type, day, n,
-           CAST(n * sxy - sx * sy AS DOUBLE)
-               / CAST(n * sxx - sx * sx AS DOUBLE) AS deriv,
-           (CAST(sy AS DOUBLE)
-            + (CAST(n * sxy - sx * sy AS DOUBLE)
-               / CAST(n * sxx - sx * sx AS DOUBLE))
-              * CAST(n * 24 - sx AS DOUBLE))
-               / CAST(n AS DOUBLE) AS predict_next
-    FROM sums
-    """,
-)
-def events_promql_predict_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PromQL ``deriv(x[1d])`` and ``predict_linear(x[1d], 3600)`` —
-    the least-squares pair behind disk-will-fill / quota-will-exhaust
-    alerts. Public algorithm: prometheus/promql functions.go
-    linearRegression — simple least squares over the samples in the
-    range window; deriv IS the slope, predict_linear extrapolates the
-    fit to a future instant (here the hour after the day window).
-    Spelled in closed form over ALL-INTEGER sums: x is the hour-of-day
-    index (0..23), y the hourly sample count, so n·Σxy−ΣxΣy and
-    n·Σx²−(Σx)² are exact BIGINTs and the slope is ONE IEEE division;
-    the prediction re-arranges a+b·T to (Σy + b·(n·T−Σx))/n so the
-    only inexact operands are one multiply/add/divide chain spelled
-    identically on both engines (same discipline as the binop family).
-    Days with a single sample drop (the fit is undefined; PromQL
-    likewise returns no sample). Scale: one hourly rollup + one
-    (series, day) hash agg — sums are map-combinable partials, the
-    regression state is 5 numbers per group, never the samples."""
-    events = load_table(spark, sf_dir, "events")
-    hourly = events.groupBy(
-        "event_type", F.date_trunc("hour", "ts").alias("h")
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("y"))
-    xy = hourly.select(
-        "event_type",
-        F.date_trunc("day", "h").alias("day"),
-        F.hour("h").cast("bigint").alias("x"),
-        "y",
-    )
-    sums = (
-        xy.groupBy("event_type", "day")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.sum("x").alias("sx"),
-            F.sum("y").alias("sy"),
-            F.sum(F.col("x") * F.col("y")).alias("sxy"),
-            F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        )
-        .where(F.col("n") >= 2)
-    )
-    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
-    deriv = num / den
-    predict = (
-        F.col("sy").cast("double")
-        + deriv * (F.col("n") * F.lit(24) - F.col("sx")).cast("double")
-    ) / F.col("n").cast("double")
-    return sums.select(
-        "event_type",
-        "day",
-        "n",
-        deriv.alias("deriv"),
-        predict.alias("predict_next"),
-    )
-
-
-@register(
     "events_promql_count_values",
     oracle="""
     WITH hourly AS (
@@ -5487,7 +5403,15 @@ def events_promql_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (each state depends on the last — no window spelling exists), so
     the Spark side is an applyInPandas fold per series and the oracle
     is a DuckDB RECURSIVE CTE stepping i→i+1 — two independent
-    engines walking the same recurrence. Exactness: y is the hourly
+    engines walking the same recurrence. Relationship to the existing
+    smoothers (deliberate, not duplication): `events_holt_trend` runs
+    the same Holt recurrence PER (type, day) WINDOW through the
+    JVM-aggregate-HOF ↔ DuckDB-list_reduce mechanism pair, and
+    `events_holt_winters` is the SEASONAL triple form; this query is
+    the PromQL whole-range form and pins a THIRD independent
+    mechanism pair — grouped-map Pandas fold ↔ recursive CTE — the
+    exact seam `stream_alert_for_duration` carries state through, so
+    the streamed-state machinery has a batch-exact reference. Exactness: y is the hourly
     BIGINT sample count (exact as double); sf=0.5, tf=0.25 and their
     complements are exact binary fractions; both engines evaluate the
     identical IEEE expression tree per step, so 720 chained steps stay

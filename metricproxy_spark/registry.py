@@ -82,7 +82,7 @@ ORACLES: dict[str, str] = {}
 # 29 of the 40-name r4-latest cohort (union-script truth — the prior
 # note's 41 counted ingest_http_listener_live before its r10 re-pin)
 # = exactly the 50-row driver window.
-# ROUND-11b (continued, same round): 19 more additions (parquet
+# ROUND-11b (continued, same round): 18 net additions (parquet
 # footers via a from-scratch Thrift compact decoder; OTLP/protobuf
 # LOGS signal; Arrow IPC stream+file interchange; Kafka RecordBatch
 # at-rest + STREAMED twins; Kafka
@@ -92,14 +92,15 @@ ORACLES: dict[str, str] = {}
 # REMOTE READ at-rest + LIVE server + STREAMED_XOR_CHUNKS response
 # with from-scratch TSDB XOR chunks, completing the remote pair both
 # response types; LZ4 FRAME format with from-scratch xxHash-32;
-# PromQL predict_linear + count_values + holt_winters + the
-# cross-series quantile aggregator; graphite asPercent; train/eval
+# PromQL count_values + holt_winters + the cross-series quantile
+# aggregator (a drafted promql predict_linear was REMOVED as a
+# duplicate of the existing events_predict_linear — same closed
+# form, same alert story); graphite asPercent; train/eval
 # contamination; lakehouse compaction planning + delta-log snapshot
-# replay) pinned at the head; the r4 head shrinks 29 -> 10 to keep
+# replay) pinned at the head; the r4 head shrinks 29 -> 11 to keep
 # the 50-row window exact.
-# ROUND-12 NOTE: pin r12 additions first, then the THIRTY
-# overflowed r4 names (stream_downsample_m4, ingest_orc_roundtrip,
-# ingest_prometheus_text,
+# ROUND-12 NOTE: pin r12 additions first, then the TWENTY-NINE
+# overflowed r4 names (ingest_orc_roundtrip, ingest_prometheus_text,
 # events_week_over_week, events_sessionize,
 # events_concurrency, events_downsample_m4, events_counter_to_rate,
 # events_downsample_lttb, graph_triangles,
@@ -130,7 +131,6 @@ _PRIORITY = (
     "layout_compaction_plan",
     "cdc_delta_log_snapshot",
     "ingest_parquet_footer",
-    "events_promql_predict_linear",
     "events_promql_count_values",
     "events_promql_holt_winters",
     "events_promql_quantile_agg",
@@ -160,7 +160,7 @@ _PRIORITY = (
     "tpch_q18_large_orders",
     "tpch_q22_idle_customers",
     "analytic_lateral_topn",
-    # --- r4-latest evidence cohort (10 of 40; registry order) ---
+    # --- r4-latest evidence cohort (11 of 40; registry order) ---
     "pipeline_bpe_train",
     "multimodal_audio_spectral",
     "multimodal_image_stats",
@@ -171,6 +171,7 @@ _PRIORITY = (
     "layout_partition_pruning",
     "layout_bucketed_join",
     "stream_alert_rules",
+    "stream_downsample_m4",
 )
 
 _QUERY_MODULES = (

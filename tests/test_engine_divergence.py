@@ -442,8 +442,9 @@ class TestRound11bLevers:
             assert struct.pack("<d", b_new) == struct.pack("<d", float(got[1]))
 
     def test_extract_hour_matches_spark_hour(self, spark, duck):
-        """Lever for events_promql_predict_linear: DuckDB
-        EXTRACT(hour FROM ts) == Spark hour(ts) on UTC timestamps."""
+        """General lever for hour-of-day derived series spellings:
+        DuckDB EXTRACT(hour FROM ts) == Spark hour(ts) on UTC
+        timestamps."""
         for ts in ("2024-01-05 00:30:00", "2024-01-05 13:59:59",
                    "2024-01-31 23:00:01"):
             s = spark.sql(f"SELECT hour(timestamp'{ts}')").first()[0]

@@ -1,8 +1,8 @@
 """Round-11b additions: DEFLATE-family transport, the prometheus
 remote-read tower (at-rest / live server / streamed XOR chunks), LZ4
 frame shards, Kafka RecordBatch, OTLP logs, Arrow IPC, the PromQL
-forecasting family (predict_linear/deriv, holt_winters, count_values,
-cross-series quantile), graphite asPercent, train/eval contamination,
+forecasting family (holt_winters, count_values, cross-series
+quantile), graphite asPercent, train/eval contamination,
 and the parquet-footer Thrift decoder.
 
 Each query gets (a) the local replica of the driver's DuckDB-oracle
@@ -26,7 +26,6 @@ NEW_ORACLED = (
     "ingest_kafka_recordbatch",
     "ingest_otlp_logs",
     "ingest_arrow_ipc",
-    "events_promql_predict_linear",
     "events_promql_count_values",
     "events_promql_holt_winters",
     "events_promql_quantile_agg",
@@ -98,13 +97,6 @@ class TestRound11bPlanDiscipline:
         plan = self._plan(spark, sf_dir, "ingest_gzip_documents")
         assert "Join" not in plan, plan
         assert "MapInPandas" in plan, plan
-
-    def test_predict_linear_join_free(self, spark, sf_dir):
-        """Least squares is two hash aggs over map-combinable integer
-        partials — the regression never joins or sorts the samples."""
-        plan = self._plan(spark, sf_dir, "events_promql_predict_linear")
-        assert "Join" not in plan, plan
-        assert "HashAggregate" in plan, plan
 
     def test_count_values_join_free(self, spark, sf_dir):
         plan = self._plan(spark, sf_dir, "events_promql_count_values")
