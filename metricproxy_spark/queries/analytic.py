@@ -1246,9 +1246,12 @@ _BENFORD_P = {
 
 
 def _benford_case_sql() -> str:
-    return "CASE digit " + " ".join(
+    # CAST AS DOUBLE: newer DuckDB types the bare 8dp literals
+    # DECIMAL(9,8) and computes total*p exactly in decimal — a 1-ulp
+    # divergence from Spark's IEEE chi-square chain (exact-repr replay)
+    return "CAST(CASE digit " + " ".join(
         f"WHEN {d} THEN {p!r}" for d, p in _BENFORD_P.items()
-    ) + " END"
+    ) + " END AS DOUBLE)"
 
 
 @register(

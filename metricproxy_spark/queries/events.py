@@ -2882,7 +2882,12 @@ def events_promql_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
                     AS BIGINT) AS total
         FROM weekly
     ), phis AS (
-        SELECT unnest([0.5, 0.9, 0.99]) AS phi
+        -- DOUBLE phis: newer DuckDB types the bare literals
+        -- DECIMAL(3,2) and computes phi*total EXACTLY in decimal,
+        -- a 1-ulp divergence from Spark's IEEE double product (the
+        -- same lever the native-histogram quantile pins; found by
+        -- exact-repr replay of the full registry)
+        SELECT unnest(CAST([0.5, 0.9, 0.99] AS DOUBLE[])) AS phi
     ), hit AS (
         SELECT c.event_type, c.week, p.phi, c.total, c.bin, c.cnt, c.cum
         FROM cum c CROSS JOIN phis p

@@ -97,10 +97,15 @@ ORACLES: dict[str, str] = {}
 # duplicate of the existing events_predict_linear — same closed
 # form, same alert story); graphite asPercent; train/eval
 # contamination; lakehouse compaction planning + delta-log snapshot
-# replay) pinned at the head; the r4 head shrinks 29 -> 11 to keep
-# the 50-row window exact.
-# ROUND-12 NOTE: pin r12 additions first, then the TWENTY-NINE
-# overflowed r4 names (ingest_orc_roundtrip, ingest_prometheus_text,
+# replay) pinned at the head, plus 2 more r11-changed names
+# (events_histogram_quantile + analytic_benford_profile oracles
+# forced to DOUBLE phi/benford_p literals — newer DuckDB types bare
+# decimals DECIMAL and computes exactly, a 1-ulp divergence from
+# Spark's IEEE chain, caught by a full-registry exact-repr replay);
+# the r4 head shrinks 29 -> 9 to keep the 50-row window exact.
+# ROUND-12 NOTE: pin r12 additions first, then the THIRTY-ONE
+# overflowed r4 names (stream_alert_rules, stream_downsample_m4,
+# ingest_orc_roundtrip, ingest_prometheus_text,
 # events_week_over_week, events_sessionize,
 # events_concurrency, events_downsample_m4, events_counter_to_rate,
 # events_downsample_lttb, graph_triangles,
@@ -148,6 +153,8 @@ _PRIORITY = (
     "events_native_histogram_quantile",
     "stream_alert_for_duration",
     # --- changed in round 11 (engine edits -> fresh evidence) ---
+    "events_histogram_quantile",
+    "analytic_benford_profile",
     "events_slo_burn_rate",
     "events_time_range_frame",
     "ingest_lz4_documents",
@@ -160,7 +167,7 @@ _PRIORITY = (
     "tpch_q18_large_orders",
     "tpch_q22_idle_customers",
     "analytic_lateral_topn",
-    # --- r4-latest evidence cohort (11 of 40; registry order) ---
+    # --- r4-latest evidence cohort (9 of 40; registry order) ---
     "pipeline_bpe_train",
     "multimodal_audio_spectral",
     "multimodal_image_stats",
@@ -170,8 +177,6 @@ _PRIORITY = (
     "analytic_hash_funcs",
     "layout_partition_pruning",
     "layout_bucketed_join",
-    "stream_alert_rules",
-    "stream_downsample_m4",
 )
 
 _QUERY_MODULES = (
