@@ -2602,3 +2602,134 @@ def stream_kafka_recordbatch_pipeline(
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     shutil.rmtree(wd, ignore_errors=True)
     return result
+
+
+@register(
+    "stream_otlp_logs_pipeline",
+    oracle="""
+    SELECT CASE WHEN event_type = 'error' THEN 17 ELSE 9 END
+               AS severity_number,
+           CAST(COUNT(*) AS BIGINT) AS n_records,
+           CAST(SUM(user_id) AS BIGINT) AS sum_user,
+           MIN(epoch_ns(ts)) AS min_t_ns,
+           MAX(epoch_ns(ts)) AS max_t_ns
+    FROM events WHERE event_id % 7 = 5
+    GROUP BY 1
+    """,
+)
+def stream_otlp_logs_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OTLP LOGS fully STREAMED — the 15th streamed wire family, and
+    the logs signal's live form (the modern notification→event
+    transport): ExportLogsServiceRequest blobs
+    (`sources/otlp_logs.py` — severity enums, AnyValue bodies,
+    KeyValue attrs) POSTed over real loopback HTTP to `/v1/metrics`'
+    sibling route as base64 text, consumed exactly once through the
+    httpwire streaming connector, protobuf-decoded IN the stream and
+    rolled up per severity in complete mode (the user attribute folds
+    into an exact BIGINT sum — streaming aggregation forbids DISTINCT,
+    an honest micro-batch bound). `ingest_otlp_logs` is the at-rest
+    twin."""
+    import base64
+    import http.client
+
+    import pandas as pd
+
+    from metricproxy_spark.io import ensure_package_on_workers, load_table
+    from metricproxy_spark.operators.scale import guarded_wire_pandas
+    from metricproxy_spark.streaming.httplistener import (
+        HttpIngestListener,
+        http_spool_stream,
+    )
+
+    ensure_package_on_workers(spark)
+    wd = _workdir()
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") % 7 == 5)
+    src = guarded_wire_pandas(
+        ev.select(
+            "event_type",
+            F.col("user_id").cast("string").alias("user"),
+            (F.unix_micros("ts") * 1000).alias("t_ns"),
+        )
+    )
+
+    from metricproxy_spark.sources.otlp_logs import (
+        SEVERITY_ERROR,
+        SEVERITY_INFO,
+        encode_logs_request,
+    )
+
+    frames = []
+    for start in range(0, len(src), 300):
+        chunk = src.iloc[start : start + 300]
+        records = [
+            (
+                int(t),
+                SEVERITY_ERROR if str(et) == "error" else SEVERITY_INFO,
+                "ERROR" if str(et) == "error" else "INFO",
+                str(et),
+                {"user": str(u)},
+                b"",
+                b"",
+            )
+            for et, u, t in zip(chunk["event_type"], chunk["user"], chunk["t_ns"])
+        ]
+        frames.append(
+            encode_logs_request({"service.name": "events"}, "mps", records)
+        )
+
+    spool = os.path.join(wd, "spool")
+    with HttpIngestListener(spool) as lis:
+        conn = http.client.HTTPConnection(lis.host, lis.port, timeout=30)
+        for blob in frames:
+            conn.request(
+                "POST",
+                "/v1/metrics",
+                body=base64.b64encode(blob),
+                headers={"Content-Type": "application/x-protobuf;base64"},
+            )
+            resp = conn.getresponse()
+            assert resp.status == 200
+            resp.read()
+        conn.close()
+
+    bodies = http_spool_stream(spark, spool).select(
+        F.unbase64(F.col("body")).alias("frame")
+    )
+
+    def decode(batches):
+        from metricproxy_spark.sources.otlp_logs import decode_logs_request
+
+        for pdf in batches:
+            rows = []
+            for frame in pdf["frame"]:
+                _ra, _sn, records = decode_logs_request(bytes(frame))
+                for t_ns, sev, _txt, _body, attrs, _tid, _sid in records:
+                    rows.append((sev, attrs["user"], t_ns))
+            yield pd.DataFrame(rows, columns=["sev", "user", "t_ns"])
+
+    points = bodies.mapInPandas(decode, "sev int, user string, t_ns long")
+    agg = points.groupBy("sev").agg(
+        F.count(F.lit(1)).alias("n_r"),
+        F.sum(F.col("user").cast("bigint")).alias("sum_u"),
+        F.min("t_ns").alias("min_t"),
+        F.max("t_ns").alias("max_t"),
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        out = _run_to_memory(agg, os.path.join(wd, "ckpt"))
+        result = spark.createDataFrame(
+            out.select(
+                F.col("sev").alias("severity_number"),
+                F.col("n_r").cast("bigint").alias("n_records"),
+                F.col("sum_u").cast("bigint").alias("sum_user"),
+                F.col("min_t").alias("min_t_ns"),
+                F.col("max_t").alias("max_t_ns"),
+            ).collect(),
+            "severity_number int, n_records bigint, sum_user bigint,"
+            " min_t_ns long, max_t_ns long",
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    shutil.rmtree(wd, ignore_errors=True)
+    return result

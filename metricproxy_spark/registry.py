@@ -82,10 +82,10 @@ ORACLES: dict[str, str] = {}
 # 29 of the 40-name r4-latest cohort (union-script truth — the prior
 # note's 41 counted ingest_http_listener_live before its r10 re-pin)
 # = exactly the 50-row driver window.
-# ROUND-11b (continued, same round): 18 net additions (parquet
+# ROUND-11b (continued, same round): 19 net additions (parquet
 # footers via a from-scratch Thrift compact decoder; OTLP/protobuf
-# LOGS signal; Arrow IPC stream+file interchange; Kafka RecordBatch
-# at-rest + STREAMED twins; Kafka
+# LOGS signal at-rest + STREAMED twins; Arrow IPC stream+file
+# interchange; Kafka RecordBatch at-rest + STREAMED twins; Kafka
 # RecordBatch v2 with cycling none/gzip/xerial-snappy/LZ4-frame
 # compression; DEFLATE/gzip/
 # zlib transport at-rest + STREAMED twin over live HTTP; prometheus
@@ -102,9 +102,10 @@ ORACLES: dict[str, str] = {}
 # forced to DOUBLE phi/benford_p literals — newer DuckDB types bare
 # decimals DECIMAL and computes exactly, a 1-ulp divergence from
 # Spark's IEEE chain, caught by a full-registry exact-repr replay);
-# the r4 head shrinks 29 -> 9 to keep the 50-row window exact.
-# ROUND-12 NOTE: pin r12 additions first, then the THIRTY-ONE
-# overflowed r4 names (stream_alert_rules, stream_downsample_m4,
+# the r4 head shrinks 29 -> 8 to keep the 50-row window exact.
+# ROUND-12 NOTE: pin r12 additions first, then the THIRTY-TWO
+# overflowed r4 names (layout_bucketed_join, stream_alert_rules,
+# stream_downsample_m4,
 # ingest_orc_roundtrip, ingest_prometheus_text,
 # events_week_over_week, events_sessionize,
 # events_concurrency, events_downsample_m4, events_counter_to_rate,
@@ -133,6 +134,7 @@ _PRIORITY = (
     "ingest_otlp_logs",
     "ingest_arrow_ipc",
     "stream_kafka_recordbatch_pipeline",
+    "stream_otlp_logs_pipeline",
     "layout_compaction_plan",
     "cdc_delta_log_snapshot",
     "ingest_parquet_footer",
@@ -167,7 +169,7 @@ _PRIORITY = (
     "tpch_q18_large_orders",
     "tpch_q22_idle_customers",
     "analytic_lateral_topn",
-    # --- r4-latest evidence cohort (9 of 40; registry order) ---
+    # --- r4-latest evidence cohort (8 of 40; registry order) ---
     "pipeline_bpe_train",
     "multimodal_audio_spectral",
     "multimodal_image_stats",
@@ -176,7 +178,6 @@ _PRIORITY = (
     "analytic_bitwise_funcs",
     "analytic_hash_funcs",
     "layout_partition_pruning",
-    "layout_bucketed_join",
 )
 
 _QUERY_MODULES = (
