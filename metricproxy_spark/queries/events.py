@@ -5565,3 +5565,171 @@ def events_promql_quantile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         interp(0.5, "lo50", "hi50").alias("q50"),
         interp(0.9, "lo90", "hi90").alias("q90"),
     )
+
+
+@register(
+    "events_spc_western_electric",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               CAST(COUNT(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ), stats AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(y * y) AS BIGINT) AS syy
+        FROM hourly GROUP BY 1
+    ), scored AS (
+        SELECT hh.event_type, hh.h, hh.y,
+               CAST(s.sy AS DOUBLE) / CAST(s.n AS DOUBLE) AS mean,
+               sqrt(CAST(s.n * s.syy - s.sy * s.sy AS DOUBLE))
+                   / CAST(s.n AS DOUBLE) AS sd
+        FROM hourly hh JOIN stats s ON s.event_type = hh.event_type
+    ), sided AS (
+        SELECT event_type, h, y, mean, sd,
+               CASE WHEN CAST(y AS DOUBLE) > mean THEN 1
+                    WHEN CAST(y AS DOUBLE) < mean THEN -1 ELSE 0
+               END AS side,
+               CASE WHEN abs(CAST(y AS DOUBLE) - mean) > 3.0e0 * sd
+                    THEN 1 ELSE 0 END AS beyond3,
+               CASE WHEN CAST(y AS DOUBLE) - mean > 2.0e0 * sd
+                    THEN 1 ELSE 0 END AS above2,
+               CASE WHEN mean - CAST(y AS DOUBLE) > 2.0e0 * sd
+                    THEN 1 ELSE 0 END AS below2,
+               CASE WHEN CAST(y AS DOUBLE) - mean > 1.0e0 * sd
+                    THEN 1 ELSE 0 END AS above1,
+               CASE WHEN mean - CAST(y AS DOUBLE) > 1.0e0 * sd
+                    THEN 1 ELSE 0 END AS below1
+        FROM scored
+    ), ruled AS (
+        SELECT event_type, h, y, side, beyond3,
+               SUM(above2) OVER w3 AS n_above2_3,
+               SUM(below2) OVER w3 AS n_below2_3,
+               SUM(above1) OVER w5 AS n_above1_5,
+               SUM(below1) OVER w5 AS n_below1_5,
+               SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) OVER w8
+                   AS n_up_8,
+               SUM(CASE WHEN side = -1 THEN 1 ELSE 0 END) OVER w8
+                   AS n_down_8,
+               CAST(COUNT(*) OVER w8 AS BIGINT) AS n_in_w8
+        FROM sided
+        WINDOW w3 AS (PARTITION BY event_type ORDER BY h
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+               w5 AS (PARTITION BY event_type ORDER BY h
+                      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+               w8 AS (PARTITION BY event_type ORDER BY h
+                      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, h, y,
+           (beyond3 = 1) AS rule1,
+           (n_above2_3 >= 2 OR n_below2_3 >= 2) AS rule2,
+           (n_above1_5 >= 4 OR n_below1_5 >= 4) AS rule3,
+           (n_in_w8 = 8 AND (n_up_8 = 8 OR n_down_8 = 8)) AS rule4
+    FROM ruled
+    WHERE beyond3 = 1 OR n_above2_3 >= 2 OR n_below2_3 >= 2
+       OR n_above1_5 >= 4 OR n_below1_5 >= 4
+       OR (n_in_w8 = 8 AND (n_up_8 = 8 OR n_down_8 = 8))
+    """,
+)
+def events_spc_western_electric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATISTICAL PROCESS CONTROL — the WESTERN ELECTRIC rules
+    (WECO handbook 1956; the Shewhart-chart alarm set every SRE
+    anomaly detector descends from), evaluated per series over the
+    hourly sample-count chart: rule 1 = a point beyond 3σ; rule 2 =
+    ≥2 of the last 3 beyond 2σ on the SAME side; rule 3 = ≥4 of the
+    last 5 beyond 1σ same side; rule 4 = 8 consecutive points on one
+    side of the center line. Complements the existing robust family
+    (`events_anomaly_mad`, `events_cusum_score`, `events_changepoint`)
+    with the classic zone-test semantics. Exactness: the center line
+    and σ come from ALL-INTEGER sums (mean = Σy/n one division; σ =
+    sqrt(nΣy²−(Σy)²)/n — sqrt is correctly-rounded IEEE in both
+    engines over an exact integer radicand); every zone test compares
+    identical double chains, and the rule windows are pure integer
+    rolling sums over those booleans. Output: only the alarming
+    points, with all four rule verdicts. Scale: one hourly rollup,
+    a series-sized stats dim broadcast back, three ROWS-frame windows
+    over one per-series ordered scan — chart evaluation at 10M series
+    is embarrassingly parallel."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    stats = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    mean = F.col("sy").cast("double") / F.col("n").cast("double")
+    sd = F.sqrt(
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    ) / F.col("n").cast("double")
+    y_d = F.col("y").cast("double")
+    scored = hourly.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "h",
+        "y",
+        mean.alias("mean"),
+        sd.alias("sd"),
+    )
+    sided = scored.select(
+        "event_type",
+        "h",
+        "y",
+        F.when(y_d > F.col("mean"), 1)
+        .when(y_d < F.col("mean"), -1)
+        .otherwise(0)
+        .alias("side"),
+        F.when(F.abs(y_d - F.col("mean")) > 3.0 * F.col("sd"), 1)
+        .otherwise(0)
+        .alias("beyond3"),
+        F.when(y_d - F.col("mean") > 2.0 * F.col("sd"), 1)
+        .otherwise(0)
+        .alias("above2"),
+        F.when(F.col("mean") - y_d > 2.0 * F.col("sd"), 1)
+        .otherwise(0)
+        .alias("below2"),
+        F.when(y_d - F.col("mean") > 1.0 * F.col("sd"), 1)
+        .otherwise(0)
+        .alias("above1"),
+        F.when(F.col("mean") - y_d > 1.0 * F.col("sd"), 1)
+        .otherwise(0)
+        .alias("below1"),
+    )
+    w3 = Window.partitionBy("event_type").orderBy("h").rowsBetween(-2, 0)
+    w5 = Window.partitionBy("event_type").orderBy("h").rowsBetween(-4, 0)
+    w8 = Window.partitionBy("event_type").orderBy("h").rowsBetween(-7, 0)
+    ruled = sided.select(
+        "event_type",
+        "h",
+        "y",
+        "beyond3",
+        F.sum("above2").over(w3).alias("n_above2_3"),
+        F.sum("below2").over(w3).alias("n_below2_3"),
+        F.sum("above1").over(w5).alias("n_above1_5"),
+        F.sum("below1").over(w5).alias("n_below1_5"),
+        F.sum(F.when(F.col("side") == 1, 1).otherwise(0))
+        .over(w8)
+        .alias("n_up_8"),
+        F.sum(F.when(F.col("side") == -1, 1).otherwise(0))
+        .over(w8)
+        .alias("n_down_8"),
+        F.count(F.lit(1)).over(w8).cast("bigint").alias("n_in_w8"),
+    )
+    rule1 = F.col("beyond3") == 1
+    rule2 = (F.col("n_above2_3") >= 2) | (F.col("n_below2_3") >= 2)
+    rule3 = (F.col("n_above1_5") >= 4) | (F.col("n_below1_5") >= 4)
+    rule4 = (F.col("n_in_w8") == 8) & (
+        (F.col("n_up_8") == 8) | (F.col("n_down_8") == 8)
+    )
+    return ruled.where(rule1 | rule2 | rule3 | rule4).select(
+        "event_type",
+        "h",
+        "y",
+        rule1.alias("rule1"),
+        rule2.alias("rule2"),
+        rule3.alias("rule3"),
+        rule4.alias("rule4"),
+    )

@@ -82,7 +82,8 @@ ORACLES: dict[str, str] = {}
 # 29 of the 40-name r4-latest cohort (union-script truth — the prior
 # note's 41 counted ingest_http_listener_live before its r10 re-pin)
 # = exactly the 50-row driver window.
-# ROUND-11b (continued, same round): 19 net additions (parquet
+# ROUND-11b (continued, same round): 20 net additions (SPC Western
+# Electric rules; parquet
 # footers via a from-scratch Thrift compact decoder; OTLP/protobuf
 # LOGS signal at-rest + STREAMED twins; Arrow IPC stream+file
 # interchange; Kafka RecordBatch at-rest + STREAMED twins; Kafka
@@ -102,9 +103,10 @@ ORACLES: dict[str, str] = {}
 # forced to DOUBLE phi/benford_p literals — newer DuckDB types bare
 # decimals DECIMAL and computes exactly, a 1-ulp divergence from
 # Spark's IEEE chain, caught by a full-registry exact-repr replay);
-# the r4 head shrinks 29 -> 8 to keep the 50-row window exact.
-# ROUND-12 NOTE: pin r12 additions first, then the THIRTY-TWO
-# overflowed r4 names (layout_bucketed_join, stream_alert_rules,
+# the r4 head shrinks 29 -> 7 to keep the 50-row window exact.
+# ROUND-12 NOTE: pin r12 additions first, then the THIRTY-THREE
+# overflowed r4 names (layout_partition_pruning,
+# layout_bucketed_join, stream_alert_rules,
 # stream_downsample_m4,
 # ingest_orc_roundtrip, ingest_prometheus_text,
 # events_week_over_week, events_sessionize,
@@ -141,6 +143,7 @@ _PRIORITY = (
     "events_promql_count_values",
     "events_promql_holt_winters",
     "events_promql_quantile_agg",
+    "events_spc_western_electric",
     "events_graphite_aspercent",
     "text_eval_contamination",
     # --- new in round 11 ---
@@ -169,7 +172,7 @@ _PRIORITY = (
     "tpch_q18_large_orders",
     "tpch_q22_idle_customers",
     "analytic_lateral_topn",
-    # --- r4-latest evidence cohort (8 of 40; registry order) ---
+    # --- r4-latest evidence cohort (7 of 40; registry order) ---
     "pipeline_bpe_train",
     "multimodal_audio_spectral",
     "multimodal_image_stats",
@@ -177,7 +180,6 @@ _PRIORITY = (
     "text_bigram_coverage",
     "analytic_bitwise_funcs",
     "analytic_hash_funcs",
-    "layout_partition_pruning",
 )
 
 _QUERY_MODULES = (
