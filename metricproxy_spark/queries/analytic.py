@@ -112,15 +112,18 @@ def analytic_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def analytic_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X11+X24: explicit grouping sets via the SQL surface (spark.sql)."""
-    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("mp_lineitem")
+    li = load_table(spark, sf_dir, "lineitem")
+    # {li} = parameterized DataFrame substitution — no session-global
+    # temp view to collide across concurrent invocations.
     return spark.sql(
         f"""
         SELECT l_returnflag, l_linestatus,
                count(*) AS n_items,
                {dsum_sql('l_quantity')} AS sum_qty
-        FROM mp_lineitem
+        FROM {{li}}
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
-        """
+        """,
+        li=li,
     )
 
 
@@ -181,8 +184,11 @@ def analytic_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X24: scalar subquery — parts priced above the global average.
     The same ANSI text runs on both engines; Spark plans the scalar
     subquery as a broadcast, not a per-row lookup."""
-    load_table(spark, sf_dir, "part").createOrReplaceTempView("mp_part")
-    return spark.sql(_SCALAR_SUBQUERY_SQL_TEMPLATE.format(part="mp_part"))
+    part = load_table(spark, sf_dir, "part")
+    # Same ANSI text, with {part} bound by parameterized DataFrame
+    # substitution on the Spark side (view-free; the oracle binds the
+    # DuckDB-registered table name instead).
+    return spark.sql(_SCALAR_SUBQUERY_SQL_TEMPLATE, part=part)
 
 
 @register(
@@ -596,20 +602,18 @@ def analytic_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     lateral-join surface Catalyst decorrelates into a ranked join
     rather than executing per-row. Identical text runs on DuckDB —
     the rare query where the oracle IS the query."""
-    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
-        "mp_lat_customer"
-    )
-    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
-        "mp_lat_orders"
-    )
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
     return spark.sql(
         """
         SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey, o.o_totalprice
-        FROM mp_lat_customer c, LATERAL (
-            SELECT o_orderkey, o_totalprice FROM mp_lat_orders
+        FROM {cust} c, LATERAL (
+            SELECT o_orderkey, o_totalprice FROM {orders}
             WHERE o_custkey = c.c_custkey
             ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
-        """
+        """,
+        cust=cust,
+        orders=orders,
     )
 
 
@@ -1543,20 +1547,20 @@ def analytic_hierarchy_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey", F.col("c_acctbal").cast("decimal(27,2)").alias("bal")
     )
-    cust.createOrReplaceTempView("mp_hier_cust")
     return spark.sql(
         """
         WITH RECURSIVE closure AS (
-            SELECT c_custkey AS node, c_custkey AS anc FROM mp_hier_cust
+            SELECT c_custkey AS node, c_custkey AS anc FROM {cust}
             UNION ALL
             SELECT node, anc div 10 FROM closure WHERE anc >= 10
         )
         SELECT anc,
                CAST(COUNT(*) AS BIGINT) AS n_desc,
                CAST(SUM(c.bal) AS DOUBLE) AS subtree_total
-        FROM closure JOIN mp_hier_cust c ON c.c_custkey = closure.node
+        FROM closure JOIN {cust} c ON c.c_custkey = closure.node
         GROUP BY anc
-        """
+        """,
+        cust=cust,
     )
 
 

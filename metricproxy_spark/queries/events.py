@@ -104,7 +104,9 @@ def events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     A `resolution` discriminator + GROUPING() guard keeps the schema
     flat and the oracle exact."""
     ev = load_table(spark, sf_dir, "events")
-    ev.createOrReplaceTempView("mp_events_rollup")
+    # {ev} = parameterized DataFrame substitution (unique auto-generated
+    # internal name per call) — no session-global temp view to collide
+    # across concurrent invocations (r11 VERDICT finding 2).
     return spark.sql(
         f"""
         SELECT event_type,
@@ -115,12 +117,13 @@ def events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     THEN 'hour' ELSE 'day' END AS resolution,
                count(*) AS n_events,
                {dsum_sql('value')} AS sum_value
-        FROM mp_events_rollup
+        FROM {{ev}}
         GROUP BY GROUPING SETS (
             (event_type, date_trunc('day', ts), date_trunc('hour', ts)),
             (event_type, date_trunc('day', ts))
         )
-        """
+        """,
+        ev=ev,
     )
 
 
@@ -453,14 +456,13 @@ def events_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact error bound is unit-tested in tests/test_llm_ops.py.
     """
     ev = load_table(spark, sf_dir, "events")
-    ev.createOrReplaceTempView("mp_events_hll")
     return spark.sql(
         """
         WITH daily AS (
             SELECT event_type, date_trunc('day', ts) AS day,
                    hll_sketch_agg(user_id, 14) AS sk,
                    count(DISTINCT user_id) AS exact_day
-            FROM mp_events_hll
+            FROM {ev}
             GROUP BY 1, 2
         )
         SELECT event_type,
@@ -470,7 +472,8 @@ def events_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(sum(exact_day) AS BIGINT) AS sum_daily_exact
         FROM daily
         GROUP BY 1, 2
-        """
+        """,
+        ev=ev,
     )
 
 
@@ -489,14 +492,13 @@ def events_theta_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Approximate by nature -> rows-only check; the estimate-vs-exact
     weekly bound is unit-tested in tests/test_llm_ops.py."""
     ev = load_table(spark, sf_dir, "events")
-    ev.createOrReplaceTempView("mp_events_theta")
     return spark.sql(
         """
         WITH daily AS (
             SELECT event_type, date_trunc('day', ts) AS day,
                    theta_sketch_agg(user_id, 12) AS sk,
                    count(DISTINCT user_id) AS exact_day
-            FROM mp_events_theta
+            FROM {ev}
             GROUP BY 1, 2
         )
         SELECT event_type,
@@ -506,7 +508,8 @@ def events_theta_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(sum(exact_day) AS BIGINT) AS sum_daily_exact
         FROM daily
         GROUP BY 1, 2
-        """
+        """,
+        ev=ev,
     )
 
 

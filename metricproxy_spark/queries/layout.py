@@ -636,9 +636,10 @@ def layout_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return placed.groupBy(
         "source",
-        ((F.col("cum") - F.col("sz")) / F.lit(2000))
-        .cast("bigint")
-        .alias("bin"),
+        # `div` = exact BIGINT floor division, matching the oracle's
+        # integer `//` — IEEE double division would silently diverge
+        # once cum-sz leaves double's 2^53 exact-integer range.
+        F.expr("(cum - sz) div 2000").alias("bin"),
     ).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_files"),
         F.sum("sz").alias("bin_bytes"),

@@ -1457,12 +1457,13 @@ def text_shingle_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.udtf.register("mp_shingle3", Shingle3)
     docs = load_table(spark, sf_dir, "documents")
-    docs.createOrReplaceTempView("mp_docs_udtf")
+    # {docs} = parameterized DataFrame substitution — view-free.
     return spark.sql(
         """
         SELECT d.doc_id, s.pos, s.shingle
-        FROM mp_docs_udtf d, LATERAL mp_shingle3(d.text) s
-        """
+        FROM {docs} d, LATERAL mp_shingle3(d.text) s
+        """,
+        docs=docs,
     )
 
 
@@ -1669,12 +1670,12 @@ def text_ngram_udtf_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.udtf.register("mp_ngram_cols", udtf(NGramCols))
     docs = load_table(spark, sf_dir, "documents")
-    docs.createOrReplaceTempView("mp_docs_udtf2")
     return spark.sql(
         """
         SELECT d.doc_id, s.pos, s.w1, s.w2, s.w3
-        FROM mp_docs_udtf2 d, LATERAL mp_ngram_cols(d.text, 3) s
-        """
+        FROM {docs} d, LATERAL mp_ngram_cols(d.text, 3) s
+        """,
+        docs=docs,
     )
 
 

@@ -282,6 +282,13 @@ def decompress_lz4_frame(buf: bytes, max_out: int = 1 << 26) -> bytes:
         raise ValueError("lz4 frame: unsupported version")
     if flg & 0b10 or bd & 0b10001111:
         raise ValueError("lz4 frame: reserved bits set")
+    if not flg & 0x20:
+        # FLG bit 5 = Block Independence. Linked blocks (reference
+        # `lz4 -BD` output) let matches reach into PRIOR blocks' output
+        # — this decoder keeps a fresh window per block, so a spec-valid
+        # linked frame would misdecode into a misleading offset error.
+        # Reject honestly up front, like FDICT and zstd skippable frames.
+        raise ValueError("lz4 frame: linked blocks not supported")
     has_bchk = bool(flg & 0x10)
     has_csize = bool(flg & 0x08)
     has_cchk = bool(flg & 0x04)

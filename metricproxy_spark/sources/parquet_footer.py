@@ -98,6 +98,13 @@ def _read_list(buf: bytes, pos: int):
     etype = header & 0x0F
     if size == 15:
         size, pos = _read_varint(buf, pos)
+    # Bomb guard (repo codec contract, same discipline as the deflate
+    # and LZ4 max_out bounds): the size varint is attacker-controlled.
+    # Every non-bool element consumes >=1 input byte, and packed bools
+    # are capped by the same remaining-bytes bound — a 2^60-element
+    # header over a 20-byte footer is rejected before allocation.
+    if size > len(buf) - pos:
+        raise ValueError("thrift: list size exceeds remaining bytes")
     out = []
     for _ in range(size):
         v, pos = _read_value(buf, pos, etype)
@@ -109,6 +116,8 @@ def _read_map(buf: bytes, pos: int):
     size, pos = _read_varint(buf, pos)
     if size == 0:
         return {}, pos
+    if size > len(buf) - pos:  # same bomb guard as _read_list
+        raise ValueError("thrift: map size exceeds remaining bytes")
     if pos >= len(buf):
         raise ValueError("thrift: truncated map header")
     ktype, vtype = buf[pos] >> 4, buf[pos] & 0x0F

@@ -121,11 +121,28 @@ class HttpIngestListener:
         # practice, and the stream's offset accounting sorts files
         # NUMERICALLY anyway (httpwire natural sort), so even a
         # hypothetical overflow keeps ordering correct.
-        final = os.path.join(self.spool_dir, f"req_{seq:012d}.http")
-        tmp = final + f".tmp{os.getpid()}"
+        tmp = os.path.join(
+            self.spool_dir, f".tmp_{os.getpid()}_{threading.get_ident()}"
+        )
         with open(tmp, "wb") as fh:
             fh.write(raw)
-        os.replace(tmp, final)  # atomic: a reader never sees a partial
+        # Claim the final name with link(2), which fails on EEXIST —
+        # two listener PROCESSES sharing one spool dir can both resume
+        # the same max seq, and os.replace would silently clobber one
+        # accepted request. On collision, advance past the loser's seq
+        # and retry; the link itself is atomic, so a reader never sees
+        # a partial file.
+        while True:
+            final = os.path.join(self.spool_dir, f"req_{seq:012d}.http")
+            try:
+                os.link(tmp, final)
+                break
+            except FileExistsError:
+                with self._lock:
+                    self._seq = max(self._seq, seq + 1)
+                    seq = self._seq
+                    self._seq += 1
+        os.unlink(tmp)
 
     def start(self) -> tuple[str, int]:
         os.makedirs(self.spool_dir, exist_ok=True)

@@ -154,3 +154,25 @@ def test_spool_stream_exactly_once(spark, tmp_path):
     assert len(out) == 3
     metrics = [sorted(json.loads(b)["gauge"], key=lambda p: p["metric"])[0]["metric"] for b in out]
     assert sorted(metrics) == ["a", "b", "c"]
+
+
+def test_two_listener_generations_never_clobber(tmp_path):
+    """Two listener INSTANCES sharing one spool dir both resume the
+    same max seq; link(2)-claimed final names force the loser onto the
+    next seq instead of silently overwriting an accepted request
+    (r11 ADVICE: cross-process seq collision)."""
+    spool = tmp_path / "spool"
+    with HttpIngestListener(str(spool)) as lis:
+        _post(lis.host, lis.port, "/v2/datapoint", _v2_body([("a", 1.0, 1)]))
+    # Both B and C resume seq = 1 from the same on-disk max.
+    with HttpIngestListener(str(spool)) as b, HttpIngestListener(
+        str(spool)
+    ) as c:
+        _post(b.host, b.port, "/v2/datapoint", _v2_body([("b", 2.0, 2)]))
+        _post(c.host, c.port, "/v2/datapoint", _v2_body([("c", 3.0, 3)]))
+    files = sorted(p.name for p in spool.iterdir() if p.suffix == ".http")
+    assert len(files) == 3, files  # nothing clobbered
+    bodies = b"".join(p.read_bytes() for p in spool.iterdir()
+                      if p.suffix == ".http")
+    for metric in (b'"a"', b'"b"', b'"c"'):
+        assert metric in bodies

@@ -256,3 +256,26 @@ class TestLz4Frame:
         blob = compress_lz4_frame(b"z" * 200_000)
         with _pytest.raises(ValueError, match="max_out"):
             decompress_lz4_frame(blob, max_out=1000)
+
+
+    def test_linked_blocks_rejected_up_front(self):
+        """FLG bit 5 clear = linked blocks (`lz4 -BD` output): matches
+        may reach into PRIOR blocks' output, which this per-block-window
+        decoder cannot honor — it must refuse at the header, not
+        misdecode into a confusing offset error (r11 ADVICE)."""
+        import pytest as _pytest
+
+        from metricproxy_spark.sources.lz4 import (
+            decompress_lz4_frame,
+            xxh32,
+        )
+
+        desc = bytes((0x5C, 0x40))  # version 01, b.indep CLEAR, bchk+csize+cchk
+        hdr = (
+            b"\x04\x22\x4d\x18"
+            + desc
+            + b"\x00" * 8  # content size field (csize flag set)
+        )
+        chk = (xxh32(desc + b"\x00" * 8) >> 8) & 0xFF
+        with _pytest.raises(ValueError, match="linked blocks"):
+            decompress_lz4_frame(hdr + bytes([chk]))

@@ -221,6 +221,30 @@ class TestParquetFooterDecoder:
         with _pytest.raises(ValueError, match="range"):
             read_parquet_footer(blob)
 
+    def test_list_and_map_size_bomb_guard(self):
+        """A crafted footer can declare a 2^60-element list of packed
+        bools (zero bytes per element) — the size varint must be
+        rejected against remaining input BEFORE allocation (r11 ADVICE:
+        the max_out discipline of the other decoders)."""
+        import pytest as _pytest
+
+        from metricproxy_spark.sources.parquet_footer import (
+            _read_list,
+            _read_map,
+        )
+
+        # list header: size=15 escape, etype=BOOL_TRUE; varint 2^60
+        bomb = bytes([0xF1]) + b"\x80" * 8 + b"\x10"
+        with _pytest.raises(ValueError, match="exceeds remaining"):
+            _read_list(bomb, 0)
+        # map: size varint 2^60, then bool/bool kv header
+        mbomb = b"\x80" * 8 + b"\x10" + bytes([0x11])
+        with _pytest.raises(ValueError, match="exceeds remaining"):
+            _read_map(mbomb, 0)
+        # a genuine small list still decodes (2 BYTE elements)
+        ok, _pos = _read_list(bytes([0x23, 0x05, 0x06]), 0)
+        assert ok == [5, 6]
+
 
 class TestSpcWesternElectric:
     def test_matches_oracle(self, spark, sf_dir):
