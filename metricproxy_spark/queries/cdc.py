@@ -348,3 +348,254 @@ def cdc_delta_log_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(*paths).select(
         "event_id", "event_type", "user_id", "value"
     )
+
+
+@register(
+    "cdc_delta_checkpoint_snapshot",
+    oracle="""
+    WITH m AS (SELECT max(event_id) + 1 AS n FROM events)
+    SELECT event_id, event_type, user_id, value
+    FROM events, m
+    WHERE (event_id * 12) // n <> 9
+      AND event_id >= (7 * n) // 10
+    """,
+)
+def cdc_delta_checkpoint_snapshot(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Delta-protocol CHECKPOINT replay + per-file-STATS data skipping
+    — the two halves of the real lakehouse read path the plain log
+    replay (:func:`cdc_delta_log_snapshot`) leaves out (public spec:
+    delta-io/delta PROTOCOL.md — "Checkpoints" and "Per-file
+    Statistics"). The table built on disk exercises the full
+    lifecycle: commits 0-2 ADD twelve event_id-clustered file groups
+    (bucket = ``event_id*12 div N`` — min/max ranges are disjoint, so
+    stats can prune), commit 3 is an OPTIMIZE-shaped rewrite (remove
+    bucket 0, re-add its rows as ``compact-00000`` with
+    ``dataChange: false``), then a parquet CHECKPOINT of the
+    reconciled v3 state is written next to ``_last_checkpoint`` and
+    commits 0-3 are deleted (protocol log cleanup — the checkpoint is
+    genuinely load-bearing, replay from JSON alone is impossible).
+    Two JSON commits remain as the tail: v4 rewrites bucket 1, v5 is
+    a GDPR-shaped remove of bucket 9 with no replacement.
+
+    The reader under test follows the spec's reader path exactly:
+    ``_last_checkpoint`` -> checkpoint parquet -> JSON commits with
+    version > checkpoint version; live files = checkpoint adds +- the
+    tail's adds/removes (same anti-join reconciliation, a tail remove
+    at v>V kills a checkpoint add). Each ``add.stats`` is the
+    protocol's JSON string (numRecords/minValues/maxValues); the
+    reader parses it with ``from_json`` and SKIPS every file whose
+    ``maxValues.event_id`` falls below the predicate threshold
+    (``event_id >= 7N/10`` -> only the top ~3 of 11 live file groups
+    are scanned; the skip count is pinned in
+    tests/test_round12_ops.py). Exactness: bucket ids, the threshold
+    and all stats are BIGINT-exact in both engines. Scale: checkpoint
+    + log tail are KB catalog metadata; the qualifying path list is
+    the one bounded driver artifact; data stays in distributed scans
+    of only the stats-qualifying files."""
+    import json as _json
+    import os
+    import shutil
+
+    from metricproxy_spark.io import staged_artifact_dir
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id", "value"
+    )
+    n_ids = events.agg(F.max("event_id") + 1).collect()[0][0]
+    thr = (7 * n_ids) // 10
+
+    root = staged_artifact_dir("deltacp", sf_dir)
+    if not os.path.isdir(root):
+        staging = root + f".staging.{os.getpid()}"
+        log_dir = os.path.join(staging, "_delta_log")
+        os.makedirs(log_dir, exist_ok=True)
+        bucketed = events.withColumn(
+            # exact BIGINT floor division — the oracle's `//`
+            "bucket", F.expr(f"(event_id * 12) div {n_ids}").cast("int")
+        )
+        bucketed.write.partitionBy("bucket").mode("overwrite").parquet(
+            os.path.join(staging, "data")
+        )
+        for b in (0, 1):  # the OPTIMIZE rewrites (same rows, new path)
+            bucketed.where(F.col("bucket") == b).drop("bucket").write.mode(
+                "overwrite"
+            ).parquet(os.path.join(staging, f"compact-{b:05d}"))
+        stats = {
+            r["bucket"]: (r["nrec"], r["mn"], r["mx"])
+            for r in bucketed.groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).alias("nrec"),
+                F.min("event_id").alias("mn"),
+                F.max("event_id").alias("mx"),
+            )
+            .collect()  # bounded: 12 catalog rows
+        }
+
+        def _add(path: str, b: int, data_change: bool) -> dict:
+            nrec, mn, mx = stats[b]
+            return {
+                "add": {
+                    "path": path,
+                    "dataChange": data_change,
+                    "stats": _json.dumps(
+                        {
+                            "numRecords": nrec,
+                            "minValues": {"event_id": mn},
+                            "maxValues": {"event_id": mx},
+                        }
+                    ),
+                }
+            }
+
+        commits = {
+            0: [
+                {"protocol": {"minReaderVersion": 1}},
+                {"metaData": {"id": "mps-delta-checkpoint-demo"}},
+            ]
+            + [_add(f"data/bucket={b}", b, True) for b in range(4)],
+            1: [_add(f"data/bucket={b}", b, True) for b in range(4, 8)],
+            2: [_add(f"data/bucket={b}", b, True) for b in range(8, 12)],
+            3: [
+                {"remove": {"path": "data/bucket=0", "dataChange": False}},
+                _add("compact-00000", 0, False),
+            ],
+        }
+        for v, actions in commits.items():
+            with open(os.path.join(log_dir, f"{v:020d}.json"), "w") as fh:
+                fh.write("\n".join(_json.dumps(a) for a in actions) + "\n")
+
+        # --- checkpoint of the reconciled v3 state (single parquet
+        # FILE, per protocol), then log cleanup of commits <= 3 ---
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        cp_rows = [
+            {"protocol": {"minReaderVersion": 1}},
+            {"metaData": {"id": "mps-delta-checkpoint-demo"}},
+        ]
+        cp_rows += [
+            _add(f"data/bucket={b}", b, True) for b in range(1, 12)
+        ]
+        cp_rows.append(_add("compact-00000", 0, False))
+        cp_schema = pa.schema(
+            [
+                ("protocol", pa.struct([("minReaderVersion", pa.int32())])),
+                ("metaData", pa.struct([("id", pa.string())])),
+                (
+                    "add",
+                    pa.struct(
+                        [
+                            ("path", pa.string()),
+                            ("dataChange", pa.bool_()),
+                            ("stats", pa.string()),
+                        ]
+                    ),
+                ),
+                (
+                    "remove",
+                    pa.struct(
+                        [("path", pa.string()), ("dataChange", pa.bool_())]
+                    ),
+                ),
+            ]
+        )
+        pq.write_table(
+            pa.Table.from_pylist(
+                [
+                    {k: r.get(k) for k in
+                     ("protocol", "metaData", "add", "remove")}
+                    for r in cp_rows
+                ],
+                schema=cp_schema,
+            ),
+            os.path.join(log_dir, f"{3:020d}.checkpoint.parquet"),
+        )
+        with open(os.path.join(log_dir, "_last_checkpoint"), "w") as fh:
+            fh.write(_json.dumps({"version": 3, "size": len(cp_rows)}))
+        for v in range(4):  # log cleanup: replay now NEEDS the checkpoint
+            os.unlink(os.path.join(log_dir, f"{v:020d}.json"))
+
+        # --- the log tail ---
+        with open(os.path.join(log_dir, f"{4:020d}.json"), "w") as fh:
+            fh.write(
+                _json.dumps(
+                    {"remove": {"path": "data/bucket=1", "dataChange": False}}
+                )
+                + "\n"
+                + _json.dumps(_add("compact-00001", 1, False))
+                + "\n"
+            )
+        with open(os.path.join(log_dir, f"{5:020d}.json"), "w") as fh:
+            fh.write(
+                _json.dumps(
+                    {"remove": {"path": "data/bucket=9", "dataChange": True}}
+                )
+                + "\n"
+            )
+        try:
+            os.rename(staging, root)
+        except OSError:
+            shutil.rmtree(staging, ignore_errors=True)
+
+    # --- the reader under test (the spec's reader path) ---
+    log_dir = os.path.join(root, "_delta_log")
+    with open(os.path.join(log_dir, "_last_checkpoint")) as fh:
+        cp_version = _json.load(fh)["version"]
+    cp = spark.read.parquet(
+        os.path.join(log_dir, f"{cp_version:020d}.checkpoint.parquet")
+    )
+    tail_files = sorted(
+        os.path.join(log_dir, f)
+        for f in os.listdir(log_dir)
+        if f.endswith(".json") and int(f.split(".")[0]) > cp_version
+    )
+    tail = spark.read.json(tail_files).withColumn(
+        "version",
+        F.regexp_extract(F.input_file_name(), r"(\d{20})\.json", 1).cast(
+            "bigint"
+        ),
+    )
+    adds = cp.where(F.col("add").isNotNull()).select(
+        F.col("add.path").alias("path"),
+        F.col("add.stats").alias("stats"),
+        F.lit(cp_version).alias("add_v"),
+    )
+    if "add" in tail.columns:
+        adds = adds.unionByName(
+            tail.where(F.col("add").isNotNull()).select(
+                F.col("add.path").alias("path"),
+                F.col("add.stats").alias("stats"),
+                F.col("version").alias("add_v"),
+            )
+        )
+    removes = tail.where(F.col("remove").isNotNull()).select(
+        F.col("remove.path").alias("path"),
+        F.col("version").alias("rm_v"),
+    )
+    live = adds.join(
+        removes,
+        (adds.path == removes.path) & (F.col("rm_v") > F.col("add_v")),
+        "left_anti",
+    )
+    parsed = live.select(
+        "path",
+        F.from_json(
+            "stats",
+            "numRecords BIGINT, minValues STRUCT<event_id: BIGINT>, "
+            "maxValues STRUCT<event_id: BIGINT>",
+        ).alias("st"),
+    )
+    qualifying = parsed.where(
+        F.col("st.maxValues.event_id") >= F.lit(thr)
+    ).select("path")
+    paths = [
+        os.path.join(root, r["path"])
+        for r in qualifying.collect()  # bounded: the pruned catalog list
+    ]
+    return (
+        spark.read.parquet(*paths)
+        .where(F.col("event_id") >= F.lit(thr))
+        .select("event_id", "event_type", "user_id", "value")
+    )

@@ -4421,3 +4421,102 @@ def ingest_parquet_footer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return paths.mapInPandas(
         sweep, "tbl string, num_rows bigint, n_columns bigint"
     )
+
+
+@register(
+    "ingest_parquet_rowgroup_prune",
+    oracle="""
+    WITH m AS (SELECT max(event_id) + 1 AS n FROM events)
+    SELECT event_id, event_type, user_id, value
+    FROM events, m
+    WHERE event_id BETWEEN (2 * n) // 10 AND (4 * n) // 10
+    """,
+)
+def ingest_parquet_rowgroup_prune(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ROW-GROUP PRUNING driven by the from-scratch footer decoder —
+    the stats in `sources/parquet_footer.py` stop being a report and
+    become an access path (parquet.thrift ColumnMetaData.statistics:
+    per-row-group min/max answer a range predicate before any data
+    page is touched). Construction writes events SORTED by event_id
+    into ONE parquet file with small row groups
+    (``parquet.block.size``), so group min/max ranges are disjoint.
+    The reader under test then does what a parquet DataSource does at
+    100 TB: (1) two tail seeks read ONLY the footer
+    (:func:`read_footer_bytes` — kilobytes, never data), (2) the
+    Thrift walker extracts per-group INT64 min/max for ``event_id``,
+    (3) groups whose [min,max] misses ``BETWEEN 0.2N AND 0.4N`` are
+    SKIPPED (~4 of 6 at sf0.01 — the bound is pinned in
+    tests/test_round12_ops.py), (4) surviving group INDICES ride a
+    tiny DataFrame into a distributed Arrow map where each task reads
+    its row groups and applies the residual predicate. The oracle
+    full-scans the same predicate — a hash match proves pruning
+    dropped no qualifying row and the residual filter dropped the
+    stragglers at group edges. Exactness: bounds and stats are
+    BIGINT-exact in both engines. Scale: footer KB on the driver
+    (catalog metadata), group reads distributed and clustered, no
+    shuffle."""
+    import glob
+    import os
+    import shutil
+
+    import pandas as pd
+
+    from metricproxy_spark.io import staged_artifact_dir
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id", "value"
+    )
+    n_ids = events.agg(F.max("event_id") + 1).collect()[0][0]
+    lo, hi = (2 * n_ids) // 10, (4 * n_ids) // 10
+
+    root = staged_artifact_dir("rgprune", sf_dir)
+    if not os.path.isdir(root):
+        staging = root + f".staging.{os.getpid()}"
+        (
+            events.orderBy("event_id")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .option("parquet.block.size", 65536)
+            .parquet(staging)
+        )
+        try:
+            os.rename(staging, root)
+        except OSError:
+            shutil.rmtree(staging, ignore_errors=True)
+    part = sorted(glob.glob(os.path.join(root, "part-*.parquet")))[0]
+
+    # --- the reader under test ---
+    from metricproxy_spark.sources.parquet_footer import (
+        decode_rowgroup_stats,
+        read_footer_bytes,
+        stat_int64,
+    )
+
+    stats = decode_rowgroup_stats(read_footer_bytes(part), "event_id")
+    qualifying = [
+        i
+        for i, s in enumerate(stats)
+        if stat_int64(s["min_raw"]) <= hi and stat_int64(s["max_raw"]) >= lo
+    ]
+    rg_df = spark.createDataFrame(
+        [(i,) for i in qualifying], "rg int"
+    ).repartition(max(len(qualifying), 1))
+
+    def read_groups(batches):
+        import pyarrow.parquet as pq
+
+        pf = pq.ParquetFile(part)
+        for pdf in batches:
+            for rg in pdf["rg"]:
+                t = pf.read_row_group(
+                    int(rg),
+                    columns=["event_id", "event_type", "user_id", "value"],
+                ).to_pandas()
+                yield t[(t["event_id"] >= lo) & (t["event_id"] <= hi)]
+
+    return rg_df.mapInPandas(
+        read_groups,
+        "event_id bigint, event_type string, user_id bigint, value double",
+    )

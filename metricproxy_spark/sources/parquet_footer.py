@@ -185,6 +185,62 @@ def decode_footer(footer: bytes) -> dict:
     }
 
 
+def decode_rowgroup_stats(footer: bytes, column: str) -> list[dict]:
+    """Per-ROW-GROUP statistics of one leaf ``column`` from the raw
+    footer bytes — the data-skipping half of the catalog story
+    (parquet.thrift: RowGroup.columns → ColumnChunk.meta_data(3) →
+    ColumnMetaData.path_in_schema(3) / num_values(5) /
+    statistics(12); Statistics.max_value(5)/min_value(6) with the
+    deprecated max(1)/min(2) as fallback). Values are returned as the
+    raw plain-encoded bytes — :func:`stat_int64` decodes the INT64
+    case (8-byte little-endian two's complement). One dict per row
+    group: ``{"num_rows", "min_raw", "max_raw", "null_count"}``.
+    Raises if the column has no chunk or no statistics in any group —
+    a pruning layer must never silently treat "no stats" as "matches
+    nothing"."""
+    meta, _end = _read_struct(footer, 0)
+    out = []
+    for rg_i, rg in enumerate(meta.get(4) or []):
+        found = None
+        for chunk in rg.get(1) or []:
+            cmeta = chunk.get(3)
+            if not isinstance(cmeta, dict):
+                continue
+            path = b".".join(cmeta.get(3) or []).decode("utf-8")
+            if path == column:
+                found = cmeta
+                break
+        if found is None:
+            raise ValueError(
+                f"parquet: no column chunk for {column!r} "
+                f"in row group {rg_i}"
+            )
+        st = found.get(12)
+        if not isinstance(st, dict) or not (
+            (5 in st and 6 in st) or (1 in st and 2 in st)
+        ):
+            raise ValueError(
+                f"parquet: no min/max statistics for {column!r} "
+                f"in row group {rg_i}"
+            )
+        out.append(
+            {
+                "num_rows": int(rg.get(3, 0)),
+                "min_raw": st.get(6, st.get(2)),
+                "max_raw": st.get(5, st.get(1)),
+                "null_count": int(st.get(3, 0)) if 3 in st else None,
+            }
+        )
+    return out
+
+
+def stat_int64(raw: bytes) -> int:
+    """Plain-encoded INT64 statistics value → Python int."""
+    if len(raw) != 8:
+        raise ValueError("parquet: INT64 stat is not 8 bytes")
+    return struct.unpack("<q", raw)[0]
+
+
 def read_parquet_footer(data: bytes) -> dict:
     """A whole parquet file's bytes → :func:`decode_footer` summary.
     Validates both magics and the footer length frame."""
@@ -197,3 +253,27 @@ def read_parquet_footer(data: bytes) -> dict:
         raise ValueError("parquet: footer length out of range")
     start = len(data) - 8 - flen
     return decode_footer(data[start : len(data) - 8])
+
+
+def read_footer_bytes(path: str) -> bytes:
+    """Read ONLY a parquet file's footer from disk — the two tail
+    seeks a real catalog sweep does (never the data pages): 8-byte
+    tail frame → footer length → one ranged read of the Thrift blob.
+    Validates both magics (head magic via a 4-byte ranged read)."""
+    import os
+
+    size = os.path.getsize(path)
+    if size < 12:
+        raise ValueError("parquet: file shorter than framing")
+    with open(path, "rb") as fh:
+        if fh.read(4) != b"PAR1":
+            raise ValueError("parquet: bad magic")
+        fh.seek(size - 8)
+        tail = fh.read(8)
+        if tail[4:] != b"PAR1":
+            raise ValueError("parquet: bad magic")
+        (flen,) = struct.unpack("<i", tail[:4])
+        if flen < 0 or flen + 8 > size:
+            raise ValueError("parquet: footer length out of range")
+        fh.seek(size - 8 - flen)
+        return fh.read(flen)

@@ -1,0 +1,197 @@
+"""Round-12 additions: Delta CHECKPOINT replay with per-file-stats
+data skipping, and parquet ROW-GROUP pruning driven by the
+from-scratch footer decoder.
+
+Each query gets (a) the local replica of the driver's DuckDB-oracle
+check and (b) the pruning claims pinned as counts: the checkpoint is
+load-bearing (pre-checkpoint JSON commits are gone), the stats skip a
+strict majority of live files, and row-group pruning reads a strict
+minority of groups while still matching the full scan.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pytest
+
+from tests.oracle_utils import assert_matches_oracle
+
+
+def _q(name):
+    from metricproxy_spark.registry import ORACLES, QUERIES, load_all
+
+    load_all()
+    return QUERIES[name], ORACLES[name]
+
+
+NEW_ORACLED = (
+    "cdc_delta_checkpoint_snapshot",
+    "ingest_parquet_rowgroup_prune",
+)
+
+
+class TestRound12Oracles:
+    @pytest.mark.parametrize("name", NEW_ORACLED)
+    def test_matches_duckdb_oracle(
+        self, spark, sf_correctness_dir, name
+    ):
+        fn, sql = _q(name)
+        assert_matches_oracle(
+            fn(spark, sf_correctness_dir), sql, sf_correctness_dir
+        )
+
+
+class TestDeltaCheckpoint:
+    def test_checkpoint_is_load_bearing(self, spark, sf_correctness_dir):
+        """After log cleanup only the checkpoint + tail remain: replay
+        from JSON alone is impossible, so a passing oracle proves the
+        checkpoint path actually ran."""
+        from metricproxy_spark.io import staged_artifact_dir
+
+        fn, _ = _q("cdc_delta_checkpoint_snapshot")
+        fn(spark, sf_correctness_dir).count()  # materialize artifact
+        log_dir = os.path.join(
+            staged_artifact_dir("deltacp", sf_correctness_dir),
+            "_delta_log",
+        )
+        names = sorted(os.listdir(log_dir))
+        jsons = [n for n in names if n.endswith(".json")]
+        assert jsons == ["00000000000000000004.json",
+                         "00000000000000000005.json"]
+        assert "00000000000000000003.checkpoint.parquet" in names
+        with open(os.path.join(log_dir, "_last_checkpoint")) as fh:
+            assert json.load(fh)["version"] == 3
+
+    def test_stats_skip_majority_of_live_files(
+        self, spark, sf_correctness_dir
+    ):
+        """Recompute the reader's reconciliation independently: 11 live
+        file groups, and the event_id >= 0.7N predicate qualifies only
+        the top 3 (b8, b10, b11) — the rewrites and low buckets are
+        skipped without touching data."""
+        from metricproxy_spark.io import load_table, staged_artifact_dir
+
+        fn, _ = _q("cdc_delta_checkpoint_snapshot")
+        fn(spark, sf_correctness_dir).count()
+        root = staged_artifact_dir("deltacp", sf_correctness_dir)
+        log_dir = os.path.join(root, "_delta_log")
+        cp = spark.read.parquet(
+            os.path.join(log_dir, "00000000000000000003.checkpoint.parquet")
+        )
+        adds = {
+            r["add"]["path"]: json.loads(r["add"]["stats"])
+            for r in cp.where("add IS NOT NULL").collect()
+        }
+        # tail: v4 removes data/bucket=1 + adds compact-00001; v5
+        # removes data/bucket=9
+        for f in ("00000000000000000004.json", "00000000000000000005.json"):
+            with open(os.path.join(log_dir, f)) as fh:
+                for line in fh:
+                    act = json.loads(line)
+                    if "remove" in act:
+                        adds.pop(act["remove"]["path"])
+                    elif "add" in act:
+                        adds[act["add"]["path"]] = json.loads(
+                            act["add"]["stats"]
+                        )
+        assert len(adds) == 11  # 12 buckets - b9 removed, 2 rewritten
+        ev = load_table(spark, sf_correctness_dir, "events")
+        n = ev.agg({"event_id": "max"}).collect()[0][0] + 1
+        thr = (7 * n) // 10
+        qualifying = {
+            p
+            for p, st in adds.items()
+            if st["maxValues"]["event_id"] >= thr
+        }
+        assert qualifying == {
+            "data/bucket=8", "data/bucket=10", "data/bucket=11"
+        }
+        # and the stats are truthful: each file's real max matches
+        for p in qualifying:
+            real = (
+                spark.read.parquet(os.path.join(root, p))
+                .agg({"event_id": "max"})
+                .collect()[0][0]
+            )
+            assert real == adds[p]["maxValues"]["event_id"]
+
+
+class TestRowGroupPrune:
+    def test_prunes_majority_and_matches_full_scan(
+        self, spark, sf_correctness_dir
+    ):
+        """The footer-driven selection reads a strict minority of row
+        groups, and the pruned read equals the unpruned predicate."""
+        from metricproxy_spark.io import load_table, staged_artifact_dir
+        from metricproxy_spark.sources.parquet_footer import (
+            decode_rowgroup_stats,
+            read_footer_bytes,
+            stat_int64,
+        )
+
+        fn, _ = _q("ingest_parquet_rowgroup_prune")
+        pruned = fn(spark, sf_correctness_dir)
+        root = staged_artifact_dir("rgprune", sf_correctness_dir)
+        part = sorted(glob.glob(os.path.join(root, "part-*.parquet")))[0]
+        stats = decode_rowgroup_stats(read_footer_bytes(part), "event_id")
+        assert len(stats) >= 4  # the small block size made real groups
+        ev = load_table(spark, sf_correctness_dir, "events")
+        n = ev.agg({"event_id": "max"}).collect()[0][0] + 1
+        lo, hi = (2 * n) // 10, (4 * n) // 10
+        qualifying = [
+            s
+            for s in stats
+            if stat_int64(s["min_raw"]) <= hi
+            and stat_int64(s["max_raw"]) >= lo
+        ]
+        assert 1 <= len(qualifying) <= len(stats) // 2  # strict minority
+        full = (
+            ev.where(f"event_id BETWEEN {lo} AND {hi}")
+            .select("event_id", "event_type", "user_id", "value")
+        )
+        assert sorted(map(tuple, pruned.collect())) == sorted(
+            map(tuple, full.collect())
+        )
+
+    def test_stats_decode_matches_pyarrow(self, sf_correctness_dir):
+        """The from-scratch Thrift stats decode is pinned byte-for-byte
+        against pyarrow's independent reader on the same file."""
+        import pyarrow.parquet as pq
+
+        from metricproxy_spark.io import staged_artifact_dir
+        from metricproxy_spark.sources.parquet_footer import (
+            decode_rowgroup_stats,
+            read_footer_bytes,
+            stat_int64,
+        )
+
+        root = staged_artifact_dir("rgprune", sf_correctness_dir)
+        if not os.path.isdir(root):
+            pytest.skip("artifact built by the query test")
+        part = sorted(glob.glob(os.path.join(root, "part-*.parquet")))[0]
+        stats = decode_rowgroup_stats(read_footer_bytes(part), "event_id")
+        pf = pq.ParquetFile(part)
+        assert len(stats) == pf.metadata.num_row_groups
+        for i, s in enumerate(stats):
+            rg = pf.metadata.row_group(i)
+            col = next(
+                rg.column(j)
+                for j in range(rg.num_columns)
+                if rg.column(j).path_in_schema == "event_id"
+            )
+            assert stat_int64(s["min_raw"]) == col.statistics.min
+            assert stat_int64(s["max_raw"]) == col.statistics.max
+            assert s["num_rows"] == rg.num_rows
+
+    def test_missing_column_and_missing_stats_raise(self):
+        from metricproxy_spark.sources.parquet_footer import (
+            decode_rowgroup_stats,
+            read_footer_bytes,
+        )
+
+        fb = read_footer_bytes("/root/testdata/sf0.001/events.parquet")
+        with pytest.raises(ValueError, match="no column chunk"):
+            decode_rowgroup_stats(fb, "not_a_column")
