@@ -4075,9 +4075,11 @@ def ingest_kafka_recordbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch encoded with the v2 header (CRC-32C over
     attributes..records, zigzag-varint record framing, timestamp
     deltas, null-key support, typed headers) and a compression type
-    CYCLING through none / gzip / xerial-snappy / LZ4-frame — all
-    three compression codecs are this repo's own from-scratch
-    implementations, so one query exercises four transport stacks
+    CYCLING through none / gzip / xerial-snappy / LZ4-frame / zstd —
+    all four compression codecs are this repo's own from-scratch
+    implementations (zstd rides `sources/zstd.py`: RFC 8878 raw-block
+    + XXH64-checksum frames on encode, the full FSE/huff0/sequence
+    decoder on decode), so one query exercises five transport stacks
     through the real Kafka container. Decode verifies the CRC before
     trusting anything, unwraps the compression, walks the varint
     records and re-derives every field; the oracle is the plain SQL
@@ -4125,7 +4127,7 @@ def ingest_kafka_recordbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
                     encode_record_batch(
                         records,
                         base_offset=start,
-                        compression=bi % 4,  # none/gzip/snappy/lz4
+                        compression=bi % 5,  # none/gzip/snappy/lz4/zstd
                     )
                 )
             yield pd.DataFrame({"body": [bytearray(b) for b in blobs]})
@@ -4519,4 +4521,76 @@ def ingest_parquet_rowgroup_prune(
     return rg_df.mapInPandas(
         read_groups,
         "event_id bigint, event_type string, user_id bigint, value double",
+    )
+
+
+@register(
+    "ingest_zstd_shards",
+    oracle="""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           md5(string_agg(text, chr(30) ORDER BY doc_id)) AS md5_shard,
+           CAST(length(string_agg(text, chr(30) ORDER BY doc_id))
+                AS BIGINT) AS n_chars
+    FROM documents GROUP BY source
+    """,
+)
+def ingest_zstd_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZSTD transport (RFC 8878 — the `.jsonl.zst` shape Common Crawl
+    / RedPajama training shards actually ship in), decoded by the
+    from-scratch decoder in `sources/zstd.py`: full FSE (normalized-
+    count headers, spread tables, baseline transitions), huff0
+    (canonical weights direct + FSE-compressed, 1- and 4-stream),
+    sequences (predefined/RLE/FSE/repeat modes, repeat-offset
+    history), frame framing and XXH64 content checksums. Per SOURCE,
+    the corpus builds one training-shard payload (texts joined by RS
+    0x1E in doc_id order) and compresses it with pyarrow's REAL
+    libzstd at a level CYCLING 1/3/9/19 (different levels take
+    different entropy paths — predefined vs fitted FSE tables, RLE vs
+    4-stream huffman), so every decode here is a genuine cross-
+    implementation interop pin on real data, not a self-roundtrip.
+    Fidelity is md5 of the decoded shard against the oracle's ordered
+    string_agg md5. Scale: shards are the groupBy(source) output —
+    one Arrow group per shard, map-only codec work, bomb-guarded
+    (`max_out` sized from the group's own payload)."""
+    import hashlib
+
+    import pandas as pd
+
+    from metricproxy_spark.io import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
+    docs = spread(load_table(spark, sf_dir, "documents"), spark).select(
+        "doc_id", "source", "text"
+    )
+    levels = (1, 3, 9, 19)
+
+    def shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow as pa
+
+        from metricproxy_spark.sources.zstd import decompress_zstd
+
+        pdf = pdf.sort_values("doc_id")
+        src = str(pdf["source"].iloc[0])
+        payload = "\x1e".join(str(t) for t in pdf["text"]).encode("utf-8")
+        level = levels[
+            int(hashlib.md5(src.encode()).hexdigest(), 16) % len(levels)
+        ]
+        blob = pa.Codec("zstd", compression_level=level).compress(payload)
+        blob = (
+            blob.to_pybytes() if hasattr(blob, "to_pybytes") else bytes(blob)
+        )
+        back = decompress_zstd(blob, max_out=len(payload) + 64)
+        return pd.DataFrame(
+            {
+                "source": [src],
+                "n_docs": [len(pdf)],
+                "md5_shard": [hashlib.md5(back).hexdigest()],
+                "n_chars": [len(back.decode("utf-8"))],
+            }
+        )
+
+    return docs.groupBy("source").applyInPandas(
+        shard,
+        "source string, n_docs bigint, md5_shard string, n_chars bigint",
     )

@@ -29,8 +29,10 @@ compression codecs as the batch compression types:
   stream framing (the java client's SnappyOutputStream container:
   magic ``\\x82SNAPPY\\x00``, two version int32s, then
   [int32 BE length][snappy block] chunks — `sources/snappy.py` blocks
-  underneath); 3 = LZ4 FRAME (`sources/lz4.py`). zstd (4) is honestly
-  out of container scope and raises.
+  underneath); 3 = LZ4 FRAME (`sources/lz4.py`); 4 = zstd
+  (`sources/zstd.py` — RFC 8878 from scratch: full FSE/huff0/sequence
+  decode, Raw_Block + XXH64-checksum frames on the encode leg), making
+  it FOUR from-scratch codecs riding the batch attribute bits.
 
 Decode discipline is the repo codec contract: the CRC is VERIFIED
 before anything else is trusted, magic/compression/length mismatches
@@ -43,6 +45,7 @@ from __future__ import annotations
 import struct
 
 from metricproxy_spark.sources.deflate import compress_gzip, decompress_gzip
+from metricproxy_spark.sources.zstd import compress_zstd_raw, decompress_zstd
 from metricproxy_spark.sources.lz4 import (
     compress_lz4_frame,
     decompress_lz4_frame,
@@ -148,11 +151,6 @@ def encode_record_batch(
     RecordBatch. Timestamps ride as deltas from the batch minimum."""
     if not records:
         raise ValueError("kafka batch: empty batches are not written")
-    if compression == ZSTD:
-        raise NotImplementedError(
-            "kafka batch: zstd is out of container scope (no library, "
-            "format too large to re-derive here)"
-        )
     base_ts = min(r[0] for r in records)
     max_ts = max(r[0] for r in records)
     payload = bytearray()
@@ -164,6 +162,8 @@ def encode_record_batch(
         payload = bytearray(_xerial_frame(bytes(payload)))
     elif compression == LZ4:
         payload = bytearray(compress_lz4_frame(bytes(payload)))
+    elif compression == ZSTD:
+        payload = bytearray(compress_zstd_raw(bytes(payload)))
     elif compression != NONE:
         raise ValueError("kafka batch: unknown compression type")
     # everything covered by the CRC: attributes .. records
@@ -220,7 +220,7 @@ def decode_record_batch(
     elif compression == LZ4:
         payload = decompress_lz4_frame(payload, max_out=1 << 26)
     elif compression == ZSTD:
-        raise NotImplementedError("kafka batch: zstd not supported")
+        payload = decompress_zstd(payload, max_out=1 << 26)
     elif compression != NONE:
         raise ValueError("kafka batch: unknown compression type")
     records: list[tuple[int, int, Record]] = []

@@ -1,0 +1,827 @@
+"""Zstandard (RFC 8878) — from-scratch decoder + raw-block encoder
+(S-ext compression transport; the 14th from-scratch binary codec).
+
+zstd is the dominant modern shard transport (`.jsonl.zst` is the
+Common Crawl / RedPajama distribution format) and Kafka compression
+type 4. Everything here is implemented directly from two public
+specs, no zstd library anywhere:
+
+1. **RFC 8878** (Zstandard Compression and the 'application/zstd'
+   Media Type) — frame framing (magic `28 B5 2F FD`, frame header
+   descriptor, window descriptor, optional content size/checksum,
+   skippable frames), the three block types (Raw / RLE / Compressed),
+   and inside compressed blocks the full entropy stack:
+   - **FSE** (tabled ANS): the variable-bit normalized-count header
+     (threshold-coded probabilities with the `previous0` zero-repeat
+     escape), the spread-by-`(tableSize>>1)+(tableSize>>3)+3` symbol
+     placement with less-than-one probabilities pinned to the table
+     top, and baseline/nbBits state transitions.
+   - **huff0**: canonical Huffman over 4-bit weights (direct or
+     FSE-compressed with two interleaved states), the implicit last
+     weight completing a power of two, max 11 bits, 1-stream and
+     4-stream (6-byte jump table) literal payloads.
+   - **Sequences**: LL/OF/ML codes with predefined / RLE /
+     FSE-compressed / repeat table modes, baseline+extra-bit value
+     tables, the three-slot repeat-offset history with the
+     `literals_length == 0` rotation twist, and backward-bitstream
+     interleaved state updates in LL→ML→OF order.
+2. **xxHash** (Cyan4973/xxHash doc/xxhash_spec.md) — XXH64, the
+   frame content checksum (low 32 bits), pinned against the spec's
+   known-answer vectors. The THIRD checksum family in this repo next
+   to CRC-32/CRC-32C and xxHash-32.
+
+The encoder side is intentionally minimal-but-valid: Raw_Block frames
+(the zstd analog of stored-DEFLATE) with content size + XXH64
+checksum — enough for the Kafka type-4 encode leg, while the decoder
+handles REAL compressed frames and is interop-pinned in pytest
+against pyarrow's bundled libzstd at multiple levels and (when
+present) the reference `zstd` CLI.
+
+Decode discipline is the repo codec contract: strict ``ValueError``
+on any malformed input, ``max_out`` bounds decoded output with a
+DISTINCT refusal message (zstd-bomb guard), bitstreams must be
+consumed exactly, checksums and declared content sizes are verified.
+"""
+
+from __future__ import annotations
+
+import struct
+
+_MAGIC = b"\x28\xb5\x2f\xfd"
+_SKIP_MAGIC_LO = 0x184D2A50
+_SKIP_MAGIC_HI = 0x184D2A5F
+_BLOCK_HARD_MAX = 128 * 1024
+# Refuse absurd window declarations outright (spec allows up to
+# ~3.75 TB; real decoders refuse large windows too — zstd's own
+# default limit is 2^27).
+_WINDOW_HARD_MAX = 1 << 27
+
+# ---------------------------------------------------------------------------
+# XXH64 (xxhash_spec.md) — frame content checksum
+# ---------------------------------------------------------------------------
+
+_P1 = 0x9E3779B185EBCA87
+_P2 = 0xC2B2AE3D27D4EB4F
+_P3 = 0x165667B19E3779F9
+_P4 = 0x85EBCA77C2B2AE63
+_P5 = 0x27D4EB2F165667C5
+_M64 = (1 << 64) - 1
+
+
+def _rotl64(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _round64(acc: int, lane: int) -> int:
+    return (_rotl64((acc + lane * _P2) & _M64, 31) * _P1) & _M64
+
+
+def xxh64(data: bytes, seed: int = 0) -> int:
+    """XXH64 of ``data`` — one pass, spec-exact."""
+    n = len(data)
+    pos = 0
+    if n >= 32:
+        a1 = (seed + _P1 + _P2) & _M64
+        a2 = (seed + _P2) & _M64
+        a3 = seed & _M64
+        a4 = (seed - _P1) & _M64
+        while pos + 32 <= n:
+            l1, l2, l3, l4 = struct.unpack_from("<QQQQ", data, pos)
+            a1 = _round64(a1, l1)
+            a2 = _round64(a2, l2)
+            a3 = _round64(a3, l3)
+            a4 = _round64(a4, l4)
+            pos += 32
+        acc = (
+            _rotl64(a1, 1) + _rotl64(a2, 7) + _rotl64(a3, 12) + _rotl64(a4, 18)
+        ) & _M64
+        for a in (a1, a2, a3, a4):
+            acc = ((acc ^ _round64(0, a)) * _P1 + _P4) & _M64
+    else:
+        acc = (seed + _P5) & _M64
+    acc = (acc + n) & _M64
+    while pos + 8 <= n:
+        (lane,) = struct.unpack_from("<Q", data, pos)
+        acc = (_rotl64(acc ^ _round64(0, lane), 27) * _P1 + _P4) & _M64
+        pos += 8
+    if pos + 4 <= n:
+        (lane,) = struct.unpack_from("<I", data, pos)
+        acc = (_rotl64(acc ^ (lane * _P1) & _M64, 23) * _P2 + _P3) & _M64
+        pos += 4
+    while pos < n:
+        acc = (_rotl64(acc ^ (data[pos] * _P5) & _M64, 11) * _P1) & _M64
+        pos += 1
+    acc ^= acc >> 33
+    acc = (acc * _P2) & _M64
+    acc ^= acc >> 29
+    acc = (acc * _P3) & _M64
+    acc ^= acc >> 32
+    return acc
+
+
+# ---------------------------------------------------------------------------
+# Bitstreams
+# ---------------------------------------------------------------------------
+
+
+class _BackBits:
+    """zstd's backward bitstream: bytes written forward, bits consumed
+    from the end; the highest set bit of the last byte is the padding
+    sentinel. ``peek`` zero-fills past the origin (legal for huff0's
+    fixed-width table peeks); ``take`` refuses to CONSUME past it."""
+
+    __slots__ = ("val", "pos")
+
+    def __init__(self, data: bytes):
+        if not data or data[-1] == 0:
+            raise ValueError("zstd: bitstream missing padding sentinel")
+        self.val = int.from_bytes(data, "little")
+        self.pos = (len(data) - 1) * 8 + data[-1].bit_length() - 1
+
+    def peek(self, n: int) -> int:
+        p = self.pos - n
+        if p >= 0:
+            return (self.val >> p) & ((1 << n) - 1)
+        return ((self.val << -p) & ((1 << n) - 1)) if n else 0
+
+    def take(self, n: int) -> int:
+        if n > self.pos:
+            raise ValueError("zstd: bitstream over-read")
+        self.pos -= n
+        return (self.val >> self.pos) & ((1 << n) - 1) if n else 0
+
+
+class _FwdBits:
+    """Little-endian forward bitstream (FSE table descriptions)."""
+
+    __slots__ = ("val", "used", "nbits")
+
+    def __init__(self, data: bytes):
+        self.val = int.from_bytes(data, "little")
+        self.used = 0
+        self.nbits = len(data) * 8
+
+    def read(self, n: int) -> int:
+        v = (self.val >> self.used) & ((1 << n) - 1)
+        self.used += n
+        return v
+
+    def unread(self, n: int) -> None:
+        self.used -= n
+
+    def bytes_used(self) -> int:
+        return (self.used + 7) // 8
+
+
+# ---------------------------------------------------------------------------
+# FSE (tabled ANS)
+# ---------------------------------------------------------------------------
+
+
+def _fse_read_ncount(
+    bits: _FwdBits, max_accuracy: int, max_symbols: int
+) -> tuple[list[int], int]:
+    """RFC 8878 §4.1.1 FSE table description → (normalized counts,
+    accuracy_log). Counts may include -1 = "less than one"."""
+    accuracy = 5 + bits.read(4)
+    if accuracy > max_accuracy:
+        raise ValueError("zstd: FSE accuracy log too large")
+    remaining = (1 << accuracy) + 1
+    threshold = 1 << accuracy
+    nbits = accuracy + 1
+    counts: list[int] = []
+    previous0 = False
+    while remaining > 1:
+        if len(counts) > max_symbols:
+            raise ValueError("zstd: FSE symbol count overflow")
+        if previous0:
+            while True:
+                rep = bits.read(2)
+                counts.extend([0] * rep)
+                if rep != 3:
+                    break
+            if len(counts) > max_symbols:
+                raise ValueError("zstd: FSE symbol count overflow")
+        max_small = (2 * threshold - 1) - remaining
+        v = bits.read(nbits)
+        if (v & (threshold - 1)) < max_small:
+            count = v & (threshold - 1)
+            bits.unread(1)
+        else:
+            count = v & (2 * threshold - 1)
+            if count >= threshold:
+                count -= max_small
+        count -= 1  # -1 = less-than-one probability
+        remaining -= -count if count < 0 else count
+        if remaining < 1:
+            raise ValueError("zstd: FSE counts exceed table size")
+        counts.append(count)
+        previous0 = count == 0
+        while remaining < threshold and remaining > 1:
+            nbits -= 1
+            threshold >>= 1
+        if bits.used > bits.nbits:
+            raise ValueError("zstd: FSE table description over-read")
+    return counts, accuracy
+
+
+def _fse_build_dtable(
+    counts: list[int], accuracy: int
+) -> list[tuple[int, int, int]]:
+    """Normalized counts → decode table: cell -> (symbol, nbBits,
+    baseline). Spec's spread step with less-than-one symbols pinned to
+    the table top."""
+    size = 1 << accuracy
+    symbols = [0] * size
+    high = size - 1
+    for s, c in enumerate(counts):
+        if c == -1:
+            symbols[high] = s
+            high -= 1
+    step = (size >> 1) + (size >> 3) + 3
+    mask = size - 1
+    pos = 0
+    for s, c in enumerate(counts):
+        for _ in range(max(c, 0)):
+            symbols[pos] = s
+            pos = (pos + step) & mask
+            while pos > high:
+                pos = (pos + step) & mask
+    if pos != 0:
+        raise ValueError("zstd: FSE table spread incomplete")
+    nxt = [c if c != -1 else 1 for c in counts]
+    table = []
+    for cell in range(size):
+        s = symbols[cell]
+        ns = nxt[s]
+        nxt[s] += 1
+        nb = accuracy - (ns.bit_length() - 1)
+        table.append((s, nb, (ns << nb) - size))
+    return table
+
+
+class _FseState:
+    __slots__ = ("table", "accuracy", "state")
+
+    def __init__(self, table, accuracy: int, stream: _BackBits):
+        self.table = table
+        self.accuracy = accuracy
+        self.state = stream.take(accuracy)
+
+    def symbol(self) -> int:
+        return self.table[self.state][0]
+
+    def update(self, stream: _BackBits) -> None:
+        _s, nb, base = self.table[self.state]
+        self.state = base + stream.take(nb)
+
+
+def _rle_table(symbol: int) -> list[tuple[int, int, int]]:
+    """RLE mode = a 1-cell accuracy-0 FSE table: always ``symbol``,
+    zero update bits."""
+    return [(symbol, 0, 0)]
+
+
+# ---------------------------------------------------------------------------
+# huff0 (canonical Huffman literals)
+# ---------------------------------------------------------------------------
+
+
+def _huff_table_from_weights(
+    weights: list[int],
+) -> tuple[list[tuple[int, int]], int]:
+    """Explicit weights (+ the implicit last) → (decode table indexed
+    by ``max_bits`` peeked bits -> (symbol, nbBits), max_bits)."""
+    total = sum((1 << (w - 1)) for w in weights if w > 0)
+    if total == 0:
+        raise ValueError("zstd: huffman weights all zero")
+    max_bits = total.bit_length()  # smallest 2^k > total
+    rest = (1 << max_bits) - total
+    if rest & (rest - 1):
+        raise ValueError("zstd: huffman weights do not complete a power of 2")
+    weights = weights + [rest.bit_length()]
+    if max_bits > 11 or any(w > max_bits for w in weights):
+        raise ValueError("zstd: huffman weight exceeds 11-bit limit")
+    if len(weights) > 256:
+        raise ValueError("zstd: too many huffman symbols")
+    size = 1 << max_bits
+    table: list[tuple[int, int]] = [(0, 0)] * size
+    pos = 0
+    for w in range(1, max_bits + 1):
+        span = 1 << (w - 1)
+        nb = max_bits + 1 - w
+        for sym, sw in enumerate(weights):
+            if sw == w:
+                if pos + span > size:
+                    raise ValueError("zstd: huffman table overflow")
+                table[pos : pos + span] = [(sym, nb)] * span
+                pos += span
+    if pos != size:
+        raise ValueError("zstd: huffman table underfilled")
+    return table, max_bits
+
+
+def _read_huff_tree(data: bytes) -> tuple[list[tuple[int, int]], int, int]:
+    """Huffman_Tree_Description → (table, max_bits, bytes consumed)."""
+    if not data:
+        raise ValueError("zstd: empty huffman tree description")
+    h = data[0]
+    if h >= 128:  # direct 4-bit weights
+        n = h - 127
+        nbytes = (n + 1) // 2
+        if 1 + nbytes > len(data):
+            raise ValueError("zstd: truncated huffman weights")
+        weights = []
+        for i in range(n):
+            b = data[1 + i // 2]
+            weights.append((b >> 4) if i % 2 == 0 else (b & 0x0F))
+        table, mb = _huff_table_from_weights(weights)
+        return table, mb, 1 + nbytes
+    # FSE-compressed weights, two interleaved states
+    if 1 + h > len(data):
+        raise ValueError("zstd: truncated FSE weight payload")
+    sub = data[1 : 1 + h]
+    fwd = _FwdBits(sub)
+    counts, accuracy = _fse_read_ncount(fwd, 6, 255)
+    dtable = _fse_build_dtable(counts, accuracy)
+    consumed = fwd.bytes_used()
+    if consumed >= len(sub):
+        raise ValueError("zstd: FSE weight bitstream missing")
+    back = _BackBits(sub[consumed:])
+    s1 = _FseState(dtable, accuracy, back)
+    s2 = _FseState(dtable, accuracy, back)
+    weights: list[int] = []
+    while True:
+        if len(weights) > 255:
+            raise ValueError("zstd: huffman weight stream overflow")
+        weights.append(s1.symbol())
+        if back.pos < s1.table[s1.state][1]:
+            weights.append(s2.symbol())
+            break
+        s1.update(back)
+        weights.append(s2.symbol())
+        if back.pos < s2.table[s2.state][1]:
+            weights.append(s1.symbol())
+            break
+        s2.update(back)
+    table, mb = _huff_table_from_weights(weights)
+    return table, mb, 1 + h
+
+
+def _huff_decode_stream(
+    data: bytes, table: list[tuple[int, int]], max_bits: int, count: int
+) -> bytearray:
+    bits = _BackBits(data)
+    out = bytearray()
+    for _ in range(count):
+        sym, nb = table[bits.peek(max_bits)]
+        if nb > bits.pos:
+            raise ValueError("zstd: huffman stream over-read")
+        bits.pos -= nb
+        out.append(sym)
+    if bits.pos != 0:
+        raise ValueError("zstd: huffman stream not fully consumed")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Sequences: predefined distributions + code→value tables (RFC 8878)
+# ---------------------------------------------------------------------------
+
+_LL_DEFAULTS = (
+    [4, 3, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 1, 1, 1, 2, 2, 2, 2, 2, 2,
+     2, 2, 2, 3, 2, 1, 1, 1, 1, 1, -1, -1, -1, -1],
+    6,
+)
+_ML_DEFAULTS = (
+    [1, 4, 3, 2, 2, 2, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+     1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+     1, 1, -1, -1, -1, -1, -1, -1, -1],
+    6,
+)
+_OF_DEFAULTS = (
+    [1, 1, 1, 1, 1, 1, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+     1, 1, -1, -1, -1, -1, -1],
+    5,
+)
+
+_LL_BASE = [
+    0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15,
+    16, 18, 20, 22, 24, 28, 32, 40, 48, 64, 128, 256, 512, 1024,
+    2048, 4096, 8192, 16384, 32768, 65536,
+]
+_LL_BITS = [
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    1, 1, 1, 1, 2, 2, 3, 3, 4, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16,
+]
+_ML_BASE = [
+    3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18, 19, 20,
+    21, 22, 23, 24, 25, 26, 27, 28, 29, 30, 31, 32, 33, 34,
+    35, 37, 39, 41, 43, 47, 51, 59, 67, 83, 99, 131, 259, 515, 1027,
+    2051, 4099, 8195, 16387, 32771, 65539,
+]
+_ML_BITS = [
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    1, 1, 1, 1, 2, 2, 3, 3, 4, 4, 5, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16,
+]
+
+_PREDEF = {
+    "ll": _fse_build_dtable(*_LL_DEFAULTS),
+    "ml": _fse_build_dtable(*_ML_DEFAULTS),
+    "of": _fse_build_dtable(*_OF_DEFAULTS),
+}
+_PREDEF_AL = {"ll": 6, "ml": 6, "of": 5}
+_MAX_AL = {"ll": 9, "ml": 9, "of": 8}
+_MAX_CODE = {"ll": 35, "ml": 52, "of": 31}
+
+
+class _FrameCtx:
+    """Per-frame decoder state the spec carries across blocks: the
+    last huffman table (Treeless literals), the last LL/OF/ML FSE
+    tables (Repeat_Mode) and the three repeat offsets."""
+
+    def __init__(self) -> None:
+        self.huff: tuple[list[tuple[int, int]], int] | None = None
+        self.fse: dict[str, tuple[list[tuple[int, int, int]], int]] = {}
+        self.reps = [1, 4, 8]
+
+
+def _decode_literals(
+    blk: bytes, ctx: _FrameCtx
+) -> tuple[bytes, int]:
+    """Literals_Section → (regenerated literals, bytes consumed)."""
+    if not blk:
+        raise ValueError("zstd: empty compressed block")
+    b0 = blk[0]
+    ltype = b0 & 3
+    sizefmt = (b0 >> 2) & 3
+    if ltype in (0, 1):  # Raw / RLE
+        if sizefmt in (0, 2):
+            rsize, hlen = b0 >> 3, 1
+        elif sizefmt == 1:
+            if len(blk) < 2:
+                raise ValueError("zstd: truncated literals header")
+            rsize, hlen = int.from_bytes(blk[:2], "little") >> 4, 2
+        else:
+            if len(blk) < 3:
+                raise ValueError("zstd: truncated literals header")
+            rsize, hlen = int.from_bytes(blk[:3], "little") >> 4, 3
+        if ltype == 0:
+            if hlen + rsize > len(blk):
+                raise ValueError("zstd: truncated raw literals")
+            return bytes(blk[hlen : hlen + rsize]), hlen + rsize
+        if hlen + 1 > len(blk):
+            raise ValueError("zstd: truncated RLE literal")
+        return bytes(blk[hlen : hlen + 1]) * rsize, hlen + 1
+    # Compressed (2) / Treeless (3)
+    if sizefmt == 0:
+        hlen, sbits, streams = 3, 10, 1
+    elif sizefmt == 1:
+        hlen, sbits, streams = 3, 10, 4
+    elif sizefmt == 2:
+        hlen, sbits, streams = 4, 14, 4
+    else:
+        hlen, sbits, streams = 5, 18, 4
+    if len(blk) < hlen:
+        raise ValueError("zstd: truncated literals header")
+    h = int.from_bytes(blk[:hlen], "little")
+    rsize = (h >> 4) & ((1 << sbits) - 1)
+    csize = (h >> (4 + sbits)) & ((1 << sbits) - 1)
+    if hlen + csize > len(blk):
+        raise ValueError("zstd: truncated compressed literals")
+    payload = blk[hlen : hlen + csize]
+    if ltype == 2:
+        table, max_bits, used = _read_huff_tree(payload)
+        ctx.huff = (table, max_bits)
+        payload = payload[used:]
+    else:
+        if ctx.huff is None:
+            raise ValueError("zstd: treeless literals with no prior table")
+        table, max_bits = ctx.huff
+    if streams == 1:
+        lit = _huff_decode_stream(payload, table, max_bits, rsize)
+    else:
+        if len(payload) < 6:
+            raise ValueError("zstd: truncated huffman jump table")
+        s1, s2, s3 = struct.unpack_from("<HHH", payload, 0)
+        body = payload[6:]
+        if s1 + s2 + s3 > len(body):
+            raise ValueError("zstd: huffman jump table exceeds payload")
+        r123 = (rsize + 3) // 4
+        r4 = rsize - 3 * r123
+        if r4 < 0:
+            raise ValueError("zstd: 4-stream literals smaller than 4")
+        parts = (
+            body[:s1],
+            body[s1 : s1 + s2],
+            body[s1 + s2 : s1 + s2 + s3],
+            body[s1 + s2 + s3 :],
+        )
+        lit = bytearray()
+        for part, cnt in zip(parts, (r123, r123, r123, r4)):
+            lit += _huff_decode_stream(part, table, max_bits, cnt)
+    if len(lit) != rsize:
+        raise ValueError("zstd: literals size mismatch")
+    return bytes(lit), hlen + csize
+
+
+def _sequence_table(
+    kind: str, mode: int, sec: bytes, pos: int, ctx: _FrameCtx
+) -> tuple[tuple[list[tuple[int, int, int]], int], int]:
+    if mode == 0:  # Predefined_Mode
+        table = (_PREDEF[kind], _PREDEF_AL[kind])
+    elif mode == 1:  # RLE_Mode
+        if pos >= len(sec):
+            raise ValueError("zstd: truncated RLE symbol")
+        sym = sec[pos]
+        pos += 1
+        if sym > _MAX_CODE[kind]:
+            raise ValueError(f"zstd: {kind} RLE symbol out of range")
+        table = (_rle_table(sym), 0)
+    elif mode == 2:  # FSE_Compressed_Mode
+        fwd = _FwdBits(sec[pos:])
+        counts, accuracy = _fse_read_ncount(
+            fwd, _MAX_AL[kind], _MAX_CODE[kind]
+        )
+        if len(counts) - 1 > _MAX_CODE[kind]:
+            raise ValueError(f"zstd: {kind} symbol out of range")
+        table = (_fse_build_dtable(counts, accuracy), accuracy)
+        pos += fwd.bytes_used()
+    else:  # Repeat_Mode
+        if kind not in ctx.fse:
+            raise ValueError("zstd: repeat mode with no prior table")
+        table = ctx.fse[kind]
+    ctx.fse[kind] = table
+    return table, pos
+
+
+def _decode_sequences(
+    sec: bytes, ctx: _FrameCtx
+) -> list[tuple[int, int, int]]:
+    """Sequences_Section → [(literals_length, match_length, offset)]
+    with repeat-offset resolution applied."""
+    if not sec:
+        raise ValueError("zstd: missing sequences section")
+    b0 = sec[0]
+    if b0 == 0:
+        if len(sec) != 1:
+            raise ValueError("zstd: trailing bytes after empty sequences")
+        return []
+    if b0 < 128:
+        nseq, pos = b0, 1
+    elif b0 < 255:
+        if len(sec) < 2:
+            raise ValueError("zstd: truncated sequence count")
+        nseq, pos = ((b0 - 128) << 8) | sec[1], 2
+    else:
+        if len(sec) < 3:
+            raise ValueError("zstd: truncated sequence count")
+        nseq, pos = int.from_bytes(sec[1:3], "little") + 0x7F00, 3
+    if pos >= len(sec):
+        raise ValueError("zstd: truncated compression modes")
+    modes = sec[pos]
+    pos += 1
+    if modes & 3:
+        raise ValueError("zstd: reserved compression-mode bits set")
+    (ll_t, ll_al), pos = _sequence_table("ll", (modes >> 6) & 3, sec, pos, ctx)
+    (of_t, of_al), pos = _sequence_table("of", (modes >> 4) & 3, sec, pos, ctx)
+    (ml_t, ml_al), pos = _sequence_table("ml", (modes >> 2) & 3, sec, pos, ctx)
+    bits = _BackBits(sec[pos:])
+    ll_s = _FseState(ll_t, ll_al, bits)
+    of_s = _FseState(of_t, of_al, bits)
+    ml_s = _FseState(ml_t, ml_al, bits)
+    seqs = []
+    for i in range(nseq):
+        of_code = of_s.symbol()
+        ml_code = ml_s.symbol()
+        ll_code = ll_s.symbol()
+        if (
+            of_code > _MAX_CODE["of"]
+            or ml_code > _MAX_CODE["ml"]
+            or ll_code > _MAX_CODE["ll"]
+        ):
+            raise ValueError("zstd: sequence code out of range")
+        offset_value = (1 << of_code) + bits.take(of_code)
+        ml = _ML_BASE[ml_code] + bits.take(_ML_BITS[ml_code])
+        ll = _LL_BASE[ll_code] + bits.take(_LL_BITS[ll_code])
+        reps = ctx.reps
+        if offset_value > 3:
+            offset = offset_value - 3
+            ctx.reps = [offset, reps[0], reps[1]]
+        else:
+            idx = offset_value - 1 + (1 if ll == 0 else 0)
+            if idx == 0:
+                offset = reps[0]
+            elif idx == 1:
+                offset = reps[1]
+                ctx.reps = [offset, reps[0], reps[2]]
+            elif idx == 2:
+                offset = reps[2]
+                ctx.reps = [offset, reps[0], reps[1]]
+            else:
+                offset = reps[0] - 1
+                ctx.reps = [offset, reps[0], reps[1]]
+            if offset == 0:
+                raise ValueError("zstd: repeat offset resolved to zero")
+        seqs.append((ll, ml, offset))
+        if i != nseq - 1:  # states are not updated after the last seq
+            ll_s.update(bits)
+            ml_s.update(bits)
+            of_s.update(bits)
+    if bits.pos != 0:
+        raise ValueError("zstd: sequence bitstream not fully consumed")
+    return seqs
+
+
+def _decode_block(
+    blk: bytes, out: bytearray, ctx: _FrameCtx, block_max: int, max_out: int
+) -> None:
+    literals, used = _decode_literals(blk, ctx)
+    seqs = _decode_sequences(blk[used:], ctx)
+    produced = 0
+    lit_pos = 0
+    base = len(out)
+    for ll, ml, offset in seqs:
+        if lit_pos + ll > len(literals):
+            raise ValueError("zstd: literals over-consumed")
+        produced += ll + ml
+        if produced > block_max:
+            raise ValueError("zstd: block regenerates beyond maximum")
+        if base + produced > max_out:
+            raise ValueError("zstd: output exceeds max_out bound")
+        out += literals[lit_pos : lit_pos + ll]
+        lit_pos += ll
+        if offset > len(out):
+            raise ValueError("zstd: match offset outside window")
+        for _ in range(ml):  # overlap-correct byte copy
+            out.append(out[-offset])
+    rest = len(literals) - lit_pos
+    produced += rest
+    if produced > block_max:
+        raise ValueError("zstd: block regenerates beyond maximum")
+    if base + produced > max_out:
+        raise ValueError("zstd: output exceeds max_out bound")
+    out += literals[lit_pos:]
+
+
+def _decode_frame(
+    buf: bytes, pos: int, out: bytearray, max_out: int
+) -> int:
+    """One zstd frame starting at ``pos`` (past the magic) → next pos."""
+    if pos >= len(buf):
+        raise ValueError("zstd: truncated frame header")
+    fhd = buf[pos]
+    pos += 1
+    if fhd & 0x08:
+        raise ValueError("zstd: reserved frame-header bit set")
+    single_segment = bool(fhd & 0x20)
+    has_checksum = bool(fhd & 0x04)
+    did_flag = fhd & 3
+    fcs_flag = fhd >> 6
+    window = None
+    if not single_segment:
+        if pos >= len(buf):
+            raise ValueError("zstd: truncated window descriptor")
+        wd = buf[pos]
+        pos += 1
+        wbase = 1 << (10 + (wd >> 3))
+        window = wbase + (wbase // 8) * (wd & 7)
+    did_size = (0, 1, 2, 4)[did_flag]
+    if did_size:
+        if pos + did_size > len(buf):
+            raise ValueError("zstd: truncated dictionary id")
+        if int.from_bytes(buf[pos : pos + did_size], "little"):
+            raise ValueError("zstd: dictionaries not supported")
+        pos += did_size
+    fcs_size = (1 if single_segment else 0, 2, 4, 8)[fcs_flag]
+    fcs = None
+    if fcs_size:
+        if pos + fcs_size > len(buf):
+            raise ValueError("zstd: truncated frame content size")
+        fcs = int.from_bytes(buf[pos : pos + fcs_size], "little")
+        if fcs_size == 2:
+            fcs += 256
+        pos += fcs_size
+    if single_segment:
+        window = fcs
+    if window is None:
+        raise ValueError("zstd: frame declares no window")
+    if window > _WINDOW_HARD_MAX:
+        raise ValueError("zstd: window size beyond supported maximum")
+    block_max = min(window, _BLOCK_HARD_MAX) or 1
+    ctx = _FrameCtx()
+    frame_start = len(out)
+    while True:
+        if pos + 3 > len(buf):
+            raise ValueError("zstd: truncated block header")
+        bh = int.from_bytes(buf[pos : pos + 3], "little")
+        pos += 3
+        last = bh & 1
+        btype = (bh >> 1) & 3
+        bsize = bh >> 3
+        if btype == 3:
+            raise ValueError("zstd: reserved block type")
+        if btype == 1:  # RLE: bsize = regenerated size, content 1 byte
+            if bsize > block_max:
+                raise ValueError("zstd: block regenerates beyond maximum")
+            if pos + 1 > len(buf):
+                raise ValueError("zstd: truncated RLE block")
+            if len(out) + bsize > max_out:
+                raise ValueError("zstd: output exceeds max_out bound")
+            out += buf[pos : pos + 1] * bsize
+            pos += 1
+        else:
+            if bsize > block_max:
+                raise ValueError("zstd: block size beyond maximum")
+            if pos + bsize > len(buf):
+                raise ValueError("zstd: truncated block")
+            blk = buf[pos : pos + bsize]
+            pos += bsize
+            if btype == 0:
+                if len(out) + bsize > max_out:
+                    raise ValueError("zstd: output exceeds max_out bound")
+                out += blk
+            else:
+                _decode_block(blk, out, ctx, block_max, max_out)
+        if last:
+            break
+    if fcs is not None and len(out) - frame_start != fcs:
+        raise ValueError("zstd: frame content size mismatch")
+    if has_checksum:
+        if pos + 4 > len(buf):
+            raise ValueError("zstd: truncated content checksum")
+        want = int.from_bytes(buf[pos : pos + 4], "little")
+        pos += 4
+        if xxh64(bytes(out[frame_start:])) & 0xFFFFFFFF != want:
+            raise ValueError("zstd: content checksum mismatch")
+    return pos
+
+
+def decompress_zstd(buf: bytes, max_out: int = 1 << 26) -> bytes:
+    """Decode a sequence of zstd frames (skippable frames skipped),
+    strict: magics, reserved bits, block framing, bitstream
+    consumption, declared content sizes and XXH64 checksums are ALL
+    verified; trailing bytes are malformed. ``max_out`` bounds decoded
+    output (distinct refusal message — zstd-bomb guard)."""
+    if len(buf) < 4:
+        raise ValueError("zstd: input shorter than a frame magic")
+    out = bytearray()
+    pos = 0
+    saw_frame = False
+    while pos < len(buf):
+        if pos + 4 > len(buf):
+            raise ValueError("zstd: trailing bytes after final frame")
+        magic = int.from_bytes(buf[pos : pos + 4], "little")
+        if _SKIP_MAGIC_LO <= magic <= _SKIP_MAGIC_HI:
+            if pos + 8 > len(buf):
+                raise ValueError("zstd: truncated skippable frame")
+            fsize = int.from_bytes(buf[pos + 4 : pos + 8], "little")
+            if pos + 8 + fsize > len(buf):
+                raise ValueError("zstd: truncated skippable frame")
+            pos += 8 + fsize
+            continue
+        if buf[pos : pos + 4] != _MAGIC:
+            raise ValueError("zstd: bad magic")
+        pos = _decode_frame(buf, pos + 4, out, max_out)
+        saw_frame = True
+    if not saw_frame:
+        raise ValueError("zstd: no data frame present")
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Encoder: Raw_Block frames (the zstd analog of stored DEFLATE)
+# ---------------------------------------------------------------------------
+
+
+def compress_zstd_raw(data: bytes, checksum: bool = True) -> bytes:
+    """A spec-valid single-frame zstd stream of Raw_Blocks with
+    Frame_Content_Size and (by default) the XXH64 content checksum —
+    no entropy coding, decodable by ANY zstd implementation."""
+    n = len(data)
+    if n < 256:
+        fcs_flag, fcs_bytes = 0, n.to_bytes(1, "little")
+    elif n < 65536 + 256:
+        fcs_flag, fcs_bytes = 1, (n - 256).to_bytes(2, "little")
+    elif n < 1 << 32:
+        fcs_flag, fcs_bytes = 2, n.to_bytes(4, "little")
+    else:
+        fcs_flag, fcs_bytes = 3, n.to_bytes(8, "little")
+    fhd = (fcs_flag << 6) | 0x20 | (0x04 if checksum else 0)
+    out = bytearray(_MAGIC)
+    out.append(fhd)
+    out += fcs_bytes
+    if n == 0:
+        out += (1).to_bytes(3, "little")  # last=1, Raw, size 0
+    else:
+        pos = 0
+        while pos < n:
+            chunk = data[pos : pos + _BLOCK_HARD_MAX]
+            pos += len(chunk)
+            bh = (len(chunk) << 3) | (1 if pos >= n else 0)
+            out += bh.to_bytes(3, "little")
+            out += chunk
+    if checksum:
+        out += (xxh64(data) & 0xFFFFFFFF).to_bytes(4, "little")
+    return bytes(out)

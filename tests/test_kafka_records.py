@@ -29,7 +29,7 @@ RECORDS = [
 
 
 class TestRoundtrip:
-    @pytest.mark.parametrize("comp", [NONE, GZIP, SNAPPY, LZ4])
+    @pytest.mark.parametrize("comp", [NONE, GZIP, SNAPPY, LZ4, ZSTD])
     def test_all_compression_types(self, comp):
         blob = encode_record_batch(RECORDS, base_offset=7, compression=comp)
         bo, c, out = decode_record_batch(blob)
@@ -47,11 +47,11 @@ class TestRoundtrip:
     def test_segment_of_batches(self):
         seg = b"".join(
             encode_record_batch(RECORDS, base_offset=i * 100, compression=c)
-            for i, c in enumerate((NONE, GZIP, SNAPPY, LZ4))
+            for i, c in enumerate((NONE, GZIP, SNAPPY, LZ4, ZSTD))
         )
         batches = decode_record_batches(seg)
-        assert [b[0] for b in batches] == [0, 100, 200, 300]
-        assert [b[1] for b in batches] == [NONE, GZIP, SNAPPY, LZ4]
+        assert [b[0] for b in batches] == [0, 100, 200, 300, 400]
+        assert [b[1] for b in batches] == [NONE, GZIP, SNAPPY, LZ4, ZSTD]
 
     def test_single_record(self):
         blob = encode_record_batch([(5, b"k", b"v", [])])
@@ -101,9 +101,19 @@ class TestStrictness:
         with pytest.raises(ValueError, match="empty"):
             encode_record_batch([])
 
-    def test_zstd_is_honest_raise(self):
-        with pytest.raises(NotImplementedError, match="zstd"):
-            encode_record_batch(RECORDS, compression=ZSTD)
+    def test_zstd_checksum_covered(self):
+        """Type 4 (the r11 VERDICT's documented raise, now a real leg):
+        a corrupted zstd payload fails the batch CRC first; with a
+        recomputed CRC it then fails the frame's own XXH64 checksum."""
+        from metricproxy_spark.sources.snappy import crc32c
+
+        blob = bytearray(encode_record_batch(RECORDS, compression=ZSTD))
+        blob[-3] ^= 1  # inside the zstd payload
+        with pytest.raises(ValueError, match="CRC-32C"):
+            decode_record_batch(bytes(blob))
+        blob[17:21] = struct.pack(">I", crc32c(bytes(blob[21:])))
+        with pytest.raises(ValueError, match="zstd"):
+            decode_record_batch(bytes(blob))
 
     def test_every_truncated_prefix_raises(self):
         blob = encode_record_batch(RECORDS, compression=GZIP)
