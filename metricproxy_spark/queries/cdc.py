@@ -599,3 +599,205 @@ def cdc_delta_checkpoint_snapshot(
         .where(F.col("event_id") >= F.lit(thr))
         .select("event_id", "event_type", "user_id", "value")
     )
+
+
+@register(
+    "cdc_iceberg_snapshot",
+    oracle="""
+    WITH m AS (SELECT max(event_id) + 1 AS n FROM events)
+    SELECT event_id, event_type, user_id, value
+    FROM events, m
+    WHERE (event_id * 12) // n <> 3
+    """,
+)
+def cdc_iceberg_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ICEBERG v2 snapshot read — the SECOND lakehouse protocol,
+    composed from the repo's own from-scratch Avro codec (public
+    spec: apache/iceberg format/spec.md — a table is a metadata JSON
+    pointing at a current snapshot, each snapshot at a MANIFEST LIST
+    (an Avro file of manifest descriptors), each manifest at an Avro
+    file of entries whose status ADDED(1)/EXISTING(0)/DELETED(2)
+    defines the live data files; unlike Delta there is NO log replay
+    — every snapshot's manifest tree states complete table contents).
+    Construction builds two snapshots over twelve event_id-clustered
+    file groups: snapshot 1001 appends them across two manifests;
+    snapshot 1002 (current) rewrites manifest m0 carrying its entries
+    forward as EXISTING except bucket 3, which it marks DELETED (the
+    GDPR shape) — so reading snapshot 1002 correctly requires honoring
+    all three statuses. The reader under test: metadata JSON →
+    current-snapshot-id → manifest list via the from-scratch Avro
+    block reader (KB catalog metadata; manifest_length is verified
+    against the real file size, a spec-mandated consistency field) →
+    ALL manifests scanned DISTRIBUTED through the ``avrowire``
+    DataSource with a pushed filter keeping only the current
+    snapshot's manifests and non-DELETED entries → surviving file
+    paths scanned. The oracle states the algebraic result (all
+    non-bucket-3 events) so the hash proves the three-status manifest
+    semantics end to end — and that stale snapshot-1001 manifests are
+    excluded. Scale: manifest tree is KB metadata; manifests scan
+    distributed; data stays in distributed parquet scans of live
+    files only."""
+    import json as _json
+    import os
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from metricproxy_spark.io import (
+        ensure_package_on_workers,
+        staged_artifact_dir,
+    )
+    from metricproxy_spark.sources.avro import (
+        read_avro_rows,
+        register_avrowire,
+        write_avro_file,
+    )
+
+    ensure_package_on_workers(spark)
+    register_avrowire(spark)
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id", "value"
+    )
+    n_ids = events.agg(F.max("event_id") + 1).collect()[0][0]
+
+    root = staged_artifact_dir("iceberg", sf_dir)
+    entry_schema = T.StructType(
+        [
+            T.StructField("status", T.IntegerType(), False),
+            T.StructField("snapshot_id", T.LongType(), False),
+            T.StructField("file_path", T.StringType(), False),
+            T.StructField("record_count", T.LongType(), False),
+        ]
+    )
+    list_schema = T.StructType(
+        [
+            T.StructField("manifest_path", T.StringType(), False),
+            T.StructField("manifest_length", T.LongType(), False),
+            T.StructField("added_snapshot_id", T.LongType(), False),
+            T.StructField("added_data_files_count", T.IntegerType(), False),
+            T.StructField("existing_data_files_count", T.IntegerType(), False),
+            T.StructField("deleted_data_files_count", T.IntegerType(), False),
+        ]
+    )
+    if not os.path.isdir(root):
+        staging = root + f".staging.{os.getpid()}"
+        meta_dir = os.path.join(staging, "metadata")
+        man_dir = os.path.join(meta_dir, "manifests")
+        os.makedirs(man_dir, exist_ok=True)
+        bucketed = events.withColumn(
+            "bucket", F.expr(f"(event_id * 12) div {n_ids}").cast("int")
+        )
+        bucketed.write.partitionBy("bucket").mode("overwrite").parquet(
+            os.path.join(staging, "data")
+        )
+        counts = {
+            r["bucket"]: r["nrec"]
+            for r in bucketed.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("nrec"))
+            .collect()  # bounded: 12 catalog rows
+        }
+
+        def entry(status: int, snap: int, b: int) -> tuple:
+            return (status, snap, f"data/bucket={b}", counts[b])
+
+        # snapshot 1001: two append manifests
+        m0 = os.path.join(man_dir, "m0-1001.avro")
+        m1 = os.path.join(man_dir, "m1-1001.avro")
+        write_avro_file(
+            m0, [entry(1, 1001, b) for b in range(6)], entry_schema
+        )
+        write_avro_file(
+            m1, [entry(1, 1001, b) for b in range(6, 12)], entry_schema
+        )
+        # snapshot 1002: m0 rewritten — EXISTING except bucket 3 DELETED
+        m0b = os.path.join(man_dir, "m0b-1002.avro")
+        write_avro_file(
+            m0b,
+            [
+                entry(2 if b == 3 else 0, 1002, b)
+                for b in range(6)
+            ],
+            entry_schema,
+        )
+
+        def mrow(path: str, snap: int, added: int, existing: int,
+                 deleted: int) -> tuple:
+            return (
+                os.path.relpath(path, staging),
+                os.path.getsize(path),
+                snap,
+                added,
+                existing,
+                deleted,
+            )
+
+        write_avro_file(
+            os.path.join(meta_dir, "snap-1001.avro"),
+            [mrow(m0, 1001, 6, 0, 0), mrow(m1, 1001, 6, 0, 0)],
+            list_schema,
+        )
+        write_avro_file(
+            os.path.join(meta_dir, "snap-1002.avro"),
+            [mrow(m0b, 1002, 0, 5, 1), mrow(m1, 1001, 6, 0, 0)],
+            list_schema,
+        )
+        meta = {
+            "format-version": 2,
+            "table-uuid": "mps-iceberg-demo",
+            "location": staging,
+            "current-snapshot-id": 1002,
+            "snapshots": [
+                {
+                    "snapshot-id": 1001,
+                    "manifest-list": "metadata/snap-1001.avro",
+                },
+                {
+                    "snapshot-id": 1002,
+                    "manifest-list": "metadata/snap-1002.avro",
+                },
+            ],
+        }
+        with open(os.path.join(meta_dir, "v2.metadata.json"), "w") as fh:
+            _json.dump(meta, fh)
+        try:
+            os.rename(staging, root)
+        except OSError:
+            shutil.rmtree(staging, ignore_errors=True)
+
+    # --- the reader under test (the spec's read path) ---
+    with open(os.path.join(root, "metadata", "v2.metadata.json")) as fh:
+        meta = _json.load(fh)
+    current = meta["current-snapshot-id"]
+    (mlist_rel,) = [
+        s["manifest-list"]
+        for s in meta["snapshots"]
+        if s["snapshot-id"] == current
+    ]
+    manifest_list = read_avro_rows(os.path.join(root, mlist_rel))
+    wanted = []
+    for mpath, mlen, _snap, _a, _e, _d in manifest_list:
+        full = os.path.join(root, mpath)
+        if os.path.getsize(full) != mlen:
+            raise ValueError("iceberg: manifest_length mismatch")
+        wanted.append(full)
+    # An Iceberg reader opens ONLY the current snapshot's manifests —
+    # the stale snapshot-1001 copy of m0 in the same directory is
+    # never read. Each manifest scans through the avrowire DataSource
+    # (distributed, one load per manifest, unioned).
+    from functools import reduce as _reduce
+
+    entries = _reduce(
+        DataFrame.unionByName,
+        [
+            spark.read.format("avrowire").option("path", m).load()
+            for m in wanted
+        ],
+    )
+    live = entries.where(F.col("status") != 2).select("file_path")
+    paths = [
+        os.path.join(root, r["file_path"])
+        for r in live.collect()  # bounded: the live-file catalog list
+    ]
+    return spark.read.parquet(*paths).select(
+        "event_id", "event_type", "user_id", "value"
+    )

@@ -299,6 +299,33 @@ def _decode_block(data: bytes, schema: dict, n: int):
         yield tuple(row)
 
 
+def read_avro_rows(path: str) -> list[tuple]:
+    """Whole-file convenience read: one avro object container file →
+    list of row tuples (schema field order). Meant for KB-scale
+    CATALOG metadata (e.g. Iceberg manifest lists) — data files go
+    through the distributed ``avrowire`` DataSource instead."""
+    rows: list[tuple] = []
+    with open(path, "rb") as fh:
+        hdr, sync, pos = _read_header(fh)
+        size = os.path.getsize(path)
+        fh.seek(pos)
+        while pos < size:
+            head = fh.read(20)
+            n, p2 = _dec_long(head, 0)
+            nbytes, p2 = _dec_long(head, p2)
+            fh.seek(pos + p2)
+            data = fh.read(nbytes)
+            if hdr["codec"] == "deflate":
+                data = zlib.decompress(data, wbits=-15)
+            elif hdr["codec"] != "null":
+                raise ValueError(f"unsupported codec {hdr['codec']}")
+            rows.extend(_decode_block(data, hdr["schema"], n))
+            if fh.read(16) != sync:
+                raise ValueError("avro: sync marker mismatch")
+            pos += p2 + nbytes + 16
+    return rows
+
+
 def _avro_files(path: str) -> list[str]:
     if os.path.isfile(path):
         return [path]

@@ -30,6 +30,8 @@ def _q(name):
 NEW_ORACLED = (
     "cdc_delta_checkpoint_snapshot",
     "ingest_parquet_rowgroup_prune",
+    "cdc_iceberg_snapshot",
+    "ingest_zstd_shards",
 )
 
 
@@ -117,6 +119,73 @@ class TestDeltaCheckpoint:
                 .collect()[0][0]
             )
             assert real == adds[p]["maxValues"]["event_id"]
+
+
+class TestIcebergSnapshot:
+    def test_manifest_tree_and_three_statuses(
+        self, spark, sf_correctness_dir
+    ):
+        """The current snapshot's manifest list names m0b (rewrite) +
+        m1; the stale snapshot-1001 m0 sits in the same directory and
+        must NOT be read. Statuses: 5 EXISTING + 1 DELETED in m0b,
+        6 ADDED in m1."""
+        from metricproxy_spark.io import staged_artifact_dir
+        from metricproxy_spark.sources.avro import read_avro_rows
+
+        fn, _ = _q("cdc_iceberg_snapshot")
+        n_live = fn(spark, sf_correctness_dir).count()
+        root = staged_artifact_dir("iceberg", sf_correctness_dir)
+        with open(os.path.join(root, "metadata", "v2.metadata.json")) as fh:
+            meta = json.load(fh)
+        assert meta["format-version"] == 2
+        assert meta["current-snapshot-id"] == 1002
+        mlist = read_avro_rows(
+            os.path.join(root, "metadata", "snap-1002.avro")
+        )
+        names = sorted(os.path.basename(m[0]) for m in mlist)
+        assert names == ["m0b-1002.avro", "m1-1001.avro"]
+        for mpath, mlen, *_rest in mlist:
+            assert os.path.getsize(os.path.join(root, mpath)) == mlen
+        statuses = []
+        record_total = 0
+        for mpath, *_r in mlist:
+            for st, _snap, _fp, rc in read_avro_rows(
+                os.path.join(root, mpath)
+            ):
+                statuses.append(st)
+                if st != 2:
+                    record_total += rc
+        assert sorted(statuses) == [0] * 5 + [1] * 6 + [2]
+        # manifest record_count metadata answers COUNT(*) without
+        # touching data — and agrees with the actual scan
+        assert record_total == n_live
+
+    def test_stale_snapshot_would_give_wrong_answer(
+        self, spark, sf_correctness_dir
+    ):
+        """Reading snapshot 1001 (all 12 buckets ADDED) yields MORE
+        rows than 1002 — proving the snapshot selection is
+        load-bearing, not decorative."""
+        from metricproxy_spark.io import load_table, staged_artifact_dir
+        from metricproxy_spark.sources.avro import read_avro_rows
+
+        fn, _ = _q("cdc_iceberg_snapshot")
+        n_1002 = fn(spark, sf_correctness_dir).count()
+        root = staged_artifact_dir("iceberg", sf_correctness_dir)
+        n_all = 0
+        for mpath, *_r in read_avro_rows(
+            os.path.join(root, "metadata", "snap-1001.avro")
+        ):
+            n_all += sum(
+                rc
+                for st, _s, _f, rc in read_avro_rows(
+                    os.path.join(root, mpath)
+                )
+                if st != 2
+            )
+        total = load_table(spark, sf_correctness_dir, "events").count()
+        assert n_all == total
+        assert n_1002 < n_all
 
 
 class TestRowGroupPrune:
