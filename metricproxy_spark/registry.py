@@ -104,82 +104,91 @@ ORACLES: dict[str, str] = {}
 # decimals DECIMAL and computes exactly, a 1-ulp divergence from
 # Spark's IEEE chain, caught by a full-registry exact-repr replay);
 # the r4 head shrinks 29 -> 7 to keep the 50-row window exact.
-# ROUND-12 NOTE: pin r12 additions first, then the THIRTY-THREE
-# overflowed r4 names (layout_partition_pruning,
-# layout_bucketed_join, stream_alert_rules,
-# stream_downsample_m4,
-# ingest_orc_roundtrip, ingest_prometheus_text,
-# events_week_over_week, events_sessionize,
-# events_concurrency, events_downsample_m4, events_counter_to_rate,
-# events_downsample_lttb, graph_triangles,
-# tpch_q3_shipping_priority,
-# tpch_q4_order_priority, tpch_q5_local_supplier_volume,
-# tpch_q7_volume_shipping, tpch_q8_market_share,
-# tpch_q10_returned_items, tpch_q13_customer_distribution,
-# tpch_q19_disjunctive_revenue, tpch_q21_waiting_supplier,
-# tpch_q6_forecast_revenue, tpch_q9_product_profit,
-# tpch_q12_priority_lines, tpch_q15_top_supplier,
-# analytic_setops_all, analytic_conditional_aggs,
-# analytic_copurchase_lift, analytic_mode_per_group,
-# analytic_hll_sketch, analytic_asof_forward,
-# analytic_running_distinct -- recompute with the union script),
-# then the r5-latest cohort.
+# ROUND-12 EXECUTED (this round): 4 r12 additions (Delta CHECKPOINT
+# replay + per-file-stats data skipping; footer-driven parquet
+# row-group pruning; Iceberg v2 snapshot read composed from the
+# from-scratch Avro codec; zstd shards decoded by the from-scratch
+# RFC 8878 decoder) + 12 r12-changed queries (the Kafka batch query
+# now cycles zstd as compression type 4; compaction planning binning
+# respelled to exact BIGINT `div`; the TEN temp-view users respelled
+# to parameterized {df} substitution — multires rollup, hll/theta
+# rollups, grouping sets, scalar subquery, lateral topn, recursive
+# hierarchy, both UDTF queries; the live-HTTP stream twin after the
+# listener's link(2) spool-claim fix) + the FULL 33-name r4-latest
+# cohort (closing r4, per the r11 VERDICT rotation plan) + the
+# r5-cohort head (dedup_exact) = exactly the 50-row driver window.
+# ROUND-13 NOTE: pin r13 additions first, then the remaining
+# FORTY-THREE r5-latest names (union-script truth: dedup_ngram_jaccard,
+# dedup_minhash_lsh, dedup_simhash, dedup_components,
+# dedup_levenshtein, dedup_embedding_cosine, dedup_embedding_blocked,
+# dedup_embedding_srp, sim_cosine_topk, sim_ivf_topk, sim_topk_blas,
+# sim_kmeans_assign, sim_kmeans_train, sim_quantize_int8, sim_pq_topk,
+# sim_ivfpq_topk, sim_mrl_truncate, sim_lang_centroids, sim_pq_rerank,
+# sim_embedding_moments, sim_pca_project, text_quality,
+# text_lang_scores, text_token_counts, text_fingerprint,
+# text_top_terms, multimodal_features, multimodal_feature_vectors,
+# multimodal_frame_sample, multimodal_decode_real,
+# text_winnow_fingerprints, pipeline_quality_filter,
+# text_repetition_signals, dedup_paragraphs, pipeline_lm_typicality,
+# text_bm25_topk, ingest_syslog_rfc3164, ingest_influx_line,
+# events_sla_burn_rate, events_time_weighted_avg, graph_khop_reach,
+# analytic_approx_percentile, analytic_asof_nearest -- recompute with
+# the union script), then the r6-latest cohort head.
 _PRIORITY = (
-    # --- new in round 11 (second wave) ---
-    "ingest_gzip_documents",
-    "ingest_remote_read",
-    "ingest_remote_read_live",
-    "ingest_remote_read_chunked",
-    "ingest_lz4_frame_shards",
-    "stream_gzip_pipeline",
+    # --- new in round 12 ---
+    "cdc_delta_checkpoint_snapshot",
+    "ingest_parquet_rowgroup_prune",
+    "cdc_iceberg_snapshot",
+    "ingest_zstd_shards",
+    # --- changed in round 12 (engine edits -> fresh evidence) ---
     "ingest_kafka_recordbatch",
-    "ingest_otlp_logs",
-    "ingest_arrow_ipc",
-    "stream_kafka_recordbatch_pipeline",
-    "stream_otlp_logs_pipeline",
     "layout_compaction_plan",
-    "cdc_delta_log_snapshot",
-    "ingest_parquet_footer",
-    "events_promql_count_values",
-    "events_promql_holt_winters",
-    "events_promql_quantile_agg",
-    "events_spc_western_electric",
-    "events_graphite_aspercent",
-    "text_eval_contamination",
-    # --- new in round 11 ---
-    "events_promql_subquery",
-    "events_promql_subquery_rate",
-    "events_promql_offset_at",
-    "events_graphite_summarize",
-    "events_graphite_moving",
-    "events_graphite_derivative",
-    "ingest_openmetrics",
-    "ingest_remote_write_v2_histograms",
-    "events_native_histogram_quantile",
-    "stream_alert_for_duration",
-    # --- changed in round 11 (engine edits -> fresh evidence) ---
-    "events_histogram_quantile",
-    "analytic_benford_profile",
-    "events_slo_burn_rate",
-    "events_time_range_frame",
-    "ingest_lz4_documents",
-    "ingest_snappy_framed_carbon",
-    # --- r3-latest evidence cohort (the 7 that overflowed round 10) ---
-    "events_gap_report",
-    "graph_pagerank",
-    "tpch_q14_promo_share",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q18_large_orders",
-    "tpch_q22_idle_customers",
+    "events_multires_rollup",
+    "events_hll_rollup",
+    "events_theta_rollup",
+    "analytic_grouping_sets",
+    "analytic_scalar_subquery",
     "analytic_lateral_topn",
-    # --- r4-latest evidence cohort (7 of 40; registry order) ---
-    "pipeline_bpe_train",
-    "multimodal_audio_spectral",
-    "multimodal_image_stats",
-    "pipeline_tokenizer_report",
-    "text_bigram_coverage",
-    "analytic_bitwise_funcs",
-    "analytic_hash_funcs",
+    "analytic_hierarchy_recursive",
+    "text_shingle_udtf",
+    "text_ngram_udtf_analyze",
+    "stream_http_live_pipeline",
+    # --- r4-latest evidence cohort (all 33; closes round 4) ---
+    "layout_partition_pruning",
+    "layout_bucketed_join",
+    "stream_alert_rules",
+    "stream_downsample_m4",
+    "ingest_orc_roundtrip",
+    "ingest_prometheus_text",
+    "events_week_over_week",
+    "events_sessionize",
+    "events_concurrency",
+    "events_downsample_m4",
+    "events_counter_to_rate",
+    "events_downsample_lttb",
+    "graph_triangles",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q10_returned_items",
+    "tpch_q13_customer_distribution",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q21_waiting_supplier",
+    "tpch_q6_forecast_revenue",
+    "tpch_q9_product_profit",
+    "tpch_q12_priority_lines",
+    "tpch_q15_top_supplier",
+    "analytic_setops_all",
+    "analytic_conditional_aggs",
+    "analytic_copurchase_lift",
+    "analytic_mode_per_group",
+    "analytic_hll_sketch",
+    "analytic_asof_forward",
+    "analytic_running_distinct",
+    # --- r5-latest evidence cohort head (1 of 44; registry order) ---
+    "dedup_exact",
 )
 
 _QUERY_MODULES = (
