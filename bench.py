@@ -12,6 +12,13 @@ Env:
     SPARK_GRAFT_SF_DIR   parquet dir (default /root/testdata/sf0.1)
     SPARK_GRAFT_CPUS     local[] parallelism (default 32)
     BENCH_QUERIES        comma-separated subset to run (default: all)
+    BENCH_REPEATS        run the whole list N times and report the
+                         per-query MEDIAN (default 1 — the driver's
+                         single-run behavior; 3 is the stable
+                         cross-round-comparison setting)
+    BENCH_SNAPSHOT       also write the payload to this filename next
+                         to bench.py (per-round committed history,
+                         e.g. BENCH_LOCAL_r12.json)
     BENCH_RECYCLE        restart the SparkSession every N queries
                          (default 100; 0 disables). A 350+-query run in
                          ONE local JVM ages in ways the per-query
@@ -107,18 +114,36 @@ def main() -> None:
         load_table(s, sf_dir, "events").limit(10).collect()
         return s
 
-    for i, name in enumerate(names):
-        if recycle and i and i % recycle == 0:
-            spark = _fresh_session(spark)
-        fn = queries[name]
-        # Warm the plan (analysis/optimization) outside the timed region?
-        # No — include planning: the driver measures end-to-end too.
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
-        _inter_query_maintenance(spark)
+    # BENCH_REPEATS > 1 runs the whole list k times and reports the
+    # per-query MEDIAN — the cross-round-comparable number (single-JVM
+    # host noise spans ±8-15% between sessions; see SURVEY's round-10
+    # noise notes). Default 1 keeps the driver's single-run behavior.
+    repeats = int(os.environ.get("BENCH_REPEATS", "1"))
+    per_run: list[dict[str, float]] = []
+    i = 0
+    for run in range(repeats):
+        run_t: dict[str, float] = {}
+        for name in names:
+            if recycle and i and i % recycle == 0:
+                spark = _fresh_session(spark)
+            i += 1
+            fn = queries[name]
+            # Warm the plan (analysis/optimization) outside the timed
+            # region? No — include planning: the driver measures
+            # end-to-end too.
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            run_t[name] = round(time.perf_counter() - t0, 4)
+            _inter_query_maintenance(spark)
+        per_run.append(run_t)
 
+    timings.update(
+        {
+            n: sorted(r[n] for r in per_run)[repeats // 2]
+            for n in names
+        }
+    )
     total = round(sum(timings.values()), 4)
     vals = sorted(timings.values())
     median = vals[len(vals) // 2] if vals else 0.0
@@ -126,13 +151,23 @@ def main() -> None:
     # line. Round 1's driver captured only the tail of the previous
     # ~5 KB queries-inline line and recorded "parsed": null — the
     # contract line must stay well under any line buffer.
-    local_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
-    )
-    with open(local_path, "w") as fh:
-        json.dump(
-            {"sf": sf, "total_sec": total, "queries": timings}, fh, indent=1
-        )
+    here = os.path.dirname(os.path.abspath(__file__))
+    payload = {
+        "sf": sf,
+        "total_sec": total,
+        "repeats": repeats,
+        "run_totals": [round(sum(r.values()), 4) for r in per_run],
+        "queries": timings,
+    }
+    with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as fh:
+        json.dump(payload, fh, indent=1)
+    # Per-round history (r11 VERDICT finding 3): BENCH_LOCAL.json is
+    # overwritten every run, so a judge can't diff rounds per query.
+    # BENCH_SNAPSHOT=BENCH_LOCAL_r12.json persists a committed copy.
+    snap = os.environ.get("BENCH_SNAPSHOT")
+    if snap:
+        with open(os.path.join(here, snap), "w") as fh:
+            json.dump(payload, fh, indent=1)
     print(
         json.dumps(
             {
