@@ -2733,3 +2733,140 @@ def stream_otlp_logs_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     shutil.rmtree(wd, ignore_errors=True)
     return result
+
+
+@register(
+    "stream_zstd_pipeline",
+    oracle="""
+    SELECT concat('events.', event_type) AS metric,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS sum_value,
+           MIN(epoch_ms(ts)) AS min_ts_ms,
+           MAX(epoch_ms(ts)) AS max_ts_ms
+    FROM events WHERE event_id % 7 = 6
+    GROUP BY 1
+    """,
+)
+def stream_zstd_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZSTD fully STREAMED — the 16th streamed wire family: each
+    frame wraps a batch of carbon plaintext lines (the `.zst` bulk-
+    upload shape), POSTed over real loopback HTTP to `/v1/zstd` as
+    base64 text, consumed exactly once through the httpwire streaming
+    connector, decoded IN the stream (Arrow batches) by the
+    from-scratch RFC 8878 decoder (`sources/zstd.py`) and rolled up
+    per metric with decimal-exact sums in complete mode —
+    `ingest_zstd_shards` is the at-rest twin. Frames ALTERNATE between
+    pyarrow's real libzstd (level 3 — full FSE/huff0/sequence decode
+    paths exercised live, a cross-implementation interop pin inside a
+    running stream) and this repo's own raw-block encoder (XXH64
+    checksum verified), so both frame shapes ride the same stream.
+    Values ride as shortest-roundtrip repr text and parse back to
+    bit-identical doubles (the divergence suite's repr-roundtrip
+    pin)."""
+    import base64
+    import http.client
+
+    import pandas as pd
+
+    from metricproxy_spark.io import ensure_package_on_workers, load_table
+    from metricproxy_spark.operators.scale import guarded_wire_pandas
+    from metricproxy_spark.streaming.httplistener import (
+        HttpIngestListener,
+        http_spool_stream,
+    )
+
+    ensure_package_on_workers(spark)
+    wd = _workdir()
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") % 7 == 6)
+    src = guarded_wire_pandas(
+        ev.select(
+            F.concat(F.lit("events."), F.col("event_type")).alias("metric"),
+            "value",
+            F.unix_millis("ts").alias("ts_ms"),
+        )
+    )
+
+    import pyarrow as pa
+
+    from metricproxy_spark.sources.zstd import compress_zstd_raw
+
+    frames = []
+    for fi, start in enumerate(range(0, len(src), 200)):
+        chunk = src.iloc[start : start + 200]
+        text = "".join(
+            f"{m} {float(v)!r} {int(t)}\n"
+            for m, v, t in zip(chunk["metric"], chunk["value"], chunk["ts_ms"])
+        )
+        raw = text.encode("utf-8")
+        if fi % 2 == 0:  # real libzstd frame -> from-scratch decode
+            blob = pa.Codec("zstd", compression_level=3).compress(raw)
+            blob = (
+                blob.to_pybytes()
+                if hasattr(blob, "to_pybytes")
+                else bytes(blob)
+            )
+        else:  # this repo's raw-block frame (XXH64-checksummed)
+            blob = compress_zstd_raw(raw)
+        frames.append(blob)
+
+    spool = os.path.join(wd, "spool")
+    with HttpIngestListener(spool) as lis:
+        conn = http.client.HTTPConnection(lis.host, lis.port, timeout=30)
+        for blob in frames:
+            conn.request(
+                "POST",
+                "/v1/zstd",
+                body=base64.b64encode(blob),
+                headers={"Content-Type": "application/zstd;base64"},
+            )
+            resp = conn.getresponse()
+            assert resp.status == 200
+            resp.read()
+        conn.close()
+
+    bodies = http_spool_stream(spark, spool).select(
+        F.unbase64(F.col("body")).alias("frame")
+    )
+
+    def decode(batches):
+        from metricproxy_spark.sources.zstd import decompress_zstd
+
+        for pdf in batches:
+            rows = []
+            for frame in pdf["frame"]:
+                text = decompress_zstd(
+                    bytes(frame), max_out=len(frame) * 64 + 1024
+                ).decode("utf-8")
+                for line in text.splitlines():
+                    m, v, t = line.split(" ")
+                    rows.append((m, float(v), int(t)))
+            yield pd.DataFrame(rows, columns=["metric", "value", "ts_ms"])
+
+    points = bodies.mapInPandas(
+        decode, "metric string, value double, ts_ms long"
+    )
+    agg = points.groupBy("metric").agg(
+        F.count(F.lit(1)).alias("n_p"),
+        F.sum(F.col("value").cast("decimal(27,4)")).alias("sum_dec"),
+        F.min("ts_ms").alias("min_t"),
+        F.max("ts_ms").alias("max_t"),
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        out = _run_to_memory(agg, os.path.join(wd, "ckpt"))
+        result = spark.createDataFrame(
+            out.select(
+                "metric",
+                F.col("n_p").cast("bigint").alias("n_points"),
+                F.col("sum_dec").cast("double").alias("sum_value"),
+                F.col("min_t").alias("min_ts_ms"),
+                F.col("max_t").alias("max_ts_ms"),
+            ).collect(),
+            "metric string, n_points bigint, sum_value double,"
+            " min_ts_ms bigint, max_ts_ms bigint",
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    shutil.rmtree(wd, ignore_errors=True)
+    return result

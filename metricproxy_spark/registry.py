@@ -104,21 +104,23 @@ ORACLES: dict[str, str] = {}
 # decimals DECIMAL and computes exactly, a 1-ulp divergence from
 # Spark's IEEE chain, caught by a full-registry exact-repr replay);
 # the r4 head shrinks 29 -> 7 to keep the 50-row window exact.
-# ROUND-12 EXECUTED (this round): 4 r12 additions (Delta CHECKPOINT
+# ROUND-12 EXECUTED (this round): 5 r12 additions (Delta CHECKPOINT
 # replay + per-file-stats data skipping; footer-driven parquet
 # row-group pruning; Iceberg v2 snapshot read composed from the
 # from-scratch Avro codec; zstd shards decoded by the from-scratch
-# RFC 8878 decoder) + 12 r12-changed queries (the Kafka batch query
+# RFC 8878 decoder; zstd fully STREAMED over live HTTP — the 16th
+# streamed wire family) + 12 r12-changed queries (the Kafka batch query
 # now cycles zstd as compression type 4; compaction planning binning
 # respelled to exact BIGINT `div`; the TEN temp-view users respelled
 # to parameterized {df} substitution — multires rollup, hll/theta
 # rollups, grouping sets, scalar subquery, lateral topn, recursive
 # hierarchy, both UDTF queries; the live-HTTP stream twin after the
 # listener's link(2) spool-claim fix) + the FULL 33-name r4-latest
-# cohort (closing r4, per the r11 VERDICT rotation plan) + the
-# r5-cohort head (dedup_exact) = exactly the 50-row driver window.
-# ROUND-13 NOTE: pin r13 additions first, then the remaining
-# FORTY-THREE r5-latest names (union-script truth: dedup_ngram_jaccard,
+# cohort (closing r4, per the r11 VERDICT rotation plan) = exactly
+# the 50-row driver window.
+# ROUND-13 NOTE: pin r13 additions first, then the FULL 44-name
+# r5-latest cohort (union-script truth: dedup_exact,
+# dedup_ngram_jaccard,
 # dedup_minhash_lsh, dedup_simhash, dedup_components,
 # dedup_levenshtein, dedup_embedding_cosine, dedup_embedding_blocked,
 # dedup_embedding_srp, sim_cosine_topk, sim_ivf_topk, sim_topk_blas,
@@ -140,6 +142,7 @@ _PRIORITY = (
     "ingest_parquet_rowgroup_prune",
     "cdc_iceberg_snapshot",
     "ingest_zstd_shards",
+    "stream_zstd_pipeline",
     # --- changed in round 12 (engine edits -> fresh evidence) ---
     "ingest_kafka_recordbatch",
     "layout_compaction_plan",
@@ -187,8 +190,6 @@ _PRIORITY = (
     "analytic_hll_sketch",
     "analytic_asof_forward",
     "analytic_running_distinct",
-    # --- r5-latest evidence cohort head (1 of 44; registry order) ---
-    "dedup_exact",
 )
 
 _QUERY_MODULES = (

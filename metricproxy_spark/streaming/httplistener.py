@@ -46,6 +46,7 @@ INGEST_PATHS = (
     "/v1/cbor",
     "/v1/gzip",
     "/v1/kafka",
+    "/v1/zstd",
     "/api/v1/write",
 )
 
