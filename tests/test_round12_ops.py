@@ -32,6 +32,7 @@ NEW_ORACLED = (
     "ingest_parquet_rowgroup_prune",
     "cdc_iceberg_snapshot",
     "ingest_zstd_shards",
+    "cdc_delta_deletion_vectors",
 )
 
 
@@ -186,6 +187,87 @@ class TestIcebergSnapshot:
         total = load_table(spark, sf_correctness_dir, "events").count()
         assert n_all == total
         assert n_1002 < n_all
+
+
+class TestDeletionVectors:
+    def test_dv_attachment_is_per_file(self, spark, sf_correctness_dir):
+        """Files 6-7 carry NO deletionVector (their error rows
+        survive); files 0-5 each carry a descriptor whose cardinality
+        equals that file's error-row count — recomputed independently
+        from the data."""
+        from metricproxy_spark.io import load_table, staged_artifact_dir
+        from metricproxy_spark.sources.roaring import read_dv
+
+        fn, _ = _q("cdc_delta_deletion_vectors")
+        fn(spark, sf_correctness_dir).count()  # materialize artifact
+        root = staged_artifact_dir("deltadv", sf_correctness_dir)
+        log = os.path.join(root, "_delta_log", "00000000000000000000.json")
+        adds = []
+        with open(log) as fh:
+            for line in fh:
+                act = json.loads(line)
+                if "add" in act:
+                    adds.append(act["add"])
+        assert len(adds) == 8
+        with_dv = {a["path"]: a["deletionVector"]
+                   for a in adds if "deletionVector" in a}
+        without = sorted(a["path"] for a in adds
+                         if "deletionVector" not in a)
+        assert without == ["data/file-06.parquet", "data/file-07.parquet"]
+        ev = load_table(spark, sf_correctness_dir, "events")
+        err_by_fid = {
+            r["fid"]: r["n"]
+            for r in ev.where("event_type = 'error'")
+            .groupBy((ev.event_id % 8).cast("int").alias("fid"))
+            .agg({"*": "count"})
+            .withColumnRenamed("count(1)", "n")
+            .collect()
+        }
+        with open(os.path.join(root, "dv", "deletions.bin"), "rb") as fh:
+            data = fh.read()
+        for path, dv in with_dv.items():
+            fid = int(path.split("file-")[1][:2])
+            assert dv["cardinality"] == err_by_fid[fid]
+            dead = read_dv(
+                data, dv["offset"], dv["sizeInBytes"], dv["cardinality"]
+            )
+            assert len(dead) == dv["cardinality"]
+
+    def test_positions_point_at_error_rows(self, spark, sf_correctness_dir):
+        """Decode file-00's DV and check every deleted POSITION is an
+        'error' row in the event_id-sorted file — position semantics,
+        not value semantics."""
+        import pyarrow.parquet as pq
+
+        from metricproxy_spark.io import staged_artifact_dir
+        from metricproxy_spark.sources.roaring import read_dv
+
+        root = staged_artifact_dir("deltadv", sf_correctness_dir)
+        if not os.path.isdir(root):
+            pytest.skip("artifact built by the oracle test")
+        log = os.path.join(root, "_delta_log", "00000000000000000000.json")
+        dv = None
+        with open(log) as fh:
+            for line in fh:
+                act = json.loads(line)
+                if "add" in act and act["add"]["path"].endswith(
+                    "file-00.parquet"
+                ):
+                    dv = act["add"]["deletionVector"]
+        assert dv is not None
+        with open(os.path.join(root, "dv", "deletions.bin"), "rb") as fh:
+            data = fh.read()
+        dead = read_dv(
+            data, dv["offset"], dv["sizeInBytes"], dv["cardinality"]
+        )
+        t = pq.read_table(
+            os.path.join(root, "data", "file-00.parquet")
+        ).to_pandas()
+        assert list(t["event_id"]) == sorted(t["event_id"])  # positional
+        for p in dead:
+            assert t["event_type"].iloc[p] == "error"
+        survivors = t[~t.index.isin(dead)]
+        assert (survivors["event_type"] != "error").all()
 
 
 class TestRowGroupPrune:
