@@ -4594,3 +4594,83 @@ def ingest_zstd_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         shard,
         "source string, n_docs bigint, md5_shard string, n_chars bigint",
     )
+
+
+@register(
+    "ingest_parquet_page_decode",
+    oracle="""
+    SELECT event_id, event_type, user_id, value
+    FROM events
+    """,
+)
+def ingest_parquet_page_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet DATA-PAGE decode from scratch — the footer story
+    completed into an actual COLUMN READ with zero libraries
+    (`sources/parquet_pages.py`, from apache/parquet-format README +
+    Encodings.md): Thrift-compact PageHeaders, snappy-compressed page
+    bodies (this repo's own block codec — and GZIP/ZSTD pages ride
+    the repo's DEFLATE/RFC-8878 codecs), RLE/bit-packed-hybrid
+    definition levels, PLAIN values (int64/double/byte_array) and
+    PLAIN_DICTIONARY chunks (dictionary page + hybrid indices). The
+    input is the REAL file Spark's own writer produced for the
+    row-group-pruning artifact — event_id rides PLAIN, event_type and
+    user_id ride dictionaries, everything under snappy — so all the
+    v1 encodings parquet-mr actually emits decode in one query. Each
+    task decodes ONE ROW GROUP's four chunks (the same unit a parquet
+    reader parallelizes over); the oracle reads the same logical rows
+    through DuckDB's entirely independent reader stack — a hash match
+    means two unrelated parquet implementations agree byte-for-byte
+    with this one. pytest additionally pins the decode against
+    pyarrow (a THIRD implementation) on every testdata table. Scale:
+    per-row-group tasks, footer-driven offsets, no shuffle."""
+    import glob
+    import os
+
+    import pandas as pd
+
+    from metricproxy_spark.io import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
+    # reuse (or build) the sorted single-file artifact the row-group
+    # pruning query stages — same data, same Spark-written file
+    ingest_parquet_rowgroup_prune(spark, sf_dir)
+    from metricproxy_spark.io import staged_artifact_dir
+
+    root = staged_artifact_dir("rgprune", sf_dir)
+    part = sorted(glob.glob(os.path.join(root, "part-*.parquet")))[0]
+
+    from metricproxy_spark.sources.parquet_footer import (
+        decode_rowgroup_stats,
+        read_footer_bytes,
+    )
+
+    n_rgs = len(decode_rowgroup_stats(read_footer_bytes(part), "event_id"))
+    rg_df = spark.createDataFrame(
+        [(i,) for i in range(n_rgs)], "rg int"
+    ).repartition(n_rgs)
+
+    def decode(batches):
+        from metricproxy_spark.sources.parquet_pages import decode_columns
+
+        for pdf in batches:
+            for rg in pdf["rg"]:
+                cols = decode_columns(
+                    part,
+                    ["event_id", "event_type", "user_id", "value"],
+                    int(rg),
+                )
+                yield pd.DataFrame(
+                    {
+                        "event_id": cols["event_id"],
+                        "event_type": [
+                            b.decode("utf-8") for b in cols["event_type"]
+                        ],
+                        "user_id": cols["user_id"],
+                        "value": cols["value"],
+                    }
+                )
+
+    return rg_df.mapInPandas(
+        decode,
+        "event_id bigint, event_type string, user_id bigint, value double",
+    )

@@ -104,9 +104,10 @@ ORACLES: dict[str, str] = {}
 # decimals DECIMAL and computes exactly, a 1-ulp divergence from
 # Spark's IEEE chain, caught by a full-registry exact-repr replay);
 # the r4 head shrinks 29 -> 7 to keep the 50-row window exact.
-# ROUND-12 EXECUTED (this round): 6 r12 additions (Delta CHECKPOINT
+# ROUND-12 EXECUTED (this round): 7 r12 additions (Delta CHECKPOINT
 # replay + per-file-stats data skipping; footer-driven parquet
-# row-group pruning; Iceberg v2 snapshot read composed from the
+# row-group pruning; parquet DATA-PAGE column decode from scratch;
+# Iceberg v2 snapshot read composed from the
 # from-scratch Avro codec; zstd shards decoded by the from-scratch
 # RFC 8878 decoder; zstd fully STREAMED over live HTTP — the 16th
 # streamed wire family; Delta DELETION VECTORS over a from-scratch
@@ -116,12 +117,14 @@ ORACLES: dict[str, str] = {}
 # to parameterized {df} substitution — multires rollup, hll/theta
 # rollups, grouping sets, scalar subquery, lateral topn, recursive
 # hierarchy, both UDTF queries; the live-HTTP stream twin after the
-# listener's link(2) spool-claim fix) + the first 32 of the 33-name
+# listener's link(2) spool-claim fix) + the first 31 of the 33-name
 # r4-latest cohort = exactly the 50-row driver window
-# (analytic_running_distinct, the cohort tail, overflows to r13 —
-# the additions-outrank-stale-evidence precedent).
-# ROUND-13 NOTE: pin r13 additions first, then the ONE overflowed r4
-# name (analytic_running_distinct), then the FULL 44-name
+# (analytic_asof_forward + analytic_running_distinct, the cohort
+# tail, overflow to r13 — the additions-outrank-stale-evidence
+# precedent).
+# ROUND-13 NOTE: pin r13 additions first, then the TWO overflowed r4
+# names (analytic_asof_forward, analytic_running_distinct), then the
+# FULL 44-name
 # r5-latest cohort (union-script truth: dedup_exact,
 # dedup_ngram_jaccard,
 # dedup_minhash_lsh, dedup_simhash, dedup_components,
@@ -143,6 +146,7 @@ _PRIORITY = (
     # --- new in round 12 ---
     "cdc_delta_checkpoint_snapshot",
     "ingest_parquet_rowgroup_prune",
+    "ingest_parquet_page_decode",
     "cdc_iceberg_snapshot",
     "ingest_zstd_shards",
     "stream_zstd_pipeline",
@@ -192,7 +196,6 @@ _PRIORITY = (
     "analytic_copurchase_lift",
     "analytic_mode_per_group",
     "analytic_hll_sketch",
-    "analytic_asof_forward",
 )
 
 _QUERY_MODULES = (

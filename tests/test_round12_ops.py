@@ -346,3 +346,83 @@ class TestRowGroupPrune:
         fb = read_footer_bytes("/root/testdata/sf0.001/events.parquet")
         with pytest.raises(ValueError, match="no column chunk"):
             decode_rowgroup_stats(fb, "not_a_column")
+
+
+class TestParquetPageDecode:
+    def test_all_testdata_columns_match_pyarrow(self):
+        """Every decodable physical column of every testdata table,
+        decoded from raw pages, equals pyarrow's read — a THIRD
+        independent parquet implementation agreeing (the query's
+        oracle is DuckDB, the writer was Spark/parquet-mr)."""
+        import math
+
+        import pyarrow.parquet as pq
+
+        from metricproxy_spark.sources.parquet_pages import decode_columns
+
+        for table in ("events", "documents", "lineitem", "orders"):
+            p = f"/root/testdata/sf0.001/{table}.parquet"
+            pf = pq.ParquetFile(p)
+            for rg in range(pf.metadata.num_row_groups):
+                meta_rg = pf.metadata.row_group(rg)
+                for j in range(meta_rg.num_columns):
+                    cm = meta_rg.column(j)
+                    if cm.physical_type not in (
+                        "INT32", "INT64", "FLOAT", "DOUBLE", "BYTE_ARRAY"
+                    ):
+                        continue
+                    name = cm.path_in_schema
+                    got = decode_columns(p, [name], rg)[name]
+                    arr = pf.read_row_group(rg, columns=[name]).column(0)
+                    # compare physical values: timestamps via raw int64
+                    import pyarrow as pa
+
+                    if pa.types.is_timestamp(arr.type):
+                        ref = arr.cast(pa.int64()).to_pylist()
+                    else:
+                        ref = arr.to_pylist()
+                    if cm.physical_type == "BYTE_ARRAY":
+                        got = [
+                            None if g is None else g.decode("utf-8")
+                            if isinstance(ref[0], str)
+                            else g
+                            for g in got
+                        ]
+                    if cm.physical_type in ("FLOAT", "DOUBLE"):
+                        assert all(
+                            (a is None and b is None)
+                            or a == b
+                            or (math.isnan(a) and math.isnan(b))
+                            for a, b in zip(got, ref)
+                        ), (table, name, rg)
+                    else:
+                        assert got == ref, (table, name, rg)
+
+    def test_strictness(self):
+        import pytest as _pytest
+
+        from metricproxy_spark.sources.parquet_footer import (
+            read_footer_bytes,
+        )
+        from metricproxy_spark.sources.parquet_pages import (
+            column_chunk_meta,
+            decode_column_chunk,
+            rle_hybrid,
+        )
+
+        p = "/root/testdata/sf0.001/events.parquet"
+        footer = read_footer_bytes(p)
+        with _pytest.raises(ValueError, match="no leaf column"):
+            column_chunk_meta(footer, "nope")
+        chunk = dict(column_chunk_meta(footer, "event_id")[0])
+        # corrupt codec id -> named refusal
+        bad = dict(chunk, codec=9)
+        with _pytest.raises(ValueError, match="unsupported codec"):
+            decode_column_chunk(p, bad)
+        # truncated chunk region -> page walk raises
+        bad = dict(chunk, nbytes=10)
+        with _pytest.raises(ValueError):
+            decode_column_chunk(p, bad)
+        # hybrid refusing to run past its region
+        with _pytest.raises(ValueError, match="hybrid|truncated"):
+            rle_hybrid(b"\x03", 0, 1, 1, 5)  # bit-packed, no payload
