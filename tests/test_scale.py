@@ -1174,3 +1174,69 @@ class TestRound11PlanDiscipline:
         assert "CartesianProduct" not in plan, plan
         assert "BroadcastNestedLoopJoin" in plan, plan
         assert "HashAggregate" in plan, plan
+
+
+class TestRound12PlanDiscipline:
+    """Plan assertions for the round-12 lakehouse/codec additions."""
+
+    def _plan(self, spark, sf_dir, name):
+        from metricproxy_spark.registry import QUERIES, load_all
+
+        load_all()
+        return _executed_plan(QUERIES[name](spark, sf_dir))
+
+    def test_delta_checkpoint_scan_is_filtered_parquet(self, spark, sf_dir):
+        """After stats skipping the data path is a plain parquet scan
+        of the qualifying files + the residual filter — no join, no
+        shuffle; the checkpoint/tail reconciliation never touches the
+        data plan."""
+        plan = self._plan(spark, sf_dir, "cdc_delta_checkpoint_snapshot")
+        assert "Join" not in plan, plan
+        assert "Exchange" not in plan, plan
+        assert "Scan parquet" in plan, plan
+
+    def test_rowgroup_prune_is_map_only(self, spark, sf_dir):
+        """Qualifying row-group indices ride a tiny frame into one
+        Arrow map — no shuffle after the repartition of the index
+        list, no join, no driver-side data."""
+        plan = self._plan(spark, sf_dir, "ingest_parquet_rowgroup_prune")
+        assert "Join" not in plan, plan
+        assert "MapInPandas" in plan, plan
+
+    def test_page_decode_is_map_only(self, spark, sf_dir):
+        plan = self._plan(spark, sf_dir, "ingest_parquet_page_decode")
+        assert "Join" not in plan, plan
+        assert "MapInPandas" in plan, plan
+
+    def test_iceberg_scan_is_union_of_manifests_plus_parquet(
+        self, spark, sf_dir
+    ):
+        """Live files resolve from avrowire manifest scans (status
+        filter pushed into the scan's Filter); the data leg is a plain
+        parquet scan of survivors — no join anywhere."""
+        plan = self._plan(spark, sf_dir, "cdc_iceberg_snapshot")
+        assert "Join" not in plan, plan
+        assert "Scan parquet" in plan, plan
+
+    def test_deletion_vector_scan_is_map_only(self, spark, sf_dir):
+        """The 8-row add catalog rides into per-file position-aware
+        scans — one Arrow map, no shuffle of data rows, no join."""
+        plan = self._plan(spark, sf_dir, "cdc_delta_deletion_vectors")
+        assert "Join" not in plan, plan
+        assert "MapInPandas" in plan, plan
+
+    def test_zstd_shards_grouped_map(self, spark, sf_dir):
+        """Shards form in the groupBy(source) Arrow map; the only
+        shuffle is that group exchange — codec work is map-side."""
+        plan = self._plan(spark, sf_dir, "ingest_zstd_shards")
+        assert "FlatMapGroupsInPandas" in plan, plan
+        assert "Join" not in plan, plan
+        assert plan.count("Exchange") <= 2, plan
+
+    def test_kafka_cycling_stays_map_only(self, spark, sf_dir):
+        """Adding the zstd leg must not change the shape: encode and
+        decode are back-to-back Arrow maps over the scan, shuffle-free
+        except the spread() repartition."""
+        plan = self._plan(spark, sf_dir, "ingest_kafka_recordbatch")
+        assert "Join" not in plan, plan
+        assert plan.count("MapInPandas") >= 2, plan
