@@ -987,3 +987,243 @@ def cdc_delta_deletion_vectors(
         scan,
         "event_id bigint, event_type string, user_id bigint, value double",
     )
+
+
+@register(
+    "cdc_iceberg_positional_deletes",
+    oracle="""
+    SELECT event_id, event_type, user_id, value
+    FROM events
+    WHERE NOT (event_type = 'error' AND event_id % 8 < 6)
+    """,
+)
+def cdc_iceberg_positional_deletes(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ICEBERG v2 POSITIONAL DELETE FILES — the other protocol's
+    merge-on-read row deletes, completing the pair with
+    :func:`cdc_delta_deletion_vectors` (public spec: apache/iceberg
+    format/spec.md "Position Delete Files" — delete files are plain
+    parquet of ``(file_path, pos)`` rows, listed in manifests whose
+    ``content`` = 1 (DELETES) next to the ``content`` = 0 data
+    manifests in the snapshot's manifest list). Where Delta ships a
+    roaring bitmap, Iceberg ships a TABLE — so the Spark-idiomatic
+    read is a distributed LEFT ANTI-JOIN: each task scans its data
+    file position-aware (pyarrow preserves row order over an
+    event_id-sorted single file), and survivors are
+    ``(file_path, pos)``-anti-joined against the delete-file scan
+    (broadcast here — delete sets are deletion-sized; at 100 TB the
+    same anti-join falls back to a key-partitioned shuffle, still
+    never all-pairs). Deletes cover the 'error' rows of files 0-5
+    only, so a hash match proves position semantics AND per-file
+    scoping. The oracle states the algebraic result. Scale: manifest
+    tree is KB metadata via the from-scratch Avro reader; data and
+    delete files both scan distributed."""
+    import json as _json
+    import os
+    import shutil
+
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from metricproxy_spark.io import (
+        ensure_package_on_workers,
+        staged_artifact_dir,
+    )
+    from metricproxy_spark.sources.avro import (
+        read_avro_rows,
+        register_avrowire,
+        write_avro_file,
+    )
+
+    ensure_package_on_workers(spark)
+    register_avrowire(spark)
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id", "value"
+    )
+
+    root = staged_artifact_dir("iceberg2", sf_dir)
+    entry_schema = T.StructType(
+        [
+            T.StructField("status", T.IntegerType(), False),
+            T.StructField("snapshot_id", T.LongType(), False),
+            T.StructField("file_path", T.StringType(), False),
+            T.StructField("record_count", T.LongType(), False),
+        ]
+    )
+    list_schema = T.StructType(
+        [
+            T.StructField("manifest_path", T.StringType(), False),
+            T.StructField("manifest_length", T.LongType(), False),
+            T.StructField("content", T.IntegerType(), False),
+            T.StructField("added_snapshot_id", T.LongType(), False),
+        ]
+    )
+    if not os.path.isdir(root):
+        staging = root + f".staging.{os.getpid()}"
+        os.makedirs(os.path.join(staging, "data"), exist_ok=True)
+        man_dir = os.path.join(staging, "metadata", "manifests")
+        os.makedirs(man_dir, exist_ok=True)
+
+        def build(pdf: pd.DataFrame) -> pd.DataFrame:
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            fid = int(pdf["fid"].iloc[0])
+            pdf = pdf.sort_values("event_id").reset_index(drop=True)
+            rel = f"data/file-{fid:02d}.parquet"
+            pq.write_table(
+                pa.Table.from_pandas(
+                    pdf[["event_id", "event_type", "user_id", "value"]],
+                    preserve_index=False,
+                ),
+                os.path.join(staging, rel),
+            )
+            if fid < 6:
+                dead = pdf.index[pdf["event_type"] == "error"].tolist()
+            else:
+                dead = []  # files 6-7: no deletes, the scoping pin
+            return pd.DataFrame(
+                {"file_path": [rel] * len(dead), "pos": dead}
+            )
+
+        bucketed = events.withColumn(
+            "fid", (F.col("event_id") % 8).cast("int")
+        )
+        dele = bucketed.groupBy("fid").applyInPandas(
+            build, "file_path string, pos bigint"
+        )
+        # the DELETE FILE is itself parquet table data — write it
+        # distributed like any other
+        dele.write.mode("overwrite").parquet(
+            os.path.join(staging, "deletes")
+        )
+        counts = {
+            r["fid"]: r["n"]
+            for r in bucketed.groupBy("fid")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()  # bounded: 8 catalog rows
+        }
+        n_deletes = spark.read.parquet(
+            os.path.join(staging, "deletes")
+        ).count()
+        m_data = os.path.join(man_dir, "m-data-2001.avro")
+        write_avro_file(
+            m_data,
+            [
+                (1, 2001, f"data/file-{b:02d}.parquet", counts[b])
+                for b in range(8)
+            ],
+            entry_schema,
+        )
+        m_del = os.path.join(man_dir, "m-deletes-2001.avro")
+        write_avro_file(
+            m_del, [(1, 2001, "deletes", int(n_deletes))], entry_schema
+        )
+        write_avro_file(
+            os.path.join(staging, "metadata", "snap-2001.avro"),
+            [
+                (
+                    os.path.relpath(m_data, staging),
+                    os.path.getsize(m_data),
+                    0,  # content = data
+                    2001,
+                ),
+                (
+                    os.path.relpath(m_del, staging),
+                    os.path.getsize(m_del),
+                    1,  # content = position deletes
+                    2001,
+                ),
+            ],
+            list_schema,
+        )
+        with open(
+            os.path.join(staging, "metadata", "v1.metadata.json"), "w"
+        ) as fh:
+            _json.dump(
+                {
+                    "format-version": 2,
+                    "current-snapshot-id": 2001,
+                    "snapshots": [
+                        {
+                            "snapshot-id": 2001,
+                            "manifest-list": "metadata/snap-2001.avro",
+                        }
+                    ],
+                },
+                fh,
+            )
+        try:
+            os.rename(staging, root)
+        except OSError:
+            shutil.rmtree(staging, ignore_errors=True)
+
+    # --- the reader under test ---
+    with open(os.path.join(root, "metadata", "v1.metadata.json")) as fh:
+        meta = _json.load(fh)
+    (mlist_rel,) = [
+        s["manifest-list"]
+        for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    ]
+    data_manifests, delete_manifests = [], []
+    for mpath, mlen, content, _snap in read_avro_rows(
+        os.path.join(root, mlist_rel)
+    ):
+        if os.path.getsize(os.path.join(root, mpath)) != mlen:
+            raise ValueError("iceberg: manifest_length mismatch")
+        (delete_manifests if content == 1 else data_manifests).append(mpath)
+    from functools import reduce as _reduce
+
+    def _entries(paths):
+        return _reduce(
+            DataFrame.unionByName,
+            [
+                spark.read.format("avrowire")
+                .option("path", os.path.join(root, p))
+                .load()
+                for p in paths
+            ],
+        )
+
+    data_files = [
+        r["file_path"]
+        for r in _entries(data_manifests)
+        .where(F.col("status") != 2)
+        .select("file_path")
+        .collect()  # bounded: live-file catalog list
+    ]
+    delete_paths = [
+        os.path.join(root, r["file_path"])
+        for r in _entries(delete_manifests)
+        .where(F.col("status") != 2)
+        .select("file_path")
+        .collect()
+    ]
+    deletes = spark.read.parquet(*delete_paths)
+
+    files_df = spark.createDataFrame(
+        [(p,) for p in data_files], "file_path string"
+    ).repartition(len(data_files))
+
+    def scan(batches):
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            for rel in pdf["file_path"]:
+                t = pq.read_table(os.path.join(root, str(rel))).to_pandas()
+                t["pos"] = range(len(t))
+                t["file_path"] = str(rel)
+                yield t
+
+    rows = files_df.mapInPandas(
+        scan,
+        "event_id bigint, event_type string, user_id bigint,"
+        " value double, pos bigint, file_path string",
+    )
+    live = rows.join(
+        F.broadcast(deletes), on=["file_path", "pos"], how="left_anti"
+    )
+    return live.select("event_id", "event_type", "user_id", "value")

@@ -33,6 +33,7 @@ NEW_ORACLED = (
     "cdc_iceberg_snapshot",
     "ingest_zstd_shards",
     "cdc_delta_deletion_vectors",
+    "cdc_iceberg_positional_deletes",
 )
 
 

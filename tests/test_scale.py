@@ -1233,6 +1233,16 @@ class TestRound12PlanDiscipline:
         assert "Join" not in plan, plan
         assert plan.count("Exchange") <= 2, plan
 
+    def test_iceberg_positional_deletes_anti_join_broadcasts(
+        self, spark, sf_dir
+    ):
+        """Iceberg position deletes are TABLE data, so the
+        merge-on-read is a (file_path, pos) anti-join — broadcast on
+        the deletion-sized side, never cartesian."""
+        plan = self._plan(spark, sf_dir, "cdc_iceberg_positional_deletes")
+        assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+        assert "CartesianProduct" not in plan, plan
+
     def test_kafka_cycling_stays_map_only(self, spark, sf_dir):
         """Adding the zstd leg must not change the shape: encode and
         decode are back-to-back Arrow maps over the scan, shuffle-free
