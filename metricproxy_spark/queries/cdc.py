@@ -1227,3 +1227,75 @@ def cdc_iceberg_positional_deletes(
         F.broadcast(deletes), on=["file_path", "pos"], how="left_anti"
     )
     return live.select("event_id", "event_type", "user_id", "value")
+
+
+@register(
+    "cdc_delta_change_feed",
+    oracle="""
+    WITH m AS (SELECT max(event_id) + 1 AS n FROM events)
+    SELECT event_id, event_type, user_id, value,
+           'delete' AS _change_type,
+           CAST(5 AS BIGINT) AS _commit_version
+    FROM events, m
+    WHERE (event_id * 12) // n = 9
+    """,
+)
+def cdc_delta_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta CHANGE DATA FEED derived from the transaction log — the
+    incremental-consumption read (public spec: delta-io PROTOCOL.md
+    "Add CDC File" / Change Data Feed: when a commit carries no
+    explicit ``cdc`` actions, its changes are derived from whole-file
+    ``add``/``remove`` actions — but ONLY those with
+    ``dataChange: true``; compaction rewrites (``dataChange: false``)
+    move bytes without changing data and MUST NOT emit change rows).
+    Runs over the checkpoint table :func:`cdc_delta_checkpoint_
+    snapshot` builds: the log tail after the checkpoint holds commit
+    4 (an OPTIMIZE rewrite of bucket 1 — dataChange false on both
+    sides) and commit 5 (a GDPR remove of bucket 9 — dataChange
+    true). CDF(3 → 5) is therefore exactly bucket 9's rows as
+    ``_change_type = 'delete'`` at ``_commit_version = 5`` and
+    NOTHING from commit 4 — the oracle states that result, so a hash
+    match proves both the add/remove derivation and the dataChange
+    exclusion. Scale: change detection is log-tail metadata; change
+    ROWS come from distributed scans of only the affected files."""
+    import json as _json
+    import os
+
+    # materialize the shared table (same fingerprint-staged artifact)
+    cdc_delta_checkpoint_snapshot(spark, sf_dir)
+    from metricproxy_spark.io import staged_artifact_dir
+
+    root = staged_artifact_dir("deltacp", sf_dir)
+    log_dir = os.path.join(root, "_delta_log")
+    with open(os.path.join(log_dir, "_last_checkpoint")) as fh:
+        cp_version = _json.load(fh)["version"]
+    changes = []  # (version, change_type, path) — KB log metadata
+    for f in sorted(os.listdir(log_dir)):
+        if not f.endswith(".json"):
+            continue
+        v = int(f.split(".")[0])
+        if v <= cp_version:
+            continue
+        with open(os.path.join(log_dir, f)) as fh:
+            for line in fh:
+                act = _json.loads(line)
+                if "add" in act and act["add"].get("dataChange"):
+                    changes.append((v, "insert", act["add"]["path"]))
+                elif "remove" in act and act["remove"].get("dataChange"):
+                    changes.append((v, "delete", act["remove"]["path"]))
+    out = None
+    for v, ctype, path in changes:
+        df = (
+            spark.read.parquet(os.path.join(root, path))
+            .select("event_id", "event_type", "user_id", "value")
+            .withColumn("_change_type", F.lit(ctype))
+            .withColumn("_commit_version", F.lit(v).cast("bigint"))
+        )
+        out = df if out is None else out.unionByName(df)
+    if out is None:  # no data-changing commits in the tail
+        return spark.createDataFrame(
+            [],
+            "event_id bigint, event_type string, user_id bigint,"
+            " value double, _change_type string, _commit_version bigint",
+        )
+    return out
