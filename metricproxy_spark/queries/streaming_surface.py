@@ -2870,3 +2870,121 @@ def stream_zstd_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     shutil.rmtree(wd, ignore_errors=True)
     return result
+
+
+@register(
+    "stream_delta_commit_pipeline",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS sum_value,
+           MIN(event_id) AS min_id,
+           MAX(event_id) AS max_id
+    FROM events WHERE event_id % 7 = 1
+    GROUP BY 1
+    """,
+)
+def stream_delta_commit_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING WRITES to a Delta-protocol table — the writer side of
+    the lakehouse story (the read side is the `cdc_delta_*` family):
+    the production "streaming → ACID table" pattern where every
+    micro-batch lands one parquet file group plus ONE atomic JSON
+    commit in `_delta_log/` (version = batch id; protocol/metaData
+    ride commit 0; each add carries `stats.numRecords`, written
+    tmp+rename — the protocol's put-if-absent). The stream replays
+    the `event_id % 7 = 1` slice as event_id-ordered micro-batches
+    via foreachBatch; afterwards the LOG-REPLAY READER reconstructs
+    the snapshot exactly as `cdc_delta_log_snapshot` does (adds
+    anti-joined against later removes — none here, append-only) and
+    rolls it up with decimal-exact sums. A hash match against the
+    batch oracle proves no batch was lost, duplicated, or committed
+    without its data — exactly-once END TO END through real
+    micro-batch boundaries into a real table format. Scale: one
+    commit per micro-batch is the Delta transaction rate limit by
+    design; data rides distributed parquet writes; the log stays KB
+    metadata."""
+    import json as _json
+
+    from metricproxy_spark.streaming.source import (
+        read_stream_table,
+        stage_stream_source,
+    )
+
+    wd = _workdir()
+    src = stage_stream_source(
+        spark,
+        sf_dir,
+        "events",
+        os.path.join(wd, "src"),
+        num_files=4,
+        order_col="event_id",
+    )
+    stream = read_stream_table(spark, src, max_files_per_trigger=1).where(
+        F.col("event_id") % 7 == 1
+    )
+    table_dir = os.path.join(wd, "delta_table")
+    log_dir = os.path.join(table_dir, "_delta_log")
+    os.makedirs(log_dir, exist_ok=True)
+
+    def commit_batch(bdf, bid: int) -> None:
+        rel = f"part-{bid:05d}"
+        out = bdf.select("event_id", "event_type", "user_id", "value")
+        out.write.mode("overwrite").parquet(os.path.join(table_dir, rel))
+        n = spark.read.parquet(os.path.join(table_dir, rel)).count()
+        actions = []
+        if bid == 0:
+            actions.append({"protocol": {"minReaderVersion": 1}})
+            actions.append({"metaData": {"id": "mps-stream-delta"}})
+        actions.append(
+            {
+                "add": {
+                    "path": rel,
+                    "dataChange": True,
+                    "stats": _json.dumps({"numRecords": n}),
+                }
+            }
+        )
+        final = os.path.join(log_dir, f"{bid:020d}.json")
+        tmp = final + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write("\n".join(_json.dumps(a) for a in actions) + "\n")
+        os.rename(tmp, final)  # the protocol's atomic put-if-absent
+
+    q = (
+        stream.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", os.path.join(wd, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # --- the log-replay reader over what the stream committed ---
+    log = spark.read.json(os.path.join(log_dir, "*.json")).withColumn(
+        "version",
+        F.regexp_extract(F.input_file_name(), r"(\d{20})\.json", 1).cast(
+            "bigint"
+        ),
+    )
+    adds = log.where(F.col("add").isNotNull()).select(
+        F.col("add.path").alias("path")
+    )
+    paths = [
+        os.path.join(table_dir, r["path"])
+        for r in adds.collect()  # bounded: the commit-log file list
+    ]
+    snap = spark.read.parquet(*paths)
+    result = snap.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(27,4)"))
+        .cast("double")
+        .alias("sum_value"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+    )
+    out = spark.createDataFrame(
+        result.collect(),
+        "event_type string, n_events bigint, sum_value double,"
+        " min_id bigint, max_id bigint",
+    )
+    shutil.rmtree(wd, ignore_errors=True)
+    return out
