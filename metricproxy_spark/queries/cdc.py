@@ -1299,3 +1299,190 @@ def cdc_delta_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
             " value double, _change_type string, _commit_version bigint",
         )
     return out
+
+
+@register(
+    "cdc_iceberg_equality_deletes",
+    oracle="""
+    SELECT event_id, event_type, user_id, value
+    FROM events
+    WHERE user_id % 97 <> 0
+    """,
+)
+def cdc_iceberg_equality_deletes(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ICEBERG v2 EQUALITY DELETE FILES — the third row-level-delete
+    flavor, completing the spec triple with
+    :func:`cdc_delta_deletion_vectors` (bitmap by position) and
+    :func:`cdc_iceberg_positional_deletes` (table by position):
+    equality deletes remove rows by VALUE (apache/iceberg
+    format/spec.md "Equality Delete Files" — a parquet file holding
+    the values of the ``equality_ids`` columns; a matching row in any
+    earlier data file is deleted, no positions involved, which is why
+    streaming CDC writers emit them: the writer need not know where
+    the old row lives). The manifest list distinguishes all three
+    content kinds (0 = data, 1 = position deletes, 2 = equality
+    deletes). Construction: four data-file groups plus one equality
+    delete file on ``user_id`` (every user with ``user_id % 97 = 0``
+    — the GDPR user-erasure shape, touching rows in EVERY data file).
+    The reader walks the manifest list via the from-scratch Avro
+    reader, scans live data files, and anti-joins on the equality
+    columns against the delete-file scan — by value, so no
+    position-aware scan is needed at all. Oracle states the algebraic
+    result. Scale: the anti-join broadcasts the deletion-sized side
+    here and falls back to a key-partitioned shuffle at 100 TB;
+    delete application stays one join, never all-pairs."""
+    import json as _json
+    import os
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from metricproxy_spark.io import (
+        ensure_package_on_workers,
+        staged_artifact_dir,
+    )
+    from metricproxy_spark.sources.avro import (
+        read_avro_rows,
+        register_avrowire,
+        write_avro_file,
+    )
+
+    ensure_package_on_workers(spark)
+    register_avrowire(spark)
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id", "value"
+    )
+
+    root = staged_artifact_dir("icebergeq", sf_dir)
+    list_schema = T.StructType(
+        [
+            T.StructField("manifest_path", T.StringType(), False),
+            T.StructField("manifest_length", T.LongType(), False),
+            T.StructField("content", T.IntegerType(), False),
+            T.StructField("added_snapshot_id", T.LongType(), False),
+        ]
+    )
+    entry_schema = T.StructType(
+        [
+            T.StructField("status", T.IntegerType(), False),
+            T.StructField("snapshot_id", T.LongType(), False),
+            T.StructField("file_path", T.StringType(), False),
+            T.StructField("record_count", T.LongType(), False),
+            # spec: field ids of the equality columns; our flat demo
+            # schema indexes user_id as field 3
+            T.StructField("equality_ids", T.StringType(), True),
+        ]
+    )
+    if not os.path.isdir(root):
+        staging = root + f".staging.{os.getpid()}"
+        man_dir = os.path.join(staging, "metadata", "manifests")
+        os.makedirs(man_dir, exist_ok=True)
+        bucketed = events.withColumn(
+            "b", (F.col("event_id") % 4).cast("int")
+        )
+        bucketed.write.partitionBy("b").mode("overwrite").parquet(
+            os.path.join(staging, "data")
+        )
+        counts = {
+            r["b"]: r["n"]
+            for r in bucketed.groupBy("b")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()  # bounded: 4 catalog rows
+        }
+        dele = events.where(F.col("user_id") % 97 == 0).select(
+            "user_id"
+        ).distinct()
+        dele.write.mode("overwrite").parquet(
+            os.path.join(staging, "eq-deletes")
+        )
+        n_del = spark.read.parquet(
+            os.path.join(staging, "eq-deletes")
+        ).count()
+        m_data = os.path.join(man_dir, "m-data-3001.avro")
+        write_avro_file(
+            m_data,
+            [
+                (1, 3001, f"data/b={b}", counts[b], None)
+                for b in range(4)
+            ],
+            entry_schema,
+        )
+        m_eq = os.path.join(man_dir, "m-eqdel-3002.avro")
+        write_avro_file(
+            m_eq,
+            [(1, 3002, "eq-deletes", int(n_del), "[3]")],
+            entry_schema,
+        )
+        write_avro_file(
+            os.path.join(staging, "metadata", "snap-3002.avro"),
+            [
+                (
+                    os.path.relpath(m_data, staging),
+                    os.path.getsize(m_data),
+                    0,
+                    3001,
+                ),
+                (
+                    os.path.relpath(m_eq, staging),
+                    os.path.getsize(m_eq),
+                    2,  # content = equality deletes
+                    3002,
+                ),
+            ],
+            list_schema,
+        )
+        with open(
+            os.path.join(staging, "metadata", "v1.metadata.json"), "w"
+        ) as fh:
+            _json.dump(
+                {
+                    "format-version": 2,
+                    "current-snapshot-id": 3002,
+                    "snapshots": [
+                        {
+                            "snapshot-id": 3002,
+                            "manifest-list": "metadata/snap-3002.avro",
+                        }
+                    ],
+                },
+                fh,
+            )
+        try:
+            os.rename(staging, root)
+        except OSError:
+            shutil.rmtree(staging, ignore_errors=True)
+
+    # --- the reader under test ---
+    with open(os.path.join(root, "metadata", "v1.metadata.json")) as fh:
+        meta = _json.load(fh)
+    (mlist_rel,) = [
+        s["manifest-list"]
+        for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    ]
+    data_paths, eq_paths = [], []
+    for mpath, mlen, content, _snap in read_avro_rows(
+        os.path.join(root, mlist_rel)
+    ):
+        if os.path.getsize(os.path.join(root, mpath)) != mlen:
+            raise ValueError("iceberg: manifest_length mismatch")
+        for st, _s, fpath, _rc, eq_ids in read_avro_rows(
+            os.path.join(root, mpath)
+        ):
+            if st == 2:
+                continue
+            if content == 2:
+                if _json.loads(eq_ids) != [3]:
+                    raise ValueError(
+                        "iceberg: unexpected equality_ids"
+                    )
+                eq_paths.append(os.path.join(root, fpath))
+            elif content == 0:
+                data_paths.append(os.path.join(root, fpath))
+    data = spark.read.parquet(*data_paths).select(
+        "event_id", "event_type", "user_id", "value"
+    )
+    dele = spark.read.parquet(*eq_paths)
+    return data.join(F.broadcast(dele), on=["user_id"], how="left_anti")

@@ -104,7 +104,7 @@ ORACLES: dict[str, str] = {}
 # decimals DECIMAL and computes exactly, a 1-ulp divergence from
 # Spark's IEEE chain, caught by a full-registry exact-repr replay);
 # the r4 head shrinks 29 -> 7 to keep the 50-row window exact.
-# ROUND-12 EXECUTED (this round): 10 r12 additions (Delta CHECKPOINT
+# ROUND-12 EXECUTED (this round): 11 r12 additions (Delta CHECKPOINT
 # replay + per-file-stats data skipping; footer-driven parquet
 # row-group pruning; parquet DATA-PAGE column decode from scratch;
 # Iceberg v2 snapshot read composed from the
@@ -112,7 +112,9 @@ ORACLES: dict[str, str] = {}
 # RFC 8878 decoder; zstd fully STREAMED over live HTTP — the 16th
 # streamed wire family; Delta DELETION VECTORS over a from-scratch
 # portable RoaringBitmap; Iceberg v2 POSITIONAL DELETE files read as
-# a distributed anti-join; Delta CHANGE DATA FEED derived from the
+# a distributed anti-join; Iceberg v2 EQUALITY DELETE files (the
+# content=2 delete-by-value flavor, completing the row-level-delete
+# triple); Delta CHANGE DATA FEED derived from the
 # log tail with dataChange exclusion; STREAMING WRITES committing a
 # real Delta log per micro-batch, log-replay-read back exactly-once)
 # + 12 r12-changed queries (the Kafka batch query
@@ -121,15 +123,15 @@ ORACLES: dict[str, str] = {}
 # to parameterized {df} substitution — multires rollup, hll/theta
 # rollups, grouping sets, scalar subquery, lateral topn, recursive
 # hierarchy, both UDTF queries; the live-HTTP stream twin after the
-# listener's link(2) spool-claim fix) + the first 28 of the 33-name
+# listener's link(2) spool-claim fix) + the first 27 of the 33-name
 # r4-latest cohort = exactly the 50-row driver window
-# (analytic_copurchase_lift, analytic_mode_per_group,
-# analytic_hll_sketch, analytic_asof_forward and
-# analytic_running_distinct, the cohort tail, overflow to r13 — the
-# additions-outrank-stale-evidence precedent).
-# ROUND-13 NOTE: pin r13 additions first, then the FIVE overflowed
-# r4 names (analytic_copurchase_lift, analytic_mode_per_group,
-# analytic_hll_sketch, analytic_asof_forward,
+# (analytic_conditional_aggs, analytic_copurchase_lift,
+# analytic_mode_per_group, analytic_hll_sketch, analytic_asof_forward
+# and analytic_running_distinct, the cohort tail, overflow to r13 —
+# the additions-outrank-stale-evidence precedent).
+# ROUND-13 NOTE: pin r13 additions first, then the SIX overflowed
+# r4 names (analytic_conditional_aggs, analytic_copurchase_lift,
+# analytic_mode_per_group, analytic_hll_sketch, analytic_asof_forward,
 # analytic_running_distinct), then the FULL 44-name
 # r5-latest cohort (union-script truth: dedup_exact,
 # dedup_ngram_jaccard,
@@ -155,6 +157,7 @@ _PRIORITY = (
     "ingest_parquet_page_decode",
     "cdc_iceberg_snapshot",
     "cdc_iceberg_positional_deletes",
+    "cdc_iceberg_equality_deletes",
     "cdc_delta_change_feed",
     "stream_delta_commit_pipeline",
     "ingest_zstd_shards",
@@ -201,7 +204,6 @@ _PRIORITY = (
     "tpch_q12_priority_lines",
     "tpch_q15_top_supplier",
     "analytic_setops_all",
-    "analytic_conditional_aggs",
 )
 
 _QUERY_MODULES = (

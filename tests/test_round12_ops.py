@@ -34,6 +34,7 @@ NEW_ORACLED = (
     "ingest_zstd_shards",
     "cdc_delta_deletion_vectors",
     "cdc_iceberg_positional_deletes",
+    "cdc_iceberg_equality_deletes",
     "cdc_delta_change_feed",
     "stream_delta_commit_pipeline",
 )
