@@ -1250,3 +1250,10 @@ class TestRound12PlanDiscipline:
         plan = self._plan(spark, sf_dir, "ingest_kafka_recordbatch")
         assert "Join" not in plan, plan
         assert plan.count("MapInPandas") >= 2, plan
+
+    def test_iceberg_equality_deletes_value_anti_join(self, spark, sf_dir):
+        """Equality deletes apply by VALUE: one broadcast anti-join on
+        the equality columns, no position machinery, no cartesian."""
+        plan = self._plan(spark, sf_dir, "cdc_iceberg_equality_deletes")
+        assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+        assert "CartesianProduct" not in plan, plan
