@@ -104,9 +104,10 @@ ORACLES: dict[str, str] = {}
 # decimals DECIMAL and computes exactly, a 1-ulp divergence from
 # Spark's IEEE chain, caught by a full-registry exact-repr replay);
 # the r4 head shrinks 29 -> 7 to keep the 50-row window exact.
-# ROUND-12 EXECUTED (this round): 11 r12 additions (Delta CHECKPOINT
+# ROUND-12 EXECUTED (this round): 12 r12 additions (Delta CHECKPOINT
 # replay + per-file-stats data skipping; footer-driven parquet
-# row-group pruning; parquet DATA-PAGE column decode from scratch;
+# row-group pruning; parquet DATA-PAGE column decode from scratch
+# plus their capstone composition (stats-pruned zero-library read);
 # Iceberg v2 snapshot read composed from the
 # from-scratch Avro codec; zstd shards decoded by the from-scratch
 # RFC 8878 decoder; zstd fully STREAMED over live HTTP — the 16th
@@ -123,15 +124,17 @@ ORACLES: dict[str, str] = {}
 # to parameterized {df} substitution — multires rollup, hll/theta
 # rollups, grouping sets, scalar subquery, lateral topn, recursive
 # hierarchy, both UDTF queries; the live-HTTP stream twin after the
-# listener's link(2) spool-claim fix) + the first 27 of the 33-name
+# listener's link(2) spool-claim fix) + the first 26 of the 33-name
 # r4-latest cohort = exactly the 50-row driver window
-# (analytic_conditional_aggs, analytic_copurchase_lift,
-# analytic_mode_per_group, analytic_hll_sketch, analytic_asof_forward
-# and analytic_running_distinct, the cohort tail, overflow to r13 —
-# the additions-outrank-stale-evidence precedent).
-# ROUND-13 NOTE: pin r13 additions first, then the SIX overflowed
-# r4 names (analytic_conditional_aggs, analytic_copurchase_lift,
-# analytic_mode_per_group, analytic_hll_sketch, analytic_asof_forward,
+# (analytic_setops_all, analytic_conditional_aggs,
+# analytic_copurchase_lift, analytic_mode_per_group,
+# analytic_hll_sketch, analytic_asof_forward and
+# analytic_running_distinct, the cohort tail, overflow to r13 — the
+# additions-outrank-stale-evidence precedent).
+# ROUND-13 NOTE: pin r13 additions first, then the SEVEN overflowed
+# r4 names (analytic_setops_all, analytic_conditional_aggs,
+# analytic_copurchase_lift, analytic_mode_per_group,
+# analytic_hll_sketch, analytic_asof_forward,
 # analytic_running_distinct), then the FULL 44-name
 # r5-latest cohort (union-script truth: dedup_exact,
 # dedup_ngram_jaccard,
@@ -155,6 +158,7 @@ _PRIORITY = (
     "cdc_delta_checkpoint_snapshot",
     "ingest_parquet_rowgroup_prune",
     "ingest_parquet_page_decode",
+    "ingest_parquet_pruned_page_read",
     "cdc_iceberg_snapshot",
     "cdc_iceberg_positional_deletes",
     "cdc_iceberg_equality_deletes",
@@ -203,7 +207,6 @@ _PRIORITY = (
     "tpch_q9_product_profit",
     "tpch_q12_priority_lines",
     "tpch_q15_top_supplier",
-    "analytic_setops_all",
 )
 
 _QUERY_MODULES = (

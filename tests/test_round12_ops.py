@@ -35,6 +35,7 @@ NEW_ORACLED = (
     "cdc_delta_deletion_vectors",
     "cdc_iceberg_positional_deletes",
     "cdc_iceberg_equality_deletes",
+    "ingest_parquet_pruned_page_read",
     "cdc_delta_change_feed",
     "stream_delta_commit_pipeline",
 )
