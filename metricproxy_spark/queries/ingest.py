@@ -4761,3 +4761,205 @@ def ingest_parquet_pruned_page_read(
         decode,
         "event_id bigint, event_type string, user_id bigint, value double",
     )
+
+
+@register(
+    "ingest_parquet_page_decode_v2",
+    oracle="""
+    SELECT event_id, event_type, user_id, value
+    FROM events
+    """,
+)
+def ingest_parquet_page_decode_v2(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Parquet DATA_PAGE_V2 decode from scratch — the r12 page decoder
+    extended to the MODERN writer output (apache/parquet-format
+    Encodings.md + PageHeader.data_page_header_v2). The input is the
+    file Spark's OWN parquet-mr writer produces in v2 mode
+    (``parquet.writer.version=v2``): event_id (sorted int64) rides
+    DELTA_BINARY_PACKED (zigzag header, per-block min_delta, LSB-first
+    bit-packed miniblocks, wrapping 64-bit arithmetic), event_type and
+    user_id ride RLE_DICTIONARY on v2 data pages, value rides PLAIN —
+    and v2 framing puts the RLE definition levels UNCOMPRESSED and
+    un-prefixed at the page front, with ONLY the values section under
+    snappy (the repo's own block codec). Each task decodes one row
+    group's four chunks; the oracle reads the same rows through
+    DuckDB's independent reader. pytest pins the remaining modern
+    encodings (DELTA_BYTE_ARRAY, DELTA_LENGTH_BYTE_ARRAY,
+    BYTE_STREAM_SPLIT) against pyarrow, a third implementation.
+    Scale: per-row-group tasks, footer-driven offsets, no shuffle."""
+    import glob
+
+    import pandas as pd
+
+    from metricproxy_spark.io import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id", "value"
+    )
+    root = staged_artifact_dir("pagev2", sf_dir)
+    if not os.path.isdir(root):
+        staging = root + f".staging.{os.getpid()}"
+        (
+            events.orderBy("event_id")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .option("parquet.writer.version", "v2")
+            .option("parquet.block.size", 65536)
+            .option("parquet.page.size", 8192)
+            .parquet(staging)
+        )
+        try:
+            os.rename(staging, root)
+        except OSError:
+            shutil.rmtree(staging, ignore_errors=True)
+    part = sorted(glob.glob(os.path.join(root, "part-*.parquet")))[0]
+
+    from metricproxy_spark.sources.parquet_footer import (
+        decode_rowgroup_stats,
+        read_footer_bytes,
+    )
+
+    n_rgs = len(decode_rowgroup_stats(read_footer_bytes(part), "event_id"))
+    rg_df = spark.createDataFrame(
+        [(i,) for i in range(n_rgs)], "rg int"
+    ).repartition(n_rgs)
+
+    def decode(batches):
+        from metricproxy_spark.sources.parquet_pages import decode_columns
+
+        for pdf in batches:
+            for rg in pdf["rg"]:
+                cols = decode_columns(
+                    part,
+                    ["event_id", "event_type", "user_id", "value"],
+                    int(rg),
+                )
+                yield pd.DataFrame(
+                    {
+                        "event_id": cols["event_id"],
+                        "event_type": [
+                            b.decode("utf-8") for b in cols["event_type"]
+                        ],
+                        "user_id": cols["user_id"],
+                        "value": cols["value"],
+                    }
+                )
+
+    return rg_df.mapInPandas(
+        decode,
+        "event_id bigint, event_type string, user_id bigint, value double",
+    )
+
+
+@register(
+    "ingest_parquet_delta_strings",
+    oracle="""
+    SELECT doc_id, text, lang, source,
+           CAST(n_chars AS DOUBLE) AS n_chars_d
+    FROM documents
+    """,
+)
+def ingest_parquet_delta_strings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The modern STRING/FLOAT page encodings decoded from scratch —
+    DELTA_BYTE_ARRAY (incremental front-coding: DELTA_BINARY_PACKED
+    prefix lengths + DELTA_LENGTH_BYTE_ARRAY suffixes),
+    DELTA_LENGTH_BYTE_ARRAY (DBP int32 lengths + concatenated bytes)
+    and BYTE_STREAM_SPLIT (k byte-planes of n values, the float layout
+    that makes doubles compressible). Staging writes documents through
+    PYARROW — a different writer implementation from both Spark
+    (parquet-mr, the v2 twin query) and DuckDB (the oracle), so three
+    independent codebases meet at this byte layout: text rides
+    DELTA_BYTE_ARRAY, lang DELTA_LENGTH_BYTE_ARRAY, doc_id/n_chars
+    DELTA_BINARY_PACKED, a derived double BYTE_STREAM_SPLIT, all on
+    DATA_PAGE_V2 under zstd — decompressed by the repo's OWN RFC-8878
+    decoder. The oracle recomputes the projection from the canonical
+    documents table. Scale: staging is one columnar rewrite;
+    the decode distributes per row group, no shuffle."""
+    import glob
+
+    import pandas as pd
+
+    from metricproxy_spark.io import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
+    root = staged_artifact_dir("deltadocs", sf_dir)
+    if not os.path.isdir(root):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from metricproxy_spark.io import table_path
+
+        t = pq.read_table(
+            table_path(sf_dir, "documents"),
+            columns=["doc_id", "text", "lang", "source", "n_chars"],
+        ).sort_by("doc_id")
+        t = t.append_column(
+            "n_chars_d", pa.compute.cast(t["n_chars"], pa.float64())
+        )
+        staging = root + f".staging.{os.getpid()}"
+        os.makedirs(staging, exist_ok=True)
+        pq.write_table(
+            t,
+            os.path.join(staging, "part-00000.parquet"),
+            data_page_version="2.0",
+            use_dictionary=False,
+            compression="zstd",
+            row_group_size=max(len(t) // 4, 1),
+            data_page_size=16384,
+            column_encoding={
+                "doc_id": "DELTA_BINARY_PACKED",
+                "text": "DELTA_BYTE_ARRAY",
+                "lang": "DELTA_LENGTH_BYTE_ARRAY",
+                "source": "DELTA_BYTE_ARRAY",
+                "n_chars": "DELTA_BINARY_PACKED",
+                "n_chars_d": "BYTE_STREAM_SPLIT",
+            },
+        )
+        try:
+            os.rename(staging, root)
+        except OSError:
+            shutil.rmtree(staging, ignore_errors=True)
+    part = sorted(glob.glob(os.path.join(root, "part-*.parquet")))[0]
+
+    from metricproxy_spark.sources.parquet_footer import (
+        decode_rowgroup_stats,
+        read_footer_bytes,
+    )
+
+    n_rgs = len(decode_rowgroup_stats(read_footer_bytes(part), "doc_id"))
+    rg_df = spark.createDataFrame(
+        [(i,) for i in range(n_rgs)], "rg int"
+    ).repartition(n_rgs)
+
+    def decode(batches):
+        from metricproxy_spark.sources.parquet_pages import decode_columns
+
+        for pdf in batches:
+            for rg in pdf["rg"]:
+                cols = decode_columns(
+                    part,
+                    ["doc_id", "text", "lang", "source", "n_chars_d"],
+                    int(rg),
+                )
+                yield pd.DataFrame(
+                    {
+                        "doc_id": cols["doc_id"],
+                        "text": [b.decode("utf-8") for b in cols["text"]],
+                        "lang": [b.decode("utf-8") for b in cols["lang"]],
+                        "source": [
+                            b.decode("utf-8") for b in cols["source"]
+                        ],
+                        "n_chars_d": cols["n_chars_d"],
+                    }
+                )
+
+    return rg_df.mapInPandas(
+        decode,
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars_d double",
+    )

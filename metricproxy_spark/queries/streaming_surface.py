@@ -2948,7 +2948,15 @@ def stream_delta_commit_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         tmp = final + ".tmp"
         with open(tmp, "w") as fh:
             fh.write("\n".join(_json.dumps(a) for a in actions) + "\n")
-        os.rename(tmp, final)  # the protocol's atomic put-if-absent
+        # Put-if-absent via link(2): hard-link fails with EEXIST if the
+        # version file already exists (a retried batch), making the
+        # commit idempotent — the same discipline as httplistener._spool.
+        try:
+            os.link(tmp, final)
+        except FileExistsError:
+            pass  # an earlier attempt already committed this batch id
+        finally:
+            os.unlink(tmp)
 
     q = (
         stream.writeStream.foreachBatch(commit_batch)

@@ -180,7 +180,8 @@ _PRIORITY = (
     "text_shingle_udtf",
     "text_ngram_udtf_analyze",
     "stream_http_live_pipeline",
-    # --- r4-latest evidence cohort (all 33; closes round 4) ---
+    # --- r4-latest evidence cohort (26 of 33; the 7 analytic_* names
+    # overflowed to round 13 — see the ROUND-13 NOTE above) ---
     "layout_partition_pruning",
     "layout_bucketed_join",
     "stream_alert_rules",

@@ -92,7 +92,7 @@ def deserialize_roaring32(buf: bytes, pos: int = 0) -> tuple[list[int], int]:
     Handles both cookies incl. run containers."""
     if pos + 4 > len(buf):
         raise ValueError("roaring32: truncated cookie")
-    (cookie_word,) = struct.unpack_from("<i", buf, pos)
+    (cookie_word,) = struct.unpack_from("<I", buf, pos)
     cookie = cookie_word & 0xFFFF
     if cookie == _SERIAL_COOKIE_NO_RUN:
         pos += 4
@@ -103,7 +103,7 @@ def deserialize_roaring32(buf: bytes, pos: int = 0) -> tuple[list[int], int]:
         run_flags = [False] * size
         has_offsets = True
     elif cookie == _SERIAL_COOKIE:
-        size = (cookie_word >> 16) + 1
+        size = ((cookie_word >> 16) & 0xFFFF) + 1
         pos += 4
         nbytes = (size + 7) // 8
         if pos + nbytes > len(buf):

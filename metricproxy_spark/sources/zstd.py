@@ -635,7 +635,12 @@ def _decode_sequences(
 
 
 def _decode_block(
-    blk: bytes, out: bytearray, ctx: _FrameCtx, block_max: int, max_out: int
+    blk: bytes,
+    out: bytearray,
+    ctx: _FrameCtx,
+    block_max: int,
+    max_out: int,
+    frame_start: int,
 ) -> None:
     literals, used = _decode_literals(blk, ctx)
     seqs = _decode_sequences(blk[used:], ctx)
@@ -652,7 +657,10 @@ def _decode_block(
             raise ValueError("zstd: output exceeds max_out bound")
         out += literals[lit_pos : lit_pos + ll]
         lit_pos += ll
-        if offset > len(out):
+        # Matches may only reach back into the CURRENT frame's output
+        # (RFC 8878 §3.1.1.4: the window never crosses a frame boundary
+        # without a dictionary, which this decoder rejects).
+        if offset > len(out) - frame_start:
             raise ValueError("zstd: match offset outside window")
         for _ in range(ml):  # overlap-correct byte copy
             out.append(out[-offset])
@@ -743,7 +751,7 @@ def _decode_frame(
                     raise ValueError("zstd: output exceeds max_out bound")
                 out += blk
             else:
-                _decode_block(blk, out, ctx, block_max, max_out)
+                _decode_block(blk, out, ctx, block_max, max_out, frame_start)
         if last:
             break
     if fcs is not None and len(out) - frame_start != fcs:
