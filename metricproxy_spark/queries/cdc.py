@@ -1486,3 +1486,618 @@ def cdc_iceberg_equality_deletes(
     )
     dele = spark.read.parquet(*eq_paths)
     return data.join(F.broadcast(dele), on=["user_id"], how="left_anti")
+
+
+def _delta_live_paths_asof(log_dir: str, asof: int) -> list[str]:
+    """Delta table-state reconstruction AS OF a version (delta-io
+    PROTOCOL.md "Table state reconstruction" + "Checkpoints"): start
+    from the newest checkpoint with version <= asof, replay only JSON
+    commits with checkpoint_version < v <= asof. Returns live relative
+    paths. KB-scale catalog metadata — never row data."""
+    import json as _json
+    import os
+
+    with open(os.path.join(log_dir, "_last_checkpoint")) as fh:
+        cp_version = _json.load(fh)["version"]
+    if asof < cp_version:
+        raise ValueError(
+            f"delta time travel: version {asof} predates the retained "
+            f"checkpoint {cp_version} (log was cleaned)"
+        )
+    adds: dict[str, int] = {}
+    import pyarrow.parquet as pq
+
+    cp = pq.read_table(
+        os.path.join(log_dir, f"{cp_version:020d}.checkpoint.parquet")
+    ).to_pylist()
+    for act in cp:
+        if act.get("add"):
+            adds[act["add"]["path"]] = cp_version
+    for f in sorted(os.listdir(log_dir)):
+        if not f.endswith(".json"):
+            continue
+        v = int(f.split(".")[0])
+        if v <= cp_version or v > asof:
+            continue
+        with open(os.path.join(log_dir, f)) as fh:
+            for line in fh:
+                act = _json.loads(line)
+                if "add" in act:
+                    adds[act["add"]["path"]] = v
+                elif "remove" in act:
+                    adds.pop(act["remove"]["path"], None)
+    return sorted(adds)
+
+
+@register(
+    "cdc_delta_time_travel",
+    oracle="""
+    WITH m AS (SELECT max(event_id) + 1 AS n FROM events)
+    SELECT event_id, event_type, user_id, value
+    FROM events, m
+    WHERE (event_id * 12) // n = 9
+    """,
+)
+def cdc_delta_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta TIME TRAVEL — snapshot reconstruction AS OF an
+    intermediate version (delta-io PROTOCOL.md "Table state
+    reconstruction": the state at version V is the newest checkpoint
+    <= V plus replay of the JSON commits up to V; nothing after V may
+    influence the answer). Runs on the checkpoint-lifecycle table of
+    :func:`cdc_delta_checkpoint_snapshot`, whose retained history is
+    checkpoint v3 + tail commits v4 (an OPTIMIZE rewrite, dataChange
+    false) and v5 (a GDPR remove of bucket 9). The query materializes
+    BOTH reconstructions — AS OF v4 (pre-GDPR) and AS OF v5 (current)
+    — and returns their file-level difference scanned as rows: exactly
+    the removed bucket-9 file. The oracle states that set
+    algebraically, so the hash proves (a) v4 replay STOPS before
+    commit 5 and (b) v5 replay applies it; pytest additionally pins
+    that AS OF v4 equals the full table and that the path diff is the
+    one removed file. Scale: both reconstructions are KB catalog
+    metadata; only the differing files are ever scanned."""
+    import os
+
+    # materialize the shared lifecycle table (fingerprint-staged)
+    cdc_delta_checkpoint_snapshot(spark, sf_dir)
+    from metricproxy_spark.io import staged_artifact_dir
+
+    root = staged_artifact_dir("deltacp", sf_dir)
+    log_dir = os.path.join(root, "_delta_log")
+    v4 = _delta_live_paths_asof(log_dir, 4)
+    v5 = _delta_live_paths_asof(log_dir, 5)
+    gone = sorted(set(v4) - set(v5))
+    return spark.read.parquet(
+        *[os.path.join(root, p) for p in gone]
+    ).select("event_id", "event_type", "user_id", "value")
+
+
+@register(
+    "cdc_iceberg_time_travel",
+    oracle="""
+    WITH m AS (SELECT max(event_id) + 1 AS n FROM events)
+    SELECT event_id, event_type, user_id, value
+    FROM events, m
+    WHERE (event_id * 12) // n = 3
+    """,
+)
+def cdc_iceberg_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ICEBERG TIME TRAVEL — unlike Delta there is no replay: every
+    snapshot's manifest list states COMPLETE table contents
+    (apache/iceberg format/spec.md "Snapshots": time travel = read the
+    chosen snapshot's manifest list instead of the current one). Runs
+    on the two-snapshot table of :func:`cdc_iceberg_snapshot`: stale
+    snapshot 1001 (all twelve buckets live, via the manifest-list file
+    the current snapshot no longer references) vs current 1002 (bucket
+    3 marked DELETED by the rewritten manifest). The query resolves
+    BOTH snapshots through their own manifest trees — honoring the
+    three entry statuses in each — and returns the file-level
+    difference scanned as rows: exactly bucket 3. A hash match proves
+    the stale manifest list is still a complete, readable snapshot and
+    that the current one excludes precisely the deleted file. Scale:
+    manifest trees are KB metadata; only differing files scan."""
+    import json as _json
+    import os
+
+    from metricproxy_spark.sources.avro import read_avro_rows
+
+    cdc_iceberg_snapshot(spark, sf_dir)  # materialize the shared table
+    from metricproxy_spark.io import staged_artifact_dir
+
+    root = staged_artifact_dir("iceberg", sf_dir)
+    with open(os.path.join(root, "metadata", "v2.metadata.json")) as fh:
+        meta = _json.load(fh)
+    lists = {
+        s["snapshot-id"]: s["manifest-list"] for s in meta["snapshots"]
+    }
+
+    def live_paths(snap_id: int) -> set[str]:
+        paths: set[str] = set()
+        for mpath, mlen, _s, _a, _e, _d in read_avro_rows(
+            os.path.join(root, lists[snap_id])
+        ):
+            full = os.path.join(root, mpath)
+            if os.path.getsize(full) != mlen:
+                raise ValueError("iceberg: manifest_length mismatch")
+            for status, _snap, fpath, _rc in read_avro_rows(full):
+                if status != 2:  # ADDED(1)/EXISTING(0) live, DELETED(2) not
+                    paths.add(fpath)
+        return paths
+
+    gone = sorted(live_paths(1001) - live_paths(1002))
+    return spark.read.parquet(
+        *[os.path.join(root, p) for p in gone]
+    ).select("event_id", "event_type", "user_id", "value")
+
+
+@register(
+    "cdc_iceberg_stats_pruning",
+    oracle="""
+    WITH m AS (SELECT max(event_id) + 1 AS n FROM events)
+    SELECT event_id, event_type, user_id, value
+    FROM events, m
+    WHERE event_id >= (7 * n) // 10
+    """,
+)
+def cdc_iceberg_stats_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ICEBERG MANIFEST-ENTRY STATS PRUNING — the Iceberg twin of the
+    Delta per-file-stats skip: a manifest entry carries per-column
+    ``lower_bounds``(125)/``upper_bounds``(128), and a reader skips a
+    data file whose range misses the predicate BEFORE opening it
+    (apache/iceberg format/spec.md — "Manifests", field ids 125/128,
+    plus Appendix D single-value serialization: long = 8-byte
+    little-endian). Construction appends twelve event_id-clustered
+    buckets as one snapshot whose entries embed the event_id bound
+    pair in exactly that binary form (the flat from-scratch Avro codec
+    carries the tracked column's bound; the spec nests the same bytes
+    in a map keyed by field id). The reader walks metadata → manifest
+    list → manifests DISTRIBUTED through the ``avrowire`` DataSource,
+    decodes the little-endian bounds with a pure-SQL byte-swap
+    (hex + conv — no Python in the row path), keeps only files whose
+    [lower, upper] intersects ``event_id >= 7N/10`` (~4 of 12; the
+    bound is pinned in tests/test_round13_ops.py) and scans survivors
+    with the residual predicate. The oracle full-scans the predicate —
+    a hash match proves pruning dropped no qualifying row. Scale:
+    manifests are KB metadata scanned distributed; data I/O touches
+    only stats-qualifying files."""
+    import json as _json
+    import os
+    import shutil
+    import struct as _struct
+
+    from pyspark.sql import types as T
+
+    from metricproxy_spark.io import (
+        ensure_package_on_workers,
+        staged_artifact_dir,
+    )
+    from metricproxy_spark.sources.avro import (
+        read_avro_rows,
+        register_avrowire,
+        write_avro_file,
+    )
+
+    ensure_package_on_workers(spark)
+    register_avrowire(spark)
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id", "value"
+    )
+    n_ids = events.agg(F.max("event_id") + 1).collect()[0][0]
+    thr = (7 * n_ids) // 10
+
+    root = staged_artifact_dir("icebergstats", sf_dir)
+    entry_schema = T.StructType(
+        [
+            T.StructField("status", T.IntegerType(), False),
+            T.StructField("snapshot_id", T.LongType(), False),
+            T.StructField("file_path", T.StringType(), False),
+            T.StructField("record_count", T.LongType(), False),
+            T.StructField("lower_bound", T.BinaryType(), False),
+            T.StructField("upper_bound", T.BinaryType(), False),
+        ]
+    )
+    list_schema = T.StructType(
+        [
+            T.StructField("manifest_path", T.StringType(), False),
+            T.StructField("manifest_length", T.LongType(), False),
+            T.StructField("added_snapshot_id", T.LongType(), False),
+        ]
+    )
+    if not os.path.isdir(root):
+        staging = root + f".staging.{os.getpid()}"
+        meta_dir = os.path.join(staging, "metadata")
+        man_dir = os.path.join(meta_dir, "manifests")
+        os.makedirs(man_dir, exist_ok=True)
+        bucketed = events.withColumn(
+            "bucket", F.expr(f"(event_id * 12) div {n_ids}").cast("int")
+        )
+        bucketed.write.partitionBy("bucket").mode("overwrite").parquet(
+            os.path.join(staging, "data")
+        )
+        stats = {
+            r["bucket"]: (r["nrec"], r["mn"], r["mx"])
+            for r in bucketed.groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).alias("nrec"),
+                F.min("event_id").alias("mn"),
+                F.max("event_id").alias("mx"),
+            )
+            .collect()  # bounded: 12 catalog rows
+        }
+
+        def entry(b: int) -> tuple:
+            nrec, mn, mx = stats[b]
+            # Appendix D: long single-value serialization = 8-byte LE
+            return (
+                1,
+                2001,
+                f"data/bucket={b}",
+                nrec,
+                _struct.pack("<q", mn),
+                _struct.pack("<q", mx),
+            )
+
+        m0 = os.path.join(man_dir, "m0-2001.avro")
+        m1 = os.path.join(man_dir, "m1-2001.avro")
+        write_avro_file(m0, [entry(b) for b in range(6)], entry_schema)
+        write_avro_file(m1, [entry(b) for b in range(6, 12)], entry_schema)
+        write_avro_file(
+            os.path.join(meta_dir, "snap-2001.avro"),
+            [
+                (os.path.relpath(m, staging), os.path.getsize(m), 2001)
+                for m in (m0, m1)
+            ],
+            list_schema,
+        )
+        with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as fh:
+            _json.dump(
+                {
+                    "format-version": 2,
+                    "current-snapshot-id": 2001,
+                    "snapshots": [
+                        {
+                            "snapshot-id": 2001,
+                            "manifest-list": "metadata/snap-2001.avro",
+                        }
+                    ],
+                },
+                fh,
+            )
+        try:
+            os.rename(staging, root)
+        except OSError:
+            shutil.rmtree(staging, ignore_errors=True)
+
+    # --- the reader under test ---
+    with open(os.path.join(root, "metadata", "v1.metadata.json")) as fh:
+        meta = _json.load(fh)
+    (mlist_rel,) = [
+        s["manifest-list"]
+        for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    ]
+    wanted = []
+    for mpath, mlen, _snap in read_avro_rows(os.path.join(root, mlist_rel)):
+        full = os.path.join(root, mpath)
+        if os.path.getsize(full) != mlen:
+            raise ValueError("iceberg: manifest_length mismatch")
+        wanted.append(full)
+    from functools import reduce as _reduce
+
+    entries = _reduce(
+        DataFrame.unionByName,
+        [
+            spark.read.format("avrowire").option("path", m).load()
+            for m in wanted
+        ],
+    )
+
+    def _le64(col: str) -> F.Column:
+        # little-endian int64 -> bigint with a pure-SQL byte swap
+        h = f"hex({col})"
+        swapped = "concat(" + ",".join(
+            f"substring({h}, {1 + 2 * i}, 2)" for i in range(7, -1, -1)
+        ) + ")"
+        return F.expr(f"cast(conv({swapped}, 16, 10) as bigint)")
+
+    qualifying = (
+        entries.where(F.col("status") != 2)
+        .where(_le64("upper_bound") >= F.lit(thr))
+        .select("file_path")
+    )
+    paths = [
+        os.path.join(root, r["file_path"])
+        for r in qualifying.collect()  # bounded: the pruned catalog list
+    ]
+    return (
+        spark.read.parquet(*paths)
+        .where(F.col("event_id") >= F.lit(thr))
+        .select("event_id", "event_type", "user_id", "value")
+    )
+
+
+def _stage_delta_merge(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the MERGE lifecycle table: commit 0 adds four
+    event_id-clustered file groups with per-file stats; commit 1 is a
+    full three-arm MERGE INTO executed copy-on-write (delta-io
+    PROTOCOL.md: a MERGE commit = remove(touched files) +
+    add(rewritten files) + add(insert files), all ``dataChange: true``,
+    plus an explicit ``cdc`` action whose file carries the row-level
+    change feed so CDF readers need not diff whole files).
+
+    The merge source derives from events: keys %10==3 below N/2
+    update (value + 1000), keys %10==7 below N/2 delete, keys %10==1
+    insert as new key event_id + N with value * 2. The planner picks
+    touched files by STATS INTERSECTION with the matched-key range —
+    buckets 0-1 rewrite, buckets 2-3 are never read — and the rewrite
+    itself is a distributed broadcast-join plan (no driver rows)."""
+    import json as _json
+    import os
+    import shutil
+
+    from metricproxy_spark.io import staged_artifact_dir
+
+    root = staged_artifact_dir("deltamerge", sf_dir)
+    if os.path.isdir(root):
+        return root
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id", "value"
+    )
+    n_ids = events.agg(F.max("event_id") + 1).collect()[0][0]
+    n_half = n_ids // 2
+
+    staging = root + f".staging.{os.getpid()}"
+    log_dir = os.path.join(staging, "_delta_log")
+    os.makedirs(log_dir, exist_ok=True)
+    bucketed = events.withColumn(
+        "bucket", F.expr(f"(event_id * 4) div {n_ids}").cast("int")
+    )
+    bucketed.write.partitionBy("bucket").mode("overwrite").parquet(
+        os.path.join(staging, "data")
+    )
+    stats = {
+        r["bucket"]: (r["nrec"], r["mn"], r["mx"])
+        for r in bucketed.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("nrec"),
+            F.min("event_id").alias("mn"),
+            F.max("event_id").alias("mx"),
+        )
+        .collect()  # bounded: 4 catalog rows
+    }
+
+    def _add(path: str, nrec: int, mn: int, mx: int, dc: bool) -> dict:
+        return {
+            "add": {
+                "path": path,
+                "dataChange": dc,
+                "stats": _json.dumps(
+                    {
+                        "numRecords": nrec,
+                        "minValues": {"event_id": mn},
+                        "maxValues": {"event_id": mx},
+                    }
+                ),
+            }
+        }
+
+    v0 = [
+        {"protocol": {"minReaderVersion": 1}},
+        {"metaData": {"id": "mps-delta-merge-demo"}},
+    ] + [_add(f"data/bucket={b}", *stats[b], True) for b in range(4)]
+    with open(os.path.join(log_dir, f"{0:020d}.json"), "w") as fh:
+        fh.write("\n".join(_json.dumps(a) for a in v0) + "\n")
+
+    # --- the three-arm merge source ---
+    upd = events.where(
+        (F.col("event_id") % 10 == 3) & (F.col("event_id") < n_half)
+    ).select("event_id", (F.col("value") + 1000).alias("new_value"))
+    dele = events.where(
+        (F.col("event_id") % 10 == 7) & (F.col("event_id") < n_half)
+    ).select("event_id")
+    ins = events.where(F.col("event_id") % 10 == 1).select(
+        (F.col("event_id") + n_ids).alias("event_id"),
+        "event_type",
+        "user_id",
+        (F.col("value") * 2).alias("value"),
+    )
+
+    # --- planner: touched files by stats intersection ---
+    key_lo, key_hi = (
+        upd.select("event_id")
+        .unionByName(dele)
+        .agg(F.min("event_id"), F.max("event_id"))
+        .collect()[0]
+    )
+    touched = [
+        b
+        for b, (_n, mn, mx) in stats.items()
+        if mn <= key_hi and mx >= key_lo
+    ]
+    untouched = [b for b in stats if b not in touched]
+
+    # --- copy-on-write rewrite of ONLY the touched files ---
+    target = spark.read.parquet(
+        *[os.path.join(staging, f"data/bucket={b}") for b in touched]
+    ).select("event_id", "event_type", "user_id", "value")
+    merged = (
+        target.join(F.broadcast(dele), "event_id", "left_anti")
+        .join(F.broadcast(upd), "event_id", "left")
+        .withColumn("value", F.coalesce("new_value", "value"))
+        .drop("new_value")
+    )
+    merged.write.mode("overwrite").parquet(
+        os.path.join(staging, "merge-rewrite")
+    )
+    ins.write.mode("overwrite").parquet(
+        os.path.join(staging, "merge-inserts")
+    )
+
+    # --- the explicit CDC file for the merge commit ---
+    pre = target.join(
+        F.broadcast(upd.select("event_id")), "event_id", "left_semi"
+    ).withColumn("_change_type", F.lit("update_preimage"))
+    post = (
+        target.join(F.broadcast(upd), "event_id", "inner")
+        .withColumn("value", F.col("new_value"))
+        .drop("new_value")
+        .withColumn("_change_type", F.lit("update_postimage"))
+    )
+    deleted = target.join(
+        F.broadcast(dele), "event_id", "left_semi"
+    ).withColumn("_change_type", F.lit("delete"))
+    inserted = ins.withColumn("_change_type", F.lit("insert"))
+    pre.unionByName(post).unionByName(deleted).unionByName(
+        inserted
+    ).write.mode("overwrite").parquet(
+        os.path.join(staging, "_change_data", "cdc-00000")
+    )
+
+    def _cnt(df: DataFrame) -> tuple[int, int, int]:
+        r = df.agg(
+            F.count(F.lit(1)), F.min("event_id"), F.max("event_id")
+        ).collect()[0]
+        return int(r[0]), int(r[1]), int(r[2])
+
+    v1 = [
+        {"remove": {"path": f"data/bucket={b}", "dataChange": True}}
+        for b in touched
+    ]
+    v1.append(_add("merge-rewrite", *_cnt(merged), True))
+    v1.append(_add("merge-inserts", *_cnt(ins), True))
+    v1.append(
+        {"cdc": {"path": "_change_data/cdc-00000", "dataChange": False}}
+    )
+    with open(os.path.join(log_dir, f"{1:020d}.json"), "w") as fh:
+        fh.write("\n".join(_json.dumps(a) for a in v1) + "\n")
+    # a planner note the pytest pin reads: which buckets never rewrote
+    with open(os.path.join(staging, "_merge_plan.json"), "w") as fh:
+        _json.dump({"touched": touched, "untouched": untouched}, fh)
+    try:
+        os.rename(staging, root)
+    except OSError:
+        shutil.rmtree(staging, ignore_errors=True)
+    return root
+
+
+@register(
+    "cdc_delta_merge",
+    oracle="""
+    WITH m AS (SELECT max(event_id) + 1 AS n FROM events)
+    SELECT event_id, event_type, user_id,
+           CASE WHEN event_id % 10 = 3 AND event_id < n // 2
+                THEN value + 1000 ELSE value END AS value
+    FROM events, m
+    WHERE NOT (event_id % 10 = 7 AND event_id < n // 2)
+    UNION ALL
+    SELECT event_id + n AS event_id, event_type, user_id,
+           value * 2 AS value
+    FROM events, m
+    WHERE event_id % 10 = 1
+    """,
+)
+def cdc_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MERGE INTO over the Delta log — the copy-on-write commit
+    shape every Delta writer emits for a three-arm
+    update/delete/insert merge (delta-io PROTOCOL.md: remove the
+    touched files, add their rewritten replacements and the insert
+    file, all ``dataChange: true``). Staging executes the merge as a
+    genuine distributed plan: the planner selects touched files by
+    per-file STATS intersection with the matched-key range (two of
+    four buckets rewrite; the others are never read), the rewrite is
+    a broadcast anti-join (deletes) + broadcast left join (updates),
+    inserts land in their own file, and the commit also carries an
+    explicit ``cdc`` action (value-checked by
+    :func:`cdc_delta_merge_cdf`). The reader here replays the log and
+    scans the live files — the oracle restates the merge's final
+    state algebraically, so a hash match proves remove/add
+    reconciliation AND all three merge arms. Scale: planning is KB
+    log metadata; every data pass is a distributed scan/join with the
+    small side broadcast."""
+    import json as _json
+    import os
+
+    root = _stage_delta_merge(spark, sf_dir)
+    log_dir = os.path.join(root, "_delta_log")
+    adds: dict[str, int] = {}
+    for f in sorted(os.listdir(log_dir)):
+        if not f.endswith(".json"):
+            continue
+        with open(os.path.join(log_dir, f)) as fh:
+            for line in fh:
+                act = _json.loads(line)
+                if "add" in act:
+                    adds[act["add"]["path"]] = 1
+                elif "remove" in act:
+                    adds.pop(act["remove"]["path"], None)
+    return spark.read.parquet(
+        *[os.path.join(root, p) for p in sorted(adds)]
+    ).select("event_id", "event_type", "user_id", "value")
+
+
+@register(
+    "cdc_delta_merge_cdf",
+    oracle="""
+    WITH m AS (SELECT max(event_id) + 1 AS n FROM events)
+    SELECT event_id, event_type, user_id, value,
+           'update_preimage' AS _change_type,
+           CAST(1 AS BIGINT) AS _commit_version
+    FROM events, m WHERE event_id % 10 = 3 AND event_id < n // 2
+    UNION ALL
+    SELECT event_id, event_type, user_id, value + 1000 AS value,
+           'update_postimage' AS _change_type,
+           CAST(1 AS BIGINT) AS _commit_version
+    FROM events, m WHERE event_id % 10 = 3 AND event_id < n // 2
+    UNION ALL
+    SELECT event_id, event_type, user_id, value,
+           'delete' AS _change_type, CAST(1 AS BIGINT) AS _commit_version
+    FROM events, m WHERE event_id % 10 = 7 AND event_id < n // 2
+    UNION ALL
+    SELECT event_id + n AS event_id, event_type, user_id,
+           value * 2 AS value,
+           'insert' AS _change_type, CAST(1 AS BIGINT) AS _commit_version
+    FROM events, m WHERE event_id % 10 = 1
+    """,
+)
+def cdc_delta_merge_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE DATA FEED of the MERGE commit via its explicit ``cdc``
+    action — the precise row-level feed (delta-io PROTOCOL.md "Add CDC
+    File": when a commit carries ``cdc`` actions, CDF readers MUST use
+    them INSTEAD of deriving changes from add/remove, because a
+    rewritten file holds mostly-unchanged rows). The staged merge
+    commit removes and re-adds two whole buckets, so the naive
+    whole-file derivation would claim every row in them changed; the
+    cdc file instead carries exactly the four change classes
+    (update_preimage / update_postimage / delete / insert). The oracle
+    restates those rows from the source table — a hash match
+    value-checks the merge's CDF end to end. Scale: the cdc file is
+    proportional to CHANGED rows, not table size; the read is a
+    distributed scan of just that file."""
+    import json as _json
+    import os
+
+    root = _stage_delta_merge(spark, sf_dir)
+    log_dir = os.path.join(root, "_delta_log")
+    cdc_paths: list[tuple[int, str]] = []
+    for f in sorted(os.listdir(log_dir)):
+        if not f.endswith(".json"):
+            continue
+        v = int(f.split(".")[0])
+        with open(os.path.join(log_dir, f)) as fh:
+            for line in fh:
+                act = _json.loads(line)
+                if "cdc" in act:
+                    cdc_paths.append((v, act["cdc"]["path"]))
+    out = None
+    for v, path in cdc_paths:
+        df = spark.read.parquet(os.path.join(root, path)).withColumn(
+            "_commit_version", F.lit(v).cast("bigint")
+        )
+        out = df if out is None else out.unionByName(df)
+    return out.select(
+        "event_id",
+        "event_type",
+        "user_id",
+        "value",
+        "_change_type",
+        "_commit_version",
+    )

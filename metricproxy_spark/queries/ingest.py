@@ -4524,15 +4524,30 @@ def ingest_parquet_rowgroup_prune(
     )
 
 
+#: Target shard payload size (chars) for the bounded zstd shards —
+#: the compaction-plan binning caps every shard at roughly this plus
+#: one document, regardless of per-source skew.
+_ZSTD_SHARD_TARGET = 2048
+
+
 @register(
     "ingest_zstd_shards",
-    oracle="""
+    oracle=f"""
+    WITH placed AS (
+        SELECT source, doc_id, text,
+               length(text) AS sz,
+               SUM(length(text)) OVER (
+                   PARTITION BY source ORDER BY doc_id
+               ) AS cum
+        FROM documents
+    )
     SELECT source,
+           CAST((cum - sz) // {_ZSTD_SHARD_TARGET} AS BIGINT) AS shard,
            CAST(count(*) AS BIGINT) AS n_docs,
            md5(string_agg(text, chr(30) ORDER BY doc_id)) AS md5_shard,
            CAST(length(string_agg(text, chr(30) ORDER BY doc_id))
                 AS BIGINT) AS n_chars
-    FROM documents GROUP BY source
+    FROM placed GROUP BY 1, 2
     """,
 )
 def ingest_zstd_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4542,26 +4557,41 @@ def ingest_zstd_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     count headers, spread tables, baseline transitions), huff0
     (canonical weights direct + FSE-compressed, 1- and 4-stream),
     sequences (predefined/RLE/FSE/repeat modes, repeat-offset
-    history), frame framing and XXH64 content checksums. Per SOURCE,
-    the corpus builds one training-shard payload (texts joined by RS
-    0x1E in doc_id order) and compresses it with pyarrow's REAL
-    libzstd at a level CYCLING 1/3/9/19 (different levels take
-    different entropy paths — predefined vs fitted FSE tables, RLE vs
-    4-stream huffman), so every decode here is a genuine cross-
-    implementation interop pin on real data, not a self-roundtrip.
-    Fidelity is md5 of the decoded shard against the oracle's ordered
-    string_agg md5. Scale: shards are the groupBy(source) output —
-    one Arrow group per shard, map-only codec work, bomb-guarded
-    (`max_out` sized from the group's own payload)."""
+    history), frame framing and XXH64 content checksums.
+
+    Shard membership is SIZE-BOUNDED, not stratum-bound: within each
+    source, docs take the doc_id-ordered char cumsum and land in bin
+    ``(cum − sz) div TARGET`` — the same FFD-lite assignment as
+    :func:`layout_compaction_plan` — so every shard holds ≈TARGET
+    chars (at most TARGET + one document, asserted in
+    tests/test_round13_ops.py) no matter how skewed a source's corpus
+    grows. Each (source, shard) payload (texts joined by RS 0x1E in
+    doc_id order) compresses with pyarrow's REAL libzstd at a level
+    CYCLING 1/3/9/19 (different levels take different entropy paths —
+    predefined vs fitted FSE tables, RLE vs 4-stream huffman), so
+    every decode is a genuine cross-implementation interop pin on real
+    data, not a self-roundtrip. Fidelity is md5 of the decoded shard
+    against the oracle's ordered string_agg md5; the oracle re-derives
+    bin membership with the identical integer arithmetic. Scale: the
+    binning is one window cumsum (already partitioned by the group
+    key); shards are bounded-size Arrow groups — map-only codec work,
+    bomb-guarded (`max_out` sized from the group's own payload) — so
+    executor memory per task stays flat as any one source grows."""
     import hashlib
 
     import pandas as pd
+    from pyspark.sql import Window
 
     from metricproxy_spark.io import ensure_package_on_workers
 
     ensure_package_on_workers(spark)
     docs = spread(load_table(spark, sf_dir, "documents"), spark).select(
-        "doc_id", "source", "text"
+        "doc_id", "source", "text", F.length("text").cast("bigint").alias("sz")
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    placed = docs.withColumn("cum", F.sum("sz").over(w)).withColumn(
+        "shard",
+        F.expr(f"(cum - sz) div {_ZSTD_SHARD_TARGET}").cast("bigint"),
     )
     levels = (1, 3, 9, 19)
 
@@ -4572,9 +4602,11 @@ def ingest_zstd_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         pdf = pdf.sort_values("doc_id")
         src = str(pdf["source"].iloc[0])
+        sid = int(pdf["shard"].iloc[0])
         payload = "\x1e".join(str(t) for t in pdf["text"]).encode("utf-8")
         level = levels[
-            int(hashlib.md5(src.encode()).hexdigest(), 16) % len(levels)
+            int(hashlib.md5(f"{src}:{sid}".encode()).hexdigest(), 16)
+            % len(levels)
         ]
         blob = pa.Codec("zstd", compression_level=level).compress(payload)
         blob = (
@@ -4584,15 +4616,17 @@ def ingest_zstd_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pd.DataFrame(
             {
                 "source": [src],
+                "shard": [sid],
                 "n_docs": [len(pdf)],
                 "md5_shard": [hashlib.md5(back).hexdigest()],
                 "n_chars": [len(back.decode("utf-8"))],
             }
         )
 
-    return docs.groupBy("source").applyInPandas(
+    return placed.groupBy("source", "shard").applyInPandas(
         shard,
-        "source string, n_docs bigint, md5_shard string, n_chars bigint",
+        "source string, shard bigint, n_docs bigint, md5_shard string, "
+        "n_chars bigint",
     )
 
 

@@ -2788,7 +2788,7 @@ def stream_zstd_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pyarrow as pa
 
-    from metricproxy_spark.sources.zstd import compress_zstd_raw
+    from metricproxy_spark.sources.zstd import compress_zstd
 
     frames = []
     for fi, start in enumerate(range(0, len(src), 200)):
@@ -2805,8 +2805,8 @@ def stream_zstd_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                 if hasattr(blob, "to_pybytes")
                 else bytes(blob)
             )
-        else:  # this repo's raw-block frame (XXH64-checksummed)
-            blob = compress_zstd_raw(raw)
+        else:  # this repo's huff0-coded frame (XXH64-checksummed)
+            blob = compress_zstd(raw)
         frames.append(blob)
 
     spool = os.path.join(wd, "spool")

@@ -45,7 +45,7 @@ from __future__ import annotations
 import struct
 
 from metricproxy_spark.sources.deflate import compress_gzip, decompress_gzip
-from metricproxy_spark.sources.zstd import compress_zstd_raw, decompress_zstd
+from metricproxy_spark.sources.zstd import compress_zstd, decompress_zstd
 from metricproxy_spark.sources.lz4 import (
     compress_lz4_frame,
     decompress_lz4_frame,
@@ -163,7 +163,7 @@ def encode_record_batch(
     elif compression == LZ4:
         payload = bytearray(compress_lz4_frame(bytes(payload)))
     elif compression == ZSTD:
-        payload = bytearray(compress_zstd_raw(bytes(payload)))
+        payload = bytearray(compress_zstd(bytes(payload)))
     elif compression != NONE:
         raise ValueError("kafka batch: unknown compression type")
     # everything covered by the CRC: attributes .. records

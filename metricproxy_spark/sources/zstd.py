@@ -30,11 +30,18 @@ specs, no zstd library anywhere:
    known-answer vectors. The THIRD checksum family in this repo next
    to CRC-32/CRC-32C and xxHash-32.
 
-The encoder side is intentionally minimal-but-valid: Raw_Block frames
-(the zstd analog of stored-DEFLATE) with content size + XXH64
-checksum — enough for the Kafka type-4 encode leg, while the decoder
-handles REAL compressed frames and is interop-pinned in pytest
-against pyarrow's bundled libzstd at multiple levels and (when
+The encoder side has two tiers: :func:`compress_zstd_raw` (Raw_Block
+frames, the zstd analog of stored-DEFLATE) and :func:`compress_zstd`
+— real ENTROPY-CODED compressed blocks: package-merge length-limited
+huffman over the block's literals, tree descriptions in both the
+direct 4-bit-weight form and the FSE-compressed two-interleaved-state
+form (with a from-scratch normalized-count writer and backward-
+bitstream FSE encoder), 1- and 4-stream literal payloads, an empty
+sequences section, and per-block Raw/RLE fallback when entropy coding
+does not win. Both tiers carry content size + XXH64 checksum and feed
+the Kafka type-4 encode leg; the decoder handles arbitrary compressed
+frames. Everything is interop-pinned in pytest against pyarrow's
+bundled libzstd IN BOTH DIRECTIONS, at multiple levels, and (when
 present) the reference `zstd` CLI.
 
 Decode discipline is the repo codec contract: strict ``ValueError``
@@ -829,6 +836,372 @@ def compress_zstd_raw(data: bytes, checksum: bool = True) -> bytes:
             pos += len(chunk)
             bh = (len(chunk) << 3) | (1 if pos >= n else 0)
             out += bh.to_bytes(3, "little")
+            out += chunk
+    if checksum:
+        out += (xxh64(data) & 0xFFFFFFFF).to_bytes(4, "little")
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Compressed-block ENCODER (RFC 8878 write side): huff0 literals with
+# direct or FSE-compressed weights, zero sequences. Literals-only
+# compression is spec-valid — every block is Raw/RLE/Compressed,
+# whichever is smallest — and any conforming decoder (libzstd included)
+# reads the output; tests pin both directions against pyarrow's real
+# libzstd. No reference implementation consulted; written from the RFC
+# against this module's own from-scratch decoder.
+# ---------------------------------------------------------------------------
+
+
+def _huff_lengths(freqs: dict[int, int], max_bits: int = 11) -> dict[int, int]:
+    """Package-merge: optimal length-limited prefix code lengths for
+    the used symbols (≥ 2 of them), every length ≤ ``max_bits``."""
+    syms = sorted(freqs)
+    if len(syms) < 2:
+        raise ValueError("huffman needs at least two symbols")
+    if len(syms) > (1 << max_bits):
+        raise ValueError("alphabet exceeds code space")
+    # coins: at each level, items are (weight, {sym: count}) merged pairwise
+    lengths = dict.fromkeys(syms, 0)
+    level = [(freqs[s], (s,)) for s in syms]
+    level.sort()
+    solution: list[tuple[int, tuple]] = []
+    packages: list[tuple[int, tuple]] = []
+    for _ in range(max_bits):
+        merged = sorted(level + packages)
+        packages = [
+            (
+                merged[i][0] + merged[i + 1][0],
+                merged[i][1] + merged[i + 1][1],
+            )
+            for i in range(0, len(merged) - 1, 2)
+        ]
+        solution = merged
+        level = [(freqs[s], (s,)) for s in syms]
+    # take the first 2*(n-1) items of the final merged row
+    take = 2 * (len(syms) - 1)
+    for _w, members in solution[:take]:
+        for s in members:
+            lengths[s] += 1
+    if any(v == 0 or v > max_bits for v in lengths.values()):
+        raise ValueError("package-merge produced invalid lengths")
+    return lengths
+
+
+def _huff_codes(
+    weights: list[int],
+) -> tuple[dict[int, tuple[int, int]], int]:
+    """Full weight vector (incl. the last symbol's) → {sym: (code,
+    nbits)} matching :func:`_huff_table_from_weights` exactly, plus
+    max_bits."""
+    total = sum((1 << (w - 1)) for w in weights if w > 0)
+    max_bits = total.bit_length() - 1
+    if (1 << max_bits) != total:
+        raise ValueError("huffman weights do not complete a power of 2")
+    codes: dict[int, tuple[int, int]] = {}
+    pos = 0
+    for w in range(1, max_bits + 1):
+        span = 1 << (w - 1)
+        nb = max_bits + 1 - w
+        for sym, sw in enumerate(weights):
+            if sw == w:
+                codes[sym] = (pos >> (w - 1), nb)
+                pos += span
+    return codes, max_bits
+
+
+class _BitAcc:
+    """Backward-bitstream builder: values are pushed in DECODER READ
+    order and serialized little-endian with the sentinel on top —
+    the exact inverse of :class:`_BackBits`."""
+
+    __slots__ = ("acc", "nbits")
+
+    def __init__(self) -> None:
+        self.acc = 1  # the padding sentinel
+        self.nbits = 1
+
+    def push(self, value: int, nbits: int) -> None:
+        if value >> nbits:
+            raise ValueError("bit value wider than field")
+        self.acc = (self.acc << nbits) | value
+        self.nbits += nbits
+
+    def bytes(self) -> bytes:
+        return self.acc.to_bytes((self.nbits + 7) // 8, "little")
+
+
+class _FwdAcc:
+    """Forward LSB-first bit writer — the inverse of :class:`_FwdBits`."""
+
+    __slots__ = ("acc", "nbits")
+
+    def __init__(self) -> None:
+        self.acc = 0
+        self.nbits = 0
+
+    def push(self, value: int, nbits: int) -> None:
+        self.acc |= (value & ((1 << nbits) - 1)) << self.nbits
+        self.nbits += nbits
+
+    def bytes(self) -> bytes:
+        return self.acc.to_bytes((self.nbits + 7) // 8 or 1, "little")
+
+
+def _fse_normalize(freqs: dict[int, int], accuracy: int) -> list[int]:
+    """Histogram → normalized counts summing to 2^accuracy, every used
+    symbol ≥ 1 and ≤ 2^(accuracy-1) (the cap keeps every decode-table
+    cell at nbBits ≥ 1, which the two-state weight codec relies on for
+    clean stream termination)."""
+    size = 1 << accuracy
+    cap = size >> 1
+    total = sum(freqs.values())
+    last = max(freqs)
+    counts = [0] * (last + 1)
+    for s, f in freqs.items():
+        counts[s] = max(1, min(cap, (f * size) // total))
+    diff = size - sum(counts)
+    order = sorted(freqs, key=lambda s: -freqs[s])
+    i = 0
+    guard = 0
+    while diff != 0:
+        s = order[i % len(order)]
+        if diff > 0 and counts[s] < cap:
+            counts[s] += 1
+            diff -= 1
+        elif diff < 0 and counts[s] > 1:
+            counts[s] -= 1
+            diff += 1
+        i += 1
+        guard += 1
+        if guard > 16 * size:
+            raise ValueError("FSE normalization did not converge")
+    return counts
+
+
+def _fse_write_ncount(counts: list[int], accuracy: int) -> bytes:
+    """Normalized counts → the §4.1.1 table description (forward
+    bitstream, byte-padded) — the exact inverse of
+    :func:`_fse_read_ncount` (no less-than-one counts emitted)."""
+    bits = _FwdAcc()
+    bits.push(accuracy - 5, 4)
+    remaining = (1 << accuracy) + 1
+    threshold = 1 << accuracy
+    nbits = accuracy + 1
+    i = 0
+    while remaining > 1 and i < len(counts):
+        c = counts[i]
+        x = c + 1
+        max_small = (2 * threshold - 1) - remaining
+        if x < max_small:
+            bits.push(x, nbits - 1)
+        elif x < threshold:
+            bits.push(x, nbits)
+        else:  # high range rides offset by max_small (mirror of decode)
+            if x + max_small >= 2 * threshold:
+                raise ValueError("FSE count exceeds threshold")
+            bits.push(x + max_small, nbits)
+        remaining -= c
+        i += 1
+        if c == 0:
+            # repeat flags for runs of zeros
+            while i < len(counts):
+                run = 0
+                while run < 3 and i + run < len(counts) and counts[i + run] == 0:
+                    run += 1
+                bits.push(run, 2)
+                i += run
+                if run != 3:
+                    break
+        while remaining < threshold and remaining > 1:
+            nbits -= 1
+            threshold >>= 1
+    if remaining != 1:
+        raise ValueError("FSE counts do not fill the table")
+    return bits.bytes()
+
+
+def _fse_encode_two_state(
+    symbols: list[int], counts: list[int], accuracy: int
+) -> bytes:
+    """Encode ``symbols`` for the two-interleaved-state decoder in
+    :func:`_read_huff_tree`: backward pass chooses, for each emission,
+    the decode-table cell whose (baseline, nbBits) window contains the
+    NEXT same-state cell; init states ride first, raw."""
+    table = _fse_build_dtable(counts, accuracy)
+    by_symbol: dict[int, list[int]] = {}
+    for cell, (s, _nb, _base) in enumerate(table):
+        by_symbol.setdefault(s, []).append(cell)
+
+    def predecessor(sym: int, nxt: int) -> tuple[int, int, int]:
+        for cell in by_symbol[sym]:
+            s, nb, base = table[cell]
+            if base <= nxt < base + (1 << nb):
+                return cell, nxt - base, nb
+        raise ValueError("FSE encode: no predecessor state")
+
+    m = len(symbols)
+    if m < 2:
+        raise ValueError("two-state FSE needs at least two symbols")
+    # stream 1 = even emission indices, stream 2 = odd
+    state = [None, None]  # current (later-in-time) cell per stream
+    updates: list[tuple[int, int, int]] = []  # (emission idx, bits, nb)
+    for i in range(m - 1, -1, -1):
+        st = i & 1
+        sym = symbols[i]
+        if state[st] is None:
+            state[st] = by_symbol[sym][0]  # last emission: free choice
+        else:
+            cell, bits_val, nb = predecessor(sym, state[st])
+            updates.append((i, bits_val, nb))
+            state[st] = cell
+    acc = _BitAcc()
+    acc.push(state[0], accuracy)  # init1 (emits symbols[0])
+    acc.push(state[1], accuracy)  # init2 (emits symbols[1])
+    # decoder reads updates in emission order of their TARGET (i = 2..m-1)
+    for i, bits_val, nb in sorted(updates):
+        acc.push(bits_val, nb)
+    return acc.bytes()
+
+
+def _encode_huff_tree(weights: list[int]) -> bytes:
+    """Weight vector (all used symbols incl. the last) → the
+    Huffman_Tree_Description. The LAST used symbol's weight is
+    implicit; direct 4-bit form when ≤ 128 explicit weights, else the
+    FSE-compressed form."""
+    last_sym = max(s for s, w in enumerate(weights) if w > 0)
+    explicit = weights[:last_sym]  # implicit: weights[last_sym]
+    n = len(explicit)
+    direct = None
+    if 0 < n <= 128:
+        body = bytearray()
+        for i in range(0, n, 2):
+            hi = explicit[i] << 4
+            lo = explicit[i + 1] if i + 1 < n else 0
+            body.append(hi | lo)
+        direct = bytes([127 + n]) + bytes(body)
+    fse = None
+    freqs: dict[int, int] = {}
+    for w in explicit:
+        freqs[w] = freqs.get(w, 0) + 1
+    if len(freqs) >= 2 and n >= 2:
+        accuracy = 6
+        counts = _fse_normalize(freqs, accuracy)
+        payload = _fse_write_ncount(counts, accuracy) + _fse_encode_two_state(
+            explicit, counts, accuracy
+        )
+        if len(payload) < 128:
+            fse = bytes([len(payload)]) + payload
+    if direct is None and fse is None:
+        raise ValueError("huffman tree not representable")
+    if fse is not None and (direct is None or len(fse) < len(direct)):
+        return fse
+    return direct
+
+
+def _huff_encode_stream(
+    data: bytes, codes: dict[int, tuple[int, int]]
+) -> bytes:
+    acc = _BitAcc()
+    for b in data:
+        code, nb = codes[b]
+        acc.push(code, nb)
+    return acc.bytes()
+
+
+def _compress_literals(chunk: bytes) -> bytes | None:
+    """Compressed_Literals_Block (type 2) for ``chunk``, or None when
+    entropy coding does not win."""
+    freqs: dict[int, int] = {}
+    for b in chunk:
+        freqs[b] = freqs.get(b, 0) + 1
+    if len(freqs) < 2:
+        return None
+    lengths = _huff_lengths(freqs, 11)
+    max_len = max(lengths.values())
+    weights = [0] * 256
+    for s, ln in lengths.items():
+        weights[s] = max_len + 1 - ln
+    weights = weights[: max(lengths) + 1]
+    try:
+        tree = _encode_huff_tree(weights)
+    except ValueError:
+        # e.g. a uniform >128-symbol alphabet: one distinct weight, so
+        # neither the direct nor the FSE form applies — raw block wins
+        return None
+    codes, _mb = _huff_codes(weights)
+    rsize = len(chunk)
+    if rsize <= 1023:
+        streams = _huff_encode_stream(chunk, codes)
+        csize = len(tree) + len(streams)
+        if csize >= 1 << 10:
+            return None
+        h = 2 | (0 << 2) | (rsize << 4) | (csize << 14)
+        return h.to_bytes(3, "little") + tree + streams
+    # 4-stream layout with the 6-byte jump table
+    r123 = (rsize + 3) // 4
+    parts = [
+        chunk[0:r123],
+        chunk[r123 : 2 * r123],
+        chunk[2 * r123 : 3 * r123],
+        chunk[3 * r123 :],
+    ]
+    encoded = [_huff_encode_stream(p, codes) for p in parts]
+    if any(not e for e in encoded):
+        return None
+    jump = struct.pack("<HHH", len(encoded[0]), len(encoded[1]), len(encoded[2]))
+    if any(len(e) > 0xFFFF for e in encoded[:3]):
+        return None
+    body = tree + jump + b"".join(encoded)
+    csize = len(body)
+    if rsize < 1 << 14 and csize < 1 << 14:
+        sizefmt, hlen, sbits = 2, 4, 14
+    elif rsize < 1 << 18 and csize < 1 << 18:
+        sizefmt, hlen, sbits = 3, 5, 18
+    else:
+        return None
+    h = 2 | (sizefmt << 2) | (rsize << 4) | (csize << (4 + sbits))
+    return h.to_bytes(hlen, "little") + body
+
+
+def compress_zstd(data: bytes, checksum: bool = True) -> bytes:
+    """A single-frame zstd stream with ENTROPY-CODED blocks: per
+    128 KiB block, huff0-compressed literals + an empty sequences
+    section, falling back to RLE or Raw blocks when smaller. Output is
+    plain RFC 8878 — decodable by any conforming implementation (the
+    tests pin it against libzstd via pyarrow) and by this module's own
+    :func:`decompress_zstd`."""
+    n = len(data)
+    if n < 256:
+        fcs_flag, fcs_bytes = 0, n.to_bytes(1, "little")
+    elif n < 65536 + 256:
+        fcs_flag, fcs_bytes = 1, (n - 256).to_bytes(2, "little")
+    elif n < 1 << 32:
+        fcs_flag, fcs_bytes = 2, n.to_bytes(4, "little")
+    else:
+        fcs_flag, fcs_bytes = 3, n.to_bytes(8, "little")
+    fhd = (fcs_flag << 6) | 0x20 | (0x04 if checksum else 0)
+    out = bytearray(_MAGIC)
+    out.append(fhd)
+    out += fcs_bytes
+    if n == 0:
+        out += (1).to_bytes(3, "little")
+    pos = 0
+    while pos < n:
+        chunk = data[pos : pos + _BLOCK_HARD_MAX]
+        pos += len(chunk)
+        last = 1 if pos >= n else 0
+        if len(set(chunk)) == 1:
+            out += ((len(chunk) << 3) | (1 << 1) | last).to_bytes(3, "little")
+            out += chunk[:1]
+            continue
+        literals = _compress_literals(chunk)
+        if literals is not None and len(literals) + 1 < len(chunk):
+            body = literals + b"\x00"  # zero sequences
+            out += ((len(body) << 3) | (2 << 1) | last).to_bytes(3, "little")
+            out += body
+        else:
+            out += ((len(chunk) << 3) | last).to_bytes(3, "little")
             out += chunk
     if checksum:
         out += (xxh64(data) & 0xFFFFFFFF).to_bytes(4, "little")

@@ -27,6 +27,12 @@ def _q(name):
 NEW_ORACLED = (
     "ingest_parquet_page_decode_v2",
     "ingest_parquet_delta_strings",
+    "cdc_delta_time_travel",
+    "cdc_iceberg_time_travel",
+    "cdc_iceberg_stats_pruning",
+    "cdc_delta_merge",
+    "cdc_delta_merge_cdf",
+    "ingest_zstd_shards",  # re-pinned: size-bounded shard binning
 )
 
 
@@ -300,3 +306,157 @@ class TestAdviceFixesR13:
             os.unlink(tmp)
         assert final.read_text() == "first-writer\n"
         assert not os.path.exists(tmp)
+
+
+class TestTimeTravel:
+    def test_delta_asof_v4_is_full_table(self, spark, sf_correctness_dir):
+        """AS OF v4 (pre-GDPR) reconstructs the complete table: the
+        remove at v5 must not leak into an earlier snapshot."""
+        import os
+
+        from metricproxy_spark.io import staged_artifact_dir
+        from metricproxy_spark.queries.cdc import (
+            _delta_live_paths_asof,
+            cdc_delta_checkpoint_snapshot,
+        )
+
+        cdc_delta_checkpoint_snapshot(spark, sf_correctness_dir)
+        root = staged_artifact_dir("deltacp", sf_correctness_dir)
+        log_dir = os.path.join(root, "_delta_log")
+        v4 = _delta_live_paths_asof(log_dir, 4)
+        n = (
+            spark.read.parquet(*[os.path.join(root, p) for p in v4])
+            .count()
+        )
+        from metricproxy_spark.io import load_table
+
+        assert n == load_table(spark, sf_correctness_dir, "events").count()
+        # the diff vs v5 is exactly the one GDPR-removed file
+        v5 = _delta_live_paths_asof(log_dir, 5)
+        assert sorted(set(v4) - set(v5)) == ["data/bucket=9"]
+
+    def test_delta_asof_before_checkpoint_refuses(
+        self, spark, sf_correctness_dir
+    ):
+        import os
+
+        from metricproxy_spark.io import staged_artifact_dir
+        from metricproxy_spark.queries.cdc import (
+            _delta_live_paths_asof,
+            cdc_delta_checkpoint_snapshot,
+        )
+
+        cdc_delta_checkpoint_snapshot(spark, sf_correctness_dir)
+        root = staged_artifact_dir("deltacp", sf_correctness_dir)
+        with pytest.raises(ValueError, match="predates"):
+            _delta_live_paths_asof(os.path.join(root, "_delta_log"), 2)
+
+
+class TestIcebergStatsPruning:
+    def test_scan_is_strict_minority(self, spark, sf_correctness_dir):
+        """The bounds in the manifest entries must prune a strict
+        majority of the 12 files for the top-30% predicate."""
+        import os
+        import struct
+
+        from metricproxy_spark.io import staged_artifact_dir
+        from metricproxy_spark.queries.cdc import cdc_iceberg_stats_pruning
+        from metricproxy_spark.sources.avro import read_avro_rows
+
+        cdc_iceberg_stats_pruning(spark, sf_correctness_dir)
+        root = staged_artifact_dir("icebergstats", sf_correctness_dir)
+        from metricproxy_spark.io import load_table
+
+        events = load_table(spark, sf_correctness_dir, "events")
+        n = events.agg({"event_id": "max"}).collect()[0][0] + 1
+        thr = (7 * n) // 10
+        entries = []
+        for m in ("m0-2001.avro", "m1-2001.avro"):
+            entries += read_avro_rows(
+                os.path.join(root, "metadata", "manifests", m)
+            )
+        assert len(entries) == 12
+        surviving = [
+            e
+            for e in entries
+            if struct.unpack("<q", e[5])[0] >= thr  # upper_bound
+        ]
+        assert 1 <= len(surviving) <= 4  # strict minority scanned
+
+
+class TestZstdShardBound:
+    def test_every_shard_is_size_bounded(self, spark, sf_correctness_dir):
+        """Bin assignment by starting offset caps a shard at
+        TARGET + (largest member) chars, independent of source skew."""
+        from pyspark.sql import functions as F
+
+        from metricproxy_spark.queries.ingest import (
+            _ZSTD_SHARD_TARGET,
+            ingest_zstd_shards,
+        )
+        from metricproxy_spark.io import load_table
+
+        out = ingest_zstd_shards(spark, sf_correctness_dir)
+        docs = load_table(spark, sf_correctness_dir, "documents")
+        max_doc = docs.agg(F.max(F.length("text"))).collect()[0][0]
+        row = out.agg(
+            F.max("n_chars").alias("mx"), F.count(F.lit(1)).alias("n")
+        ).collect()[0]
+        # joiners add n_docs-1 chars; one doc can straddle the target
+        assert row["mx"] <= _ZSTD_SHARD_TARGET + 2 * max_doc
+        # and the binning actually split sources into multiple shards
+        n_sources = docs.select("source").distinct().count()
+        assert row["n"] > n_sources
+
+
+class TestDeltaMerge:
+    def test_untouched_files_never_rewritten(
+        self, spark, sf_correctness_dir
+    ):
+        """The stats-intersection planner must leave the buckets
+        outside the matched-key range alone."""
+        import json
+        import os
+
+        from metricproxy_spark.queries.cdc import _stage_delta_merge
+
+        root = _stage_delta_merge(spark, sf_correctness_dir)
+        plan = json.load(open(os.path.join(root, "_merge_plan.json")))
+        assert sorted(plan["touched"]) == [0, 1]
+        assert sorted(plan["untouched"]) == [2, 3]
+        # the untouched files are still the live v0 files in the log
+        with open(
+            os.path.join(root, "_delta_log", f"{1:020d}.json")
+        ) as fh:
+            actions = [json.loads(ln) for ln in fh]
+        removed = {
+            a["remove"]["path"] for a in actions if "remove" in a
+        }
+        assert removed == {"data/bucket=0", "data/bucket=1"}
+
+    def test_cdf_reconciles_with_snapshots(self, spark, sf_correctness_dir):
+        """Applying the merge commit's CDF to the v0 state must yield
+        the v1 state (count algebra: +insert -delete, updates net 0)."""
+        from metricproxy_spark.queries.cdc import (
+            cdc_delta_merge,
+            cdc_delta_merge_cdf,
+        )
+        from metricproxy_spark.io import load_table
+
+        final = cdc_delta_merge(spark, sf_correctness_dir).count()
+        base = load_table(spark, sf_correctness_dir, "events").count()
+        cdf = (
+            cdc_delta_merge_cdf(spark, sf_correctness_dir)
+            .groupBy("_change_type")
+            .count()
+            .collect()
+        )
+        by = {r["_change_type"]: r["count"] for r in cdf}
+        assert set(by) == {
+            "update_preimage",
+            "update_postimage",
+            "delete",
+            "insert",
+        }
+        assert by["update_preimage"] == by["update_postimage"]
+        assert final == base + by["insert"] - by["delete"]
