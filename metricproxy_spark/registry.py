@@ -131,83 +131,84 @@ ORACLES: dict[str, str] = {}
 # analytic_hll_sketch, analytic_asof_forward and
 # analytic_running_distinct, the cohort tail, overflow to r13 — the
 # additions-outrank-stale-evidence precedent).
-# ROUND-13 NOTE: pin r13 additions first, then the SEVEN overflowed
-# r4 names (analytic_setops_all, analytic_conditional_aggs,
-# analytic_copurchase_lift, analytic_mode_per_group,
-# analytic_hll_sketch, analytic_asof_forward,
-# analytic_running_distinct), then the FULL 44-name
-# r5-latest cohort (union-script truth: dedup_exact,
-# dedup_ngram_jaccard,
-# dedup_minhash_lsh, dedup_simhash, dedup_components,
-# dedup_levenshtein, dedup_embedding_cosine, dedup_embedding_blocked,
-# dedup_embedding_srp, sim_cosine_topk, sim_ivf_topk, sim_topk_blas,
-# sim_kmeans_assign, sim_kmeans_train, sim_quantize_int8, sim_pq_topk,
-# sim_ivfpq_topk, sim_mrl_truncate, sim_lang_centroids, sim_pq_rerank,
-# sim_embedding_moments, sim_pca_project, text_quality,
-# text_lang_scores, text_token_counts, text_fingerprint,
-# text_top_terms, multimodal_features, multimodal_feature_vectors,
-# multimodal_frame_sample, multimodal_decode_real,
-# text_winnow_fingerprints, pipeline_quality_filter,
+# ROUND-13 EXECUTED (this round): 7 r13 additions (parquet
+# DATA_PAGE_V2 decode of Spark's own v2-writer output; the pyarrow-
+# staged DELTA_BYTE_ARRAY/DELTA_LENGTH_BYTE_ARRAY/BYTE_STREAM_SPLIT
+# twin; Delta TIME TRAVEL via checkpoint + version-bounded replay;
+# the Iceberg stale-manifest-list time-travel twin; Iceberg
+# manifest-entry stats pruning with Appendix-D LE bounds; full
+# three-arm MERGE INTO over the Delta log; the merge commit's
+# explicit-cdc CHANGE FEED read) + 4 r13-changed queries
+# (ingest_zstd_shards respelled to size-bounded cumsum-bin shards;
+# ingest_kafka_recordbatch and stream_zstd_pipeline now encode
+# through the entropy-coded compress_zstd; stream_delta_commit_
+# pipeline publishes commits via link(2) put-if-absent per r12
+# ADVICE) + the SEVEN overflowed r4 names + the first 32 of the
+# 44-name r5-latest cohort = exactly the 50-row driver window.
+# ROUND-14 NOTE: pin r14 additions/changes first, then the TWELVE
+# overflowed r5 names (pipeline_quality_filter,
 # text_repetition_signals, dedup_paragraphs, pipeline_lm_typicality,
 # text_bm25_topk, ingest_syslog_rfc3164, ingest_influx_line,
 # events_sla_burn_rate, events_time_weighted_avg, graph_khop_reach,
-# analytic_approx_percentile, analytic_asof_nearest -- recompute with
-# the union script), then the r6-latest cohort head.
+# analytic_approx_percentile, analytic_asof_nearest), then the
+# r6-latest cohort head (49 names — recompute with the union script
+# over CORRECTNESS_r*.json before trusting this note).
 _PRIORITY = (
-    # --- new in round 12 ---
-    "cdc_delta_checkpoint_snapshot",
-    "ingest_parquet_rowgroup_prune",
-    "ingest_parquet_page_decode",
-    "ingest_parquet_pruned_page_read",
-    "cdc_iceberg_snapshot",
-    "cdc_iceberg_positional_deletes",
-    "cdc_iceberg_equality_deletes",
-    "cdc_delta_change_feed",
-    "stream_delta_commit_pipeline",
+    # --- new in round 13 ---
+    "ingest_parquet_page_decode_v2",
+    "ingest_parquet_delta_strings",
+    "cdc_delta_time_travel",
+    "cdc_iceberg_time_travel",
+    "cdc_iceberg_stats_pruning",
+    "cdc_delta_merge",
+    "cdc_delta_merge_cdf",
+    # --- changed in round 13 (engine edits -> fresh evidence) ---
     "ingest_zstd_shards",
-    "stream_zstd_pipeline",
-    "cdc_delta_deletion_vectors",
-    # --- changed in round 12 (engine edits -> fresh evidence) ---
     "ingest_kafka_recordbatch",
-    "layout_compaction_plan",
-    "events_multires_rollup",
-    "events_hll_rollup",
-    "events_theta_rollup",
-    "analytic_grouping_sets",
-    "analytic_scalar_subquery",
-    "analytic_lateral_topn",
-    "analytic_hierarchy_recursive",
-    "text_shingle_udtf",
-    "text_ngram_udtf_analyze",
-    "stream_http_live_pipeline",
-    # --- r4-latest evidence cohort (26 of 33; the 7 analytic_* names
-    # overflowed to round 13 — see the ROUND-13 NOTE above) ---
-    "layout_partition_pruning",
-    "layout_bucketed_join",
-    "stream_alert_rules",
-    "stream_downsample_m4",
-    "ingest_orc_roundtrip",
-    "ingest_prometheus_text",
-    "events_week_over_week",
-    "events_sessionize",
-    "events_concurrency",
-    "events_downsample_m4",
-    "events_counter_to_rate",
-    "events_downsample_lttb",
-    "graph_triangles",
-    "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q10_returned_items",
-    "tpch_q13_customer_distribution",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q21_waiting_supplier",
-    "tpch_q6_forecast_revenue",
-    "tpch_q9_product_profit",
-    "tpch_q12_priority_lines",
-    "tpch_q15_top_supplier",
+    "stream_zstd_pipeline",
+    "stream_delta_commit_pipeline",
+    # --- the seven r4-latest names overflowed from round 12 ---
+    "analytic_setops_all",
+    "analytic_conditional_aggs",
+    "analytic_copurchase_lift",
+    "analytic_mode_per_group",
+    "analytic_hll_sketch",
+    "analytic_asof_forward",
+    "analytic_running_distinct",
+    # --- r5-latest evidence cohort (first 32 of 44; the 12 names in
+    # the ROUND-14 NOTE overflow to round 14) ---
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_components",
+    "dedup_levenshtein",
+    "dedup_embedding_cosine",
+    "dedup_embedding_blocked",
+    "dedup_embedding_srp",
+    "sim_cosine_topk",
+    "sim_ivf_topk",
+    "sim_topk_blas",
+    "sim_kmeans_assign",
+    "sim_kmeans_train",
+    "sim_quantize_int8",
+    "sim_pq_topk",
+    "sim_ivfpq_topk",
+    "sim_mrl_truncate",
+    "sim_lang_centroids",
+    "sim_pq_rerank",
+    "sim_embedding_moments",
+    "sim_pca_project",
+    "text_quality",
+    "text_lang_scores",
+    "text_token_counts",
+    "text_fingerprint",
+    "text_top_terms",
+    "multimodal_features",
+    "multimodal_feature_vectors",
+    "multimodal_frame_sample",
+    "multimodal_decode_real",
+    "text_winnow_fingerprints",
 )
 
 _QUERY_MODULES = (

@@ -1226,12 +1226,16 @@ class TestRound12PlanDiscipline:
         assert "MapInPandas" in plan, plan
 
     def test_zstd_shards_grouped_map(self, spark, sf_dir):
-        """Shards form in the groupBy(source) Arrow map; the only
-        shuffle is that group exchange — codec work is map-side."""
+        """Shards form in the groupBy(source, shard) Arrow map; codec
+        work is map-side. Since round 13 the size-bounding cumsum
+        window adds exactly one more exchange (partitionBy source for
+        the window, then the group hash) — the price of capping
+        per-task payloads at TARGET chars on a skewed corpus."""
         plan = self._plan(spark, sf_dir, "ingest_zstd_shards")
         assert "FlatMapGroupsInPandas" in plan, plan
         assert "Join" not in plan, plan
-        assert plan.count("Exchange") <= 2, plan
+        assert "Window" in plan, plan
+        assert plan.count("Exchange") <= 3, plan
 
     def test_iceberg_positional_deletes_anti_join_broadcasts(
         self, spark, sf_dir
@@ -1257,3 +1261,87 @@ class TestRound12PlanDiscipline:
         plan = self._plan(spark, sf_dir, "cdc_iceberg_equality_deletes")
         assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
         assert "CartesianProduct" not in plan, plan
+
+
+class TestRound13PlanDiscipline:
+    """Plan assertions for the round-13 lakehouse/encoding additions."""
+
+    def _plan(self, spark, sf_dir, name):
+        from metricproxy_spark.registry import QUERIES, load_all
+
+        load_all()
+        return _executed_plan(QUERIES[name](spark, sf_dir))
+
+    def test_page_decode_v2_is_map_only(self, spark, sf_dir):
+        """Row-group indices ride a tiny frame into one Arrow map —
+        the v2/delta decode never joins or shuffles data rows."""
+        plan = self._plan(spark, sf_dir, "ingest_parquet_page_decode_v2")
+        assert "Join" not in plan, plan
+        assert "MapInPandas" in plan, plan
+
+    def test_delta_strings_decode_is_map_only(self, spark, sf_dir):
+        plan = self._plan(spark, sf_dir, "ingest_parquet_delta_strings")
+        assert "Join" not in plan, plan
+        assert "MapInPandas" in plan, plan
+
+    def test_time_travel_scans_only_the_diff(self, spark, sf_dir):
+        """Snapshot reconstruction is KB driver metadata; the data leg
+        is a plain parquet scan of the differing files — no join, no
+        exchange, no full-table read."""
+        for name in ("cdc_delta_time_travel", "cdc_iceberg_time_travel"):
+            plan = self._plan(spark, sf_dir, name)
+            assert "Join" not in plan, (name, plan)
+            assert "Exchange" not in plan, (name, plan)
+            assert "Scan parquet" in plan, (name, plan)
+
+    def test_iceberg_stats_pruning_scan_shape(self, spark, sf_dir):
+        """Bounds decode in the distributed avrowire scan (pure-SQL
+        byte swap, no Python row path); the data leg is a filtered
+        parquet scan of survivors — no join anywhere."""
+        plan = self._plan(spark, sf_dir, "cdc_iceberg_stats_pruning")
+        assert "Join" not in plan, plan
+        assert "Scan parquet" in plan, plan
+        assert "BatchEvalPython" not in plan, plan
+
+    def test_merge_read_is_plain_scan(self, spark, sf_dir):
+        """After the commit, reading the merged table is log replay
+        (KB) + one parquet scan of live files: the merge's join work
+        happened once at write time, never per read."""
+        plan = self._plan(spark, sf_dir, "cdc_delta_merge")
+        assert "Join" not in plan, plan
+        assert "Exchange" not in plan, plan
+        assert "Scan parquet" in plan, plan
+
+    def test_merge_cdf_reads_only_change_data(self, spark, sf_dir):
+        plan = self._plan(spark, sf_dir, "cdc_delta_merge_cdf")
+        assert "Join" not in plan, plan
+        assert "Scan parquet" in plan, plan
+
+    def test_merge_staging_plan_broadcasts(self, spark, sf_dir):
+        """The copy-on-write rewrite itself (staging) must broadcast
+        the matched-key sides — assert on the unexecuted merge plan
+        rebuilt from the same expressions."""
+        from pyspark.sql import functions as F
+
+        from metricproxy_spark.io import load_table
+
+        events = load_table(spark, sf_dir, "events").select(
+            "event_id", "value"
+        )
+        n = events.agg(F.max("event_id") + 1).collect()[0][0]
+        upd = events.where(
+            (F.col("event_id") % 10 == 3) & (F.col("event_id") < n // 2)
+        ).select("event_id", (F.col("value") + 1000).alias("new_value"))
+        dele = events.where(
+            (F.col("event_id") % 10 == 7) & (F.col("event_id") < n // 2)
+        ).select("event_id")
+        merged = (
+            events.join(F.broadcast(dele), "event_id", "left_anti")
+            .join(F.broadcast(upd), "event_id", "left")
+            .withColumn("value", F.coalesce("new_value", "value"))
+            .drop("new_value")
+        )
+        plan = _executed_plan(merged)
+        assert plan.count("BroadcastHashJoin") >= 2, plan
+        assert "CartesianProduct" not in plan, plan
+        assert "SortMergeJoin" not in plan, plan
