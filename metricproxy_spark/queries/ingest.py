@@ -4997,3 +4997,271 @@ def ingest_parquet_delta_strings(
         "doc_id bigint, text string, lang string, source string, "
         "n_chars_d double",
     )
+
+
+@register(
+    "ingest_parquet_bloom_prune",
+    oracle="""
+    WITH m AS (SELECT max(event_id) + 1 AS n FROM events),
+    probes AS (
+        SELECT user_id FROM events, m
+        WHERE event_id IN (0, n // 3, (2 * n) // 3)
+    )
+    SELECT event_id, event_type, user_id, value
+    FROM events
+    WHERE user_id IN (SELECT user_id FROM probes)
+    """,
+)
+def ingest_parquet_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet BLOOM-FILTER pruning from scratch — the membership rung
+    of the metadata ladder (apache/parquet-format BloomFilter.md):
+    min/max stats are useless for a point lookup on an UNCLUSTERED
+    column, so the writer attaches a split-block Bloom filter per
+    row group and a reader skips any group whose filter rejects every
+    probe key. The staged file is events sorted by event_id (user_id
+    scattered — stats ranges all overlap) written by Spark's own
+    parquet-mr with blooms on user_id; the reader decodes the Thrift
+    BloomFilterHeader + bitset (`sources/parquet_index.py`), hashes
+    probes with THIS REPO'S XXH64 of the plain-encoded value, applies
+    the 8-lane SALT schedule per 256-bit block, and scans only groups
+    where some probe is maybe-present, with the residual IN-filter
+    vectorized. Probes are three present user_ids (derived from fixed
+    event positions) plus three absent ones — the absent keys are the
+    bloom's whole point (needle-in-haystack skips; zero false
+    negatives is exhaustively pinned in pytest). The oracle restates
+    the IN-set algebraically. Scale: blooms are KB per group read
+    driver-side as catalog metadata; data I/O touches only
+    maybe-present groups."""
+    import glob
+
+    import pandas as pd
+
+    from metricproxy_spark.io import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id", "value"
+    )
+    n_ids = events.agg(F.max("event_id") + 1).collect()[0][0]
+    probe_positions = [0, n_ids // 3, (2 * n_ids) // 3]
+    present = [
+        r["user_id"]
+        for r in events.where(
+            F.col("event_id").isin(probe_positions)
+        ).collect()  # bounded: 3 probe rows
+    ]
+    max_user = events.agg(F.max("user_id")).collect()[0][0]
+    probes = sorted(set(present)) + [max_user + k for k in (1, 2, 3)]
+
+    root = staged_artifact_dir("bloomev", sf_dir)
+    if not os.path.isdir(root):
+        staging = root + f".staging.{os.getpid()}"
+        (
+            events.orderBy("event_id")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .option("parquet.bloom.filter.enabled#user_id", "true")
+            .option("parquet.bloom.filter.expected.ndv#user_id", "4000")
+            .option("parquet.enable.dictionary#user_id", "false")
+            .option("parquet.block.size", 65536)
+            .parquet(staging)
+        )
+        try:
+            os.rename(staging, root)
+        except OSError:
+            shutil.rmtree(staging, ignore_errors=True)
+    part = sorted(glob.glob(os.path.join(root, "part-*.parquet")))[0]
+
+    from metricproxy_spark.sources.parquet_footer import read_footer_bytes
+    from metricproxy_spark.sources.parquet_index import (
+        bloom_hash_int64,
+        column_chunk_indexes,
+        read_bloom_filter,
+    )
+
+    footer = read_footer_bytes(part)
+    hashes = [bloom_hash_int64(int(p)) for p in probes]
+    qualifying = []
+    for rg, meta in enumerate(column_chunk_indexes(footer, "user_id")):
+        if meta["bloom"] is None:
+            qualifying.append(rg)  # no filter -> must scan
+            continue
+        bl = read_bloom_filter(part, *meta["bloom"])
+        if any(bl.might_contain_hash(h) for h in hashes):
+            qualifying.append(rg)
+    rg_df = spark.createDataFrame(
+        [(i,) for i in qualifying], "rg int"
+    ).repartition(max(len(qualifying), 1))
+    probe_set = {int(p) for p in probes}
+
+    def read_groups(batches):
+        import pyarrow.parquet as pq
+
+        pf = pq.ParquetFile(part)
+        for pdf in batches:
+            for rg in pdf["rg"]:
+                t = pf.read_row_group(
+                    int(rg),
+                    columns=["event_id", "event_type", "user_id", "value"],
+                ).to_pandas()
+                yield t[t["user_id"].isin(probe_set)]
+
+    return rg_df.mapInPandas(
+        read_groups,
+        "event_id bigint, event_type string, user_id bigint, value double",
+    )
+
+
+@register(
+    "ingest_parquet_page_index_prune",
+    oracle="""
+    WITH m AS (SELECT max(event_id) + 1 AS n FROM events)
+    SELECT event_id, event_type, user_id, value
+    FROM events, m
+    WHERE event_id BETWEEN (45 * n) // 100 AND (55 * n) // 100
+    """,
+)
+def ingest_parquet_page_index_prune(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Parquet PAGE-INDEX pruning from scratch — the finest rung of
+    the metadata ladder (apache/parquet-format PageIndex.md): the
+    ColumnIndex carries per-PAGE min/max and the OffsetIndex makes
+    each page independently seekable, so a range predicate selects
+    pages, not row groups. The staged file is ONE row group (so
+    row-group stats prune nothing — page pruning must do all the
+    work) of events sorted by event_id with small pages. The reader:
+    (1) decodes ColumnIndex/OffsetIndex from the footer offsets
+    (`sources/parquet_index.py` — including Thrift compact bool
+    LISTS, a shape the footer walker never met before), (2) keeps the
+    event_id pages overlapping ``BETWEEN 45% AND 55%`` (a strict
+    minority, pinned in pytest), (3) converts the surviving pages to
+    a ROW RANGE via first_row_index — the spec's row-synchronization
+    — and selects each OTHER column's pages overlapping that range,
+    (4) decodes ONLY those pages (seek + single-page decode, v1 and
+    dictionary pages handled), aligns all four columns by row
+    position, and applies the residual predicate. The oracle
+    full-scans the predicate. Scale: indexes are KB driver metadata;
+    the distributed tasks read only surviving page bytes."""
+    import glob
+
+    import pandas as pd
+
+    from metricproxy_spark.io import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id", "value"
+    )
+    n_ids = events.agg(F.max("event_id") + 1).collect()[0][0]
+    lo, hi = (45 * n_ids) // 100, (55 * n_ids) // 100
+
+    root = staged_artifact_dir("pageidx", sf_dir)
+    if not os.path.isdir(root):
+        staging = root + f".staging.{os.getpid()}"
+        (
+            events.orderBy("event_id")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .option("parquet.page.size", 4096)
+            .option("parquet.page.row.count.limit", "512")
+            .parquet(staging)
+        )
+        try:
+            os.rename(staging, root)
+        except OSError:
+            shutil.rmtree(staging, ignore_errors=True)
+    part = sorted(glob.glob(os.path.join(root, "part-*.parquet")))[0]
+
+    from metricproxy_spark.sources.parquet_footer import read_footer_bytes
+    from metricproxy_spark.sources.parquet_index import (
+        column_chunk_indexes,
+        read_column_index,
+        read_offset_index,
+        stat_int64,
+    )
+
+    footer = read_footer_bytes(part)
+    eidx = column_chunk_indexes(footer, "event_id")
+    columns = ["event_id", "event_type", "user_id", "value"]
+    tasks = []  # (rg, row_lo, row_hi) — KB catalog metadata
+    for rg, meta in enumerate(eidx):
+        oi = read_offset_index(part, meta["offset_index"])
+        ci = read_column_index(part, meta["column_index"])
+        spans = [p["first_row_index"] for p in oi]
+        keep = [
+            i
+            for i in range(len(oi))
+            if not ci["null_pages"][i]
+            and stat_int64(ci["min_values"][i]) <= hi
+            and stat_int64(ci["max_values"][i]) >= lo
+        ]
+        if not keep:
+            continue
+        # sorted column -> surviving pages are contiguous; their row
+        # span is the spec's row-synchronization interval
+        row_lo = spans[keep[0]]
+        row_hi = (
+            spans[keep[-1] + 1] if keep[-1] + 1 < len(spans) else None
+        )
+        tasks.append((rg, row_lo, -1 if row_hi is None else row_hi))
+    rg_df = spark.createDataFrame(
+        tasks, "rg int, row_lo bigint, row_hi bigint"
+    ).repartition(max(len(tasks), 1))
+
+    def read_pages(batches):
+        from metricproxy_spark.sources.parquet_footer import (
+            read_footer_bytes as rfb,
+        )
+        from metricproxy_spark.sources.parquet_index import (
+            column_chunk_indexes as cci,
+            decode_selected_pages,
+            read_offset_index as roi,
+        )
+        from metricproxy_spark.sources.parquet_pages import (
+            column_chunk_meta,
+        )
+
+        ftr = rfb(part)
+        for pdf in batches:
+            for rg, row_lo, row_hi in zip(
+                pdf["rg"], pdf["row_lo"], pdf["row_hi"]
+            ):
+                rg, row_lo = int(rg), int(row_lo)
+                row_hi = None if int(row_hi) < 0 else int(row_hi)
+                data = {}
+                for col in columns:
+                    meta = cci(ftr, col)[rg]
+                    oi = roi(part, meta["offset_index"])
+                    spans = [p["first_row_index"] for p in oi]
+                    # pages overlapping [row_lo, row_hi)
+                    keep = [
+                        i
+                        for i in range(len(oi))
+                        if (row_hi is None or spans[i] < row_hi)
+                        and (
+                            i + 1 >= len(spans) or spans[i + 1] > row_lo
+                        )
+                    ]
+                    chunk = column_chunk_meta(ftr, col)[rg]
+                    vals = decode_selected_pages(part, chunk, oi, keep)
+                    start = spans[keep[0]]
+                    a = row_lo - start
+                    b = None if row_hi is None else row_hi - start
+                    data[col] = vals[a:b]
+                t = pd.DataFrame(
+                    {
+                        "event_id": data["event_id"],
+                        "event_type": [
+                            x.decode("utf-8") for x in data["event_type"]
+                        ],
+                        "user_id": data["user_id"],
+                        "value": data["value"],
+                    }
+                )
+                yield t[(t["event_id"] >= lo) & (t["event_id"] <= hi)]
+
+    return rg_df.mapInPandas(
+        read_pages,
+        "event_id bigint, event_type string, user_id bigint, value double",
+    )

@@ -131,30 +131,39 @@ ORACLES: dict[str, str] = {}
 # analytic_hll_sketch, analytic_asof_forward and
 # analytic_running_distinct, the cohort tail, overflow to r13 — the
 # additions-outrank-stale-evidence precedent).
-# ROUND-13 EXECUTED (this round): 7 r13 additions (parquet
+# ROUND-13 EXECUTED (this round): 9 r13 additions (parquet
 # DATA_PAGE_V2 decode of Spark's own v2-writer output; the pyarrow-
 # staged DELTA_BYTE_ARRAY/DELTA_LENGTH_BYTE_ARRAY/BYTE_STREAM_SPLIT
-# twin; Delta TIME TRAVEL via checkpoint + version-bounded replay;
-# the Iceberg stale-manifest-list time-travel twin; Iceberg
-# manifest-entry stats pruning with Appendix-D LE bounds; full
-# three-arm MERGE INTO over the Delta log; the merge commit's
-# explicit-cdc CHANGE FEED read) + 4 r13-changed queries
-# (ingest_zstd_shards respelled to size-bounded cumsum-bin shards;
-# ingest_kafka_recordbatch and stream_zstd_pipeline now encode
-# through the entropy-coded compress_zstd; stream_delta_commit_
-# pipeline publishes commits via link(2) put-if-absent per r12
-# ADVICE) + the SEVEN overflowed r4 names + the first 32 of the
-# 44-name r5-latest cohort = exactly the 50-row driver window.
-# ROUND-14 NOTE: pin r14 additions/changes first, then the TWELVE
-# overflowed r5 names (pipeline_quality_filter,
-# text_repetition_signals, dedup_paragraphs, pipeline_lm_typicality,
-# text_bm25_topk, ingest_syslog_rfc3164, ingest_influx_line,
-# events_sla_burn_rate, events_time_weighted_avg, graph_khop_reach,
-# analytic_approx_percentile, analytic_asof_nearest), then the
-# r6-latest cohort head (49 names — recompute with the union script
-# over CORRECTNESS_r*.json before trusting this note).
+# twin; parquet BLOOM-FILTER pruning — split-block bitsets checked
+# with the repo's own XXH64; parquet PAGE-INDEX pruning —
+# ColumnIndex/OffsetIndex page selection with row-range
+# synchronization across columns; Delta TIME TRAVEL via checkpoint +
+# version-bounded replay; the Iceberg stale-manifest-list
+# time-travel twin; Iceberg manifest-entry stats pruning with
+# Appendix-D LE bounds; full three-arm MERGE INTO over the Delta
+# log; the merge commit's explicit-cdc CHANGE FEED read) + 4
+# r13-changed queries (ingest_zstd_shards respelled to size-bounded
+# cumsum-bin shards; ingest_kafka_recordbatch and
+# stream_zstd_pipeline now encode through the entropy-coded
+# compress_zstd; stream_delta_commit_pipeline publishes commits via
+# link(2) put-if-absent per r12 ADVICE) + the SEVEN overflowed r4
+# names + the first 30 of the 44-name r5-latest cohort = exactly the
+# 50-row driver window.
+# ROUND-14 NOTE: pin r14 additions/changes first, then the FOURTEEN
+# overflowed r5 names (multimodal_decode_real,
+# text_winnow_fingerprints — displaced late by the two bloom/page-
+# index additions, the additions-outrank-stale precedent —
+# pipeline_quality_filter, text_repetition_signals, dedup_paragraphs,
+# pipeline_lm_typicality, text_bm25_topk, ingest_syslog_rfc3164,
+# ingest_influx_line, events_sla_burn_rate, events_time_weighted_avg,
+# graph_khop_reach, analytic_approx_percentile,
+# analytic_asof_nearest), then the r6-latest cohort head (49 names —
+# recompute with the union script over CORRECTNESS_r*.json before
+# trusting this note).
 _PRIORITY = (
     # --- new in round 13 ---
+    "ingest_parquet_bloom_prune",
+    "ingest_parquet_page_index_prune",
     "ingest_parquet_page_decode_v2",
     "ingest_parquet_delta_strings",
     "cdc_delta_time_travel",
@@ -207,8 +216,6 @@ _PRIORITY = (
     "multimodal_features",
     "multimodal_feature_vectors",
     "multimodal_frame_sample",
-    "multimodal_decode_real",
-    "text_winnow_fingerprints",
 )
 
 _QUERY_MODULES = (

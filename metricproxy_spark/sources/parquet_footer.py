@@ -106,6 +106,16 @@ def _read_list(buf: bytes, pos: int):
     if size > len(buf) - pos:
         raise ValueError("thrift: list size exceeds remaining bytes")
     out = []
+    if etype in (_BOOL_TRUE, _BOOL_FALSE):
+        # In a STRUCT the bool rides in the field header, but LIST
+        # elements occupy one byte each (compact spec: 1=true, 2=false)
+        # — e.g. ColumnIndex.null_pages.
+        for _ in range(size):
+            if pos >= len(buf):
+                raise ValueError("thrift: truncated bool list")
+            out.append(buf[pos] == 1)
+            pos += 1
+        return out, pos
     for _ in range(size):
         v, pos = _read_value(buf, pos, etype)
         out.append(v)

@@ -25,6 +25,8 @@ def _q(name):
 
 
 NEW_ORACLED = (
+    "ingest_parquet_bloom_prune",
+    "ingest_parquet_page_index_prune",
     "ingest_parquet_page_decode_v2",
     "ingest_parquet_delta_strings",
     "cdc_delta_time_travel",
@@ -460,3 +462,109 @@ class TestDeltaMerge:
         }
         assert by["update_preimage"] == by["update_postimage"]
         assert final == base + by["insert"] - by["delete"]
+
+
+class TestBloomFilter:
+    def test_no_false_negatives_exhaustive(self, spark, sf_correctness_dir):
+        """Every user_id actually present in a row group MUST be
+        maybe-present in that group's bloom — exhaustively."""
+        import glob
+        import os
+
+        from metricproxy_spark.io import staged_artifact_dir
+        from metricproxy_spark.queries.ingest import ingest_parquet_bloom_prune
+        from metricproxy_spark.sources.parquet_footer import read_footer_bytes
+        from metricproxy_spark.sources.parquet_index import (
+            bloom_hash_int64,
+            column_chunk_indexes,
+            read_bloom_filter,
+        )
+
+        ingest_parquet_bloom_prune(spark, sf_correctness_dir)
+        root = staged_artifact_dir("bloomev", sf_correctness_dir)
+        part = sorted(glob.glob(os.path.join(root, "part-*.parquet")))[0]
+        footer = read_footer_bytes(part)
+        import pyarrow.parquet as pq
+
+        pf = pq.ParquetFile(part)
+        metas = column_chunk_indexes(footer, "user_id")
+        assert len(metas) >= 3  # several groups, else nothing to prune
+        fp_total = 0
+        for rg, meta in enumerate(metas):
+            assert meta["bloom"] is not None
+            bl = read_bloom_filter(part, *meta["bloom"])
+            present = set(
+                pf.read_row_group(rg, columns=["user_id"])
+                .column(0)
+                .to_pylist()
+            )
+            for u in present:
+                assert bl.might_contain_hash(bloom_hash_int64(u)), (rg, u)
+            absent = [max(present) + 10_000 + k for k in range(100)]
+            fp_total += sum(
+                bl.might_contain_hash(bloom_hash_int64(a)) for a in absent
+            )
+        # spec default FPP is ~1%; allow generous slack across groups
+        assert fp_total <= 0.1 * 100 * len(metas)
+
+    def test_bloom_strictness(self):
+        from metricproxy_spark.sources.parquet_index import SplitBlockBloom
+
+        with pytest.raises(ValueError, match="multiple of 32"):
+            SplitBlockBloom(b"\x00" * 33)
+
+
+class TestPageIndexPruning:
+    def test_minority_of_pages_decoded(self, spark, sf_correctness_dir):
+        """The 10%-wide predicate must keep a strict minority of
+        event_id pages (single row group: stats can't help)."""
+        import glob
+        import os
+
+        from pyspark.sql import functions as F
+
+        from metricproxy_spark.io import load_table, staged_artifact_dir
+        from metricproxy_spark.queries.ingest import (
+            ingest_parquet_page_index_prune,
+        )
+        from metricproxy_spark.sources.parquet_footer import read_footer_bytes
+        from metricproxy_spark.sources.parquet_index import (
+            column_chunk_indexes,
+            read_column_index,
+            read_offset_index,
+            stat_int64,
+        )
+
+        ingest_parquet_page_index_prune(spark, sf_correctness_dir)
+        root = staged_artifact_dir("pageidx", sf_correctness_dir)
+        part = sorted(glob.glob(os.path.join(root, "part-*.parquet")))[0]
+        footer = read_footer_bytes(part)
+        metas = column_chunk_indexes(footer, "event_id")
+        assert len(metas) == 1  # ONE row group by construction
+        oi = read_offset_index(part, metas[0]["offset_index"])
+        ci = read_column_index(part, metas[0]["column_index"])
+        assert len(oi) >= 8  # enough pages for pruning to mean something
+        events = load_table(spark, sf_correctness_dir, "events")
+        n = events.agg(F.max("event_id") + 1).collect()[0][0]
+        lo, hi = (45 * n) // 100, (55 * n) // 100
+        keep = [
+            i
+            for i in range(len(oi))
+            if stat_int64(ci["min_values"][i]) <= hi
+            and stat_int64(ci["max_values"][i]) >= lo
+        ]
+        assert 1 <= len(keep) <= len(oi) // 2  # strict minority
+
+    def test_thrift_bool_list(self):
+        """ColumnIndex.null_pages is a compact-protocol list<bool> —
+        elements are one byte each (1=true, 2=false), unlike struct
+        fields where the bool rides in the header."""
+        from metricproxy_spark.sources.parquet_footer import _read_list
+
+        # short-form list header: size 3, etype 1 (BOOL) + 3 elements
+        out, pos = _read_list(b"\x31\x01\x02\x01", 0)
+        assert out == [True, False, True] and pos == 4
+        with pytest.raises(
+            ValueError, match="truncated bool list|exceeds remaining"
+        ):
+            _read_list(b"\x31\x01", 0)

@@ -1345,3 +1345,15 @@ class TestRound13PlanDiscipline:
         assert plan.count("BroadcastHashJoin") >= 2, plan
         assert "CartesianProduct" not in plan, plan
         assert "SortMergeJoin" not in plan, plan
+
+    def test_bloom_prune_read_is_map_only(self, spark, sf_dir):
+        """Bloom checks are driver-side KB metadata; the data leg is
+        one Arrow map over maybe-present groups — no join/shuffle."""
+        plan = self._plan(spark, sf_dir, "ingest_parquet_bloom_prune")
+        assert "Join" not in plan, plan
+        assert "MapInPandas" in plan, plan
+
+    def test_page_index_read_is_map_only(self, spark, sf_dir):
+        plan = self._plan(spark, sf_dir, "ingest_parquet_page_index_prune")
+        assert "Join" not in plan, plan
+        assert "MapInPandas" in plan, plan
