@@ -200,3 +200,126 @@ class TestForeignBytesContract:
             (np.arange(64).reshape(8, 8)).astype(np.uint8),
         ):
             self._scan(encode_png(px), decode_png)
+
+
+class TestZstdEncoderProperties:
+    """The entropy-coded zstd encoder holds its contract over
+    generated inputs: self-roundtrip AND libzstd-decodes, any
+    alphabet, any size class."""
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        st.binary(min_size=0, max_size=4096),
+    )
+    def test_roundtrip_arbitrary_bytes(self, payload):
+        import pyarrow as pa
+
+        from metricproxy_spark.sources.zstd import (
+            compress_zstd,
+            decompress_zstd,
+        )
+
+        enc = compress_zstd(payload)
+        assert decompress_zstd(enc, max_out=len(payload) + 64) == payload
+        dec = pa.Codec("zstd").decompress(enc, len(payload))
+        dec = dec.to_pybytes() if hasattr(dec, "to_pybytes") else bytes(dec)
+        assert dec == payload
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.integers(2, 40),  # alphabet width
+        st.integers(1, 3000),  # length
+        st.integers(0, 2**31 - 1),  # seed
+    )
+    def test_roundtrip_skewed_text_like(self, alpha, n, seed):
+        import pyarrow as pa
+
+        from metricproxy_spark.sources.zstd import (
+            compress_zstd,
+            decompress_zstd,
+        )
+
+        rng = np.random.default_rng(seed)
+        # zipf-ish skew exercises many distinct huffman weights (the
+        # FSE-compressed tree-description form)
+        z = np.minimum(rng.zipf(1.3, size=n), alpha) - 1
+        payload = bytes((z + 97).astype(np.uint8).tolist())
+        enc = compress_zstd(payload)
+        assert decompress_zstd(enc, max_out=len(payload) + 64) == payload
+        dec = pa.Codec("zstd").decompress(enc, len(payload))
+        dec = dec.to_pybytes() if hasattr(dec, "to_pybytes") else bytes(dec)
+        assert dec == payload
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.binary(min_size=1, max_size=512))
+    def test_corrupt_byte_never_silently_wrong(self, payload):
+        """Flipping any byte of a checksummed entropy frame either
+        raises or (for frame-header fcs paths) never returns wrong
+        bytes silently — mirror of the decoder's r12 byte-flip scan."""
+        from metricproxy_spark.sources.zstd import (
+            compress_zstd,
+            decompress_zstd,
+        )
+
+        enc = bytearray(compress_zstd(payload))
+        pos = len(enc) // 2
+        enc[pos] ^= 0x5A
+        try:
+            out = decompress_zstd(bytes(enc), max_out=len(payload) + 64)
+        except ValueError:
+            return
+        assert out == payload  # undetected flip must be a no-op flip
+
+
+class TestDeltaEncodingProperties:
+    """DELTA_BINARY_PACKED / DELTA_BYTE_ARRAY via pyarrow-written
+    files over generated data."""
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        st.lists(
+            st.integers(-(2**63), 2**63 - 1), min_size=1, max_size=700
+        )
+    )
+    def test_dbp_int64_any_values(self, tmp_path_factory, vals):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from metricproxy_spark.sources.parquet_pages import decode_columns
+
+        p = str(tmp_path_factory.mktemp("dbp") / "x.parquet")
+        pq.write_table(
+            pa.table({"x": pa.array(vals, pa.int64())}),
+            p,
+            data_page_version="2.0",
+            use_dictionary=False,
+            column_encoding={"x": "DELTA_BINARY_PACKED"},
+        )
+        assert decode_columns(p, ["x"], 0)["x"] == vals
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        st.lists(
+            st.one_of(st.none(), st.text(max_size=40)),
+            min_size=1,
+            max_size=400,
+        )
+    )
+    def test_dba_strings_with_nulls(self, tmp_path_factory, vals):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from metricproxy_spark.sources.parquet_pages import decode_columns
+
+        p = str(tmp_path_factory.mktemp("dba") / "x.parquet")
+        pq.write_table(
+            pa.table({"s": pa.array(vals, pa.string())}),
+            p,
+            data_page_version="2.0",
+            use_dictionary=False,
+            column_encoding={"s": "DELTA_BYTE_ARRAY"},
+        )
+        got = decode_columns(p, ["s"], 0)["s"]
+        assert [
+            g if g is None else g.decode("utf-8") for g in got
+        ] == vals
