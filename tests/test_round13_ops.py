@@ -568,3 +568,89 @@ class TestPageIndexPruning:
             ValueError, match="truncated bool list|exceeds remaining"
         ):
             _read_list(b"\x31\x01", 0)
+
+
+class TestSelectedPageDecode:
+    def test_every_page_of_every_testdata_table(self):
+        """decode_selected_pages over EACH page individually equals
+        pyarrow's read of the same row span — the seek table and the
+        single-page decode agree with a second implementation on
+        real Spark-written files (v1, dictionary and plain chunks)."""
+        import math
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from metricproxy_spark.sources.parquet_footer import (
+            read_footer_bytes,
+        )
+        from metricproxy_spark.sources.parquet_index import (
+            column_chunk_indexes,
+            decode_selected_pages,
+            read_offset_index,
+        )
+        from metricproxy_spark.sources.parquet_pages import (
+            column_chunk_meta,
+        )
+
+        for table in ("events", "documents", "orders"):
+            p = f"/root/testdata/sf0.001/{table}.parquet"
+            footer = read_footer_bytes(p)
+            pf = pq.ParquetFile(p)
+            for j in range(pf.metadata.row_group(0).num_columns):
+                cm = pf.metadata.row_group(0).column(j)
+                if cm.physical_type not in (
+                    "INT32",
+                    "INT64",
+                    "FLOAT",
+                    "DOUBLE",
+                    "BYTE_ARRAY",
+                ):
+                    continue
+                col = cm.path_in_schema
+                metas = column_chunk_indexes(footer, col)
+                chunks = column_chunk_meta(footer, col)
+                for rg, meta in enumerate(metas):
+                    if meta["offset_index"] is None:
+                        continue
+                    oi = read_offset_index(p, meta["offset_index"])
+                    arr = pf.read_row_group(rg, columns=[col]).column(0)
+                    if pa.types.is_timestamp(arr.type):
+                        ref = arr.cast(pa.int64()).to_pylist()
+                    else:
+                        ref = arr.to_pylist()
+                    for pi, loc in enumerate(oi):
+                        a = loc["first_row_index"]
+                        b = (
+                            oi[pi + 1]["first_row_index"]
+                            if pi + 1 < len(oi)
+                            else len(ref)
+                        )
+                        got = decode_selected_pages(
+                            p, chunks[rg], oi, [pi]
+                        )
+                        want = ref[a:b]
+                        if want and isinstance(
+                            next(
+                                (w for w in want if w is not None), None
+                            ),
+                            str,
+                        ):
+                            got = [
+                                g if g is None else g.decode("utf-8")
+                                for g in got
+                            ]
+                        if want and isinstance(
+                            next(
+                                (w for w in want if w is not None), None
+                            ),
+                            float,
+                        ):
+                            assert all(
+                                (x is None and y is None)
+                                or x == y
+                                or (math.isnan(x) and math.isnan(y))
+                                for x, y in zip(got, want)
+                            ), (table, col, rg, pi)
+                        else:
+                            assert got == want, (table, col, rg, pi)
