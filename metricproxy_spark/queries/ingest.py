@@ -5223,6 +5223,9 @@ def ingest_parquet_page_index_prune(
         )
 
         ftr = rfb(part)
+        # parse the footer once per column, not once per (rg, col)
+        col_idx = {col: cci(ftr, col) for col in columns}
+        col_meta = {col: column_chunk_meta(ftr, col) for col in columns}
         for pdf in batches:
             for rg, row_lo, row_hi in zip(
                 pdf["rg"], pdf["row_lo"], pdf["row_hi"]
@@ -5231,7 +5234,7 @@ def ingest_parquet_page_index_prune(
                 row_hi = None if int(row_hi) < 0 else int(row_hi)
                 data = {}
                 for col in columns:
-                    meta = cci(ftr, col)[rg]
+                    meta = col_idx[col][rg]
                     oi = roi(part, meta["offset_index"])
                     spans = [p["first_row_index"] for p in oi]
                     # pages overlapping [row_lo, row_hi)
@@ -5243,7 +5246,7 @@ def ingest_parquet_page_index_prune(
                             i + 1 >= len(spans) or spans[i + 1] > row_lo
                         )
                     ]
-                    chunk = column_chunk_meta(ftr, col)[rg]
+                    chunk = col_meta[col][rg]
                     vals = decode_selected_pages(part, chunk, oi, keep)
                     start = spans[keep[0]]
                     a = row_lo - start

@@ -2904,6 +2904,7 @@ def stream_delta_commit_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     design; data rides distributed parquet writes; the log stays KB
     metadata."""
     import json as _json
+    import uuid
 
     from metricproxy_spark.streaming.source import (
         read_stream_table,
@@ -2945,7 +2946,10 @@ def stream_delta_commit_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
         final = os.path.join(log_dir, f"{bid:020d}.json")
-        tmp = final + ".tmp"
+        # Per-attempt PRIVATE temp name: a shared ".tmp" would let a
+        # contending writer truncate the file between our write and
+        # link, publishing a half-written commit.
+        tmp = f"{final}.{os.getpid()}.{uuid.uuid4().hex[:8]}.tmp"
         with open(tmp, "w") as fh:
             fh.write("\n".join(_json.dumps(a) for a in actions) + "\n")
         # Put-if-absent via link(2): hard-link fails with EEXIST if the

@@ -184,7 +184,7 @@ _PRIORITY = (
     "analytic_hll_sketch",
     "analytic_asof_forward",
     "analytic_running_distinct",
-    # --- r5-latest evidence cohort (first 32 of 44; the 12 names in
+    # --- r5-latest evidence cohort (first 30 of 44; the 14 names in
     # the ROUND-14 NOTE overflow to round 14) ---
     "dedup_exact",
     "dedup_ngram_jaccard",

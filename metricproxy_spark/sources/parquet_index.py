@@ -270,6 +270,12 @@ def _decode_one_page(region: bytes, chunk: dict, dictionary) -> list:
         encoding = int(dph.get(2, 0))
         p = 0
         if chunk["optional"]:
+            # same strictness as decode_column_chunk: levels must ride
+            # the RLE hybrid (legacy BIT_PACKED would mis-decode)
+            if int(dph.get(3, 3)) != 3:
+                raise ValueError(
+                    "parquet index: non-RLE definition levels unsupported"
+                )
             if len(body) < 4:
                 raise ValueError("parquet index: truncated def levels")
             (dlen,) = struct.unpack_from("<I", body, 0)
@@ -281,10 +287,15 @@ def _decode_one_page(region: bytes, chunk: dict, dictionary) -> list:
     elif ptype == 3:  # DATA_PAGE_V2
         dph = hdr.get(8) or {}
         n = int(dph.get(1, 0))
+        num_nulls = int(dph.get(2, 0))
         encoding = int(dph.get(4, 0))
         def_len = int(dph.get(5, 0))
         if int(dph.get(6, 0)):
             raise ValueError("parquet index: repetition levels unsupported")
+        if def_len > len(raw):
+            raise ValueError(
+                "parquet index: truncated v2 definition levels"
+            )
         vraw = raw[def_len:]
         body = (
             pp._decompress(vraw, chunk["codec"], uncomp_size - def_len)
@@ -295,6 +306,8 @@ def _decode_one_page(region: bytes, chunk: dict, dictionary) -> list:
             defs, _ = pp.rle_hybrid(raw, 0, def_len, 1, n)
         else:
             defs = [1] * n
+        if n - sum(defs) != num_nulls:
+            raise ValueError("parquet index: v2 null count mismatch")
         p = 0
     else:
         raise ValueError(f"parquet index: unexpected page type {ptype}")

@@ -68,6 +68,7 @@ def _roundtrip(tmp_path, table, **write_kw):
             if want and isinstance(
                 next((w for w in want if w is not None), None), float
             ):
+                assert len(have) == len(want), name
                 assert all(
                     (a is None and b is None)
                     or a == b
@@ -646,6 +647,9 @@ class TestSelectedPageDecode:
                             ),
                             float,
                         ):
+                            assert len(got) == len(want), (
+                                table, col, rg, pi,
+                            )
                             assert all(
                                 (x is None and y is None)
                                 or x == y
