@@ -658,3 +658,83 @@ class TestSelectedPageDecode:
                             ), (table, col, rg, pi)
                         else:
                             assert got == want, (table, col, rg, pi)
+
+
+class TestDecodePathLockstep:
+    def test_chunk_walk_equals_selected_pages_on_v2_delta(self, tmp_path):
+        """The sequential chunk walker and the OffsetIndex-seeking
+        single-page decoder are two implementations of the same format
+        — they must agree byte-for-byte on a v2 file with delta
+        encodings, nulls and page indexes."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from metricproxy_spark.sources.parquet_footer import (
+            read_footer_bytes,
+        )
+        from metricproxy_spark.sources.parquet_index import (
+            column_chunk_indexes,
+            decode_selected_pages,
+            read_offset_index,
+        )
+        from metricproxy_spark.sources.parquet_pages import (
+            column_chunk_meta,
+            decode_column_chunk,
+        )
+
+        n = 9000
+        t = pa.table(
+            {
+                "k": pa.array(range(n), pa.int64()),
+                "s": pa.array(
+                    [
+                        None if i % 13 == 0 else f"p{i % 31}/v-{i}"
+                        for i in range(n)
+                    ]
+                ),
+                "f": pa.array([i * 0.75 for i in range(n)], pa.float64()),
+            }
+        )
+        p = str(tmp_path / "v2idx.parquet")
+        pq.write_table(
+            t,
+            p,
+            data_page_version="2.0",
+            use_dictionary=False,
+            compression="zstd",
+            data_page_size=2048,
+            write_page_index=True,
+            column_encoding={
+                "k": "DELTA_BINARY_PACKED",
+                "s": "DELTA_BYTE_ARRAY",
+                "f": "BYTE_STREAM_SPLIT",
+            },
+        )
+        footer = read_footer_bytes(p)
+        for col in ("k", "s", "f"):
+            chunk = column_chunk_meta(footer, col)[0]
+            walk = decode_column_chunk(p, chunk)
+            meta = column_chunk_indexes(footer, col)[0]
+            assert meta["offset_index"] is not None
+            oi = read_offset_index(p, meta["offset_index"])
+            # delta-packed ints compress whole columns into one page;
+            # the string column is the guaranteed multi-page one
+            assert len(oi) >= (4 if col == "s" else 1)
+            seek = decode_selected_pages(p, chunk, oi, list(range(len(oi))))
+            assert walk == seek, col
+
+    def test_index_strictness(self, tmp_path):
+        from metricproxy_spark.sources.parquet_index import (
+            read_column_index,
+            read_offset_index,
+            stat_int64,
+        )
+
+        p = tmp_path / "short.bin"
+        p.write_bytes(b"\x00" * 4)
+        with pytest.raises(ValueError, match="truncated offset index"):
+            read_offset_index(str(p), (0, 99))
+        with pytest.raises(ValueError, match="truncated column index"):
+            read_column_index(str(p), (0, 99))
+        with pytest.raises(ValueError, match="8 bytes"):
+            stat_int64(b"\x00" * 4)
