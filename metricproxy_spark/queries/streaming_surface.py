@@ -2890,8 +2890,8 @@ def stream_delta_commit_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     the production "streaming → ACID table" pattern where every
     micro-batch lands one parquet file group plus ONE atomic JSON
     commit in `_delta_log/` (version = batch id; protocol/metaData
-    ride commit 0; each add carries `stats.numRecords`, written
-    tmp+rename — the protocol's put-if-absent). The stream replays
+    ride commit 0; each add carries `stats.numRecords`, published
+    via link(2)+EEXIST — the protocol's put-if-absent). The stream replays
     the `event_id % 7 = 1` slice as event_id-ordered micro-batches
     via foreachBatch; afterwards the LOG-REPLAY READER reconstructs
     the snapshot exactly as `cdc_delta_log_snapshot` does (adds

@@ -95,6 +95,8 @@ def column_chunk_indexes(footer: bytes, column: str) -> list[dict]:
 
 def read_offset_index(path: str, loc: tuple[int, int]) -> list[dict]:
     """OffsetIndex → [{offset, compressed_page_size, first_row_index}]."""
+    if loc is None:
+        raise ValueError("parquet index: file has no offset index")
     off, length = loc
     with open(path, "rb") as fh:
         fh.seek(off)
@@ -119,6 +121,8 @@ def read_offset_index(path: str, loc: tuple[int, int]) -> list[dict]:
 def read_column_index(path: str, loc: tuple[int, int]) -> dict:
     """ColumnIndex → {null_pages: [bool], min_values: [bytes],
     max_values: [bytes], null_counts: [int] | None}."""
+    if loc is None:
+        raise ValueError("parquet index: file has no column index")
     off, length = loc
     with open(path, "rb") as fh:
         fh.seek(off)

@@ -913,22 +913,43 @@ def _huff_codes(
 class _BitAcc:
     """Backward-bitstream builder: values are pushed in DECODER READ
     order and serialized little-endian with the sentinel on top —
-    the exact inverse of :class:`_BackBits`."""
+    the exact inverse of :class:`_BackBits`. Pushes are buffered and
+    the byte stream is materialized in one reversed LSB-first pass
+    that flushes completed low bytes as it goes (the last-pushed value
+    occupies the lowest bits, so reverse replay emits bytes in final
+    order), keeping serialization linear in stream length instead of
+    the O(n^2) single growing big-int shift-or."""
 
-    __slots__ = ("acc", "nbits")
+    __slots__ = ("_parts", "nbits")
 
     def __init__(self) -> None:
-        self.acc = 1  # the padding sentinel
-        self.nbits = 1
+        self._parts: list[tuple[int, int]] = []
+        self.nbits = 1  # the padding sentinel
 
     def push(self, value: int, nbits: int) -> None:
         if value >> nbits:
             raise ValueError("bit value wider than field")
-        self.acc = (self.acc << nbits) | value
+        self._parts.append((value, nbits))
         self.nbits += nbits
 
     def bytes(self) -> bytes:
-        return self.acc.to_bytes((self.nbits + 7) // 8, "little")
+        out = bytearray()
+        acc = 0
+        fill = 0
+        for value, nb in reversed(self._parts):
+            acc |= value << fill
+            fill += nb
+            while fill >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                fill -= 8
+        acc |= 1 << fill  # the padding sentinel rides on top
+        fill += 1
+        while fill > 0:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            fill -= 8
+        return bytes(out)
 
 
 class _FwdAcc:
@@ -1149,9 +1170,9 @@ def _compress_literals(chunk: bytes) -> bytes | None:
     encoded = [_huff_encode_stream(p, codes) for p in parts]
     if any(not e for e in encoded):
         return None
-    jump = struct.pack("<HHH", len(encoded[0]), len(encoded[1]), len(encoded[2]))
     if any(len(e) > 0xFFFF for e in encoded[:3]):
-        return None
+        return None  # jump-table entries are u16; raw block wins
+    jump = struct.pack("<HHH", len(encoded[0]), len(encoded[1]), len(encoded[2]))
     body = tree + jump + b"".join(encoded)
     csize = len(body)
     if rsize < 1 << 14 and csize < 1 << 14:
