@@ -161,6 +161,8 @@ ORACLES: dict[str, str] = {}
 # recompute with the union script over CORRECTNESS_r*.json before
 # trusting this note).
 _PRIORITY = (
+    # --- new in round 14 ---
+    "ingest_parquet_write_roundtrip",
     # --- new in round 13 ---
     "ingest_parquet_bloom_prune",
     "ingest_parquet_page_index_prune",
