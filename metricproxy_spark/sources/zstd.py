@@ -1185,13 +1185,157 @@ def _compress_literals(chunk: bytes) -> bytes | None:
     return h.to_bytes(hlen, "little") + body
 
 
+_PREDEF_INDEX: dict[str, dict[int, list[int]]] = {}
+
+
+def _predef_index(kind: str) -> dict[int, list[int]]:
+    """symbol → [cells] for a predefined decode table (encoder side)."""
+    idx = _PREDEF_INDEX.get(kind)
+    if idx is None:
+        idx = {}
+        for cell, (s, _nb, _base) in enumerate(_PREDEF[kind]):
+            idx.setdefault(s, []).append(cell)
+        _PREDEF_INDEX[kind] = idx
+    return idx
+
+
+def _fse_choose_cells(codes: list[int], kind: str):
+    """Backward state-selection pass for ONE FSE stream against the
+    predefined table: returns (initial cell, [(delta, nb)] transition
+    bits the decoder reads at update i to move from cell i to cell
+    i+1). The FSE construction guarantees each (symbol, next-state)
+    pair has exactly one predecessor cell — the (baseline, 1 << nb)
+    windows of a symbol's cells tile the whole table."""
+    table = _PREDEF[kind]
+    by_symbol = _predef_index(kind)
+    n = len(codes)
+    cur = by_symbol[codes[n - 1]][0]  # last emission: free choice
+    trans: list[tuple[int, int] | None] = [None] * (n - 1)
+    for i in range(n - 2, -1, -1):
+        for cell in by_symbol[codes[i]]:
+            _s, nb, base = table[cell]
+            if base <= cur < base + (1 << nb):
+                trans[i] = (cur - base, nb)
+                cur = cell
+                break
+        else:
+            raise ValueError("zstd: FSE encode found no predecessor")
+    return cur, trans
+
+
+def _code_of(bases: list[int], value: int) -> int:
+    import bisect
+
+    return bisect.bisect_right(bases, value) - 1
+
+
+def _encode_sequences(seqs: list[tuple[int, int, int]]) -> bytes:
+    """[(literals_length, match_length, offset)] → the complete
+    Sequences_Section with all three symbol types in Predefined_Mode
+    (RFC 8878 §3.1.1.3.2.1.1) — the exact inverse of
+    :func:`_decode_sequences` for mode-0 streams."""
+    nseq = len(seqs)
+    if nseq == 0:
+        return b"\x00"
+    if nseq < 128:
+        head = bytes([nseq])
+    elif nseq < 0x7F00:
+        head = bytes([128 | (nseq >> 8), nseq & 0xFF])
+    else:
+        head = b"\xff" + (nseq - 0x7F00).to_bytes(2, "little")
+    head += b"\x00"  # Symbol_Compression_Modes: all Predefined_Mode
+    ll_codes, ml_codes, of_codes = [], [], []
+    extras = []  # (of_extra, of_nb, ml_extra, ml_nb, ll_extra, ll_nb)
+    for ll, ml, offset in seqs:
+        ov = offset + 3  # never a repeat offset
+        of_c = ov.bit_length() - 1
+        ml_c = _code_of(_ML_BASE, ml)
+        ll_c = _code_of(_LL_BASE, ll)
+        if of_c > 28 or ml_c > 52 or ll_c > 35:
+            raise ValueError("zstd: sequence exceeds predefined tables")
+        of_codes.append(of_c)
+        ml_codes.append(ml_c)
+        ll_codes.append(ll_c)
+        extras.append(
+            (
+                ov - (1 << of_c),
+                of_c,
+                ml - _ML_BASE[ml_c],
+                _ML_BITS[ml_c],
+                ll - _LL_BASE[ll_c],
+                _LL_BITS[ll_c],
+            )
+        )
+    ll_init, ll_tr = _fse_choose_cells(ll_codes, "ll")
+    of_init, of_tr = _fse_choose_cells(of_codes, "of")
+    ml_init, ml_tr = _fse_choose_cells(ml_codes, "ml")
+    acc = _BitAcc()  # pushes ride in DECODER READ order
+    acc.push(ll_init, _PREDEF_AL["ll"])
+    acc.push(of_init, _PREDEF_AL["of"])
+    acc.push(ml_init, _PREDEF_AL["ml"])
+    for i in range(nseq):
+        of_x, of_nb, ml_x, ml_nb, ll_x, ll_nb = extras[i]
+        acc.push(of_x, of_nb)
+        acc.push(ml_x, ml_nb)
+        acc.push(ll_x, ll_nb)
+        if i != nseq - 1:  # states are not updated after the last seq
+            acc.push(ll_tr[i][0], ll_tr[i][1])
+            acc.push(ml_tr[i][0], ml_tr[i][1])
+            acc.push(of_tr[i][0], of_tr[i][1])
+    return head + acc.bytes()
+
+
+def _raw_literals_section(lit: bytes) -> bytes:
+    n = len(lit)
+    if n < 32:
+        return bytes([n << 3]) + lit  # 1-byte header, Size_Format 0
+    if n < 4096:
+        return ((n << 4) | 0x04).to_bytes(2, "little") + lit
+    return ((n << 4) | 0x0C).to_bytes(3, "little") + lit  # 20-bit size
+
+
+def _find_matches(
+    data: bytes, lo: int, hi: int, table: dict
+) -> tuple[list[tuple[int, int, int]], int]:
+    """Greedy single-entry hash match finder over ``data[lo:hi]``
+    (4-byte keys, verify-free because the key IS the prefix, matches
+    may reach back across earlier blocks of the same frame — RFC 8878
+    lets offsets span the whole frame window). Returns (sequences,
+    trailing-literals start). The last 3 bytes of a block stay
+    literal (spec: the last match must end before them)."""
+    seqs = []
+    i = anchor = lo
+    last = hi - 3  # matches must not cover the final 3 bytes
+    while i + 4 <= last:
+        key = struct.unpack_from("<I", data, i)[0]
+        cand = table.get(key, -1)
+        table[key] = i
+        if cand >= 0 and i - cand <= _WINDOW_HARD_MAX:
+            max_ml = last - i
+            ml = 4
+            while ml < max_ml and data[cand + ml] == data[i + ml]:
+                ml += 1
+            seqs.append((i - anchor, ml, i - cand))
+            # seed a few in-match positions so long repeats keep chaining
+            step = 1 if ml < 32 else ml >> 3
+            for j in range(i + 1, min(i + ml, len(data) - 4), step):
+                table[struct.unpack_from("<I", data, j)[0]] = j
+            i += ml
+            anchor = i
+        else:
+            i += 1
+    return seqs, anchor
+
+
 def compress_zstd(data: bytes, checksum: bool = True) -> bytes:
     """A single-frame zstd stream with ENTROPY-CODED blocks: per
-    128 KiB block, huff0-compressed literals + an empty sequences
-    section, falling back to RLE or Raw blocks when smaller. Output is
-    plain RFC 8878 — decodable by any conforming implementation (the
-    tests pin it against libzstd via pyarrow) and by this module's own
-    :func:`decompress_zstd`."""
+    128 KiB block, a greedy hash-chain LZ77 pass emits match/literal
+    SEQUENCES (predefined FSE tables, §3.1.1.3.2.1.1) over
+    huff0-compressed literals, falling back to a literals-only block,
+    RLE, or Raw — whichever is smallest. Output is plain RFC 8878 —
+    decodable by any conforming implementation (the tests pin it
+    against libzstd via pyarrow AND the zstd CLI) and by this
+    module's own :func:`decompress_zstd`."""
     n = len(data)
     if n < 256:
         fcs_flag, fcs_bytes = 0, n.to_bytes(1, "little")
@@ -1207,20 +1351,41 @@ def compress_zstd(data: bytes, checksum: bool = True) -> bytes:
     out += fcs_bytes
     if n == 0:
         out += (1).to_bytes(3, "little")
+    match_table: dict = {}  # frame-wide 4-byte-prefix hash table
     pos = 0
     while pos < n:
-        chunk = data[pos : pos + _BLOCK_HARD_MAX]
-        pos += len(chunk)
+        blk_lo = pos
+        blk_hi = min(pos + _BLOCK_HARD_MAX, n)
+        chunk = data[blk_lo:blk_hi]
+        pos = blk_hi
         last = 1 if pos >= n else 0
         if len(set(chunk)) == 1:
             out += ((len(chunk) << 3) | (1 << 1) | last).to_bytes(3, "little")
             out += chunk[:1]
             continue
+        best = None  # smallest Compressed_Block body so far
+        seqs, tail = _find_matches(data, blk_lo, blk_hi, match_table)
+        if seqs:
+            parts = []
+            cur = blk_lo
+            for ll, ml, _off in seqs:
+                parts.append(data[cur : cur + ll])
+                cur += ll + ml
+            parts.append(data[tail:blk_hi])
+            lits = b"".join(parts)
+            lit_sec = _compress_literals(lits)
+            raw_sec = _raw_literals_section(lits)
+            if lit_sec is None or len(lit_sec) >= len(raw_sec):
+                lit_sec = raw_sec
+            best = lit_sec + _encode_sequences(seqs)
         literals = _compress_literals(chunk)
-        if literals is not None and len(literals) + 1 < len(chunk):
-            body = literals + b"\x00"  # zero sequences
-            out += ((len(body) << 3) | (2 << 1) | last).to_bytes(3, "little")
-            out += body
+        if literals is not None and (
+            best is None or len(literals) + 1 < len(best)
+        ):
+            best = literals + b"\x00"  # zero sequences
+        if best is not None and len(best) < len(chunk):
+            out += ((len(best) << 3) | (2 << 1) | last).to_bytes(3, "little")
+            out += best
         else:
             out += ((len(chunk) << 3) | last).to_bytes(3, "little")
             out += chunk
