@@ -387,3 +387,52 @@ class TestZstdSequences:
         sec = _encode_sequences(seqs)
         got = _decode_sequences(sec, _FrameCtx())
         assert got == seqs
+
+
+class TestIcebergSequenceNumbers:
+    def test_naive_unordered_application_over_deletes(self, spark, sf_dir):
+        """The spec's ordering rule is load-bearing: applying the
+        equality delete table-wide (ignoring sequence numbers) erases
+        the two re-insert files and returns a strictly smaller,
+        different result than the sequence-aware reader."""
+        from pyspark.sql import functions as F
+
+        from metricproxy_spark.io import load_table
+        from metricproxy_spark.queries.cdc import (
+            cdc_iceberg_sequence_numbers,
+        )
+
+        correct = cdc_iceberg_sequence_numbers(spark, sf_dir)
+        events = load_table(spark, sf_dir, "events")
+        n_events = events.count()
+        n_err = events.where(F.col("event_type") == "error").count()
+        assert n_err > 0, "fixture needs error rows"
+        # sequence-aware: every original non-error row + both re-inserts
+        assert correct.count() == n_events + n_err
+        assert (
+            correct.where(F.col("event_type") == "error").count()
+            == 2 * n_err
+        )
+        # naive reader: same files, delete applied without the
+        # sequence guard -> the re-inserted error rows vanish too
+        from metricproxy_spark.io import staged_artifact_dir
+
+        root = staged_artifact_dir("icebergseq", sf_dir)
+        import glob as _glob
+        import os as _os
+
+        data_dirs = sorted(
+            _glob.glob(_os.path.join(root, "data", "b=*"))
+        ) + [
+            _os.path.join(root, "reinsert-a"),
+            _os.path.join(root, "reinsert-b"),
+        ]
+        data = spark.read.parquet(*data_dirs).select(
+            "event_id", "event_type", "user_id", "value"
+        )
+        dele = spark.read.parquet(_os.path.join(root, "eq-deletes"))
+        unordered = data.join(
+            F.broadcast(dele), on=["event_type"], how="left_anti"
+        )
+        assert unordered.count() == n_events - n_err
+        assert unordered.count() != correct.count()
