@@ -2336,3 +2336,308 @@ def cdc_iceberg_sequence_numbers(
     )
     live = data.join(F.broadcast(dele), on=cond, how="left_anti")
     return live.select("event_id", "event_type", "user_id", "value")
+
+
+@register(
+    "cdc_delta_merge_dv",
+    oracle="""
+    WITH m AS (SELECT max(event_id) + 1 AS n FROM events)
+    SELECT event_id, event_type, user_id,
+           CASE WHEN event_id % 10 = 3 AND event_id < n // 2
+                THEN value + 1000 ELSE value END AS value
+    FROM events, m
+    WHERE NOT (event_id % 10 = 7 AND event_id < n // 2)
+    UNION ALL
+    SELECT event_id + n AS event_id, event_type, user_id,
+           value * 2 AS value
+    FROM events, m
+    WHERE event_id % 10 = 1
+    """,
+)
+def cdc_delta_merge_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO in DELETION-VECTOR mode — the modern engine shape
+    the r13 verdict ordered: instead of rewriting each touched file
+    (the copy-on-write plan of :func:`cdc_delta_merge`), the merge
+    commit emits a ``remove`` + ``add`` PAIR FOR THE SAME PATH with a
+    ``deletionVector`` descriptor attached (delta-io PROTOCOL.md
+    "Deletion Vectors" + writer requirements: updated and deleted
+    rows are masked by position; update post-images and inserts land
+    in new files; the touched file's BYTES are never rewritten).
+    Staging executes the same three-arm merge as ``cdc_delta_merge``
+    against a four-file table: the planner picks touched files by
+    stats intersection (buckets 0-1), each touched file's
+    deleted+updated row POSITIONS serialize to a roaring
+    RoaringBitmapArray in its executor (``serialize_rba`` inside
+    applyInPandas, only KB blobs reach the driver), packed into one
+    shared DV file with the protocol's framing; post-image and
+    insert rows are distributed parquet writes. The reader replays
+    the log (a re-add of the same path REPLACES the prior add, now
+    carrying the DV), scans each file position-aware, drops DV
+    positions after a CRC check, and unions the post-image/insert
+    files. Same final state as the copy-on-write merge — the oracle
+    is identical, and a pytest pins that no rewritten copy of the
+    touched files exists anywhere in the table. Scale: DV bytes are
+    proportional to CHANGED rows; untouched data files are
+    byte-identical and never opened by the merge; the scan stays
+    per-file parallel."""
+    import json as _json
+    import os
+    import shutil
+    import struct as _struct
+
+    import pandas as pd
+
+    from metricproxy_spark.io import (
+        ensure_package_on_workers,
+        staged_artifact_dir,
+    )
+    from metricproxy_spark.sources.deflate import crc32
+
+    ensure_package_on_workers(spark)
+    root = staged_artifact_dir("deltamergedv", sf_dir)
+    if not os.path.isdir(root):
+        events = load_table(spark, sf_dir, "events").select(
+            "event_id", "event_type", "user_id", "value"
+        )
+        n_ids = int(events.agg(F.max("event_id") + 1).collect()[0][0])
+        n_half = n_ids // 2
+        staging = root + f".staging.{os.getpid()}"
+        os.makedirs(os.path.join(staging, "data"), exist_ok=True)
+        os.makedirs(os.path.join(staging, "dv"), exist_ok=True)
+        os.makedirs(os.path.join(staging, "_delta_log"), exist_ok=True)
+
+        def build(pdf: pd.DataFrame) -> pd.DataFrame:
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            from metricproxy_spark.sources.roaring import serialize_rba
+
+            fid = int(pdf["bucket"].iloc[0])
+            pdf = pdf.sort_values("event_id").reset_index(drop=True)
+            rel = f"data/file-{fid:02d}.parquet"
+            pq.write_table(
+                pa.Table.from_pandas(
+                    pdf[["event_id", "event_type", "user_id", "value"]],
+                    preserve_index=False,
+                ),
+                os.path.join(staging, rel),
+            )
+            eid = pdf["event_id"]
+            masked = ((eid % 10 == 7) | (eid % 10 == 3)) & (eid < n_half)
+            positions = pdf.index[masked].tolist()
+            blob = (
+                serialize_rba([int(p) for p in positions])
+                if positions
+                else None
+            )
+            return pd.DataFrame(
+                {
+                    "fid": [fid],
+                    "path": [rel],
+                    "n_rows": [len(pdf)],
+                    "mn": [int(eid.min())],
+                    "mx": [int(eid.max())],
+                    "dv_blob": [blob],
+                    "cardinality": [len(positions)],
+                }
+            )
+
+        catalog = (
+            events.withColumn(
+                "bucket", F.expr(f"(event_id * 4) div {n_ids}").cast("int")
+            )
+            .groupBy("bucket")
+            .applyInPandas(
+                build,
+                "fid int, path string, n_rows bigint, mn bigint,"
+                " mx bigint, dv_blob binary, cardinality bigint",
+            )
+            .collect()  # bounded: 4 catalog rows + KB bitmap blobs
+        )
+        catalog = sorted(catalog, key=lambda r: r["fid"])
+
+        def _add(path, nrec, mn, mx, dv=None):
+            a = {
+                "path": path,
+                "dataChange": True,
+                "stats": _json.dumps(
+                    {
+                        "numRecords": int(nrec),
+                        "minValues": {"event_id": int(mn)},
+                        "maxValues": {"event_id": int(mx)},
+                    }
+                ),
+            }
+            if dv is not None:
+                a["deletionVector"] = dv
+            return {"add": a}
+
+        v0 = [
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "readerFeatures": ["deletionVectors"],
+                }
+            },
+            {"metaData": {"id": "mps-delta-merge-dv-demo"}},
+        ] + [_add(r["path"], r["n_rows"], r["mn"], r["mx"]) for r in catalog]
+        with open(
+            os.path.join(staging, "_delta_log", f"{0:020d}.json"), "w"
+        ) as fh:
+            fh.write("\n".join(_json.dumps(a) for a in v0) + "\n")
+
+        # --- merge commit 1: DV mode ---
+        upd = events.where(
+            (F.col("event_id") % 10 == 3) & (F.col("event_id") < n_half)
+        ).withColumn("value", F.col("value") + 1000)
+        ins = events.where(F.col("event_id") % 10 == 1).select(
+            (F.col("event_id") + n_ids).alias("event_id"),
+            "event_type",
+            "user_id",
+            (F.col("value") * 2).alias("value"),
+        )
+        upd.write.mode("overwrite").parquet(
+            os.path.join(staging, "merge-updates")
+        )
+        ins.write.mode("overwrite").parquet(
+            os.path.join(staging, "merge-inserts")
+        )
+        key_lo, key_hi = 3, n_half - 1  # matched-key range (%10 in {3,7})
+        touched = [
+            r["fid"]
+            for r in catalog
+            if r["mn"] <= key_hi and r["mx"] >= key_lo
+        ]
+        blob_fids = [r["fid"] for r in catalog if r["dv_blob"] is not None]
+        if not set(blob_fids) <= set(touched):
+            raise ValueError("merge-dv: DV outside the stats-touched set")
+        dv_rel = "dv/merge-deletions.bin"
+        dv_bytes = bytearray([1])
+        descs: dict[int, dict] = {}
+        for r in catalog:
+            if r["dv_blob"] is None:
+                continue
+            blob = bytes(r["dv_blob"])
+            descs[r["fid"]] = {
+                "storageType": "p",
+                "pathOrInlineDv": dv_rel,
+                "offset": len(dv_bytes),
+                "sizeInBytes": len(blob),
+                "cardinality": int(r["cardinality"]),
+            }
+            dv_bytes += _struct.pack(">i", len(blob))
+            dv_bytes += blob
+            dv_bytes += _struct.pack(">I", crc32(blob))
+        with open(os.path.join(staging, dv_rel), "wb") as fh:
+            fh.write(bytes(dv_bytes))
+
+        def _cnt(df):
+            r = df.agg(
+                F.count(F.lit(1)), F.min("event_id"), F.max("event_id")
+            ).collect()[0]
+            return int(r[0]), int(r[1]), int(r[2])
+
+        v1 = []
+        for r in catalog:
+            if r["fid"] not in descs:
+                continue  # untouched: NO action, bytes never rewritten
+            v1.append(
+                {"remove": {"path": r["path"], "dataChange": True}}
+            )
+            v1.append(
+                _add(
+                    r["path"],
+                    r["n_rows"],
+                    r["mn"],
+                    r["mx"],
+                    dv=descs[r["fid"]],
+                )
+            )
+        v1.append(_add("merge-updates", *_cnt(upd)))
+        v1.append(_add("merge-inserts", *_cnt(ins)))
+        with open(
+            os.path.join(staging, "_delta_log", f"{1:020d}.json"), "w"
+        ) as fh:
+            fh.write("\n".join(_json.dumps(a) for a in v1) + "\n")
+        with open(os.path.join(staging, "_merge_plan.json"), "w") as fh:
+            _json.dump(
+                {
+                    "touched": touched,
+                    "untouched": [
+                        r["fid"] for r in catalog if r["fid"] not in touched
+                    ],
+                },
+                fh,
+            )
+        try:
+            os.rename(staging, root)
+        except OSError:
+            shutil.rmtree(staging, ignore_errors=True)
+
+    # --- the reader under test: log replay + merge-on-read scan ---
+    log_dir = os.path.join(root, "_delta_log")
+    adds: dict[str, dict] = {}
+    for f in sorted(os.listdir(log_dir)):
+        if not f.endswith(".json"):
+            continue
+        with open(os.path.join(log_dir, f)) as fh:
+            for line in fh:
+                act = _json.loads(line)
+                if "add" in act:
+                    # a re-add of the same path REPLACES the prior
+                    # entry (this is how the DV attaches)
+                    adds[act["add"]["path"]] = act["add"].get(
+                        "deletionVector"
+                    )
+                elif "remove" in act:
+                    adds.pop(act["remove"]["path"], None)
+    rows = [
+        (
+            p,
+            d["pathOrInlineDv"] if d else None,
+            d["offset"] if d else -1,
+            d["sizeInBytes"] if d else -1,
+            d["cardinality"] if d else -1,
+        )
+        for p, d in sorted(adds.items())
+    ]
+    cat = spark.createDataFrame(
+        rows,
+        "path string, dv_path string, dv_offset bigint,"
+        " dv_size bigint, dv_card bigint",
+    ).repartition(len(rows))
+
+    def scan(batches):
+        import glob as _glob
+
+        import pyarrow.parquet as pq
+
+        from metricproxy_spark.sources.roaring import read_dv
+
+        for pdf in batches:
+            for _i, r in pdf.iterrows():
+                full = os.path.join(root, str(r["path"]))
+                parts = (
+                    sorted(_glob.glob(os.path.join(full, "*.parquet")))
+                    if os.path.isdir(full)
+                    else [full]
+                )
+                t = pq.read_table(parts).to_pandas()
+                if r["dv_path"] is not None:
+                    with open(
+                        os.path.join(root, str(r["dv_path"])), "rb"
+                    ) as fh:
+                        data = fh.read()
+                    dead = read_dv(
+                        data,
+                        int(r["dv_offset"]),
+                        int(r["dv_size"]),
+                        int(r["dv_card"]),
+                    )
+                    t = t[~t.index.isin(dead)]
+                yield t[["event_id", "event_type", "user_id", "value"]]
+
+    return cat.mapInPandas(
+        scan,
+        "event_id bigint, event_type string, user_id bigint, value double",
+    )

@@ -436,3 +436,58 @@ class TestIcebergSequenceNumbers:
         )
         assert unordered.count() == n_events - n_err
         assert unordered.count() != correct.count()
+
+
+class TestDeltaMergeDv:
+    def test_dv_merge_matches_cow_merge_without_rewrites(
+        self, spark, sf_dir
+    ):
+        import json as _json
+        import os as _os
+
+        from metricproxy_spark.io import staged_artifact_dir
+        from metricproxy_spark.queries.cdc import (
+            cdc_delta_merge,
+            cdc_delta_merge_dv,
+        )
+
+        cow = cdc_delta_merge(spark, sf_dir)
+        dv = cdc_delta_merge_dv(spark, sf_dir)
+        # identical final state, row for row
+        assert dv.count() == cow.count()
+        assert dv.exceptAll(cow).count() == 0
+        assert cow.exceptAll(dv).count() == 0
+
+        root = staged_artifact_dir("deltamergedv", sf_dir)
+        # no rewritten copy of any touched file exists anywhere
+        assert not _os.path.exists(_os.path.join(root, "merge-rewrite"))
+        plan = _json.load(open(_os.path.join(root, "_merge_plan.json")))
+        log_dir = _os.path.join(root, "_delta_log")
+        v1_adds, v1_removes = [], []
+        with open(_os.path.join(log_dir, f"{1:020d}.json")) as fh:
+            for line in fh:
+                act = _json.loads(line)
+                if "add" in act:
+                    v1_adds.append(act["add"])
+                if "remove" in act:
+                    v1_removes.append(act["remove"]["path"])
+        # every touched file is re-added AT ITS ORIGINAL PATH with a
+        # deletionVector; only the update/insert files are new
+        touched_paths = {f"data/file-{b:02d}.parquet" for b in plan["touched"]}
+        dv_adds = {a["path"] for a in v1_adds if "deletionVector" in a}
+        assert dv_adds == touched_paths == set(v1_removes)
+        new_files = {a["path"] for a in v1_adds} - dv_adds
+        assert new_files == {"merge-updates", "merge-inserts"}
+        # untouched files appear in NO commit-1 action at all
+        for b in plan["untouched"]:
+            path = f"data/file-{b:02d}.parquet"
+            assert path not in v1_removes
+            assert all(a["path"] != path for a in v1_adds)
+        # DV bytes are proportional to changed rows: the shared DV
+        # file is KB-scale next to the data it masks
+        dv_file = _os.path.join(root, "dv", "merge-deletions.bin")
+        data_bytes = sum(
+            _os.path.getsize(_os.path.join(root, "data", f))
+            for f in _os.listdir(_os.path.join(root, "data"))
+        )
+        assert _os.path.getsize(dv_file) < data_bytes / 20
