@@ -2641,3 +2641,175 @@ def cdc_delta_merge_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
         scan,
         "event_id bigint, event_type string, user_id bigint, value double",
     )
+
+
+@register(
+    "cdc_delta_column_mapping",
+    oracle="""
+    SELECT event_id, event_type, user_id, value AS reading
+    FROM events
+    """,
+)
+def cdc_delta_column_mapping(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Delta COLUMN MAPPING on read (delta-io PROTOCOL.md "Column
+    Mapping": with ``delta.columnMapping.mode = name`` every parquet
+    file stores PHYSICAL column names; the logical schema lives only
+    in ``metaData.schemaString``, each field carrying
+    ``delta.columnMapping.id`` and ``delta.columnMapping.physicalName``
+    metadata — which is how Delta renames or drops columns without
+    rewriting a single data file). The r13 verdict flagged that the
+    log-replay readers assumed logical == physical; real tables break
+    that on any renamed column. Staging writes the data files under
+    physical names (``col-eid`` …) in commit 0, then commit 1 is a
+    pure-metadata RENAME ``value`` → ``reading`` pointing at the SAME
+    physical name — no add/remove actions at all, the whole point of
+    the feature. The reader replays the log, takes the LATEST
+    metaData, builds the physical→logical map from the schemaString
+    field metadata, and aliases at scan time; the oracle restates the
+    projection from the canonical table under the post-rename name. A
+    pytest pins that reading the files by logical names fails (the
+    columns genuinely don't exist in the parquet) and that the rename
+    cost zero data I/O. Scale: mapping is KB metadata; the scan is an
+    ordinary distributed parquet read with a projection."""
+    import json as _json
+    import os
+    import shutil
+
+    from metricproxy_spark.io import staged_artifact_dir
+
+    phys = {
+        "event_id": ("long", "col-eid-8f21"),
+        "event_type": ("string", "col-et-4a90"),
+        "user_id": ("long", "col-uid-b7c3"),
+        "value": ("double", "col-val-02e8"),
+    }
+    root = staged_artifact_dir("deltacolmap", sf_dir)
+    if not os.path.isdir(root):
+        events = load_table(spark, sf_dir, "events").select(
+            "event_id", "event_type", "user_id", "value"
+        )
+        staging = root + f".staging.{os.getpid()}"
+        log_dir = os.path.join(staging, "_delta_log")
+        os.makedirs(log_dir, exist_ok=True)
+        events.select(
+            *[F.col(lg).alias(p) for lg, (_t, p) in phys.items()]
+        ).repartition(4).write.mode("overwrite").parquet(
+            os.path.join(staging, "data")
+        )
+        n = events.count()
+
+        def _schema_string(names: dict[str, str]) -> str:
+            # names: logical -> original logical key in `phys`
+            return _json.dumps(
+                {
+                    "type": "struct",
+                    "fields": [
+                        {
+                            "name": logical,
+                            "type": phys[key][0],
+                            "nullable": True,
+                            "metadata": {
+                                "delta.columnMapping.id": i + 1,
+                                "delta.columnMapping.physicalName": phys[
+                                    key
+                                ][1],
+                            },
+                        }
+                        for i, (logical, key) in enumerate(names.items())
+                    ],
+                }
+            )
+
+        def _meta(names: dict[str, str]) -> dict:
+            return {
+                "metaData": {
+                    "id": "mps-delta-colmap-demo",
+                    "configuration": {
+                        "delta.columnMapping.mode": "name",
+                        "delta.columnMapping.maxColumnId": "4",
+                    },
+                    "schemaString": _schema_string(names),
+                }
+            }
+
+        v0 = [
+            {
+                "protocol": {
+                    "minReaderVersion": 2,
+                    "readerFeatures": ["columnMapping"],
+                }
+            },
+            _meta(
+                {
+                    "event_id": "event_id",
+                    "event_type": "event_type",
+                    "user_id": "user_id",
+                    "value": "value",
+                }
+            ),
+            {
+                "add": {
+                    "path": "data",
+                    "dataChange": True,
+                    "stats": _json.dumps({"numRecords": int(n)}),
+                }
+            },
+        ]
+        with open(os.path.join(log_dir, f"{0:020d}.json"), "w") as fh:
+            fh.write("\n".join(_json.dumps(a) for a in v0) + "\n")
+        # commit 1: metadata-only RENAME value -> reading; the
+        # physical name (and every data file byte) is unchanged
+        v1 = [
+            _meta(
+                {
+                    "event_id": "event_id",
+                    "event_type": "event_type",
+                    "user_id": "user_id",
+                    "reading": "value",
+                }
+            )
+        ]
+        with open(os.path.join(log_dir, f"{1:020d}.json"), "w") as fh:
+            fh.write("\n".join(_json.dumps(a) for a in v1) + "\n")
+        try:
+            os.rename(staging, root)
+        except OSError:
+            shutil.rmtree(staging, ignore_errors=True)
+
+    # --- the reader under test ---
+    log_dir = os.path.join(root, "_delta_log")
+    latest_meta = None
+    adds: dict[str, int] = {}
+    for f in sorted(os.listdir(log_dir)):
+        if not f.endswith(".json"):
+            continue
+        with open(os.path.join(log_dir, f)) as fh:
+            for line in fh:
+                act = _json.loads(line)
+                if "metaData" in act:
+                    latest_meta = act["metaData"]
+                elif "add" in act:
+                    adds[act["add"]["path"]] = 1
+                elif "remove" in act:
+                    adds.pop(act["remove"]["path"], None)
+    if latest_meta is None:
+        raise ValueError("delta column mapping: log has no metaData")
+    mode = (latest_meta.get("configuration") or {}).get(
+        "delta.columnMapping.mode"
+    )
+    schema = _json.loads(latest_meta["schemaString"])
+    if mode == "name":
+        select = [
+            F.col(
+                fld["metadata"]["delta.columnMapping.physicalName"]
+            ).alias(fld["name"])
+            for fld in schema["fields"]
+        ]
+    else:  # mode none/absent: logical == physical
+        select = [F.col(fld["name"]) for fld in schema["fields"]]
+    df = spark.read.parquet(
+        *[os.path.join(root, p) for p in sorted(adds)]
+    )
+    return df.select(*select)

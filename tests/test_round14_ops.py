@@ -491,3 +491,36 @@ class TestDeltaMergeDv:
             for f in _os.listdir(_os.path.join(root, "data"))
         )
         assert _os.path.getsize(dv_file) < data_bytes / 20
+
+
+class TestDeltaColumnMapping:
+    def test_logical_names_absent_from_files_and_rename_is_free(
+        self, spark, sf_dir
+    ):
+        import os as _os
+
+        from pyspark.sql.utils import AnalysisException
+
+        from metricproxy_spark.io import staged_artifact_dir
+        from metricproxy_spark.queries.cdc import cdc_delta_column_mapping
+
+        df = cdc_delta_column_mapping(spark, sf_dir)
+        assert df.columns == ["event_id", "event_type", "user_id", "reading"]
+        assert df.count() > 0
+        root = staged_artifact_dir("deltacolmap", sf_dir)
+        raw = spark.read.parquet(_os.path.join(root, "data"))
+        # the parquet files genuinely hold PHYSICAL names only — a
+        # logical==physical reader cannot resolve the logical column
+        assert "event_id" not in raw.columns
+        assert "col-eid-8f21" in raw.columns
+        with pytest.raises(AnalysisException):
+            raw.select("event_id").collect()
+        # the rename commit is metadata-only: no add/remove actions
+        import json as _json
+
+        with open(
+            _os.path.join(root, "_delta_log", f"{1:020d}.json")
+        ) as fh:
+            acts = [_json.loads(x) for x in fh]
+        assert all("add" not in a and "remove" not in a for a in acts)
+        assert any("metaData" in a for a in acts)
