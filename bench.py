@@ -29,6 +29,16 @@ Env:
                          Recycling bounds that to a window; the restart
                          itself is untimed (a real deployment amortizes
                          session startup over a whole workload).
+    BENCH_WARM           after each session start/restart, run the next
+                         N queries once UNTIMED before timing them
+                         (default 8; 0 disables). A query's first
+                         execution in a fresh session costs 3-6x its
+                         steady state (JIT + codegen + python-worker
+                         spinup), so a registry re-ordering that moves a
+                         name to a recycle boundary read as a 1.5-2.8x
+                         phantom regression in rounds 12-13. The discard
+                         run pins boundary names at steady state for
+                         ~8% extra wall time.
 
 Each query is materialized with a ``noop`` write so the full plan executes
 on the executors without driver-side collect overhead — this measures the
@@ -119,6 +129,8 @@ def main() -> None:
     # host noise spans ±8-15% between sessions; see SURVEY's round-10
     # noise notes). Default 1 keeps the driver's single-run behavior.
     repeats = int(os.environ.get("BENCH_REPEATS", "1"))
+    warm_n = int(os.environ.get("BENCH_WARM", "8"))
+    warm_left = warm_n  # untimed first-run discards after session start
     per_run: list[dict[str, float]] = []
     i = 0
     for run in range(repeats):
@@ -126,8 +138,17 @@ def main() -> None:
         for name in names:
             if recycle and i and i % recycle == 0:
                 spark = _fresh_session(spark)
+                warm_left = warm_n
             i += 1
             fn = queries[name]
+            if warm_left > 0:
+                # untimed discard run: first execution in a fresh
+                # session costs 3-6x steady state (see BENCH_WARM)
+                fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                _inter_query_maintenance(spark)
+                warm_left -= 1
             # Warm the plan (analysis/optimization) outside the timed
             # region? No — include planning: the driver measures
             # end-to-end too.

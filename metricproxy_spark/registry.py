@@ -149,75 +149,88 @@ ORACLES: dict[str, str] = {}
 # link(2) put-if-absent per r12 ADVICE) + the SEVEN overflowed r4
 # names + the first 30 of the 44-name r5-latest cohort = exactly the
 # 50-row driver window.
-# ROUND-14 NOTE: pin r14 additions/changes first, then the FOURTEEN
-# overflowed r5 names (multimodal_decode_real,
-# text_winnow_fingerprints — displaced late by the two bloom/page-
-# index additions, the additions-outrank-stale precedent —
-# pipeline_quality_filter, text_repetition_signals, dedup_paragraphs,
-# pipeline_lm_typicality, text_bm25_topk, ingest_syslog_rfc3164,
-# ingest_influx_line, events_sla_burn_rate, events_time_weighted_avg,
-# graph_khop_reach, analytic_approx_percentile,
-# analytic_asof_nearest), then the r6-latest cohort head (49 names —
-# recompute with the union script over CORRECTNESS_r*.json before
-# trusting this note).
+# ROUND-14 EXECUTED (this round): 4 r14 additions (the from-scratch
+# parquet WRITER roundtrip — Thrift-compact encoder, v1
+# PLAIN/PLAIN_DICTIONARY pages, RLE def levels, stats, own-zstd page
+# compression, one file per executor task; Iceberg SEQUENCE-NUMBER
+# delete ordering with a same-sequence + later re-insert lifecycle;
+# MERGE in DELETION-VECTOR mode — remove+re-add of the same path
+# with a roaring DV, no rewrite of touched files; Delta COLUMN
+# MAPPING mode=name with a metadata-only rename) + 4 r14-changed
+# queries (ingest_kafka_recordbatch and stream_zstd_pipeline now ride
+# the sequences-emitting zstd encoder; the two parquet-index pruning
+# queries after the read_offset_index/read_column_index None-contract
+# hardening — the r13 CBOR strictness-raise precedent) + the FULL
+# 14-name r5-latest cohort + the first 28 of the 49-name r6-latest
+# cohort = exactly the 50-row driver window.
+# ROUND-15 NOTE: pin r15 additions/changes first, then the TWENTY-ONE
+# overflowed r6 names (stream_influx_pipeline, stream_graphite_pipeline,
+# events_ema, events_holt_trend, events_cusum_score,
+# events_kalman_level, events_apdex, events_holt_winters,
+# events_seasonal_outliers, graph_khop_reach_approx,
+# analytic_skyline_frontier, analytic_cms_heavy_hitters,
+# analytic_mad_outliers, analytic_kll_quantiles,
+# analytic_audience_overlap, analytic_hll_audience_overlap,
+# analytic_interval_overlap, ingest_dogstatsd_tags,
+# ingest_graphite_pickle, ingest_otlp_http_live, ingest_otlp_json),
+# then the r7-latest cohort head (46 names — recompute with the union
+# script over CORRECTNESS_r*.json before trusting this note).
 _PRIORITY = (
     # --- new in round 14 ---
     "ingest_parquet_write_roundtrip",
-    # --- new in round 13 ---
-    "ingest_parquet_bloom_prune",
-    "ingest_parquet_page_index_prune",
-    "ingest_parquet_page_decode_v2",
-    "ingest_parquet_delta_strings",
-    "cdc_delta_time_travel",
-    "cdc_iceberg_time_travel",
-    "cdc_iceberg_stats_pruning",
-    "cdc_delta_merge",
-    "cdc_delta_merge_cdf",
-    # --- changed in round 13 (engine edits -> fresh evidence) ---
-    "ingest_zstd_shards",
+    "cdc_iceberg_sequence_numbers",
+    "cdc_delta_merge_dv",
+    "cdc_delta_column_mapping",
+    # --- changed in round 14 (engine edits -> fresh evidence) ---
     "ingest_kafka_recordbatch",
     "stream_zstd_pipeline",
-    "stream_delta_commit_pipeline",
-    # --- the seven r4-latest names overflowed from round 12 ---
-    "analytic_setops_all",
-    "analytic_conditional_aggs",
-    "analytic_copurchase_lift",
-    "analytic_mode_per_group",
-    "analytic_hll_sketch",
-    "analytic_asof_forward",
-    "analytic_running_distinct",
-    # --- r5-latest evidence cohort (first 30 of 44; the 14 names in
-    # the ROUND-14 NOTE overflow to round 14) ---
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_components",
-    "dedup_levenshtein",
-    "dedup_embedding_cosine",
-    "dedup_embedding_blocked",
-    "dedup_embedding_srp",
-    "sim_cosine_topk",
-    "sim_ivf_topk",
-    "sim_topk_blas",
-    "sim_kmeans_assign",
-    "sim_kmeans_train",
-    "sim_quantize_int8",
-    "sim_pq_topk",
-    "sim_ivfpq_topk",
-    "sim_mrl_truncate",
-    "sim_lang_centroids",
-    "sim_pq_rerank",
-    "sim_embedding_moments",
-    "sim_pca_project",
-    "text_quality",
-    "text_lang_scores",
-    "text_token_counts",
-    "text_fingerprint",
-    "text_top_terms",
-    "multimodal_features",
-    "multimodal_feature_vectors",
-    "multimodal_frame_sample",
+    "ingest_parquet_bloom_prune",
+    "ingest_parquet_page_index_prune",
+    # --- r5-latest evidence cohort (all 14, overflowed from r13) ---
+    "multimodal_decode_real",
+    "text_winnow_fingerprints",
+    "pipeline_quality_filter",
+    "text_repetition_signals",
+    "dedup_paragraphs",
+    "pipeline_lm_typicality",
+    "text_bm25_topk",
+    "ingest_syslog_rfc3164",
+    "ingest_influx_line",
+    "events_sla_burn_rate",
+    "events_time_weighted_avg",
+    "graph_khop_reach",
+    "analytic_approx_percentile",
+    "analytic_asof_nearest",
+    # --- r6-latest evidence cohort (first 28 of 49; the 21 names in
+    # the ROUND-15 NOTE overflow to round 15) ---
+    "dedup_semantic",
+    "dedup_semantic_prune",
+    "dedup_image_dhash",
+    "dedup_containment",
+    "sim_pca_variance_check",
+    "multimodal_decode_png",
+    "multimodal_decode_jpeg",
+    "multimodal_decode_video",
+    "pipeline_pack_sequences",
+    "pipeline_pack_greedy",
+    "multimodal_resize",
+    "multimodal_resample_audio",
+    "text_html_extract",
+    "pipeline_url_canonicalize",
+    "text_boolean_retrieval",
+    "text_readability",
+    "text_collocations_pmi",
+    "analytic_json_funcs",
+    "cdc_scd2_asof_enrich",
+    "layout_runtime_bloom_filter",
+    "stream_statsd_pipeline",
+    "ingest_carbon_connector_sink",
+    "ingest_statsd",
+    "ingest_statsd_live",
+    "ingest_influx_live",
+    "ingest_avro_datasource",
+    "ingest_warc_records",
+    "ingest_graphite_tags",
 )
 
 _QUERY_MODULES = (
