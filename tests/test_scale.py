@@ -1357,3 +1357,81 @@ class TestRound13PlanDiscipline:
         plan = self._plan(spark, sf_dir, "ingest_parquet_page_index_prune")
         assert "Join" not in plan, plan
         assert "MapInPandas" in plan, plan
+
+
+class TestRound14PlanDiscipline:
+    """Plan assertions for the round-14 writer/lakehouse additions."""
+
+    def _plan(self, spark, sf_dir, name):
+        from metricproxy_spark.registry import QUERIES, load_all
+
+        load_all()
+        return _executed_plan(QUERIES[name](spark, sf_dir))
+
+    def test_write_roundtrip_read_is_plain_scan(self, spark, sf_dir):
+        """Reading back the own-writer files is an ordinary parquet
+        scan — no join, no exchange, no Python row path: the writer's
+        work happened once per partition at staging time."""
+        plan = self._plan(spark, sf_dir, "ingest_parquet_write_roundtrip")
+        assert "Join" not in plan, plan
+        assert "Exchange" not in plan, plan
+        assert "Scan parquet" in plan, plan
+        assert "BatchEvalPython" not in plan, plan
+
+    def test_write_staging_is_one_shuffle_then_map(self, spark, sf_dir):
+        """The distributed write shape: exactly one repartition
+        exchange to spread rows, then embarrassingly parallel
+        per-partition encode in one Arrow map — the 100 TB bulk-writer
+        asymptote."""
+        from pyspark.sql import functions as F
+
+        from metricproxy_spark.io import load_table
+
+        src = (
+            load_table(spark, sf_dir, "events")
+            .select("event_id", "event_type", "user_id", "value")
+            .withColumn(
+                "click_value",
+                F.when(F.col("event_type") == "click", F.col("value")),
+            )
+            .repartition(8, "event_id")
+        )
+
+        def noop(batches):
+            for pdf in batches:
+                yield pdf.iloc[:0][["event_id"]]
+
+        plan = _executed_plan(src.mapInPandas(noop, "event_id bigint"))
+        assert plan.count("Exchange") == 1, plan
+        assert "MapInPandas" in plan, plan
+        assert "Join" not in plan, plan
+
+    def test_merge_dv_read_is_map_only(self, spark, sf_dir):
+        """The DV merge-on-read scan: per-file tasks drop bitmap
+        positions inside the Arrow map — no join, no shuffle of data
+        rows; DV bytes ride to the task scanning that file."""
+        plan = self._plan(spark, sf_dir, "cdc_delta_merge_dv")
+        assert "Join" not in plan, plan
+        assert "MapInPandas" in plan, plan
+
+    def test_column_mapping_read_is_plain_scan(self, spark, sf_dir):
+        """Column mapping is alias-at-scan: no join, no exchange, no
+        Python row path — a rename costs zero data I/O forever."""
+        plan = self._plan(spark, sf_dir, "cdc_delta_column_mapping")
+        assert "Join" not in plan, plan
+        assert "Exchange" not in plan, plan
+        assert "Scan parquet" in plan, plan
+        assert "BatchEvalPython" not in plan, plan
+
+    def test_sequence_numbers_join_is_broadcast_only(self, spark, sf_dir):
+        """The ordered delete application is ONE broadcast anti-join
+        (deletion-sized side broadcast); no sort-merge, no cartesian
+        product, no per-row Python."""
+        plan = self._plan(spark, sf_dir, "cdc_iceberg_sequence_numbers")
+        # hash join on the equality column; the sequence guard rides
+        # as a residual condition, never a nested loop
+        assert "BroadcastHashJoin" in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
+        assert "SortMergeJoin" not in plan, plan
+        assert "BatchEvalPython" not in plan, plan
