@@ -289,13 +289,18 @@ def write_parquet(
     row_group_rows: int = 1 << 20,
     page_rows: int = 1 << 16,
     codec: str = "uncompressed",
+    page_index: bool = True,
 ) -> int:
     """Write ``columns`` (name → list of Python values, ``None`` only
     in ``nullable`` columns) as a parquet file readable by pyarrow,
     DuckDB, Spark AND this repo's own page decoder. ``schema`` is
     ``[(name, "int64"|"int32"|"double"|"string"|"boolean"), ...]`` in
     column order; ``dictionary`` names string columns to encode via
-    the v1 PLAIN_DICTIONARY pair. Returns the number of row groups."""
+    the v1 PLAIN_DICTIONARY pair. With ``page_index`` (default) every
+    chunk also gets a ColumnIndex/OffsetIndex pair in the
+    between-data-and-footer section (parquet-format PageIndex.md) —
+    the same side structures the repo's own page-index pruning reads.
+    Returns the number of row groups."""
     if codec not in _CODEC:
         raise ValueError(f"parquet writer: unsupported codec {codec!r}")
     names = [n for n, _ in schema]
@@ -307,6 +312,7 @@ def write_parquet(
             raise ValueError(f"parquet writer: null in REQUIRED column {n!r}")
     out = bytearray(b"PAR1")
     row_groups = []  # thrift RowGroup structs
+    index_recs = []  # (chunk struct, page records) for the page index
     rg_starts = list(range(0, n_rows, row_group_rows)) or [0]
     for rg_lo in rg_starts:
         rg_hi = min(rg_lo + row_group_rows, n_rows)
@@ -351,6 +357,7 @@ def write_parquet(
             else:
                 encodings.add(_ENC_PLAIN)
             data_off = len(out)
+            pages_rec = []  # per data page, for the page index
             for p_lo in range(0, len(vals), page_rows):
                 pv = vals[p_lo : p_lo + page_rows]
                 body = bytearray()
@@ -370,6 +377,21 @@ def write_parquet(
                 body = bytes(body)
                 comp = _compress(codec, body)
                 hdr = _page_header(len(pv), enc, len(body), len(comp))
+                pages_rec.append(
+                    {
+                        "offset": len(out),
+                        "size": len(hdr) + len(comp),
+                        "first_row": p_lo,  # relative to the row group
+                        "min": (
+                            _stat_bytes(ptype, min(pnn)) if pnn else b""
+                        ),
+                        "max": (
+                            _stat_bytes(ptype, max(pnn)) if pnn else b""
+                        ),
+                        "null_count": len(pv) - len(pnn),
+                        "null_page": not pnn,
+                    }
+                )
                 out += hdr + comp
                 raw_sum += len(body) + len(hdr)
                 comp_sum += len(comp) + len(hdr)
@@ -397,9 +419,9 @@ def write_parquet(
                 cmeta.append((11, "i64", dict_off))
             if stats:
                 cmeta.append((12, "struct", stats))
-            chunks.append(
-                [(2, "i64", first_off), (3, "struct", cmeta)]
-            )
+            chunk = [(2, "i64", first_off), (3, "struct", cmeta)]
+            chunks.append(chunk)
+            index_recs.append((chunk, pages_rec))
         row_groups.append(
             [
                 (1, "list", ("struct", chunks)),
@@ -407,6 +429,48 @@ def write_parquet(
                 (3, "i64", rg_hi - rg_lo),
             ]
         )
+    if page_index:
+        # PageIndex section (parquet-format PageIndex.md): all
+        # ColumnIndex structs, then all OffsetIndex structs, between
+        # the last data page and the footer; each ColumnChunk points
+        # at its pair via fields 4-7.
+        for chunk, pages_rec in index_recs:
+            ci = _enc_struct(
+                [
+                    (1, "list", ("bool", [p["null_page"] for p in pages_rec])),
+                    (2, "list", ("binary", [p["min"] for p in pages_rec])),
+                    (3, "list", ("binary", [p["max"] for p in pages_rec])),
+                    (4, "i32", 0),  # BoundaryOrder.UNORDERED
+                    (5, "list", ("i64", [p["null_count"] for p in pages_rec])),
+                ]
+            )
+            chunk.append((6, "i64", len(out)))  # column_index_offset
+            chunk.append((7, "i32", len(ci)))  # column_index_length
+            out += ci
+        for chunk, pages_rec in index_recs:
+            oi = _enc_struct(
+                [
+                    (
+                        1,
+                        "list",
+                        (
+                            "struct",
+                            [
+                                [
+                                    (1, "i64", p["offset"]),
+                                    (2, "i32", p["size"]),
+                                    (3, "i64", p["first_row"]),
+                                ]
+                                for p in pages_rec
+                            ],
+                        ),
+                    )
+                ]
+            )
+            # insert before fields 6/7 so field ids stay sorted
+            chunk.insert(2, (4, "i64", len(out)))  # offset_index_offset
+            chunk.insert(3, (5, "i32", len(oi)))  # offset_index_length
+            out += oi
     footer = _enc_struct(
         [
             (1, "i32", 1),  # version

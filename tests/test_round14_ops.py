@@ -524,3 +524,110 @@ class TestDeltaColumnMapping:
             acts = [_json.loads(x) for x in fh]
         assert all("add" not in a and "remove" not in a for a in acts)
         assert any("metaData" in a for a in acts)
+
+
+class TestParquetWriterPageIndex:
+    def test_own_index_readers_prune_own_files(self, tmp_path):
+        """write -> page-index -> prune -> decode, zero libraries end
+        to end: the writer's ColumnIndex/OffsetIndex pair drives the
+        repo's own page-selection readers over its own file."""
+        import struct as _struct
+
+        from metricproxy_spark.sources.parquet_footer import (
+            read_footer_bytes,
+        )
+        from metricproxy_spark.sources.parquet_index import (
+            column_chunk_indexes,
+            decode_selected_pages,
+            read_column_index,
+            read_offset_index,
+        )
+        from metricproxy_spark.sources.parquet_pages import (
+            column_chunk_meta,
+        )
+        from metricproxy_spark.sources.parquet_writer import write_parquet
+
+        n = 10000
+        cols = {
+            "id": list(range(n)),
+            "name": [f"t{i % 7}" for i in range(n)],
+            "opt": [None if i % 5 == 0 else i * 3 for i in range(n)],
+        }
+        p = str(tmp_path / "own_idx.parquet")
+        write_parquet(
+            p,
+            [("id", "int64"), ("name", "string"), ("opt", "int64")],
+            cols,
+            nullable={"opt"},
+            dictionary={"name"},
+            row_group_rows=4096,
+            page_rows=512,
+            codec="zstd",
+        )
+        ftr = read_footer_bytes(p)
+        idx = column_chunk_indexes(ftr, "id")
+        assert all(m["offset_index"] and m["column_index"] for m in idx)
+        oi = read_offset_index(p, idx[0]["offset_index"])
+        ci = read_column_index(p, idx[0]["column_index"])
+        assert [pg["first_row_index"] for pg in oi] == list(
+            range(0, 4096, 512)
+        )
+        assert ci["null_pages"] == [False] * 8
+        assert _struct.unpack("<q", ci["min_values"][3])[0] == 3 * 512
+        assert _struct.unpack("<q", ci["max_values"][3])[0] == 4 * 512 - 1
+        chunk = column_chunk_meta(ftr, "id")[0]
+        assert decode_selected_pages(p, chunk, oi, [3]) == list(
+            range(3 * 512, 4 * 512)
+        )
+        # dictionary column: selected-page decode pulls the dict page
+        oin = read_offset_index(
+            p, column_chunk_indexes(ftr, "name")[1]["offset_index"]
+        )
+        got = decode_selected_pages(
+            p, column_chunk_meta(ftr, "name")[1], oin, [2]
+        )
+        assert got == [
+            f"t{i % 7}".encode()
+            for i in range(4096 + 2 * 512, 4096 + 3 * 512)
+        ]
+        # nullable column: null_counts per page + def-level decode
+        cio = read_column_index(
+            p, column_chunk_indexes(ftr, "opt")[0]["column_index"]
+        )
+        assert sum(cio["null_counts"]) == sum(
+            1 for i in range(4096) if i % 5 == 0
+        )
+        oio = read_offset_index(
+            p, column_chunk_indexes(ftr, "opt")[0]["offset_index"]
+        )
+        vo = decode_selected_pages(
+            p, column_chunk_meta(ftr, "opt")[0], oio, [0]
+        )
+        assert vo == [None if i % 5 == 0 else i * 3 for i in range(512)]
+
+    def test_page_index_off_still_reads_everywhere(self, tmp_path):
+        import duckdb
+        import pyarrow.parquet as pq
+
+        from metricproxy_spark.sources.parquet_footer import (
+            read_footer_bytes,
+        )
+        from metricproxy_spark.sources.parquet_index import (
+            column_chunk_indexes,
+        )
+        from metricproxy_spark.sources.parquet_writer import write_parquet
+
+        p = str(tmp_path / "own_noidx.parquet")
+        write_parquet(
+            p,
+            [("a", "int64")],
+            {"a": list(range(100))},
+            page_index=False,
+        )
+        assert pq.read_table(p).column("a").to_pylist() == list(range(100))
+        assert duckdb.sql(
+            f"SELECT sum(a) FROM read_parquet('{p}')"
+        ).fetchone() == (4950,)
+        meta = column_chunk_indexes(read_footer_bytes(p), "a")[0]
+        assert meta["offset_index"] is None
+        assert meta["column_index"] is None
