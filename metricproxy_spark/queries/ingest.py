@@ -5383,3 +5383,206 @@ def ingest_parquet_write_roundtrip(
     return spark.read.parquet(*files).select(
         "event_id", "event_type", "user_id", "value", "click_value"
     )
+
+
+@register(
+    "ingest_parquet_write_pruned_read",
+    oracle="""
+    WITH m AS (SELECT max(event_id) + 1 AS n FROM events)
+    SELECT event_id, event_type, user_id, value
+    FROM events, m
+    WHERE event_id >= n // 3 AND event_id < (2 * n) // 3
+    """,
+)
+def ingest_parquet_write_pruned_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The WRITE-side capstone: the full metadata ladder over files
+    this repo wrote ITSELF. Staging range-clusters events into four
+    event_id-sorted files, each written by the from-scratch writer
+    (v1 pages, dictionary event_type, per-row-group stats, ColumnIndex/
+    OffsetIndex page indexes, split-block bloom on user_id, pages
+    under the repo's own zstd encoder) — one file per executor task,
+    nothing on the driver but the 4-row manifest. The read then prunes
+    on that self-written metadata exactly as the r12/r13 queries do on
+    parquet-mr files: footer ROW-GROUP stats skip the files/groups
+    outside the middle-third event_id range, the PAGE INDEX narrows
+    surviving groups to the overlapping pages, and the own page
+    decoder materializes only those pages (dictionary + zstd decode,
+    zero libraries end to end). The DuckDB oracle restates the range
+    from the canonical table — a hash match proves the writer's
+    stats, indexes, dictionaries, def-level-free required framing and
+    zstd frames are all byte-correct where pruning depends on them.
+    Scale: planning is four footers of KB metadata; the data leg is
+    per-(file, row-group) tasks decoding only surviving pages."""
+    import glob
+    import uuid
+
+    import pandas as pd
+
+    from metricproxy_spark.io import ensure_package_on_workers
+    from metricproxy_spark.sources.parquet_footer import (
+        decode_rowgroup_stats,
+        read_footer_bytes,
+        stat_int64,
+    )
+
+    ensure_package_on_workers(spark)
+    root = staged_artifact_dir("ownsorted", sf_dir)
+    if not os.path.isdir(root):
+        src = (
+            load_table(spark, sf_dir, "events")
+            .select("event_id", "event_type", "user_id", "value")
+            .repartitionByRange(4, "event_id")
+            .sortWithinPartitions("event_id")
+        )
+        staging = root + f".staging.{os.getpid()}"
+        os.makedirs(staging, exist_ok=True)
+        schema = [
+            ("event_id", "int64"),
+            ("event_type", "string"),
+            ("user_id", "int64"),
+            ("value", "double"),
+        ]
+
+        def write_part(batches):
+            from metricproxy_spark.sources.parquet_writer import (
+                write_parquet,
+            )
+
+            pdfs = [pdf for pdf in batches if len(pdf)]
+            if not pdfs:
+                return
+            pdf = pd.concat(pdfs, ignore_index=True)
+            cols = {
+                "event_id": [int(v) for v in pdf["event_id"]],
+                "event_type": list(pdf["event_type"]),
+                "user_id": [int(v) for v in pdf["user_id"]],
+                "value": [float(v) for v in pdf["value"]],
+            }
+            fname = os.path.join(
+                staging, f"part-{uuid.uuid4().hex}.parquet"
+            )
+            write_parquet(
+                fname,
+                schema,
+                cols,
+                dictionary={"event_type"},
+                bloom={"user_id"},
+                row_group_rows=4096,
+                page_rows=1024,
+                codec="zstd",
+            )
+            yield pd.DataFrame({"file": [fname], "nrows": [len(pdf)]})
+
+        # bounded collect: the per-task file manifest (4 rows)
+        if not src.mapInPandas(
+            write_part, "file string, nrows bigint"
+        ).collect():
+            shutil.rmtree(staging, ignore_errors=True)
+            raise ValueError("own-writer staging produced no files")
+        try:
+            os.rename(staging, root)
+        except OSError:
+            shutil.rmtree(staging, ignore_errors=True)
+    files = sorted(glob.glob(os.path.join(root, "part-*.parquet")))
+
+    # --- planning on self-written metadata only (KB footers) ---
+    file_stats = {
+        f: decode_rowgroup_stats(read_footer_bytes(f), "event_id")
+        for f in files
+    }
+    n_ids = (
+        max(
+            stat_int64(rg["max_raw"])
+            for stats in file_stats.values()
+            for rg in stats
+        )
+        + 1
+    )
+    lo, hi_ex = n_ids // 3, (2 * n_ids) // 3
+    tasks = []  # (file, rg) pairs whose stats intersect the range
+    for f, stats in file_stats.items():
+        for rg, s in enumerate(stats):
+            if stat_int64(s["min_raw"]) < hi_ex and (
+                stat_int64(s["max_raw"]) >= lo
+            ):
+                tasks.append((f, rg))
+    task_df = spark.createDataFrame(
+        tasks, "file string, rg int"
+    ).repartition(len(tasks))
+    columns = ["event_id", "event_type", "user_id", "value"]
+
+    def read_pruned(batches):
+        from metricproxy_spark.sources.parquet_footer import (
+            read_footer_bytes as rfb,
+        )
+        from metricproxy_spark.sources.parquet_index import (
+            column_chunk_indexes,
+            decode_selected_pages,
+            read_column_index,
+            read_offset_index,
+            stat_int64 as _si,
+        )
+        from metricproxy_spark.sources.parquet_pages import (
+            column_chunk_meta,
+        )
+
+        for pdf in batches:
+            for f, rg in zip(pdf["file"], pdf["rg"]):
+                f, rg = str(f), int(rg)
+                ftr = rfb(f)
+                eidx = column_chunk_indexes(ftr, "event_id")[rg]
+                oi_e = read_offset_index(f, eidx["offset_index"])
+                ci_e = read_column_index(f, eidx["column_index"])
+                spans = [p["first_row_index"] for p in oi_e]
+                n_rows = sum(
+                    s["num_rows"]
+                    for s in decode_rowgroup_stats(ftr, "event_id")[
+                        rg : rg + 1
+                    ]
+                )
+                # pages overlapping [lo, hi_ex) straight from the
+                # self-written COLUMN INDEX bounds — no page decoded
+                # to plan; sorted column, so survivors are contiguous
+                keep = [
+                    i
+                    for i in range(len(oi_e))
+                    if not ci_e["null_pages"][i]
+                    and _si(ci_e["min_values"][i]) < hi_ex
+                    and _si(ci_e["max_values"][i]) >= lo
+                ]
+                if not keep:
+                    continue
+                row_lo = spans[keep[0]]
+                row_hi = (
+                    spans[keep[-1] + 1]
+                    if keep[-1] + 1 < len(spans)
+                    else n_rows
+                )
+                emeta = column_chunk_meta(ftr, "event_id")[rg]
+                ids = decode_selected_pages(f, emeta, oi_e, keep)
+                data = {"event_id": ids[: row_hi - row_lo]}
+                for col in columns[1:]:
+                    cidx = column_chunk_indexes(ftr, col)[rg]
+                    oi_c = read_offset_index(f, cidx["offset_index"])
+                    cmeta = column_chunk_meta(ftr, col)[rg]
+                    vals = decode_selected_pages(f, cmeta, oi_c, keep)
+                    start = oi_c[keep[0]]["first_row_index"]
+                    data[col] = vals[row_lo - start : row_hi - start]
+                t = pd.DataFrame(
+                    {
+                        "event_id": data["event_id"],
+                        "event_type": [
+                            b.decode("utf-8") for b in data["event_type"]
+                        ],
+                        "user_id": data["user_id"],
+                        "value": data["value"],
+                    }
+                )
+                yield t[(t["event_id"] >= lo) & (t["event_id"] < hi_ex)]
+
+    return task_df.mapInPandas(
+        read_pruned,
+        "event_id bigint, event_type string, user_id bigint, value double",
+    )

@@ -149,35 +149,39 @@ ORACLES: dict[str, str] = {}
 # link(2) put-if-absent per r12 ADVICE) + the SEVEN overflowed r4
 # names + the first 30 of the 44-name r5-latest cohort = exactly the
 # 50-row driver window.
-# ROUND-14 EXECUTED (this round): 4 r14 additions (the from-scratch
+# ROUND-14 EXECUTED (this round): 5 r14 additions (the from-scratch
 # parquet WRITER roundtrip — Thrift-compact encoder, v1
-# PLAIN/PLAIN_DICTIONARY pages, RLE def levels, stats, own-zstd page
-# compression, one file per executor task; Iceberg SEQUENCE-NUMBER
-# delete ordering with a same-sequence + later re-insert lifecycle;
-# MERGE in DELETION-VECTOR mode — remove+re-add of the same path
-# with a roaring DV, no rewrite of touched files; Delta COLUMN
-# MAPPING mode=name with a metadata-only rename) + 4 r14-changed
-# queries (ingest_kafka_recordbatch and stream_zstd_pipeline now ride
-# the sequences-emitting zstd encoder; the two parquet-index pruning
-# queries after the read_offset_index/read_column_index None-contract
-# hardening — the r13 CBOR strictness-raise precedent) + the FULL
-# 14-name r5-latest cohort + the first 28 of the 49-name r6-latest
-# cohort = exactly the 50-row driver window.
-# ROUND-15 NOTE: pin r15 additions/changes first, then the TWENTY-ONE
-# overflowed r6 names (stream_influx_pipeline, stream_graphite_pipeline,
-# events_ema, events_holt_trend, events_cusum_score,
-# events_kalman_level, events_apdex, events_holt_winters,
-# events_seasonal_outliers, graph_khop_reach_approx,
-# analytic_skyline_frontier, analytic_cms_heavy_hitters,
-# analytic_mad_outliers, analytic_kll_quantiles,
-# analytic_audience_overlap, analytic_hll_audience_overlap,
-# analytic_interval_overlap, ingest_dogstatsd_tags,
-# ingest_graphite_pickle, ingest_otlp_http_live, ingest_otlp_json),
+# PLAIN/PLAIN_DICTIONARY pages, RLE def levels, stats, page indexes,
+# split-block blooms, own-zstd page compression, one file per
+# executor task; its capstone pruned read over self-written metadata;
+# Iceberg SEQUENCE-NUMBER delete ordering with a same-sequence +
+# later re-insert lifecycle; MERGE in DELETION-VECTOR mode —
+# remove+re-add of the same path with a roaring DV, no rewrite of
+# touched files; Delta COLUMN MAPPING mode=name with a metadata-only
+# rename) + 4 r14-changed queries (ingest_kafka_recordbatch and
+# stream_zstd_pipeline now ride the sequences-emitting zstd encoder;
+# the two parquet-index pruning queries after the read_offset_index/
+# read_column_index None-contract hardening — the r13 CBOR
+# strictness-raise precedent) + the FULL 14-name r5-latest cohort +
+# the first 27 of the 49-name r6-latest cohort = exactly the 50-row
+# driver window.
+# ROUND-15 NOTE: pin r15 additions/changes first, then the TWENTY-TWO
+# overflowed r6 names (ingest_graphite_tags, ingest_otlp_json,
+# ingest_otlp_http_live, ingest_dogstatsd_tags,
+# ingest_graphite_pickle, stream_influx_pipeline,
+# stream_graphite_pipeline, events_ema, events_holt_trend,
+# events_cusum_score, events_kalman_level, events_apdex,
+# events_holt_winters, events_seasonal_outliers,
+# graph_khop_reach_approx, analytic_skyline_frontier,
+# analytic_cms_heavy_hitters, analytic_mad_outliers,
+# analytic_kll_quantiles, analytic_audience_overlap,
+# analytic_hll_audience_overlap, analytic_interval_overlap),
 # then the r7-latest cohort head (46 names — recompute with the union
 # script over CORRECTNESS_r*.json before trusting this note).
 _PRIORITY = (
     # --- new in round 14 ---
     "ingest_parquet_write_roundtrip",
+    "ingest_parquet_write_pruned_read",
     "cdc_iceberg_sequence_numbers",
     "cdc_delta_merge_dv",
     "cdc_delta_column_mapping",
@@ -230,7 +234,6 @@ _PRIORITY = (
     "ingest_influx_live",
     "ingest_avro_datasource",
     "ingest_warc_records",
-    "ingest_graphite_tags",
 )
 
 _QUERY_MODULES = (

@@ -279,6 +279,44 @@ def _schema_elements(schema, nullable) -> list:
     return elems
 
 
+def build_split_block_bloom(hashes, num_blocks: int) -> bytes:
+    """Split-block Bloom filter bitset (parquet-format BloomFilter.md)
+    — the insert inverse of ``parquet_index.SplitBlockBloom``: the top
+    32 hash bits pick the 256-bit block, the low 32 set one bit per
+    salted word."""
+    from metricproxy_spark.sources.parquet_index import _M32, _SALT
+
+    if num_blocks < 1:
+        raise ValueError("parquet bloom: need at least one block")
+    words = [0] * (num_blocks * 8)
+    for h in hashes:
+        block = ((h >> 32) * num_blocks) >> 32
+        key = h & _M32
+        base = block * 8
+        for i in range(8):
+            words[base + i] |= 1 << (((key * _SALT[i]) & _M32) >> 27)
+    return struct.pack(f"<{len(words)}I", *words)
+
+
+def _bloom_hashes(ptype: int, values) -> list:
+    from metricproxy_spark.sources.zstd import xxh64
+
+    out = []
+    for v in set(values):
+        if ptype == _PQ_INT64:
+            out.append(xxh64(struct.pack("<q", v)))
+        elif ptype == _PQ_INT32:
+            out.append(xxh64(struct.pack("<i", v)))
+        elif ptype == _PQ_DOUBLE:
+            out.append(xxh64(struct.pack("<d", v)))
+        elif ptype == _PQ_BYTE_ARRAY:
+            b = v.encode("utf-8") if isinstance(v, str) else bytes(v)
+            out.append(xxh64(b))
+        else:
+            raise ValueError("parquet bloom: unsupported column type")
+    return out
+
+
 def write_parquet(
     path: str,
     schema: list,
@@ -290,6 +328,7 @@ def write_parquet(
     page_rows: int = 1 << 16,
     codec: str = "uncompressed",
     page_index: bool = True,
+    bloom=frozenset(),
 ) -> int:
     """Write ``columns`` (name → list of Python values, ``None`` only
     in ``nullable`` columns) as a parquet file readable by pyarrow,
@@ -313,6 +352,7 @@ def write_parquet(
     out = bytearray(b"PAR1")
     row_groups = []  # thrift RowGroup structs
     index_recs = []  # (chunk struct, page records) for the page index
+    bloom_recs = []  # (cmeta struct, value hashes) for bloom filters
     rg_starts = list(range(0, n_rows, row_group_rows)) or [0]
     for rg_lo in rg_starts:
         rg_hi = min(rg_lo + row_group_rows, n_rows)
@@ -419,6 +459,8 @@ def write_parquet(
                 cmeta.append((11, "i64", dict_off))
             if stats:
                 cmeta.append((12, "struct", stats))
+            if name in bloom:
+                bloom_recs.append((cmeta, _bloom_hashes(ptype, non_null)))
             chunk = [(2, "i64", first_off), (3, "struct", cmeta)]
             chunks.append(chunk)
             index_recs.append((chunk, pages_rec))
@@ -429,6 +471,26 @@ def write_parquet(
                 (3, "i64", rg_hi - rg_lo),
             ]
         )
+    # Bloom-filter section (BloomFilter.md): header + bitset per
+    # opted-in chunk; ColumnMetaData fields 14/15 point at it. Sized
+    # to the next power of two >= ~10 bits per distinct value
+    # (split-block fpp ~1% at that density).
+    for cmeta, hashes in bloom_recs:
+        nblocks = 1
+        while nblocks * 256 < max(len(hashes), 1) * 10:
+            nblocks <<= 1
+        bitset = build_split_block_bloom(hashes, nblocks)
+        hdr = _enc_struct(
+            [
+                (1, "i32", len(bitset)),  # numBytes
+                (2, "struct", [(1, "struct", [])]),  # algorithm: BLOCK
+                (3, "struct", [(1, "struct", [])]),  # hash: XXHASH
+                (4, "struct", [(1, "struct", [])]),  # compression: none
+            ]
+        )
+        cmeta.append((14, "i64", len(out)))  # bloom_filter_offset
+        cmeta.append((15, "i32", len(hdr) + len(bitset)))
+        out += hdr + bitset
     if page_index:
         # PageIndex section (parquet-format PageIndex.md): all
         # ColumnIndex structs, then all OffsetIndex structs, between

@@ -631,3 +631,113 @@ class TestParquetWriterPageIndex:
         meta = column_chunk_indexes(read_footer_bytes(p), "a")[0]
         assert meta["offset_index"] is None
         assert meta["column_index"] is None
+
+
+class TestParquetWriterBloom:
+    def test_bloom_write_read_roundtrip_and_fpp(self, tmp_path):
+        from metricproxy_spark.sources.parquet_footer import (
+            read_footer_bytes,
+        )
+        from metricproxy_spark.sources.parquet_index import (
+            bloom_hash_bytes,
+            bloom_hash_int64,
+            column_chunk_indexes,
+            read_bloom_filter,
+        )
+        from metricproxy_spark.sources.parquet_writer import write_parquet
+
+        n = 8000
+        cols = {
+            "uid": [i * 37 % 5000 for i in range(n)],
+            "name": [f"u{i % 11}" for i in range(n)],
+        }
+        p = str(tmp_path / "own_bloom.parquet")
+        write_parquet(
+            p,
+            [("uid", "int64"), ("name", "string")],
+            cols,
+            dictionary={"name"},
+            bloom={"uid", "name"},
+            row_group_rows=4000,
+            page_rows=1000,
+            codec="zstd",
+        )
+        ftr = read_footer_bytes(p)
+        for rg in range(2):
+            meta = column_chunk_indexes(ftr, "uid")[rg]
+            assert meta["bloom"] is not None
+            bf = read_bloom_filter(p, *meta["bloom"])
+            present = set(cols["uid"][rg * 4000 : (rg + 1) * 4000])
+            # NO false negatives, ever
+            assert all(
+                bf.might_contain_hash(bloom_hash_int64(v))
+                for v in present
+            )
+            absent = [v for v in range(5001, 15001) if v not in present]
+            fp = sum(
+                bf.might_contain_hash(bloom_hash_int64(v))
+                for v in absent[:2000]
+            )
+            assert fp < 100  # ~1% design point; observed ~0.15%
+            bfn = read_bloom_filter(
+                p, *column_chunk_indexes(ftr, "name")[rg]["bloom"]
+            )
+            assert all(
+                bfn.might_contain_hash(bloom_hash_bytes(f"u{i}".encode()))
+                for i in range(11)
+            )
+
+    def test_bloom_builder_rejects_zero_blocks(self):
+        from metricproxy_spark.sources.parquet_writer import (
+            build_split_block_bloom,
+        )
+
+        with pytest.raises(ValueError, match="at least one block"):
+            build_split_block_bloom([1, 2], 0)
+
+
+class TestOwnWriterPrunedRead:
+    def test_task_list_is_a_minority_of_row_groups(self, spark, sf_dir):
+        """The capstone's planning must actually PRUNE: the middle
+        third of a range-clustered table touches well under all
+        (file, row-group) pairs."""
+        import glob as _glob
+        import os as _os
+
+        from metricproxy_spark.io import staged_artifact_dir
+        from metricproxy_spark.queries.ingest import (
+            ingest_parquet_write_pruned_read,
+        )
+        from metricproxy_spark.sources.parquet_footer import (
+            decode_rowgroup_stats,
+            read_footer_bytes,
+            stat_int64,
+        )
+
+        df = ingest_parquet_write_pruned_read(spark, sf_dir)
+        assert df.count() > 0
+        root = staged_artifact_dir("ownsorted", sf_dir)
+        files = sorted(
+            _glob.glob(_os.path.join(root, "part-*.parquet"))
+        )
+        assert len(files) == 4
+        total = surviving = 0
+        n_ids = 0
+        stats_by_file = {}
+        for f in files:
+            stats = decode_rowgroup_stats(read_footer_bytes(f), "event_id")
+            stats_by_file[f] = stats
+            n_ids = max(
+                n_ids, max(stat_int64(s["max_raw"]) for s in stats) + 1
+            )
+        lo, hi_ex = n_ids // 3, (2 * n_ids) // 3
+        for stats in stats_by_file.values():
+            for s in stats:
+                total += 1
+                if (
+                    stat_int64(s["min_raw"]) < hi_ex
+                    and stat_int64(s["max_raw"]) >= lo
+                ):
+                    surviving += 1
+        assert surviving < total, (surviving, total)
+        assert surviving <= total // 2 + 1, (surviving, total)

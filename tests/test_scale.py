@@ -1435,3 +1435,11 @@ class TestRound14PlanDiscipline:
         assert "CartesianProduct" not in plan, plan
         assert "SortMergeJoin" not in plan, plan
         assert "BatchEvalPython" not in plan, plan
+
+    def test_write_pruned_read_is_map_only(self, spark, sf_dir):
+        """The capstone over self-written files: planning is four KB
+        footers on the driver; the data leg is per-(file, row-group)
+        tasks decoding only surviving pages in one Arrow map."""
+        plan = self._plan(spark, sf_dir, "ingest_parquet_write_pruned_read")
+        assert "Join" not in plan, plan
+        assert "MapInPandas" in plan, plan
