@@ -5351,6 +5351,13 @@ def ingest_parquet_write_roundtrip(
                     for v in pdf["click_value"]
                 ],
             }
+            from pyspark import TaskContext
+
+            # alternate data-page versions across tasks: even
+            # partitions write v1 (PLAIN + legacy PLAIN_DICTIONARY),
+            # odd partitions DATA_PAGE_V2 (DELTA_BINARY_PACKED ints +
+            # RLE_DICTIONARY) — one roundtrip covers both framings
+            pver = 1 + (TaskContext.get().partitionId() % 2)
             fname = os.path.join(
                 staging, f"part-{uuid.uuid4().hex}.parquet"
             )
@@ -5363,6 +5370,7 @@ def ingest_parquet_write_roundtrip(
                 row_group_rows=8192,
                 page_rows=2048,
                 codec="zstd",
+                data_page_version=pver,
             )
             yield pd.DataFrame(
                 {"file": [fname], "nrows": [len(pdf)], "rgs": [n_rgs]}

@@ -42,6 +42,7 @@ _T_I32, _T_I64, _T_BINARY, _T_LIST, _T_STRUCT = 5, 6, 8, 9, 12
 # parquet.thrift enums
 _PQ_BOOLEAN, _PQ_INT32, _PQ_INT64, _PQ_DOUBLE, _PQ_BYTE_ARRAY = 0, 1, 2, 5, 6
 _ENC_PLAIN, _ENC_PLAIN_DICTIONARY, _ENC_RLE = 0, 2, 3
+_ENC_DELTA_BP, _ENC_RLE_DICTIONARY = 5, 8
 _CODEC = {"uncompressed": 0, "zstd": 6}
 _TYPES = {
     "boolean": _PQ_BOOLEAN,
@@ -259,6 +260,36 @@ def _page_header(
     )
 
 
+def _page_header_v2(
+    n_values: int,
+    n_nulls: int,
+    encoding: int,
+    def_len: int,
+    raw_vals: int,
+    comp_vals: int,
+    compressed: bool,
+) -> bytes:
+    """DATA_PAGE_V2 header: levels ride UNCOMPRESSED and un-prefixed
+    at the page front; only the values section is under the codec."""
+    inner = [
+        (1, "i32", n_values),
+        (2, "i32", n_nulls),
+        (3, "i32", n_values),  # num_rows == num_values (flat schema)
+        (4, "i32", encoding),
+        (5, "i32", def_len),  # definition_levels_byte_length
+        (6, "i32", 0),  # repetition_levels_byte_length
+        (7, "bool", compressed),
+    ]
+    return _enc_struct(
+        [
+            (1, "i32", 3),  # PageType.DATA_PAGE_V2
+            (2, "i32", def_len + raw_vals),
+            (3, "i32", def_len + comp_vals),
+            (8, "struct", inner),
+        ]
+    )
+
+
 def _schema_elements(schema, nullable) -> list:
     root = [
         (4, "binary", b"schema"),
@@ -277,6 +308,67 @@ def _schema_elements(schema, nullable) -> list:
             f.append((10, "struct", [(1, "struct", [])]))
         elems.append(f)
     return elems
+
+
+def delta_binary_packed_enc(
+    values, width: int, block_size: int = 128, n_mini: int = 4
+) -> bytes:
+    """DELTA_BINARY_PACKED encoder (Encodings.md §Delta Encoding) —
+    the write inverse of ``parquet_pages._delta_binary_packed``:
+    header ``<block_size> <miniblocks_per_block> <total> <first
+    zigzag>``, then per block a zigzag min_delta, one bit-width byte
+    per miniblock (trailing empty miniblocks get width 0 and NO
+    body), and LSB-first bit-packed residues padded with zeros."""
+    if n_mini == 0 or block_size % n_mini or (block_size // n_mini) % 8:
+        raise ValueError("parquet writer: bad delta block geometry")
+    per_mini = block_size // n_mini
+    full = 1 << width
+    sign = full >> 1
+
+    def wrap(v: int) -> int:
+        v &= full - 1
+        return v - full if v & sign else v
+
+    out = bytearray(
+        _varint(block_size) + _varint(n_mini) + _varint(len(values))
+    )
+    if not values:
+        out += _varint(_zigzag(0))
+        return bytes(out)
+    out += _varint(_zigzag(int(values[0])))
+    deltas = [
+        wrap(int(values[i + 1]) - int(values[i]))
+        for i in range(len(values) - 1)
+    ]
+    for b_lo in range(0, len(deltas), block_size):
+        blk = deltas[b_lo : b_lo + block_size]
+        min_d = min(blk)
+        residues = [d - min_d for d in blk]
+        out += _varint(_zigzag(min_d))
+        widths = []
+        for m in range(n_mini):
+            part = residues[m * per_mini : (m + 1) * per_mini]
+            widths.append(max((r.bit_length() for r in part), default=0))
+        out += bytes(widths)
+        for m, bw in enumerate(widths):
+            part = residues[m * per_mini : (m + 1) * per_mini]
+            if not part:
+                continue  # trailing empty miniblock: width byte only
+            acc = 0
+            fill = 0
+            body = bytearray()
+            for i in range(per_mini):
+                r = part[i] if i < len(part) else 0
+                acc |= r << fill
+                fill += bw
+                while fill >= 8:
+                    body.append(acc & 0xFF)
+                    acc >>= 8
+                    fill -= 8
+            if fill:
+                body.append(acc & 0xFF)
+            out += body[: bw * per_mini // 8]
+    return bytes(out)
 
 
 def build_split_block_bloom(hashes, num_blocks: int) -> bytes:
@@ -329,6 +421,7 @@ def write_parquet(
     codec: str = "uncompressed",
     page_index: bool = True,
     bloom=frozenset(),
+    data_page_version: int = 1,
 ) -> int:
     """Write ``columns`` (name → list of Python values, ``None`` only
     in ``nullable`` columns) as a parquet file readable by pyarrow,
@@ -342,6 +435,9 @@ def write_parquet(
     Returns the number of row groups."""
     if codec not in _CODEC:
         raise ValueError(f"parquet writer: unsupported codec {codec!r}")
+    if data_page_version not in (1, 2):
+        raise ValueError("parquet writer: data_page_version must be 1 or 2")
+    v2 = data_page_version == 2
     names = [n for n, _ in schema]
     n_rows = len(columns[names[0]])
     for n in names:
@@ -374,7 +470,9 @@ def write_parquet(
             non_null = [v for v in vals if v is not None]
             dict_vals = None
             if use_dict:
-                # dictionary page first: PLAIN values, insertion order
+                # dictionary page first: PLAIN values, insertion
+                # order (v1 labels it with the legacy pair; v2 with
+                # the modern PLAIN + RLE_DICTIONARY convention)
                 seen = {}
                 for v in non_null:
                     if v not in seen:
@@ -384,7 +482,7 @@ def write_parquet(
                 comp = _compress(codec, body)
                 hdr = _page_header(
                     len(seen),
-                    _ENC_PLAIN_DICTIONARY,
+                    _ENC_PLAIN if v2 else _ENC_PLAIN_DICTIONARY,
                     len(body),
                     len(comp),
                     dictionary=True,
@@ -393,30 +491,72 @@ def write_parquet(
                 out += hdr + comp
                 raw_sum += len(body) + len(hdr)
                 comp_sum += len(comp) + len(hdr)
-                encodings.add(_ENC_PLAIN_DICTIONARY)
+                encodings.add(
+                    _ENC_RLE_DICTIONARY if v2 else _ENC_PLAIN_DICTIONARY
+                )
+            elif v2 and typ in ("int64", "int32"):
+                encodings.add(_ENC_DELTA_BP)
             else:
                 encodings.add(_ENC_PLAIN)
             data_off = len(out)
             pages_rec = []  # per data page, for the page index
             for p_lo in range(0, len(vals), page_rows):
                 pv = vals[p_lo : p_lo + page_rows]
-                body = bytearray()
-                if opt:
-                    defs = [0 if v is None else 1 for v in pv]
-                    rle = _rle_runs(defs, 1)
-                    body += struct.pack("<I", len(rle)) + rle
                 pnn = [v for v in pv if v is not None]
-                if use_dict:
-                    bw = max((len(dict_vals) - 1).bit_length(), 1)
-                    body.append(bw)
-                    body += _bitpacked([dict_vals[v] for v in pnn], bw)
-                    enc = _ENC_PLAIN_DICTIONARY
+                if v2:
+                    # v2 framing: RLE def levels UNCOMPRESSED and
+                    # un-prefixed at the page front; only the values
+                    # section rides the codec
+                    defs_bytes = (
+                        _rle_runs([0 if v is None else 1 for v in pv], 1)
+                        if opt
+                        else b""
+                    )
+                    if use_dict:
+                        bw = max((len(dict_vals) - 1).bit_length(), 1)
+                        vbody = bytes([bw]) + _bitpacked(
+                            [dict_vals[v] for v in pnn], bw
+                        )
+                        enc = _ENC_RLE_DICTIONARY
+                    elif typ in ("int64", "int32"):
+                        vbody = delta_binary_packed_enc(
+                            pnn, 64 if typ == "int64" else 32
+                        )
+                        enc = _ENC_DELTA_BP
+                    else:
+                        vbody = _plain(ptype, pnn)
+                        enc = _ENC_PLAIN
+                    comp = _compress(codec, vbody)
+                    hdr = _page_header_v2(
+                        len(pv),
+                        len(pv) - len(pnn),
+                        enc,
+                        len(defs_bytes),
+                        len(vbody),
+                        len(comp),
+                        codec != "uncompressed",
+                    )
+                    body = defs_bytes + vbody  # raw size accounting
+                    comp = defs_bytes + comp
                 else:
-                    body += _plain(ptype, pnn)
-                    enc = _ENC_PLAIN
-                body = bytes(body)
-                comp = _compress(codec, body)
-                hdr = _page_header(len(pv), enc, len(body), len(comp))
+                    body = bytearray()
+                    if opt:
+                        defs = [0 if v is None else 1 for v in pv]
+                        rle = _rle_runs(defs, 1)
+                        body += struct.pack("<I", len(rle)) + rle
+                    if use_dict:
+                        bw = max((len(dict_vals) - 1).bit_length(), 1)
+                        body.append(bw)
+                        body += _bitpacked([dict_vals[v] for v in pnn], bw)
+                        enc = _ENC_PLAIN_DICTIONARY
+                    else:
+                        body += _plain(ptype, pnn)
+                        enc = _ENC_PLAIN
+                    body = bytes(body)
+                    comp = _compress(codec, body)
+                    hdr = _page_header(
+                        len(pv), enc, len(body), len(comp)
+                    )
                 pages_rec.append(
                     {
                         "offset": len(out),

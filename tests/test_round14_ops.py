@@ -741,3 +741,132 @@ class TestOwnWriterPrunedRead:
                     surviving += 1
         assert surviving < total, (surviving, total)
         assert surviving <= total // 2 + 1, (surviving, total)
+
+
+class TestParquetWriterV2:
+    """DATA_PAGE_V2 write mode: DELTA_BINARY_PACKED ints,
+    RLE_DICTIONARY strings, v2 level framing — cross-read by pyarrow,
+    DuckDB, (Spark via the driver roundtrip) and the own decoder."""
+
+    @staticmethod
+    def _cols(n=10000):
+        return {
+            "id": list(range(n)),
+            "name": [f"type_{i % 7}" for i in range(n)],
+            "score": [i * 0.5 for i in range(n)],
+            "opt": [None if i % 4 == 0 else i * 2 for i in range(n)],
+            "small": [(-1) ** i * (i % 100) for i in range(n)],
+        }
+
+    _SCHEMA = [
+        ("id", "int64"),
+        ("name", "string"),
+        ("score", "double"),
+        ("opt", "int64"),
+        ("small", "int32"),
+    ]
+
+    def test_dbp_encoder_roundtrips_own_decoder(self):
+        import random
+
+        from metricproxy_spark.sources.parquet_pages import (
+            _delta_binary_packed,
+        )
+        from metricproxy_spark.sources.parquet_writer import (
+            delta_binary_packed_enc,
+        )
+
+        rng = random.Random(7)
+        cases = [
+            [],
+            [5],
+            [0, 0, 0],
+            list(range(1000)),
+            [rng.randrange(-(2**62), 2**62) for _ in range(777)],
+            [(-1) ** i * i**3 for i in range(300)],
+            [2**63 - 1, -(2**63), 0, 5, -5] * 30,
+        ]
+        for vals in cases:
+            enc = delta_binary_packed_enc(vals, 64)
+            dec, pos = _delta_binary_packed(enc, 0, len(vals), 64)
+            wrapped = [((v + 2**63) % 2**64) - 2**63 for v in vals]
+            assert dec == wrapped
+            assert pos == len(enc)
+        v32 = [rng.randrange(-(2**31), 2**31) for _ in range(513)]
+        enc = delta_binary_packed_enc(v32, 32)
+        dec, pos = _delta_binary_packed(enc, 0, len(v32), 32)
+        assert dec == v32 and pos == len(enc)
+
+    @pytest.mark.parametrize("codec", ["uncompressed", "zstd"])
+    def test_v2_cross_read(self, tmp_path, codec):
+        import duckdb
+        import pyarrow.parquet as pq
+
+        from metricproxy_spark.sources.parquet_writer import write_parquet
+
+        cols = self._cols()
+        p = str(tmp_path / f"v2_{codec}.parquet")
+        write_parquet(
+            p,
+            self._SCHEMA,
+            cols,
+            nullable={"opt"},
+            dictionary={"name"},
+            row_group_rows=4096,
+            page_rows=1000,
+            codec=codec,
+            data_page_version=2,
+        )
+        t = pq.read_table(p)
+        for c in cols:
+            assert t.column(c).to_pylist() == cols[c], c
+        got = duckdb.sql(
+            f"SELECT sum(id), sum(opt), count(opt), min(name),"
+            f" max(name), sum(small) FROM read_parquet('{p}')"
+        ).fetchone()
+        assert got == (
+            sum(cols["id"]),
+            sum(v for v in cols["opt"] if v is not None),
+            sum(v is not None for v in cols["opt"]),
+            "type_0",
+            "type_6",
+            sum(cols["small"]),
+        )
+
+    def test_own_decoder_reads_own_v2(self, tmp_path):
+        from metricproxy_spark.sources.parquet_pages import decode_columns
+        from metricproxy_spark.sources.parquet_writer import write_parquet
+
+        cols = self._cols()
+        p = str(tmp_path / "v2.parquet")
+        write_parquet(
+            p,
+            self._SCHEMA,
+            cols,
+            nullable={"opt"},
+            dictionary={"name"},
+            row_group_rows=4096,
+            page_rows=1000,
+            codec="zstd",
+            data_page_version=2,
+        )
+        for rg, lo in enumerate((0, 4096, 8192)):
+            got = decode_columns(
+                p, ["id", "name", "score", "opt", "small"], rg
+            )
+            hi = min(lo + 4096, 10000)
+            assert list(got["id"]) == cols["id"][lo:hi]
+            assert [b.decode() for b in got["name"]] == cols["name"][lo:hi]
+            assert list(got["opt"]) == cols["opt"][lo:hi]
+            assert list(got["small"]) == cols["small"][lo:hi]
+
+    def test_bad_page_version_rejected(self, tmp_path):
+        from metricproxy_spark.sources.parquet_writer import write_parquet
+
+        with pytest.raises(ValueError, match="data_page_version"):
+            write_parquet(
+                str(tmp_path / "x.parquet"),
+                [("a", "int64")],
+                {"a": [1]},
+                data_page_version=3,
+            )
