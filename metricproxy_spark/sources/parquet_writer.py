@@ -42,7 +42,8 @@ _T_I32, _T_I64, _T_BINARY, _T_LIST, _T_STRUCT = 5, 6, 8, 9, 12
 # parquet.thrift enums
 _PQ_BOOLEAN, _PQ_INT32, _PQ_INT64, _PQ_DOUBLE, _PQ_BYTE_ARRAY = 0, 1, 2, 5, 6
 _ENC_PLAIN, _ENC_PLAIN_DICTIONARY, _ENC_RLE = 0, 2, 3
-_ENC_DELTA_BP, _ENC_RLE_DICTIONARY = 5, 8
+_ENC_DELTA_BP, _ENC_DELTA_LEN_BA, _ENC_DELTA_BA = 5, 6, 7
+_ENC_RLE_DICTIONARY, _ENC_BYTE_STREAM_SPLIT = 8, 9
 _CODEC = {"uncompressed": 0, "zstd": 6}
 _TYPES = {
     "boolean": _PQ_BOOLEAN,
@@ -371,6 +372,55 @@ def delta_binary_packed_enc(
     return bytes(out)
 
 
+def _as_bytes(v) -> bytes:
+    return v.encode("utf-8") if isinstance(v, str) else bytes(v)
+
+
+def delta_length_byte_array_enc(values) -> bytes:
+    """DELTA_LENGTH_BYTE_ARRAY: DBP-encoded int32 lengths followed by
+    the concatenated bytes."""
+    bs = [_as_bytes(v) for v in values]
+    return delta_binary_packed_enc([len(b) for b in bs], 32) + b"".join(bs)
+
+
+def delta_byte_array_enc(values) -> bytes:
+    """DELTA_BYTE_ARRAY incremental front-coding: DBP shared-prefix
+    lengths + DLBA suffixes."""
+    bs = [_as_bytes(v) for v in values]
+    prefixes = []
+    prev = b""
+    suffixes = []
+    for b in bs:
+        n = min(len(prev), len(b))
+        p = 0
+        while p < n and prev[p] == b[p]:
+            p += 1
+        prefixes.append(p)
+        suffixes.append(b[p:])
+        prev = b
+    return delta_binary_packed_enc(prefixes, 32) + (
+        delta_binary_packed_enc([len(s) for s in suffixes], 32)
+        + b"".join(suffixes)
+    )
+
+
+def byte_stream_split_enc(ptype: int, values) -> bytes:
+    """BYTE_STREAM_SPLIT: k byte-planes of n values — byte j of value
+    i lands at plane[j][i] (the float layout that makes doubles
+    compressible)."""
+    plain = _plain(ptype, values)
+    size = {_PQ_INT32: 4, _PQ_INT64: 8, _PQ_DOUBLE: 8}.get(ptype)
+    if size is None:
+        raise ValueError(
+            "parquet writer: BYTE_STREAM_SPLIT needs a fixed-width type"
+        )
+    n = len(values)
+    out = bytearray(size * n)
+    for j in range(size):
+        out[j * n : (j + 1) * n] = plain[j::size]
+    return bytes(out)
+
+
 def build_split_block_bloom(hashes, num_blocks: int) -> bytes:
     """Split-block Bloom filter bitset (parquet-format BloomFilter.md)
     — the insert inverse of ``parquet_index.SplitBlockBloom``: the top
@@ -422,6 +472,7 @@ def write_parquet(
     page_index: bool = True,
     bloom=frozenset(),
     data_page_version: int = 1,
+    column_encoding=None,
 ) -> int:
     """Write ``columns`` (name → list of Python values, ``None`` only
     in ``nullable`` columns) as a parquet file readable by pyarrow,
@@ -438,6 +489,25 @@ def write_parquet(
     if data_page_version not in (1, 2):
         raise ValueError("parquet writer: data_page_version must be 1 or 2")
     v2 = data_page_version == 2
+    colenc = dict(column_encoding or {})
+    if colenc and not v2:
+        raise ValueError(
+            "parquet writer: column_encoding requires data_page_version=2"
+        )
+    _ENC_BY_NAME = {
+        "plain": _ENC_PLAIN,
+        "delta_binary_packed": _ENC_DELTA_BP,
+        "delta_length_byte_array": _ENC_DELTA_LEN_BA,
+        "delta_byte_array": _ENC_DELTA_BA,
+        "byte_stream_split": _ENC_BYTE_STREAM_SPLIT,
+    }
+    for cname, ce in colenc.items():
+        if ce not in _ENC_BY_NAME:
+            raise ValueError(f"parquet writer: unknown encoding {ce!r}")
+        if cname in dictionary:
+            raise ValueError(
+                "parquet writer: column_encoding conflicts with dictionary"
+            )
     names = [n for n, _ in schema]
     n_rows = len(columns[names[0]])
     for n in names:
@@ -494,6 +564,8 @@ def write_parquet(
                 encodings.add(
                     _ENC_RLE_DICTIONARY if v2 else _ENC_PLAIN_DICTIONARY
                 )
+            elif name in colenc:
+                encodings.add(_ENC_BY_NAME[colenc[name]])
             elif v2 and typ in ("int64", "int32"):
                 encodings.add(_ENC_DELTA_BP)
             else:
@@ -512,12 +584,25 @@ def write_parquet(
                         if opt
                         else b""
                     )
+                    ce = colenc.get(name)
                     if use_dict:
                         bw = max((len(dict_vals) - 1).bit_length(), 1)
                         vbody = bytes([bw]) + _bitpacked(
                             [dict_vals[v] for v in pnn], bw
                         )
                         enc = _ENC_RLE_DICTIONARY
+                    elif ce == "byte_stream_split":
+                        vbody = byte_stream_split_enc(ptype, pnn)
+                        enc = _ENC_BYTE_STREAM_SPLIT
+                    elif ce == "delta_byte_array":
+                        vbody = delta_byte_array_enc(pnn)
+                        enc = _ENC_DELTA_BA
+                    elif ce == "delta_length_byte_array":
+                        vbody = delta_length_byte_array_enc(pnn)
+                        enc = _ENC_DELTA_LEN_BA
+                    elif ce == "plain":
+                        vbody = _plain(ptype, pnn)
+                        enc = _ENC_PLAIN
                     elif typ in ("int64", "int32"):
                         vbody = delta_binary_packed_enc(
                             pnn, 64 if typ == "int64" else 32
