@@ -842,7 +842,6 @@ def cdc_delta_deletion_vectors(
     import json as _json
     import os
     import shutil
-    import struct as _struct
 
     import pandas as pd  # noqa: F401 — used by both worker closures
 
@@ -850,7 +849,6 @@ def cdc_delta_deletion_vectors(
         ensure_package_on_workers,
         staged_artifact_dir,
     )
-    from metricproxy_spark.sources.deflate import crc32
 
     ensure_package_on_workers(spark)
     events = load_table(spark, sf_dir, "events").select(
@@ -906,28 +904,31 @@ def cdc_delta_deletion_vectors(
             )
             .collect()  # bounded: 8 catalog rows + KB bitmap blobs
         )
-        # Pack every file's DV into ONE shared DV file (the protocol's
-        # multi-DV layout): version byte, then per DV
-        # [size int32 BE][RoaringBitmapArray][CRC-32 int32 BE].
+        # Pack every file's DV into ONE shared DV file via the single
+        # framing definition in sources/roaring.py (version byte, then
+        # per DV [size int32 BE][RoaringBitmapArray][CRC-32 int32 BE]).
+        from metricproxy_spark.sources.roaring import pack_dv_blobs
+
         dv_rel = "dv/deletions.bin"
-        dv_bytes = bytearray([1])
+        with_dv = [
+            row
+            for row in sorted(catalog, key=lambda r: r["fid"])
+            if row["dv_blob"] is not None
+        ]
+        dv_bytes, dv_descs = pack_dv_blobs(
+            [bytes(row["dv_blob"]) for row in with_dv]
+        )
         descs: dict[int, dict] = {}
-        for row in sorted(catalog, key=lambda r: r["fid"]):
-            if row["dv_blob"] is None:
-                continue
-            blob = bytes(row["dv_blob"])
+        for row, d in zip(with_dv, dv_descs):
             descs[row["fid"]] = {
                 "storageType": "p",
                 "pathOrInlineDv": dv_rel,
-                "offset": len(dv_bytes),
-                "sizeInBytes": len(blob),
+                "offset": d["offset"],
+                "sizeInBytes": d["sizeInBytes"],
                 "cardinality": int(row["cardinality"]),
             }
-            dv_bytes += _struct.pack(">i", len(blob))
-            dv_bytes += blob
-            dv_bytes += _struct.pack(">I", crc32(blob))
         with open(os.path.join(staging, dv_rel), "wb") as fh:
-            fh.write(bytes(dv_bytes))
+            fh.write(dv_bytes)
         actions = [
             {
                 "protocol": {
@@ -2383,7 +2384,6 @@ def cdc_delta_merge_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     import json as _json
     import os
     import shutil
-    import struct as _struct
 
     import pandas as pd
 
@@ -2391,7 +2391,6 @@ def cdc_delta_merge_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
         ensure_package_on_workers,
         staged_artifact_dir,
     )
-    from metricproxy_spark.sources.deflate import crc32
 
     ensure_package_on_workers(spark)
     root = staged_artifact_dir("deltamergedv", sf_dir)
@@ -2511,25 +2510,24 @@ def cdc_delta_merge_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
         blob_fids = [r["fid"] for r in catalog if r["dv_blob"] is not None]
         if not set(blob_fids) <= set(touched):
             raise ValueError("merge-dv: DV outside the stats-touched set")
+        from metricproxy_spark.sources.roaring import pack_dv_blobs
+
         dv_rel = "dv/merge-deletions.bin"
-        dv_bytes = bytearray([1])
+        with_dv = [r for r in catalog if r["dv_blob"] is not None]
+        dv_bytes, dv_descs = pack_dv_blobs(
+            [bytes(r["dv_blob"]) for r in with_dv]
+        )
         descs: dict[int, dict] = {}
-        for r in catalog:
-            if r["dv_blob"] is None:
-                continue
-            blob = bytes(r["dv_blob"])
+        for r, d in zip(with_dv, dv_descs):
             descs[r["fid"]] = {
                 "storageType": "p",
                 "pathOrInlineDv": dv_rel,
-                "offset": len(dv_bytes),
-                "sizeInBytes": len(blob),
+                "offset": d["offset"],
+                "sizeInBytes": d["sizeInBytes"],
                 "cardinality": int(r["cardinality"]),
             }
-            dv_bytes += _struct.pack(">i", len(blob))
-            dv_bytes += blob
-            dv_bytes += _struct.pack(">I", crc32(blob))
         with open(os.path.join(staging, dv_rel), "wb") as fh:
-            fh.write(bytes(dv_bytes))
+            fh.write(dv_bytes)
 
         def _cnt(df):
             r = df.agg(

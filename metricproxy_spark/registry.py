@@ -162,11 +162,14 @@ ORACLES: dict[str, str] = {}
 # stream_zstd_pipeline now ride the sequences-emitting zstd encoder;
 # the two parquet-index pruning queries after the read_offset_index/
 # read_column_index None-contract hardening — the r13 CBOR
-# strictness-raise precedent) + the FULL 14-name r5-latest cohort +
-# the first 27 of the 49-name r6-latest cohort = exactly the 50-row
-# driver window.
-# ROUND-15 NOTE: pin r15 additions/changes first, then the TWENTY-TWO
-# overflowed r6 names (ingest_graphite_tags, ingest_otlp_json,
+# strictness-raise precedent; cdc_delta_deletion_vectors after its
+# DV framing moved to the shared roaring.pack_dv_blobs definition —
+# byte-identical, equality-pinned in tests) + the FULL 14-name
+# r5-latest cohort + the first 26 of the 49-name r6-latest cohort =
+# exactly the 50-row driver window.
+# ROUND-15 NOTE: pin r15 additions/changes first, then the
+# TWENTY-THREE overflowed r6 names (ingest_warc_records,
+# ingest_graphite_tags, ingest_otlp_json,
 # ingest_otlp_http_live, ingest_dogstatsd_tags,
 # ingest_graphite_pickle, stream_influx_pipeline,
 # stream_graphite_pipeline, events_ema, events_holt_trend,
@@ -190,6 +193,7 @@ _PRIORITY = (
     "stream_zstd_pipeline",
     "ingest_parquet_bloom_prune",
     "ingest_parquet_page_index_prune",
+    "cdc_delta_deletion_vectors",
     # --- r5-latest evidence cohort (all 14, overflowed from r13) ---
     "multimodal_decode_real",
     "text_winnow_fingerprints",
@@ -205,7 +209,7 @@ _PRIORITY = (
     "graph_khop_reach",
     "analytic_approx_percentile",
     "analytic_asof_nearest",
-    # --- r6-latest evidence cohort (first 28 of 49; the 21 names in
+    # --- r6-latest evidence cohort (first 26 of 49; the 23 names in
     # the ROUND-15 NOTE overflow to round 15) ---
     "dedup_semantic",
     "dedup_semantic_prune",
@@ -233,7 +237,6 @@ _PRIORITY = (
     "ingest_statsd_live",
     "ingest_influx_live",
     "ingest_avro_datasource",
-    "ingest_warc_records",
 )
 
 _QUERY_MODULES = (

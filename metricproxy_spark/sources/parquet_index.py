@@ -215,6 +215,25 @@ def bloom_hash_bytes(value: bytes) -> int:
     return xxh64(value)
 
 
+def bloom_hash_int32(value: int) -> int:
+    """XXH64 of the 4-byte little-endian plain encoding."""
+    from metricproxy_spark.sources.zstd import xxh64
+
+    return xxh64(struct.pack("<i", value))
+
+
+def bloom_hash_double(value: float) -> int:
+    """XXH64 of the 8-byte little-endian plain encoding; -0.0 is
+    normalized to +0.0 first (the parquet-mr convention — the two
+    encodings differ but the values compare equal, so hashing both
+    patterns is the only way to avoid false negatives)."""
+    from metricproxy_spark.sources.zstd import xxh64
+
+    if value == 0.0:
+        value = 0.0
+    return xxh64(struct.pack("<d", value))
+
+
 def decode_selected_pages(
     path: str, chunk: dict, locations: list[dict], wanted: list[int]
 ) -> list:

@@ -218,6 +218,16 @@ def _stat_bytes(ptype: int, v) -> bytes:
     raise ValueError(f"parquet writer: unsupported stat type {ptype}")
 
 
+def _stat_values(typ: str, values) -> list:
+    """Values eligible for min/max bounds — NaN is excluded for
+    doubles (parquet spec: NaN must never appear in statistics; a
+    Python ``min()`` over a NaN-first list would otherwise poison the
+    bound and make pruning readers skip matching data)."""
+    if typ == "double":
+        return [v for v in values if v == v]
+    return list(values)
+
+
 def _compress(codec: str, body: bytes) -> bytes:
     if codec == "uncompressed":
         return body
@@ -441,22 +451,32 @@ def build_split_block_bloom(hashes, num_blocks: int) -> bytes:
 
 
 def _bloom_hashes(ptype: int, values) -> list:
-    from metricproxy_spark.sources.zstd import xxh64
+    """Hash inputs via the READ side's own helpers in
+    ``parquet_index`` — one definition of the hash-input contract for
+    both directions. Dedup happens on the resulting hashes (not raw
+    values), so double 0.0/-0.0 — equal values with different plain
+    encodings — both normalize through ``bloom_hash_double``."""
+    from metricproxy_spark.sources.parquet_index import (
+        bloom_hash_bytes,
+        bloom_hash_double,
+        bloom_hash_int32,
+        bloom_hash_int64,
+    )
 
-    out = []
-    for v in set(values):
-        if ptype == _PQ_INT64:
-            out.append(xxh64(struct.pack("<q", v)))
-        elif ptype == _PQ_INT32:
-            out.append(xxh64(struct.pack("<i", v)))
-        elif ptype == _PQ_DOUBLE:
-            out.append(xxh64(struct.pack("<d", v)))
-        elif ptype == _PQ_BYTE_ARRAY:
-            b = v.encode("utf-8") if isinstance(v, str) else bytes(v)
-            out.append(xxh64(b))
-        else:
-            raise ValueError("parquet bloom: unsupported column type")
-    return out
+    if ptype == _PQ_INT64:
+        hasher = bloom_hash_int64
+    elif ptype == _PQ_INT32:
+        hasher = bloom_hash_int32
+    elif ptype == _PQ_DOUBLE:
+        hasher = bloom_hash_double
+    elif ptype == _PQ_BYTE_ARRAY:
+
+        def hasher(v):
+            return bloom_hash_bytes(_as_bytes(v))
+
+    else:
+        raise ValueError("parquet bloom: unsupported column type")
+    return list({hasher(v) for v in values})
 
 
 def write_parquet(
@@ -642,19 +662,28 @@ def write_parquet(
                     hdr = _page_header(
                         len(pv), enc, len(body), len(comp)
                     )
+                p_stat = _stat_values(typ, pnn)
                 pages_rec.append(
                     {
                         "offset": len(out),
                         "size": len(hdr) + len(comp),
                         "first_row": p_lo,  # relative to the row group
                         "min": (
-                            _stat_bytes(ptype, min(pnn)) if pnn else b""
+                            _stat_bytes(ptype, min(p_stat))
+                            if p_stat
+                            else b""
                         ),
                         "max": (
-                            _stat_bytes(ptype, max(pnn)) if pnn else b""
+                            _stat_bytes(ptype, max(p_stat))
+                            if p_stat
+                            else b""
                         ),
                         "null_count": len(pv) - len(pnn),
                         "null_page": not pnn,
+                        # a non-null page whose values are ALL NaN has
+                        # undefined bounds: the whole chunk's page
+                        # index is skipped rather than lie
+                        "no_bounds": bool(pnn) and not p_stat,
                     }
                 )
                 out += hdr + comp
@@ -662,9 +691,10 @@ def write_parquet(
                 comp_sum += len(comp) + len(hdr)
             rg_total_raw += raw_sum
             stats = []
-            if non_null:
-                mx = _stat_bytes(ptype, max(non_null))
-                mn = _stat_bytes(ptype, min(non_null))
+            c_stat = _stat_values(typ, non_null)
+            if c_stat:
+                mx = _stat_bytes(ptype, max(c_stat))
+                mn = _stat_bytes(ptype, min(c_stat))
                 stats = [
                     (3, "i64", len(vals) - len(non_null)),  # null_count
                     (5, "binary", mx),  # max_value
@@ -721,6 +751,11 @@ def write_parquet(
         # ColumnIndex structs, then all OffsetIndex structs, between
         # the last data page and the footer; each ColumnChunk points
         # at its pair via fields 4-7.
+        index_recs = [
+            (chunk, pages_rec)
+            for chunk, pages_rec in index_recs
+            if not any(p["no_bounds"] for p in pages_rec)
+        ]
         for chunk, pages_rec in index_recs:
             ci = _enc_struct(
                 [
@@ -770,10 +805,10 @@ def write_parquet(
     out += footer
     out += struct.pack("<i", len(footer))
     out += b"PAR1"
-    tmp = f"{path}.tmp.{id(out)}"
-    with open(tmp, "wb") as fh:
-        fh.write(out)
     import os
 
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "wb") as fh:
+        fh.write(out)
     os.replace(tmp, path)
     return len(rg_starts)

@@ -210,26 +210,33 @@ def deserialize_rba(buf: bytes) -> list[int]:
     return out
 
 
-def write_dv_file(dvs: list[list[int]]) -> tuple[bytes, list[dict]]:
-    """Deletion vectors (each a list of row positions) → (file bytes,
-    per-DV descriptors {offset, sizeInBytes, cardinality}) — the
-    fields an `add.deletionVector` action carries."""
+def pack_dv_blobs(blobs: list[bytes]) -> tuple[bytes, list[dict]]:
+    """Already-serialized RoaringBitmapArray blobs → (DV file bytes,
+    per-DV {offset, sizeInBytes}). THE single definition of the
+    multi-DV file framing (version byte, then per DV a big-endian
+    int32 size, the blob, a big-endian CRC-32) — the executor-side
+    twin of :func:`write_dv_file` for callers that serialized each
+    bitmap where its file was scanned and ship only KB blobs."""
     out = bytearray([_DV_VERSION])
     descs = []
-    for positions in dvs:
-        blob = serialize_rba(positions)
+    for blob in blobs:
+        blob = bytes(blob)
         offset = len(out)
         out += struct.pack(">i", len(blob))
         out += blob
         out += struct.pack(">I", crc32(blob))
-        descs.append(
-            {
-                "offset": offset,
-                "sizeInBytes": len(blob),
-                "cardinality": len(set(positions)),
-            }
-        )
+        descs.append({"offset": offset, "sizeInBytes": len(blob)})
     return bytes(out), descs
+
+
+def write_dv_file(dvs: list[list[int]]) -> tuple[bytes, list[dict]]:
+    """Deletion vectors (each a list of row positions) → (file bytes,
+    per-DV descriptors {offset, sizeInBytes, cardinality}) — the
+    fields an `add.deletionVector` action carries."""
+    out, descs = pack_dv_blobs([serialize_rba(p) for p in dvs])
+    for positions, d in zip(dvs, descs):
+        d["cardinality"] = len(set(positions))
+    return out, descs
 
 
 def read_dv(data: bytes, offset: int, size: int, cardinality: int) -> set[int]:

@@ -976,3 +976,93 @@ class TestParquetWriterDeltaStrings:
             )
 
             byte_stream_split_enc(6, ["s"])  # BYTE_ARRAY type id
+
+
+class TestReviewFixes:
+    """Closing-review regressions: NaN-poisoned stats, -0.0 bloom
+    false negatives, shared DV framing."""
+
+    def test_nan_double_stats_are_skipped(self, tmp_path):
+        import math
+
+        from metricproxy_spark.sources.parquet_footer import (
+            decode_rowgroup_stats,
+            read_footer_bytes,
+        )
+        import struct as _struct
+
+        from metricproxy_spark.sources.parquet_writer import write_parquet
+
+        nan = float("nan")
+        cols = {"v": [nan, 1.0, 5.0, nan, -2.0]}
+        p = str(tmp_path / "nanstats.parquet")
+        write_parquet(p, [("v", "double")], cols)
+        stats = decode_rowgroup_stats(read_footer_bytes(p), "v")
+        mn = _struct.unpack("<d", stats[0]["min_raw"])[0]
+        mx = _struct.unpack("<d", stats[0]["max_raw"])[0]
+        assert (mn, mx) == (-2.0, 5.0)
+        assert not math.isnan(mn) and not math.isnan(mx)
+
+    def test_all_nan_page_omits_page_index(self, tmp_path):
+        from metricproxy_spark.sources.parquet_footer import (
+            read_footer_bytes,
+        )
+        from metricproxy_spark.sources.parquet_index import (
+            column_chunk_indexes,
+        )
+        from metricproxy_spark.sources.parquet_writer import write_parquet
+
+        nan = float("nan")
+        # page 0 is all-NaN -> the chunk's bounds would be lies; the
+        # writer must omit the pair, and the reader's None contract
+        # (r13 ADVICE fix) reports it cleanly
+        cols = {"v": [nan] * 10 + [float(i) for i in range(10)]}
+        p = str(tmp_path / "nanpage.parquet")
+        write_parquet(p, [("v", "double")], cols, page_rows=10)
+        meta = column_chunk_indexes(read_footer_bytes(p), "v")[0]
+        assert meta["offset_index"] is None
+        assert meta["column_index"] is None
+        # chunk-LEVEL stats still exist (NaN-skipped, not omitted)
+        import pyarrow.parquet as pq
+
+        got = pq.read_table(p).column("v").to_pylist()
+        assert got[10:] == [float(i) for i in range(10)]
+
+    def test_bloom_negative_zero_no_false_negative(self, tmp_path):
+        from metricproxy_spark.sources.parquet_footer import (
+            read_footer_bytes,
+        )
+        from metricproxy_spark.sources.parquet_index import (
+            bloom_hash_double,
+            column_chunk_indexes,
+            read_bloom_filter,
+        )
+        from metricproxy_spark.sources.parquet_writer import write_parquet
+
+        cols = {"v": [0.0, -0.0, 1.5, -0.0, 2.5]}
+        p = str(tmp_path / "zerobloom.parquet")
+        write_parquet(p, [("v", "double")], cols, bloom={"v"})
+        meta = column_chunk_indexes(read_footer_bytes(p), "v")[0]
+        bf = read_bloom_filter(p, *meta["bloom"])
+        # probing EITHER sign of zero must hit (equal values)
+        assert bf.might_contain_hash(bloom_hash_double(0.0))
+        assert bf.might_contain_hash(bloom_hash_double(-0.0))
+        assert bf.might_contain_hash(bloom_hash_double(1.5))
+
+    def test_dv_framing_single_definition(self):
+        from metricproxy_spark.sources.roaring import (
+            pack_dv_blobs,
+            read_dv,
+            serialize_rba,
+            write_dv_file,
+        )
+
+        positions = [[1, 5, 9], [2, 100, 2**33]]
+        file_a, descs_a = write_dv_file(positions)
+        file_b, descs_b = pack_dv_blobs(
+            [serialize_rba(p) for p in positions]
+        )
+        assert file_a == file_b
+        for p, d in zip(positions, descs_b):
+            got = read_dv(file_b, d["offset"], d["sizeInBytes"], len(p))
+            assert got == set(p)
