@@ -1066,3 +1066,94 @@ class TestReviewFixes:
         for p, d in zip(positions, descs_b):
             got = read_dv(file_b, d["offset"], d["sizeInBytes"], len(p))
             assert got == set(p)
+
+
+class TestWriterPropertyRoundtrip:
+    def test_randomized_schemas_roundtrip_three_readers(self, tmp_path):
+        """Randomized schemas/values (nulls, NaN, unicode, empty
+        strings, negative ints, both page versions, all encodings)
+        must roundtrip through pyarrow, DuckDB and the own decoder."""
+        import math
+        import random
+
+        import duckdb
+        import pyarrow.parquet as pq
+
+        from metricproxy_spark.sources.parquet_footer import (
+            decode_rowgroup_stats,
+            read_footer_bytes,
+        )
+        from metricproxy_spark.sources.parquet_pages import decode_columns
+        from metricproxy_spark.sources.parquet_writer import write_parquet
+
+        rng = random.Random(2024)
+        strings = ["", "a", "längere-zeichen", "共通接頭辞", "x" * 300]
+        for case in range(6):
+            n = rng.choice([1, 7, 100, 1333])
+            pver = 1 + (case % 2)
+            cols = {
+                "i": [rng.randrange(-(2**62), 2**62) for _ in range(n)],
+                "s": [
+                    rng.choice(strings) + str(rng.randrange(100))
+                    for _ in range(n)
+                ],
+                "d": [
+                    rng.choice([rng.uniform(-1e9, 1e9), float("nan")])
+                    for _ in range(n)
+                ],
+                "o": [
+                    None if rng.random() < 0.3 else rng.randrange(10**6)
+                    for _ in range(n)
+                ],
+            }
+            schema = [
+                ("i", "int64"),
+                ("s", "string"),
+                ("d", "double"),
+                ("o", "int64"),
+            ]
+            kwargs = {}
+            if pver == 2 and case % 3 == 0:
+                kwargs["column_encoding"] = {
+                    "s": "delta_byte_array",
+                    "d": "byte_stream_split",
+                }
+            elif rng.random() < 0.5:
+                kwargs["dictionary"] = {"s"} if n > 1 else frozenset()
+            p = str(tmp_path / f"prop{case}.parquet")
+            write_parquet(
+                p,
+                schema,
+                cols,
+                nullable={"o"},
+                row_group_rows=rng.choice([64, 500, 10**6]),
+                page_rows=rng.choice([32, 256, 10**6]),
+                codec=rng.choice(["uncompressed", "zstd"]),
+                data_page_version=pver,
+                **kwargs,
+            )
+            t = pq.read_table(p)
+            assert t.column("i").to_pylist() == cols["i"], case
+            assert t.column("s").to_pylist() == cols["s"], case
+            assert t.column("o").to_pylist() == cols["o"], case
+            got_d = t.column("d").to_pylist()
+            assert len(got_d) == n
+            for a, b in zip(got_d, cols["d"]):
+                assert (a == b) or (math.isnan(a) and math.isnan(b))
+            dk = duckdb.sql(
+                f"SELECT count(*), sum(i), count(o)"
+                f" FROM read_parquet('{p}')"
+            ).fetchone()
+            assert dk == (
+                n,
+                sum(cols["i"]),
+                sum(v is not None for v in cols["o"]),
+            ), case
+            n_rgs = len(decode_rowgroup_stats(read_footer_bytes(p), "i"))
+            seen_i, seen_s = [], []
+            for rg in range(n_rgs):
+                dec = decode_columns(p, ["i", "s", "o"], rg)
+                seen_i.extend(dec["i"])
+                seen_s.extend(b.decode() for b in dec["s"])
+            assert seen_i == cols["i"], case
+            assert seen_s == cols["s"], case
