@@ -1229,14 +1229,23 @@ def _code_of(bases: list[int], value: int) -> int:
     return bisect.bisect_right(bases, value) - 1
 
 
-def _encode_sequences(seqs: list[tuple[int, int, int]]) -> bytes:
-    """[(literals_length, match_length, offset)] → the complete
+def _encode_sequences(
+    seqs: list[tuple[int, int, int]],
+    reps: list[int] | None = None,
+) -> tuple[bytes, list[int]]:
+    """[(literals_length, match_length, offset)] → (the complete
     Sequences_Section with all three symbol types in Predefined_Mode
-    (RFC 8878 §3.1.1.3.2.1.1) — the exact inverse of
-    :func:`_decode_sequences` for mode-0 streams."""
+    (RFC 8878 §3.1.1.3.2.1.1), updated repeat offsets) — the exact
+    inverse of :func:`_decode_sequences` for mode-0 streams. ``reps``
+    is the frame's repeat-offset state (persists ACROSS blocks, init
+    [1, 4, 8]); an offset matching a recent one emits offset_value
+    1-3 — zero or near-zero extra bits — mirroring the decoder's
+    resolution rules exactly (the ll == 0 index shift means repeat
+    codes are only used when ll > 0)."""
+    reps = [1, 4, 8] if reps is None else list(reps)
     nseq = len(seqs)
     if nseq == 0:
-        return b"\x00"
+        return b"\x00", reps
     if nseq < 128:
         head = bytes([nseq])
     elif nseq < 0x7F00:
@@ -1247,7 +1256,17 @@ def _encode_sequences(seqs: list[tuple[int, int, int]]) -> bytes:
     ll_codes, ml_codes, of_codes = [], [], []
     extras = []  # (of_extra, of_nb, ml_extra, ml_nb, ll_extra, ll_nb)
     for ll, ml, offset in seqs:
-        ov = offset + 3  # never a repeat offset
+        if ll != 0 and offset == reps[0]:
+            ov = 1  # repeat offset 1: reps unchanged
+        elif ll != 0 and offset == reps[1]:
+            ov = 2
+            reps = [offset, reps[0], reps[2]]
+        elif ll != 0 and offset == reps[2]:
+            ov = 3
+            reps = [offset, reps[0], reps[1]]
+        else:
+            ov = offset + 3
+            reps = [offset, reps[0], reps[1]]
         of_c = ov.bit_length() - 1
         ml_c = _code_of(_ML_BASE, ml)
         ll_c = _code_of(_LL_BASE, ll)
@@ -1282,7 +1301,7 @@ def _encode_sequences(seqs: list[tuple[int, int, int]]) -> bytes:
             acc.push(ll_tr[i][0], ll_tr[i][1])
             acc.push(ml_tr[i][0], ml_tr[i][1])
             acc.push(of_tr[i][0], of_tr[i][1])
-    return head + acc.bytes()
+    return head + acc.bytes(), reps
 
 
 def _raw_literals_section(lit: bytes) -> bytes:
@@ -1352,6 +1371,7 @@ def compress_zstd(data: bytes, checksum: bool = True) -> bytes:
     if n == 0:
         out += (1).to_bytes(3, "little")
     match_table: dict = {}  # frame-wide 4-byte-prefix hash table
+    reps = [1, 4, 8]  # frame-wide repeat-offset state
     pos = 0
     while pos < n:
         blk_lo = pos
@@ -1364,6 +1384,7 @@ def compress_zstd(data: bytes, checksum: bool = True) -> bytes:
             out += chunk[:1]
             continue
         best = None  # smallest Compressed_Block body so far
+        best_reps = reps  # reps advance ONLY if the seq block ships
         seqs, tail = _find_matches(data, blk_lo, blk_hi, match_table)
         if seqs:
             parts = []
@@ -1377,13 +1398,17 @@ def compress_zstd(data: bytes, checksum: bool = True) -> bytes:
             raw_sec = _raw_literals_section(lits)
             if lit_sec is None or len(lit_sec) >= len(raw_sec):
                 lit_sec = raw_sec
-            best = lit_sec + _encode_sequences(seqs)
+            seq_sec, seq_reps = _encode_sequences(seqs, reps)
+            best = lit_sec + seq_sec
+            best_reps = seq_reps
         literals = _compress_literals(chunk)
         if literals is not None and (
             best is None or len(literals) + 1 < len(best)
         ):
             best = literals + b"\x00"  # zero sequences
+            best_reps = reps
         if best is not None and len(best) < len(chunk):
+            reps = best_reps
             out += ((len(best) << 3) | (2 << 1) | last).to_bytes(3, "little")
             out += best
         else:

@@ -384,9 +384,23 @@ class TestZstdSequences:
         )
 
         seqs = [(5, 7, 4), (0, 4, 1), (130, 65, 4000), (1, 9, 2)]
-        sec = _encode_sequences(seqs)
+        sec, reps = _encode_sequences(seqs)
         got = _decode_sequences(sec, _FrameCtx())
         assert got == seqs
+        # repeat-offset round: same offset back-to-back with ll > 0
+        # must resolve through the rep codes and carried state
+        rep_seqs = [(3, 8, 40), (2, 5, 40), (0, 4, 40), (1, 6, 7), (4, 4, 40)]
+        sec2, _ = _encode_sequences(rep_seqs)
+        assert _decode_sequences(sec2, _FrameCtx()) == rep_seqs
+        # cross-block state: the second section starts from the reps
+        # the first one ended with
+        a = [(5, 4, 100), (1, 4, 100)]
+        b = [(2, 4, 100), (3, 4, 7)]
+        sec_a, reps_a = _encode_sequences(a)
+        sec_b, _ = _encode_sequences(b, reps_a)
+        ctx = _FrameCtx()
+        assert _decode_sequences(sec_a, ctx) == a
+        assert _decode_sequences(sec_b, ctx) == b
 
 
 class TestIcebergSequenceNumbers:
