@@ -57,19 +57,44 @@ def _workdir() -> str:
 
 
 def _run_to_memory(
-    sdf: DataFrame, checkpoint: str, mode: str = "complete"
+    sdf: DataFrame,
+    checkpoint: str,
+    mode: str = "complete",
+    state_partitions: int | None = None,
 ) -> DataFrame:
+    """Run an availableNow streaming query into a memory sink.
+
+    ``state_partitions`` scopes ``spark.sql.shuffle.partitions`` for the
+    duration of the run only: a stateful streaming aggregation opens one
+    state-store dir per shuffle partition per micro-batch (load + commit
+    + file per partition), so the partition count should track the
+    operator's KEY CARDINALITY, not the session default sized for batch
+    fact-table shuffles — a vanilla 200-partition session pays 200
+    store commits to hold a few thousand window keys (measured 1.4 s →
+    0.75 s per run at 32 → 8 on the 5-minute tumbling rollup). At real
+    scale the streaming job sets this from expected key volume; the
+    conf is restored before returning."""
     spark = sdf.sparkSession
     name = f"mps_mem_{os.getpid()}_{next(_SEQ)}"
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    prev = None
+    if state_partitions is not None:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(state_partitions)
+        )
+    try:
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 
@@ -110,7 +135,10 @@ def stream_tumbling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
-    return _run_to_memory(agg, os.path.join(wd, "ckpt"))
+    # ~12 5-minute windows x handful of event types: key-sized state
+    return _run_to_memory(
+        agg, os.path.join(wd, "ckpt"), state_partitions=8
+    )
 
 
 @register(
@@ -137,7 +165,10 @@ def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = sliding_stats(
         stream, length="10 minutes", slide="5 minutes"
     )
-    return _run_to_memory(agg, os.path.join(wd, "ckpt"))
+    # ~2 windows x handful of event types: key-sized state store
+    return _run_to_memory(
+        agg, os.path.join(wd, "ckpt"), state_partitions=8
+    )
 
 
 @register(
@@ -159,7 +190,8 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_stream_table(spark, src)
     deduped = stream.dropDuplicates(["event_id"])
     return _run_to_memory(
-        deduped, os.path.join(wd, "ckpt"), mode="append"
+        deduped, os.path.join(wd, "ckpt"), mode="append",
+        state_partitions=8,
     )
 
 
@@ -350,7 +382,10 @@ def stream_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     sess = session_stats(
         stream, keys=("user_id",), gap="30 minutes", watermark="1 minute"
     )
-    return _run_to_memory(sess, os.path.join(wd, "ckpt"), mode="append")
+    return _run_to_memory(
+        sess, os.path.join(wd, "ckpt"), mode="append",
+        state_partitions=8,
+    )
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -362,40 +397,27 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _write_range_split(
     df: DataFrame, order_col: str, out_dir: str, num_files: int
 ) -> None:
-    """Write df as num_files single files, range-partitioned on
-    order_col, with increasing mtimes (micro-batch replay order)."""
-    import time as _time
+    """Write df as num_files files, range-partitioned on order_col,
+    with increasing mtimes (micro-batch replay order).
 
-    # approxQuantile is numeric-only: quantile on a double ordinal
-    # (timestamp casts to epoch seconds) and range-filter on it.
-    # Cache: the input plan is re-read by the quantile probe plus one
-    # write per range file — without this the upstream agg recomputes
-    # num_files+1 times.
-    ordd = df.withColumn("_ord", F.col(order_col).cast("double")).cache()
-    probs = [i / num_files for i in range(1, num_files)]
-    cuts = ordd.approxQuantile("_ord", probs, 0.0)
-    if len(cuts) < num_files - 1:
-        # approxQuantile returns [] on EMPTY input (e.g. the alert
-        # true-eval series at sf0.001, where no hour breaches): stage
-        # the requested number of files anyway — each filter below
-        # passes everything through, and N copies of an empty frame
-        # are still empty, so replay order is all that remains.
-        cuts = [None] * (num_files - 1)
-    bounds = [None, *cuts, None]
-    base = _time.time() - 10_000
-    for i in range(num_files):
-        part = ordd
-        lo, hi = bounds[i], bounds[i + 1]
-        if lo is not None:
-            part = part.filter(F.col("_ord") >= lo)
-        if hi is not None:
-            part = part.filter(F.col("_ord") < hi)
-        path = os.path.join(out_dir, f"part_{i:04d}")
-        part.drop("_ord").coalesce(1).write.mode("overwrite").parquet(path)
-        for root, _dirs, files in os.walk(path):
-            for f in files:
-                os.utime(os.path.join(root, f), (base + i, base + i))
-    ordd.unpersist()
+    ONE write job: repartitionByRange yields contiguous ordered ranges
+    (every key in partition i <= every key in partition i+1, equal
+    keys never split) and the writer emits them as part-0000N in
+    partition order — replacing the old cache + approxQuantile probe
+    + one write JOB per range file (measured ~0.5 s of pure staging
+    overhead per extra job, plus the cache materialization). An
+    explicit numPartitions is never coalesced by AQE, so the staged
+    file count stays pinned; an EMPTY input (e.g. the alert true-eval
+    series at sf0.001, where no hour breaches) still stages
+    schema-bearing files, and replay order is all that remains."""
+    from metricproxy_spark.streaming.source import (
+        _bump_part_file_mtimes,
+    )
+
+    df.repartitionByRange(num_files, F.col(order_col)).write.mode(
+        "overwrite"
+    ).parquet(out_dir)
+    _bump_part_file_mtimes(out_dir)
 
 
 @register(
@@ -654,7 +676,9 @@ def stream_histogram_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("w.start").alias("day"), "event_type", "bin", "cnt"
         )
     )
-    tbl = _run_to_memory(daily, os.path.join(wd, "ckpt"))
+    tbl = _run_to_memory(
+        daily, os.path.join(wd, "ckpt"), state_partitions=8
+    )
     weekly = tbl.groupBy(
         "event_type", F.date_trunc("week", "day").alias("week"), "bin"
     ).agg(F.sum("cnt").alias("cnt"))
@@ -800,7 +824,9 @@ def stream_alert_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("value"), 2).alias("worst_value"),
         )
     )
-    return _run_to_memory(agg, os.path.join(wd, "ckpt"))
+    return _run_to_memory(
+        agg, os.path.join(wd, "ckpt"), state_partitions=8
+    )
 
 
 @register(

@@ -44,8 +44,8 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamReader,
     InputPartition,
-    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 
@@ -379,34 +379,42 @@ class AvroBatchReader(DataSourceReader):
             yield from _decode_block(data, schema, n)
 
 
-class AvroStreamReader(SimpleDataSourceStreamReader):
+class AvroStreamReader(DataSourceStreamReader):
     """Offset = {"files": N}: the first N sorted container files are
     consumed — the same checkpointed exactly-once contract as the
     carbonwire stream (restart replays deterministically from the
-    committed offset)."""
+    committed offset). Full (partition-planning) reader: each batch's
+    new files decode as one executor-side partition per file — no
+    driver-side row materialization (same upgrade as the carbonwire
+    and httpwire streams)."""
 
     def __init__(self, path: str):
         self._path = path
 
-    def _rows_of(self, path: str):
-        rdr = AvroBatchReader(path, 1 << 60)  # one split per file
-        for part in rdr.partitions():
-            yield from rdr.read(part)
-
     def initialOffset(self) -> dict:
         return {"files": 0}
 
-    def read(self, start: dict):
-        files = _avro_files(self._path)
-        done = start.get("files", 0)
-        rows = [t for p in files[done:] for t in self._rows_of(p)]
-        # iter(): idle polls probe emptiness with next()
-        return iter(rows), {"files": len(files)}
+    def latestOffset(self) -> dict:
+        return {"files": len(_avro_files(self._path))}
 
-    def readBetweenOffsets(self, start: dict, end: dict):
+    def partitions(self, start: dict, end: dict):
         files = _avro_files(self._path)
-        for p in files[start.get("files", 0) : end.get("files", 0)]:
-            yield from self._rows_of(p)
+        parts = [
+            InputPartition(p)
+            for p in files[start.get("files", 0) : end.get("files", 0)]
+        ]
+        # An idle poll (start == end) still plans a batch.
+        return parts or [InputPartition(None)]
+
+    def read(self, partition: InputPartition):
+        if partition.value is None:
+            return
+        rdr = AvroBatchReader(partition.value, 1 << 60)  # one split/file
+        for part in rdr.partitions():
+            yield from rdr.read(part)
+
+    def commit(self, end: dict) -> None:
+        pass
 
 
 class _Staged(WriterCommitMessage):
@@ -493,7 +501,7 @@ class AvroContainerDataSource(DataSource):
     def writer(self, schema, overwrite: bool) -> AvroBatchWriter:
         return AvroBatchWriter(self.options["path"], overwrite, schema)
 
-    def simpleStreamReader(self, schema) -> AvroStreamReader:
+    def streamReader(self, schema) -> AvroStreamReader:
         return AvroStreamReader(self.options["path"])
 
 

@@ -18,10 +18,11 @@ behaves like any built-in source:
   of parallelism is the file; files are bin-packed into partitions of
   ~``chunk_bytes`` (default 8 MB) so a million tiny requests don't
   become a million tasks, and a handful of huge ones still fan out.
-- Streaming: ``SimpleDataSourceStreamReader`` with offset = number of
+- Streaming: full ``DataSourceStreamReader`` with offset = number of
   (sorted) files consumed — newly landed requests are picked up exactly
   once, replayable from the checkpointed offset (same contract as the
-  carbonwire connector).
+  carbonwire connector), each batch's files bin-packed into
+  executor-side partitions like the batch reader.
 
 Body PARSING stays in the protocol modules
 (:func:`metricproxy_spark.sources.signalfx.parse_sfx_v2_json`,
@@ -41,8 +42,8 @@ from typing import Iterator, Tuple
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     InputPartition,
-    SimpleDataSourceStreamReader,
 )
 from pyspark.sql.types import StringType, StructField, StructType
 
@@ -148,29 +149,52 @@ class HttpWireBatchReader(DataSourceReader):
             yield _read_request_file(p)
 
 
-class HttpWireStreamReader(SimpleDataSourceStreamReader):
+class HttpWireStreamReader(DataSourceStreamReader):
     """Offset = {"files": N}: the first N sorted files are consumed.
-    Sorted order makes replay from a checkpointed offset deterministic."""
+    Sorted order makes replay from a checkpointed offset deterministic.
 
-    def __init__(self, path: str):
+    Full (partition-planning) stream reader: each micro-batch's new
+    request files are bin-packed into ~chunk_bytes ``InputPartition``s
+    decoded ON THE EXECUTORS — the batch reader's parallelism contract,
+    with no per-batch driver materialization of the bodies (the Simple
+    API funnels every row through the driver-side source runner;
+    measured as the bulk of ``addBatch`` on the streamed HTTP
+    pipelines). At cluster scale the spool dir is shared storage,
+    exactly like the file sources."""
+
+    def __init__(self, path: str, chunk_bytes: int = 8 * 1024 * 1024):
         self._path = path
+        self._chunk = max(64 * 1024, chunk_bytes)
 
     def initialOffset(self) -> dict:
         return {"files": 0}
 
-    def read(self, start: dict):
-        files = _list_request_files(self._path)
-        done = start.get("files", 0)
-        rows = [_read_request_file(p) for p in files[done:]]
-        # MUST be an iterator, not a list: on an idle poll (offset
-        # unchanged) Spark probes it with next() to verify emptiness —
-        # a daemon stream polls idle constantly.
-        return iter(rows), {"files": len(files)}
+    def latestOffset(self) -> dict:
+        return {"files": len(_list_request_files(self._path))}
 
-    def readBetweenOffsets(self, start: dict, end: dict):
+    def partitions(self, start: dict, end: dict):
         files = _list_request_files(self._path)
+        parts: list[InputPartition] = []
+        bucket: list[str] = []
+        filled = 0
         for p in files[start.get("files", 0) : end.get("files", 0)]:
+            bucket.append(p)
+            filled += os.path.getsize(p)
+            if filled >= self._chunk:
+                parts.append(InputPartition(tuple(bucket)))
+                bucket, filled = [], 0
+        if bucket:
+            parts.append(InputPartition(tuple(bucket)))
+        # An idle poll (start == end) still plans a batch: hand the
+        # engine one no-op partition rather than an empty seq.
+        return parts or [InputPartition(())]
+
+    def read(self, partition: InputPartition) -> Iterator[Row]:
+        for p in partition.value:
             yield _read_request_file(p)
+
+    def commit(self, end: dict) -> None:
+        pass
 
 
 class HttpWireDataSource(DataSource):
@@ -187,8 +211,11 @@ class HttpWireDataSource(DataSource):
             int(self.options.get("chunk_bytes", 8 * 1024 * 1024)),
         )
 
-    def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
-        return HttpWireStreamReader(self.options["path"])
+    def streamReader(self, schema) -> HttpWireStreamReader:
+        return HttpWireStreamReader(
+            self.options["path"],
+            int(self.options.get("chunk_bytes", 8 * 1024 * 1024)),
+        )
 
 
 def format_http_request(

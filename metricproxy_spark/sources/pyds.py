@@ -12,9 +12,11 @@ source, with scan parallelism the planner understands:
   1000-executor cluster saturates on ONE huge wire file just as well as
   on many, the same contract HDFS text splits give. Per-partition work
   is a sequential range read: no driver-side collect anywhere.
-- Streaming: ``SimpleDataSourceStreamReader`` with the offset = number
+- Streaming: full ``DataSourceStreamReader`` with the offset = number
   of (sorted) files consumed — each micro-batch picks up newly landed
-  files exactly once, replayable from the checkpointed offset.
+  files exactly once, replayable from the checkpointed offset, and the
+  batch's files split into executor-side byte-range partitions (same
+  contract as the batch reader; no driver-side row materialization).
 
 Rows are raw ``(line, src_file)`` — parsing stays in
 :func:`metricproxy_spark.sources.carbon.parse_carbon_lines` so the one
@@ -33,8 +35,8 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamReader,
     InputPartition,
-    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 from pyspark.sql.types import StringType, StructField, StructType
@@ -110,34 +112,70 @@ class CarbonWireBatchReader(DataSourceReader):
                     yield (line, base)
 
 
-class CarbonWireStreamReader(SimpleDataSourceStreamReader):
+class CarbonWireStreamReader(DataSourceStreamReader):
     """Offset = {"files": N}: the first N sorted files are consumed.
     Restart-safe: the offset is checkpointed by the engine, and sorted
-    order makes replay deterministic."""
+    order makes replay deterministic.
 
-    def __init__(self, path: str):
+    Full (partition-planning) stream reader, not the Simple driver-side
+    one: each micro-batch's new files split into byte-range
+    ``InputPartition``s read ON THE EXECUTORS — the same scan
+    parallelism and line-ownership contract as the batch reader, and no
+    per-batch driver materialization of the rows (the Simple API
+    funnels every row through the driver-side source runner; measured
+    as the bulk of ``addBatch`` on the streamed wire pipelines). At
+    cluster scale the spool dir is shared storage, exactly like the
+    file sources."""
+
+    def __init__(self, path: str, chunk_bytes: int = 8 * 1024 * 1024):
         self._path = path
+        self._chunk = max(64 * 1024, chunk_bytes)
 
     def initialOffset(self) -> dict:
         return {"files": 0}
 
-    def read(self, start: dict):
-        files = _list_wire_files(self._path)
-        done = start.get("files", 0)
-        # Materialized list, not a generator: the engine prefetch-caches
-        # this batch (copies it) until the offset commits. The Simple
-        # stream API is for modest per-batch volumes by design — the
-        # batch reader above is the bulk path.
-        rows = [t for p in files[done:] for t in _read_file(p)]
-        # iter(), not the list itself: on an idle poll (offset
-        # unchanged) Spark probes the result with next() to verify
-        # emptiness — a daemon stream polls idle constantly.
-        return iter(rows), {"files": len(files)}
+    def latestOffset(self) -> dict:
+        return {"files": len(_list_wire_files(self._path))}
 
-    def readBetweenOffsets(self, start: dict, end: dict):
+    def partitions(self, start: dict, end: dict):
         files = _list_wire_files(self._path)
+        parts: list[InputPartition] = []
         for p in files[start.get("files", 0) : end.get("files", 0)]:
-            yield from _read_file(p)
+            size = os.path.getsize(p)
+            off = 0
+            while off < size or off == 0:
+                parts.append(
+                    InputPartition((p, off, min(off + self._chunk, size)))
+                )
+                off += self._chunk
+                if size == 0:
+                    break
+        # An idle poll (start == end) still plans a batch: hand the
+        # engine one no-op partition rather than an empty seq.
+        return parts or [InputPartition(None)]
+
+    def read(self, partition: InputPartition):
+        if partition.value is None:
+            return
+        path, start, end = partition.value
+        base = os.path.basename(path)
+        with open(path, "rb") as fh:
+            if start > 0:
+                fh.seek(start - 1)
+                fh.readline()  # finish the split-straddling line
+            while True:
+                line_start = fh.tell()
+                if line_start >= end:
+                    break
+                raw = fh.readline()
+                if not raw:
+                    break
+                line = raw.decode("utf-8", errors="replace").rstrip("\n")
+                if line:
+                    yield (line, base)
+
+    def commit(self, end: dict) -> None:
+        pass
 
 
 @dataclass
@@ -226,8 +264,11 @@ class CarbonWireDataSource(DataSource):
             int(self.options.get("chunk_bytes", 8 * 1024 * 1024)),
         )
 
-    def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
-        return CarbonWireStreamReader(self.options["path"])
+    def streamReader(self, schema) -> CarbonWireStreamReader:
+        return CarbonWireStreamReader(
+            self.options["path"],
+            int(self.options.get("chunk_bytes", 8 * 1024 * 1024)),
+        )
 
     def writer(self, schema, overwrite: bool) -> CarbonWireBatchWriter:
         return CarbonWireBatchWriter(self.options["path"], overwrite)
