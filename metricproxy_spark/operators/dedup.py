@@ -155,6 +155,12 @@ def minhash_near_dup_pairs(
         "_words",
         minhash_signature(F.col("_shh"), num_hashes).alias("_sig"),
     )
+    # Four consumers read this frame (both band-join sides + both
+    # verify rejoin sides): one eager checkpoint runs the shingle →
+    # xxhash64 → 16-permutation signature pass ONCE instead of once per
+    # consumer. The checkpointed rows are (id, distinct words, 16
+    # int64s) — the same data that would cross the wire anyway.
+    sig_df = sig_df.localCheckpoint(eager=True)
     # The band-bucket join only needs (id, band, band_hash): keep the
     # shuffle narrow; word arrays rejoin after candidate dedup. At scale
     # the heavy arrays thus cross the wire once per *candidate*, not
@@ -518,6 +524,9 @@ def simhash_near_dup_pairs(
             )
         ).alias("_bk"),
     ).select("_id", "_sim", "_bk.band", "_bk.band_val")
+    # Both self-join sides read this frame: one eager (id, sim, band)
+    # checkpoint runs the word-hash + simhash pass once, not twice.
+    banded = banded.localCheckpoint(eager=True)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(

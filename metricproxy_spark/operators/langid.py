@@ -46,15 +46,22 @@ SCALE = 1_000_000  # per-million integer frequency
 
 
 def _trigrams(df: DataFrame, id_cols: list[str], text_col: str) -> DataFrame:
-    """Explode lower-cased character trigrams (map-side)."""
-    return df.select(
+    """Explode lower-cased character trigrams (map-side).
+
+    ``lower()`` is projected ONCE per row before the transform lambda:
+    referenced inline it is (re-)evaluated inside the per-element
+    lambda, turning the explode O(len^2) in characters per document."""
+    low = df.select(
+        *id_cols, F.lower(F.col(text_col)).alias("_tl")
+    )
+    return low.select(
         *id_cols,
         F.explode(
             F.expr(
-                f"transform(CASE WHEN length(lower({text_col})) >= 3"
-                f" THEN sequence(1, length(lower({text_col})) - 2)"
-                f" ELSE array() END,"
-                f" i -> substring(lower({text_col}), i, 3))"
+                "transform(CASE WHEN length(_tl) >= 3"
+                " THEN sequence(1, length(_tl) - 2)"
+                " ELSE array() END,"
+                " i -> substring(_tl, i, 3))"
             )
         ).alias("gram"),
     )
@@ -137,6 +144,13 @@ def langid_end_to_end(
         .groupBy(id_col, "gram")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    # (doc, gram) counts feed BOTH the model derivation and the scoring
+    # join; without a materialization the corpus-wide explode + agg
+    # re-executes per consumer (3x total — the model subtree reads it
+    # twice through counts). One eager localCheckpoint pins it — the
+    # standard iterative-reuse lineage cut used across this repo;
+    # fingerprint-sized (ids + grams + counts), never raw text.
+    docg = docg.localCheckpoint(eager=True)
     labels = docs.select(id_col, F.col(label_col).alias("lang"))
     counts = (
         docg.join(F.broadcast(labels), id_col)

@@ -507,10 +507,13 @@ def srp_band_pairs(
     # 64-float vectors through every collision. Vectors rejoin once per
     # verified pair side afterwards (broadcast when the corpus is small;
     # plain hash join at scale — both narrow per-pair lookups).
+    # Both sides of the bucket self-join read this frame; one eager
+    # id+bandkey-sized checkpoint runs the projection pass (and its
+    # pandas UDF) once instead of once per join side.
     buckets = vectors.select(
         F.col(id_col).alias("_id"),
         F.explode(band_keys(F.col(vec_col))).alias("_bk"),
-    )
+    ).localCheckpoint(eager=True)
     cand = (
         buckets.alias("a")
         .join(buckets.alias("b"), "_bk")

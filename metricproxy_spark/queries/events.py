@@ -2291,6 +2291,10 @@ def events_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("t"),
     )
+    # seq feeds BOTH sides of the pair self-join; AQE does not reuse
+    # the exchange across the aliases, so without this hours-sized
+    # lineage cut the raw-events rollup executes twice.
+    seq = seq.localCheckpoint(eager=True)
     a = seq.select("event_type", F.col("v").alias("v1"), F.col("t").alias("t1"))
     b = seq.select("event_type", F.col("v").alias("v2"), F.col("t").alias("t2"))
     slopes = a.join(b, "event_type").where(F.col("t1") < F.col("t2")).select(

@@ -204,6 +204,11 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest("c_nationkey", "s_nationkey").alias("v"),
         )
         .distinct()
+        # |V|^2-bounded result read by SIX consumers (3 triangle-join
+        # legs x 3 membership branches): one eager checkpoint runs the
+        # fact-side derivation once — without it the plan re-embeds the
+        # lineitem⋈orders join per leg (observed: 37 scans).
+        .localCheckpoint()
     )
     e1 = trade.select(F.col("u").alias("a"), F.col("v").alias("b"))
     e2 = trade.select(F.col("u").alias("b2"), F.col("v").alias("c"))
@@ -448,12 +453,21 @@ def graph_sssp_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
                 dist.unionByName(relaxed)
                 .groupBy("node")
                 .agg(F.min("dist").alias("dist"))
+                # dist appears TWICE per round (union branch + join
+                # probe): without a per-round lineage cut the subtree
+                # DOUBLES each iteration — 2^rounds copies of the seed
+                # scan in the final plan (observed: 20 scans for 3
+                # rounds) and the seed re-executes per copy. Eager
+                # node-sized checkpoint per round = the k-core pattern.
+                .localCheckpoint()
             )
-        return dist.select(
+        out = dist.select(
             F.col("node").alias("node_id"),
             (F.col("node") % 2).cast("int").alias("is_supplier"),
             F.col("dist").cast("int").alias("hops"),
         )
+        edges.unpersist()
+        return out
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 

@@ -1239,6 +1239,9 @@ def ingest_prometheus_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("line")
     )
     lines = ev.select(sample.alias("line")).unionByName(meta)
+    # lines feeds both the sample parse and the TYPE-registry parse;
+    # checkpoint once so the synthesis union doesn't execute twice.
+    lines = lines.localCheckpoint(eager=True)
     samples = parse_prometheus_lines(lines)
     types = parse_prometheus_types(lines)
     typed = with_prometheus_types(samples, types)
@@ -3356,6 +3359,11 @@ def ingest_openmetrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("# EOF").alias("line"),
     )
     lines = samples_lines.unionByName(meta_lines).unionByName(eof_lines)
+    # The synthesized exposition feeds THREE consumers (EOF gate,
+    # sample parse, metadata parse); without a lineage cut the whole
+    # union of scans re-executes per consumer (observed: 10 scans in
+    # the plan). One eager wire-sized checkpoint = one synthesis pass.
+    lines = lines.localCheckpoint(eager=True)
     gate = openmetrics_eof_gate(lines, "scrape", "lineno")
     samples = parse_openmetrics_lines(lines)
     meta = parse_openmetrics_metadata(lines)

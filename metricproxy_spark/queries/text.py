@@ -1986,7 +1986,12 @@ def dedup_exact_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = spread(load_table(spark, sf_dir, "documents"), spark)
-    occ = kgram_hashes_vectorized(docs, k=5, with_pos=True)
+    # occ feeds BOTH the first-occurrence agg and the covered join:
+    # one eager checkpoint of the (ids + int64 hashes) stream runs the
+    # vectorized kgram pass once instead of once per consumer.
+    occ = kgram_hashes_vectorized(
+        docs, k=5, with_pos=True
+    ).localCheckpoint(eager=True)
     # first occurrence per fp as a map-side-combinable MIN aggregate
     # (a row_number window would sort the whole occurrence stream per
     # fp partition; min(struct) partially combines before the shuffle)
