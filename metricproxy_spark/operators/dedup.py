@@ -396,6 +396,9 @@ def prefix_similarity_join(
                 ).alias("_mask"),
                 F.count(F.lit(1)).alias("_n"),
             )
+            # both self-join sides read the doc-sized mask table: one
+            # explode + mask-agg pass, not one per side
+            .localCheckpoint()
         )
         a, b = masks.alias("a"), masks.alias("b")
         cond = F.col("a._id") < F.col("b._id")
@@ -421,6 +424,9 @@ def prefix_similarity_join(
         .groupBy("_id", *blocks)
         .agg(F.sort_array(F.collect_list("_r")).alias("_ranks"))
         .withColumn("_n", F.size("_ranks"))
+        # rank-array table feeds the prefix explode AND both verify
+        # rejoin sides: one rank-agg pass, not one per consumer
+        .localCheckpoint()
     )
     prefix_len = (F.col("_n") - F.ceil(F.lit(t) * F.col("_n")) + 1).cast("int")
     pref = docr.select(
@@ -605,6 +611,9 @@ def containment_similarity_join(
                 ).alias("_mask"),
                 F.count(F.lit(1)).alias("_n"),
             )
+            # both self-join sides read the doc-sized mask table: one
+            # explode + mask-agg pass, not one per side
+            .localCheckpoint()
         )
         a, b = masks.alias("a"), masks.alias("b")
         cond = F.col("a._id") != F.col("b._id")
@@ -627,6 +636,9 @@ def containment_similarity_join(
         .groupBy("_id", *blocks)
         .agg(F.sort_array(F.collect_list("_r")).alias("_ranks"))
         .withColumn("_n", F.size("_ranks"))
+        # rank-array table feeds the prefix explode AND both verify
+        # rejoin sides: one rank-agg pass, not one per consumer
+        .localCheckpoint()
     )
     prefix_len = (F.col("_n") - F.ceil(F.lit(t) * F.col("_n")) + 1).cast("int")
     pref = docr.select(

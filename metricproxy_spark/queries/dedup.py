@@ -1007,6 +1007,10 @@ def dedup_minhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(F.expr(_WORD_SHINGLE_EXPR)).alias("w"),
         )
         .distinct()
+        # (doc, shingle) stream feeds FOUR consumers (signatures, set
+        # sizes, both verify sides): one eager fingerprint-sized
+        # checkpoint runs the explode+distinct once, not per consumer.
+        .localCheckpoint()
     )
     sigs = words.groupBy("doc_id").agg(
         *[
@@ -1025,6 +1029,8 @@ def dedup_minhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b", "bk"),
     )
+    # both band-join sides read this: one 8x-md5 signature pass
+    bands = bands.localCheckpoint()
     cand = (
         bands.alias("a")
         .join(bands.alias("bb"), ["b", "bk"])
@@ -1170,6 +1176,8 @@ def dedup_simhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "bk", F.expr("(h60 >> (15 * b)) & 32767")
     )
+    # both band-join sides read this: one 60-bit-vote signature pass
+    bands = bands.localCheckpoint()
     a = bands.select(
         F.col("doc_id").alias("id_a"), F.col("h60").alias("ha"), "b", "bk"
     )

@@ -5058,7 +5058,15 @@ def text_eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     from metricproxy_spark.operators.text import kgram_hashes_vectorized
 
     docs = spread(load_table(spark, sf_dir, "documents"), spark)
-    occ = kgram_hashes_vectorized(docs, k=5).select("doc_id", "fp").distinct()
+    # the fingerprint stream feeds three consumers (eval side, train
+    # totals, train-hit join): one eager ids+int64 checkpoint runs the
+    # vectorized kgram pass once instead of three times.
+    occ = (
+        kgram_hashes_vectorized(docs, k=5)
+        .select("doc_id", "fp")
+        .distinct()
+        .localCheckpoint()
+    )
     is_eval = F.col("doc_id") % 10 == 0
     ev = (
         occ.where(is_eval)
