@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from metricproxy_spark.io import load_table
+from metricproxy_spark.io import load_table, spread
 from metricproxy_spark.operators.dedup import (
     exact_dedup,
     minhash_near_dup_pairs,
@@ -87,6 +87,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens. The naive per-language pair space here is 3.2M pairs at
     sf0.1 and grows quadratically; the prefix join's fan-out is bounded
     by token-frequency buckets."""
+    # NOTE: no spread here — the prefix join's heavy stages run
+    # post-shuffle; a measured spread() made this query slower.
     docs = load_table(spark, sf_dir, "documents")
     ws = docs.select(
         "doc_id",
@@ -108,7 +110,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2: MinHash(16) → 4-band LSH → exact-Jaccard verification.
     Rows-only check (xxhash64 signatures have no DuckDB twin); planted
     near-duplicates are asserted in tests/test_llm_ops.py."""
-    docs = load_table(spark, sf_dir, "documents")
+    # single-row-group local input = ONE scan partition: spread so
+    # the per-row signature/codec work runs cores-wide (no-op at scale)
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
     return minhash_near_dup_pairs(
         docs, "doc_id", "text", k_shingle=3, num_hashes=16, bands=4, threshold=0.5
     )
@@ -118,7 +122,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2: 64-bit SimHash with 16-bit band blocking, hamming ≤ 8.
     Rows-only check; semantics unit-tested with planted duplicates."""
-    docs = load_table(spark, sf_dir, "documents")
+    # single-row-group local input = ONE scan partition: spread so
+    # the per-row signature/codec work runs cores-wide (no-op at scale)
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
     return simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=8)
 
 
@@ -159,6 +165,8 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         prefix_similarity_join,
     )
 
+    # NOTE: no spread here — the prefix join's heavy stages run
+    # post-shuffle; a measured spread() made this query slower.
     docs = load_table(spark, sf_dir, "documents")
     ws = docs.select(
         "doc_id",
@@ -606,7 +614,11 @@ def dedup_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_png,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # single-row-group local input = ONE scan partition: spread so
+    # the per-row signature/codec work runs cores-wide (no-op at scale)
+    docs = spread(
+        load_table(spark, sf_dir, "documents").select("doc_id"), spark
+    )
 
     def hash_images(batches):
         for pdf in batches:
@@ -710,6 +722,8 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     join is not prunable; blocking bounds the fan-out)."""
     from metricproxy_spark.operators.dedup import containment_similarity_join
 
+    # NOTE: no spread here — the containment join's heavy stages run
+    # post-shuffle; a measured spread() made this query slower.
     docs = load_table(spark, sf_dir, "documents")
     base = docs.select(
         "doc_id",

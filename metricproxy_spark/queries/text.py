@@ -207,8 +207,11 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     and partition plumbing are real). Oracle checks the byte-length
     surface; the deterministic fake features are covered rows-only here
     and value-tested in tests/test_llm_ops.py."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.encode("text", "utf-8").alias("content")
+    docs = spread(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", F.encode("text", "utf-8").alias("content")
+        ),
+        spark,
     )
     feats = extract_features(docs, content_col="content", id_col="doc_id")
     return feats.select("doc_id", "n_bytes")
@@ -223,8 +226,11 @@ def multimodal_feature_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     list cells — r02 recorded an 'unhashable type' error for this row);
     everything upstream of the last select still flows as a real
     array<double> through Arrow."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.encode("text", "utf-8").alias("content")
+    docs = spread(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", F.encode("text", "utf-8").alias("content")
+        ),
+        spark,
     )
     feats = extract_features(docs, content_col="content", id_col="doc_id")
     return feats.select(
@@ -260,10 +266,13 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample_frame_offsets,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.encode("text", "utf-8").alias("content"),
-        F.length(F.encode("text", "utf-8")).cast("long").alias("duration_ms"),
+    docs = spread(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.encode("text", "utf-8").alias("content"),
+            F.length(F.encode("text", "utf-8")).cast("long").alias("duration_ms"),
+        ),
+        spark,
     )
     frames = sample_frame_offsets(docs, "duration_ms", frame_interval_ms=1000)
     return extract_frame_features(frames)
@@ -305,7 +314,11 @@ def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_wav,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # single-row-group local input = ONE scan partition: spread so
+    # the per-row Python codec work runs cores-wide (no-op at scale)
+    docs = spread(
+        load_table(spark, sf_dir, "documents").select("doc_id"), spark
+    )
 
     def synth(batches):
         for pdf in batches:
@@ -375,7 +388,11 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_png,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # single-row-group local input = ONE scan partition: spread so
+    # the per-row Python codec work runs cores-wide (no-op at scale)
+    docs = spread(
+        load_table(spark, sf_dir, "documents").select("doc_id"), spark
+    )
 
     def synth_and_decode(batches):
         for pdf in batches:
@@ -482,7 +499,11 @@ def multimodal_decode_png16(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_png,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # single-row-group local input = ONE scan partition: spread so
+    # the per-row Python codec work runs cores-wide (no-op at scale)
+    docs = spread(
+        load_table(spark, sf_dir, "documents").select("doc_id"), spark
+    )
 
     def synth_and_decode(batches):
         for pdf in batches:
@@ -575,7 +596,11 @@ def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from metricproxy_spark.operators.jpeg import decode_jpeg, encode_jpeg
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # single-row-group local input = ONE scan partition: spread so
+    # the per-row Python codec work runs cores-wide (no-op at scale)
+    docs = spread(
+        load_table(spark, sf_dir, "documents").select("doc_id"), spark
+    )
 
     def synth_and_decode(batches):
         for pdf in batches:
@@ -658,10 +683,11 @@ def multimodal_decode_jpeg_dri(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from metricproxy_spark.operators.jpeg import decode_jpeg, encode_jpeg
 
-    docs = (
+    docs = spread(
         load_table(spark, sf_dir, "documents")
         .select("doc_id")
-        .where(F.col("doc_id") % 3 == 0)
+        .where(F.col("doc_id") % 3 == 0),
+        spark,
     )
 
     def synth_and_decode(batches):
@@ -747,10 +773,11 @@ def multimodal_decode_jpeg_progressive(spark: SparkSession, sf_dir: str) -> Data
         encode_jpeg_progressive,
     )
 
-    docs = (
+    docs = spread(
         load_table(spark, sf_dir, "documents")
         .select("doc_id")
-        .where(F.col("doc_id") % 4 == 1)
+        .where(F.col("doc_id") % 4 == 1),
+        spark,
     )
 
     def synth_and_decode(batches):
@@ -849,10 +876,11 @@ def multimodal_decode_video(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # video is SPARSE in a real corpus — 1 doc in 5 carries a clip
     # (the per-frame pure-Python entropy decode prices the rest out)
-    docs = (
+    docs = spread(
         load_table(spark, sf_dir, "documents")
         .where(F.col("doc_id") % 5 == 0)
-        .select("doc_id")
+        .select("doc_id"),
+        spark,
     )
 
     def synth_and_decode(batches):
@@ -2855,7 +2883,11 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         resize_area,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # single-row-group local input = ONE scan partition: spread so
+    # the per-row Python codec work runs cores-wide (no-op at scale)
+    docs = spread(
+        load_table(spark, sf_dir, "documents").select("doc_id"), spark
+    )
 
     def work(batches):
         for pdf in batches:
@@ -2919,7 +2951,11 @@ def multimodal_resample_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
         resample_linear,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # single-row-group local input = ONE scan partition: spread so
+    # the per-row Python codec work runs cores-wide (no-op at scale)
+    docs = spread(
+        load_table(spark, sf_dir, "documents").select("doc_id"), spark
+    )
 
     def work(batches):
         for pdf in batches:
@@ -3355,7 +3391,11 @@ def multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from metricproxy_spark.operators.gif import decode_gif, encode_gif
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # single-row-group local input = ONE scan partition: spread so
+    # the per-row Python codec work runs cores-wide (no-op at scale)
+    docs = spread(
+        load_table(spark, sf_dir, "documents").select("doc_id"), spark
+    )
     palette = np.stack(
         [
             np.arange(128, dtype=np.uint8),
@@ -3702,7 +3742,11 @@ def multimodal_decode_g711(spark: SparkSession, sf_dir: str) -> DataFrame:
     from metricproxy_spark.operators.g711 import alaw_decode, mulaw_decode
     from metricproxy_spark.operators.multimodal import decode_wav, encode_wav
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # single-row-group local input = ONE scan partition: spread so
+    # the per-row Python codec work runs cores-wide (no-op at scale)
+    docs = spread(
+        load_table(spark, sf_dir, "documents").select("doc_id"), spark
+    )
 
     def work(batches):
         for pdf in batches:
@@ -3917,7 +3961,11 @@ def multimodal_edge_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from metricproxy_spark.operators.multimodal import decode_png, encode_png
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # single-row-group local input = ONE scan partition: spread so
+    # the per-row Python codec work runs cores-wide (no-op at scale)
+    docs = spread(
+        load_table(spark, sf_dir, "documents").select("doc_id"), spark
+    )
 
     def work(batches):
         for pdf in batches:
@@ -4661,7 +4709,11 @@ def multimodal_decode_png_subbyte(
         encode_png,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # single-row-group local input = ONE scan partition: spread so
+    # the per-row Python codec work runs cores-wide (no-op at scale)
+    docs = spread(
+        load_table(spark, sf_dir, "documents").select("doc_id"), spark
+    )
 
     def synth_and_decode(batches):
         for pdf in batches:
@@ -4866,7 +4918,11 @@ def text_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pandas as pd
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # single-row-group local input = ONE scan partition: spread so
+    # the per-row Python codec work runs cores-wide (no-op at scale)
+    docs = spread(
+        load_table(spark, sf_dir, "documents").select("doc_id"), spark
+    )
     combos = {0: "a\u0308", 1: "e\u0301", 2: "o\u0303", 3: "c\u0327"}
 
     def synth_and_normalize(batches):
