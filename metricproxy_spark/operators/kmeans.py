@@ -116,34 +116,62 @@ def train_kmeans(
     import math
 
     spark: SparkSession = vectors.sparkSession
+    # Persist the projected corpus for the loop (MLlib's own rule:
+    # cache the training input) — each iteration is then ONE job over
+    # the materialized rows instead of a fresh scan per iteration.
     base = vectors.select(
         F.col(id_col).alias("_vid"),
         F.col(vec_col).cast("array<double>").alias("_vec"),
-    )
-    cur = {
-        r["centroid_id"]: list(r["centroid_vec"])
-        for r in deterministic_init(base, k, "_vid", "_vec").collect()
-    }
-    for _ in range(max_iter):
-        cdf = spark.createDataFrame(
-            [(cid, vec) for cid, vec in sorted(cur.items())],
-            "centroid_id long, centroid_vec array<double>",
-        )
-        assigned = assign(base, cdf, "_vid", "_vec")
-        new = {
+    ).persist()
+    try:
+        cur = {
             r["centroid_id"]: list(r["centroid_vec"])
-            for r in recompute_centroids(assigned, "_vec").collect()
+            for r in deterministic_init(base, k, "_vid", "_vec").collect()
         }
-        merged = {cid: new.get(cid, vec) for cid, vec in cur.items()}
-        move = max(
-            math.sqrt(
-                sum((a - b) ** 2 for a, b in zip(merged[cid], cur[cid]))
+        for _ in range(max_iter):
+            cdf = spark.createDataFrame(
+                [(cid, vec) for cid, vec in sorted(cur.items())],
+                "centroid_id long, centroid_vec array<double>",
             )
-            for cid in cur
-        )
-        cur = merged
-        if move < tol:
-            break
+            assigned = assign(base, cdf, "_vid", "_vec")
+            # Mean recompute collapsed to its single irreducible
+            # shuffle: the (centroid, pos) partial-avg agg — k·d rows —
+            # collected directly; the array re-assembly and the unit-
+            # norm projection are k·d driver arithmetic (same
+            # left-to-right IEEE fold the Spark expressions computed),
+            # saving a second exchange + array_sort pass per iteration.
+            dim_rows = (
+                assigned.select(
+                    "centroid_id",
+                    F.posexplode(F.col("_vec")).alias("_pos", "_x"),
+                )
+                .groupBy("centroid_id", "_pos")
+                .agg(F.avg("_x").alias("_mean"))
+                .collect()
+            )
+            by_cid: dict = {}
+            for r in dim_rows:
+                by_cid.setdefault(r["centroid_id"], {})[r["_pos"]] = r["_mean"]
+            new = {}
+            for cid, pm in by_cid.items():
+                m = [pm[p] for p in sorted(pm)]
+                acc = 0.0
+                for v in m:
+                    acc = acc + v * v
+                norm = math.sqrt(acc)
+                new[cid] = [v / norm for v in m]
+            merged = {cid: new.get(cid, vec) for cid, vec in cur.items()}
+            move = max(
+                math.sqrt(
+                    sum((a - b) ** 2 for a, b in zip(merged[cid], cur[cid]))
+                )
+                for cid in cur
+            )
+            cur = merged
+            if move < tol:
+                break
+    finally:
+        base.unpersist()
     return spark.createDataFrame(
         [(cid, vec) for cid, vec in sorted(cur.items())],
         "centroid_id long, centroid_vec array<double>",

@@ -364,17 +364,48 @@ def assign_centroids(
     nprobe: int = 1,
 ) -> DataFrame:
     """Rank centroids per vector by cosine; keep the top ``nprobe``.
-    ``centroids`` must be small (broadcast): (centroid_id, centroid_vec)."""
-    scored = vectors.join(F.broadcast(centroids)).withColumn(
-        "_cscore", F.round(dot(F.col(vec_col), F.col("centroid_vec")), 6)
+    ``centroids`` must be small (driver-bounded: k·d floats, the same
+    contract the k-means trainer's own collect relies on).
+
+    Shuffle-free shape: the k centroids are folded into ONE array row
+    (collect_list agg) that rides to every vector row on a broadcast
+    nested-loop join of a single-row relation; each row then ranks the
+    array with array expressions — a map-only projection over the
+    corpus. The previous spelling (broadcast cross join to n·k rows +
+    a row_number window partitioned by ``id_col``) re-shuffled and
+    re-sorted n·k rows on every call, which made each Lloyd iteration
+    and every IVF bucketing pass pay a full exchange of the corpus; at
+    100 TB the assignment step must not shuffle the corpus at all.
+    (An inlined-literal variant was measured SLOWER: k·d literal
+    doubles bloat the plan and analysis dominates.)
+
+    Ordering contract unchanged: score = round(dot, 6) descending,
+    ties on centroid_id ascending — encoded as an ascending struct
+    sort over (-score, centroid_id).
+    """
+    cent_row = centroids.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("centroid_id").alias("cid"),
+                    F.col("centroid_vec").alias("cv"),
+                )
+            )
+        ).alias("_cents")
     )
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("_cscore").desc(), F.col("centroid_id").asc()
+    scored = F.transform(
+        F.col("_cents"),
+        lambda c: F.struct(
+            (-F.round(dot(F.col(vec_col), c["cv"]), 6)).alias("_ns"),
+            c["cid"].alias("_cid"),
+        ),
     )
+    top = F.slice(F.array_sort(scored), 1, nprobe)
     return (
-        scored.withColumn("_crank", F.row_number().over(w))
-        .filter(F.col("_crank") <= nprobe)
-        .drop("_cscore", "_crank", "centroid_vec")
+        vectors.crossJoin(F.broadcast(cent_row))
+        .withColumn("_probe", F.explode(top))
+        .withColumn("centroid_id", F.col("_probe._cid"))
+        .drop("_probe", "_cents")
     )
 
 
