@@ -173,6 +173,30 @@ def train_bpe_merges(
     ``batch_size=1`` reproduces the classic one-at-a-time sequence."""
     if batch_size < 1:
         raise ValueError(f"batch_size must be >= 1, got {batch_size}")
+    spark = docs.sparkSession
+    # The loop's frames are VOCAB-sized (distinct words), not
+    # corpus-sized: scope the shuffle width to that key cardinality for
+    # the duration of training (restored after), the same state-sized
+    # partitioning rule the stateful-stream and k-means trainers apply.
+    # A session default sized for fact-table shuffles spins dozens of
+    # near-empty tasks (plus a Python worker each for the mapInPandas
+    # merge pass) for every round. Results are partition-independent
+    # (hash aggs + per-row map); at real scale the job sets this from
+    # expected vocab volume.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        return _train_bpe_merges_scoped(docs, text_col, n_merges, batch_size)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def _train_bpe_merges_scoped(
+    docs: DataFrame,
+    text_col: str,
+    n_merges: int,
+    batch_size: int,
+) -> list[dict]:
     syms = _init_syms(word_vocab(docs, text_col)).persist()
     syms.count()  # materialize before iterating
     merges: list[dict] = []

@@ -8,7 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from metricproxy_spark.functions.aggregates import davg, davg_sql, dsum, dsum_sql
-from metricproxy_spark.io import load_table
+from metricproxy_spark.io import load_table, spread
 from metricproxy_spark.registry import register
 
 
@@ -33,8 +33,18 @@ def analytic_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2+X3+X10: TPC-H Q1 shape — filter → computed columns → hash agg.
     Map-side partial aggregation collapses everything before the (tiny,
     ~6-key) shuffle; the shipdate predicate pushes to the parquet scan."""
-    li = load_table(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp")
+    # Filter first (the shipdate predicate pushes to the scan), then
+    # spread(): the sf-sized table is one parquet row group, so the
+    # decimal partial aggregation would otherwise run on ONE core; the
+    # round-robin exchange of the narrow filtered rows buys a
+    # cores-wide agg stage and is a structural no-op on a wide scan.
+    # Decimal sums are exact (order-independent), so the re-partition
+    # cannot change any result.
+    li = spread(
+        load_table(spark, sf_dir, "lineitem").filter(
+            F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp")
+        ),
+        spark,
     )
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))

@@ -513,13 +513,16 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the one a distributed engine can honestly offer). Two rounds;
     complements `dedup_components` (min-label = connectivity) by
     propagating the MAJORITY signal instead. Per round: one edge⋈label
-    hash join, one (node,label) count agg, one per-node argmax window
-    — all partitioned by node, edges persisted once, no collect."""
+    hash join, one (node,label) count agg, one per-node argmax — the
+    argmax is a `min_by` hash aggregate over the ordering struct
+    (-n, label), not a window: (node, label) rows are unique upstream
+    so min_by is deterministic and reproduces the row_number tiebreak
+    (n desc, label asc) exactly, while partially combining map-side
+    instead of sorting every partition. Edges persisted once, no
+    collect."""
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "32")
     try:
-        from pyspark.sql import Window
-
         half = _khop_half(spark, sf_dir).select(
             (F.col("cust") * 2).alias("src"),
             (F.col("supp") * 2 + 1).alias("dst"),
@@ -530,7 +533,6 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = edges.select(F.col("src").alias("node")).distinct().select(
             "node", F.col("node").cast("bigint").alias("label")
         )
-        w = Window.partitionBy("node").orderBy(F.desc("n"), "label")
         for _ in range(_LPA_ROUNDS):
             counted = (
                 edges.join(labels, edges.src == labels.node)
@@ -538,10 +540,11 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .agg(F.count(F.lit(1)).alias("n"))
                 .select(F.col("node2").alias("node"), "label", "n")
             )
-            labels = (
-                counted.withColumn("rk", F.row_number().over(w))
-                .where(F.col("rk") == 1)
-                .select("node", "label")
+            labels = counted.groupBy("node").agg(
+                F.min_by(
+                    "label",
+                    F.struct((-F.col("n")).alias("_o"), F.col("label").alias("_l")),
+                ).alias("label")
             )
         return labels.groupBy("label").agg(
             F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
