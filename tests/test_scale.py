@@ -863,11 +863,17 @@ class TestRound7bPlanDiscipline:
         assert "blen" in plan, plan
 
     def test_sssp_reuses_persisted_edges(self, spark, sf_dir):
-        """Each BFS round re-joins the SAME persisted edge layout —
-        the edge list is scanned from cache, not re-derived, and
-        nothing cross-joins."""
+        """Each BFS round re-joins the SAME persisted edge layout and
+        eagerly checkpoints the round's node-sized dist table (the r14
+        optimization: without the per-round lineage cut the dist
+        subtree DOUBLED per relaxation round). The checkpoint truncates
+        the final plan at the last round's materialized RDD — so the
+        plan must read that RDD (not re-derive the rounds, which is
+        what the old InMemoryTableScan assert pinned one lineage level
+        shallower) and still must not cross-join anything."""
         plan = self._plan(spark, sf_dir, "graph_sssp_hops")
-        assert "InMemoryTableScan" in plan, plan
+        assert "Scan ExistingRDD" in plan, plan
+        assert "InMemoryTableScan" not in plan, plan  # cache released
         assert "CartesianProduct" not in plan, plan
 
     def test_market_basket_no_cartesian(self, spark, sf_dir):
