@@ -207,11 +207,10 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     and partition plumbing are real). Oracle checks the byte-length
     surface; the deterministic fake features are covered rows-only here
     and value-tested in tests/test_llm_ops.py."""
-    docs = spread(
-        load_table(spark, sf_dir, "documents").select(
-            "doc_id", F.encode("text", "utf-8").alias("content")
-        ),
-        spark,
+    # NO spread(): the stub extractor is cheap — the exchange cost
+    # exceeds the single-core pass it saves (measured net loss).
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("content")
     )
     feats = extract_features(docs, content_col="content", id_col="doc_id")
     return feats.select("doc_id", "n_bytes")
@@ -226,11 +225,9 @@ def multimodal_feature_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     list cells — r02 recorded an 'unhashable type' error for this row);
     everything upstream of the last select still flows as a real
     array<double> through Arrow."""
-    docs = spread(
-        load_table(spark, sf_dir, "documents").select(
-            "doc_id", F.encode("text", "utf-8").alias("content")
-        ),
-        spark,
+    # NO spread(): same cheap-kernel verdict as multimodal_features.
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("content")
     )
     feats = extract_features(docs, content_col="content", id_col="doc_id")
     return feats.select(
@@ -266,13 +263,12 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample_frame_offsets,
     )
 
-    docs = spread(
-        load_table(spark, sf_dir, "documents").select(
-            "doc_id",
-            F.encode("text", "utf-8").alias("content"),
-            F.length(F.encode("text", "utf-8")).cast("long").alias("duration_ms"),
-        ),
-        spark,
+    # NO spread(): the per-frame stub is deterministic arithmetic —
+    # exchange cost exceeds the single-core pass (measured net loss).
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("content"),
+        F.length(F.encode("text", "utf-8")).cast("long").alias("duration_ms"),
     )
     frames = sample_frame_offsets(docs, "duration_ms", frame_interval_ms=1000)
     return extract_frame_features(frames)
@@ -314,11 +310,12 @@ def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_wav,
     )
 
-    # single-row-group local input = ONE scan partition: spread so
-    # the per-row Python codec work runs cores-wide (no-op at scale)
-    docs = spread(
-        load_table(spark, sf_dir, "documents").select("doc_id"), spark
-    )
+    # NO spread() here, unlike the compressed-codec siblings: the
+    # BMP/WAV kernels are cheap enough that the round-robin exchange
+    # costs more than the single-core decode saves (measured 0.5 s
+    # as-is vs 1.0 s spread at sf0.1) — the spread lever only pays
+    # when the per-row Python work dominates the few-MB shuffle.
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
 
     def synth(batches):
         for pdf in batches:
@@ -2951,11 +2948,9 @@ def multimodal_resample_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
         resample_linear,
     )
 
-    # single-row-group local input = ONE scan partition: spread so
-    # the per-row Python codec work runs cores-wide (no-op at scale)
-    docs = spread(
-        load_table(spark, sf_dir, "documents").select("doc_id"), spark
-    )
+    # NO spread(): the ~100-sample WAV resample kernel is cheap — the
+    # exchange costs more than the single-core pass (measured net loss).
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
 
     def work(batches):
         for pdf in batches:
@@ -4918,11 +4913,9 @@ def text_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pandas as pd
 
-    # single-row-group local input = ONE scan partition: spread so
-    # the per-row Python codec work runs cores-wide (no-op at scale)
-    docs = spread(
-        load_table(spark, sf_dir, "documents").select("doc_id"), spark
-    )
+    # NO spread(): per-row NFC on a short literal is cheap — the
+    # exchange costs more than the single-core pass (measured net loss).
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
     combos = {0: "a\u0308", 1: "e\u0301", 2: "o\u0303", 3: "c\u0327"}
 
     def synth_and_normalize(batches):
