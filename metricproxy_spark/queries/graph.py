@@ -613,19 +613,29 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds replayed identically by the chained-CTE oracle, so every
     (node, degree) row is hash-exact regardless of convergence. Scale:
     the SYMMETRIZED edge list persists ONCE as the static layout (the
-    `graph_pagerank` discipline) and the loop state is the NODE-sized
-    survivor set, eagerly localCheckpointed per round to cut lineage
-    — never a re-derived edge list, whose per-round recompute made the
-    first cut of this query 20x slower; no collect, no per-node
-    adjacency state, rounds are data-parallel joins all the way down
-    (shuffle partitions scoped like the other iterative graph
-    queries)."""
+    `graph_pagerank` discipline), hash-clustered by src at build time
+    so every per-round degree agg reuses the cached partitioning (no
+    exchange); the loop state is the NODE-sized survivor set, eagerly
+    localCheckpointed per round to cut lineage — never a re-derived
+    edge list, whose per-round recompute made the first cut of this
+    query 20x slower. While the survivor set fits the broadcast
+    budget it is broadcast into both semi-join legs (the
+    `connected_components` gate), so a peeling round shuffles NOTHING
+    — past the budget the same joins fall back to the shuffle path,
+    the scalable default. No collect, no per-node adjacency state,
+    rounds are data-parallel joins all the way down (shuffle
+    partitions scoped like the other iterative graph queries)."""
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "32")
     try:
         cust = load_table(spark, sf_dir, "customer").select(
             F.col("c_custkey").alias("u")
         )
+        # Node-count gate for broadcasting the survivor set: survivors
+        # only shrink, so one bound check covers every round. 2M ids
+        # ≈ 16 MB broadcast — the connected_components budget.
+        bcast = cust.count() <= 2_000_000
+        gate = F.broadcast if bcast else (lambda df: df)
         m = cust.agg((F.max("u") + 1).alias("m"))
         nodes = cust.crossJoin(F.broadcast(m))
         half = nodes.select(
@@ -643,14 +653,20 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .where(F.col("src") != F.col("dst"))
             .select("src", "dst")
-            .distinct()
         )
+        # One shuffle builds the whole static layout: cluster by src,
+        # THEN dedup — hash(src) co-locates equal (src, dst) pairs, so
+        # the distinct agg runs on the src partitioning without its
+        # own exchange (this also subsumes the old pre-symmetrize
+        # distinct), and the persisted table keeps hash(src) so each
+        # round's groupBy(src) is exchange-free.
         edges = (
             valid.unionByName(
                 valid.select(
                     F.col("dst").alias("src"), F.col("src").alias("dst")
                 )
             )
+            .repartition("src")
             .distinct()
             .persist()
         )
@@ -658,8 +674,8 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         for _ in range(_KCORE_ROUNDS):
             cur = edges
             if alive is not None:
-                cur = cur.join(alive, "src").join(
-                    alive.select(F.col("src").alias("dst")), "dst"
+                cur = cur.join(gate(alive), "src").join(
+                    gate(alive.select(F.col("src").alias("dst"))), "dst"
                 )
             alive = (
                 cur.groupBy("src")
@@ -668,8 +684,8 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select("src")
                 .localCheckpoint()  # eager node-sized lineage cut
             )
-        core = edges.join(alive, "src").join(
-            alive.select(F.col("src").alias("dst")), "dst"
+        core = edges.join(gate(alive), "src").join(
+            gate(alive.select(F.col("src").alias("dst"))), "dst"
         )
         out = core.groupBy(F.col("src").alias("node_id")).agg(
             F.count(F.lit(1)).cast("bigint").alias("core_degree")

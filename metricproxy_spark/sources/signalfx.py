@@ -18,8 +18,6 @@ names are rewritten to the wire-legal charset before forwarding.
 
 from __future__ import annotations
 
-from functools import reduce
-
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -55,29 +53,41 @@ def parse_sfx_v2_json(df: DataFrame, body_col: str = "body") -> DataFrame:
     """S2+C3: parse a v2 JSON body and unpivot the per-type arrays into
     a flat datapoint stream with a ``metric_type`` column.
 
-    Implemented as per-key explode + ``unionByName`` — each branch is a
-    narrow transform over the same scan; Catalyst collapses the common
-    ``from_json`` subexpression, and no shuffle is introduced.
+    Implemented as ONE ``from_json`` + ONE generate: the per-type
+    arrays are tagged with their key and concatenated, then exploded
+    once. The earlier per-key-branch ``unionByName`` form re-scanned
+    the source and re-ran ``from_json`` once per metric type (union
+    children don't share subexpressions across branches); this form
+    parses each body exactly once and stays shuffle-free.
     """
     parsed = df.withColumn("_body", F.from_json(F.col(body_col), SFX_V2_BODY_SCHEMA))
-    branches = []
-    for mt in SFX_V2_METRIC_TYPES:
-        pt = F.col("_pt")
-        branches.append(
-            parsed.select("*", F.explode(F.col("_body")[mt]).alias("_pt"))
-            .withColumns(
-                {
-                    "metric": pt["metric"],
-                    "value": pt["value"],
-                    "metric_type": F.lit(mt),
-                    "ts_ms": pt["timestamp"],
-                    "ts": F.timestamp_millis(pt["timestamp"]),
-                    "dimensions": pt["dimensions"],
-                }
-            )
-            .drop("_body", "_pt")
+    empty = F.array().cast(T.ArrayType(SFX_POINT_SCHEMA))
+
+    def _tag(mt: str) -> Column:
+        # NB: the lambda must take exactly one parameter — PySpark
+        # reads higher-order-function arity from the signature (a
+        # second parameter would be bound to the element INDEX).
+        return F.transform(
+            F.coalesce(F.col("_body")[mt], empty),
+            lambda p: F.struct(p.alias("pt"), F.lit(mt).alias("mt")),
         )
-    return reduce(lambda a, b: a.unionByName(b), branches)
+
+    tagged = F.concat(*[_tag(mt) for mt in SFX_V2_METRIC_TYPES])
+    pt = F.col("_e")["pt"]
+    return (
+        parsed.select("*", F.explode(tagged).alias("_e"))
+        .withColumns(
+            {
+                "metric": pt["metric"],
+                "value": pt["value"],
+                "metric_type": F.col("_e")["mt"],
+                "ts_ms": pt["timestamp"],
+                "ts": F.timestamp_millis(pt["timestamp"]),
+                "dimensions": pt["dimensions"],
+            }
+        )
+        .drop("_body", "_e")
+    )
 
 
 def parse_sfx_v1_json(
