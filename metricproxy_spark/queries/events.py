@@ -4251,11 +4251,20 @@ def events_promql_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     semi/anti-joins on series-cardinality vectors — never raw
     samples, and never a shuffle wider than the series atom."""
     events = load_table(spark, sf_dir, "events")
-    atom = events.groupBy("event_type", "user_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.countDistinct(F.date_trunc("day", "ts"))
-        .cast("bigint")
-        .alias("n_days"),
+    # The series atom feeds a/b across four join branches and exchange
+    # reuse does not fire across the union aliases — one eager
+    # checkpoint runs the events-wide agg exactly once (the
+    # dedup_minhash_lsh fan-out discipline); the materialized frame is
+    # series-cardinality, never raw samples.
+    atom = (
+        events.groupBy("event_type", "user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.countDistinct(F.date_trunc("day", "ts"))
+            .cast("bigint")
+            .alias("n_days"),
+        )
+        .localCheckpoint()
     )
     a = atom.where(F.col("n") >= 14).select("event_type", "user_id", "n")
     b = atom.where(F.col("n_days") >= 12).select(

@@ -1207,8 +1207,14 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = docs.select(
         "doc_id", F.explode(words_of("text")).alias("term")
     )
-    tf = terms.groupBy("doc_id", "term").agg(
-        F.count(F.lit(1)).alias("term_count")
+    # tf feeds three consumers (per-doc totals, document frequency and
+    # the join probe side) and the explode + shuffle agg would re-run
+    # per consumer — one eager checkpoint of the aggregated
+    # (doc, term, count) table runs it exactly once.
+    tf = (
+        terms.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("term_count"))
+        .localCheckpoint()
     )
     totals = tf.groupBy("doc_id").agg(
         F.sum("term_count").alias("doc_terms")
@@ -2124,13 +2130,21 @@ def pipeline_curation_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     )
-    thr = cum.crossJoin(F.broadcast(total)).agg(
-        F.min(
-            F.when(10 * F.col("cum") >= F.col("n"), F.col("score"))
-        ).alias("lo"),
-        F.min(
-            F.when(10 * F.col("cum") >= 9 * F.col("n"), F.col("score"))
-        ).alias("hi"),
+    # banded fans out to the dedup agg AND the enriched probe side, so
+    # the 1-row threshold subtree (histogram + running-sum window +
+    # corpus count) would re-derive per consumer — checkpoint the
+    # scalars once; the corpus itself is never materialized.
+    thr = (
+        cum.crossJoin(F.broadcast(total))
+        .agg(
+            F.min(
+                F.when(10 * F.col("cum") >= F.col("n"), F.col("score"))
+            ).alias("lo"),
+            F.min(
+                F.when(10 * F.col("cum") >= 9 * F.col("n"), F.col("score"))
+            ).alias("hi"),
+        )
+        .localCheckpoint()
     )
     banded = docs.crossJoin(F.broadcast(thr)).where(
         F.col("score").between(F.col("lo"), F.col("hi"))
