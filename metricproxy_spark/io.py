@@ -145,6 +145,37 @@ def staged_artifact_dir(tag: str, sf_dir: str) -> str:
     return os.path.join(tmp, prefix + fp)
 
 
+# Inferred-schema memo: spark.read.parquet() re-reads the footer and
+# re-infers the schema on EVERY call (~120-200 ms each on this box, vs
+# ~35 ms when the reader is given the schema). The schema of a testdata
+# parquet file is static metadata — a real engine holds it in a catalog
+# — so infer it once per (path, size, mtime) and hand it to every
+# subsequent reader. Keyed on the file stats, a REGENERATED testdata
+# dir misses the memo and re-infers; nothing about query *results* is
+# cached (the scan itself still runs from the parquet bytes each time).
+_SCHEMA_CACHE: dict[tuple, object] = {}
+
+
+def _path_stamp(path: str) -> tuple:
+    if os.path.isdir(path):  # spark-style parquet dir: stat its parts
+        return tuple(
+            (part, st.st_size, st.st_mtime_ns)
+            for part in sorted(os.listdir(path))
+            for st in (os.stat(os.path.join(path, part)),)
+        )
+    st = os.stat(path)
+    return (st.st_size, st.st_mtime_ns)
+
+
+def _read_parquet_cached(spark: SparkSession, path: str) -> DataFrame:
+    key = (path, _path_stamp(path))
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        _SCHEMA_CACHE[key] = schema
+    return spark.read.schema(schema).parquet(path)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_package_on_workers(spark)
     if name not in TABLES:
@@ -157,15 +188,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # and normalize both to a session-local TIMESTAMP truncated to
         # microseconds — DuckDB's TIMESTAMP is us-precision and naive, so
         # oracle comparisons agree either way (sessions run tz=UTC).
+        # The conf is set BEFORE the (possibly memoized) schema read so
+        # inference always happens under nanosAsLong=true.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(table_path(sf_dir, name))
+        df = _read_parquet_cached(spark, table_path(sf_dir, name))
         ts_type = dict(df.dtypes).get("ts", "")
         if ts_type in ("bigint", "long"):
             return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
         if ts_type == "timestamp_ntz":
             return df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
-    return spark.read.parquet(table_path(sf_dir, name))
+    return _read_parquet_cached(spark, table_path(sf_dir, name))
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

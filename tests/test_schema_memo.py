@@ -1,0 +1,72 @@
+"""The inferred-schema memo in io.load_table (optimization round 14).
+
+``spark.read.parquet(path)`` re-infers the schema from the footer on
+every call (~120-350 ms each); ``load_table`` now infers once per
+(path, size, mtime) and hands the schema to subsequent readers. These
+tests pin the two properties that make that safe:
+
+- the memoized reader returns the identical schema and rows as a plain
+  inference read (nothing about *results* is cached — only the static
+  file metadata a real engine would hold in its catalog);
+- the memo key includes the file stats, so a REGENERATED file (new
+  size/mtime) misses the memo and is re-inferred, never served stale.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from tests.conftest import SF_SMOKE
+
+
+class TestSchemaMemo:
+    def test_memoized_read_matches_plain_inference(self, spark):
+        from metricproxy_spark.io import TABLES, load_table, table_path
+
+        for name in ("lineitem", "region", "documents"):
+            assert name in TABLES
+            memo = load_table(spark, SF_SMOKE, name)
+            plain = spark.read.parquet(table_path(SF_SMOKE, name))
+            assert memo.schema == plain.schema
+            assert sorted(map(str, memo.collect())) == sorted(
+                map(str, plain.collect())
+            )
+
+    def test_events_ts_normalization_unchanged(self, spark):
+        from metricproxy_spark.io import load_table
+
+        df = load_table(spark, SF_SMOKE, "events")
+        # the normalized surface stays a session-local TIMESTAMP
+        assert dict(df.dtypes)["ts"] == "timestamp"
+        assert df.limit(5).count() == 5
+
+    def test_regenerated_file_misses_the_memo(self, spark, tmp_path):
+        from metricproxy_spark.io import _SCHEMA_CACHE, _read_parquet_cached
+
+        p = str(tmp_path / "t.parquet")
+        spark.range(10).selectExpr("id AS a").write.parquet(p)
+        first = _read_parquet_cached(spark, p)
+        assert first.schema.fieldNames() == ["a"]
+        assert any(k[0] == p for k in _SCHEMA_CACHE)
+
+        # regenerate with a DIFFERENT schema at the same path
+        shutil.rmtree(p)
+        spark.range(10).selectExpr(
+            "id AS a", "id * 2 AS b"
+        ).write.parquet(p)
+        second = _read_parquet_cached(spark, p)
+        assert second.schema.fieldNames() == ["a", "b"]
+        assert second.count() == 10
+
+    def test_memo_is_schema_only_not_rows(self, spark, tmp_path):
+        """Rows always come from the parquet bytes on disk: rewriting
+        the file contents (same schema) is reflected on the next read."""
+        from metricproxy_spark.io import _read_parquet_cached
+
+        p = str(tmp_path / "rows.parquet")
+        spark.range(3).write.parquet(p)
+        assert _read_parquet_cached(spark, p).count() == 3
+        shutil.rmtree(p)
+        spark.range(7).write.parquet(p)
+        assert _read_parquet_cached(spark, p).count() == 7
