@@ -1034,12 +1034,10 @@ def cdc_iceberg_positional_deletes(
     )
     from metricproxy_spark.sources.avro import (
         read_avro_rows,
-        register_avrowire,
         write_avro_file,
     )
 
     ensure_package_on_workers(spark)
-    register_avrowire(spark)
     events = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type", "user_id", "value"
     )
@@ -1176,34 +1174,33 @@ def cdc_iceberg_positional_deletes(
         if os.path.getsize(os.path.join(root, mpath)) != mlen:
             raise ValueError("iceberg: manifest_length mismatch")
         (delete_manifests if content == 1 else data_manifests).append(mpath)
-    from functools import reduce as _reduce
 
-    def _entries(paths):
-        return _reduce(
-            DataFrame.unionByName,
-            [
-                spark.read.format("avrowire")
-                .option("path", os.path.join(root, p))
-                .load()
-                for p in paths
-            ],
-        )
+    def _live_paths(manifests):
+        # Manifest entries are KB catalog metadata like the manifest
+        # list above — walk them with the same driver-side from-scratch
+        # Avro reader (bounded: a handful of file rows per manifest).
+        # The distributed-avrowire manifest scan lives in
+        # cdc_iceberg_snapshot / cdc_iceberg_stats_pruning, which
+        # demonstrate it; here it cost two Python-DataSource rounds
+        # (~0.9 s each) to fetch nine rows.
+        return [
+            fpath
+            for m in manifests
+            for status, _snap2, fpath, _cnt in read_avro_rows(
+                os.path.join(root, m)
+            )
+            if status != 2
+        ]
 
-    data_files = [
-        r["file_path"]
-        for r in _entries(data_manifests)
-        .where(F.col("status") != 2)
-        .select("file_path")
-        .collect()  # bounded: live-file catalog list
-    ]
+    data_files = _live_paths(data_manifests)
     delete_paths = [
-        os.path.join(root, r["file_path"])
-        for r in _entries(delete_manifests)
-        .where(F.col("status") != 2)
-        .select("file_path")
-        .collect()
+        os.path.join(root, p) for p in _live_paths(delete_manifests)
     ]
-    deletes = spark.read.parquet(*delete_paths)
+    # delete files are (file_path, pos) parquet per the spec — state
+    # the schema instead of paying footer inference per run
+    deletes = spark.read.schema("file_path string, pos bigint").parquet(
+        *delete_paths
+    )
 
     files_df = spark.createDataFrame(
         [(p,) for p in data_files], "file_path string"
