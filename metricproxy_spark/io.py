@@ -148,11 +148,12 @@ def staged_artifact_dir(tag: str, sf_dir: str) -> str:
 # Inferred-schema memo: spark.read.parquet() re-reads the footer and
 # re-infers the schema on EVERY call (~120-200 ms each on this box, vs
 # ~35 ms when the reader is given the schema). The schema of a testdata
-# parquet file is static metadata — a real engine holds it in a catalog
-# — so infer it once per (path, size, mtime) and hand it to every
-# subsequent reader. Keyed on the file stats, a REGENERATED testdata
-# dir misses the memo and re-infers; nothing about query *results* is
-# cached (the scan itself still runs from the parquet bytes each time).
+# or staged-artifact parquet file is static metadata — a real engine
+# holds it in a catalog — so infer it once per (paths, size, mtime) and
+# hand it to every subsequent reader. Keyed on the file stats, a
+# REGENERATED file misses the memo and re-infers; nothing about query
+# *results* is cached (the scan itself still runs from the parquet
+# bytes each time), and the memo lives only in the driver process.
 _SCHEMA_CACHE: dict[tuple, object] = {}
 
 
@@ -167,13 +168,22 @@ def _path_stamp(path: str) -> tuple:
     return (st.st_size, st.st_mtime_ns)
 
 
-def _read_parquet_cached(spark: SparkSession, path: str) -> DataFrame:
-    key = (path, _path_stamp(path))
+def read_parquet_cached(spark: SparkSession, *paths: str) -> DataFrame:
+    """``spark.read.parquet(*paths)`` with the inferred schema memoized
+    per (path, file-stat) so repeat invocations skip footer inference.
+    Identical result by construction: the memo stores exactly what
+    inference produced for these bytes and every scan still reads the
+    parquet data per invocation."""
+    key = tuple((p, _path_stamp(p)) for p in paths)
     schema = _SCHEMA_CACHE.get(key)
     if schema is None:
-        schema = spark.read.parquet(path).schema
+        schema = spark.read.parquet(*paths).schema
         _SCHEMA_CACHE[key] = schema
-    return spark.read.schema(schema).parquet(path)
+    return spark.read.schema(schema).parquet(*paths)
+
+
+# Back-compat internal alias (load_table's original single-path helper).
+_read_parquet_cached = read_parquet_cached
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from metricproxy_spark.io import load_table
+from metricproxy_spark.io import load_table, read_parquet_cached
 from metricproxy_spark.operators.cdc import latest_snapshot, merge_upsert
 from metricproxy_spark.registry import register
 
@@ -345,7 +345,7 @@ def cdc_delta_log_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()  # bounded: the catalog file list, like any table
     )
     paths = [os.path.join(root, r["path"]) for r in live]
-    return spark.read.parquet(*paths).select(
+    return read_parquet_cached(spark, *paths).select(
         "event_id", "event_type", "user_id", "value"
     )
 
@@ -543,8 +543,8 @@ def cdc_delta_checkpoint_snapshot(
     log_dir = os.path.join(root, "_delta_log")
     with open(os.path.join(log_dir, "_last_checkpoint")) as fh:
         cp_version = _json.load(fh)["version"]
-    cp = spark.read.parquet(
-        os.path.join(log_dir, f"{cp_version:020d}.checkpoint.parquet")
+    cp = read_parquet_cached(
+        spark, os.path.join(log_dir, f"{cp_version:020d}.checkpoint.parquet")
     )
     tail_files = sorted(
         os.path.join(log_dir, f)
@@ -595,7 +595,7 @@ def cdc_delta_checkpoint_snapshot(
         for r in qualifying.collect()  # bounded: the pruned catalog list
     ]
     return (
-        spark.read.parquet(*paths)
+        read_parquet_cached(spark, *paths)
         .where(F.col("event_id") >= F.lit(thr))
         .select("event_id", "event_type", "user_id", "value")
     )
@@ -798,7 +798,7 @@ def cdc_iceberg_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(root, r["file_path"])
         for r in live.collect()  # bounded: the live-file catalog list
     ]
-    return spark.read.parquet(*paths).select(
+    return read_parquet_cached(spark, *paths).select(
         "event_id", "event_type", "user_id", "value"
     )
 
@@ -1284,7 +1284,7 @@ def cdc_delta_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = None
     for v, ctype, path in changes:
         df = (
-            spark.read.parquet(os.path.join(root, path))
+            read_parquet_cached(spark, os.path.join(root, path))
             .select("event_id", "event_type", "user_id", "value")
             .withColumn("_change_type", F.lit(ctype))
             .withColumn("_commit_version", F.lit(v).cast("bigint"))
@@ -1479,10 +1479,10 @@ def cdc_iceberg_equality_deletes(
                 eq_paths.append(os.path.join(root, fpath))
             elif content == 0:
                 data_paths.append(os.path.join(root, fpath))
-    data = spark.read.parquet(*data_paths).select(
+    data = read_parquet_cached(spark, *data_paths).select(
         "event_id", "event_type", "user_id", "value"
     )
-    dele = spark.read.parquet(*eq_paths)
+    dele = read_parquet_cached(spark, *eq_paths)
     return data.join(F.broadcast(dele), on=["user_id"], how="left_anti")
 
 
@@ -1564,8 +1564,8 @@ def cdc_delta_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     v4 = _delta_live_paths_asof(log_dir, 4)
     v5 = _delta_live_paths_asof(log_dir, 5)
     gone = sorted(set(v4) - set(v5))
-    return spark.read.parquet(
-        *[os.path.join(root, p) for p in gone]
+    return read_parquet_cached(
+        spark, *[os.path.join(root, p) for p in gone]
     ).select("event_id", "event_type", "user_id", "value")
 
 
@@ -1622,8 +1622,8 @@ def cdc_iceberg_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         return paths
 
     gone = sorted(live_paths(1001) - live_paths(1002))
-    return spark.read.parquet(
-        *[os.path.join(root, p) for p in gone]
+    return read_parquet_cached(
+        spark, *[os.path.join(root, p) for p in gone]
     ).select("event_id", "event_type", "user_id", "value")
 
 
@@ -1807,7 +1807,7 @@ def cdc_iceberg_stats_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in qualifying.collect()  # bounded: the pruned catalog list
     ]
     return (
-        spark.read.parquet(*paths)
+        read_parquet_cached(spark, *paths)
         .where(F.col("event_id") >= F.lit(thr))
         .select("event_id", "event_type", "user_id", "value")
     )
@@ -2027,8 +2027,8 @@ def cdc_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                     adds[act["add"]["path"]] = 1
                 elif "remove" in act:
                     adds.pop(act["remove"]["path"], None)
-    return spark.read.parquet(
-        *[os.path.join(root, p) for p in sorted(adds)]
+    return read_parquet_cached(
+        spark, *[os.path.join(root, p) for p in sorted(adds)]
     ).select("event_id", "event_type", "user_id", "value")
 
 
@@ -2087,7 +2087,7 @@ def cdc_delta_merge_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
                     cdc_paths.append((v, act["cdc"]["path"]))
     out = None
     for v, path in cdc_paths:
-        df = spark.read.parquet(os.path.join(root, path)).withColumn(
+        df = read_parquet_cached(spark, os.path.join(root, path)).withColumn(
             "_commit_version", F.lit(v).cast("bigint")
         )
         out = df if out is None else out.unionByName(df)
@@ -2313,7 +2313,7 @@ def cdc_iceberg_sequence_numbers(
     data = _reduce(
         DataFrame.unionByName,
         [
-            spark.read.parquet(os.path.join(root, p))
+            read_parquet_cached(spark, os.path.join(root, p))
             .select("event_id", "event_type", "user_id", "value")
             .withColumn("_data_seq", F.lit(seq).cast("bigint"))
             for p, seq in data_files
@@ -2322,7 +2322,7 @@ def cdc_iceberg_sequence_numbers(
     dele = _reduce(
         DataFrame.unionByName,
         [
-            spark.read.parquet(os.path.join(root, p))
+            read_parquet_cached(spark, os.path.join(root, p))
             .withColumnRenamed("event_type", "_del_event_type")
             .withColumn("_del_seq", F.lit(seq).cast("bigint"))
             for p, seq in eq_files
@@ -2804,7 +2804,7 @@ def cdc_delta_column_mapping(
         ]
     else:  # mode none/absent: logical == physical
         select = [F.col(fld["name"]) for fld in schema["fields"]]
-    df = spark.read.parquet(
-        *[os.path.join(root, p) for p in sorted(adds)]
+    df = read_parquet_cached(
+        spark, *[os.path.join(root, p) for p in sorted(adds)]
     )
     return df.select(*select)

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from metricproxy_spark.io import load_table, spread
+from metricproxy_spark.io import load_table, read_parquet_cached, spread
 from metricproxy_spark.operators.dedup import (
     exact_dedup,
     minhash_near_dup_pairs,
@@ -354,7 +354,7 @@ def _semantic_assignment(
 
         tgt = staged_artifact_dir("semassign", sf_dir)
         if os.path.isdir(tgt):
-            return spark.read.parquet(tgt)
+            return read_parquet_cached(spark, tgt)
     comp = emb.select(
         "vec_id", "label", F.posexplode("embedding").alias("pos", "vf")
     ).withColumn("v", F.col("vf").cast("double"))
@@ -396,7 +396,7 @@ def _semantic_assignment(
             os.rename(staging, tgt)
         except OSError:  # lost the publish race; theirs is identical
             shutil.rmtree(staging, ignore_errors=True)
-        return spark.read.parquet(tgt)
+        return read_parquet_cached(spark, tgt)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 

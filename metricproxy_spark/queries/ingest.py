@@ -24,7 +24,12 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from metricproxy_spark.io import load_table, spread, staged_artifact_dir
+from metricproxy_spark.io import (
+    load_table,
+    read_parquet_cached,
+    spread,
+    staged_artifact_dir,
+)
 from metricproxy_spark.registry import register
 from metricproxy_spark.sources.carbon import (
     commakeys_deconstruct,
@@ -5396,7 +5401,7 @@ def ingest_parquet_write_roundtrip(
         except OSError:
             shutil.rmtree(staging, ignore_errors=True)
     files = sorted(glob.glob(os.path.join(root, "part-*.parquet")))
-    return spark.read.parquet(*files).select(
+    return read_parquet_cached(spark, *files).select(
         "event_id", "event_type", "user_id", "value", "click_value"
     )
 

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from metricproxy_spark.io import load_table
+from metricproxy_spark.io import load_table, read_parquet_cached
 from metricproxy_spark.registry import register
 
 # Morton spread: insert a 0 bit between consecutive bits of a 16-bit
@@ -278,7 +278,7 @@ def layout_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(staging)
         )
         _publish(staging, tgt)
-    part = spark.read.parquet(tgt)
+    part = read_parquet_cached(spark, tgt)
     return (
         part.where(F.col("user_bucket").isin(2, 5))
         .groupBy("user_bucket", "event_type")

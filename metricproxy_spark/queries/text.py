@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from metricproxy_spark.io import load_table, spread
+from metricproxy_spark.io import load_table, read_parquet_cached, spread
 from metricproxy_spark.operators.multimodal import extract_features
 from metricproxy_spark.operators.text import (
     LANG_LEXICONS,
@@ -4356,7 +4356,7 @@ def pipeline_multimodal_curation_end2end(spark: SparkSession, sf_dir: str) -> Da
         except OSError:  # lost the publish race; winner is identical
             shutil.rmtree(staging, ignore_errors=True)
 
-    assets = spark.read.parquet(out_dir)
+    assets = read_parquet_cached(spark, out_dir)
 
     def decode(batches):
         from metricproxy_spark.operators.flac import decode_flac
