@@ -158,6 +158,14 @@ _SCHEMA_CACHE: dict[tuple, object] = {}
 
 
 def _path_stamp(path: str) -> tuple:
+    if any(c in path for c in "*?["):  # glob: stat every match
+        import glob as _glob
+
+        return tuple(
+            (p, st.st_size, st.st_mtime_ns)
+            for p in sorted(_glob.glob(path))
+            for st in (os.stat(p),)
+        )
     if os.path.isdir(path):  # spark-style parquet dir: stat its parts
         return tuple(
             (part, st.st_size, st.st_mtime_ns)
@@ -184,6 +192,22 @@ def read_parquet_cached(spark: SparkSession, *paths: str) -> DataFrame:
 
 # Back-compat internal alias (load_table's original single-path helper).
 _read_parquet_cached = read_parquet_cached
+
+
+def read_json_cached(spark: SparkSession, *paths: str) -> DataFrame:
+    """``spark.read.json(list(paths))`` with the inferred schema
+    memoized per (path, file-stat). JSON schema inference costs a FULL
+    extra pass over the files (a separate Spark job); the staged commit
+    logs this reads are static artifacts, so the memo removes that job
+    on repeat invocations. It stores exactly what inference produced —
+    downstream ``"add" in df.columns`` checks see the identical schema
+    — and the data pass still reads the JSON bytes per invocation."""
+    key = ("json",) + tuple((p, _path_stamp(p)) for p in paths)
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        schema = spark.read.json(list(paths)).schema
+        _SCHEMA_CACHE[key] = schema
+    return spark.read.schema(schema).json(list(paths))
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -48,7 +48,15 @@ class TestSchemaMemo:
         spark.range(10).selectExpr("id AS a").write.parquet(p)
         first = _read_parquet_cached(spark, p)
         assert first.schema.fieldNames() == ["a"]
-        assert any(k[0] == p for k in _SCHEMA_CACHE)
+        # key = tuple of (path, stamp) pairs since the round-14 staged-
+        # artifact generalization (read_parquet_cached takes *paths)
+        assert any(
+            any(
+                isinstance(part, tuple) and part and part[0] == p
+                for part in k
+            )
+            for k in _SCHEMA_CACHE
+        )
 
         # regenerate with a DIFFERENT schema at the same path
         shutil.rmtree(p)
@@ -70,3 +78,45 @@ class TestSchemaMemo:
         shutil.rmtree(p)
         spark.range(7).write.parquet(p)
         assert _read_parquet_cached(spark, p).count() == 7
+
+    def test_multi_path_read_matches_plain(self, spark, tmp_path):
+        """The *paths form (staged-artifact sites) returns the same
+        schema and rows as plain multi-path inference."""
+        from metricproxy_spark.io import read_parquet_cached
+
+        p1 = str(tmp_path / "a.parquet")
+        p2 = str(tmp_path / "b.parquet")
+        spark.range(0, 5).write.parquet(p1)
+        spark.range(5, 9).write.parquet(p2)
+        memo = read_parquet_cached(spark, p1, p2)
+        plain = spark.read.parquet(p1, p2)
+        assert memo.schema == plain.schema
+        assert sorted(r["id"] for r in memo.collect()) == sorted(
+            r["id"] for r in plain.collect()
+        )
+
+    def test_json_memo_matches_plain_inference(self, spark, tmp_path):
+        """read_json_cached stores exactly what inference produced:
+        schema AND rows agree with spark.read.json on a glob, and a
+        rewritten file (new stat) misses the memo."""
+        import json
+
+        from metricproxy_spark.io import read_json_cached
+
+        d = tmp_path / "log"
+        d.mkdir()
+        (d / "0.json").write_text(json.dumps({"add": {"path": "x"}}) + "\n")
+        (d / "1.json").write_text(json.dumps({"remove": {"path": "x"}}) + "\n")
+        g = str(d / "*.json")
+        memo = read_json_cached(spark, g)
+        plain = spark.read.json(g)
+        assert memo.schema == plain.schema
+        assert sorted(map(str, memo.collect())) == sorted(
+            map(str, plain.collect())
+        )
+        # regenerate with a new top-level field: schema re-inferred
+        (d / "1.json").write_text(
+            json.dumps({"metaData": {"id": "t"}}) + "\n"
+        )
+        again = read_json_cached(spark, g)
+        assert "metaData" in again.columns
