@@ -4480,14 +4480,13 @@ def ingest_parquet_rowgroup_prune(
 
     from metricproxy_spark.io import staged_artifact_dir
 
-    events = load_table(spark, sf_dir, "events").select(
-        "event_id", "event_type", "user_id", "value"
-    )
-    n_ids = events.agg(F.max("event_id") + 1).collect()[0][0]
-    lo, hi = (2 * n_ids) // 10, (4 * n_ids) // 10
-
     root = staged_artifact_dir("rgprune", sf_dir)
     if not os.path.isdir(root):
+        # construction-only: once the staged file exists its own
+        # row-group stats hold the global max — no events scan per run
+        events = load_table(spark, sf_dir, "events").select(
+            "event_id", "event_type", "user_id", "value"
+        )
         staging = root + f".staging.{os.getpid()}"
         (
             events.orderBy("event_id")
@@ -4510,6 +4509,10 @@ def ingest_parquet_rowgroup_prune(
     )
 
     stats = decode_rowgroup_stats(read_footer_bytes(part), "event_id")
+    # the file holds the whole table, so its stats hold the global max
+    # — the 20–40% band is catalog planning, not a data scan
+    n_ids = max(stat_int64(s["max_raw"]) for s in stats) + 1
+    lo, hi = (2 * n_ids) // 10, (4 * n_ids) // 10
     qualifying = [
         i
         for i, s in enumerate(stats)
@@ -4756,10 +4759,6 @@ def ingest_parquet_pruned_page_read(
     from metricproxy_spark.io import ensure_package_on_workers
 
     ensure_package_on_workers(spark)
-    events = load_table(spark, sf_dir, "events")
-    n_ids = events.agg(F.max("event_id") + 1).collect()[0][0]
-    lo, hi = (6 * n_ids) // 10, (8 * n_ids) // 10
-
     ingest_parquet_rowgroup_prune(spark, sf_dir)  # stage the artifact
     from metricproxy_spark.io import staged_artifact_dir
 
@@ -4773,6 +4772,10 @@ def ingest_parquet_pruned_page_read(
     )
 
     stats = decode_rowgroup_stats(read_footer_bytes(part), "event_id")
+    # the file holds the whole table, so its stats hold the global max
+    # — the 60–80% band is catalog planning, not a data scan
+    n_ids = max(stat_int64(s["max_raw"]) for s in stats) + 1
+    lo, hi = (6 * n_ids) // 10, (8 * n_ids) // 10
     qualifying = [
         i
         for i, s in enumerate(stats)
@@ -5055,7 +5058,11 @@ def ingest_parquet_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type", "user_id", "value"
     )
-    n_ids = events.agg(F.max("event_id") + 1).collect()[0][0]
+    maxes = events.agg(
+        (F.max("event_id") + 1).alias("n_ids"),
+        F.max("user_id").alias("max_user"),
+    ).collect()[0]  # one scan for both bounds, not two
+    n_ids, max_user = maxes["n_ids"], maxes["max_user"]
     probe_positions = [0, n_ids // 3, (2 * n_ids) // 3]
     present = [
         r["user_id"]
@@ -5063,7 +5070,6 @@ def ingest_parquet_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_id").isin(probe_positions)
         ).collect()  # bounded: 3 probe rows
     ]
-    max_user = events.agg(F.max("user_id")).collect()[0][0]
     probes = sorted(set(present)) + [max_user + k for k in (1, 2, 3)]
 
     root = staged_artifact_dir("bloomev", sf_dir)
@@ -5166,11 +5172,10 @@ def ingest_parquet_page_index_prune(
     events = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type", "user_id", "value"
     )
-    n_ids = events.agg(F.max("event_id") + 1).collect()[0][0]
-    lo, hi = (45 * n_ids) // 100, (55 * n_ids) // 100
-
     root = staged_artifact_dir("pageidx", sf_dir)
     if not os.path.isdir(root):
+        # construction-only: once the staged file exists its own page
+        # index holds the global max — no events scan per run
         staging = root + f".staging.{os.getpid()}"
         (
             events.orderBy("event_id")
@@ -5197,10 +5202,27 @@ def ingest_parquet_page_index_prune(
     footer = read_footer_bytes(part)
     eidx = column_chunk_indexes(footer, "event_id")
     columns = ["event_id", "event_type", "user_id", "value"]
+    indexes = [
+        (
+            read_offset_index(part, meta["offset_index"]),
+            read_column_index(part, meta["column_index"]),
+        )
+        for meta in eidx
+    ]
+    # the file holds the whole table, so its page index holds the
+    # global max — the 45–55% band is catalog planning, not a data scan
+    n_ids = (
+        max(
+            stat_int64(ci["max_values"][i])
+            for _oi, ci in indexes
+            for i in range(len(ci["max_values"]))
+            if not ci["null_pages"][i]
+        )
+        + 1
+    )
+    lo, hi = (45 * n_ids) // 100, (55 * n_ids) // 100
     tasks = []  # (rg, row_lo, row_hi) — KB catalog metadata
-    for rg, meta in enumerate(eidx):
-        oi = read_offset_index(part, meta["offset_index"])
-        ci = read_column_index(part, meta["column_index"])
+    for rg, (oi, ci) in enumerate(indexes):
         spans = [p["first_row_index"] for p in oi]
         keep = [
             i
