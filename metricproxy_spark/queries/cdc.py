@@ -280,11 +280,13 @@ def cdc_delta_log_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type", "user_id", "value"
     )
-    types = [r[0] for r in
-             events.select("event_type").distinct().orderBy("event_type").collect()]
 
     root = staged_artifact_dir("deltalog", sf_dir)
     if not os.path.isdir(root):
+        # Construction-only: the distinct type list parameterizes the
+        # staged commits; steady runs never need it.
+        types = [r[0] for r in
+                 events.select("event_type").distinct().orderBy("event_type").collect()]
         staging = root + f".staging.{os.getpid()}"
         log_dir = os.path.join(staging, "_delta_log")
         os.makedirs(log_dir, exist_ok=True)
