@@ -31,14 +31,19 @@ Env:
                          session startup over a whole workload).
     BENCH_WARM           after each session start/restart, run the next
                          N queries once UNTIMED before timing them
-                         (default 8; 0 disables). A query's first
+                         (default 0 = off — the r13-comparable
+                         methodology the driver measures; r14 briefly
+                         defaulted this to 8, which silently changed
+                         what the driver's bench measures, so warm
+                         discards are now strictly opt-in for local
+                         steady-state studies). A query's first
                          execution in a fresh session costs 3-6x its
                          steady state (JIT + codegen + python-worker
                          spinup), so a registry re-ordering that moves a
-                         name to a recycle boundary read as a 1.5-2.8x
-                         phantom regression in rounds 12-13. The discard
-                         run pins boundary names at steady state for
-                         ~8% extra wall time.
+                         name to a recycle boundary can read as a
+                         1.5-2.8x phantom regression across rounds —
+                         adjudicate those with isolated re-times rather
+                         than a default-on measurement change.
 
 Each query is materialized with a ``noop`` write so the full plan executes
 on the executors without driver-side collect overhead — this measures the
@@ -129,7 +134,7 @@ def main() -> None:
     # host noise spans ±8-15% between sessions; see SURVEY's round-10
     # noise notes). Default 1 keeps the driver's single-run behavior.
     repeats = int(os.environ.get("BENCH_REPEATS", "1"))
-    warm_n = int(os.environ.get("BENCH_WARM", "8"))
+    warm_n = int(os.environ.get("BENCH_WARM", "0"))
     warm_left = warm_n  # untimed first-run discards after session start
     per_run: list[dict[str, float]] = []
     i = 0

@@ -150,30 +150,47 @@ def staged_artifact_dir(tag: str, sf_dir: str) -> str:
 # ~35 ms when the reader is given the schema). The schema of a testdata
 # or staged-artifact parquet file is static metadata — a real engine
 # holds it in a catalog — so infer it once per (paths, size, mtime) and
-# hand it to every subsequent reader. Keyed on the file stats, a
-# REGENERATED file misses the memo and re-infers; nothing about query
-# *results* is cached (the scan itself still runs from the parquet
-# bytes each time), and the memo lives only in the driver process.
-_SCHEMA_CACHE: dict[tuple, object] = {}
+# hand it to every subsequent reader. Keyed by the PATH TUPLE with the
+# file-stat stamp stored in the value: a REGENERATED file's new stamp
+# mismatches and re-infers (never served stale), and re-inserting under
+# the same path set REPLACES the superseded entry, so the memo stays
+# bounded by the number of distinct path sets (r14 ADVICE: the old
+# stamp-in-key layout leaked one dead entry per regeneration). Nothing
+# about query *results* is cached (the scan itself still runs from the
+# parquet bytes each time), and the memo lives only in the driver
+# process.
+_SCHEMA_CACHE: dict[tuple, tuple] = {}
 
 
-def _path_stamp(path: str) -> tuple:
-    if any(c in path for c in "*?["):  # glob: stat every match
-        import glob as _glob
+def _path_stamp(path: str) -> tuple | None:
+    """(size, mtime_ns) fingerprint of a file/dir/glob, or ``None``
+    when the path can't be stamped reliably — an empty glob match (a
+    literal '[' in a plain path routes here too) or a file vanishing
+    between list and stat (e.g. another process's staged-artifact GC).
+    Callers treat None as uncacheable and fall back to a plain
+    inference read (r14 ADVICE)."""
+    try:
+        if any(c in path for c in "*?["):  # glob: stat every match
+            import glob as _glob
 
-        return tuple(
-            (p, st.st_size, st.st_mtime_ns)
-            for p in sorted(_glob.glob(path))
-            for st in (os.stat(p),)
-        )
-    if os.path.isdir(path):  # spark-style parquet dir: stat its parts
-        return tuple(
-            (part, st.st_size, st.st_mtime_ns)
-            for part in sorted(os.listdir(path))
-            for st in (os.stat(os.path.join(path, part)),)
-        )
-    st = os.stat(path)
-    return (st.st_size, st.st_mtime_ns)
+            matches = sorted(_glob.glob(path))
+            if not matches:
+                return None
+            return tuple(
+                (p, st.st_size, st.st_mtime_ns)
+                for p in matches
+                for st in (os.stat(p),)
+            )
+        if os.path.isdir(path):  # spark-style parquet dir: stat parts
+            return tuple(
+                (part, st.st_size, st.st_mtime_ns)
+                for part in sorted(os.listdir(path))
+                for st in (os.stat(os.path.join(path, part)),)
+            )
+        st = os.stat(path)
+        return (st.st_size, st.st_mtime_ns)
+    except OSError:
+        return None
 
 
 def read_parquet_cached(spark: SparkSession, *paths: str) -> DataFrame:
@@ -182,11 +199,16 @@ def read_parquet_cached(spark: SparkSession, *paths: str) -> DataFrame:
     Identical result by construction: the memo stores exactly what
     inference produced for these bytes and every scan still reads the
     parquet data per invocation."""
-    key = tuple((p, _path_stamp(p)) for p in paths)
-    schema = _SCHEMA_CACHE.get(key)
-    if schema is None:
+    stamp = tuple(_path_stamp(p) for p in paths)
+    if any(s is None for s in stamp):  # unstampable: read uncached
+        return spark.read.parquet(*paths)
+    key = ("parquet",) + paths
+    hit = _SCHEMA_CACHE.get(key)
+    if hit is not None and hit[0] == stamp:
+        schema = hit[1]
+    else:
         schema = spark.read.parquet(*paths).schema
-        _SCHEMA_CACHE[key] = schema
+        _SCHEMA_CACHE[key] = (stamp, schema)
     return spark.read.schema(schema).parquet(*paths)
 
 
@@ -202,11 +224,16 @@ def read_json_cached(spark: SparkSession, *paths: str) -> DataFrame:
     on repeat invocations. It stores exactly what inference produced —
     downstream ``"add" in df.columns`` checks see the identical schema
     — and the data pass still reads the JSON bytes per invocation."""
-    key = ("json",) + tuple((p, _path_stamp(p)) for p in paths)
-    schema = _SCHEMA_CACHE.get(key)
-    if schema is None:
+    stamp = tuple(_path_stamp(p) for p in paths)
+    if any(s is None for s in stamp):  # unstampable: read uncached
+        return spark.read.json(list(paths))
+    key = ("json",) + paths
+    hit = _SCHEMA_CACHE.get(key)
+    if hit is not None and hit[0] == stamp:
+        schema = hit[1]
+    else:
         schema = spark.read.json(list(paths)).schema
-        _SCHEMA_CACHE[key] = schema
+        _SCHEMA_CACHE[key] = (stamp, schema)
     return spark.read.schema(schema).json(list(paths))
 
 

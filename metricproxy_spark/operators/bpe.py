@@ -197,8 +197,18 @@ def _train_bpe_merges_scoped(
     n_merges: int,
     batch_size: int,
 ) -> list[dict]:
+    # ONE Spark action per merge round: the candidate collect itself
+    # materializes the freshly-persisted vocab (first action on a
+    # persisted frame computes AND caches it), so the separate
+    # count() materialization jobs — one per round plus one for the
+    # init — are pure overhead and are gone. The superseded round's
+    # cache unpersists only AFTER the next round's collect has
+    # materialized its successor (unpersisting earlier would force the
+    # successor to recompute its parent from scratch). The final
+    # batch's merge application is skipped entirely: nothing downstream
+    # reads the post-final vocab — train returns only the merge table.
     syms = _init_syms(word_vocab(docs, text_col)).persist()
-    syms.count()  # materialize before iterating
+    prev: DataFrame | None = None
     merges: list[dict] = []
     while len(merges) < n_merges:
         want = min(batch_size, n_merges - len(merges))
@@ -212,6 +222,9 @@ def _train_bpe_merges_scoped(
             .limit(max(8, 4 * want))
             .collect()
         )
+        if prev is not None:  # superseded round, now safe to release
+            prev.unpersist()
+            prev = None
         picked = _pick_noninteracting(cands, want)
         if not picked:
             break
@@ -219,11 +232,13 @@ def _train_bpe_merges_scoped(
             merges.append(
                 {"rank": len(merges), "left": l, "right": r, "pair_cnt": c}
             )
-        nxt = _apply_merges(syms, [(l, r) for l, r, _ in picked]).persist()
-        nxt.count()
-        syms.unpersist()
-        syms = nxt
+        if len(merges) >= n_merges:
+            break  # done: never apply (or compute) the final batch
+        prev = syms
+        syms = _apply_merges(syms, [(l, r) for l, r, _ in picked]).persist()
     syms.unpersist()
+    if prev is not None:
+        prev.unpersist()
     return merges
 
 

@@ -350,7 +350,9 @@ def cdc_delta_log_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("path")
         .collect()  # bounded: the catalog file list, like any table
     )
-    paths = [os.path.join(root, r["path"]) for r in live]
+    # sorted: collect order varies run to run and the schema memo keys
+    # on the path tuple — unstable order misses the memo every run
+    paths = sorted(os.path.join(root, r["path"]) for r in live)
     return read_parquet_cached(spark, *paths).select(
         "event_id", "event_type", "user_id", "value"
     )
@@ -597,13 +599,34 @@ def cdc_delta_checkpoint_snapshot(
     stats_rows = parsed.collect()  # bounded: the live-file catalog stats
     # The live set covers the whole table, so its stats hold the global
     # max — the top-30% threshold is catalog planning, no data scan.
-    n_ids = max(r["st"]["maxValues"]["event_id"] for r in stats_rows) + 1
+    # Adds whose stats string is missing/unparseable (from_json -> null)
+    # are skipped here, exactly as a stats-based pruner must treat them
+    # (no stats = no bound to plan from); the construction above always
+    # writes stats, and the max-holding top bucket is never removed by
+    # the commit tail, so the maxima survive to plan the threshold.
+    maxima = [
+        r["st"]["maxValues"]["event_id"]
+        for r in stats_rows
+        if r["st"] is not None
+        and r["st"]["maxValues"] is not None
+        and r["st"]["maxValues"]["event_id"] is not None
+    ]
+    if not maxima:
+        raise ValueError("delta checkpoint: no live add carries stats")
+    n_ids = max(maxima) + 1
     thr = (7 * n_ids) // 10
-    paths = [
+    # sorted: collect order varies run to run and the schema memo keys
+    # on the path tuple — unstable order misses the memo every run
+    paths = sorted(
         os.path.join(root, r["path"])
         for r in stats_rows
-        if r["st"]["maxValues"]["event_id"] >= thr  # stats skipping
-    ]
+        # stats skipping; a stats-less add can't be pruned by bound —
+        # but a real skipper must READ it (it may hold qualifying rows)
+        if r["st"] is None
+        or r["st"]["maxValues"] is None
+        or r["st"]["maxValues"]["event_id"] is None
+        or r["st"]["maxValues"]["event_id"] >= thr
+    )
     return (
         read_parquet_cached(spark, *paths)
         .where(F.col("event_id") >= F.lit(thr))
@@ -806,10 +829,14 @@ def cdc_iceberg_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     live = entries.where(F.col("status") != 2).select("file_path")
-    paths = [
+    # sorted: the distributed collect's row order varies run to run,
+    # and read_parquet_cached keys its schema memo on the path tuple —
+    # an order-unstable tuple missed the memo every run, re-adding a
+    # footer-inference job per invocation (the r14 2.2x regression).
+    paths = sorted(
         os.path.join(root, r["file_path"])
         for r in live.collect()  # bounded: the live-file catalog list
-    ]
+    )
     return read_parquet_cached(spark, *paths).select(
         "event_id", "event_type", "user_id", "value"
     )
@@ -1668,7 +1695,12 @@ def cdc_iceberg_stats_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the residual predicate. The oracle full-scans the predicate —
     a hash match proves pruning dropped no qualifying row. Scale:
     manifests are KB metadata scanned distributed; data I/O touches
-    only stats-qualifying files."""
+    only stats-qualifying files. The 7N/10 threshold itself is
+    parameterized from a DRIVER-side pass over the same KB manifests
+    (read_avro_rows — catalog planning, like the manifest-list read
+    one line above it), so the manifests are read twice per run: once
+    in Python to plan the predicate, once distributed as the
+    demonstrated pruning scan. Harmless at KB metadata scale."""
     import json as _json
     import os
     import shutil
@@ -1831,10 +1863,12 @@ def cdc_iceberg_stats_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(_le64("upper_bound") >= F.lit(thr))
         .select("file_path")
     )
-    paths = [
+    # sorted: collect order varies run to run and the schema memo keys
+    # on the path tuple — unstable order misses the memo every run
+    paths = sorted(
         os.path.join(root, r["file_path"])
         for r in qualifying.collect()  # bounded: the pruned catalog list
-    ]
+    )
     return (
         read_parquet_cached(spark, *paths)
         .where(F.col("event_id") >= F.lit(thr))

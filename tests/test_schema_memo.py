@@ -48,15 +48,11 @@ class TestSchemaMemo:
         spark.range(10).selectExpr("id AS a").write.parquet(p)
         first = _read_parquet_cached(spark, p)
         assert first.schema.fieldNames() == ["a"]
-        # key = tuple of (path, stamp) pairs since the round-14 staged-
-        # artifact generalization (read_parquet_cached takes *paths)
-        assert any(
-            any(
-                isinstance(part, tuple) and part and part[0] == p
-                for part in k
-            )
-            for k in _SCHEMA_CACHE
-        )
+        # key = kind + path tuple since round 15; the stat stamp lives
+        # in the VALUE so a regeneration replaces the entry in place
+        key = ("parquet", p)
+        assert key in _SCHEMA_CACHE
+        stale_stamp = _SCHEMA_CACHE[key][0]
 
         # regenerate with a DIFFERENT schema at the same path
         shutil.rmtree(p)
@@ -66,6 +62,40 @@ class TestSchemaMemo:
         second = _read_parquet_cached(spark, p)
         assert second.schema.fieldNames() == ["a", "b"]
         assert second.count() == 10
+        # the superseded generation's entry was REPLACED, not leaked
+        # (r14 ADVICE: stamp-in-key left one dead entry per generation)
+        assert _SCHEMA_CACHE[key][0] != stale_stamp
+        assert (
+            sum(1 for k in _SCHEMA_CACHE if k == key) == 1
+        )
+
+    def test_unstampable_paths_skip_the_memo(self, spark, tmp_path):
+        """An empty glob match or a vanished file is uncacheable: the
+        read falls back to plain inference instead of memoizing an
+        empty stamp that a later file at that path would HIT stale
+        (r14 ADVICE)."""
+        import json
+
+        from metricproxy_spark.io import (
+            _SCHEMA_CACHE,
+            _path_stamp,
+            read_json_cached,
+        )
+
+        d = tmp_path / "spool"
+        d.mkdir()
+        g = str(d / "*.json")
+        assert _path_stamp(g) is None  # empty glob: unstampable
+        assert _path_stamp(str(tmp_path / "gone.parquet")) is None
+
+        (d / "0.json").write_text(json.dumps({"a": 1}) + "\n")
+        first = read_json_cached(spark, g)
+        assert first.columns == ["a"]
+        # a later file reshaping the glob is never served a stale memo
+        (d / "1.json").write_text(json.dumps({"b": 2}) + "\n")
+        again = read_json_cached(spark, g)
+        assert set(again.columns) == {"a", "b"}
+        assert ("json", g) in _SCHEMA_CACHE  # non-empty glob memoizes
 
     def test_memo_is_schema_only_not_rows(self, spark, tmp_path):
         """Rows always come from the parquet bytes on disk: rewriting
